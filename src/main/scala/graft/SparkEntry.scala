@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.EventQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator (SURVEY §2 inventory +
+  * training-pipeline extensions) to a DataFrame program over a
+  * testdata sf directory; `oracleSql` carries the DuckDB-equivalent
+  * SQL for the hash-compare gate. Column names and types are aligned
+  * pairwise (all-BIGINT numerics, epoch-ms longs for time).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's headline pipeline — dedup → 1-minute
+    * rollup → global top-10 by revenue (pinot/README.md first sample
+    * query / DataGenerator.kt oracle) on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    EventQueries.topKGlobalRevenue(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    EventQueries.queries
+
+  def oracleSql: Map[String, String] =
+    EventQueries.oracles
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders for the driver-generated parquet test data
+  * (see TESTDATA.md). All engine code reads through here so that
+  * type normalization (timestamp unit, money-in-cents) happens in
+  * exactly one place.
+  *
+  * Money convention: the reference keeps all money in integer cents
+  * (reference README.md:15, DataGenerator.kt:24) — we derive
+  * `value_cents`/`*_cents` columns with `round(x*100)::long` so all
+  * downstream aggregation is exact integer arithmetic (no
+  * floating-point drift vs the DuckDB oracle).
+  */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Dollars → integer cents. Exact for 2-decimal inputs. */
+  def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 100).cast(LongType)
+
+  /** Event stream table. The parquet stores INT64 TIMESTAMP(NANOS)
+    * which Spark 4 rejects by default — read nanos as long
+    * (legacy conf) and floor-convert to microsecond TimestampType
+    * (same truncation DuckDB's epoch_ms applies, so oracle-equal).
+    * Also derives `value_cents` the same way the reference derives
+    * `revenue_cents` at ingest (orders_raw_upsert_table.json:53-59).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("value_cents", cents(col("value")))
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "embeddings")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+
+  def part(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "part")
+
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "supplier")
+
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "nation")
+
+  def region(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "region")
+}

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact deduplication operators.
+  *
+  * The reference implements first-wins dedup four ways (SURVEY §2.3):
+  * Flink keyed state with TTL (TopKStreamingJob.kt:87-119), an
+  * event-time-timer variant (ProcessFunctions.kt:21-57), an in-memory
+  * hashmap sweep (KafkaConsumerTopKJob.kt:163-169), and Pinot's
+  * declarative `dedupConfig` (orders_raw_upsert_table.json:4-7).
+  * Batch semantics collapse to "keep exactly one row per key"; we make
+  * the survivor deterministic (first by an explicit ordering) so the
+  * result is oracle-comparable.
+  *
+  * Scale notes: `firstWins` is a single hash-shuffle on the dedup key
+  * followed by a per-partition sort — the same exchange Flink's
+  * `keyBy(event_id)` performs. No global sort, no driver collect.
+  * At 100 TB the key-space partitions cleanly; skew on a hot key is
+  * impossible for true PK dedup (each key is unique ±dupes).
+  */
+object Dedup {
+
+  /** Keep the first row per key under `order` (deterministic
+    * first-wins — Flink DeduplicationFunction semantics where "first"
+    * is arrival order; here explicit event-time order).
+    */
+  def firstWins(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Nondeterministic-survivor exact dedup (Pinot dedupConfig
+    * equivalent) — cheaper than firstWins when any survivor will do:
+    * partial (map-side) dedup runs before the shuffle.
+    */
+  def anyWins(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+}

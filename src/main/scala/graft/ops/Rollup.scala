@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-windowed rollup operators.
+  *
+  * Mirrors the reference's 1-minute keyed tumbling-window aggregate
+  * (TopKStreamingJob.kt:311-315, OrderAggregateFunction :122-147) and
+  * its hourly MergeRollupTask compaction
+  * (orders_1m_rollup_table.json:72-84). Spark's partial/final hash
+  * aggregation reproduces the Flink AggregateFunction partial+merge
+  * structure automatically (map-side combine before the shuffle).
+  *
+  * Measures (SURVEY §2.4 A3/A4): order_count, sum of integer-cents
+  * revenue, and distinct users — exact (`countDistinct`, oracle-safe)
+  * or HLL sketch (`hll_sketch_agg`, the mergeable production path that
+  * matches Pinot's DISTINCTCOUNTHLL capability).
+  *
+  * Scale notes: one shuffle keyed on (window, dims); the window-start
+  * is derived per-row before the exchange so partitioning is by
+  * (minute, event_type) — at 100 TB this is the natural even key.
+  * Sketches (fixed bytes) instead of collect_set keep state bounded.
+  */
+object Rollup {
+
+  /** 1-minute tumbling rollup keyed by `dims`, exact distinct users.
+    * Output grain = (window_start_ms, dims...).
+    */
+  def rollup1m(events: DataFrame, dims: Seq[String] = Seq("event_type")): DataFrame =
+    events
+      .groupBy((window(col("ts"), "1 minute").as("w") +: dims.map(col)): _*)
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("sum_value_cents"),
+        countDistinct(col("user_id")).as("unique_users"))
+      .select(
+        (unix_millis(col("w.start")).as("window_start_ms") +: dims.map(col)) ++
+          Seq(col("order_count"), col("sum_value_cents"), col("unique_users")): _*)
+
+  /** Rollup with a mergeable HLL sketch instead of exact distinct —
+    * the scale path (Pinot stores HLL bytes, HLL_MERGE on compaction:
+    * orders_1m_rollup_schema.json:50-53, orders_1m_rollup_table.json:80).
+    */
+  def rollup1mHll(events: DataFrame, dims: Seq[String] = Seq("event_type")): DataFrame =
+    events
+      .groupBy((window(col("ts"), "1 minute").as("w") +: dims.map(col)): _*)
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("sum_value_cents"),
+        hll_sketch_agg(col("user_id").cast("string")).as("users_hll"))
+      .select(
+        (unix_millis(col("w.start")).as("window_start_ms") +: dims.map(col)) ++
+          Seq(col("order_count"), col("sum_value_cents"),
+            hll_sketch_estimate(col("users_hll")).as("unique_users_est"),
+            col("users_hll")): _*)
+
+  /** Hourly compaction of a 1-minute rollup (MergeRollupTask
+    * semantics: sums re-summed; HLL re-merged by the caller when the
+    * sketch column is carried). Input must have `window_start_ms`.
+    */
+  def compactHourly(rollup: DataFrame, dims: Seq[String] = Seq("event_type")): DataFrame = {
+    val hourMs = 3600L * 1000L
+    rollup
+      .withColumn("hour_start_ms", (col("window_start_ms") / hourMs).cast("long") * hourMs)
+      .groupBy((col("hour_start_ms") +: dims.map(col)): _*)
+      .agg(
+        sum(col("order_count")).as("order_count"),
+        sum(col("sum_value_cents")).as("sum_value_cents"))
+  }
+
+  /** Time-part profile: activity by hour-of-day and ISO day-of-week
+    * (Mon=1..Sun=7, java.time.DayOfWeek semantics like the reference's
+    * RollupProcessFunction — TopKStreamingJob.kt:163-179). Spark's
+    * dayofweek() is Sun=1, so shift: ((dow + 5) % 7) + 1.
+    */
+  def hourOfDayProfile(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        hour(col("ts")).as("hour_of_day"),
+        (((dayofweek(col("ts")) + lit(5)) % 7) + 1).as("day_of_week_iso"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("sum_value_cents"))
+}

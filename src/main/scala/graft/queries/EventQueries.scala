@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, Rollup, TopK}
+
+/** Reference-parity queries over the `events` table (SURVEY §2).
+  *
+  * Mapping of the reference's restaurant-order domain onto the test
+  * schema: event_id → event_id (dedup PK), user_id → customer_id,
+  * event_type → restaurant/menu-item dimension, value → order revenue
+  * (kept as integer cents), ts → event time.
+  *
+  * Every query returns only BIGINT/STRING columns (doubles avoided)
+  * so the driver's hash-compare against DuckDB is exact: money is
+  * `round(x*100)::long` cents, timestamps are epoch-millis longs,
+  * ranks are cast to long.
+  */
+object EventQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** D1-D4: deterministic first-wins dedup by event_id + derived
+    * revenue column (P1 ingest transform).
+    */
+  def dedupEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Dedup.firstWins(ev, Seq("event_id"), Seq(col("ts").asc, col("user_id").asc))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("value_cents"))
+  }
+
+  /** A1/A3/A4-exact: 1-minute tumbling rollup per event_type. */
+  def rollup1m(spark: SparkSession, dir: String): DataFrame =
+    Rollup.rollup1m(Tables.events(spark, dir))
+
+  /** A4 sketch path: HLL rollup (mergeable sketch). No SQL oracle —
+    * estimates are engine-specific; correctness covered by the exact
+    * twin above + ScalaTest tolerance checks.
+    */
+  def rollup1mHll(spark: SparkSession, dir: String): DataFrame =
+    Rollup.rollup1mHll(Tables.events(spark, dir)).drop("users_hll")
+
+  /** A7: hourly compaction of the 1-minute rollup. */
+  def compactHourly(spark: SparkSession, dir: String): DataFrame =
+    Rollup.compactHourly(Rollup.rollup1m(Tables.events(spark, dir)))
+
+  /** P2: hour-of-day / ISO day-of-week activity profile. */
+  def hourProfile(spark: SparkSession, dir: String): DataFrame = {
+    val p = Rollup.hourOfDayProfile(Tables.events(spark, dir))
+    p.select(
+      col("hour_of_day").cast("long").as("hour_of_day"),
+      col("day_of_week_iso").cast("long").as("day_of_week_iso"),
+      col("order_count"),
+      col("sum_value_cents"))
+  }
+
+  /** K3/K5: global top-10 users by total revenue (the generator's
+    * min-heap oracle, DataGenerator.kt:98-128).
+    */
+  def topKGlobalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("value_cents")).as("total_cents"),
+        count(lit(1)).as("order_count"))
+    TopK.topKGlobal(agg, Seq(col("total_cents").desc, col("user_id").asc), 10)
+      .select(col("rank").cast("long").as("rank"), col("user_id"),
+        col("total_cents"), col("order_count"))
+  }
+
+  /** K2: per-event_type top-3 users by order count. */
+  def topKPerType(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("total_cents"))
+    TopK.topKPerKey(agg, Seq("event_type"),
+        Seq(col("order_count").desc, col("total_cents").desc, col("user_id").asc), 3)
+      .select(col("event_type"), col("rank").cast("long").as("rank"),
+        col("user_id"), col("order_count"), col("total_cents"))
+  }
+
+  /** K1/K2: per-1-hour-window top-5 users by order count — the
+    * windowed ranked table the reference materializes to
+    * restaurant_topk/global_topk.
+    */
+  def topKWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("total_cents"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("user_id"), col("order_count"), col("total_cents"))
+    TopK.topKPerKey(agg, Seq("window_start_ms"),
+        Seq(col("order_count").desc, col("total_cents").desc, col("user_id").asc), 5)
+      .select(col("window_start_ms"), col("rank").cast("long").as("rank"),
+        col("user_id"), col("order_count"), col("total_cents"))
+  }
+
+  /** K4/EP1: query-side lookup over the ranked windowed table —
+    * time-range + rank<=k filter, window desc / rank asc order
+    * (QueryService.kt:43-61). Range anchored at max(ts)-72h so the
+    * query is deterministic on static data (the API's now-relative
+    * defaults, TopKController.kt:34-38).
+    */
+  def topKLookup(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = topKWindowed(spark, dir)
+    val anchor = Tables.events(spark, dir)
+      .agg((unix_millis(max(col("ts"))) - lit(72L * 3600 * 1000)).as("t0"))
+    ranked.crossJoin(broadcast(anchor))
+      .filter(col("window_start_ms") >= col("t0") && col("rank") <= 3)
+      .drop("t0")
+      .orderBy(col("window_start_ms").desc, col("rank").asc)
+  }
+
+  /** S3: JSON decode of the props payload + predicate pushdown. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") < 50)
+
+  /** P7: relative-time predicate (`ago('PT24H')`) — last 24 h of
+    * activity, anchored at max(ts) for determinism.
+    */
+  def recent24h(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val anchor = ev.agg(max(col("ts")).as("max_ts"))
+    ev.crossJoin(broadcast(anchor))
+      .filter(col("ts") > col("max_ts") - expr("INTERVAL 24 HOURS"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("sum_value_cents"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q_dedup_events" -> (dedupEvents _),
+    "q_rollup_1m" -> (rollup1m _),
+    "q_rollup_1m_hll" -> (rollup1mHll _),
+    "q_compact_hourly" -> (compactHourly _),
+    "q_hour_profile" -> (hourProfile _),
+    "q_topk_global_revenue" -> (topKGlobalRevenue _),
+    "q_topk_per_type" -> (topKPerType _),
+    "q_topk_windowed" -> (topKWindowed _),
+    "q_topk_lookup" -> (topKLookup _),
+    "q_json_extract" -> (jsonExtract _),
+    "q_recent_24h" -> (recent24h _),
+  )
+
+  private val cents = "CAST(round(value*100) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_events" ->
+      s"""SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, $cents AS value_cents
+         |FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn FROM events)
+         |WHERE rn = 1""".stripMargin,
+    "q_rollup_1m" ->
+      s"""SELECT epoch_ms(date_trunc('minute', ts)) AS window_start_ms, event_type,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents,
+         |  count(DISTINCT user_id) AS unique_users
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_compact_hourly" ->
+      s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_hour_profile" ->
+      s"""SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         |  CAST(isodow(ts) AS BIGINT) AS day_of_week_iso,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_topk_global_revenue" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY total_cents DESC, user_id ASC) AS BIGINT) AS rank,
+         |  user_id, total_cents, order_count
+         |FROM (SELECT user_id, CAST(SUM($cents) AS BIGINT) AS total_cents, count(*) AS order_count
+         |      FROM events GROUP BY 1)
+         |ORDER BY total_cents DESC, user_id ASC LIMIT 10""".stripMargin,
+    "q_topk_per_type" ->
+      s"""SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, order_count, total_cents FROM (
+         |  SELECT event_type, user_id, order_count, total_cents,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY order_count DESC, total_cents DESC, user_id ASC) AS rank
+         |  FROM (SELECT event_type, user_id, count(*) AS order_count,
+         |          CAST(SUM($cents) AS BIGINT) AS total_cents
+         |        FROM events GROUP BY 1, 2))
+         |WHERE rank <= 3""".stripMargin,
+    "q_topk_windowed" ->
+      s"""SELECT window_start_ms, CAST(rank AS BIGINT) AS rank, user_id, order_count, total_cents FROM (
+         |  SELECT window_start_ms, user_id, order_count, total_cents,
+         |    row_number() OVER (PARTITION BY window_start_ms ORDER BY order_count DESC, total_cents DESC, user_id ASC) AS rank
+         |  FROM (SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, user_id,
+         |          count(*) AS order_count, CAST(SUM($cents) AS BIGINT) AS total_cents
+         |        FROM events GROUP BY 1, 2))
+         |WHERE rank <= 5""".stripMargin,
+    "q_topk_lookup" ->
+      s"""SELECT window_start_ms, CAST(rank AS BIGINT) AS rank, user_id, order_count, total_cents FROM (
+         |  SELECT window_start_ms, user_id, order_count, total_cents,
+         |    row_number() OVER (PARTITION BY window_start_ms ORDER BY order_count DESC, total_cents DESC, user_id ASC) AS rank
+         |  FROM (SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, user_id,
+         |          count(*) AS order_count, CAST(SUM($cents) AS BIGINT) AS total_cents
+         |        FROM events GROUP BY 1, 2))
+         |WHERE rank <= 3
+         |  AND window_start_ms >= (SELECT epoch_ms(max(ts)) - 72*3600*1000 FROM events)
+         |ORDER BY window_start_ms DESC, rank ASC""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 50""".stripMargin,
+    "q_recent_24h" ->
+      s"""SELECT event_type, count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents
+         |FROM events
+         |WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 24 HOUR
+         |GROUP BY 1""".stripMargin,
+  )
+}
