@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline:
+  * tokenization, shingling, fingerprinting, quality metrics, and a
+  * marker-token language-ID heuristic. All pure `Column` expressions
+  * (whole-stage-codegen friendly, no UDFs) and all reproducible in
+  * ANSI-ish SQL for the DuckDB oracle.
+  */
+object Text {
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles ("a b c" strings). Empty array for
+    * texts shorter than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val grams = transform(
+      sequence(lit(0), size(t) - lit(n)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j + 1))): _*))
+    array_distinct(when(size(t) >= n, grams).otherwise(array()))
+  }
+
+  /** Exact full-text fingerprint (md5 hex — exact-dup key). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Order-insensitive bag fingerprint: md5 over the sorted distinct
+    * token set — catches shuffled/duplicated-token variants.
+    */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Cheap LLM-token estimate: ceil(chars / 4) — the usual BPE
+    * rule-of-thumb, exact integer arithmetic.
+    */
+  def estBpeTokens(nChars: Column): Column =
+    ((nChars + lit(3)) / lit(4)).cast("long")
+
+  /** Count of tokens contained in `words`. */
+  def markerHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*))).cast("long")
+
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  /** Marker token lists per language for the language-ID heuristic.
+    * The synthetic corpus has a closed 31-token vocabulary, so markers
+    * are drawn from it; the mechanism (per-language token scoring +
+    * deterministic argmax) is the real product.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "table", "row", "column"),
+    "de" -> Seq("stream", "batch", "window", "group"),
+    "fr" -> Seq("query", "join", "filter", "sort"))
+
+  /** Deterministic argmax language: highest marker-hit count wins,
+    * ties broken by list order (en > es > de > fr).
+    */
+  def langId(text: Column): Column = {
+    val hits = langMarkers.map { case (lang, ws) => lang -> markerHits(text, ws) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * Two paths:
+  *  - `bruteForceKnn` — exact cosine top-k: broadcast the (small)
+  *    query set against the corpus, per-query ranked with a
+  *    WindowGroupLimit-bounded row_number. The corpus side streams —
+  *    no shuffle of the big table, so at 100 TB this is one scan.
+  *  - `ivfKnn` — the scale path: k-means-lite coarse quantizer
+  *    (deterministic seeded sample as centroids), corpus bucketed by
+  *    nearest centroid (computed once, co-partitioned), queries probe
+  *    only `nprobe` nearest cells. Recall < 1 by design; measured
+  *    against brute force in tests.
+  */
+object Ann {
+
+  /** Normalize: id, vector-as-double, precomputed norm. */
+  private def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(
+      col(idCol).as("id"),
+      Vectors.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+
+  /** Exact top-k cosine neighbors for each query row (self-matches
+    * excluded). Output: (query_id, rank, neighbor_id) — ids only, so
+    * cross-engine float comparison never appears in results.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = prep(corpus, idCol, vecCol)
+    val q = prep(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("sim", Vectors.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id").as("neighbor_id"))
+  }
+
+  /** Deterministic coarse centroids: the embeddings of the `nCells`
+    * lowest-id corpus rows (a seedless, reproducible "sample" —
+    * k-means iterations add nothing for a synthetic benchmark corpus,
+    * and determinism matters more than centroid quality here).
+    */
+  def coarseCentroids(corpus: DataFrame, nCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] =
+    corpus.select(col(idCol), Vectors.toDouble(col(vecCol)).as("v"))
+      .orderBy(col(idCol).asc).limit(nCells)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** IVF top-k: corpus rows live in their nearest-centroid cell;
+    * each query probes its `nprobe` closest cells only. The
+    * cell-assignment join is an equi-join on cell id — shuffle
+    * partitions by cell, which is how a 1000-executor cluster would
+    * shard a real IVF index.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = prep(corpus, idCol, vecCol)
+      .withColumn("cell", Vectors.nearestCentroid(col("v"), centroids))
+    val qCells = (q: DataFrame) => {
+      // nprobe nearest cells per query, as rows (query_id, cell)
+      val sims = centroids.zipWithIndex.map { case (cen, i) =>
+        struct(Vectors.cosine(col("qv"), array(cen.map(lit(_)): _*)).as("sim"),
+          lit(i).as("cell"))
+      }
+      q.withColumn("probe",
+          slice(reverse(array_sort(array(sims: _*))), 1, nprobe))
+        .select(col("query_id"), col("qv"), col("qn"),
+          explode(col("probe.cell")).as("cell"))
+    }
+    val q = prep(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probed = qCells(q)
+    val scored = c.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("sim", Vectors.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id").as("neighbor_id"))
+  }
+
+  /** Global most-similar pairs: all-pairs cosine (small-side
+    * broadcast, upper triangle only), top `topN` by similarity with
+    * deterministic id tie-break. Ids only in the output.
+    */
+  def topSimilarPairs(emb: DataFrame, topN: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = prep(emb, idCol, vecCol)
+      .select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = prep(emb, idCol, vecCol)
+      .select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val scored = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    scored
+      .orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)
+      .limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)))
+      .select(col("rank").cast("long").as("rank"), col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Near-duplicate detection for document corpora — the dedup family a
+  * training-data pipeline needs at 100 TB: exact (hash), exact
+  * n-gram Jaccard via an inverted shingle index, MinHash+LSH banding,
+  * and frequency-weighted SimHash with pigeonhole-chunk blocking.
+  *
+  * Scale design: nothing here compares all pairs. Candidate
+  * generation is always an equi-join on a blocking key (shingle,
+  * LSH band hash, simhash chunk) — a plain shuffled hash join that
+  * partitions by the key at any data size — followed by exact
+  * verification on the candidates only. All verification math is
+  * integer (shingle counts), so thresholds are exact and
+  * oracle-comparable.
+  */
+object NearDup {
+
+  /** Exact duplicate groups by full-text hash: canonical (min) doc id
+    * per group + member count. One shuffle on the 128-bit hash.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_docs"))
+
+  /** Docs → (id, distinct shingle set, set size). */
+  def shingleSets(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      Text.shingles(col(textCol), n).as("sh"))
+      .withColumn("sh_size", size(col("sh")).cast("long"))
+
+  /** Jaccard(a,b) >= num/den as exact integer predicate:
+    * c/(|A|+|B|-c) >= num/den  ⟺  c*(den+num) >= num*(|A|+|B|).
+    */
+  private def jaccardAtLeast(c: Column, sa: Column, sb: Column, num: Int, den: Int): Column =
+    c * (den + num) >= (sa + sb) * num
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
+    * only doc pairs sharing >= 1 shingle are ever materialized;
+    * |A∩B| falls out of the join as the shared-posting count.
+    * Output: (doc_a < doc_b, common_shingles, shingles_a, shingles_b).
+    */
+  def jaccardPairs(docs: DataFrame, n: Int, thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val sets = shingleSets(docs, n)
+    val postings = sets.select(col("doc_id"), col("sh_size"), explode(col("sh")).as("shingle"))
+    val a = postings.select(col("doc_id").as("doc_a"), col("sh_size").as("shingles_a"), col("shingle"))
+    val b = postings.select(col("doc_id").as("doc_b"), col("sh_size").as("shingles_b"), col("shingle"))
+    a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("shingles_a"), col("shingles_b"))
+      .agg(count(lit(1)).as("common_shingles"))
+      .filter(jaccardAtLeast(col("common_shingles"), col("shingles_a"), col("shingles_b"),
+        thresholdNum, thresholdDen))
+      .select("doc_a", "doc_b", "common_shingles", "shingles_a", "shingles_b")
+  }
+
+  /** MinHash signatures: for seed i in [0, numHashes), min over the
+    * doc's shingles of xxhash64(i, shingle). Computed as one explode +
+    * a single hash aggregation with numHashes `min` buffers — fully
+    * codegen'd, partial-agg (map-side combine) before the shuffle, one
+    * pass over postings at any corpus size. (A lambda-based
+    * `transform(seq, i -> array_min(...))` formulation is interpreted
+    * and re-evaluated per consumer — orders of magnitude slower.)
+    * Output: (doc_id, sh_size, sig array<long>).
+    */
+  def minhashSigs(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val sets = shingleSets(docs, n).filter(col("sh_size") > 0)
+    val postings = sets.select(col("doc_id"), col("sh_size"), explode(col("sh")).as("shingle"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    postings
+      .groupBy(col("doc_id"), col("sh_size"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), col("sh_size"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH band hashes from a signature column: one hash per r-slice
+    * (static slices — cheap per-row expressions).
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(sig, b * rowsPerBand + 1, rowsPerBand))): _*)
+
+  /** MinHash+LSH near-dup pairs, exact-verified.
+    *
+    * Candidates: docs sharing any of `bands` band hashes (equi-join on
+    * (band_idx, band_hash) — never all-pairs). Verification: exact
+    * shingle-set Jaccard >= num/den on candidates only. With
+    * bands=32, rowsPerBand=4 the miss probability at j=0.8 is
+    * (1-0.8^4)^32 ≈ 5e-8 — the result equals the exact >=0.8 pair set
+    * for practical purposes (the DuckDB oracle computes the exact set).
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      thresholdNum: Int = 4,
+      thresholdDen: Int = 5): DataFrame = {
+    val sets = shingleSets(docs, n).filter(col("sh_size") > 0)
+    val sigs = minhashSigs(docs, n, bands * rowsPerBand)
+      .withColumn("bands", lshBands(col("sig"), bands, rowsPerBand))
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"), Seq("band_idx", "band_hash"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sh_size").as("shingles_a"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sh_size").as("shingles_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("common_shingles", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(jaccardAtLeast(col("common_shingles"), col("shingles_a"), col("shingles_b"),
+        thresholdNum, thresholdDen))
+      .select("doc_a", "doc_b", "common_shingles", "shingles_a", "shingles_b")
+  }
+
+  /** Frequency-weighted 64-bit SimHash signatures per doc: bit b is
+    * set iff the ±1 vote sum over token occurrences (by bit b of
+    * xxhash64(token)) is >= 0. Computed as one explode + a single
+    * 64-counter hash aggregation (partial-agg friendly: per-partition
+    * vote sums combine before the shuffle).
+    */
+  def simhashSigs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+        .as(s"b$b"))
+    val counted = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"b$b") >= 0L, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    counted.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist.
+    * Blocking: split the 64-bit signature into (maxDist+1) chunks —
+    * by pigeonhole, any pair within maxDist shares at least one exact
+    * chunk, so candidates come from an equi-join on (chunk_idx,
+    * chunk_value); the full cross product never exists.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val sigs = simhashSigs(docs, idCol, textCol)
+    val chunkCols = (0 until chunks).map(i =>
+      shiftrightunsigned(col("sig"), i * width).bitwiseAND(lit((1L << width) - 1)))
+    val keyed = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk_val")))
+    keyed.as("x").join(keyed.as("y"), Seq("chunk_idx", "chunk_val"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+import graft.ops.NearDup
+
+/** Training-data-pipeline queries over the `documents` table:
+  * text analysis (token stats, quality ratios, language ID,
+  * fingerprints) and the dedup family (exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash).
+  *
+  * Ratios are the only doubles in any output, and each is a single
+  * IEEE division of two exact integers — bit-identical across
+  * engines. Everything else is BIGINT/STRING.
+  */
+object DocQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Token counting + quality scoring (length/stopword/type-token
+    * ratios + BPE-ish token estimate).
+    */
+  def docStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      Text.distinctTokenCount(col("text")).as("n_distinct"),
+      Text.markerHits(col("text"), Text.stopwords).as("n_stop"),
+      Text.estBpeTokens(col("n_chars")).as("est_bpe_tokens"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+  }
+
+  /** Marker-token language ID with per-language scores. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val hitCols = Text.langMarkers.map { case (lang, ws) =>
+      Text.markerHits(col("text"), ws).as(s"hits_$lang")
+    }
+    d.select((col("doc_id") +: hitCols) :+ Text.langId(col("text")).as("lang_pred"): _*)
+  }
+
+  /** Exact + bag-of-words document fingerprints. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      Text.fingerprint(col("text")).as("fp"),
+      Text.bagFingerprint(col("text")).as("bag_fp"))
+
+  /** Exact-duplicate groups by full-text hash. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    NearDup.exactDupGroups(Tables.documents(spark, dir))
+
+  /** Exact 3-gram Jaccard >= 0.5 near-dup pairs (inverted-index
+    * join — never all-pairs).
+    */
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    NearDup.jaccardPairs(Tables.documents(spark, dir), n = 3,
+      thresholdNum = 1, thresholdDen = 2)
+
+  /** MinHash+LSH candidates exact-verified at Jaccard >= 0.8 —
+    * result set equals the exact >=0.8 pairs (miss prob ~5e-8), which
+    * is what the oracle computes.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    NearDup.minhashPairs(Tables.documents(spark, dir))
+
+  /** SimHash (frequency-weighted, 64-bit) pairs at Hamming <= 3 via
+    * pigeonhole chunk blocking. No SQL oracle (hash function not
+    * reproducible in DuckDB); covered by ScalaTest against Jaccard
+    * ground truth.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    NearDup.simhashPairs(Tables.documents(spark, dir), maxDist = 3)
+
+  val queries: Map[String, QFn] = Map(
+    "q_doc_stats" -> (docStats _),
+    "q_lang_id" -> (langId _),
+    "q_doc_fingerprint" -> (fingerprints _),
+    "q_doc_dedup_exact" -> (dedupExact _),
+    "q_doc_dedup_jaccard" -> (dedupJaccard _),
+    "q_doc_dedup_minhash" -> (dedupMinhash _),
+    "q_doc_dedup_simhash" -> (dedupSimhash _),
+  )
+
+  private val toks = "string_split(text, ' ')"
+  private val shingleCte =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t)""".stripMargin
+
+  private def jaccardOracle(c: String, limitExpr: String) =
+    s"""$shingleCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common_shingles,
+       |  CAST(len(a.sh) AS BIGINT) AS shingles_a,
+       |  CAST(len(b.sh) AS BIGINT) AS shingles_b
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |  AND $limitExpr""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_doc_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct,
+         |  CAST(len(list_filter($toks, x -> list_contains(['the','a'], x))) AS BIGINT) AS n_stop,
+         |  CAST((n_chars + 3) // 4 AS BIGINT) AS est_bpe_tokens,
+         |  CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) AS ttr,
+         |  CAST(len(list_filter($toks, x -> list_contains(['the','a'], x))) AS DOUBLE) / len($toks) AS stop_ratio
+         |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  CAST(len(list_filter($toks, x -> list_contains(['the','a','fast','slow'], x))) AS BIGINT) AS hits_en,
+         |  CAST(len(list_filter($toks, x -> list_contains(['data','table','row','column'], x))) AS BIGINT) AS hits_es,
+         |  CAST(len(list_filter($toks, x -> list_contains(['stream','batch','window','group'], x))) AS BIGINT) AS hits_de,
+         |  CAST(len(list_filter($toks, x -> list_contains(['query','join','filter','sort'], x))) AS BIGINT) AS hits_fr
+         |  FROM documents)
+         |SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+         |  CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+         |       WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+         |       WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+         |       WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM h""".stripMargin,
+    "q_doc_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp,
+         |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS bag_fp
+         |FROM documents""".stripMargin,
+    "q_doc_dedup_exact" ->
+      """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_doc_dedup_jaccard" -> jaccardOracle("c",
+      "3 * len(list_intersect(a.sh, b.sh)) >= 1 * (len(a.sh) + len(b.sh))"),
+    "q_doc_dedup_minhash" -> jaccardOracle("c",
+      "9 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh))"),
+  )
+}
