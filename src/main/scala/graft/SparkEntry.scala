@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DocQueries, EmbedQueries, EventQueries}
+import graft.queries.{DocQueries, EmbedQueries, EventQueries, MediaQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,8 +21,10 @@ object SparkEntry {
     EventQueries.topKGlobalRevenue(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventQueries.queries ++ DocQueries.queries ++ EmbedQueries.queries
+    EventQueries.queries ++ DocQueries.queries ++ EmbedQueries.queries ++
+      TpchQueries.queries ++ MediaQueries.queries
 
   def oracleSql: Map[String, String] =
-    EventQueries.oracles ++ DocQueries.oracles ++ EmbedQueries.oracles
+    EventQueries.oracles ++ DocQueries.oracles ++ EmbedQueries.oracles ++
+      TpchQueries.oracles ++ MediaQueries.oracles
 }

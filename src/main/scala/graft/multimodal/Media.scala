@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as
+  * opaque `binary` columns with typed metadata, and per-record
+  * decode / feature-extract / frame-sample run as partition-local
+  * batch transforms (`Dataset.mapPartitions` — the Scala analog of
+  * the Python `mapInPandas` batch-UDF shape: one iterator in, one
+  * iterator out, no per-row driver involvement, partitioning
+  * preserved).
+  *
+  * The actual media codecs are NOT in this environment, so
+  * `decodeStub` is a deterministic fake (clearly marked); the real
+  * product here is the Spark-side contract: schema, batch iteration,
+  * partition preservation, and the fan-out shape for frame sampling.
+  * At 100 TB: payloads never pass through the driver, each partition
+  * decodes independently, and feature rows are much narrower than
+  * payload rows (project early, drop bytes before any shuffle).
+  */
+object Media {
+
+  /** One media payload: binary bytes + typed metadata. */
+  case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte], source: String)
+
+  /** Decoded per-record features (bytes dropped — narrow row). */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      header_byte: Long, fake_width: Long, fake_height: Long, checksum: Long)
+
+  /** One sampled "frame" of a video payload. */
+  case class Frame(media_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
+
+  /** Synthesize a media table from the events table: payload = the
+    * props JSON bytes, kind derived from event_type. Stands in for a
+    * real (id, kind, binary, meta) ingest.
+    */
+  def mediaFromEvents(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id").as("media_id"),
+      when(col("event_type").isin("click", "view"), "image")
+        .when(col("event_type") === "purchase", "video")
+        .otherwise("audio").as("kind"),
+      encode(col("props"), "UTF-8").as("bytes"),
+      col("event_type").as("source"))
+
+  /** ==== STUB ==== deterministic fake decoder. A real deployment
+    * replaces the body with an image/audio codec call; the signature
+    * and batch shape are the contract. Width/height/checksum are
+    * arithmetic on the payload so tests (and the SQL oracle) can
+    * validate the plumbing end-to-end.
+    */
+  def decodeStub(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+    val n = bytes.length.toLong
+    val header = if (bytes.nonEmpty) (bytes(0) & 0xffL) else 0L
+    (n, header, n % 64, header % 64)
+  }
+
+  /** Partition-local batch decode: binary in, narrow features out. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val (n, header, w, h) = decodeStub(rec.bytes)
+        MediaFeatures(rec.media_id, rec.kind, n, header, w, h, n * 31 + header)
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: split the byte payload into
+    * fixed-size "frames", keep every `stride`-th — the fan-out shape
+    * (flatMap, 1 row → n rows) of real video frame extraction.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameSize: Int = 8, stride: Int = 2): Dataset[Frame] = {
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRecord].flatMap { rec =>
+      rec.bytes.grouped(frameSize).zipWithIndex.collect {
+        case (chunk, i) if i % stride == 0 => Frame(rec.media_id, i.toLong, chunk)
+      }
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Media
+
+/** Multimodal plumbing queries: binary payload columns + stubbed
+  * decode (see [[graft.multimodal.Media]]). The stub's arithmetic is
+  * SQL-expressible, so the whole binary → mapPartitions → features
+  * path has an exact DuckDB oracle.
+  */
+object MediaQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** events → binary media table → batch feature extraction. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    Media.extractFeatures(spark,
+      Media.mediaFromEvents(Tables.events(spark, dir))).toDF()
+
+  /** Frame sampling fan-out: per-video frame counts + byte totals
+    * (aggregated so the output is compact and integer-only).
+    */
+  def frameStats(spark: SparkSession, dir: String): DataFrame =
+    Media.sampleFrames(spark,
+        Media.mediaFromEvents(Tables.events(spark, dir)))
+      .toDF()
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(length(col("frame_bytes")).cast("long")).as("sampled_bytes"))
+
+  val queries: Map[String, QFn] = Map(
+    "q_media_features" -> (mediaFeatures _),
+    "q_media_frame_stats" -> (frameStats _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_media_features" ->
+      """SELECT event_id AS media_id,
+        |  CASE WHEN event_type IN ('click','view') THEN 'image'
+        |       WHEN event_type = 'purchase' THEN 'video'
+        |       ELSE 'audio' END AS kind,
+        |  CAST(strlen(props) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(props) AS BIGINT) AS header_byte,
+        |  CAST(strlen(props) % 64 AS BIGINT) AS fake_width,
+        |  CAST(ascii(props) % 64 AS BIGINT) AS fake_height,
+        |  CAST(strlen(props) * 31 + ascii(props) AS BIGINT) AS checksum
+        |FROM events""".stripMargin,
+    // frameSize=8, stride=2: kept chunks start at byte offset 16*g,
+    // so n_frames = ceil(L/16) and each kept chunk has
+    // min(8, L - 16*g) bytes.
+    "q_media_frame_stats" ->
+      """SELECT event_id AS media_id,
+        |  CAST((strlen(props) + 15) // 16 AS BIGINT) AS n_frames,
+        |  CAST(list_aggregate(list_transform(
+        |      range(0, (strlen(props) + 15) // 16),
+        |      g -> least(8, strlen(props) - 16*g)), 'sum') AS BIGINT) AS sampled_bytes
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+  )
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TopK
+
+/** Join / scan / aggregation queries over the TPC-H-ish star schema —
+  * the "extended engine" surface beyond the reference's single-table
+  * pipeline (the reference has zero joins, SURVEY §2.7; a user moving
+  * real workloads onto this engine needs them).
+  *
+  * Scale design, per query:
+  *  - dimension tables (customer, part, nation, region, supplier)
+  *    scale far slower than the facts — joined with explicit
+  *    `broadcast()` hints so fact tables never shuffle for a dim join;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key
+  *    once, with AQE free to pick/skew-split at runtime;
+  *  - money stays integer cents: per-row `round(expr*100)::long` is
+  *    bit-deterministic (single IEEE multiply chain), then integer
+  *    sums — exact at any scale and oracle-identical.
+  */
+object TpchQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  /** TPC-H Q1-flavor pricing summary: one scan of lineitem, group by
+    * two low-cardinality flags.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))
+          .as("sum_charge_cents"),
+        count(lit(1)).as("count_order"))
+
+  /** Broadcast dim join: top-10 customers by total order value. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("total_cents"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+    TopK.topKGlobal(agg, Seq(col("total_cents").desc, col("o_custkey").asc), 10)
+      .select(col("rank").cast("long").as("rank"), col("o_custkey"),
+        col("c_name"), col("total_cents"), col("n_orders"))
+  }
+
+  /** Multi-hop broadcast dims: revenue by region/nation of the
+    * customer (region ⋈ nation ⋈ customer all broadcast; orders is
+    * the only big side and never shuffles for the joins).
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    Tables.orders(spark, dir)
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(cents(col("o_totalprice"))).as("total_cents"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Fact ⋈ fact shuffle join: discounted lineitem revenue joined to
+    * orders, grouped by order priority and year.
+    */
+  def revenueByPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+
+  /** Broadcast part dim: top-10 brands by discounted revenue. */
+  def brandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+    TopK.topKGlobal(agg, Seq(col("revenue_cents").desc, col("p_brand").asc), 10)
+      .select(col("rank").cast("long").as("rank"), col("p_brand"),
+        col("revenue_cents"), col("sum_qty"))
+  }
+
+  /** Semi-join (EXISTS): customers with at least one urgent order in
+    * 1996 — left_semi keeps the probe side unduplicated, no fact
+    * columns shuffle.
+    */
+  def urgentCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q_tpch_pricing" -> (pricingSummary _),
+    "q_tpch_top_customers" -> (topCustomers _),
+    "q_tpch_revenue_by_nation" -> (revenueByNation _),
+    "q_tpch_revenue_by_priority" -> (revenueByPriority _),
+    "q_tpch_brand_revenue" -> (brandRevenue _),
+    "q_tpch_urgent_customers" -> (urgentCustomers _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_tpch_top_customers" ->
+      """SELECT CAST(row_number() OVER (ORDER BY total_cents DESC, o_custkey ASC) AS BIGINT) AS rank,
+        |  o_custkey, c_name, total_cents, n_orders FROM (
+        |  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1) j JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_cents DESC, o_custkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_tpch_revenue_by_priority" ->
+      """SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_tpch_brand_revenue" ->
+      """SELECT CAST(row_number() OVER (ORDER BY revenue_cents DESC, p_brand ASC) AS BIGINT) AS rank,
+        |  p_brand, revenue_cents, sum_qty FROM (
+        |  SELECT p_brand,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+        |ORDER BY revenue_cents DESC, p_brand ASC LIMIT 10""".stripMargin,
+    "q_tpch_urgent_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')""".stripMargin,
+  )
+}

@@ -1,0 +1,88 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical table management — the Spark-side equivalent of the
+  * reference's Pinot serving-layer layout (SURVEY §2.8):
+  *
+  *  - sorted column for locality/pruning (orders_raw_upsert_table
+  *    .json:21-24) → `sortWithinPartitions` before write, so parquet
+  *    row-group min/max stats prune on the dominant predicate;
+  *  - date partitioning → directory-level partition pruning (the
+  *    range-index analog, :32-34);
+  *  - bloom filter on the PK (:35-38) → parquet bloom filters, used
+  *    by the reader for point lookups;
+  *  - 7/30-day retention (:12-13) → partition-drop sweep;
+  *  - hourly MergeRollupTask (:72-84) → compaction rewrite.
+  *
+  * At 100 TB these write-layout decisions are what keep serving
+  * queries index-like: a (date, sorted-key) layout means a top-K
+  * lookup touches one partition directory and a few row groups, not
+  * the table.
+  */
+object TableManager {
+
+  /** Write `df` date-partitioned on `tsCol`'s date, sorted inside
+    * each file by `sortCols`, with a parquet bloom filter on
+    * `bloomCol`. `repartition(date, bucketExpr)` keeps one shuffle
+    * and co-locates each date's rows before the sort.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      tsCol: String,
+      sortCols: Seq[String],
+      bloomCol: Option[String] = None,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val dated = df.withColumn("p_date", to_date(col(tsCol)))
+    val writer0 = dated
+      .repartition(col("p_date"))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write
+      .mode(mode)
+      .partitionBy("p_date")
+    val writer = bloomCol.fold(writer0) { c =>
+      writer0
+        .option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", "1000000")
+    }
+    writer.parquet(path)
+  }
+
+  /** Drop date partitions older than `retentionDays` relative to
+    * `nowDate` (yyyy-MM-dd) — the Pinot retention-manager analog.
+    * Purely directory-level: no data files are read.
+    */
+  def retentionSweep(spark: SparkSession, path: String, retentionDays: Int, nowDate: String): Seq[String] = {
+    val cutoff = java.time.LocalDate.parse(nowDate).minusDays(retentionDays.toLong)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dropped = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/p_date=*")))
+      .getOrElse(Array.empty)
+      .toSeq
+      .filter { st =>
+        val d = st.getPath.getName.stripPrefix("p_date=")
+        scala.util.Try(java.time.LocalDate.parse(d).isBefore(cutoff)).getOrElse(false)
+      }
+    dropped.foreach(st => fs.delete(st.getPath, true))
+    dropped.map(_.getPath.getName)
+  }
+
+  /** Compact a 1-minute rollup table into its hourly form in place
+    * of older partitions (MergeRollupTask semantics: re-sum metrics;
+    * caller re-merges HLL sketches when carried).
+    */
+  def compactToHourly(
+      spark: SparkSession,
+      rollupPath: String,
+      outPath: String,
+      dims: Seq[String]): Unit = {
+    val rollup = spark.read.parquet(rollupPath)
+    graft.ops.Rollup.compactHourly(rollup, dims)
+      .withColumn("p_date", to_date(timestamp_millis(col("hour_start_ms"))))
+      .repartition(col("p_date"))
+      .sortWithinPartitions((dims :+ "hour_start_ms").map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(outPath)
+  }
+}
