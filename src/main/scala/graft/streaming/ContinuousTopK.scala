@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Continuous per-key top-K with custom keyed state — the one
+  * reference operator Spark's built-ins can't express (SURVEY §7.3):
+  * Flink's TopKProcessFunction (ProcessFunctions.kt:62-134) keeps a
+  * MapState of per-item metrics and re-emits the current top-K on
+  * every update.
+  *
+  * `flatMapGroupsWithState` is the Spark analog: one state value per
+  * group key, update-and-emit per micro-batch (per-batch emission
+  * instead of per-element — the micro-batch analog of Flink's
+  * per-element emission; same output grain as the reference's Kafka
+  * consumer variant, KafkaConsumerTopKJob.kt:209-241).
+  *
+  * State is bounded like the reference bounds it: metrics are
+  * truncated to the top `stateCap` items after each update
+  * (ProcessFunctions.kt:105-115 truncates to k; we keep a slack
+  * factor so near-boundary items can still climb back — fixing the
+  * retention bug SURVEY §7.4 flags, deliberately per-window-free
+  * running totals like the reference).
+  */
+object ContinuousTopK {
+
+  case class ItemUpdate(groupKey: String, itemId: String, count: Long, valueCents: Long)
+  case class TopKState(metrics: Map[String, (Long, Long)])
+  case class RankedItem(groupKey: String, rank: Int, itemId: String,
+      count: Long, valueCents: Long)
+
+  val defaultStateCap = 1000
+
+  def updateGroup(k: Int, stateCap: Int)(
+      key: String,
+      updates: Iterator[ItemUpdate],
+      state: GroupState[TopKState]): Iterator[RankedItem] = {
+    val prev = state.getOption.map(_.metrics).getOrElse(Map.empty)
+    val merged = updates.foldLeft(prev) { (m, u) =>
+      val (c0, v0) = m.getOrElse(u.itemId, (0L, 0L))
+      m.updated(u.itemId, (c0 + u.count, v0 + u.valueCents))
+    }
+    // bound state: keep top `stateCap` by (count, value, id)
+    val bounded =
+      if (merged.size <= stateCap) merged
+      else merged.toSeq
+        .sortBy { case (id, (c, v)) => (-c, -v, id) }
+        .take(stateCap).toMap
+    state.update(TopKState(bounded))
+    val top = bounded.toSeq
+      .sortBy { case (id, (c, v)) => (-c, -v, id) }
+      .take(k)
+    top.iterator.zipWithIndex.map { case ((id, (c, v)), i) =>
+      RankedItem(key, i + 1, id, c, v)
+    }
+  }
+
+  /** Lift a stream of per-item updates into a continuously-updated
+    * ranked stream. Input must already be keyed updates (e.g. from a
+    * windowed pre-aggregation or raw events mapped 1:1).
+    */
+  def rank(spark: SparkSession, updates: Dataset[ItemUpdate], k: Int,
+      stateCap: Int = defaultStateCap): Dataset[RankedItem] = {
+    import spark.implicits._
+    updates
+      .groupByKey(_.groupKey)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateGroup(k, stateCap))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.TopK
+
+/** The reference's active streaming dataflow (SURVEY EP2) on
+  * Structured Streaming:
+  *
+  *   source → event-time watermark (10 s out-of-orderness,
+  *   TopKStreamingJob.kt:248-249) → dedup on event_id with
+  *   watermark-scoped state (the Flink ValueState+TTL dedup,
+  *   :87-119) → fork: raw append sink; 1-minute tumbling rollup
+  *   (:311-315) → rollup sink; per-window top-K ranking → topk sink
+  *   (the legacy continuous path's output tables,
+  *   restaurant_topk/global_topk).
+  *
+  * Ranking is not incrementally maintainable, so the topk leg runs in
+  * `foreachBatch` over finalized windows — each micro-batch ranks
+  * only the windows it saw (SURVEY §7.4 "streaming append-mode +
+  * ranking").
+  *
+  * State at scale: dedup state is watermark-bounded (keys older than
+  * the watermark are evicted — the 1 h TTL analog); rollup state is
+  * one row per (window, dims) and closes when the watermark passes
+  * window end. Nothing driver-side.
+  */
+object StreamingPipeline {
+
+  /** Watermarked event-time stream with derived revenue column. */
+  def withEventTime(events: DataFrame, slack: String = "10 seconds"): DataFrame =
+    events
+      .withColumn("value_cents", round(col("value") * 100).cast("long"))
+      .withWatermark("ts", slack)
+
+  /** Streaming first-wins dedup by event_id, state scoped to the
+    * watermark (D1 semantics; TTL ≈ watermark horizon).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Streaming 1-minute tumbling rollup (A1/A3 + approximate distinct
+    * users — HLL++, the streaming-safe sketch).
+    */
+  def rollupStream(deduped: DataFrame, dims: Seq[String] = Seq("event_type")): DataFrame =
+    deduped
+      .groupBy((window(col("ts"), "1 minute").as("w") +: dims.map(col)): _*)
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("sum_value_cents"),
+        approx_count_distinct(col("user_id")).as("unique_users_est"))
+      .select(
+        (unix_millis(col("w.start")).as("window_start_ms") +: dims.map(col)) ++
+          Seq(col("order_count"), col("sum_value_cents"), col("unique_users_est")): _*)
+
+  /** Rank one micro-batch of finalized rollup rows into per-window
+    * top-K (K2 semantics, deterministic tie-break).
+    */
+  def rankBatch(rollupBatch: DataFrame, k: Int): DataFrame =
+    TopK.topKPerKey(rollupBatch, Seq("window_start_ms"),
+      Seq(col("order_count").desc, col("sum_value_cents").desc, col("event_type").asc), k)
+
+  /** Wire the full pipeline: returns the started queries
+    * (raw sink, rollup+topk sink). Parquet sinks give exactly-once
+    * per the checkpointed file-commit protocol (the reference's
+    * 60 s-checkpoint exactly-once claim, TopKStreamingJob.kt:218).
+    */
+  def start(
+      spark: SparkSession,
+      source: DataFrame,
+      rawPath: String,
+      rollupPath: String,
+      topkPath: String,
+      checkpointRoot: String,
+      k: Int = 5,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): Seq[StreamingQuery] = {
+    val events = withEventTime(source)
+    val deduped = dedupStream(events)
+
+    val rawQ = deduped.writeStream
+      .format("parquet")
+      .option("path", rawPath)
+      .option("checkpointLocation", s"$checkpointRoot/raw")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+    val rollup = rollupStream(dedupStream(withEventTime(source)))
+    val rollupQ = rollup.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointRoot/rollup")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          batch.write.mode("append").parquet(rollupPath)
+          rankBatch(batch, k).write.mode("append").parquet(topkPath)
+          batch.unpersist()
+          ()
+        }
+      }
+      .start()
+
+    Seq(rawQ, rollupQ)
+  }
+}

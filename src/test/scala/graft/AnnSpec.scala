@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Ann
+
+class AnnSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("brute-force knn: k rows per query, no self-matches, ranks 1..k") {
+    val knn = Ann.bruteForceKnn(emb, emb.filter(col("vec_id") < 5), 5)
+    val rows = knn.as[(Long, Long, Long)].collect()
+    assert(rows.length === 25)
+    rows.foreach { case (q, _, n) => assert(q != n) }
+    val byQ = rows.groupBy(_._1)
+    byQ.values.foreach(g => assert(g.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("IVF recall vs brute force >= 0.6 at nprobe=4/16") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Ann.bruteForceKnn(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val centroids = Ann.coarseCentroids(emb, 16)
+    val ivf = Ann.ivfKnn(emb, queries, 5, centroids, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+  }
+
+  test("IVF at nprobe=all cells equals brute force") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val centroids = Ann.coarseCentroids(emb, 8)
+    val bf = Ann.bruteForceKnn(emb, queries, 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val ivf = Ann.ivfKnn(emb, queries, 5, centroids, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(ivf === bf)
+  }
+
+  test("top similar pairs are ordered, unique, upper-triangle") {
+    val p = Ann.topSimilarPairs(emb, 20).as[(Long, Long, Long)].collect()
+    assert(p.map(_._1).toSeq === (1L to 20L))
+    p.foreach { case (_, a, b) => assert(a < b) }
+    assert(p.map(x => (x._2, x._3)).distinct.length === 20)
+  }
+}

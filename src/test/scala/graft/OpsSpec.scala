@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => PropTest}
+import graft.ops.{Dedup, Rollup, TopK}
+
+/** Core operator invariants: dedup idempotence, rollup conservation,
+  * top-K ⊆ sorted prefix.
+  */
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Run a ScalaCheck property (few cases — each spins Spark jobs). */
+  private def check(p: Prop): Unit = {
+    val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("firstWins dedup is idempotent and keeps the earliest row") {
+    val df = Seq(
+      ("e1", 10L, "a"), ("e1", 5L, "b"), ("e2", 7L, "c"), ("e1", 99L, "d")
+    ).toDF("event_id", "ts", "payload")
+    val once = Dedup.firstWins(df, Seq("event_id"), Seq(col("ts").asc))
+    val twice = Dedup.firstWins(once, Seq("event_id"), Seq(col("ts").asc))
+    assert(once.collect().sortBy(_.getString(0)).map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("e1", 5L), ("e2", 7L)))
+    assert(once.collect().toSet === twice.collect().toSet)
+  }
+
+  test("dedup of (events ++ duplicates) equals dedup of events") {
+    val ev = Tables.events(spark, sfDir)
+    val dupes = ev.limit(100)
+    val a = Dedup.firstWins(ev, Seq("event_id"), Seq(col("ts").asc, col("user_id").asc))
+    val b = Dedup.firstWins(ev.unionAll(dupes), Seq("event_id"), Seq(col("ts").asc, col("user_id").asc))
+    assert(a.count() === b.count())
+    assert(a.agg(sum("value_cents")).head.getLong(0) === b.agg(sum("value_cents")).head.getLong(0))
+  }
+
+  test("rollup conserves totals (sum of window sums = global sum)") {
+    val ev = Tables.events(spark, sfDir)
+    val r = Rollup.rollup1m(ev)
+    assert(r.agg(sum("order_count")).head.getLong(0) === ev.count())
+    assert(r.agg(sum("sum_value_cents")).head.getLong(0)
+      === ev.agg(sum("value_cents")).head.getLong(0))
+  }
+
+  test("hourly compaction conserves the 1-minute rollup") {
+    val r = Rollup.rollup1m(Tables.events(spark, sfDir))
+    val c = Rollup.compactHourly(r)
+    assert(c.agg(sum("order_count")).head.getLong(0)
+      === r.agg(sum("order_count")).head.getLong(0))
+    assert(c.count() <= r.count())
+  }
+
+  test("topKGlobal = prefix of the full sort (property)") {
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0, 20), Gen.choose(0L, 1000L)))
+    check(Prop.forAll(gen) { xs =>
+      val df = xs.toDF("k", "v")
+      val agg = df.groupBy($"k").agg(sum($"v").as("total"))
+      val k = 5
+      val top = TopK.topKGlobal(agg, Seq($"total".desc, $"k".asc), k)
+        .select("k", "total").as[(Int, Long)].collect().toSeq
+      val full = agg.orderBy($"total".desc, $"k".asc)
+        .select("k", "total").as[(Int, Long)].collect().toSeq
+      top == full.take(k)
+    })
+  }
+
+  test("topKPerKey ranks within each key with deterministic tie-break") {
+    val df = Seq(
+      ("g1", "a", 10L), ("g1", "b", 10L), ("g1", "c", 5L),
+      ("g2", "x", 1L)).toDF("g", "item", "n")
+    val top = TopK.topKPerKey(df, Seq("g"), Seq($"n".desc, $"item".asc), 2)
+      .select("g", "rank", "item").as[(String, Int, String)].collect().toSet
+    assert(top === Set(("g1", 1, "a"), ("g1", 2, "b"), ("g2", 1, "x")))
+  }
+
+  test("HLL rollup estimate within 5% of exact") {
+    val exact = Rollup.rollup1m(Tables.events(spark, sfDir))
+      .agg(sum("unique_users")).head.getLong(0)
+    val est = Rollup.rollup1mHll(Tables.events(spark, sfDir))
+      .agg(sum("unique_users_est")).head.getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"hll=$est exact=$exact")
+  }
+}

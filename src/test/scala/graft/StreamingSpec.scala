@@ -1,0 +1,130 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{ContinuousTopK, StreamingPipeline}
+
+/** Streaming semantics: watermark dedup, windowed rollup emission,
+  * late-data drop, continuous top-K state accumulation.
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val deduped = StreamingPipeline.dedupStream(
+      StreamingPipeline.withEventTime(mem.toDF()))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts(0, 1), 10, "click", 1.0),
+        Ev(1, ts(0, 2), 10, "click", 1.0), // dup in same batch
+        Ev(2, ts(0, 3), 11, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1, ts(0, 4), 10, "click", 1.0)) // dup across batches
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      assert(got.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming 1m rollup emits closed windows only (watermark) and drops late data") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val rollup = StreamingPipeline.rollupStream(
+      StreamingPipeline.withEventTime(mem.toDF()))
+    val q = rollup.writeStream.format("memory")
+      .queryName("rollup_out").outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts(0, 10), 10, "click", 1.00),
+        Ev(2, ts(0, 20), 11, "click", 2.00),
+        Ev(3, ts(0, 40), 10, "view", 5.00))
+      q.processAllAvailable()
+      // advance watermark past 10:00 window end (10:01 + 10s slack)
+      mem.addData(Ev(4, ts(2, 0), 12, "click", 3.00))
+      q.processAllAvailable()
+      // this event is older than the watermark → must be dropped
+      mem.addData(Ev(5, ts(0, 50), 13, "click", 100.00))
+      q.processAllAvailable()
+      mem.addData(Ev(6, ts(4, 0), 12, "click", 3.00)) // close the 10:02 window
+      q.processAllAvailable()
+      val out = spark.table("rollup_out")
+        .select("window_start_ms", "event_type", "order_count", "sum_value_cents")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val w0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      val w2 = Timestamp.valueOf("2024-01-01 10:02:00").getTime
+      assert(out === Set(
+        (w0, "click", 2L, 300L),  // late event 5 NOT counted
+        (w0, "view", 1L, 500L),
+        (w2, "click", 1L, 300L)))
+    } finally q.stop()
+  }
+
+  test("continuous top-K accumulates state across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[ContinuousTopK.ItemUpdate]
+    val ranked = ContinuousTopK.rank(spark, mem.toDS(), k = 2)
+    val q = ranked.writeStream.format("memory")
+      .queryName("topk_out").outputMode("append").start()
+    try {
+      mem.addData(
+        ContinuousTopK.ItemUpdate("r1", "pizza", 3, 300),
+        ContinuousTopK.ItemUpdate("r1", "burger", 1, 100))
+      q.processAllAvailable()
+      mem.addData(
+        ContinuousTopK.ItemUpdate("r1", "burger", 5, 500), // burger overtakes
+        ContinuousTopK.ItemUpdate("r1", "salad", 2, 200))
+      q.processAllAvailable()
+      val batches = spark.table("topk_out")
+        .as[ContinuousTopK.RankedItem].collect()
+      // batch 1 emission: pizza(3) #1, burger(1) #2
+      assert(batches.exists(r => r.rank == 1 && r.itemId == "pizza" && r.count == 3))
+      assert(batches.exists(r => r.rank == 2 && r.itemId == "burger" && r.count == 1))
+      // batch 2 emission (state accumulated): burger(6) #1, pizza(3) #2
+      assert(batches.exists(r => r.rank == 1 && r.itemId == "burger" && r.count == 6))
+      assert(batches.exists(r => r.rank == 2 && r.itemId == "pizza" && r.count == 3))
+      // k=2 → salad never emitted
+      assert(!batches.exists(_.itemId == "salad"))
+    } finally q.stop()
+  }
+
+  test("full pipeline: raw + rollup + topk parquet sinks") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val mem = MemoryStream[Ev]
+    val qs = StreamingPipeline.start(spark, mem.toDF(),
+      s"$dir/raw", s"$dir/rollup", s"$dir/topk", s"$dir/ckpt", k = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      mem.addData(
+        Ev(1, ts(0, 1), 10, "click", 1.0),
+        Ev(1, ts(0, 1), 10, "click", 1.0),
+        Ev(2, ts(0, 2), 11, "view", 2.0),
+        Ev(3, ts(0, 3), 12, "click", 3.0))
+      qs.foreach(_.processAllAvailable())
+      mem.addData(Ev(9, ts(5, 0), 10, "click", 1.0)) // advance watermark
+      qs.foreach(_.processAllAvailable())
+      mem.addData(Ev(10, ts(9, 0), 10, "click", 1.0)) // flush again
+      qs.foreach(_.processAllAvailable())
+      val raw = spark.read.parquet(s"$dir/raw")
+      assert(raw.count() === 5) // 6 inputs, dedup dropped the duplicate
+      val rollup = spark.read.parquet(s"$dir/rollup")
+      val w0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      assert(rollup.filter(col("window_start_ms") === w0)
+        .agg(sum("order_count")).head.getLong(0) === 3L)
+      val topk = spark.read.parquet(s"$dir/topk")
+      assert(topk.filter(col("rank") === 1).count() > 0)
+    } finally qs.foreach(_.stop())
+  }
+}

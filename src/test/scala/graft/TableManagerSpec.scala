@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Rollup
+import graft.tables.TableManager
+
+class TableManagerSpec extends SparkSuite {
+
+  test("partitioned write → partition pruning + retention sweep + compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl").toString
+    val ev = Tables.events(spark, sfDir)
+
+    TableManager.writePartitioned(ev, s"$dir/raw", "ts",
+      sortCols = Seq("event_type", "ts"), bloomCol = Some("event_id"))
+    val back = spark.read.parquet(s"$dir/raw")
+    assert(back.count() === ev.count())
+
+    // partition pruning: a one-day filter must not read all partitions
+    val oneDay = back.filter(col("p_date") === lit("2024-01-03"))
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(back.select("p_date").distinct().count() > 1)
+    assert(oneDay.count() ===
+      ev.filter(to_date(col("ts")) === lit("2024-01-03")).count())
+
+    // retention: drop partitions older than 2 days relative to 2024-01-05
+    val dropped = TableManager.retentionSweep(spark, s"$dir/raw", 2, "2024-01-05")
+    assert(dropped.nonEmpty)
+    val after = spark.read.parquet(s"$dir/raw")
+    assert(after.filter(col("p_date") < lit("2024-01-03")).count() === 0)
+
+    // compaction: hourly table conserves minute-rollup totals
+    val r1m = Rollup.rollup1m(ev)
+      .withColumn("ts", timestamp_millis(col("window_start_ms")))
+    TableManager.writePartitioned(r1m, s"$dir/rollup1m", "ts",
+      sortCols = Seq("event_type", "window_start_ms"))
+    TableManager.compactToHourly(spark, s"$dir/rollup1m", s"$dir/rollup1h", Seq("event_type"))
+    val h = spark.read.parquet(s"$dir/rollup1h")
+    assert(h.agg(sum("order_count")).head.getLong(0) === ev.count())
+  }
+}
