@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd dense-vector kernels.
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) are
+  * evaluated interpretively — fine for small data, but a 64-dim dot
+  * product over millions of candidate pairs becomes the bottleneck
+  * (observed ~10× slowdown in the all-pairs similarity bench). This
+  * is exactly the case the custom-Expression escape hatch exists for:
+  * a tight primitive loop with `doGenCode`, no boxing, no per-element
+  * lambda dispatch.
+  *
+  * `VecDot` accepts `array<float>` or `array<double>` children (both
+  * sides must match) and accumulates in double, index order — the
+  * same left-to-right semantics as the interpreted formulation, so
+  * results are bit-identical to `Vectors.dot` on cast-to-double
+  * input.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"VecDot needs two array<float> or two array<double>, got " +
+            s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    if (elemIsFloat) {
+      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    } else {
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (getter, cast) = if (elemIsFloat) ("getFloat", "(double)") else ("getDouble", "")
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double ${ev.value}Acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Acc += $cast$x.$getter($i) * $cast$y.$getter($i);
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+object VecExprs {
+  import org.apache.spark.sql.classic.ClassicConversions._
+
+  /** Dot product of two equally-typed float/double array columns. */
+  def vec_dot(a: Column, b: Column): Column = Column(VecDot(a.expr, b.expr))
+
+  /** Squared L2 norm. */
+  def vec_norm2(v: Column): Column = vec_dot(v, v)
+
+  /** Cosine similarity, computed as dot/(sqrt(n2a)*sqrt(n2b)). */
+  def vec_cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    vec_dot(a, b) / (sqrt(vec_norm2(a)) * sqrt(vec_norm2(b)))
+  }
+}

@@ -14,9 +14,12 @@ object Vectors {
   /** Cast array<float> → array<double> (compute precision). */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Dot product, sequential accumulation in index order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Dot product, sequential accumulation in index order. Delegates
+    * to the codegen'd [[VecDot]] kernel (bit-identical to the
+    * interpreted `aggregate(zip_with(...))` formulation, ~10× faster
+    * on wide fan-outs).
+    */
+  def dot(a: Column, b: Column): Column = VecExprs.vec_dot(a, b)
 
   /** Squared L2 norm. */
   def norm2(v: Column): Column = dot(v, v)

@@ -43,20 +43,44 @@ object NearDup {
   private def jaccardAtLeast(c: Column, sa: Column, sb: Column, num: Int, den: Int): Column =
     c * (den + num) >= (sa + sb) * num
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
-    * only doc pairs sharing >= 1 shingle are ever materialized;
-    * |A∩B| falls out of the join as the shared-posting count.
+  /** Exact n-gram Jaccard near-dup pairs via prefix-filtered inverted
+    * index (the AllPairs/PPJoin prefix principle, Bayardo et al.
+    * WWW'07): order shingles globally rarest-first; any pair with
+    * J >= t must share an element inside both docs' prefixes of
+    * length |X| - ceil(t*|X|) + 1 (the smallest-ordered common
+    * element provably lies in both prefixes), so only prefix
+    * postings are joined — the frequent-shingle quadratic flood of a
+    * naive inverted index never happens. Candidates are then
+    * exact-verified on full shingle sets with integer arithmetic.
     * Output: (doc_a < doc_b, common_shingles, shingles_a, shingles_b).
     */
   def jaccardPairs(docs: DataFrame, n: Int, thresholdNum: Int, thresholdDen: Int): DataFrame = {
-    val sets = shingleSets(docs, n)
+    val sets = shingleSets(docs, n).filter(col("sh_size") > 0)
     val postings = sets.select(col("doc_id"), col("sh_size"), explode(col("sh")).as("shingle"))
-    val a = postings.select(col("doc_id").as("doc_a"), col("sh_size").as("shingles_a"), col("shingle"))
-    val b = postings.select(col("doc_id").as("doc_b"), col("sh_size").as("shingles_b"), col("shingle"))
-    a.join(b, "shingle")
+    val freq = postings.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)
+    // prefix length = L - ceil(t*L) + 1, t = num/den, exact integers
+    val ceilTL = floor((col("sh_size") * thresholdNum + lit(thresholdDen - 1)) / thresholdDen)
+      .cast("long")
+    val prefix = postings.join(freq, "shingle")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("sh_size") - ceilTL + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.as("x").join(prefix.as("y"), "shingle")
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("shingles_a"), col("shingles_b"))
-      .agg(count(lit(1)).as("common_shingles"))
+      .distinct()
+    verifyPairs(cand, sets, thresholdNum, thresholdDen)
+  }
+
+  /** Exact-verify candidate pairs against full shingle sets. */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sh_size").as("shingles_a"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sh_size").as("shingles_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("common_shingles", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .filter(jaccardAtLeast(col("common_shingles"), col("shingles_a"), col("shingles_b"),
         thresholdNum, thresholdDen))
       .select("doc_a", "doc_b", "common_shingles", "shingles_a", "shingles_b")
@@ -72,10 +96,23 @@ object NearDup {
     * Output: (doc_id, sh_size, sig array<long>).
     */
   def minhashSigs(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    require(numHashes <= 64, "hash family is h1 XOR rotl(h2, i), i < 64")
     val sets = shingleSets(docs, n).filter(col("sh_size") > 0)
-    val postings = sets.select(col("doc_id"), col("sh_size"), explode(col("sh")).as("shingle"))
+    // Two base hashes per shingle; family member i mixes them as
+    // h1 XOR rotl(h2, i) — the Kirsch-Mitzenmacher idea with XOR
+    // instead of +/* (Spark 4 ANSI mode makes overflowing long
+    // arithmetic throw; XOR/rotate is overflow-free and equally fine
+    // for LSH since candidates are exact-verified anyway). One string
+    // hash pass instead of numHashes passes.
+    val postings = sets
+      .select(col("doc_id"), col("sh_size"), explode(col("sh")).as("shingle"))
+      .withColumn("h1", xxhash64(col("shingle")))
+      .withColumn("h2", xxhash64(lit(1), col("shingle")))
+    def rotl(c: Column, i: Int): Column =
+      if (i == 0) c
+      else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"h$i"))
     postings
       .groupBy(col("doc_id"), col("sh_size"))
       .agg(mins.head, mins.tail: _*)
@@ -94,15 +131,16 @@ object NearDup {
     *
     * Candidates: docs sharing any of `bands` band hashes (equi-join on
     * (band_idx, band_hash) — never all-pairs). Verification: exact
-    * shingle-set Jaccard >= num/den on candidates only. With
-    * bands=32, rowsPerBand=4 the miss probability at j=0.8 is
-    * (1-0.8^4)^32 ≈ 5e-8 — the result equals the exact >=0.8 pair set
-    * for practical purposes (the DuckDB oracle computes the exact set).
+    * shingle-set Jaccard >= num/den on candidates only, so false
+    * positives are impossible. With bands=16, rowsPerBand=4 the miss
+    * probability is (1-j^4)^16: ~2e-4 at j=0.80, ~4e-12 at j=0.95 —
+    * and exactly 0 for identical sets (identical signatures). The
+    * DuckDB oracle computes the exact >=0.8 pair set.
     */
   def minhashPairs(
       docs: DataFrame,
       n: Int = 3,
-      bands: Int = 32,
+      bands: Int = 16,
       rowsPerBand: Int = 4,
       thresholdNum: Int = 4,
       thresholdDen: Int = 5): DataFrame = {
@@ -116,13 +154,7 @@ object NearDup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
-    val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sh_size").as("shingles_a"))
-    val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sh_size").as("shingles_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("common_shingles", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .filter(jaccardAtLeast(col("common_shingles"), col("shingles_a"), col("shingles_b"),
-        thresholdNum, thresholdDen))
-      .select("doc_a", "doc_b", "common_shingles", "shingles_a", "shingles_b")
+    verifyPairs(cand, sets, thresholdNum, thresholdDen)
   }
 
   /** Frequency-weighted 64-bit SimHash signatures per doc: bit b is
