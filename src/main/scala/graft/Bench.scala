@@ -22,20 +22,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query must fail the benchmark loudly, never fold its
+    // time-to-exception into the total as if it were a fast result.
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          Left(e.getClass.getSimpleName)
+      }
     }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    names.foreach { case (_, fn) => run(fn) } // warm-up pass
-    val results = names.map { case (name, fn) => name -> run(fn) }
+    names.foreach { case (name, fn) => run(name, fn) } // warm-up pass
+    val results = names.map { case (name, fn) => name -> run(name, fn) }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Left(_))  => "\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, Left(e)) => "\"" + k + ": " + e + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._2.isLeft)) sys.exit(1)
   }
 }

@@ -42,16 +42,23 @@ case class VecDot(left: Expression, right: Expression)
     }
   }
 
+  // Null semantics match the interpreted zip_with+aggregate twin:
+  // a null element anywhere, or mismatched lengths (zip_with pads
+  // with null), yields a NULL result rather than a silent truncation.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    if (elemIsFloat) {
-      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    } else {
-      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (elemIsFloat) acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      else acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
     }
     acc
   }
@@ -61,13 +68,19 @@ case class VecDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double ${ev.value}Acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}Acc += $cast$x.$getter($i) * $cast$y.$getter($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $cast$x.$getter($i) * $cast$y.$getter($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = ${ev.value}Acc;
        """.stripMargin
     })
   }
@@ -77,10 +90,10 @@ case class VecDot(left: Expression, right: Expression)
 }
 
 object VecExprs {
-  import org.apache.spark.sql.classic.ClassicConversions._
+  import org.apache.spark.sql.GraftShim.{column, expression}
 
   /** Dot product of two equally-typed float/double array columns. */
-  def vec_dot(a: Column, b: Column): Column = Column(VecDot(a.expr, b.expr))
+  def vec_dot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
 
   /** Squared L2 norm. */
   def vec_norm2(v: Column): Column = vec_dot(v, v)
