@@ -37,6 +37,19 @@ object NearDup {
       Text.shingles(col(textCol), n).as("sh"))
       .withColumn("sh_size", size(col("sh")).cast("long"))
 
+  /** Exploded inverted index (doc_id, sh_size, shingle) — one row per
+    * distinct shingle occurrence. Persisted (memory-and-disk) because
+    * every near-dup query walks it several times: document frequency,
+    * prefix selection, signature aggregation, and candidate
+    * verification would otherwise each re-shingle the corpus.
+    * Spark's cache manager dedupes by analyzed plan, so repeated calls
+    * with the same inputs share one materialization.
+    */
+  def postingsOf(docs: DataFrame, n: Int): DataFrame =
+    shingleSets(docs, n).filter(col("sh_size") > 0)
+      .select(col("doc_id"), col("sh_size"), explode(col("sh")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Jaccard(a,b) >= num/den as exact integer predicate:
     * c/(|A|+|B|-c) >= num/den  ⟺  c*(den+num) >= num*(|A|+|B|).
     */
@@ -55,8 +68,7 @@ object NearDup {
     * Output: (doc_a < doc_b, common_shingles, shingles_a, shingles_b).
     */
   def jaccardPairs(docs: DataFrame, n: Int, thresholdNum: Int, thresholdDen: Int): DataFrame = {
-    val sets = shingleSets(docs, n).filter(col("sh_size") > 0)
-    val postings = sets.select(col("doc_id"), col("sh_size"), explode(col("sh")).as("shingle"))
+    val postings = postingsOf(docs, n)
     val freq = postings.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)
@@ -71,16 +83,28 @@ object NearDup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
-    verifyPairs(cand, sets, thresholdNum, thresholdDen)
+    verifyPairs(cand, postings, thresholdNum, thresholdDen)
   }
 
-  /** Exact-verify candidate pairs against full shingle sets. */
-  private def verifyPairs(cand: DataFrame, sets: DataFrame,
+  /** Exact-verify candidate pairs against the inverted index — no
+    * shingle arrays are ever carried through a join. The intersection
+    * size is a postings⋈postings count: fan each candidate pair out to
+    * doc_a's postings (Σ|A| rows over candidates, not corpus²), keep
+    * the rows doc_b also has via an equi-join on (doc_b, shingle),
+    * and count per pair. Shingles are distinct per doc, so the count
+    * IS |A ∩ B|; the threshold test is exact integer arithmetic.
+    */
+  private def verifyPairs(cand: DataFrame, postings: DataFrame,
       thresholdNum: Int, thresholdDen: Int): DataFrame = {
-    val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sh_size").as("shingles_a"))
-    val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sh_size").as("shingles_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("common_shingles", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+    val pa = postings.select(col("doc_id").as("doc_a"), col("sh_size").as("shingles_a"), col("shingle"))
+    val pb = postings.select(col("doc_id").as("doc_b"), col("sh_size").as("shingles_b"), col("shingle"))
+    cand.join(pa, "doc_a")
+      .join(pb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        count(lit(1)).as("common_shingles"),
+        first(col("shingles_a")).as("shingles_a"),
+        first(col("shingles_b")).as("shingles_b"))
       .filter(jaccardAtLeast(col("common_shingles"), col("shingles_a"), col("shingles_b"),
         thresholdNum, thresholdDen))
       .select("doc_a", "doc_b", "common_shingles", "shingles_a", "shingles_b")
@@ -95,17 +119,22 @@ object NearDup {
     * and re-evaluated per consumer — orders of magnitude slower.)
     * Output: (doc_id, sh_size, sig array<long>).
     */
-  def minhashSigs(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+  def minhashSigs(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
+    minhashSigsFromPostings(postingsOf(docs, n), numHashes)
+
+  /** MinHash signatures from a prebuilt (doc_id, sh_size, shingle)
+    * inverted index — lets one persisted postings table feed both
+    * signature aggregation and candidate verification.
+    */
+  def minhashSigsFromPostings(postingsIn: DataFrame, numHashes: Int): DataFrame = {
     require(numHashes <= 64, "hash family is h1 XOR rotl(h2, i), i < 64")
-    val sets = shingleSets(docs, n).filter(col("sh_size") > 0)
     // Two base hashes per shingle; family member i mixes them as
     // h1 XOR rotl(h2, i) — the Kirsch-Mitzenmacher idea with XOR
     // instead of +/* (Spark 4 ANSI mode makes overflowing long
     // arithmetic throw; XOR/rotate is overflow-free and equally fine
     // for LSH since candidates are exact-verified anyway). One string
     // hash pass instead of numHashes passes.
-    val postings = sets
-      .select(col("doc_id"), col("sh_size"), explode(col("sh")).as("shingle"))
+    val postings = postingsIn
       .withColumn("h1", xxhash64(col("shingle")))
       .withColumn("h2", xxhash64(lit(1), col("shingle")))
     def rotl(c: Column, i: Int): Column =
@@ -144,8 +173,8 @@ object NearDup {
       rowsPerBand: Int = 4,
       thresholdNum: Int = 4,
       thresholdDen: Int = 5): DataFrame = {
-    val sets = shingleSets(docs, n).filter(col("sh_size") > 0)
-    val sigs = minhashSigs(docs, n, bands * rowsPerBand)
+    val postings = postingsOf(docs, n)
+    val sigs = minhashSigsFromPostings(postings, bands * rowsPerBand)
       .withColumn("bands", lshBands(col("sig"), bands, rowsPerBand))
     val buckets = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
@@ -154,7 +183,7 @@ object NearDup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
-    verifyPairs(cand, sets, thresholdNum, thresholdDen)
+    verifyPairs(cand, postings, thresholdNum, thresholdDen)
   }
 
   /** Frequency-weighted 64-bit SimHash signatures per doc: bit b is
