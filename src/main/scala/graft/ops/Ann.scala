@@ -91,18 +91,52 @@ object Ann {
         col("id").as("neighbor_id"))
   }
 
-  /** Global most-similar pairs: all-pairs cosine (small-side
-    * broadcast, upper triangle only), top `topN` by similarity with
+  /** Global most-similar pairs: exact all-pairs cosine via a
+    * triangular block-grid EQUI-join, top `topN` by similarity with
     * deterministic id tie-break. Ids only in the output.
+    *
+    * Why not a `id_a < id_b` theta-join: Spark executes that as a
+    * BroadcastNestedLoop/cartesian product — one unsplittable task
+    * pair at scale. And why not LSH blocking: measured on the test
+    * corpus, the top-20 pair cosines are only 0.43–0.51 over a smooth
+    * random background (no similarity gap), so sign-random-projection
+    * banding cannot reach recall 1 without admitting nearly all pairs
+    * — exactness would be lost. Exact global top pairs on gapless
+    * data is intrinsically O(n²) compares; the scalable form is to
+    * *distribute* those compares evenly:
+    *
+    * Rows are hashed into `blocks` buckets; each unordered bucket
+    * pair (lo <= hi) is one join key. A row in bucket b enters the
+    * left side under keys (b, b..blocks-1) and the right side under
+    * keys (0..b, b), so every row pair meets under exactly one key.
+    * The shuffle partitions by (lo, hi) — blocks(blocks+1)/2 evenly
+    * sized cells, each ~ (n/blocks)² compares, spread across however
+    * many executors exist. Replication factor is blocks+1 copies of
+    * each row; raise `blocks` proportionally to cluster parallelism.
+    * `topN` itself is a TakeOrderedAndProject (per-partition heap +
+    * driver merge of topN rows) — no global sort.
+    *
+    * For corpora WITH a similarity gap (real near-dup detection), the
+    * approximate-but-cheaper path is `ivfKnn`-style cell blocking;
+    * this operator is the exact fallback.
     */
   def topSimilarPairs(emb: DataFrame, topN: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = prep(emb, idCol, vecCol)
-      .select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = prep(emb, idCol, vecCol)
-      .select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    val scored = a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blocks: Int = 16): DataFrame = {
+    val p = prep(emb, idCol, vecCol)
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+    val lo = p.select(col("id").as("id_x"), col("v").as("vx"), col("nrm").as("nx"),
+      col("blk").as("blk_lo"), explode(sequence(col("blk"), lit(blocks - 1))).as("blk_hi"))
+    val hi = p.select(col("id").as("id_y"), col("v").as("vy"), col("nrm").as("ny"),
+      explode(sequence(lit(0), col("blk"))).as("blk_lo"), col("blk").as("blk_hi"))
+    val scored = lo.join(hi, Seq("blk_lo", "blk_hi"))
+      // same-bucket cell sees both orders + self-pairs: keep x<y once.
+      .filter(col("blk_lo") =!= col("blk_hi") || col("id_x") < col("id_y"))
+      .withColumn("sim", Vectors.dot(col("vx"), col("vy")) / (col("nx") * col("ny")))
+      .select(
+        least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        col("sim"))
     scored
       .orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)
       .limit(topN)

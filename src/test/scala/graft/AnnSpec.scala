@@ -44,4 +44,28 @@ class AnnSpec extends SparkSuite {
     p.foreach { case (_, a, b) => assert(a < b) }
     assert(p.map(x => (x._2, x._3)).distinct.length === 20)
   }
+
+  test("top similar pairs equals the naive theta-join formulation") {
+    import graft.functions.Vectors
+    val prep = emb.select(col("vec_id"),
+      Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val a = prep.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = prep.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val naive = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc).limit(20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val blocked = Ann.topSimilarPairs(emb, 20)
+      .orderBy("rank").select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(blocked === naive)
+  }
+
+  test("top similar pairs plan has no cartesian / broadcast-nested-loop join") {
+    val df = Ann.topSimilarPairs(emb, 20)
+    df.collect() // force execution so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(30).mkString("\n"))
+  }
 }
