@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DocQueries, EmbedQueries, EventQueries, MediaQueries, ServingQueries, TpchQueries}
+import graft.queries.{ApiQueries, DocQueries, EmbedQueries, EventQueries, MediaQueries, ServingQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,9 +22,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.queries ++ DocQueries.queries ++ EmbedQueries.queries ++
-      TpchQueries.queries ++ MediaQueries.queries ++ ServingQueries.queries
+      TpchQueries.queries ++ MediaQueries.queries ++ ServingQueries.queries ++
+      ApiQueries.queries
 
   def oracleSql: Map[String, String] =
     EventQueries.oracles ++ DocQueries.oracles ++ EmbedQueries.oracles ++
-      TpchQueries.oracles ++ MediaQueries.oracles ++ ServingQueries.oracles
+      TpchQueries.oracles ++ MediaQueries.oracles ++ ServingQueries.oracles ++
+      ApiQueries.oracles
 }

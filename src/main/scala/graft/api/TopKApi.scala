@@ -1,0 +1,76 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.serving.Serving
+
+/** Query-API façade — the reference's REST surface re-expressed as a
+  * library call (TopKController.kt:34-38, QueryService.kt:43-129).
+  *
+  * Parameter semantics match the reference:
+  *  - `fromMs`/`toMs` default to now-1h / now (the controller's
+  *    relative defaults); "now" on static data is the dataset's max
+  *    event ts (the anchor the serving layer stores).
+  *  - `k` defaults to 10 and is capped at [[Serving.K]] — the ranks
+  *    the serving tables materialize.
+  *  - `restaurantId = "all"` (case-insensitive, TopKController.kt:108)
+  *    routes to the global table; anything else filters the keyed
+  *    table (QueryService.kt:105's per-restaurant vs global routing).
+  *    Output rows carry `restaurant_id` — the literal `"all"` for
+  *    global results, mirroring the reference's ALL-sentinel rows
+  *    (ProcessFunctions.kt:117-132).
+  *  - `byRevenue = false` → per-window rank-by-count rows, window
+  *    desc / rank asc (QueryService.kt:43-61);
+  *    `byRevenue = true`  → flat top-k across the range by revenue
+  *    desc, window end desc (QueryService.kt:99-129).
+  *
+  * A window is in range when it OVERLAPS [from, to) — the default
+  * 1-hour range therefore returns the in-progress window plus the
+  * previous one, which is what a "last hour" dashboard wants.
+  * Every call is a single pruned scan of a materialized table.
+  */
+object TopKApi {
+
+  val All = "all"
+
+  private val hourMs = Serving.hourMs
+
+  def topk(
+      spark: SparkSession,
+      dataDir: String,
+      restaurantId: String = All,
+      fromMs: Option[Long] = None,
+      toMs: Option[Long] = None,
+      k: Int = 10,
+      byRevenue: Boolean = false): DataFrame = {
+    require(k >= 1 && k <= Serving.K, s"k must be in [1, ${Serving.K}], got $k")
+    val now = Serving.anchorMs(spark, dataDir)
+    val to = toMs.getOrElse(now)
+    val from = fromMs.getOrElse(to - hourMs)
+    require(from < to, s"empty range [$from, $to)")
+    val global = restaurantId.equalsIgnoreCase(All)
+    val ordering = if (byRevenue) "revenue" else "count"
+    val table = if (global) s"topk_by_$ordering" else s"topk_keyed_by_$ordering"
+    val scan = Serving.readTable(spark, dataDir, table)
+    val routed =
+      if (global) scan.withColumn("restaurant_id", lit(All))
+      else scan.filter(col("event_type") === restaurantId)
+        .withColumnRenamed("event_type", "restaurant_id")
+    val inRange = routed
+      .filter(col("p_date") >= Serving.utcDate(from) && // directory pruning
+        col("window_start_ms") < to && col("window_start_ms") + hourMs > from)
+      .select(col("restaurant_id"), col("window_start_ms"),
+        (col("window_start_ms") + hourMs).as("window_end_ms"),
+        col("rank"), col("user_id"), col("order_count"), col("total_cents"))
+    if (byRevenue)
+      // Flat revenue top-k over the stored per-window top-K rows; the
+      // true global top-k rows all have window-rank <= k <= K, so the
+      // serving table loses nothing.
+      inRange
+        .orderBy(col("total_cents").desc, col("window_end_ms").desc, col("user_id").asc)
+        .limit(k)
+    else
+      inRange.filter(col("rank") <= k)
+        .orderBy(col("window_start_ms").desc, col("rank").asc)
+  }
+}

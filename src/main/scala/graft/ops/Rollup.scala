@@ -69,6 +69,37 @@ object Rollup {
         sum(col("sum_value_cents")).as("sum_value_cents"))
   }
 
+  /** Hourly compaction of the HLL rollup — the reference's actual
+    * MergeRollupTask config (orders_1m_rollup_table.json:80 does
+    * HLL_MERGE alongside the SUMs). Sketches re-merge losslessly via
+    * `hll_union_agg`, so query-time estimates off the hourly table
+    * equal estimates off the minute table — the property that makes
+    * sketch rollups safe to compact at 100 TB.
+    */
+  def compactHourlyHll(rollupHll: DataFrame, dims: Seq[String] = Seq("event_type")): DataFrame = {
+    val hourMs = 3600L * 1000L
+    rollupHll
+      .withColumn("hour_start_ms", (col("window_start_ms") / hourMs).cast("long") * hourMs)
+      .groupBy((col("hour_start_ms") +: dims.map(col)): _*)
+      .agg(
+        sum(col("order_count")).as("order_count"),
+        sum(col("sum_value_cents")).as("sum_value_cents"),
+        hll_union_agg(col("users_hll")).as("users_hll"))
+      .withColumn("unique_users_est", hll_sketch_estimate(col("users_hll")))
+  }
+
+  /** Query-time re-aggregation over a sketch rollup — Pinot's
+    * `DISTINCTCOUNTHLL(user_id)` over any dim/time slice
+    * (pinot/README.md §Sample Queries): merge the stored per-window
+    * sketches instead of rescanning raw events.
+    */
+  def distinctOverRollupHll(rollupHll: DataFrame, dims: Seq[String]): DataFrame =
+    rollupHll
+      .groupBy(dims.map(col): _*)
+      .agg(hll_union_agg(col("users_hll")).as("users_hll"))
+      .select(dims.map(col) :+
+        hll_sketch_estimate(col("users_hll")).as("unique_users_est"): _*)
+
   /** Time-part profile: activity by hour-of-day and ISO day-of-week
     * (Mon=1..Sun=7, java.time.DayOfWeek semantics like the reference's
     * RollupProcessFunction — TopKStreamingJob.kt:163-179). Spark's

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.api.TopKApi
+import graft.serving.Serving
+
+/** Gate entries exercising the query-API façade end-to-end: defaults
+  * (now-1h/now, k=10), the "all" global sentinel, and per-restaurant
+  * routing with an explicit range.
+  */
+object ApiQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Global top-k with ALL defaults — the controller's bare GET. */
+  def apiTopkGlobal(spark: SparkSession, dir: String): DataFrame =
+    TopKApi.topk(spark, dir)
+
+  /** Per-restaurant top-3 by count over the last 24 h. */
+  def apiTopkRestaurant(spark: SparkSession, dir: String): DataFrame = {
+    val now = Serving.anchorMs(spark, dir)
+    TopKApi.topk(spark, dir, restaurantId = "click",
+      fromMs = Some(now - 24L * Serving.hourMs), toMs = Some(now), k = 3)
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q_api_topk_global" -> (apiTopkGlobal _),
+    "q_api_topk_restaurant" -> (apiTopkRestaurant _),
+  )
+
+  private val cents = "CAST(round(value*100) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q_api_topk_global" ->
+      s"""SELECT 'all' AS restaurant_id, window_start_ms,
+         |  window_start_ms + 3600*1000 AS window_end_ms,
+         |  CAST(rnk AS BIGINT) AS rank, user_id, order_count, total_cents FROM (
+         |  SELECT window_start_ms, user_id, order_count, total_cents,
+         |    row_number() OVER (PARTITION BY window_start_ms
+         |      ORDER BY order_count DESC, total_cents DESC, user_id ASC) AS rnk
+         |  FROM (SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, user_id,
+         |          count(*) AS order_count, CAST(SUM($cents) AS BIGINT) AS total_cents
+         |        FROM events GROUP BY 1, 2))
+         |WHERE rnk <= 10
+         |  AND window_start_ms < (SELECT epoch_ms(max(ts)) FROM events)
+         |  AND window_start_ms + 3600*1000 > (SELECT epoch_ms(max(ts)) - 3600*1000 FROM events)
+         |ORDER BY window_start_ms DESC, rnk ASC""".stripMargin,
+    "q_api_topk_restaurant" ->
+      s"""SELECT event_type AS restaurant_id, window_start_ms,
+         |  window_start_ms + 3600*1000 AS window_end_ms,
+         |  CAST(rnk AS BIGINT) AS rank, user_id, order_count, total_cents FROM (
+         |  SELECT event_type, window_start_ms, user_id, order_count, total_cents,
+         |    row_number() OVER (PARTITION BY window_start_ms, event_type
+         |      ORDER BY order_count DESC, total_cents DESC, user_id ASC) AS rnk
+         |  FROM (SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type, user_id,
+         |          count(*) AS order_count, CAST(SUM($cents) AS BIGINT) AS total_cents
+         |        FROM events GROUP BY 1, 2, 3))
+         |WHERE rnk <= 3 AND event_type = 'click'
+         |  AND window_start_ms < (SELECT epoch_ms(max(ts)) FROM events)
+         |  AND window_start_ms + 3600*1000 > (SELECT epoch_ms(max(ts)) - 24*3600*1000 FROM events)
+         |ORDER BY window_start_ms DESC, rnk ASC""".stripMargin,
+  )
+}

@@ -50,6 +50,23 @@ object EventQueries {
   def compactHourly(spark: SparkSession, dir: String): DataFrame =
     Rollup.compactHourly(Rollup.rollup1m(Tables.events(spark, dir)))
 
+  /** A7 sketch leg: hourly compaction with HLL_MERGE of the user
+    * sketches. Rows-only oracle (estimates are engine-specific);
+    * merge-equals-direct is asserted in ScalaTest.
+    */
+  def compactHourlyHll(spark: SparkSession, dir: String): DataFrame =
+    Rollup.compactHourlyHll(Rollup.rollup1mHll(Tables.events(spark, dir)))
+      .select(col("hour_start_ms"), col("event_type"), col("order_count"),
+        col("sum_value_cents"), col("unique_users_est").cast("long").as("unique_users_est"))
+
+  /** A6 sketch leg: query-time DISTINCTCOUNTHLL re-agg over the 1m
+    * sketch rollup (per event_type across all time).
+    */
+  def distinctUsersHll(spark: SparkSession, dir: String): DataFrame =
+    Rollup.distinctOverRollupHll(
+      Rollup.rollup1mHll(Tables.events(spark, dir)), Seq("event_type"))
+      .select(col("event_type"), col("unique_users_est").cast("long").as("unique_users_est"))
+
   /** P2: hour-of-day / ISO day-of-week activity profile. */
   def hourProfile(spark: SparkSession, dir: String): DataFrame = {
     val p = Rollup.hourOfDayProfile(Tables.events(spark, dir))
@@ -147,6 +164,8 @@ object EventQueries {
     "q_rollup_1m" -> (rollup1m _),
     "q_rollup_1m_hll" -> (rollup1mHll _),
     "q_compact_hourly" -> (compactHourly _),
+    "q_compact_hourly_hll" -> (compactHourlyHll _),
+    "q_distinct_users_hll" -> (distinctUsersHll _),
     "q_hour_profile" -> (hourProfile _),
     "q_topk_global_revenue" -> (topKGlobalRevenue _),
     "q_topk_per_type" -> (topKPerType _),

@@ -40,7 +40,7 @@ object Serving {
 
   val hourMs: Long = 3600L * 1000L
 
-  /** Hourly per-user aggregate — the grain both ranked tables share. */
+  /** Hourly per-user aggregate — the grain the global tables share. */
   def hourlyUserAgg(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
@@ -50,6 +50,19 @@ object Serving {
       .select(
         unix_millis(col("w.start")).as("window_start_ms"),
         col("user_id"), col("order_count"), col("total_cents"))
+
+  /** Hourly per-(restaurant, user) aggregate — the keyed tables'
+    * grain (restaurant_topk analog; event_type plays restaurant_id).
+    */
+  def hourlyKeyedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"), col("user_id"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("total_cents"))
+      .select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("user_id"), col("order_count"), col("total_cents"))
 
   /** Serving root for a dataset, keyed by source-data fingerprint. */
   def servingRoot(spark: SparkSession, dataDir: String): String = {
@@ -69,30 +82,43 @@ object Serving {
   def materialize(spark: SparkSession, dataDir: String): String = this.synchronized {
     val root = servingRoot(spark, dataDir)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def done(t: String) = fs.exists(new Path(s"$root/$t/_SUCCESS"))
-    if (!(done("topk_by_count") && done("topk_by_revenue") && done("meta"))) {
+    val tables = Seq("topk_by_count", "topk_by_revenue",
+      "topk_keyed_by_count", "topk_keyed_by_revenue", "meta")
+    if (!tables.forall(t => fs.exists(new Path(s"$root/$t/_SUCCESS")))) {
       val ev = Tables.events(spark, dataDir)
       val agg = hourlyUserAgg(ev)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keyed = hourlyKeyedAgg(ev)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        def write(ranked: DataFrame, table: String): Unit =
+        def write(ranked: DataFrame, table: String, sortCols: Seq[String]): Unit =
           TableManager.writePartitioned(
             ranked
               .withColumn("rank", col("rank").cast("long"))
               .withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
             s"$root/$table",
             tsCol = "w_ts",
-            sortCols = Seq("window_start_ms", "rank"),
+            sortCols = sortCols,
             bloomCol = Some("user_id"))
+        val globalSort = Seq("window_start_ms", "rank")
+        // keyed tables sort restaurant-first so a one-restaurant query
+        // prunes row groups on the dominant predicate.
+        val keyedSort = Seq("event_type", "window_start_ms", "rank")
         write(TopK.topKPerKey(agg, Seq("window_start_ms"),
           Seq(col("order_count").desc, col("total_cents").desc, col("user_id").asc), K),
-          "topk_by_count")
+          "topk_by_count", globalSort)
         write(TopK.topKPerKey(agg, Seq("window_start_ms"),
           Seq(col("total_cents").desc, col("order_count").desc, col("user_id").asc), K),
-          "topk_by_revenue")
+          "topk_by_revenue", globalSort)
+        write(TopK.topKPerKey(keyed, Seq("window_start_ms", "event_type"),
+          Seq(col("order_count").desc, col("total_cents").desc, col("user_id").asc), K),
+          "topk_keyed_by_count", keyedSort)
+        write(TopK.topKPerKey(keyed, Seq("window_start_ms", "event_type"),
+          Seq(col("total_cents").desc, col("order_count").desc, col("user_id").asc), K),
+          "topk_keyed_by_revenue", keyedSort)
         ev.agg(unix_millis(max(col("ts"))).as("max_ts_ms"))
           .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
-      } finally agg.unpersist()
+      } finally { agg.unpersist(); keyed.unpersist() }
     }
     root
   }

@@ -83,4 +83,33 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(est - exact).toDouble / exact < 0.05,
       s"hll=$est exact=$exact")
   }
+
+  test("hourly HLL compaction merges sketches losslessly (= direct hourly sketch)") {
+    val ev = Tables.events(spark, sfDir)
+    val merged = Rollup.compactHourlyHll(Rollup.rollup1mHll(ev))
+      .select($"hour_start_ms", $"event_type", $"unique_users_est".cast("long"))
+      .as[(Long, String, Long)].collect().toMap2
+    val direct = ev
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id".cast("string"))).cast("long").as("est"))
+      .select(unix_millis($"w.start"), $"event_type", $"est")
+      .as[(Long, String, Long)].collect().toMap2
+    assert(merged === direct)
+  }
+
+  test("query-time HLL re-agg over rollup within 5% of exact distinct") {
+    val ev = Tables.events(spark, sfDir)
+    val est = Rollup.distinctOverRollupHll(Rollup.rollup1mHll(ev), Seq("event_type"))
+      .select($"event_type", $"unique_users_est".cast("long"))
+      .as[(String, Long)].collect().toMap
+    val exact = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n).toDouble / n < 0.05, s"$k hll=${est(k)} exact=$n")
+    }
+  }
+
+  private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(t => ((t._1, t._2), t._3)).toMap
+  }
 }
