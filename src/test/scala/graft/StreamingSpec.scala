@@ -6,14 +6,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{ContinuousTopK, StreamingPipeline}
 
+/** Top-level so Spark can re-instantiate it without an outer scope
+  * (deserializing encoders reject inner classes).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
 /** Streaming semantics: watermark dedup, windowed rollup emission,
   * late-data drop, continuous top-K state accumulation.
   */
 class StreamingSpec extends SparkSuite {
   import spark.implicits._
-
-  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
-      event_type: String, value: Double)
 
   private def ts(minute: Int, sec: Int = 0): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
@@ -117,14 +120,69 @@ class StreamingSpec extends SparkSuite {
       qs.foreach(_.processAllAvailable())
       mem.addData(Ev(10, ts(9, 0), 10, "click", 1.0)) // flush again
       qs.foreach(_.processAllAvailable())
-      val raw = spark.read.parquet(s"$dir/raw")
-      assert(raw.count() === 5) // 6 inputs, dedup dropped the duplicate
-      val rollup = spark.read.parquet(s"$dir/rollup")
+      // the ProcessingTime-trigger sinks may commit shortly after
+      // processAllAvailable under suite load — poll to de-flake.
+      def eventually[A](what: String)(f: => A): A = {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var last: Either[Throwable, A] = Left(new AssertionError("not run"))
+        while (deadline > System.nanoTime() &&
+          { last = try Right(f) catch { case e: Throwable => Left(e) }; last.isLeft })
+          Thread.sleep(200)
+        last.fold(throw _, identity)
+      }
+      eventually("raw count")(
+        assert(spark.read.parquet(s"$dir/raw").count() === 5)) // dedup dropped the dup
       val w0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
-      assert(rollup.filter(col("window_start_ms") === w0)
-        .agg(sum("order_count")).head.getLong(0) === 3L)
-      val topk = spark.read.parquet(s"$dir/topk")
-      assert(topk.filter(col("rank") === 1).count() > 0)
+      eventually("rollup")(
+        assert(spark.read.parquet(s"$dir/rollup")
+          .filter(col("window_start_ms") === w0)
+          .agg(sum("order_count")).head.getLong(0) === 3L))
+      eventually("topk")(
+        assert(spark.read.parquet(s"$dir/topk").filter(col("rank") === 1).count() > 0))
     } finally qs.foreach(_.stop())
+  }
+
+  test("idempotent batch write: a retried batch replaces, not appends") {
+    val path = java.nio.file.Files.createTempDirectory("graft_idem").toString + "/t"
+    val df = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v")
+    StreamingPipeline.writeBatchIdempotent(df, 7L, path)
+    StreamingPipeline.writeBatchIdempotent(df, 7L, path) // simulated crash-retry
+    StreamingPipeline.writeBatchIdempotent(df.filter($"id" === 1L), 8L, path)
+    val out = spark.read.parquet(path)
+    assert(out.count() === 3) // batch 7 not doubled
+    assert(out.filter($"batch_id" === 7L).count() === 2)
+  }
+
+  test("restart from checkpoint: no duplicate rows, dedup state survives") {
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val srcDir = s"$root/src"
+    def writeSrc(evs: Ev*): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    def mkSource() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"))
+      .parquet(srcDir)
+    def run(): Unit = {
+      val qs = StreamingPipeline.start(spark, mkSource(),
+        s"$root/raw", s"$root/rollup", s"$root/topk", s"$root/ckpt", k = 2,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      qs.foreach(_.awaitTermination())
+    }
+    writeSrc(
+      Ev(1, ts(0, 1), 10, "click", 1.0),
+      Ev(2, ts(0, 2), 11, "view", 2.0))
+    run()
+    writeSrc(
+      Ev(1, ts(0, 3), 10, "click", 1.0), // dup of run-1 event: state must survive
+      Ev(3, ts(0, 4), 12, "click", 3.0),
+      Ev(9, ts(5, 0), 13, "click", 1.0)) // watermark advance
+    run()
+    val raw = spark.read.parquet(s"$root/raw")
+    assert(raw.count() === 4) // 5 inputs, cross-restart dup dropped
+    assert(raw.select("event_id").distinct().count() === 4)
+    val rollup = spark.read.parquet(s"$root/rollup")
+    val w0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    assert(rollup.filter(col("window_start_ms") === w0)
+      .agg(sum("order_count")).head.getLong(0) === 3L)
   }
 }
