@@ -78,6 +78,30 @@ object StreamingPipeline {
       .partitionBy("batch_id")
       .parquet(path)
 
+  /** S4: JSON-encode every row (`to_json(struct(*))`) — the value
+    * format the reference writes to its output topic
+    * (TopKStreamingJob.kt:349-419). Pair with [[jsonSink]] or any
+    * Kafka-like value sink.
+    */
+  def jsonEncode(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** S4: start a JSON-lines file sink (the sandbox stand-in for the
+    * reference's Kafka JSON sink; text files of one JSON doc per row).
+    */
+  def jsonSink(
+      df: DataFrame,
+      path: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    jsonEncode(df).writeStream
+      .format("text")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
   /** Wire the full pipeline: returns the started queries
     * (raw sink, rollup+topk sink). The raw parquet sink is
     * exactly-once per the checkpointed file-commit protocol; the
