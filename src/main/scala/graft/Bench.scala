@@ -2,6 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Counter tick for the streaming-throughput leg (top-level for
+  * encoder reasons).
+  */
+case class BenchTick(timestamp: java.sql.Timestamp, value: Long)
+
 /** Benchmark main (driver contract): runs every SparkEntry query
   * against SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query
   * warm seconds. Each query runs twice — the first pass pays JVM/
@@ -47,8 +52,44 @@ object Bench {
     val errors = results.collect { case (k, Left(e)) => "\"" + k + ": " + e + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val evPerSec =
+      try streamingThroughput(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming throughput FAILED: $e"); -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"streaming_ev_s":$evPerSec,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(_._2.isLeft)) sys.exit(1)
+    if (results.exists(_._2.isLeft) || evPerSec < 0) sys.exit(1)
+  }
+
+  /** Events/s sustained through the full streaming pipeline (dedup →
+    * raw sink + rollup → ranked top-K sinks), measured end-to-end
+    * over MemoryStream micro-batches — comparable to the reference's
+    * max-tested 579 orders/s ingest (BASELINE.md).
+    */
+  private def streamingThroughput(spark: SparkSession,
+      batches: Int = 5, perBatch: Int = 20000): Double = {
+    import spark.implicits._
+    import graft.streaming.{Generator, StreamingPipeline}
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[BenchTick]
+    val qsS = StreamingPipeline.start(spark, Generator.eventsFromCounter(mem.toDF()),
+      s"$dir/raw", s"$dir/rollup", s"$dir/topk", s"$dir/ckpt", k = 5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    try {
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { b =>
+        // synthetic event time advances 10 ms/event so windows keep
+        // closing and watermark state stays bounded.
+        mem.addData((0 until perBatch).map { i =>
+          val v = b.toLong * perBatch + i
+          BenchTick(new java.sql.Timestamp(base + v * 10), v)
+        })
+        qsS.foreach(_.processAllAvailable())
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      batches.toLong * perBatch / secs
+    } finally qsS.foreach(_.stop())
   }
 }
