@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// All suites share one SparkSession; running them concurrently makes
+// streaming tests (MemoryStream + processAllAvailable) race on the
+// shared micro-batch scheduler. Spark parallelizes within a suite
+// anyway, so serial suites cost little and de-flake the stream specs.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

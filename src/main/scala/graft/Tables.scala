@@ -26,10 +26,14 @@ object Tables {
 
   /** Event stream table. The parquet stores INT64 TIMESTAMP(NANOS)
     * which Spark 4 rejects by default — read nanos as long
-    * (legacy conf) and floor-convert to microsecond TimestampType
-    * (same truncation DuckDB's epoch_ms applies, so oracle-equal).
-    * Also derives `value_cents` the same way the reference derives
-    * `revenue_cents` at ingest (orders_raw_upsert_table.json:53-59).
+    * (legacy conf) and floor-convert to microsecond TimestampType.
+    * The generated data IS sub-microsecond (ns remainders in ~all
+    * rows), so the engine's time precision contract is µs: any oracle
+    * that compares or orders on raw ts must do so at epoch_us grain
+    * (see EventQueries q_dedup_events / q_recent_24h), not at DuckDB's
+    * native ns. Also derives `value_cents` the same way the reference
+    * derives `revenue_cents` at ingest
+    * (orders_raw_upsert_table.json:53-59).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -61,10 +61,18 @@ object Ann {
     * cell-assignment join is an equi-join on cell id — shuffle
     * partitions by cell, which is how a 1000-executor cluster would
     * shard a real IVF index.
+    *
+    * `broadcastQueries = true` (default) assumes a SMALL probed query
+    * set (a serving batch, ≲ tens of MB after ×nprobe fan-out) and
+    * streams the corpus against it with no corpus shuffle. For large
+    * query volumes (offline all-vs-index scoring) pass `false`: both
+    * sides then shuffle-partition by `cell`, which scales with
+    * executors instead of driver/executor memory.
     */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       centroids: Seq[Seq[Double]], nprobe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame = {
     val c = prep(corpus, idCol, vecCol)
       .withColumn("cell", Vectors.nearestCentroid(col("v"), centroids))
     val qCells = (q: DataFrame) => {
@@ -81,7 +89,8 @@ object Ann {
     val q = prep(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val probed = qCells(q)
-    val scored = c.join(broadcast(probed), Seq("cell"))
+    val probedSide = if (broadcastQueries) broadcast(probed) else probed
+    val scored = c.join(probedSide, Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("sim", Vectors.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id").asc)

@@ -100,6 +100,29 @@ object Rollup {
       .select(dims.map(col) :+
         hll_sketch_estimate(col("users_hll")).as("unique_users_est"): _*)
 
+  /** A5: processing-time tumbling rollup — the reference's legacy
+    * Kafka-consumer path windows on arrival time, not event time
+    * (KafkaConsumerTopKJob's processing-time tumble; SURVEY §2.4 A5).
+    * `current_timestamp()` stamps each row at ingest; use with
+    * update/complete output mode (no event-time watermark exists to
+    * finalize windows in append mode). Event-time A1 remains the
+    * better default — this exists for parity with consumers that want
+    * wall-clock batching semantics.
+    */
+  def rollupProcessingTime(
+      stream: DataFrame,
+      dims: Seq[String] = Seq("event_type"),
+      windowDuration: String = "1 minute"): DataFrame =
+    stream
+      .withColumn("proc_ts", current_timestamp())
+      .groupBy((window(col("proc_ts"), windowDuration).as("w") +: dims.map(col)): _*)
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("sum_value_cents"))
+      .select(
+        (unix_millis(col("w.start")).as("window_start_ms") +: dims.map(col)) ++
+          Seq(col("order_count"), col("sum_value_cents")): _*)
+
   /** Time-part profile: activity by hour-of-day and ISO day-of-week
     * (Mon=1..Sun=7, java.time.DayOfWeek semantics like the reference's
     * RollupProcessFunction — TopKStreamingJob.kt:163-179). Spark's

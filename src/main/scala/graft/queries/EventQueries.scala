@@ -178,9 +178,13 @@ object EventQueries {
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // NOTE: the parquet ts is nanosecond-grain; Spark reads it floored
+    // to microseconds (Tables.events). Oracles that compare/order on
+    // raw ts therefore do so at epoch_us grain, matching the engine's
+    // precision instead of silently racing it at ns.
     "q_dedup_events" ->
       s"""SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, $cents AS value_cents
-         |FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn FROM events)
+         |FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY epoch_us(ts), user_id) AS rn FROM events)
          |WHERE rn = 1""".stripMargin,
     "q_rollup_1m" ->
       s"""SELECT epoch_ms(date_trunc('minute', ts)) AS window_start_ms, event_type,
@@ -238,7 +242,7 @@ object EventQueries {
       s"""SELECT event_type, count(*) AS order_count,
          |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents
          |FROM events
-         |WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 24 HOUR
+         |WHERE epoch_us(ts) > (SELECT epoch_us(max(ts)) FROM events) - 24::BIGINT*3600*1000000
          |GROUP BY 1""".stripMargin,
   )
 }

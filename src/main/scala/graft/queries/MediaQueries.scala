@@ -50,13 +50,16 @@ object MediaQueries {
         |FROM events""".stripMargin,
     // frameSize=8, stride=2: kept chunks start at byte offset 16*g,
     // so n_frames = ceil(L/16) and each kept chunk has
-    // min(8, L - 16*g) bytes.
+    // min(8, L - 16*g) bytes. A zero-length payload yields no frames,
+    // so it produces no row on the Spark side (flatMap emits nothing
+    // to aggregate) — mirror that with strlen > 0 here. Props are
+    // ASCII JSON, so strlen (chars) == payload bytes.
     "q_media_frame_stats" ->
       """SELECT event_id AS media_id,
         |  CAST((strlen(props) + 15) // 16 AS BIGINT) AS n_frames,
         |  CAST(list_aggregate(list_transform(
         |      range(0, (strlen(props) + 15) // 16),
         |      g -> least(8, strlen(props) - 16*g)), 'sum') AS BIGINT) AS sampled_bytes
-        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+        |FROM events WHERE event_type = 'purchase' AND strlen(props) > 0""".stripMargin,
   )
 }
