@@ -43,8 +43,9 @@ object Vectors {
       val cc = array(c.map(lit(_)): _*)
       struct(cosine(v, cc).as("sim"), lit(-i).as("negidx"))
     }
-    // argmax by (sim, then lowest idx): lexicographic struct sort,
-    // last element has max sim and (on sim ties) max negidx = min idx.
-    -element_at(array_sort(array(scored: _*)), -1).getField("negidx")
+    // argmax by (sim, then lowest idx): structs compare
+    // lexicographically, so greatest() picks max sim with (on ties)
+    // max negidx = min idx — O(n) per row, no array materialize/sort.
+    -greatest(scored: _*).getField("negidx")
   }
 }

@@ -78,10 +78,15 @@ object NearDup {
     val prefix = postings.join(freq, "shingle")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("sh_size") - ceilTL + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("sh_size"), col("shingle"))
+    // Length filter (also exact, Arasu et al.): J(A,B) >= t forces
+    // t*|A| <= |B| <= |A|/t — prune candidates violating it right at
+    // the prefix join, before the distinct and the verify join.
     val cand = prefix.as("x").join(prefix.as("y"), "shingle")
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        col("y.sh_size") * thresholdDen >= col("x.sh_size") * thresholdNum &&
+        col("x.sh_size") * thresholdDen >= col("y.sh_size") * thresholdNum)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
       .distinct()
     verifyPairs(cand, postings, thresholdNum, thresholdDen)
   }
