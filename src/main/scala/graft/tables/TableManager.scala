@@ -69,6 +69,29 @@ object TableManager {
     dropped.map(_.getPath.getName)
   }
 
+  /** Write a table bucketed (and sorted) by its recurring join key.
+    * Both sides of a repeated fact-fact equi-join written this way
+    * join with ZERO exchange: each bucket pair is already co-located
+    * and pre-sorted, so the sort-merge join starts immediately — the
+    * 100 TB answer to "this join shuffles 100 TB every night". Bucket
+    * count should be sized to cluster parallelism (it fixes the join's
+    * task count). Registered in the session catalog (bucketing
+    * metadata lives there), data at `path`.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      path: String,
+      bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
+
   /** Compact a 1-minute rollup table into its hourly form in place
     * of older partitions (MergeRollupTask semantics: re-sum metrics;
     * caller re-merges HLL sketches when carried).

@@ -37,4 +37,33 @@ class TableManagerSpec extends SparkSuite {
     val h = spark.read.parquet(s"$dir/rollup1h")
     assert(h.agg(sum("order_count")).head.getLong(0) === ev.count())
   }
+
+  test("bucketed fact tables join with zero shuffle exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    TableManager.writeBucketed(
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
+      "b_lineitem", s"$dir/b_lineitem", "l_orderkey", 8)
+    TableManager.writeBucketed(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority"),
+      "b_orders", s"$dir/b_orders", "o_orderkey", 8)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("qty"))
+      j.collect()
+      val finalPlan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // the join itself must need no exchange — only the small
+      // post-join groupBy may shuffle.
+      val joinSection = finalPlan.split("HashAggregate").last
+      assert(joinSection.contains("SortMergeJoin"), finalPlan)
+      assert(!joinSection.contains("Exchange"), "bucketed join must not shuffle\n" + finalPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
 }
