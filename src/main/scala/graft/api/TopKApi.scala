@@ -70,7 +70,10 @@ object TopKApi {
         .orderBy(col("total_cents").desc, col("window_end_ms").desc, col("user_id").asc)
         .limit(k)
     else
+      // serving result is k×windows rows — sort in one partition
+      // rather than paying a range-partitioning sampling pass.
       inRange.filter(col("rank") <= k)
-        .orderBy(col("window_start_ms").desc, col("rank").asc)
+        .coalesce(1)
+        .sortWithinPartitions(col("window_start_ms").desc, col("rank").asc)
   }
 }

@@ -131,14 +131,40 @@ object Ann {
     */
   def topSimilarPairs(emb: DataFrame, topN: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      blocks: Int = 16): DataFrame = {
+      blocks: Int = 16): DataFrame =
+    allPairsScored(emb, idCol, vecCol, blocks)
+      .orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)
+      .limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)))
+      .select(col("rank").cast("long").as("rank"), col("id_a"), col("id_b"))
+
+  /** Embedding-cosine near-dup pairs: every pair with cosine >=
+    * `threshold`, via the same exact block-grid equi-join (the
+    * dedup-by-embedding mode of the training-data pipeline). Both
+    * engines compare against the identical double literal, so the
+    * pair set is oracle-exact.
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blocks: Int = 16): DataFrame =
+    allPairsScored(emb, idCol, vecCol, blocks)
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
+
+  /** Exact all-pairs cosine as (id_a < id_b, sim) rows, distributed
+    * via the triangular block-grid equi-join (see [[topSimilarPairs]]
+    * for the design rationale).
+    */
+  private def allPairsScored(emb: DataFrame, idCol: String, vecCol: String,
+      blocks: Int): DataFrame = {
     val p = prep(emb, idCol, vecCol)
       .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
     val lo = p.select(col("id").as("id_x"), col("v").as("vx"), col("nrm").as("nx"),
       col("blk").as("blk_lo"), explode(sequence(col("blk"), lit(blocks - 1))).as("blk_hi"))
     val hi = p.select(col("id").as("id_y"), col("v").as("vy"), col("nrm").as("ny"),
       explode(sequence(lit(0), col("blk"))).as("blk_lo"), col("blk").as("blk_hi"))
-    val scored = lo.join(hi, Seq("blk_lo", "blk_hi"))
+    lo.join(hi, Seq("blk_lo", "blk_hi"))
       // same-bucket cell sees both orders + self-pairs: keep x<y once.
       .filter(col("blk_lo") =!= col("blk_hi") || col("id_x") < col("id_y"))
       .withColumn("sim", Vectors.dot(col("vx"), col("vy")) / (col("nx") * col("ny")))
@@ -146,11 +172,5 @@ object Ann {
         least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"),
         col("sim"))
-    scored
-      .orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)
-      .limit(topN)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)))
-      .select(col("rank").cast("long").as("rank"), col("id_a"), col("id_b"))
   }
 }

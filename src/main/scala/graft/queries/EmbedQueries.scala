@@ -42,10 +42,17 @@ object EmbedQueries {
   def topPairs(spark: SparkSession, dir: String): DataFrame =
     Ann.topSimilarPairs(Tables.embeddings(spark, dir), topN = 20)
 
+  /** Embedding-cosine near-dup pair set at threshold 0.4 (the corpus
+    * has no pairs above ~0.51, so 0.4 exercises a real tail).
+    */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    Ann.cosineNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
+
   val queries: Map[String, QFn] = Map(
     "q_embed_knn" -> (knnBruteForce _),
     "q_embed_knn_ivf" -> (knnIvf _),
     "q_embed_top_pairs" -> (topPairs _),
+    "q_embed_near_dup" -> (nearDupPairs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -65,5 +72,11 @@ object EmbedQueries {
         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |ORDER BY sim DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+    "q_embed_near_dup" ->
+      """SELECT id_a, id_b FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |WHERE sim >= 0.4""".stripMargin,
   )
 }

@@ -26,7 +26,11 @@ object ServingQueries {
         col("window_start_ms") >= t0 && col("rank") <= 3)
       .select(col("window_start_ms"), col("rank"), col("user_id"),
         col("order_count"), col("total_cents"))
-      .orderBy(col("window_start_ms").desc, col("rank").asc)
+      // k×windows rows — a global orderBy would add a range-partition
+      // SAMPLING pass (reads the data twice); one post-filter
+      // partition sorts the same rows in one stage.
+      .coalesce(1)
+      .sortWithinPartitions(col("window_start_ms").desc, col("rank").asc)
   }
 
   /** Revenue-path lookup (QueryService.kt:99-129): top-10 entries
