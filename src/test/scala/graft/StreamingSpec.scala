@@ -123,11 +123,14 @@ class StreamingSpec extends SparkSuite {
       // the ProcessingTime-trigger sinks may commit shortly after
       // processAllAvailable under suite load — poll to de-flake.
       def eventually[A](what: String)(f: => A): A = {
-        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
         var last: Either[Throwable, A] = Left(new AssertionError("not run"))
         while (deadline > System.nanoTime() &&
           { last = try Right(f) catch { case e: Throwable => Left(e) }; last.isLeft })
           Thread.sleep(200)
+        last.left.foreach { _ =>
+          qs.foreach(q => info(s"$what: query progress = ${Option(q.lastProgress).fold("none")(_.toString)}"))
+        }
         last.fold(throw _, identity)
       }
       eventually("raw count")(
