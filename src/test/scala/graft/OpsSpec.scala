@@ -109,6 +109,22 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("salted join equals the plain join on skewed data") {
+    import graft.ops.SkewJoin
+    // one hot key (90% of rows) + a long tail
+    val big = (1 to 2000).map(i => (if (i % 10 != 0) 1L else i.toLong, i.toLong))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (10L, "a"), (20L, "b"), (999L, "absent-key-ok"))
+      .toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    val salted = SkewJoin.saltedInnerJoin(big, small, Seq("k"), salts = 8)
+      .select("k", "v", "name")
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(salted === plain)
+    assert(plain.size === 1802) // 1800 hot + k=10 + k=20
+  }
+
   private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(t => ((t._1, t._2), t._3)).toMap
   }
