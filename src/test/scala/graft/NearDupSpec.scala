@@ -62,4 +62,33 @@ class NearDupSpec extends SparkSuite {
       .select("canonical_id", "n_docs").as[(Long, Long)].collect().toSeq
     assert(g === Seq((10L, 2L), (12L, 1L)))
   }
+
+  test("jaccardPairs (prefix+length+positional filters) equals brute force on random corpora") {
+    // The filters are all exactness-preserving by argument; this pins
+    // that down empirically across random shapes and both thresholds.
+    for (seed <- 1 to 4; (num, den) <- Seq((1, 2), (4, 5))) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      def randText() =
+        (0 until (4 + rnd.nextInt(16))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val base = (0L until 25L).map(i => (i, randText()))
+      val mutated = (25L until 32L).map { i =>
+        val t = base(rnd.nextInt(base.size))._2
+        (i, if (rnd.nextBoolean()) t else t + " " + vocab(rnd.nextInt(vocab.size)))
+      }
+      val corpus = base ++ mutated
+      val got = NearDup.jaccardPairs(corpus.toDF("doc_id", "text"), n = 2, num, den)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      def shingles(t: String): Set[String] =
+        t.split(" ").sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+      val sets = corpus.map { case (id, t) => id -> shingles(t) }.toMap
+      val expected = (for {
+        a <- corpus.map(_._1); b <- corpus.map(_._1)
+        if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        c = (sets(a) & sets(b)).size
+        if c * (den + num) >= num * (sets(a).size + sets(b).size)
+      } yield (a, b)).toSet
+      assert(got === expected, s"seed=$seed t=$num/$den")
+    }
+  }
 }
