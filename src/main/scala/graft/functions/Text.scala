@@ -45,6 +45,19 @@ object Text {
   def estBpeTokens(nChars: Column): Column =
     ((nChars + lit(3)) / lit(4)).cast("long")
 
+  /** BPE-ish regex token count: alphanumeric runs and single
+    * punctuation marks each count as one token (the word-boundary
+    * pre-split every BPE tokenizer applies before merges).
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Punctuation character count (non-alphanumeric, non-whitespace) —
+    * the numerator of the punct-ratio quality signal.
+    */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("long")
+
   /** Count of tokens contained in `words`. */
   def markerHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*))).cast("long")

@@ -23,9 +23,18 @@ object ApiQueries {
       fromMs = Some(now - 24L * Serving.hourMs), toMs = Some(now), k = 3)
   }
 
+  /** Per-restaurant revenue path: flat top-10 by revenue, last 72 h. */
+  def apiTopkRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val now = Serving.anchorMs(spark, dir)
+    TopKApi.topk(spark, dir, restaurantId = "click",
+      fromMs = Some(now - 72L * Serving.hourMs), toMs = Some(now),
+      k = 10, byRevenue = true)
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_api_topk_global" -> (apiTopkGlobal _),
     "q_api_topk_restaurant" -> (apiTopkRestaurant _),
+    "q_api_topk_revenue" -> (apiTopkRevenue _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
@@ -59,5 +68,19 @@ object ApiQueries {
          |  AND window_start_ms < (SELECT epoch_ms(max(ts)) FROM events)
          |  AND window_start_ms + 3600*1000 > (SELECT epoch_ms(max(ts)) - 24*3600*1000 FROM events)
          |ORDER BY window_start_ms DESC, rnk ASC""".stripMargin,
+    "q_api_topk_revenue" ->
+      s"""SELECT event_type AS restaurant_id, window_start_ms,
+         |  window_start_ms + 3600*1000 AS window_end_ms,
+         |  CAST(rnk AS BIGINT) AS rank, user_id, order_count, total_cents FROM (
+         |  SELECT event_type, window_start_ms, user_id, order_count, total_cents,
+         |    row_number() OVER (PARTITION BY window_start_ms, event_type
+         |      ORDER BY total_cents DESC, order_count DESC, user_id ASC) AS rnk
+         |  FROM (SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type, user_id,
+         |          count(*) AS order_count, CAST(SUM($cents) AS BIGINT) AS total_cents
+         |        FROM events GROUP BY 1, 2, 3))
+         |WHERE rnk <= 10 AND event_type = 'click'
+         |  AND window_start_ms < (SELECT epoch_ms(max(ts)) FROM events)
+         |  AND window_start_ms + 3600*1000 > (SELECT epoch_ms(max(ts)) - 72*3600*1000 FROM events)
+         |ORDER BY total_cents DESC, window_end_ms DESC, user_id ASC LIMIT 10""".stripMargin,
   )
 }

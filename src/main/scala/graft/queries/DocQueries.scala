@@ -29,9 +29,12 @@ object DocQueries {
       Text.tokenCount(col("text")).as("n_tokens"),
       Text.distinctTokenCount(col("text")).as("n_distinct"),
       Text.markerHits(col("text"), Text.stopwords).as("n_stop"),
-      Text.estBpeTokens(col("n_chars")).as("est_bpe_tokens"))
+      Text.estBpeTokens(col("n_chars")).as("est_bpe_tokens"),
+      Text.regexTokenCount(col("text")).as("n_regex_tokens"),
+      Text.punctCount(col("text")).as("n_punct"))
       .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_tokens"))
   }
 
   /** Marker-token language ID with per-language scores. */
@@ -111,8 +114,11 @@ object DocQueries {
          |  CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct,
          |  CAST(len(list_filter($toks, x -> list_contains(['the','a'], x))) AS BIGINT) AS n_stop,
          |  CAST((n_chars + 3) // 4 AS BIGINT) AS est_bpe_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_regex_tokens,
+         |  CAST(strlen(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
          |  CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) AS ttr,
-         |  CAST(len(list_filter($toks, x -> list_contains(['the','a'], x))) AS DOUBLE) / len($toks) AS stop_ratio
+         |  CAST(len(list_filter($toks, x -> list_contains(['the','a'], x))) AS DOUBLE) / len($toks) AS stop_ratio,
+         |  CAST(strlen(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len($toks) AS punct_ratio
          |FROM documents""".stripMargin,
     "q_lang_id" ->
       s"""WITH h AS (SELECT doc_id,
