@@ -67,6 +67,32 @@ object Media {
     }
   }
 
+  /** ==== STUB ==== deterministic fake resize: a real implementation
+    * decodes, scales W×H, re-encodes; the stub keeps every `factor`-th
+    * byte (so output length = ceil(L/factor), header byte preserved)
+    * — arithmetic the SQL oracle can replicate.
+    */
+  def resizeStub(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
+  /** Partition-local batch resize of image payloads: binary in,
+    * binary out, 1:1, partitioning preserved — the downsample stage
+    * of an image-training pipeline.
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame, factor: Int = 2): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        if (rec.kind == "image") rec.copy(bytes = resizeStub(rec.bytes, factor))
+        else rec
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: split the byte payload into
     * fixed-size "frames", keep every `stride`-th — the fan-out shape
     * (flatMap, 1 row → n rows) of real video frame extraction.

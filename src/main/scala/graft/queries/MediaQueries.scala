@@ -31,9 +31,19 @@ object MediaQueries {
         count(lit(1)).as("n_frames"),
         sum(length(col("frame_bytes")).cast("long")).as("sampled_bytes"))
 
+  /** Resize stage, validated through the feature extractor: images
+    * halve (ceil) in bytes with the header byte preserved; non-images
+    * pass through untouched.
+    */
+  def resizeFeatures(spark: SparkSession, dir: String): DataFrame =
+    Media.extractFeatures(spark,
+      Media.resizeImages(spark,
+        Media.mediaFromEvents(Tables.events(spark, dir))).toDF()).toDF()
+
   val queries: Map[String, QFn] = Map(
     "q_media_features" -> (mediaFeatures _),
     "q_media_frame_stats" -> (frameStats _),
+    "q_media_resize" -> (resizeFeatures _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -61,5 +71,22 @@ object MediaQueries {
         |      range(0, (strlen(props) + 15) // 16),
         |      g -> least(8, strlen(props) - 16*g)), 'sum') AS BIGINT) AS sampled_bytes
         |FROM events WHERE event_type = 'purchase' AND strlen(props) > 0""".stripMargin,
+    // resize factor 2: images keep every 2nd byte -> n = ceil(L/2),
+    // header (byte 0) preserved; video/audio pass through unchanged.
+    "q_media_resize" ->
+      """SELECT event_id AS media_id,
+        |  CASE WHEN event_type IN ('click','view') THEN 'image'
+        |       WHEN event_type = 'purchase' THEN 'video'
+        |       ELSE 'audio' END AS kind,
+        |  CAST(CASE WHEN event_type IN ('click','view')
+        |       THEN (strlen(props) + 1) // 2 ELSE strlen(props) END AS BIGINT) AS n_bytes,
+        |  CAST(ascii(props) AS BIGINT) AS header_byte,
+        |  CAST(CASE WHEN event_type IN ('click','view')
+        |       THEN ((strlen(props) + 1) // 2) % 64 ELSE strlen(props) % 64 END AS BIGINT) AS fake_width,
+        |  CAST(ascii(props) % 64 AS BIGINT) AS fake_height,
+        |  CAST(CASE WHEN event_type IN ('click','view')
+        |       THEN ((strlen(props) + 1) // 2) * 31 + ascii(props)
+        |       ELSE strlen(props) * 31 + ascii(props) END AS BIGINT) AS checksum
+        |FROM events""".stripMargin,
   )
 }

@@ -32,4 +32,15 @@ class MediaSpec extends SparkSuite {
       .toDF("media_id", "kind", "bytes", "source")
     assert(Media.sampleFrames(spark, one).count() === 0)
   }
+  test("resize halves image bytes (ceil), preserves header, skips non-images") {
+    val rows = Seq(
+      (1L, "image", "0123456789".getBytes, "x"),  // 10 -> 5 bytes: 0,2,4,6,8
+      (2L, "image", "abcde".getBytes, "x"),       // 5 -> 3 bytes: a,c,e
+      (3L, "audio", "abcde".getBytes, "x")        // untouched
+    ).toDF("media_id", "kind", "bytes", "source")
+    val out = Media.resizeImages(spark, rows).collect().sortBy(_.media_id)
+    assert(new String(out(0).bytes) === "02468")
+    assert(new String(out(1).bytes) === "ace")
+    assert(new String(out(2).bytes) === "abcde")
+  }
 }
