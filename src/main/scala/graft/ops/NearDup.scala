@@ -207,6 +207,47 @@ object NearDup {
     verifyPairs(cand, postings, thresholdNum, thresholdDen)
   }
 
+  /** Collapse near-dup pairs into canonical groups: every doc in the
+    * pair graph maps to the minimum doc_id in its connected component
+    * — the survivor a dedup pipeline keeps (everything else drops).
+    *
+    * Iterative min-label propagation over the edge list: each round,
+    * a doc's label becomes the min of its own and its neighbors'.
+    * Rounds needed = graph diameter, and near-dup components are
+    * clique-ish (diameter 1-3); `maxIters` bounds the loop and FAILS
+    * LOUDLY on non-convergence rather than returning partial groups.
+    * The per-round driver action is a bounded count, not a data
+    * collect — each round is one equi-join + groupBy at any scale.
+    */
+  def canonicalize(pairs: DataFrame, maxIters: Int = 16): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("prev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next.drop("prev")
+      iters += 1
+    }
+    edges.unpersist()
+    require(changed == 0, s"label propagation did not converge in $maxIters rounds")
+    labels.withColumnRenamed("label", "canonical_id")
+  }
+
   /** Frequency-weighted 64-bit SimHash signatures per doc: bit b is
     * set iff the ±1 vote sum over token occurrences (by bit b of
     * xxhash64(token)) is >= 0. Computed as one explode + a single

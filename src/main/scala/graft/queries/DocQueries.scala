@@ -79,8 +79,18 @@ object DocQueries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     NearDup.simhashPairs(Tables.documents(spark, dir), maxDist = 3)
 
+  /** Canonical dedup groups over the Jaccard>=0.5 pair graph: every
+    * doc in a near-dup component maps to its minimum doc_id — the
+    * "keep one survivor" output a training pipeline consumes.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    NearDup.canonicalize(
+      NearDup.jaccardPairs(Tables.documents(spark, dir), n = 3,
+        thresholdNum = 1, thresholdDen = 2))
+
   val queries: Map[String, QFn] = Map(
     "q_doc_stats" -> (docStats _),
+    "q_doc_dedup_canonical" -> (dedupCanonical _),
     "q_lang_id" -> (langId _),
     "q_doc_fingerprint" -> (fingerprints _),
     "q_doc_dedup_exact" -> (dedupExact _),
@@ -90,12 +100,13 @@ object DocQueries {
   )
 
   private val toks = "string_split(text, ' ')"
-  private val shingleCte =
-    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+  private val shingleCteBody =
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
        |s AS (SELECT doc_id,
        |  list_distinct(list_transform(range(1, len(toks) - 1),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
        |  FROM t)""".stripMargin
+  private val shingleCte = s"WITH $shingleCteBody"
 
   private def jaccardOracle(c: String, limitExpr: String) =
     s"""$shingleCte
@@ -146,5 +157,22 @@ object DocQueries {
       "3 * len(list_intersect(a.sh, b.sh)) >= 1 * (len(a.sh) + len(b.sh))"),
     "q_doc_dedup_minhash" -> jaccardOracle("c",
       "9 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh))"),
+    // connected components of the Jaccard>=0.5 pair graph via a
+    // recursive transitive closure; canonical = min reachable id.
+    "q_doc_dedup_canonical" ->
+      s"""WITH RECURSIVE $shingleCteBody,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND 3 * len(list_intersect(a.sh, b.sh)) >= 1 * (len(a.sh) + len(b.sh))),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(doc, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.doc, e.dst FROM walk w JOIN edges e ON e.src = w.r)
+         |SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+         |FROM walk GROUP BY doc""".stripMargin,
   )
 }

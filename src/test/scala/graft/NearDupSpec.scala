@@ -63,6 +63,15 @@ class NearDupSpec extends SparkSuite {
     assert(g === Seq((10L, 2L), (12L, 1L)))
   }
 
+  test("canonicalize maps chains and separate components to min ids") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (4L, 5L), (3L, 4L))
+      .toDF("doc_a", "doc_b") // 1-2-3-4-5 chain + {10,11}
+    val got = NearDup.canonicalize(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("jaccardPairs (prefix+length+positional filters) equals brute force on random corpora") {
     // The filters are all exactness-preserving by argument; this pins
     // that down empirically across random shapes and both thresholds.
