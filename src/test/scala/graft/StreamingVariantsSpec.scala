@@ -61,6 +61,30 @@ class StreamingVariantsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("metrics listener accumulates batch counts and input rows") {
+    implicit val sql = spark.sqlContext
+    val handle = graft.streaming.Metrics.attach(spark)
+    val mem = MemoryStream[TimerDedup.Ev]
+    val q = mem.toDF().writeStream.format("memory")
+      .queryName("metrics_probe").outputMode("append").start()
+    try {
+      mem.addData(TimerDedup.Ev(1, ts("2024-01-01 10:00:01"), 10, "click", 100))
+      q.processAllAvailable()
+      mem.addData(
+        TimerDedup.Ev(2, ts("2024-01-01 10:00:02"), 11, "view", 200),
+        TimerDedup.Ev(3, ts("2024-01-01 10:00:03"), 12, "view", 300))
+      q.processAllAvailable()
+      // listener events are delivered asynchronously — poll briefly
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var st = handle.snapshot.get("metrics_probe")
+      while (st.forall(_.inputRows < 3) && System.nanoTime() < deadline) {
+        Thread.sleep(100); st = handle.snapshot.get("metrics_probe")
+      }
+      assert(st.exists(_.inputRows === 3L), st.toString)
+      assert(st.exists(_.batches >= 2L), st.toString)
+    } finally { q.stop(); handle.detach() }
+  }
+
   private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(t => (t._1, (t._2, t._3))).toMap
   }
