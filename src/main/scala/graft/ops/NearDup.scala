@@ -75,10 +75,13 @@ object NearDup {
     // prefix length = L - ceil(t*L) + 1, t = num/den, exact integers
     val ceilTL = floor((col("sh_size") * thresholdNum + lit(thresholdDen - 1)) / thresholdDen)
       .cast("long")
+    // persisted: the self-join below would otherwise evaluate this
+    // window-over-join subtree once per side.
     val prefix = postings.join(freq, "shingle")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("sh_size") - ceilTL + 1)
       .select(col("doc_id"), col("sh_size"), col("pos"), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Two more exact prunes at the prefix join, before the distinct
     // and the verify join:
     //  - length filter (Arasu et al.): J >= t forces
@@ -197,8 +200,11 @@ object NearDup {
     val postings = postingsOf(docs, n)
     val sigs = minhashSigsFromPostings(postings, bands * rowsPerBand)
       .withColumn("bands", lshBands(col("sig"), bands, rowsPerBand))
+    // persisted: the signature aggregation would otherwise run once
+    // per side of the band-bucket self-join.
     val buckets = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.as("x")
       .join(buckets.as("y"), Seq("band_idx", "band_hash"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -220,8 +226,13 @@ object NearDup {
     * collect — each round is one equi-join + groupBy at any scale.
     */
   def canonicalize(pairs: DataFrame, maxIters: Int = 16): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // single scan of the (possibly expensive) pairs DAG: explode each
+    // pair into both directions rather than unioning two scans of it.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
@@ -281,8 +292,11 @@ object NearDup {
     val sigs = simhashSigs(docs, idCol, textCol)
     val chunkCols = (0 until chunks).map(i =>
       shiftrightunsigned(col("sig"), i * width).bitwiseAND(lit((1L << width) - 1)))
+    // persisted: the 64-counter simhash aggregation would otherwise
+    // run once per side of the chunk self-join.
     val keyed = sigs.select(col("doc_id"), col("sig"),
       posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk_val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     keyed.as("x").join(keyed.as("y"), Seq("chunk_idx", "chunk_val"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
