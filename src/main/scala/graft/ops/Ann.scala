@@ -158,8 +158,11 @@ object Ann {
     */
   private def allPairsScored(emb: DataFrame, idCol: String, vecCol: String,
       blocks: Int): DataFrame = {
+    // persisted: lo and hi below are two consumers of this prep scan
+    // (normalize + norm + bucket assignment) — cache it once.
     val p = prep(emb, idCol, vecCol)
       .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lo = p.select(col("id").as("id_x"), col("v").as("vx"), col("nrm").as("nx"),
       col("blk").as("blk_lo"), explode(sequence(col("blk"), lit(blocks - 1))).as("blk_hi"))
     val hi = p.select(col("id").as("id_y"), col("v").as("vy"), col("nrm").as("ny"),
