@@ -58,6 +58,15 @@ object Text {
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("long")
 
+  /** Canonical text normalization for dedup robustness: lowercase,
+    * punctuation → space, whitespace collapsed, trimmed. Pure
+    * codegen'd regex expressions (ASCII subset shared by Java and
+    * RE2 regex dialects, so the oracle matches byte-for-byte).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** Count of tokens contained in `words`. */
   def markerHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*))).cast("long")

@@ -88,8 +88,43 @@ object DocQueries {
       NearDup.jaccardPairs(Tables.documents(spark, dir), n = 3,
         thresholdNum = 1, thresholdDen = 2))
 
+  /** Normalized text + post-normalization fingerprint (the dedup key
+    * robust to case/punctuation/whitespace variants).
+    */
+  def docNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      Text.normalize(col("text")).as("norm_text"))
+      .withColumn("norm_fp", md5(col("norm_text")))
+
+  /** Quality filter — the keep-set a training pipeline materializes:
+    * token-count bounds plus stopword/type-token-ratio thresholds
+    * (threshold literals identical on both engines, so the double
+    * comparisons agree exactly).
+    */
+  def docQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    docStats(spark, dir)
+      .filter(col("n_tokens") >= 5 && col("n_tokens") <= 500 &&
+        col("stop_ratio") <= 0.5 && col("ttr") >= 0.2)
+      .select("doc_id", "n_tokens", "n_distinct")
+
+  /** Length-distribution quantiles (the cut points a percentile-based
+    * quality filter uses). Exact `percentile` with linear
+    * interpolation — same definition as DuckDB's quantile_cont, and
+    * interpolation on integer inputs stays exactly representable.
+    */
+  def docLengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).agg(
+      percentile(col("n_chars"), lit(0.25)).as("p25"),
+      percentile(col("n_chars"), lit(0.5)).as("p50"),
+      percentile(col("n_chars"), lit(0.75)).as("p75"),
+      percentile(col("n_chars"), lit(0.9)).as("p90"))
+
   val queries: Map[String, QFn] = Map(
     "q_doc_stats" -> (docStats _),
+    "q_doc_normalize" -> (docNormalize _),
+    "q_doc_quality_filter" -> (docQualityFilter _),
+    "q_doc_length_quantiles" -> (docLengthQuantiles _),
     "q_doc_dedup_canonical" -> (dedupCanonical _),
     "q_lang_id" -> (langId _),
     "q_doc_fingerprint" -> (fingerprints _),
@@ -153,6 +188,27 @@ object DocQueries {
       """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS canonical_id,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_doc_length_quantiles" ->
+      """SELECT quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  quantile_cont(n_chars, 0.9) AS p90
+        |FROM documents""".stripMargin,
+    "q_doc_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS norm_text,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g'))) AS norm_fp
+        |FROM documents""".stripMargin,
+    "q_doc_quality_filter" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct
+         |FROM documents
+         |WHERE len($toks) BETWEEN 5 AND 500
+         |  AND CAST(len(list_filter($toks, x -> list_contains(['the','a'], x))) AS DOUBLE) / len($toks) <= 0.5
+         |  AND CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) >= 0.2""".stripMargin,
     "q_doc_dedup_jaccard" -> jaccardOracle("c",
       "3 * len(list_intersect(a.sh, b.sh)) >= 1 * (len(a.sh) + len(b.sh))"),
     "q_doc_dedup_minhash" -> jaccardOracle("c",

@@ -106,43 +106,31 @@ class StreamingSpec extends SparkSuite {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val mem = MemoryStream[Ev]
-    val qs = StreamingPipeline.start(spark, mem.toDF(),
-      s"$dir/raw", s"$dir/rollup", s"$dir/topk", s"$dir/ckpt", k = 2,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
-    try {
-      mem.addData(
-        Ev(1, ts(0, 1), 10, "click", 1.0),
-        Ev(1, ts(0, 1), 10, "click", 1.0),
-        Ev(2, ts(0, 2), 11, "view", 2.0),
-        Ev(3, ts(0, 3), 12, "click", 3.0))
-      qs.foreach(_.processAllAvailable())
-      mem.addData(Ev(9, ts(5, 0), 10, "click", 1.0)) // advance watermark
-      qs.foreach(_.processAllAvailable())
-      mem.addData(Ev(10, ts(9, 0), 10, "click", 1.0)) // flush again
-      qs.foreach(_.processAllAvailable())
-      // the ProcessingTime-trigger sinks may commit shortly after
-      // processAllAvailable under suite load — poll to de-flake.
-      def eventually[A](what: String)(f: => A): A = {
-        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
-        var last: Either[Throwable, A] = Left(new AssertionError("not run"))
-        while (deadline > System.nanoTime() &&
-          { last = try Right(f) catch { case e: Throwable => Left(e) }; last.isLeft })
-          Thread.sleep(200)
-        last.left.foreach { _ =>
-          qs.foreach(q => info(s"$what: query progress = ${Option(q.lastProgress).fold("none")(_.toString)}"))
-        }
-        last.fold(throw _, identity)
-      }
-      eventually("raw count")(
-        assert(spark.read.parquet(s"$dir/raw").count() === 5)) // dedup dropped the dup
-      val w0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
-      eventually("rollup")(
-        assert(spark.read.parquet(s"$dir/rollup")
-          .filter(col("window_start_ms") === w0)
-          .agg(sum("order_count")).head.getLong(0) === 3L))
-      eventually("topk")(
-        assert(spark.read.parquet(s"$dir/topk").filter(col("rank") === 1).count() > 0))
-    } finally qs.foreach(_.stop())
+    // AvailableNow + awaitTermination per phase: each run drains
+    // exactly the data added so far and terminates — deterministic,
+    // no wall-clock trigger to race under suite load.
+    def drain(): Unit = {
+      val qs = StreamingPipeline.start(spark, mem.toDF(),
+        s"$dir/raw", s"$dir/rollup", s"$dir/topk", s"$dir/ckpt", k = 2,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      try qs.foreach(_.awaitTermination()) finally qs.foreach(_.stop())
+    }
+    mem.addData(
+      Ev(1, ts(0, 1), 10, "click", 1.0),
+      Ev(1, ts(0, 1), 10, "click", 1.0),
+      Ev(2, ts(0, 2), 11, "view", 2.0),
+      Ev(3, ts(0, 3), 12, "click", 3.0))
+    drain()
+    mem.addData(Ev(9, ts(5, 0), 10, "click", 1.0)) // advance watermark
+    drain()
+    mem.addData(Ev(10, ts(9, 0), 10, "click", 1.0)) // flush again
+    drain()
+    assert(spark.read.parquet(s"$dir/raw").count() === 5) // dedup dropped the dup
+    val w0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    assert(spark.read.parquet(s"$dir/rollup")
+      .filter(col("window_start_ms") === w0)
+      .agg(sum("order_count")).head.getLong(0) === 3L)
+    assert(spark.read.parquet(s"$dir/topk").filter(col("rank") === 1).count() > 0)
   }
 
   test("idempotent batch write: a retried batch replaces, not appends") {
