@@ -78,49 +78,165 @@ object Serving {
     s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_serving/$key"
   }
 
+  private val globalSort = Seq("window_start_ms", "rank")
+  // keyed tables sort restaurant-first so a one-restaurant query
+  // prunes row groups on the dominant predicate.
+  private val keyedSort = Seq("event_type", "window_start_ms", "rank")
+
+  private def countOrder = Seq(col("order_count").desc, col("total_cents").desc, col("user_id").asc)
+  private def revenueOrder = Seq(col("total_cents").desc, col("order_count").desc, col("user_id").asc)
+
+  private def writeRanked(root: String, ranked: DataFrame, table: String,
+      sortCols: Seq[String]): Unit =
+    TableManager.writePartitioned(
+      ranked
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+      s"$root/$table",
+      tsCol = "w_ts",
+      sortCols = sortCols,
+      bloomCol = Some("user_id"))
+
+  /** Rebuild all four ranked tables from full-grain agg frames. */
+  private def writeRankedTables(root: String, agg: DataFrame, keyed: DataFrame): Unit = {
+    writeRanked(root, TopK.topKPerKey(agg, Seq("window_start_ms"), countOrder, K),
+      "topk_by_count", globalSort)
+    writeRanked(root, TopK.topKPerKey(agg, Seq("window_start_ms"), revenueOrder, K),
+      "topk_by_revenue", globalSort)
+    writeRanked(root, TopK.topKPerKey(keyed, Seq("window_start_ms", "event_type"), countOrder, K),
+      "topk_keyed_by_count", keyedSort)
+    writeRanked(root, TopK.topKPerKey(keyed, Seq("window_start_ms", "event_type"), revenueOrder, K),
+      "topk_keyed_by_revenue", keyedSort)
+  }
+
+  private def writeAggState(root: String, agg: DataFrame, keyed: DataFrame): Unit = {
+    TableManager.writePartitioned(
+      agg.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+      s"$root/agg_by_window", tsCol = "w_ts",
+      sortCols = Seq("window_start_ms", "user_id"))
+    TableManager.writePartitioned(
+      keyed.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+      s"$root/agg_keyed_by_window", tsCol = "w_ts",
+      sortCols = Seq("event_type", "window_start_ms", "user_id"))
+  }
+
+  private def writeMeta(root: String, maxTsMs: DataFrame): Unit =
+    maxTsMs.coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+
+  val allTables: Seq[String] = Seq(
+    "topk_by_count", "topk_by_revenue",
+    "topk_keyed_by_count", "topk_keyed_by_revenue",
+    "agg_by_window", "agg_keyed_by_window", "meta")
+
+  /** Full build of the serving layout at `root` from an events frame
+    * (batch path; the streaming path refreshes incrementally via
+    * [[refreshWithBatch]]). The full-grain agg tables are the state
+    * that makes incremental rank refresh possible — they are the
+    * Pinot rollup-table analog; the ranked tables are its serving
+    * views.
+    */
+  def materializeInto(spark: SparkSession, root: String, events: DataFrame): Unit = {
+    val agg = hourlyUserAgg(events)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = hourlyKeyedAgg(events)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeAggState(root, agg, keyed)
+      writeRankedTables(root, agg, keyed)
+      writeMeta(root, events.agg(unix_millis(max(col("ts"))).as("max_ts_ms")))
+    } finally { agg.unpersist(); keyed.unpersist() }
+  }
+
   /** Build the serving tables if absent; return the serving root. */
   def materialize(spark: SparkSession, dataDir: String): String = this.synchronized {
     val root = servingRoot(spark, dataDir)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tables = Seq("topk_by_count", "topk_by_revenue",
-      "topk_keyed_by_count", "topk_keyed_by_revenue", "meta")
-    if (!tables.forall(t => fs.exists(new Path(s"$root/$t/_SUCCESS")))) {
-      val ev = Tables.events(spark, dataDir)
-      val agg = hourlyUserAgg(ev)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val keyed = hourlyKeyedAgg(ev)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        def write(ranked: DataFrame, table: String, sortCols: Seq[String]): Unit =
-          TableManager.writePartitioned(
-            ranked
-              .withColumn("rank", col("rank").cast("long"))
-              .withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
-            s"$root/$table",
-            tsCol = "w_ts",
-            sortCols = sortCols,
-            bloomCol = Some("user_id"))
-        val globalSort = Seq("window_start_ms", "rank")
-        // keyed tables sort restaurant-first so a one-restaurant query
-        // prunes row groups on the dominant predicate.
-        val keyedSort = Seq("event_type", "window_start_ms", "rank")
-        write(TopK.topKPerKey(agg, Seq("window_start_ms"),
-          Seq(col("order_count").desc, col("total_cents").desc, col("user_id").asc), K),
-          "topk_by_count", globalSort)
-        write(TopK.topKPerKey(agg, Seq("window_start_ms"),
-          Seq(col("total_cents").desc, col("order_count").desc, col("user_id").asc), K),
-          "topk_by_revenue", globalSort)
-        write(TopK.topKPerKey(keyed, Seq("window_start_ms", "event_type"),
-          Seq(col("order_count").desc, col("total_cents").desc, col("user_id").asc), K),
-          "topk_keyed_by_count", keyedSort)
-        write(TopK.topKPerKey(keyed, Seq("window_start_ms", "event_type"),
-          Seq(col("total_cents").desc, col("order_count").desc, col("user_id").asc), K),
-          "topk_keyed_by_revenue", keyedSort)
-        ev.agg(unix_millis(max(col("ts"))).as("max_ts_ms"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
-      } finally { agg.unpersist(); keyed.unpersist() }
-    }
+    if (!allTables.forall(t => fs.exists(new Path(s"$root/$t/_SUCCESS"))))
+      materializeInto(spark, root, Tables.events(spark, dataDir))
     root
+  }
+
+  /** Incremental refresh from a (deduped) event micro-batch — the
+    * `foreachBatch` serving-freshness path. Only the date partitions
+    * the batch touches are rewritten:
+    *
+    *  1. aggregate the batch at the serving grain (delta);
+    *  2. merge delta into the full-grain agg state for the affected
+    *     dates (union + re-sum — associative, so increments compose);
+    *  3. re-rank those dates from the merged state and overwrite the
+    *     same partitions of the ranked tables.
+    *
+    * The full-grain state is what makes step 3 correct: a user
+    * outside the stored top-K can enter it after an increment, which
+    * rank-only state could never recover. All writes are dynamic
+    * partition overwrites keyed by p_date — idempotent under
+    * micro-batch retry for a batch that lands in the same dates.
+    */
+  def refreshWithBatch(spark: SparkSession, root: String, batch: DataFrame): Unit = this.synchronized {
+    val deltaAgg = hourlyUserAgg(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaKeyed = hourlyKeyedAgg(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dates = deltaAgg
+        .select(to_date(timestamp_millis(col("window_start_ms"))).as("p_date"))
+        .distinct().collect().map(_.getDate(0).toString).toSeq
+      if (dates.nonEmpty) {
+        def merge(statePath: String, delta: DataFrame, keys: Seq[String]): DataFrame =
+          spark.read.parquet(statePath)
+            .filter(col("p_date").isin(dates: _*))
+            .select(keys.map(col) :+ col("order_count") :+ col("total_cents"): _*)
+            .unionAll(delta.select(keys.map(col) :+ col("order_count") :+ col("total_cents"): _*))
+            .groupBy(keys.map(col): _*)
+            .agg(sum(col("order_count")).as("order_count"),
+              sum(col("total_cents")).as("total_cents"))
+        // localCheckpoint (eager): the merged state is written back
+        // over the partitions it was read from — the lineage must be
+        // cut or Spark (rightly) rejects overwriting a read path.
+        val agg = merge(s"$root/agg_by_window", deltaAgg,
+          Seq("window_start_ms", "user_id"))
+          .localCheckpoint(true)
+        val keyed = merge(s"$root/agg_keyed_by_window", deltaKeyed,
+          Seq("window_start_ms", "event_type", "user_id"))
+          .localCheckpoint(true)
+        try {
+          writeAggStatePartitions(root, agg, keyed)
+          writeRankedPartitions(root, agg, keyed)
+          val oldMax = spark.read.parquet(s"$root/meta").head.getLong(0)
+          val newMax = batch.agg(unix_millis(max(col("ts")))).head.getLong(0)
+          if (newMax > oldMax) {
+            writeMeta(root, spark.range(1).select(lit(newMax).as("max_ts_ms")))
+            anchorCache.put(root, newMax)
+          }
+        } finally { agg.unpersist(); keyed.unpersist() }
+      }
+    } finally { deltaAgg.unpersist(); deltaKeyed.unpersist() }
+  }
+
+  private def writeAggStatePartitions(root: String, agg: DataFrame, keyed: DataFrame): Unit = {
+    TableManager.overwritePartitions(
+      agg.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+      s"$root/agg_by_window", "w_ts", Seq("window_start_ms", "user_id"))
+    TableManager.overwritePartitions(
+      keyed.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+      s"$root/agg_keyed_by_window", "w_ts", Seq("event_type", "window_start_ms", "user_id"))
+  }
+
+  private def writeRankedPartitions(root: String, agg: DataFrame, keyed: DataFrame): Unit = {
+    def ow(ranked: DataFrame, table: String, sortCols: Seq[String]): Unit =
+      TableManager.overwritePartitions(
+        ranked
+          .withColumn("rank", col("rank").cast("long"))
+          .withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+        s"$root/$table", "w_ts", sortCols)
+    ow(TopK.topKPerKey(agg, Seq("window_start_ms"), countOrder, K),
+      "topk_by_count", globalSort)
+    ow(TopK.topKPerKey(agg, Seq("window_start_ms"), revenueOrder, K),
+      "topk_by_revenue", globalSort)
+    ow(TopK.topKPerKey(keyed, Seq("window_start_ms", "event_type"), countOrder, K),
+      "topk_keyed_by_count", keyedSort)
+    ow(TopK.topKPerKey(keyed, Seq("window_start_ms", "event_type"), revenueOrder, K),
+      "topk_keyed_by_revenue", keyedSort)
   }
 
   def readTable(spark: SparkSession, dataDir: String, table: String): DataFrame =

@@ -102,6 +102,17 @@ object StreamingPipeline {
       .trigger(trigger)
       .start()
 
+  /** foreachBatch sink that keeps a materialized serving layout fresh:
+    * each (deduped) micro-batch incrementally re-ranks only the date
+    * partitions it touches (see [[graft.serving.Serving.refreshWithBatch]];
+    * incremental == full-rebuild equality is asserted in ServingSpec).
+    * Usage: `deduped.writeStream.foreachBatch(servingRefreshSink(root))`.
+    */
+  def servingRefreshSink(root: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty)
+        graft.serving.Serving.refreshWithBatch(batch.sparkSession, root, batch)
+
   /** Wire the full pipeline: returns the started queries
     * (raw sink, rollup+topk sink). The raw parquet sink is
     * exactly-once per the checkpointed file-commit protocol; the

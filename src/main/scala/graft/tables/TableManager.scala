@@ -50,6 +50,33 @@ object TableManager {
     writer.parquet(path)
   }
 
+  /** Overwrite ONLY the date partitions present in `df` (dynamic
+    * partition overwrite), leaving all other dates untouched — the
+    * incremental-refresh twin of [[writePartitioned]]. Same layout:
+    * one shuffle to co-locate each date, sorted files, optional bloom.
+    */
+  def overwritePartitions(
+      df: DataFrame,
+      path: String,
+      tsCol: String,
+      sortCols: Seq[String],
+      bloomCol: Option[String] = None): Unit = {
+    val dated = df.withColumn("p_date", to_date(col(tsCol)))
+    val writer0 = dated
+      .repartition(col("p_date"))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p_date")
+    val writer = bloomCol.fold(writer0) { c =>
+      writer0
+        .option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", "1000000")
+    }
+    writer.parquet(path)
+  }
+
   /** Drop date partitions older than `retentionDays` relative to
     * `nowDate` (yyyy-MM-dd) — the Pinot retention-manager analog.
     * Purely directory-level: no data files are read.

@@ -30,6 +30,72 @@ class ServingSpec extends SparkSuite {
     assert(key === key.sorted)
   }
 
+  test("incremental refresh equals full rebuild") {
+    val ev = Tables.events(spark, sfDir)
+    val cutoff = ev.selectExpr("percentile(unix_millis(ts), 0.7)").head.getDouble(0).toLong
+    val before = ev.filter(unix_millis(col("ts")) <= cutoff)
+    val after = ev.filter(unix_millis(col("ts")) > cutoff)
+    assert(after.count() > 0 && before.count() > 0)
+
+    val incRoot = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft_full").toString
+    Serving.materializeInto(spark, incRoot, before)
+    Serving.refreshWithBatch(spark, incRoot, after) // the streaming micro-batch path
+    Serving.materializeInto(spark, fullRoot, ev)
+
+    for (t <- Serving.allTables if t != "meta") {
+      val inc = spark.read.parquet(s"$incRoot/$t").drop("w_ts")
+      val full = spark.read.parquet(s"$fullRoot/$t").drop("w_ts")
+      val cols = full.columns.sorted.toSeq
+      val a = inc.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val b = full.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(a === b, s"table $t diverged after incremental refresh")
+    }
+    assert(spark.read.parquet(s"$incRoot/meta").head.getLong(0) ===
+      spark.read.parquet(s"$fullRoot/meta").head.getLong(0))
+  }
+
+  test("streaming serving-refresh sink keeps the layout equal to batch rebuild") {
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_srs").toString
+    def ev(id: Long, t: String, u: Long, et: String, cents: Long) =
+      (id, Timestamp.valueOf(t), u, et, cents / 100.0)
+    val batch1 = Seq(
+      ev(1, "2024-01-01 10:10:00", 1, "click", 300),
+      ev(2, "2024-01-01 10:20:00", 2, "view", 500))
+    val batch2 = Seq(
+      ev(3, "2024-01-01 10:40:00", 1, "click", 200), // same window as batch1
+      ev(4, "2024-01-02 09:00:00", 3, "click", 900)) // new date partition
+    val mkDf = (rows: Seq[(Long, Timestamp, Long, String, Double)]) =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("value_cents", org.apache.spark.sql.functions.round(col("value") * 100).cast("long"))
+    Serving.materializeInto(spark, root, mkDf(batch1))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Timestamp, Long, String, Double)]
+    mem.addData(batch2)
+    val q = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("value_cents", org.apache.spark.sql.functions.round(col("value") * 100).cast("long"))
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(graft.streaming.StreamingPipeline.servingRefreshSink(root))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft_srs_full").toString
+    Serving.materializeInto(spark, fullRoot, mkDf(batch1 ++ batch2))
+    for (t <- Serving.allTables if t != "meta") {
+      val cols = spark.read.parquet(s"$fullRoot/$t").drop("w_ts").columns.sorted.toSeq
+      val a = spark.read.parquet(s"$root/$t").drop("w_ts")
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val b = spark.read.parquet(s"$fullRoot/$t").drop("w_ts")
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(a === b, s"table $t diverged after streaming refresh")
+    }
+  }
+
   test("materialize is idempotent: second call rebuilds nothing") {
     val root = Serving.materialize(spark, sfDir)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
