@@ -41,6 +41,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("first-wins dedup: partial WindowGroupLimit prunes to 1 row/key before the shuffle") {
+    val p = planOf(EventQueries.dedupEvents(spark, sfDir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("row_number(), 1, Partial"), p)
+    assert(finalPlan.contains("row_number(), 1, Final"), p)
+  }
+
   test("rollup: map-side partial aggregation, bounded shuffle count") {
     val p = planOf(EventQueries.rollup1m(spark, sfDir))
     val finalPlan = p.split("== Initial Plan ==").head
