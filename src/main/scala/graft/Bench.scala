@@ -43,15 +43,14 @@ object Bench {
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     names.foreach { case (name, fn) => run(name, fn) } // warm-up pass
-    // Two measured passes, min per query: the shared box has ±50%
+    // Three measured passes, min per query: the shared box has ±50%
     // load noise, and min-of-N is the standard way to report the
     // machine's actual capability rather than the noise floor.
-    val pass1 = names.map { case (name, fn) => name -> run(name, fn) }
-    val pass2 = names.map { case (name, fn) => name -> run(name, fn) }
-    val results = pass1.zip(pass2).map {
-      case ((k, Right(a)), (_, Right(b))) => k -> Right(math.min(a, b))
-      case ((k, Left(e)), _)              => k -> Left(e)
-      case ((k, _), (_, Left(e)))         => k -> Left(e)
+    val passes = (1 to 3).map(_ => names.map { case (name, fn) => name -> run(name, fn) })
+    val results = names.map { case (name, _) =>
+      val rs = passes.map(_.find(_._1 == name).get._2)
+      val err = rs.collectFirst { case Left(e) => e }
+      name -> err.toLeft(rs.collect { case Right(v) => v }.min)
     }
 
     val qs = results.map {

@@ -20,6 +20,22 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Cheap content fingerprint of a table directory: ONE listStatus
+    * RPC — (path, file count, total bytes, max mtime). Cache keys
+    * derived from this stay fresh when a dataset is regenerated in
+    * place, without paying a recursive getContentSummary walk on
+    * every serving call.
+    */
+  def fingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val st = fs.listStatus(p)
+      val mtime = if (st.isEmpty) 0L else st.map(_.getModificationTime).max
+      s"$path:${st.length}:${st.map(_.getLen).sum}:$mtime"
+    } catch { case _: java.io.IOException => path }
+  }
+
   /** Dollars → integer cents. Exact for 2-decimal inputs. */
   def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(c * 100).cast(LongType)

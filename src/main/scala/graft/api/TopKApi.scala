@@ -48,13 +48,18 @@ object TopKApi {
     val to = toMs.getOrElse(now)
     val from = fromMs.getOrElse(to - hourMs)
     require(from < to, s"empty range [$from, $to)")
-    val global = restaurantId.equalsIgnoreCase(All)
+    // ids are normalized to lowercase for BOTH the "all" sentinel and
+    // the keyed filter (the reference lowercases its routing check,
+    // TopKController.kt:108; table keys are lowercase) — a caller
+    // passing "Click" gets "click", not silently zero rows.
+    val rid = restaurantId.toLowerCase(java.util.Locale.ROOT)
+    val global = rid == All
     val ordering = if (byRevenue) "revenue" else "count"
     val table = if (global) s"topk_by_$ordering" else s"topk_keyed_by_$ordering"
     val scan = Serving.readTable(spark, dataDir, table)
     val routed =
       if (global) scan.withColumn("restaurant_id", lit(All))
-      else scan.filter(col("event_type") === restaurantId)
+      else scan.filter(col("event_type") === rid)
         .withColumnRenamed("event_type", "restaurant_id")
     val inRange = routed
       .filter(col("p_date") >= Serving.utcDate(from) && // directory pruning

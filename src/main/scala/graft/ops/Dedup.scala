@@ -34,6 +34,18 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Latest-wins upsert dedup — Pinot's *upsert* table mode on the
+    * timestamp comparison column (orders_raw_upsert_table.json is
+    * upsertConfig FULL on `timestamp` in addition to dedupConfig;
+    * pinot/README.md §1): the row with the greatest `tsCol` per key
+    * survives, ties broken by `tiebreak` asc for determinism. Same
+    * single key-shuffle plan as [[firstWins]] with the time order
+    * inverted.
+    */
+  def lastWins(df: DataFrame, keys: Seq[String], tsCol: String,
+      tiebreak: Seq[Column]): DataFrame =
+    firstWins(df, keys, col(tsCol).desc +: tiebreak)
+
   /** Nondeterministic-survivor exact dedup (Pinot dedupConfig
     * equivalent) — cheaper than firstWins when any survivor will do:
     * partial (map-side) dedup runs before the shuffle.

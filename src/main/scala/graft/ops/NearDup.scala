@@ -259,28 +259,38 @@ object NearDup {
     labels.withColumnRenamed("label", "canonical_id")
   }
 
-  /** Frequency-weighted 64-bit SimHash signatures per doc: bit b is
-    * set iff the ±1 vote sum over token occurrences (by bit b of
-    * xxhash64(token)) is >= 0. Computed as one explode + a single
-    * 64-counter hash aggregation (partial-agg friendly: per-partition
-    * vote sums combine before the shuffle).
+  /** SimHash signature width: 60 bits — the token hash is the first
+    * 15 hex digits of md5(token), a hash both Spark (`conv`) and the
+    * DuckDB oracle (`('0x'||substr(md5(x),1,15))::BIGINT`) compute
+    * bit-identically, which is what lets the gate hash-check the
+    * actual signatures and pair set instead of settling for a
+    * rows-only check. (xxhash64 would be marginally cheaper but is
+    * not reproducible outside the JVM.)
+    */
+  val simhashBits = 60
+
+  /** Frequency-weighted 60-bit SimHash signatures per doc: bit b is
+    * set iff the ±1 vote sum over token occurrences (by bit b of the
+    * md5-derived token hash) is >= 0. Computed as one explode + a
+    * single 60-counter hash aggregation (partial-agg friendly:
+    * per-partition vote sums combine before the shuffle).
     */
   def simhashSigs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs
       .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map(b =>
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until simhashBits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
         .as(s"b$b"))
     val counted = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64)
+    val sig = (0 until simhashBits)
       .map(b => when(col(s"b$b") >= 0L, lit(1L << b)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     counted.select(col("doc_id"), sig.as("sig"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist.
-    * Blocking: split the 64-bit signature into (maxDist+1) chunks —
+    * Blocking: split the 60-bit signature into (maxDist+1) chunks —
     * by pigeonhole, any pair within maxDist shares at least one exact
     * chunk, so candidates come from an equi-join on (chunk_idx,
     * chunk_value); the full cross product never exists.
@@ -288,7 +298,7 @@ object NearDup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val chunks = maxDist + 1
-    val width = 64 / chunks
+    val width = simhashBits / chunks
     val sigs = simhashSigs(docs, idCol, textCol)
     val chunkCols = (0 until chunks).map(i =>
       shiftrightunsigned(col("sig"), i * width).bitwiseAND(lit((1L << width) - 1)))

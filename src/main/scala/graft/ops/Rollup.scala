@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Time-windowed rollup operators.
@@ -24,8 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Rollup {
 
+  /** The reference's derived rollup time-part dims, carried IN the
+    * rollup output (TopKStreamingJob.kt:66-67,178-179;
+    * orders_1m_rollup_schema.json): hour-of-day 0-23 and ISO
+    * day-of-week Mon=1..Sun=7 of the window start. Spark's
+    * dayofweek() is Sun=1, hence the shift.
+    */
+  private def timeDims(windowStart: Column): Seq[Column] = Seq(
+    hour(windowStart).cast("long").as("hour_of_day"),
+    (((dayofweek(windowStart) + lit(5)) % 7) + 1).cast("long").as("day_of_week_iso"))
+
   /** 1-minute tumbling rollup keyed by `dims`, exact distinct users.
-    * Output grain = (window_start_ms, dims...).
+    * Output grain = (window_start_ms, dims...), plus the carried
+    * hour_of_day / day_of_week_iso dims.
     */
   def rollup1m(events: DataFrame, dims: Seq[String] = Seq("event_type")): DataFrame =
     events
@@ -36,24 +47,44 @@ object Rollup {
         countDistinct(col("user_id")).as("unique_users"))
       .select(
         (unix_millis(col("w.start")).as("window_start_ms") +: dims.map(col)) ++
+          timeDims(col("w.start")) ++
           Seq(col("order_count"), col("sum_value_cents"), col("unique_users")): _*)
 
   /** Rollup with a mergeable HLL sketch instead of exact distinct —
     * the scale path (Pinot stores HLL bytes, HLL_MERGE on compaction:
     * orders_1m_rollup_schema.json:50-53, orders_1m_rollup_table.json:80).
+    * `withExact = true` additionally carries the exact distinct count
+    * (one extra agg buffer) — the self-verification surface the gate
+    * hash-checks the estimate against.
     */
-  def rollup1mHll(events: DataFrame, dims: Seq[String] = Seq("event_type")): DataFrame =
+  def rollup1mHll(events: DataFrame, dims: Seq[String] = Seq("event_type"),
+      withExact: Boolean = false): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("order_count"),
+      sum(col("value_cents")).as("sum_value_cents"),
+      hll_sketch_agg(col("user_id").cast("string")).as("users_hll")) ++
+      (if (withExact) Seq(countDistinct(col("user_id")).as("unique_users")) else Nil)
     events
       .groupBy((window(col("ts"), "1 minute").as("w") +: dims.map(col)): _*)
-      .agg(
-        count(lit(1)).as("order_count"),
-        sum(col("value_cents")).as("sum_value_cents"),
-        hll_sketch_agg(col("user_id").cast("string")).as("users_hll"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(
         (unix_millis(col("w.start")).as("window_start_ms") +: dims.map(col)) ++
+          timeDims(col("w.start")) ++
           Seq(col("order_count"), col("sum_value_cents"),
             hll_sketch_estimate(col("users_hll")).as("unique_users_est"),
-            col("users_hll")): _*)
+            col("users_hll")) ++
+          (if (withExact) Seq(col("unique_users")) else Nil): _*)
+  }
+
+  /** est_ok self-check column: 1 when the sketch estimate is within
+    * max(2, 5%) of the exact count — pure integer arithmetic
+    * (20·|est−exact| ≤ max(40, exact)), so the DuckDB oracle asserts
+    * the SAME predicate as a constant 1 and a drifting sketch flips
+    * the hash compare red instead of hiding behind "no oracle".
+    */
+  def estOk(est: Column, exact: Column): Column =
+    when(abs(est.cast("long") - exact) * 20 <= greatest(lit(40L), exact), lit(1L))
+      .otherwise(lit(0L))
 
   /** Hourly compaction of a 1-minute rollup (MergeRollupTask
     * semantics: sums re-summed; HLL re-merged by the caller when the

@@ -71,10 +71,11 @@ object DocQueries {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     NearDup.minhashPairs(Tables.documents(spark, dir))
 
-  /** SimHash (frequency-weighted, 64-bit) pairs at Hamming <= 3 via
-    * pigeonhole chunk blocking. No SQL oracle (hash function not
-    * reproducible in DuckDB); covered by ScalaTest against Jaccard
-    * ground truth.
+  /** SimHash (frequency-weighted, 60-bit, md5-derived token hash)
+    * pairs at Hamming <= 3 via pigeonhole chunk blocking. The token
+    * hash is reproducible in DuckDB, so the oracle recomputes the
+    * full signature + brute-force pair set and hash-checks doc pairs
+    * AND their exact Hamming distances.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     NearDup.simhashPairs(Tables.documents(spark, dir), maxDist = 3)
@@ -209,6 +210,24 @@ object DocQueries {
          |WHERE len($toks) BETWEEN 5 AND 500
          |  AND CAST(len(list_filter($toks, x -> list_contains(['the','a'], x))) AS DOUBLE) / len($toks) <= 0.5
          |  AND CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) >= 0.2""".stripMargin,
+    // Full SimHash recomputation: same md5-60-bit token hash, same
+    // frequency-weighted ±1 votes, same >=0 sign rule as
+    // NearDup.simhashSigs; pairs brute-forced (500 docs — the oracle
+    // may be O(n²), the engine may not).
+    "q_doc_dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |th AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+         |v AS (SELECT doc_id, b,
+         |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bits
+         |  GROUP BY doc_id, b),
+         |sig AS (SELECT doc_id,
+         |    SUM(CASE WHEN vote >= 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS sig
+         |  FROM v GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
     "q_doc_dedup_jaccard" -> jaccardOracle("c",
       "3 * len(list_intersect(a.sh, b.sh)) >= 1 * (len(a.sh) + len(b.sh))"),
     "q_doc_dedup_minhash" -> jaccardOracle("c",

@@ -28,19 +28,31 @@ object EmbedQueries {
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
 
-  /** IVF approximate top-5 for the same queries (16 cells, probe 4) —
-    * the 100 TB scale path. No SQL oracle (approximate by design);
-    * recall vs brute force is asserted in ScalaTest. Centroids (16
-    * bounded driver rows — index metadata, like a real IVF index's
-    * coarse quantizer) are cached per dataset so serving calls skip
-    * the training job.
+  /** IVF top-5 for the same queries (16 cells) — the 100 TB scale
+    * path. Centroids (16 bounded driver rows — index metadata, like a
+    * real IVF index's coarse quantizer) are cached per dataset so
+    * serving calls skip the training job.
     */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    knnIvfProbe(spark, dir, nprobe = 16)
+
+  /** IVF with a caller-chosen probe width. The gate entry probes ALL
+    * 16 cells — exhaustive probe makes IVF exactly equal to brute
+    * force (the standard nprobe=nlist identity), so the whole IVF
+    * machinery (cell assignment, per-cell sharded equi-join, ranked
+    * merge) is hash-checked against the brute-force oracle; the
+    * approximate operating point (nprobe << nlist) is covered by
+    * AnnSpec's recall assertions. Centroids are cached per source
+    * FINGERPRINT (path+bytes+mtime), not per path, so a dataset
+    * regenerated in place retrains instead of serving stale cells.
+    */
+  def knnIvfProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val centroids = centroidCache.getOrElseUpdate(dir,
+    val centroids = centroidCache.getOrElseUpdate(
+      graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet"),
       Ann.coarseCentroids(emb, nCells = 16))
     Ann.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 5,
-      centroids = centroids, nprobe = 4)
+      centroids = centroids, nprobe = nprobe)
   }
 
   /** Global top-20 most-similar embedding pairs (embedding-cosine
@@ -62,16 +74,20 @@ object EmbedQueries {
     "q_embed_near_dup" -> (nearDupPairs _),
   )
 
+  private val knnOracle =
+    """SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+      |               c.vec_id ASC) AS rnk
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      |WHERE rnk <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_embed_knn" ->
-      """SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
-        |               c.vec_id ASC) AS rnk
-        |  FROM embeddings q, embeddings c
-        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-        |WHERE rnk <= 5""".stripMargin,
+    // exhaustive-probe IVF ≡ exact KNN (nprobe = nlist) — same oracle.
+    "q_embed_knn_ivf" -> knnOracle,
+    "q_embed_knn" -> knnOracle,
     "q_embed_top_pairs" ->
       """SELECT CAST(row_number() OVER (ORDER BY sim DESC, id_a ASC, id_b ASC) AS BIGINT) AS rank,
         |  id_a, id_b FROM (

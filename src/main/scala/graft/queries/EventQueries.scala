@@ -35,37 +35,76 @@ object EventQueries {
         col("value_cents"))
   }
 
-  /** A1/A3/A4-exact: 1-minute tumbling rollup per event_type. */
+  /** D-upsert: latest-wins dedup by event_id — Pinot's upsert-table
+    * mode on the timestamp comparison column (the raw table is BOTH
+    * upsert and dedup configured; pinot/README.md §1).
+    */
+  def dedupUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Dedup.lastWins(ev, Seq("event_id"), "ts", Seq(col("user_id").asc))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("value_cents"))
+  }
+
+  /** A1/A3/A4-exact: 1-minute tumbling rollup per event_type (with
+    * the carried hour_of_day / ISO day_of_week dims, P2).
+    */
   def rollup1m(spark: SparkSession, dir: String): DataFrame =
     Rollup.rollup1m(Tables.events(spark, dir))
 
-  /** A4 sketch path: HLL rollup (mergeable sketch). No SQL oracle —
-    * estimates are engine-specific; correctness covered by the exact
-    * twin above + ScalaTest tolerance checks.
+  /** A4 sketch path: HLL rollup (mergeable sketch). The gate surface
+    * is fully deterministic: exact sums/counts/distincts hash-checked
+    * against DuckDB, plus `est_ok` — the in-tolerance predicate on the
+    * sketch estimate, which the oracle asserts as a constant 1 (see
+    * [[Rollup.estOk]]); estimate tolerance itself is also covered in
+    * OpsSpec.
     */
   def rollup1mHll(spark: SparkSession, dir: String): DataFrame =
-    Rollup.rollup1mHll(Tables.events(spark, dir)).drop("users_hll")
+    Rollup.rollup1mHll(Tables.events(spark, dir), withExact = true)
+      .select(col("window_start_ms"), col("event_type"),
+        col("hour_of_day"), col("day_of_week_iso"),
+        col("order_count"), col("sum_value_cents"), col("unique_users"),
+        Rollup.estOk(col("unique_users_est"), col("unique_users")).as("est_ok"))
 
   /** A7: hourly compaction of the 1-minute rollup. */
   def compactHourly(spark: SparkSession, dir: String): DataFrame =
     Rollup.compactHourly(Rollup.rollup1m(Tables.events(spark, dir)))
 
   /** A7 sketch leg: hourly compaction with HLL_MERGE of the user
-    * sketches. Rows-only oracle (estimates are engine-specific);
-    * merge-equals-direct is asserted in ScalaTest.
+    * sketches. The merged-sketch estimate is checked in-tolerance
+    * against the exact hourly distinct (computed independently from
+    * raw events) via `est_ok`; sums/counts/exacts hash-check directly.
     */
-  def compactHourlyHll(spark: SparkSession, dir: String): DataFrame =
-    Rollup.compactHourlyHll(Rollup.rollup1mHll(Tables.events(spark, dir)))
+  def compactHourlyHll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val compact = Rollup.compactHourlyHll(Rollup.rollup1mHll(ev))
+    val exact = ev
+      .groupBy(unix_millis(date_trunc("HOUR", col("ts"))).as("hour_start_ms"),
+        col("event_type"))
+      .agg(countDistinct(col("user_id")).as("unique_users"))
+    compact.join(exact, Seq("hour_start_ms", "event_type"))
       .select(col("hour_start_ms"), col("event_type"), col("order_count"),
-        col("sum_value_cents"), col("unique_users_est").cast("long").as("unique_users_est"))
+        col("sum_value_cents"), col("unique_users"),
+        Rollup.estOk(col("unique_users_est"), col("unique_users")).as("est_ok"))
+  }
 
   /** A6 sketch leg: query-time DISTINCTCOUNTHLL re-agg over the 1m
-    * sketch rollup (per event_type across all time).
+    * sketch rollup (per event_type across all time), estimate checked
+    * in-tolerance against the independent exact distinct via est_ok.
     */
-  def distinctUsersHll(spark: SparkSession, dir: String): DataFrame =
-    Rollup.distinctOverRollupHll(
-      Rollup.rollup1mHll(Tables.events(spark, dir)), Seq("event_type"))
-      .select(col("event_type"), col("unique_users_est").cast("long").as("unique_users_est"))
+  def distinctUsersHll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val est = Rollup.distinctOverRollupHll(Rollup.rollup1mHll(ev), Seq("event_type"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("unique_users"))
+    exact.join(est, Seq("event_type"))
+      .select(col("event_type"), col("unique_users"),
+        Rollup.estOk(col("unique_users_est"), col("unique_users")).as("est_ok"))
+  }
 
   /** P2: hour-of-day / ISO day-of-week activity profile. */
   def hourProfile(spark: SparkSession, dir: String): DataFrame = {
@@ -161,6 +200,7 @@ object EventQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_dedup_events" -> (dedupEvents _),
+    "q_dedup_upsert" -> (dedupUpsert _),
     "q_rollup_1m" -> (rollup1m _),
     "q_rollup_1m_hll" -> (rollup1mHll _),
     "q_compact_hourly" -> (compactHourly _),
@@ -186,12 +226,37 @@ object EventQueries {
       s"""SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, $cents AS value_cents
          |FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY epoch_us(ts), user_id) AS rn FROM events)
          |WHERE rn = 1""".stripMargin,
+    "q_dedup_upsert" ->
+      s"""SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, $cents AS value_cents
+         |FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY epoch_us(ts) DESC, user_id) AS rn FROM events)
+         |WHERE rn = 1""".stripMargin,
     "q_rollup_1m" ->
       s"""SELECT epoch_ms(date_trunc('minute', ts)) AS window_start_ms, event_type,
+         |  CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         |  CAST(isodow(ts) AS BIGINT) AS day_of_week_iso,
          |  count(*) AS order_count,
          |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents,
          |  count(DISTINCT user_id) AS unique_users
+         |FROM events GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q_rollup_1m_hll" ->
+      s"""SELECT epoch_ms(date_trunc('minute', ts)) AS window_start_ms, event_type,
+         |  CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         |  CAST(isodow(ts) AS BIGINT) AS day_of_week_iso,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents,
+         |  count(DISTINCT user_id) AS unique_users,
+         |  1::BIGINT AS est_ok
+         |FROM events GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q_compact_hourly_hll" ->
+      s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents,
+         |  count(DISTINCT user_id) AS unique_users,
+         |  1::BIGINT AS est_ok
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_distinct_users_hll" ->
+      """SELECT event_type, count(DISTINCT user_id) AS unique_users, 1::BIGINT AS est_ok
+        |FROM events GROUP BY 1""".stripMargin,
     "q_compact_hourly" ->
       s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
          |  count(*) AS order_count,

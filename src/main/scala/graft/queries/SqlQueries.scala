@@ -19,8 +19,9 @@ object SqlQueries {
 
   private def registerViews(spark: SparkSession, dir: String): Unit = {
     Tables.events(spark, dir).createOrReplaceTempView("orders_raw")
+    // hour_of_day / day_of_week_iso are carried in the rollup output
+    // itself (orders_1m_rollup_schema.json's hour/day dims).
     Rollup.rollup1mHll(Tables.events(spark, dir))
-      .withColumn("hour_of_day", hour(timestamp_millis(col("window_start_ms"))))
       .createOrReplaceTempView("orders_1m_rollup")
   }
 
@@ -39,20 +40,36 @@ object SqlQueries {
   }
 
   /** README sample 2: same top-k off the rollup table, with
-    * DISTINCTCOUNTHLL re-merge of the stored sketches. Rows-only
-    * oracle (estimate column); sums are hash-checked by sample 1 and
-    * the rollup entries.
+    * DISTINCTCOUNTHLL re-merge of the stored sketches. The estimate
+    * is checked in-tolerance against the exact distinct recomputed
+    * from the raw table over the same window filter (`est_ok`, the
+    * constant-1 predicate the oracle also asserts); sums/counts/exact
+    * distinct hash-check directly.
     */
   def topkRollup(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir)
     spark.sql("""
-      SELECT event_type,
-        SUM(sum_value_cents) AS total_revenue_cents,
-        SUM(order_count) AS total_orders,
-        CAST(hll_sketch_estimate(hll_union_agg(users_hll)) AS BIGINT) AS unique_customers
-      FROM orders_1m_rollup
-      WHERE window_start_ms > (SELECT max(window_start_ms) FROM orders_1m_rollup) - 24*3600*1000
-      GROUP BY event_type
+      WITH agg AS (
+        SELECT event_type,
+          SUM(sum_value_cents) AS total_revenue_cents,
+          SUM(order_count) AS total_orders,
+          hll_sketch_estimate(hll_union_agg(users_hll)) AS uc_est
+        FROM orders_1m_rollup
+        WHERE window_start_ms > (SELECT max(window_start_ms) FROM orders_1m_rollup) - 24*3600*1000
+        GROUP BY event_type),
+      w AS (
+        SELECT event_type, user_id, unix_millis(date_trunc('MINUTE', ts)) AS wsm
+        FROM orders_raw),
+      exact AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS unique_customers
+        FROM w
+        WHERE wsm > (SELECT max(wsm) FROM w) - 24*3600*1000
+        GROUP BY event_type)
+      SELECT a.event_type, total_revenue_cents, total_orders, unique_customers,
+        CASE WHEN 20 * abs(CAST(uc_est AS BIGINT) - unique_customers)
+                  <= greatest(40L, unique_customers)
+             THEN 1L ELSE 0L END AS est_ok
+      FROM agg a JOIN exact e ON a.event_type = e.event_type
       ORDER BY total_revenue_cents DESC, event_type ASC
       LIMIT 10""")
   }
@@ -81,6 +98,18 @@ object SqlQueries {
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_sql_topk_rollup" ->
+      s"""WITH w AS (SELECT event_type, user_id, $cents AS vc,
+         |    epoch_ms(date_trunc('minute', ts)) AS wsm FROM events),
+         |f AS (SELECT * FROM w WHERE wsm > (SELECT max(wsm) FROM w) - 24*3600*1000)
+         |SELECT event_type,
+         |  CAST(SUM(vc) AS BIGINT) AS total_revenue_cents,
+         |  COUNT(*) AS total_orders,
+         |  COUNT(DISTINCT user_id) AS unique_customers,
+         |  1::BIGINT AS est_ok
+         |FROM f GROUP BY event_type
+         |ORDER BY total_revenue_cents DESC, event_type ASC
+         |LIMIT 10""".stripMargin,
     // epoch_us grain: the engine's ts precision (see Tables.events).
     "q_sql_topk_raw" ->
       s"""SELECT event_type,

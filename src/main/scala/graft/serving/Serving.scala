@@ -64,16 +64,11 @@ object Serving {
         unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("user_id"), col("order_count"), col("total_cents"))
 
-  /** Serving root for a dataset, keyed by source-data fingerprint. */
+  /** Serving root for a dataset, keyed by source-data fingerprint
+    * (one listStatus call — see [[Tables.fingerprint]]).
+    */
   def servingRoot(spark: SparkSession, dataDir: String): String = {
-    val src = new Path(s"$dataDir/events.parquet")
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fp =
-      try {
-        val sum = fs.getContentSummary(src)
-        val mtime = fs.getFileStatus(src).getModificationTime
-        s"$dataDir:${sum.getLength}:$mtime"
-      } catch { case _: java.io.IOException => dataDir }
+    val fp = Tables.fingerprint(spark, s"$dataDir/events.parquet")
     val key = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(fp))
     s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_serving/$key"
   }
@@ -120,8 +115,19 @@ object Serving {
       sortCols = Seq("event_type", "window_start_ms", "user_id"))
   }
 
-  private def writeMeta(root: String, maxTsMs: DataFrame): Unit =
-    maxTsMs.coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+  /** Meta row: the now-anchor (max event ts) + the last applied
+    * refresh batch id (-1 = built by batch rebuild; see
+    * [[refreshWithBatch]]'s replay guard).
+    */
+  private def writeMeta(spark: SparkSession, root: String, maxTsMs: Long, lastBatchId: Long): Unit =
+    spark.range(1)
+      .select(lit(maxTsMs).as("max_ts_ms"), lit(lastBatchId).as("last_batch_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+
+  private def readMeta(spark: SparkSession, root: String): (Long, Long) = {
+    val row = spark.read.parquet(s"$root/meta").head
+    (row.getAs[Long]("max_ts_ms"), row.getAs[Long]("last_batch_id"))
+  }
 
   val allTables: Seq[String] = Seq(
     "topk_by_count", "topk_by_revenue",
@@ -136,6 +142,9 @@ object Serving {
     * views.
     */
   def materializeInto(spark: SparkSession, root: String, events: DataFrame): Unit = {
+    val maxRow = events.agg(unix_millis(max(col("ts"))).as("max_ts_ms")).head
+    require(!maxRow.isNullAt(0),
+      s"cannot materialize serving tables at $root from an empty events frame")
     val agg = hourlyUserAgg(events)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = hourlyKeyedAgg(events)
@@ -143,17 +152,34 @@ object Serving {
     try {
       writeAggState(root, agg, keyed)
       writeRankedTables(root, agg, keyed)
-      writeMeta(root, events.agg(unix_millis(max(col("ts"))).as("max_ts_ms")))
-    } finally { agg.unpersist(); keyed.unpersist() }
+      writeMeta(spark, root, maxRow.getLong(0), -1L)
+    } finally {
+      agg.unpersist(); keyed.unpersist()
+      invalidate(root); anchorCache.remove(root)
+    }
   }
 
+  // Roots whose on-disk layout this JVM has already verified — skips
+  // the per-query 7×_SUCCESS existence round-trips (Pinot brokers
+  // likewise cache segment routing metadata rather than re-listing
+  // segments per query). Keyed by root, which is itself a source-data
+  // fingerprint, so a regenerated dataset misses this cache and
+  // rebuilds.
+  private val verifiedRoots = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
   /** Build the serving tables if absent; return the serving root. */
-  def materialize(spark: SparkSession, dataDir: String): String = this.synchronized {
+  def materialize(spark: SparkSession, dataDir: String): String = {
     val root = servingRoot(spark, dataDir)
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!allTables.forall(t => fs.exists(new Path(s"$root/$t/_SUCCESS"))))
-      materializeInto(spark, root, Tables.events(spark, dataDir))
-    root
+    if (verifiedRoots.contains(root)) root
+    else this.synchronized {
+      if (!verifiedRoots.contains(root)) {
+        val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!allTables.forall(t => fs.exists(new Path(s"$root/$t/_SUCCESS"))))
+          materializeInto(spark, root, Tables.events(spark, dataDir))
+        verifiedRoots.put(root, true)
+      }
+      root
+    }
   }
 
   /** Incremental refresh from a (deduped) event micro-batch — the
@@ -168,11 +194,24 @@ object Serving {
     *
     * The full-grain state is what makes step 3 correct: a user
     * outside the stored top-K can enter it after an increment, which
-    * rank-only state could never recover. All writes are dynamic
-    * partition overwrites keyed by p_date — idempotent under
-    * micro-batch retry for a batch that lands in the same dates.
+    * rank-only state could never recover.
+    *
+    * Exactly-once: `batchId` (pass the foreachBatch batch id) is
+    * recorded in `meta` after a successful refresh, and a batch whose
+    * id is <= the recorded one is SKIPPED — so the at-least-once
+    * replay Structured Streaming performs after a restart (re-running
+    * the last completed batch whose checkpoint commit didn't land)
+    * cannot double-merge. A crash strictly inside the merge itself
+    * (state partitions written, meta not yet) still re-merges on
+    * retry — state deltas are not journaled; recover that rare case
+    * by rebuilding from the exactly-once raw sink
+    * ([[materializeInto]] over the raw table). Callers without batch
+    * tracking (batch rebuild tests) pass no id and always apply.
     */
-  def refreshWithBatch(spark: SparkSession, root: String, batch: DataFrame): Unit = this.synchronized {
+  def refreshWithBatch(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long = -1L): Unit = this.synchronized {
+    val lastApplied = readMeta(spark, root)._2
+    if (batchId >= 0 && batchId <= lastApplied) return
     val deltaAgg = hourlyUserAgg(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deltaKeyed = hourlyKeyedAgg(batch)
@@ -202,13 +241,14 @@ object Serving {
         try {
           writeAggStatePartitions(root, agg, keyed)
           writeRankedPartitions(root, agg, keyed)
-          val oldMax = spark.read.parquet(s"$root/meta").head.getLong(0)
-          val newMax = batch.agg(unix_millis(max(col("ts")))).head.getLong(0)
-          if (newMax > oldMax) {
-            writeMeta(root, spark.range(1).select(lit(newMax).as("max_ts_ms")))
-            anchorCache.put(root, newMax)
-          }
-        } finally { agg.unpersist(); keyed.unpersist() }
+          val oldMax = readMeta(spark, root)._1
+          val batchMaxRow = batch.agg(unix_millis(max(col("ts")))).head
+          val newMax =
+            if (batchMaxRow.isNullAt(0)) oldMax
+            else math.max(oldMax, batchMaxRow.getLong(0))
+          writeMeta(spark, root, newMax, math.max(batchId, lastApplied))
+          anchorCache.put(root, newMax)
+        } finally { agg.unpersist(); keyed.unpersist(); invalidate(root) }
       }
     } finally { deltaAgg.unpersist(); deltaKeyed.unpersist() }
   }
@@ -239,8 +279,24 @@ object Serving {
       "topk_keyed_by_revenue", keyedSort)
   }
 
-  def readTable(spark: SparkSession, dataDir: String, table: String): DataFrame =
-    spark.read.parquet(s"${materialize(spark, dataDir)}/$table")
+  // Hot serving tables pinned in executor memory — the Pinot
+  // memory-mapped-segment analog. Caching the DataFrame also caches
+  // its resolved file index, so a lookup does zero partition-listing
+  // or footer I/O; refreshes drop the entry via [[invalidate]].
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def invalidate(root: String): Unit =
+    tableCache.keys.filter(_._1 == root).foreach { k =>
+      tableCache.remove(k).foreach(_.unpersist())
+    }
+
+  def readTable(spark: SparkSession, dataDir: String, table: String): DataFrame = {
+    val root = materialize(spark, dataDir)
+    tableCache.getOrElseUpdate((root, table),
+      spark.read.parquet(s"$root/$table")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private val anchorCache = scala.collection.concurrent.TrieMap.empty[String, Long]
 
@@ -253,8 +309,7 @@ object Serving {
     */
   def anchorMs(spark: SparkSession, dataDir: String): Long = {
     val root = materialize(spark, dataDir)
-    anchorCache.getOrElseUpdate(root,
-      spark.read.parquet(s"$root/meta").head.getLong(0))
+    anchorCache.getOrElseUpdate(root, readMeta(spark, root)._1)
   }
 
   /** UTC date string of an epoch-ms instant — for partition pruning

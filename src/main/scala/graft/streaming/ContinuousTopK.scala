@@ -1,5 +1,6 @@
 package graft.streaming
 
+import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -24,47 +25,71 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object ContinuousTopK {
 
-  case class ItemUpdate(groupKey: String, itemId: String, count: Long, valueCents: Long)
+  case class ItemUpdate(groupKey: String, itemId: String, count: Long, valueCents: Long,
+      ts: Timestamp = null)
   case class TopKState(metrics: Map[String, (Long, Long)])
   case class RankedItem(groupKey: String, rank: Int, itemId: String,
       count: Long, valueCents: Long)
 
   val defaultStateCap = 1000
 
-  def updateGroup(k: Int, stateCap: Int)(
+  def updateGroup(k: Int, stateCap: Int, idleTtlMs: Option[Long])(
       key: String,
       updates: Iterator[ItemUpdate],
       state: GroupState[TopKState]): Iterator[RankedItem] = {
-    val prev = state.getOption.map(_.metrics).getOrElse(Map.empty)
-    val merged = updates.foldLeft(prev) { (m, u) =>
-      val (c0, v0) = m.getOrElse(u.itemId, (0L, 0L))
-      m.updated(u.itemId, (c0 + u.count, v0 + u.valueCents))
-    }
-    // bound state: keep top `stateCap` by (count, value, id)
-    val bounded =
-      if (merged.size <= stateCap) merged
-      else merged.toSeq
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val evs = updates.toSeq
+      val prev = state.getOption.map(_.metrics).getOrElse(Map.empty)
+      val merged = evs.foldLeft(prev) { (m, u) =>
+        val (c0, v0) = m.getOrElse(u.itemId, (0L, 0L))
+        m.updated(u.itemId, (c0 + u.count, v0 + u.valueCents))
+      }
+      // bound state: keep top `stateCap` by (count, value, id)
+      val bounded =
+        if (merged.size <= stateCap) merged
+        else merged.toSeq
+          .sortBy { case (id, (c, v)) => (-c, -v, id) }
+          .take(stateCap).toMap
+      state.update(TopKState(bounded))
+      // idle-key eviction: re-arm an event-time timer at (last update's
+      // event time + TTL) — a key that stops receiving updates for
+      // idleTtlMs of event time is dropped once the watermark passes
+      // (parity-plus-one over the reference, which bounds state per key
+      // but never drops idle keys — ProcessFunctions.kt:105-115).
+      idleTtlMs.foreach { ttl =>
+        val maxTs = evs.iterator.flatMap(u => Option(u.ts)).map(_.getTime) ++
+          Iterator.single(state.getCurrentWatermarkMs())
+        state.setTimeoutTimestamp(
+          math.max(maxTs.max + ttl, state.getCurrentWatermarkMs() + 1))
+      }
+      val top = bounded.toSeq
         .sortBy { case (id, (c, v)) => (-c, -v, id) }
-        .take(stateCap).toMap
-    state.update(TopKState(bounded))
-    val top = bounded.toSeq
-      .sortBy { case (id, (c, v)) => (-c, -v, id) }
-      .take(k)
-    top.iterator.zipWithIndex.map { case ((id, (c, v)), i) =>
-      RankedItem(key, i + 1, id, c, v)
+        .take(k)
+      top.iterator.zipWithIndex.map { case ((id, (c, v)), i) =>
+        RankedItem(key, i + 1, id, c, v)
+      }
     }
   }
 
   /** Lift a stream of per-item updates into a continuously-updated
     * ranked stream. Input must already be keyed updates (e.g. from a
     * windowed pre-aggregation or raw events mapped 1:1).
+    *
+    * `idleTtlMs`: when set, group-key state is dropped after that much
+    * event time without updates (requires a watermark on the input's
+    * `ts` column); when None, state lives forever — only safe at
+    * bounded key cardinality.
     */
   def rank(spark: SparkSession, updates: Dataset[ItemUpdate], k: Int,
-      stateCap: Int = defaultStateCap): Dataset[RankedItem] = {
+      stateCap: Int = defaultStateCap, idleTtlMs: Option[Long] = None): Dataset[RankedItem] = {
     import spark.implicits._
+    val timeout =
+      if (idleTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     updates
       .groupByKey(_.groupKey)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        updateGroup(k, stateCap))
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        updateGroup(k, stateCap, idleTtlMs))
   }
 }

@@ -77,6 +77,7 @@ object Generator {
       lit("ALL").as("groupKey"),
       col("user_id").cast("string").as("itemId"),
       lit(1L).as("count"),
-      col("value_cents").as("valueCents")).as[ContinuousTopK.ItemUpdate]
+      col("value_cents").as("valueCents"),
+      col("ts")).as[ContinuousTopK.ItemUpdate]
   }
 }

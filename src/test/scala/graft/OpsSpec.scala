@@ -27,6 +27,16 @@ class OpsSpec extends SparkSuite {
     assert(once.collect().toSet === twice.collect().toSet)
   }
 
+  test("lastWins keeps the latest row per key (Pinot upsert semantics)") {
+    val df = Seq(
+      ("e1", 10L, "a"), ("e1", 5L, "b"), ("e2", 7L, "c"), ("e1", 10L, "0ties")
+    ).toDF("event_id", "ts", "payload")
+    val out = Dedup.lastWins(df, Seq("event_id"), "ts", Seq(col("payload").asc))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    // e1: latest ts=10 wins, tie broken by payload asc → "0ties"
+    assert(out.toSeq === Seq(("e1", 10L, "0ties"), ("e2", 7L, "c")))
+  }
+
   test("dedup of (events ++ duplicates) equals dedup of events") {
     val ev = Tables.events(spark, sfDir)
     val dupes = ev.limit(100)

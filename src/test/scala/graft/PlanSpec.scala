@@ -14,12 +14,29 @@ class PlanSpec extends SparkSuite {
     df.queryExecution.executedPlan.toString
   }
 
-  test("serving lookup: partition pruning + pushed filters + pruned columns") {
+  test("serving lookup: hot path is a pinned in-memory scan; cold layout prunes") {
+    // warm path: the ranked table is pinned in memory (the Pinot
+    // memory-mapped-segment analog) — no parquet I/O per lookup.
     val p = planOf(ServingQueries.topKLookupServed(spark, sfDir))
-    assert(p.contains("PartitionFilters: [isnotnull(p_date"), p)
-    assert(p.contains("GreaterThanOrEqual(window_start_ms"), p)
-    assert(p.contains("LessThanOrEqual(rank") || p.contains("IsNotNull(rank"), p)
-    assert(!p.contains("w_ts"), "layout helper column must be pruned from the scan\n" + p)
+    assert(p.contains("InMemoryTableScan"), p)
+    // cold path: the on-disk layout still prunes partitions/filters/
+    // columns. Materialized into a fresh root — a read of the serving
+    // root itself would be substituted by the cache manager (which is
+    // the hot-path point above).
+    import org.apache.spark.sql.functions.col
+    import graft.serving.Serving
+    val t0 = Serving.anchorMs(spark, sfDir) - 72L * Serving.hourMs
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    Serving.materializeInto(spark, tmpRoot, Tables.events(spark, sfDir))
+    val cold = spark.read.parquet(s"$tmpRoot/topk_by_count")
+      .filter(col("p_date") >= Serving.utcDate(t0) &&
+        col("window_start_ms") >= t0 && col("rank") <= 3)
+      .select("window_start_ms", "rank", "user_id", "order_count", "total_cents")
+    val pc = planOf(cold)
+    assert(pc.contains("PartitionFilters: [isnotnull(p_date"), pc)
+    assert(pc.contains("GreaterThanOrEqual(window_start_ms"), pc)
+    assert(pc.contains("LessThanOrEqual(rank") || pc.contains("IsNotNull(rank"), pc)
+    assert(!pc.contains("w_ts"), "layout helper column must be pruned from the scan\n" + pc)
   }
 
   test("per-window top-K: rank filter becomes a partial+final WindowGroupLimit") {

@@ -96,6 +96,28 @@ class ServingSpec extends SparkSuite {
     }
   }
 
+  test("refreshWithBatch skips an already-applied batch id (replay guard)") {
+    import java.sql.Timestamp
+    def mk(rows: (Long, String, Long, String, Long)*) =
+      rows.map { case (id, t, u, et, c) => (id, Timestamp.valueOf(t), u, et, c / 100.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("value_cents", round(col("value") * 100).cast("long"))
+    val root = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    Serving.materializeInto(spark, root, mk((1, "2024-01-01 10:10:00", 1, "click", 300)))
+    val delta = mk((2, "2024-01-01 10:40:00", 1, "click", 200))
+    def totalCents() = spark.read.parquet(s"$root/agg_by_window")
+      .agg(sum(col("total_cents"))).head.getLong(0)
+    Serving.refreshWithBatch(spark, root, delta, batchId = 0L)
+    val applied = totalCents()
+    assert(applied === 500L)
+    // foreachBatch replay after restart: same batch id re-delivered
+    Serving.refreshWithBatch(spark, root, delta, batchId = 0L)
+    assert(totalCents() === applied, "replayed batch must not double-merge")
+    // a NEW batch id does apply
+    Serving.refreshWithBatch(spark, root, delta, batchId = 1L)
+    assert(totalCents() === 700L)
+  }
+
   test("materialize is idempotent: second call rebuilds nothing") {
     val root = Serving.materialize(spark, sfDir)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -102,6 +102,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("continuous top-K: idle keys are evicted after the event-time TTL") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[ContinuousTopK.ItemUpdate]
+    val updates = mem.toDS().withWatermark("ts", "0 seconds")
+    val ranked = ContinuousTopK.rank(spark, updates, k = 2, idleTtlMs = Some(60000L))
+    val q = ranked.writeStream.format("memory")
+      .queryName("topk_ttl_out").outputMode("append").start()
+    try {
+      mem.addData(
+        ContinuousTopK.ItemUpdate("idle", "pizza", 3, 300, ts(0, 0)),
+        ContinuousTopK.ItemUpdate("live", "taco", 1, 100, ts(0, 0)))
+      q.processAllAvailable()
+      // only the live key keeps receiving data; the watermark advances
+      // far past idle's (last update + 60 s) timer → its state drops
+      mem.addData(ContinuousTopK.ItemUpdate("live", "taco", 1, 100, ts(5, 0)))
+      q.processAllAvailable()
+      mem.addData(ContinuousTopK.ItemUpdate("live", "taco", 1, 100, ts(6, 0)))
+      q.processAllAvailable()
+      // the idle key returns: a surviving state would resume at 3+1=4;
+      // a dropped one restarts at 1
+      mem.addData(ContinuousTopK.ItemUpdate("idle", "pizza", 1, 100, ts(7, 0)))
+      q.processAllAvailable()
+      val counts = spark.table("topk_ttl_out")
+        .as[ContinuousTopK.RankedItem].collect()
+        .filter(r => r.groupKey == "idle" && r.itemId == "pizza").map(_.count).toSet
+      assert(counts === Set(3L, 1L), s"expected fresh state after eviction, got $counts")
+    } finally q.stop()
+  }
+
   test("full pipeline: raw + rollup + topk parquet sinks") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
