@@ -11,20 +11,35 @@ import graft.ops.TopK
   *   source → event-time watermark (10 s out-of-orderness,
   *   TopKStreamingJob.kt:248-249) → dedup on event_id with
   *   watermark-scoped state (the Flink ValueState+TTL dedup,
-  *   :87-119) → fork: raw append sink; 1-minute tumbling rollup
-  *   (:311-315) → rollup sink; per-window top-K ranking → topk sink
+  *   :87-119) → ONE foreachBatch fan-out: raw sink; per-batch 1-minute
+  *   rollup segment (with mergeable HLL bytes) → rollup sink;
+  *   date-scoped top-K re-rank over the merged segments → topk sink
   *   (the legacy continuous path's output tables,
   *   restaurant_topk/global_topk).
   *
-  * Ranking is not incrementally maintainable, so the topk leg runs in
-  * `foreachBatch` over finalized windows — each micro-batch ranks
-  * only the windows it saw (SURVEY §7.4 "streaming append-mode +
-  * ranking").
+  * Exactly like the reference forks ONE deduped stream into both
+  * sinks (TopKStreamingJob.kt:260,311), [[start]] runs ONE streaming
+  * query: the source is read once and dedup state exists once; the
+  * fan-out happens inside `foreachBatch` (Spark's one-sink-per-query
+  * rule makes that the idiomatic fork point).
+  *
+  * The rollup table uses the Pinot SEGMENT model: each micro-batch
+  * appends its own partial pre-aggregate (idempotently, keyed by
+  * batch_id), carrying a mergeable HLL sketch per (window, dims) —
+  * Pinot's BYTES column (orders_1m_rollup_schema.json:50-53); readers
+  * and the hourly compaction re-aggregate across segments with
+  * SUM/HLL_MERGE (orders_1m_rollup_table.json:80) exactly as Pinot
+  * queries do (`pinot/README.md` §Sample Queries). A late row lands
+  * in its window's next segment instead of being dropped — the
+  * strictly-more-accurate cousin of Flink's late-drop; the
+  * declarative watermark-finalized variant with Flink drop semantics
+  * remains available as [[rollupStream]].
   *
   * State at scale: dedup state is watermark-bounded (keys older than
-  * the watermark are evicted — the 1 h TTL analog); rollup state is
-  * one row per (window, dims) and closes when the watermark passes
-  * window end. Nothing driver-side.
+  * the watermark are evicted — the 1 h TTL analog); the rollup leg
+  * holds NO streaming state (segments are per-batch); the top-K
+  * refresh touches only the date partitions the batch landed in.
+  * Nothing driver-side beyond a bounded list of touched dates.
   */
 object StreamingPipeline {
 
@@ -40,8 +55,13 @@ object StreamingPipeline {
   def dedupStream(events: DataFrame): DataFrame =
     events.dropDuplicatesWithinWatermark(Seq("event_id"))
 
-  /** Streaming 1-minute tumbling rollup (A1/A3 + approximate distinct
-    * users — HLL++, the streaming-safe sketch).
+  /** Streaming 1-minute tumbling rollup (A1/A3/A4): the declarative
+    * watermark-finalized variant — each window emits exactly once
+    * when the watermark passes it, late rows are dropped (Flink
+    * semantics, TopKStreamingJob.kt:311-315). Carries a mergeable
+    * DataSketches HLL of users, so windows finalized here can be
+    * HLL_MERGE-compacted downstream exactly like the batch path
+    * (the segment path of [[start]] carries the same bytes).
     */
   def rollupStream(deduped: DataFrame, dims: Seq[String] = Seq("event_type")): DataFrame =
     deduped
@@ -49,10 +69,12 @@ object StreamingPipeline {
       .agg(
         count(lit(1)).as("order_count"),
         sum(col("value_cents")).as("sum_value_cents"),
-        approx_count_distinct(col("user_id")).as("unique_users_est"))
+        hll_sketch_agg(col("user_id").cast("string")).as("users_hll"))
       .select(
         (unix_millis(col("w.start")).as("window_start_ms") +: dims.map(col)) ++
-          Seq(col("order_count"), col("sum_value_cents"), col("unique_users_est")): _*)
+          Seq(col("order_count"), col("sum_value_cents"),
+            hll_sketch_estimate(col("users_hll")).as("unique_users_est"),
+            col("users_hll")): _*)
 
   /** Rank one micro-batch of finalized rollup rows into per-window
     * top-K (K2 semantics, deterministic tie-break).
@@ -106,17 +128,60 @@ object StreamingPipeline {
     * each (deduped) micro-batch incrementally re-ranks only the date
     * partitions it touches (see [[graft.serving.Serving.refreshWithBatch]];
     * incremental == full-rebuild equality is asserted in ServingSpec).
+    * The foreachBatch batch id rides along so a replayed batch is
+    * skipped instead of double-merged.
     * Usage: `deduped.writeStream.foreachBatch(servingRefreshSink(root))`.
     */
   def servingRefreshSink(root: String): (DataFrame, Long) => Unit =
-    (batch: DataFrame, _: Long) =>
+    (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty)
-        graft.serving.Serving.refreshWithBatch(batch.sparkSession, root, batch)
+        graft.serving.Serving.refreshWithBatch(batch.sparkSession, root, batch, batchId)
 
-  /** Wire the full pipeline: returns the started queries
-    * (raw sink, rollup+topk sink). The raw parquet sink is
-    * exactly-once per the checkpointed file-commit protocol; the
-    * foreachBatch legs are exactly-once via [[writeBatchIdempotent]].
+  /** One micro-batch → one rollup SEGMENT: the batch's partial
+    * (window, dims) pre-aggregate with counts, integer-cents sums and
+    * a mergeable HLL sketch of users (real DataSketches bytes — what
+    * Pinot stores in its BYTES column and HLL_MERGEs on compaction).
+    * Readers re-aggregate across segments; `Rollup.compactHourlyHll`
+    * compacts them losslessly.
+    */
+  def rollupSegment(batch: DataFrame, dims: Seq[String] = Seq("event_type")): DataFrame =
+    graft.ops.Rollup.rollup1mHll(batch, dims).drop("unique_users_est")
+
+  /** Re-rank every window of the date partitions `segment` touched,
+    * from the merged rollup segments, and dynamically overwrite those
+    * dates of the topk table. Deterministic from the (idempotent)
+    * rollup table, so a retried batch converges to the same ranks.
+    */
+  def refreshTopK(spark: SparkSession, rollupPath: String, topkPath: String,
+      segment: DataFrame, k: Int, dims: Seq[String] = Seq("event_type")): Unit = {
+    val dates = segment
+      .select(to_date(timestamp_millis(col("window_start_ms"))).as("p_date"))
+      .distinct().collect().map(_.getDate(0).toString).toSeq
+    if (dates.nonEmpty) {
+      val merged = spark.read.parquet(rollupPath)
+        .withColumn("p_date", to_date(timestamp_millis(col("window_start_ms"))))
+        .filter(col("p_date").isin(dates: _*))
+        .groupBy((col("window_start_ms") +: dims.map(col)): _*)
+        .agg(
+          sum(col("order_count")).as("order_count"),
+          sum(col("sum_value_cents")).as("sum_value_cents"))
+      rankBatch(merged, k)
+        .withColumn("p_date", to_date(timestamp_millis(col("window_start_ms"))))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("p_date")
+        .parquet(topkPath)
+    }
+  }
+
+  /** Wire the full pipeline as ONE streaming query (single source
+    * read, single dedup state — the reference's single-dataflow fork,
+    * TopKStreamingJob.kt:260,311) fanning out in `foreachBatch`:
+    * raw events and the batch's rollup segment are written
+    * idempotently under their batch_id partition, then the touched
+    * dates' top-K is re-ranked from the merged segments. All three
+    * legs are exactly-once: at-least-once foreachBatch + idempotent
+    * (batch-keyed or recomputed-deterministic) writes.
     */
   def start(
       spark: SparkSession,
@@ -127,33 +192,25 @@ object StreamingPipeline {
       checkpointRoot: String,
       k: Int = 5,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): Seq[StreamingQuery] = {
-    val events = withEventTime(source)
-    val deduped = dedupStream(events)
-
-    val rawQ = deduped.writeStream
-      .format("parquet")
-      .option("path", rawPath)
-      .option("checkpointLocation", s"$checkpointRoot/raw")
+    val deduped = dedupStream(withEventTime(source))
+    val q = deduped.writeStream
       .outputMode("append")
-      .trigger(trigger)
-      .start()
-
-    val rollup = rollupStream(dedupStream(withEventTime(source)))
-    val rollupQ = rollup.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$checkpointRoot/rollup")
+      .option("checkpointLocation", s"$checkpointRoot/pipeline")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           batch.persist()
-          writeBatchIdempotent(batch, batchId, rollupPath)
-          writeBatchIdempotent(rankBatch(batch, k), batchId, topkPath)
-          batch.unpersist()
-          ()
+          try {
+            writeBatchIdempotent(batch, batchId, rawPath)
+            val segment = rollupSegment(batch).persist()
+            try {
+              writeBatchIdempotent(segment, batchId, rollupPath)
+              refreshTopK(batch.sparkSession, rollupPath, topkPath, segment, k)
+            } finally { segment.unpersist(); () }
+          } finally { batch.unpersist(); () }
         }
       }
       .start()
-
-    Seq(rawQ, rollupQ)
+    Seq(q)
   }
 }

@@ -162,6 +162,62 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/topk").filter(col("rank") === 1).count() > 0)
   }
 
+  test("streaming rollup segments HLL_MERGE-compact to the batch-built hourly rollup") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_hllseg").toString
+    val mem = MemoryStream[Ev]
+    def drain(): Unit = {
+      val qs = StreamingPipeline.start(spark, mem.toDF(),
+        s"$dir/raw", s"$dir/rollup", s"$dir/topk", s"$dir/ckpt", k = 2,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      try qs.foreach(_.awaitTermination()) finally qs.foreach(_.stop())
+    }
+    // batch 2 lands inside the 10:05 window batch 1 opened (and above
+    // batch 1's watermark 10:04:50), so one window spans two segments
+    // with different users — exercising HLL union across segments.
+    val evs = Seq(
+      Ev(1, ts(0, 1), 10, "click", 1.0),
+      Ev(2, ts(5, 0), 11, "click", 2.0),
+      Ev(3, ts(5, 10), 10, "click", 3.0),
+      Ev(4, ts(5, 20), 12, "view", 4.0))
+    mem.addData(evs.take(2)); drain()
+    mem.addData(evs.drop(2)); drain()
+
+    import graft.ops.{Dedup, Rollup}
+    val streamHourly = Rollup.compactHourlyHll(spark.read.parquet(s"$dir/rollup"))
+    val batchEvents = Dedup.anyWins(
+      evs.toDF().withColumn("value_cents", round(col("value") * 100).cast("long")),
+      Seq("event_id"))
+    val batchHourly = Rollup.compactHourlyHll(Rollup.rollup1mHll(batchEvents))
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select("hour_start_ms", "event_type", "order_count", "sum_value_cents", "unique_users_est")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    assert(key(streamHourly) === key(batchHourly),
+      "hourly compaction over streaming segments must equal the batch-built hourly rollup")
+  }
+
+  test("pipeline is ONE query with ONE dedup: single source read, single dedup state") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_onequery").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(1, ts(0, 1), 10, "click", 1.0))
+    val qs = StreamingPipeline.start(spark, mem.toDF(),
+      s"$dir/raw", s"$dir/rollup", s"$dir/topk", s"$dir/ckpt", k = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      assert(qs.size === 1, "raw + rollup + topk must fan out from one streaming query")
+      qs.foreach(_.awaitTermination())
+      val plan = {
+        val bos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(bos))(qs.head.explain())
+        bos.toString
+      }
+      // exactly one stateful dedup operator in the physical plan
+      val dedups = "StreamingDeduplicateWithinWatermark ".r.findAllIn(plan).size
+      assert(dedups === 1, s"dedup state must exist exactly once:\n$plan")
+    } finally qs.foreach(_.stop())
+  }
+
   test("idempotent batch write: a retried batch replaces, not appends") {
     val path = java.nio.file.Files.createTempDirectory("graft_idem").toString + "/t"
     val df = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v")
