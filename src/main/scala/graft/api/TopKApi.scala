@@ -81,4 +81,44 @@ object TopKApi {
         .coalesce(1)
         .sortWithinPartitions(col("window_start_ms").desc, col("rank").asc)
   }
+
+  /** EP1 wire envelope — the reference's `TopKResponse`
+    * (TopKController.kt:134-140) as one JSON document per call:
+    * `{restaurantId, startTime, endTime, k, items: [...]}` with items
+    * carrying the `TopKResult` field names (models/Models.kt:39-49;
+    * menu_item_id is this domain's item key, i.e. user_id). The HTTP
+    * transport itself is out of scope by driver contract — this is
+    * the exact payload a thin controller would write back.
+    */
+  def topkResponse(
+      spark: SparkSession,
+      dataDir: String,
+      restaurantId: String = All,
+      fromMs: Option[Long] = None,
+      toMs: Option[Long] = None,
+      k: Int = 10,
+      byRevenue: Boolean = false): DataFrame = {
+    val now = Serving.anchorMs(spark, dataDir)
+    val to = toMs.getOrElse(now)
+    val from = fromMs.getOrElse(to - hourMs)
+    val rows = topk(spark, dataDir, restaurantId, Some(from), Some(to), k, byRevenue)
+    val item = struct(
+      col("restaurant_id"),
+      col("user_id").cast("string").as("menu_item_id"),
+      col("rank"),
+      col("order_count"),
+      col("total_cents").as("total_revenue_in_cents"),
+      col("window_start_ms").as("window_start"),
+      col("window_end_ms").as("window_end"))
+    // rows arrive ordered in one partition (see topk), so collect_list
+    // preserves the response ordering contract.
+    rows
+      .agg(collect_list(item).as("items"))
+      .select(to_json(struct(
+        lit(restaurantId.toLowerCase(java.util.Locale.ROOT)).as("restaurantId"),
+        lit(from).as("startTime"),
+        lit(to).as("endTime"),
+        lit(k).as("k"),
+        col("items"))).as("response"))
+  }
 }

@@ -131,13 +131,27 @@ object Ann {
     */
   def topSimilarPairs(emb: DataFrame, topN: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      blocks: Int = 16): DataFrame =
-    allPairsScored(emb, idCol, vecCol, blocks)
-      .orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)
-      .limit(topN)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)))
-      .select(col("rank").cast("long").as("rank"), col("id_a"), col("id_b"))
+      blocks: Int = 16): DataFrame = {
+    val (scored, cached) = allPairsScored(emb, idCol, vecCol, blocks)
+    finalized(
+      scored
+        .orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)
+        .limit(topN)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)))
+        .select(col("rank").cast("long").as("rank"), col("id_a"), col("id_b")),
+      cached)
+  }
+
+  /** Materialize a (small) pairs result eagerly and release the
+    * persisted prep scan — keeps long-lived sessions from leaking
+    * cached blocks per dataset (see NearDup's identical policy).
+    */
+  private def finalized(result: DataFrame, cached: DataFrame): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.unpersist()
+    out
+  }
 
   /** Embedding-cosine near-dup pairs: every pair with cosine >=
     * `threshold`, via the same exact block-grid equi-join (the
@@ -147,17 +161,22 @@ object Ann {
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      blocks: Int = 16): DataFrame =
-    allPairsScored(emb, idCol, vecCol, blocks)
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"))
+      blocks: Int = 16): DataFrame = {
+    val (scored, cached) = allPairsScored(emb, idCol, vecCol, blocks)
+    finalized(
+      scored
+        .filter(col("sim") >= threshold)
+        .select(col("id_a"), col("id_b")),
+      cached)
+  }
 
   /** Exact all-pairs cosine as (id_a < id_b, sim) rows, distributed
     * via the triangular block-grid equi-join (see [[topSimilarPairs]]
-    * for the design rationale).
+    * for the design rationale). Returns (scored, cachedPrep) — the
+    * caller unpersists the prep once its result is materialized.
     */
-  private def allPairsScored(emb: DataFrame, idCol: String, vecCol: String,
-      blocks: Int): DataFrame = {
+  private[graft] def allPairsScored(emb: DataFrame, idCol: String, vecCol: String,
+      blocks: Int): (DataFrame, DataFrame) = {
     // persisted: lo and hi below are two consumers of this prep scan
     // (normalize + norm + bucket assignment) — cache it once.
     val p = prep(emb, idCol, vecCol)
@@ -167,7 +186,7 @@ object Ann {
       col("blk").as("blk_lo"), explode(sequence(col("blk"), lit(blocks - 1))).as("blk_hi"))
     val hi = p.select(col("id").as("id_y"), col("v").as("vy"), col("nrm").as("ny"),
       explode(sequence(lit(0), col("blk"))).as("blk_lo"), col("blk").as("blk_hi"))
-    lo.join(hi, Seq("blk_lo", "blk_hi"))
+    val scored = lo.join(hi, Seq("blk_lo", "blk_hi"))
       // same-bucket cell sees both orders + self-pairs: keep x<y once.
       .filter(col("blk_lo") =!= col("blk_hi") || col("id_x") < col("id_y"))
       .withColumn("sim", Vectors.dot(col("vx"), col("vy")) / (col("nx") * col("ny")))
@@ -175,5 +194,6 @@ object Ann {
         least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"),
         col("sim"))
+    (scored, p)
   }
 }

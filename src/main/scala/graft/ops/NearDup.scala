@@ -107,7 +107,21 @@ object NearDup {
         lit(1) + least(sx - col("x.pos"), sy - col("y.pos")) >= alpha)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(cand, postings, thresholdNum, thresholdDen)
+    finalized(verifyPairs(cand, postings, thresholdNum, thresholdDen),
+      prefix, postings)
+  }
+
+  /** Eagerly materialize a (small) result and release the persisted
+    * intermediates that produced it: near-dup outputs are pair/group
+    * lists orders of magnitude smaller than their inputs, so pinning
+    * the result (localCheckpoint, which also truncates the lineage)
+    * and unpersisting the scaffolding keeps a long-lived session from
+    * accumulating cached blocks per dataset queried.
+    */
+  private def finalized(result: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    out
   }
 
   /** Exact-verify candidate pairs against the inverted index — no
@@ -210,7 +224,8 @@ object NearDup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
-    verifyPairs(cand, postings, thresholdNum, thresholdDen)
+    finalized(verifyPairs(cand, postings, thresholdNum, thresholdDen),
+      buckets, postings)
   }
 
   /** Collapse near-dup pairs into canonical groups: every doc in the
@@ -224,6 +239,13 @@ object NearDup {
     * LOUDLY on non-convergence rather than returning partial groups.
     * The per-round driver action is a bounded count, not a data
     * collect — each round is one equi-join + groupBy at any scale.
+    *
+    * Each round's labels are localCheckpoint'ed (eager), truncating
+    * the lineage: without it round N's plan nests round N-1's twice,
+    * so long-diameter graphs (chains) hit exponential analyzer cost —
+    * found by the NearDupSpec random-graph property test. Truncation
+    * keeps planning O(1) per round; this is what every iterative
+    * Spark algorithm (GraphX, ALS) does.
     */
   def canonicalize(pairs: DataFrame, maxIters: Int = 16): DataFrame = {
     // single scan of the (possibly expensive) pairs DAG: explode each
@@ -236,7 +258,7 @@ object NearDup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
@@ -248,15 +270,14 @@ object NearDup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           col("label").as("prev"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("prev")).count()
-      labels.unpersist()
       labels = next.drop("prev")
       iters += 1
     }
     edges.unpersist()
     require(changed == 0, s"label propagation did not converge in $maxIters rounds")
-    labels.withColumnRenamed("label", "canonical_id")
+    finalized(labels.withColumnRenamed("label", "canonical_id"), labels)
   }
 
   /** SimHash signature width: 60 bits — the token hash is the first
@@ -307,11 +328,13 @@ object NearDup {
     val keyed = sigs.select(col("doc_id"), col("sig"),
       posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk_val")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    keyed.as("x").join(keyed.as("y"), Seq("chunk_idx", "chunk_val"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDist)
+    finalized(
+      keyed.as("x").join(keyed.as("y"), Seq("chunk_idx", "chunk_val"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxDist),
+      keyed)
   }
 }

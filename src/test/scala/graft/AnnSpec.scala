@@ -61,11 +61,16 @@ class AnnSpec extends SparkSuite {
     assert(blocked === naive)
   }
 
-  test("top similar pairs plan has no cartesian / broadcast-nested-loop join") {
-    val df = Ann.topSimilarPairs(emb, 20)
-    df.collect() // force execution so AQE finalizes the physical plan
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
-    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(30).mkString("\n"))
+  test("all-pairs block-grid plan has no cartesian / broadcast-nested-loop join") {
+    // assert on the inner scored computation: the public operators
+    // checkpoint their (small) results, which would hide the join
+    // plan behind an RDD scan.
+    val (scored, cached) = Ann.allPairsScored(emb, "vec_id", "embedding", 16)
+    try {
+      scored.collect() // force execution so AQE finalizes the physical plan
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
+      assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(30).mkString("\n"))
+    } finally { cached.unpersist(); () }
   }
 }

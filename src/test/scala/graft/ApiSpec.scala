@@ -47,6 +47,36 @@ class ApiSpec extends SparkSuite {
     assert(key === key.sorted)
   }
 
+  test("topkResponse mirrors the reference's TopKResponse envelope exactly") {
+    val now = Serving.anchorMs(spark, sfDir)
+    val from = now - 24 * Serving.hourMs
+    val json = TopKApi.topkResponse(spark, sfDir, restaurantId = "Click",
+      fromMs = Some(from), toMs = Some(now), k = 3).as[String].head()
+    // envelope field names, verbatim from TopKController.kt:134-140
+    Seq("\"restaurantId\":\"click\"", s""""startTime":$from""", s""""endTime":$now""",
+      "\"k\":3", "\"items\":[").foreach(f => assert(json.contains(f), s"$f missing in $json"))
+    // item field names from TopKResult (models/Models.kt:39-49)
+    Seq("\"restaurant_id\"", "\"menu_item_id\"", "\"rank\"", "\"order_count\"",
+      "\"total_revenue_in_cents\"", "\"window_start\"", "\"window_end\"")
+      .foreach(f => assert(json.contains(f), s"$f missing in $json"))
+    // decode round-trip: the items are exactly the topk() rows, in order
+    val itemSchema = "ARRAY<STRUCT<restaurant_id: STRING, menu_item_id: STRING, rank: BIGINT, " +
+      "order_count: BIGINT, total_revenue_in_cents: BIGINT, window_start: BIGINT, window_end: BIGINT>>"
+    val schema = s"STRUCT<restaurantId: STRING, startTime: BIGINT, endTime: BIGINT, k: INT, items: $itemSchema>"
+    val decoded = TopKApi.topkResponse(spark, sfDir, restaurantId = "click",
+      fromMs = Some(from), toMs = Some(now), k = 3)
+      .select(from_json(col("response"), org.apache.spark.sql.types.DataType.fromDDL(schema)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).as("r"))
+      .select(explode(col("r.items")).as("i"))
+      .select("i.menu_item_id", "i.rank", "i.order_count", "i.total_revenue_in_cents")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val direct = TopKApi.topk(spark, sfDir, restaurantId = "click",
+      fromMs = Some(from), toMs = Some(now), k = 3)
+      .select(col("user_id").cast("string"), col("rank"), col("order_count"), col("total_cents"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(decoded === direct)
+  }
+
   test("k outside [1, K] is rejected") {
     intercept[IllegalArgumentException] { TopKApi.topk(spark, sfDir, k = 0) }
     intercept[IllegalArgumentException] { TopKApi.topk(spark, sfDir, k = Serving.K + 1) }

@@ -63,6 +63,54 @@ class NearDupSpec extends SparkSuite {
     assert(g === Seq((10L, 2L), (12L, 1L)))
   }
 
+  test("canonicalize equals BFS connected components on random adversarial graphs") {
+    import org.scalacheck.{Gen, Prop, Test => PropTest}
+    // graph shapes that stress label propagation: long chains (maximal
+    // diameter), stars (max fan-in), and random sparse edge sets —
+    // with ids shuffled so the min label must travel the long way.
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 13)
+      shape <- Gen.oneOf("chain", "star", "random")
+      perm <- Gen.const(scala.util.Random.shuffle((0L until n.toLong).toList))
+      extra <- Gen.listOfN(n / 2, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
+      } yield (perm(a), perm(b)))
+    } yield shape match {
+      // chain diameter up to 12 probes the default maxIters=16 bound
+      // (each propagation round moves the min label one hop)
+      case "chain" => perm.zip(perm.tail)
+      case "star"  => perm.tail.map(x => (perm.head, x))
+      case _       => extra
+    }
+    def bfsComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val seen = scala.collection.mutable.Map.empty[Long, Long]
+      adj.keys.toSeq.sorted.foreach { start =>
+        if (!seen.contains(start)) {
+          val comp = scala.collection.mutable.Set(start)
+          val queue = scala.collection.mutable.Queue(start)
+          while (queue.nonEmpty)
+            adj(queue.dequeue()).foreach(nb =>
+              if (comp.add(nb)) queue.enqueue(nb))
+          val label = comp.min
+          comp.foreach(seen(_) = label)
+        }
+      }
+      seen.toMap
+    }
+    val prop = Prop.forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val pairs = edges.toDF("doc_a", "doc_b")
+        val got = NearDup.canonicalize(pairs)
+          .as[(Long, Long)].collect().toMap
+        got == bfsComponents(edges)
+      }
+    }
+    val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("canonicalize maps chains and separate components to min ids") {
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (4L, 5L), (3L, 4L))
       .toDF("doc_a", "doc_b") // 1-2-3-4-5 chain + {10,11}
