@@ -143,14 +143,25 @@ object Ann {
       cached)
   }
 
-  /** Materialize a (small) pairs result eagerly and release the
-    * persisted prep scan — keeps long-lived sessions from leaking
-    * cached blocks per dataset (see NearDup's identical policy).
+  /** Materialize a (small) pairs result eagerly; the persisted prep
+    * scan stays cached across calls (cache-manager plan dedup keeps
+    * repeat queries warm) and is registered for explicit release —
+    * see NearDup's identical policy.
     */
   private def finalized(result: DataFrame, cached: DataFrame): DataFrame = {
     val out = result.localCheckpoint(true)
-    cached.unpersist()
+    registry.synchronized { registry += cached }
     out
+  }
+
+  private val registry = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Unpersist every prep scan this module has cached. Call between
+    * datasets in a long-lived session.
+    */
+  def releaseCaches(): Unit = registry.synchronized {
+    registry.foreach(_.unpersist())
+    registry.clear()
   }
 
   /** Embedding-cosine near-dup pairs: every pair with cosine >=

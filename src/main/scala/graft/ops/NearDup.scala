@@ -111,17 +111,32 @@ object NearDup {
       prefix, postings)
   }
 
-  /** Eagerly materialize a (small) result and release the persisted
-    * intermediates that produced it: near-dup outputs are pair/group
-    * lists orders of magnitude smaller than their inputs, so pinning
-    * the result (localCheckpoint, which also truncates the lineage)
-    * and unpersisting the scaffolding keeps a long-lived session from
-    * accumulating cached blocks per dataset queried.
+  /** Eagerly materialize a (small) result — near-dup outputs are
+    * pair/group lists orders of magnitude smaller than their inputs —
+    * and REGISTER the persisted intermediates (postings, prefixes,
+    * buckets) for explicit release. The intermediates deliberately
+    * stay cached across calls: Spark's cache manager dedupes by
+    * analyzed plan, so repeated near-dup queries over the same corpus
+    * skip re-shingling (the Pinot warm-segment behavior, and what the
+    * warm bench numbers measure). The cost is bounded cached blocks
+    * per distinct corpus in a long-lived session — a multi-dataset
+    * service calls [[releaseCaches]] when it rotates datasets.
     */
   private def finalized(result: DataFrame, caches: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(true)
-    caches.foreach(_.unpersist())
+    registry.synchronized { registry ++= caches }
     out
+  }
+
+  private val registry = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Unpersist every intermediate this module has cached (shingle
+    * postings, prefix tables, LSH buckets, simhash chunks). Call
+    * between datasets in a long-lived session.
+    */
+  def releaseCaches(): Unit = registry.synchronized {
+    registry.foreach(_.unpersist())
+    registry.clear()
   }
 
   /** Exact-verify candidate pairs against the inverted index — no
