@@ -86,6 +86,30 @@ object Rollup {
     when(abs(est.cast("long") - exact) * 20 <= greatest(lit(40L), exact), lit(1L))
       .otherwise(lit(0L))
 
+  /** Merge per-batch rollup SEGMENTS back to one row per (window,
+    * dims) — Pinot's MergeRollupTask applied at segment grain: the
+    * streaming pipeline appends one partial segment per micro-batch
+    * (StreamingPipeline.rollupSegment), and this maintenance pass
+    * bounds the segment count without changing any query result —
+    * sums re-sum and HLL sketches merge losslessly, so query-time
+    * re-aggregation before and after compaction agrees exactly.
+    * Input needs (window_start_ms, dims, order_count,
+    * sum_value_cents, users_hll); hour/day dims are re-derived.
+    */
+  def compactSegments(segments: DataFrame, dims: Seq[String] = Seq("event_type")): DataFrame =
+    segments
+      .groupBy((col("window_start_ms") +: dims.map(col)): _*)
+      .agg(
+        sum(col("order_count")).as("order_count"),
+        sum(col("sum_value_cents")).as("sum_value_cents"),
+        hll_union_agg(col("users_hll")).as("users_hll"))
+      .select(
+        (col("window_start_ms") +: dims.map(col)) ++
+          timeDims(timestamp_millis(col("window_start_ms"))) ++
+          Seq(col("order_count"), col("sum_value_cents"),
+            hll_sketch_estimate(col("users_hll")).as("unique_users_est"),
+            col("users_hll")): _*)
+
   /** Hourly compaction of a 1-minute rollup (MergeRollupTask
     * semantics: sums re-summed; HLL re-merged by the caller when the
     * sketch column is carried). Input must have `window_start_ms`.

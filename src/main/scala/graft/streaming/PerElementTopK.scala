@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import ContinuousTopK.ItemUpdate
+
+/** K1 at the reference's exact emission grain: Flink's
+  * TopKProcessFunction re-emits the FULL current top-K on EVERY
+  * element (ProcessFunctions.kt:96-116), not once per window or
+  * batch. [[ContinuousTopK]] (flatMapGroupsWithState) can only emit
+  * per micro-batch; `transformWithState` — Spark 4's arbitrary
+  * stateful processing API — hands the processor the row iterator,
+  * so it can fold state and emit one ranked snapshot PER INPUT ROW,
+  * closing the one documented emission-grain deviation from the
+  * reference.
+  *
+  * Output rows carry `seq`, the per-key monotone element counter
+  * (persisted in state, so it keeps counting across batches and
+  * restarts) — the stream-position handle Flink consumers get from
+  * ordering within the keyed stream.
+  *
+  * State is bounded exactly like [[ContinuousTopK]]: metrics truncate
+  * to the top `stateCap` items after each element
+  * (ProcessFunctions.kt:105-115 truncates to k; the slack lets
+  * near-boundary items climb back).
+  *
+  * Requires the RocksDB state store provider
+  * (`spark.sql.streaming.stateStore.providerClass` =
+  * `...state.RocksDBStateStoreProvider`), a transformWithState
+  * constraint in Spark 4.
+  */
+object PerElementTopK {
+
+  case class ElementRanked(groupKey: String, seq: Long, rank: Int, itemId: String,
+      count: Long, valueCents: Long)
+
+  case class TopKSnapshot(seq: Long, metrics: Map[String, (Long, Long)])
+
+  class Processor(k: Int, stateCap: Int)
+      extends StatefulProcessor[String, ItemUpdate, ElementRanked] {
+    @transient private var st: ValueState[TopKSnapshot] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TopKSnapshot]("topk",
+        Encoders.product[TopKSnapshot], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[ItemUpdate],
+        timerValues: TimerValues): Iterator[ElementRanked] = {
+      var cur = Option(st.get()).getOrElse(TopKSnapshot(0L, Map.empty))
+      val out = Seq.newBuilder[ElementRanked]
+      rows.foreach { u =>
+        val (c0, v0) = cur.metrics.getOrElse(u.itemId, (0L, 0L))
+        var m = cur.metrics.updated(u.itemId, (c0 + u.count, v0 + u.valueCents))
+        if (m.size > stateCap)
+          m = m.toSeq.sortBy { case (id, (c, v)) => (-c, -v, id) }
+            .take(stateCap).toMap
+        cur = TopKSnapshot(cur.seq + 1, m)
+        m.toSeq.sortBy { case (id, (c, v)) => (-c, -v, id) }.take(k)
+          .zipWithIndex.foreach { case ((id, (c, v)), i) =>
+            out += ElementRanked(key, cur.seq, i + 1, id, c, v)
+          }
+      }
+      st.update(cur)
+      out.result().iterator
+    }
+  }
+
+  /** Lift a keyed update stream into a per-ELEMENT ranked stream. */
+  def rank(spark: SparkSession, updates: Dataset[ItemUpdate], k: Int,
+      stateCap: Int = ContinuousTopK.defaultStateCap): Dataset[ElementRanked] = {
+    import spark.implicits._
+    updates
+      .groupByKey(_.groupKey)
+      .transformWithState(new Processor(k, stateCap),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -119,6 +119,24 @@ object TableManager {
       .sortBy(bucketCol)
       .saveAsTable(tableName)
 
+  /** Compact a segmented (batch_id-partitioned) streaming rollup
+    * table into one row per (window, dims) at `outPath` — the
+    * maintenance twin of StreamingPipeline's per-batch segment
+    * appends (Pinot MergeRollupTask at segment grain; sketches merge
+    * losslessly). Bounds segment count at scale: without it a
+    * 10-second trigger accumulates ~8.6k segments/day.
+    */
+  def compactRollupSegments(
+      spark: SparkSession,
+      rollupPath: String,
+      outPath: String,
+      dims: Seq[String] = Seq("event_type")): Unit =
+    graft.ops.Rollup.compactSegments(spark.read.parquet(rollupPath), dims)
+      .withColumn("p_date", to_date(timestamp_millis(col("window_start_ms"))))
+      .repartition(col("p_date"))
+      .sortWithinPartitions((dims :+ "window_start_ms").map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(outPath)
+
   /** Compact a 1-minute rollup table into its hourly form in place
     * of older partitions (MergeRollupTask semantics: re-sum metrics;
     * caller re-merges HLL sketches when carried).

@@ -94,6 +94,26 @@ class OpsSpec extends SparkSuite {
       s"hll=$est exact=$exact")
   }
 
+  test("segment compaction: one row per window, all query results preserved (incl. HLL)") {
+    val ev = Tables.events(spark, sfDir)
+    // simulate the streaming pipeline's per-batch segments: split the
+    // corpus in two, roll up each half separately, append
+    val cutoff = ev.selectExpr("percentile(unix_millis(ts), 0.5)").head.getDouble(0).toLong
+    val seg1 = Rollup.rollup1mHll(ev.filter(unix_millis(col("ts")) <= cutoff))
+    val seg2 = Rollup.rollup1mHll(ev.filter(unix_millis(col("ts")) > cutoff))
+    val segments = seg1.unionByName(seg2)
+    val compacted = Rollup.compactSegments(segments)
+    val direct = Rollup.rollup1mHll(ev)
+    // one row per (window, dims) after compaction
+    assert(compacted.count() === direct.count())
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"window_start_ms", $"event_type", $"hour_of_day", $"day_of_week_iso",
+        $"order_count", $"sum_value_cents", $"unique_users_est".cast("long"))
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(key(compacted) === key(direct),
+      "compacting segments must not change any query-time result")
+  }
+
   test("hourly HLL compaction merges sketches losslessly (= direct hourly sketch)") {
     val ev = Tables.events(spark, sfDir)
     val merged = Rollup.compactHourlyHll(Rollup.rollup1mHll(ev))

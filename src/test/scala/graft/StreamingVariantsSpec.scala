@@ -4,13 +4,53 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.ops.Rollup
-import graft.streaming.TimerDedup
+import graft.streaming.{ContinuousTopK, PerElementTopK, TimerDedup}
 
-/** D2 timer-dedup TTL semantics and the A5 processing-time rollup. */
+/** D2 timer-dedup TTL semantics, the A5 processing-time rollup, and
+  * the K1 per-element emission variant.
+  */
 class StreamingVariantsSpec extends SparkSuite {
   import spark.implicits._
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("per-element top-K emits a full ranked snapshot for EVERY element") {
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    // transformWithState requires the RocksDB state store
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[ContinuousTopK.ItemUpdate]
+      val ranked = PerElementTopK.rank(spark, mem.toDS(), k = 2)
+      val q = ranked.writeStream.format("memory")
+        .queryName("pe_topk").outputMode("append").start()
+      try {
+        mem.addData(
+          ContinuousTopK.ItemUpdate("r1", "pizza", 1, 100),
+          ContinuousTopK.ItemUpdate("r1", "burger", 1, 200),
+          ContinuousTopK.ItemUpdate("r1", "pizza", 1, 100))
+        q.processAllAvailable()
+        mem.addData(ContinuousTopK.ItemUpdate("r1", "salad", 5, 500))
+        q.processAllAvailable()
+        val rows = spark.table("pe_topk").as[PerElementTopK.ElementRanked].collect().toSeq
+        // Flink's grain: one full top-K snapshot per ELEMENT —
+        // 1 row after the first element, 2 after each of the rest
+        assert(rows.groupBy(_.seq).view.mapValues(_.size).toMap ===
+          Map(1L -> 1, 2L -> 2, 3L -> 2, 4L -> 2))
+        // snapshot after the first batch's 3 elements: pizza(2) > burger(1)
+        val third = rows.filter(_.seq == 3L).sortBy(_.rank)
+        assert(third.map(r => (r.itemId, r.count)) === Seq(("pizza", 2L), ("burger", 1L)))
+        // seq survives the batch boundary; salad(5) takes rank 1
+        val fourth = rows.filter(_.seq == 4L).sortBy(_.rank)
+        assert(fourth.map(_.itemId) === Seq("salad", "pizza"))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   test("timer dedup: suppresses within TTL, re-admits the key after expiry") {
     implicit val sql = spark.sqlContext
