@@ -70,6 +70,31 @@ object EventQueries {
         col("order_count"), col("sum_value_cents"), col("unique_users"),
         Rollup.estOk(col("unique_users_est"), col("unique_users")).as("est_ok"))
 
+  /** Segment-compaction twin of the streaming rollup: the corpus is
+    * split into two "micro-batch" segments (even/odd event_id — any
+    * split works, which is the property under test), each rolled up
+    * separately with HLL bytes, then compacted back to one row per
+    * window. Counts/sums/exact distinct hash-check against the plain
+    * rollup oracle; the merged-sketch estimate checks in-tolerance
+    * via est_ok.
+    */
+  def compactSegments(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val seg1 = Rollup.rollup1mHll(ev.filter(col("event_id") % 2 === 0))
+    val seg2 = Rollup.rollup1mHll(ev.filter(col("event_id") % 2 =!= 0))
+    val compacted = Rollup.compactSegments(seg1.unionByName(seg2))
+    val exact = ev
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("unique_users"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("unique_users"))
+    compacted.join(exact, Seq("window_start_ms", "event_type"))
+      .select(col("window_start_ms"), col("event_type"),
+        col("hour_of_day"), col("day_of_week_iso"),
+        col("order_count"), col("sum_value_cents"), col("unique_users"),
+        Rollup.estOk(col("unique_users_est"), col("unique_users")).as("est_ok"))
+  }
+
   /** A7: hourly compaction of the 1-minute rollup. */
   def compactHourly(spark: SparkSession, dir: String): DataFrame =
     Rollup.compactHourly(Rollup.rollup1m(Tables.events(spark, dir)))
@@ -204,6 +229,7 @@ object EventQueries {
     "q_rollup_1m" -> (rollup1m _),
     "q_rollup_1m_hll" -> (rollup1mHll _),
     "q_compact_hourly" -> (compactHourly _),
+    "q_compact_segments" -> (compactSegments _),
     "q_compact_hourly_hll" -> (compactHourlyHll _),
     "q_distinct_users_hll" -> (distinctUsersHll _),
     "q_hour_profile" -> (hourProfile _),
@@ -239,6 +265,17 @@ object EventQueries {
          |  count(DISTINCT user_id) AS unique_users
          |FROM events GROUP BY 1, 2, 3, 4""".stripMargin,
     "q_rollup_1m_hll" ->
+      s"""SELECT epoch_ms(date_trunc('minute', ts)) AS window_start_ms, event_type,
+         |  CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         |  CAST(isodow(ts) AS BIGINT) AS day_of_week_iso,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents,
+         |  count(DISTINCT user_id) AS unique_users,
+         |  1::BIGINT AS est_ok
+         |FROM events GROUP BY 1, 2, 3, 4""".stripMargin,
+    // identical surface to q_rollup_1m_hll: compaction of any segment
+    // split must reproduce the direct rollup exactly
+    "q_compact_segments" ->
       s"""SELECT epoch_ms(date_trunc('minute', ts)) AS window_start_ms, event_type,
          |  CAST(hour(ts) AS BIGINT) AS hour_of_day,
          |  CAST(isodow(ts) AS BIGINT) AS day_of_week_iso,
