@@ -67,6 +67,17 @@ object Text {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** Deterministic hash bucket in [0, buckets) from any key column —
+    * the train/val/test splitter every training pipeline needs: the
+    * assignment is a pure function of the key (stable across runs,
+    * machines and engines — md5-derived like the simhash token hash,
+    * so the DuckDB oracle reproduces it bit-exactly), and adding data
+    * never reshuffles existing assignments.
+    */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
   /** Count of tokens contained in `words`. */
   def markerHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*))).cast("long")

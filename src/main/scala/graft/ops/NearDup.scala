@@ -243,6 +243,24 @@ object NearDup {
       buckets, postings)
   }
 
+  /** Benchmark decontamination: for every candidate doc, the number
+    * of distinct n-gram shingles it shares with the benchmark corpus
+    * (docs with any overlap are the contamination set a training
+    * pipeline drops or flags). One equi-join of the candidate
+    * inverted index against the benchmark's distinct shingle set —
+    * partitioned by shingle at any corpus size, no pair explosion;
+    * the benchmark side is typically small (eval sets) and
+    * broadcast-joins.
+    */
+  def contaminationOverlap(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val candidates = postingsOf(docs, n)
+    val benchShingles = shingleSets(benchmark, n)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    candidates.join(benchShingles, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+  }
+
   /** Collapse near-dup pairs into canonical groups: every doc in the
     * pair graph maps to the minimum doc_id in its connected component
     * — the survivor a dedup pipeline keeps (everything else drops).

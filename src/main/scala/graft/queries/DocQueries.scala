@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
-import graft.ops.NearDup
+import graft.ops.{NearDup, Pack}
 
 /** Training-data-pipeline queries over the `documents` table:
   * text analysis (token stats, quality ratios, language ID,
@@ -121,7 +121,44 @@ object DocQueries {
       percentile(col("n_chars"), lit(0.75)).as("p75"),
       percentile(col("n_chars"), lit(0.9)).as("p90"))
 
+  /** Deterministic train/val/test split: hash-bucket each doc_id into
+    * 100 buckets (80/10/10). Pure function of the id — stable across
+    * runs/engines, new data never reshuffles old assignments.
+    */
+  def docSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.hashBucket(col("doc_id"), 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+
+  /** Benchmark decontamination: distinct 3-gram shingles each
+    * candidate doc (doc_id >= 10) shares with the "benchmark" set
+    * (doc_id < 10) — the overlap report a pipeline drops/flags
+    * contaminated training docs from.
+    */
+  def docContamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    NearDup.contaminationOverlap(
+      d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10), n = 3)
+  }
+
+  /** Concat-and-chunk shard packing: global token start offset and
+    * 4096-token chunk id per doc in doc_id order, via the distributed
+    * exclusive scan (see [[graft.ops.Pack]]) — bit-equal to the
+    * sequential cumsum the oracle computes.
+    */
+  def docPack(spark: SparkSession, dir: String): DataFrame =
+    Pack.packOffsets(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), Text.estBpeTokens(col("n_chars")).as("est_tokens")),
+      "doc_id", "est_tokens", budget = 4096L)
+
   val queries: Map[String, QFn] = Map(
+    "q_doc_split" -> (docSplit _),
+    "q_doc_contamination" -> (docContamination _),
+    "q_doc_pack" -> (docPack _),
     "q_doc_stats" -> (docStats _),
     "q_doc_normalize" -> (docNormalize _),
     "q_doc_quality_filter" -> (docQualityFilter _),
@@ -155,6 +192,27 @@ object DocQueries {
        |  AND $limitExpr""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_doc_split" ->
+      """SELECT doc_id,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+        |  CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q_doc_contamination" ->
+      s"""WITH $shingleCteBody,
+         |b AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id < 10),
+         |post AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE doc_id >= 10)
+         |SELECT doc_id, count(*) AS shared_shingles
+         |FROM post JOIN b USING (shingle)
+         |GROUP BY doc_id""".stripMargin,
+    "q_doc_pack" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+        |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS chunk
+        |FROM (SELECT doc_id, CAST((n_chars + 3) // 4 AS BIGINT) AS n_tokens FROM documents)""".stripMargin,
     "q_doc_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($toks) AS BIGINT) AS n_tokens,

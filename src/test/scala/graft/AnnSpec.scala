@@ -38,6 +38,18 @@ class AnnSpec extends SparkSuite {
     assert(ivf === bf)
   }
 
+  test("IVF cell-shuffle mode (broadcastQueries=false) equals broadcast mode") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val centroids = Ann.coarseCentroids(emb, 16)
+    val bcast = Ann.ivfKnn(emb, queries, 5, centroids, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val shuffled = Ann.ivfKnn(emb, queries, 5, centroids, nprobe = 4,
+      broadcastQueries = false)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(shuffled === bcast,
+      "the large-query-volume shuffle path must match the broadcast path")
+  }
+
   test("top similar pairs are ordered, unique, upper-triangle") {
     val p = Ann.topSimilarPairs(emb, 20).as[(Long, Long, Long)].collect()
     assert(p.map(_._1).toSeq === (1L to 20L))

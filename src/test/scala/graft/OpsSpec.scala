@@ -139,6 +139,20 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("pack offsets: distributed exclusive scan is partition-count invariant") {
+    import graft.ops.Pack
+    val docs = (1L to 200L).map(i => (i, (i % 37) + 1)).toDF("doc_id", "n_tokens")
+    // sequential definition
+    val expected = (1L to 200L).scanLeft(0L)((acc, i) => acc + (i % 37) + 1).init
+      .zip(1L to 200L).map { case (off, id) => (id, off, off / 64) }.toSet
+    for (parts <- Seq(1, 3, 16)) {
+      val got = Pack.packOffsets(docs, "doc_id", "n_tokens", budget = 64L, partitions = parts)
+        .select($"doc_id", $"start_offset", $"chunk")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === expected, s"partitions=$parts diverged from the sequential scan")
+    }
+  }
+
   test("salted join equals the plain join on skewed data") {
     import graft.ops.SkewJoin
     // one hot key (90% of rows) + a long tail
