@@ -48,8 +48,9 @@ object StreamingDemo {
     qs.foreach(_.processAllAvailable())
 
     println("RAW (deduped) count = " + spark.read.parquet(s"$dir/raw").count())
-    println("ROLLUP (1-minute, closed windows):")
-    spark.read.parquet(s"$dir/rollup")
+    println("ROLLUP (per-batch segments, compacted for display):")
+    graft.ops.Rollup.compactSegments(spark.read.parquet(s"$dir/rollup"))
+      .drop("users_hll")
       .orderBy("window_start_ms", "event_type").show(false)
     println("TOPK (per window):")
     spark.read.parquet(s"$dir/topk")

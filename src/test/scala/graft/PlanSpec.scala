@@ -65,6 +65,13 @@ class PlanSpec extends SparkSuite {
     assert(finalPlan.contains("row_number(), 1, Final"), p)
   }
 
+  test("est_ok verification joins broadcast their small aggregated sides") {
+    val p = planOf(EventQueries.compactHourlyHll(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "two small agg outputs must broadcast-join, not sort-merge\n" + p)
+  }
+
   test("rollup: map-side partial aggregation, bounded shuffle count") {
     val p = planOf(EventQueries.rollup1m(spark, sfDir))
     val finalPlan = p.split("== Initial Plan ==").head
