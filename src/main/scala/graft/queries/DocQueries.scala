@@ -121,6 +121,23 @@ object DocQueries {
       percentile(col("n_chars"), lit(0.75)).as("p75"),
       percentile(col("n_chars"), lit(0.9)).as("p90"))
 
+  /** Within-document repetition (the Gopher/C4 duplicate-n-gram-
+    * fraction quality rule): share of a doc's 3-gram positions whose
+    * gram already occurred — high values flag boilerplate/spam. Exact
+    * integer counts; the ratio is one IEEE division, bit-identical
+    * across engines.
+    */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+      col("doc_id"),
+      (Text.tokenCount(col("text")) - 2).as("total_3grams"),
+      size(Text.shingles(col("text"), 3)).cast("long").as("distinct_3grams"))
+      .filter(col("total_3grams") > 0)
+      .withColumn("dup_gram_ratio",
+        (col("total_3grams") - col("distinct_3grams")).cast("double") / col("total_3grams"))
+  }
+
   /** Deterministic train/val/test split: hash-bucket each doc_id into
     * 100 buckets (80/10/10). Pure function of the id — stable across
     * runs/engines, new data never reshuffles old assignments.
@@ -157,6 +174,7 @@ object DocQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_doc_split" -> (docSplit _),
+    "q_doc_repetition" -> (docRepetition _),
     "q_doc_contamination" -> (docContamination _),
     "q_doc_pack" -> (docPack _),
     "q_doc_stats" -> (docStats _),
@@ -199,6 +217,15 @@ object DocQueries {
         |       WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "q_doc_repetition" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toks) - 2 AS BIGINT) AS total_3grams,
+         |  CAST(len(list_distinct(list_transform(range(1, len($toks) - 1),
+         |    i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))) AS BIGINT) AS distinct_3grams,
+         |  CAST(len($toks) - 2 - len(list_distinct(list_transform(range(1, len($toks) - 1),
+         |    i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))) AS DOUBLE)
+         |    / (len($toks) - 2) AS dup_gram_ratio
+         |FROM documents WHERE len($toks) > 2""".stripMargin,
     "q_doc_contamination" ->
       s"""WITH $shingleCteBody,
          |b AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id < 10),
