@@ -118,6 +118,18 @@ class ServingSpec extends SparkSuite {
     assert(totalCents() === 700L)
   }
 
+  test("materializeInto on an empty events frame fails with a clear error") {
+    import java.sql.Timestamp
+    val empty = Seq.empty[(Long, Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("value_cents", round(col("value") * 100).cast("long"))
+    val root = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val e = intercept[IllegalArgumentException] {
+      Serving.materializeInto(spark, root, empty)
+    }
+    assert(e.getMessage.contains("empty events"))
+  }
+
   test("materialize is idempotent: second call rebuilds nothing") {
     val root = Serving.materialize(spark, sfDir)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
