@@ -181,6 +181,40 @@ object Ann {
       cached)
   }
 
+  /** SemDeDup-style semantic dedup: assign every embedding to its
+    * nearest coarse centroid (cosine, lowest-index tie-break — the
+    * same quantizer `ivfKnn` uses), then find near-duplicate pairs
+    * (cosine >= `threshold`) WITHIN each cell only, via a self
+    * equi-join on the cell id.
+    *
+    * This is the scale path for embedding dedup on clusterable
+    * corpora: candidate compares drop from O(n²) to O(Σ m_i²) over
+    * cell sizes m_i, and the join shuffles by cell exactly like a
+    * sharded IVF index. (For gapless corpora where exactness across
+    * cell boundaries matters, `cosineNearDupPairs` is the exact
+    * fallback.) Output: (cell, id_a < id_b) pairs.
+    */
+  def semanticDedupPairs(emb: DataFrame, centroids: Seq[Seq[Double]],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // persisted: both sides of the self-join consume the assignment.
+    val assigned = prep(emb, idCol, vecCol)
+      .withColumn("cell",
+        Vectors.nearestCentroid(col("v"), centroids).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    finalized(
+      a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("sim") >= threshold)
+        .select(col("cell"), col("id_a"), col("id_b")),
+      assigned)
+  }
+
   /** Exact all-pairs cosine as (id_a < id_b, sim) rows, distributed
     * via the triangular block-grid equi-join (see [[topSimilarPairs]]
     * for the design rationale). Returns (scored, cachedPrep) — the

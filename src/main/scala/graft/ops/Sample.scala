@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation: stratified
+  * Bernoulli keeps, fixed-n per-group samples, and budget-driven
+  * mixture sampling (the "data mixing" step that hits a target token
+  * budget with per-stratum weights).
+  *
+  * All decisions are pure functions of a 60-bit md5 hash of the row
+  * id — stable across runs, engines, partitionings, and incremental
+  * appends (a doc's fate never changes when other docs arrive), and
+  * reproducible in the DuckDB oracle
+  * (`('0x'||substring(md5(id),1,15))::BIGINT`). No `rand()`, no RNG
+  * state, no driver round-trips: every operator is a narrow filter or
+  * one keyed window, so the plans scale like scans.
+  */
+object Sample {
+
+  /** 2^60 — the md5-60-bit hash space size. */
+  val HashSpace: Long = 1L << 60
+
+  /** Uniform 60-bit hash of the id in [0, 2^60). */
+  def hash60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Integer keep-threshold for a rate in [0,1]. */
+  def thresholdFor(rate: Double): Long = (rate * HashSpace.toDouble).toLong
+
+  /** Keep each row iff hash60(id) < threshold(rate(stratum)) — an
+    * exact-integer Bernoulli(rate) per stratum, independent across
+    * rows. Strata not in `rates` use `defaultRate`.
+    */
+  def stratifiedBernoulli(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(thresholdFor(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(thresholdFor(rate))).otherwise(acc)
+    }
+    df.filter(hash60(col(idCol)) < thr)
+  }
+
+  /** Exactly min(n, |group|) rows per group — the deterministic
+    * equivalent of per-group reservoir sampling: rank by (hash, id)
+    * inside each group, keep the first n. One shuffle on the group
+    * key; the rank filter plans as WindowGroupLimit (bounded
+    * per-group state), same as the top-K family.
+    */
+  def perGroupFixedN(df: DataFrame, groupCol: String, idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hash60(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+  }
+
+  /** Budget-driven mixture sampling: per-stratum keep-rate
+    * min(1, budget*weight / stratum_tokens), so the kept token mass
+    * approximates `budget` split by `weights`. Strata absent from
+    * `weights` get weight 0 (dropped). The per-stratum totals are a
+    * tiny broadcast dimension (one row per stratum); the keep
+    * decision stays a narrow hash filter.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+      tokensCol: String, weights: Map[String, Double], budget: Double): DataFrame = {
+    val wcol = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (stratum, wt)) =>
+        when(col(strataCol) === stratum, lit(wt)).otherwise(acc)
+    }
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(tokensCol)).cast("double").as("_stratum_tokens"))
+    df.join(broadcast(totals), Seq(strataCol))
+      .withColumn("_rate", least(lit(1.0), lit(budget) * wcol / col("_stratum_tokens")))
+      .filter(hash60(col(idCol)).cast("double") / lit(HashSpace.toDouble) < col("_rate"))
+      .drop("_rate", "_stratum_tokens")
+  }
+}

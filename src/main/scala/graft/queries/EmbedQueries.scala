@@ -67,11 +67,27 @@ object EmbedQueries {
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     Ann.cosineNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
 
+  /** SemDeDup-style semantic dedup: near-dup pairs (cosine >= 0.3)
+    * found WITHIN coarse-quantizer cells only — candidate compares
+    * shrink from O(n²) to per-cluster, sharded by cell. Reuses the
+    * cached IVF centroids; the oracle recomputes the identical
+    * assignment (argmax cosine over the 16 lowest-id embeddings,
+    * lowest-cell tie-break) and the in-cell pair scan.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = centroidCache.getOrElseUpdate(
+      graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet"),
+      Ann.coarseCentroids(emb, nCells = 16))
+    Ann.semanticDedupPairs(emb, centroids, threshold = 0.3)
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_embed_knn" -> (knnBruteForce _),
     "q_embed_knn_ivf" -> (knnIvf _),
     "q_embed_top_pairs" -> (topPairs _),
     "q_embed_near_dup" -> (nearDupPairs _),
+    "q_embed_semantic_dedup" -> (semanticDedup _),
   )
 
   private val knnOracle =
@@ -101,5 +117,25 @@ object EmbedQueries {
         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |WHERE sim >= 0.4""".stripMargin,
+    // same coarse quantizer as the engine: centroids are the 16
+    // lowest-id embeddings in id order; assignment is argmax cosine
+    // with lowest-cell tie-break (mirrors Vectors.nearestCentroid).
+    "q_embed_semantic_dedup" ->
+      """WITH cen AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |asgn AS (
+        |  SELECT vec_id, cell, embedding FROM (
+        |    SELECT e.vec_id, c.cell, e.embedding,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                        CAST(c.cv AS DOUBLE[])) DESC,
+        |                 c.cell ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cen c)
+        |  WHERE rn = 1)
+        |SELECT CAST(a.cell AS BIGINT) AS cell, a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin,
   )
 }

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+import graft.ops.Sample
+
+/** Deterministic-sampling queries over `documents` — the data-mixing
+  * stage of a training pipeline: stratified Bernoulli keeps, fixed-n
+  * per-source samples, and budget-driven mixture sampling.
+  *
+  * Every keep decision is an exact function of the md5-60-bit doc
+  * hash (see [[Sample]]), so the oracle reproduces membership exactly
+  * — including the mixture path, whose per-stratum rate is the same
+  * IEEE double expression on both engines.
+  */
+object SampleQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val stratRates = Map("en" -> 0.5, "zh" -> 0.3)
+  private val stratDefault = 0.25
+
+  private val mixWeights = Map(
+    "en" -> 0.4, "zh" -> 0.2, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1)
+  private val mixBudget = 20000.0
+
+  /** Stratified Bernoulli: keep en at 50%, zh at 30%, rest at 25%. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Sample.stratifiedBernoulli(Tables.documents(spark, dir),
+        idCol = "doc_id", strataCol = "lang",
+        rates = stratRates, defaultRate = stratDefault)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Deterministic 5-doc sample per source (reservoir equivalent). */
+  def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
+    Sample.perGroupFixedN(Tables.documents(spark, dir),
+        groupCol = "source", idCol = "doc_id", n = 5)
+      .select(col("doc_id"), col("source"), col("rn"))
+
+  /** Mixture sampling to a 20k-token budget with per-language
+    * weights — every stratum lands at a genuine sub-1 rate on this
+    * corpus, so the budget arithmetic is actually exercised.
+    */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        Text.estBpeTokens(col("n_chars")).as("est_tokens"))
+    Sample.mixtureSample(docs, idCol = "doc_id", strataCol = "lang",
+        tokensCol = "est_tokens", weights = mixWeights, budget = mixBudget)
+      .select(col("doc_id"), col("lang"), col("est_tokens"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q_doc_sample_stratified" -> (sampleStratified _),
+    "q_doc_sample_pergroup" -> (samplePerGroup _),
+    "q_doc_mixture" -> (sampleMixture _),
+  )
+
+  private val h60 =
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    // thresholds are the SAME Scala-computed longs the engine uses —
+    // membership is an exact integer compare on both sides.
+    "q_doc_sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE $h60 < CASE
+         |  WHEN lang = 'en' THEN ${Sample.thresholdFor(stratRates("en"))}
+         |  WHEN lang = 'zh' THEN ${Sample.thresholdFor(stratRates("zh"))}
+         |  ELSE ${Sample.thresholdFor(stratDefault)} END""".stripMargin,
+    "q_doc_sample_pergroup" ->
+      s"""SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY $h60, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 5""".stripMargin,
+    // identical IEEE double pipeline: (budget * weight) / sum_tokens,
+    // least(1.0, ·), hash/2^60 < rate — bit-equal on both engines.
+    "q_doc_mixture" ->
+      s"""WITH tot AS (
+         |  SELECT lang, CAST(SUM((n_chars + 3) // 4) AS DOUBLE) AS tok
+         |  FROM documents GROUP BY 1),
+         |r AS (
+         |  SELECT lang, least(1.0, $mixBudget * CASE lang
+         |      WHEN 'en' THEN ${mixWeights("en")} WHEN 'zh' THEN ${mixWeights("zh")}
+         |      WHEN 'de' THEN ${mixWeights("de")} WHEN 'es' THEN ${mixWeights("es")}
+         |      WHEN 'fr' THEN ${mixWeights("fr")} ELSE 0.0 END / tok) AS rate
+         |  FROM tot)
+         |SELECT d.doc_id, d.lang, CAST((d.n_chars + 3) // 4 AS BIGINT) AS est_tokens
+         |FROM documents d JOIN r USING (lang)
+         |WHERE CAST($h60 AS DOUBLE) / 1152921504606846976.0 < r.rate""".stripMargin,
+  )
+}

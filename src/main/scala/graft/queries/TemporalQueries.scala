@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{AsOfJoin, Sessionize}
+
+/** Temporal-operator queries over the `events` table: as-of join
+  * (attribution), bounded range join (error correlation), and
+  * gap-based sessionization.
+  *
+  * All time comparisons happen at the engine's µs grain (see
+  * Tables.events); outputs are epoch-ms longs. Oracles mirror the
+  * exact (ts, side, tie) ordering / gap arithmetic in DuckDB window
+  * SQL at epoch_us grain.
+  */
+object TemporalQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** As-of attribution: every purchase joined to the latest click by
+    * the same user at-or-before the purchase time (null when no prior
+    * click) — the classic last-touch attribution join.
+    */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value_cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_id"), unix_millis(col("ts")).as("click_ts_ms"))
+    AsOfJoin.asOf(purchases, clicks, keys = Seq("user_id"),
+        tsCol = "ts", tieCol = "event_id", payload = Seq("click_id", "click_ts_ms"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value_cents"),
+        col("asof_click_id"), col("asof_click_ts_ms"))
+  }
+
+  /** Range join: (purchase, error) pairs for the same user with the
+    * error inside [purchase_ts, purchase_ts + 6h] — bucketized to an
+    * equi-join, never a cartesian.
+    */
+  def rangeJoinErrors(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
+    AsOfJoin.rangeJoin(purchases, errors, keys = Seq("user_id"),
+        leftTs = "p_ts", rightTs = "e_ts",
+        loUs = 0L, hiUs = 6L * 3600 * 1000000)
+      .select(col("purchase_id"), col("user_id"), col("error_id"),
+        unix_millis(col("p_ts")).as("p_ts_ms"),
+        unix_millis(col("e_ts")).as("e_ts_ms"))
+  }
+
+  /** Per-user sessions with a 30-minute inactivity gap (native
+    * `session_window` — the identical operator runs in Structured
+    * Streaming; see StreamingVariantsSpec).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(Tables.events(spark, dir),
+      keyCol = "user_id", tsCol = "ts", gap = "30 minutes",
+      valueCol = "value_cents")
+
+  val queries: Map[String, QFn] = Map(
+    "q_asof_attribution" -> (asofAttribution _),
+    "q_range_join" -> (rangeJoinErrors _),
+    "q_sessionize" -> (sessionize _),
+  )
+
+  private val cents = "CAST(round(value*100) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    // same union-merge: right rows (side 0) sort before left rows
+    // (side 1) at equal µs ts, so a click AT the purchase instant is
+    // visible; ties among clicks resolve to max event_id.
+    "q_asof_attribution" ->
+      s"""WITH cp AS (
+         |  SELECT user_id, epoch_us(ts) AS tu, event_id, $cents AS cents,
+         |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |w AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+         |      OVER win AS click_id,
+         |    last_value(CASE WHEN side = 0 THEN tu END IGNORE NULLS)
+         |      OVER win AS click_tu
+         |  FROM cp
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY tu, side, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, CAST(tu // 1000 AS BIGINT) AS ts_ms,
+         |  cents AS value_cents, click_id AS asof_click_id,
+         |  CAST(click_tu // 1000 AS BIGINT) AS asof_click_ts_ms
+         |FROM w WHERE side = 1""".stripMargin,
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, e.event_id AS error_id,
+        |  CAST(epoch_us(p.ts) // 1000 AS BIGINT) AS p_ts_ms,
+        |  CAST(epoch_us(e.ts) // 1000 AS BIGINT) AS e_ts_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND epoch_us(e.ts) >= epoch_us(p.ts)
+        | AND epoch_us(e.ts) <= epoch_us(p.ts) + 21600000000""".stripMargin,
+    // gap rule == session_window merge rule: only diff > gap starts a
+    // new session (an event exactly at the previous window's end is
+    // merged); session_end = last event ts + gap (ms floor of µs).
+    "q_sessionize" ->
+      s"""WITH m AS (
+         |  SELECT user_id, epoch_us(ts) AS tu, $cents AS cents,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+         |s AS (
+         |  SELECT user_id, tu, cents,
+         |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tu
+         |                  ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m)
+         |SELECT user_id,
+         |  CAST(min(tu) // 1000 AS BIGINT) AS session_start_ms,
+         |  CAST(max(tu) // 1000 + 1800000 AS BIGINT) AS session_end_ms,
+         |  count(*) AS n_events,
+         |  CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+         |FROM s GROUP BY user_id, sid""".stripMargin,
+  )
+}

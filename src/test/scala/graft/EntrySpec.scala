@@ -23,7 +23,8 @@ class EntrySpec extends SparkSuite {
       queries.EventQueries.queries, queries.DocQueries.queries,
       queries.EmbedQueries.queries, queries.TpchQueries.queries,
       queries.MediaQueries.queries, queries.ServingQueries.queries,
-      queries.ApiQueries.queries, queries.SqlQueries.queries)
+      queries.ApiQueries.queries, queries.SqlQueries.queries,
+      queries.TemporalQueries.queries, queries.SampleQueries.queries)
     assert(families.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across family maps")
   }

@@ -1,0 +1,229 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.{Ann, AsOfJoin, Sample, Sessionize}
+
+/** Round-4 operators: as-of join, range join, sessionization (batch +
+  * streaming parity), deterministic sampling, semantic dedup.
+  */
+class TemporalSampleSpec extends SparkSuite {
+  import spark.implicits._
+  import TemporalSampleSpec.Ev
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // ---------- as-of join ----------
+
+  test("asOf: equal-ts match admitted, tie goes to max tie col, no-prior is null") {
+    val left = Seq((1L, "u", ts("2024-01-01 10:00:00")), (2L, "u", ts("2024-01-01 09:00:00")),
+      (3L, "v", ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, "u", ts("2024-01-01 10:00:00")), // equal ts: visible to left id 1
+      (11L, "u", ts("2024-01-01 10:00:00")), // equal ts tie: max event_id wins
+      (12L, "u", ts("2024-01-01 09:30:00"))  // after left id 2: invisible to it
+    ).toDF("click_id", "user_id", "cts")
+      .select(col("user_id"), col("cts").as("ts"), col("click_id").as("event_id"), col("click_id"))
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "event_id", Seq("click_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out === Map(1L -> Some(11L), 2L -> None, 3L -> None))
+  }
+
+  test("asOf matches the brute-force latest-prior join on real events") {
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("cts"), $"event_id".as("cid"))
+    // independent formulation: theta join + argmax by (ts, id)
+    val matched = p.join(c, $"user_id" === $"cu" && $"cts" <= $"ts")
+      .groupBy($"event_id").agg(max(struct($"cts", $"cid")).as("m"))
+      .select($"event_id", $"m.cid".as("want"))
+    val expected = p.join(matched, Seq("event_id"), "left")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    val got = AsOfJoin.asOf(p,
+        c.select($"cu".as("user_id"), $"cts".as("ts"), $"cid".as("event_id"), $"cid".as("click_id")),
+        Seq("user_id"), "ts", "event_id", Seq("click_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(got === expected)
+  }
+
+  test("asOf plans exactly one shuffle (union-merge, not a join)") {
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", $"event_id".as("click_id"))
+    val df = AsOfJoin.asOf(p, c, Seq("user_id"), "ts", "event_id", Seq("click_id"))
+    df.collect()
+    // AQE's toString repeats the pre-adaptive plan under
+    // "== Initial Plan ==" — count shuffles in the final plan only.
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  // ---------- range join ----------
+
+  test("rangeJoin boundary µs: [lo, hi] closed on both ends") {
+    val left = Seq((1L, "u", ts("2024-01-01 10:00:00"))).toDF("lid", "user_id", "p_ts")
+    val right = Seq(
+      (20L, "u", ts("2024-01-01 09:59:59.999999")), // before lo=0 → out
+      (21L, "u", ts("2024-01-01 10:00:00")),        // at lo → in
+      (22L, "u", ts("2024-01-01 10:05:00")),        // at hi → in
+      (23L, "u", ts("2024-01-01 10:05:00.000001"))  // past hi → out
+    ).toDF("rid", "user_id", "e_ts")
+    val out = AsOfJoin.rangeJoin(left, right, Seq("user_id"), "p_ts", "e_ts",
+      loUs = 0L, hiUs = 5L * 60 * 1000000).select("rid").as[Long].collect().toSet
+    assert(out === Set(21L, 22L))
+  }
+
+  test("rangeJoin matches the theta join on real events, with an equi-join plan") {
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+    val e = ev.filter($"event_type" === "error")
+      .select($"event_id".as("error_id"), $"user_id".as("eu"), $"ts".as("e_ts"))
+    val hiUs = 6L * 3600 * 1000000
+    val naive = p.join(e, $"user_id" === $"eu" &&
+        unix_micros($"e_ts") >= unix_micros($"p_ts") &&
+        unix_micros($"e_ts") <= unix_micros($"p_ts") + hiUs)
+      .select($"purchase_id", $"error_id").as[(Long, Long)].collect().toSet
+    val df = AsOfJoin.rangeJoin(p, e.withColumnRenamed("eu", "user_id"),
+      Seq("user_id"), "p_ts", "e_ts", 0L, hiUs)
+    val got = df.select($"purchase_id", $"error_id").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
+  // ---------- sessionization ----------
+
+  test("sessionize: only a gap > 30min starts a new session (µs-exact boundary)") {
+    val df = Seq(
+      Ev("u", ts("2024-01-01 10:00:00"), 1L),
+      Ev("u", ts("2024-01-01 10:30:00"), 2L),        // == gap → merged (lands on window end)
+      Ev("u", ts("2024-01-01 11:00:00.000001"), 4L), // > gap by 1µs → NEW session
+      Ev("u", ts("2024-01-01 11:29:59.999999"), 8L)  // < gap → same session
+    ).toDF()
+    val out = Sessionize.sessions(df, "user_id", "ts", "30 minutes", "value_cents")
+      .orderBy("session_start_ms")
+      .select("n_events", "sum_value_cents").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 3L), (2L, 12L)))
+  }
+
+  test("session_window sessions equal the lag-based definition on real events") {
+    val ev = Tables.events(spark, sfDir)
+    val gapUs = 30L * 60 * 1000000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy(unix_micros($"ts"))
+    val lagged = ev.withColumn("tu", unix_micros($"ts"))
+      .withColumn("ns", when(lag($"tu", 1).over(w).isNull ||
+        $"tu" - lag($"tu", 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum($"ns").over(w.rowsBetween(Long.MinValue, 0)))
+    val expected = lagged.groupBy($"user_id", $"sid")
+      .agg((min($"tu") / 1000).cast("long").as("session_start_ms"),
+        ((max($"tu") / 1000).cast("long") + 30L * 60 * 1000).as("session_end_ms"),
+        count(lit(1)).as("n_events"), sum($"value_cents").as("sum_value_cents"))
+      .drop("sid")
+    val got = Sessionize.sessions(ev, "user_id", "ts", "30 minutes", "value_cents")
+    assert(got.exceptAll(expected.select(got.columns.map(col): _*)).isEmpty)
+    assert(expected.select(got.columns.map(col): _*).exceptAll(got).isEmpty)
+  }
+
+  test("streaming session_window equals batch sessionize") {
+    implicit val sql = spark.sqlContext
+    val rows = Seq(
+      Ev("u1", ts("2024-01-01 10:00:00"), 100L),
+      Ev("u1", ts("2024-01-01 10:10:00"), 200L),
+      Ev("u1", ts("2024-01-01 11:00:00"), 300L),
+      Ev("u2", ts("2024-01-01 10:05:00"), 400L))
+    val sentinels = Seq(
+      Ev("zz", ts("2024-01-03 00:00:00"), 0L),
+      Ev("zz", ts("2024-01-05 00:00:00"), 0L))
+    val mem = MemoryStream[Ev]
+    val sessions = Sessionize.sessions(
+      mem.toDF().withWatermark("ts", "1 second"),
+      "user_id", "ts", "30 minutes", "value_cents")
+    val q = sessions.writeStream.format("memory")
+      .queryName("stream_sessions").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past
+      // every real session, the second flushes them to the sink.
+      sentinels.foreach { s => mem.addData(s); q.processAllAvailable() }
+      val streamed = spark.table("stream_sessions").filter($"user_id" =!= "zz")
+      val batch = Sessionize.sessions(rows.toDF(), "user_id", "ts", "30 minutes", "value_cents")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      assert(streamed.count() === 3) // u1: two sessions, u2: one
+    } finally q.stop()
+  }
+
+  // ---------- deterministic sampling ----------
+
+  private val docsDir = "/root/testdata/sf0.01"
+
+  test("stratifiedBernoulli is row-local: sampling a subset = subset of the sample") {
+    val docs = Tables.documents(spark, docsDir)
+    val rates = Map("en" -> 0.5, "zh" -> 0.3)
+    val whole = Sample.stratifiedBernoulli(docs, "doc_id", "lang", rates, 0.25)
+      .filter($"doc_id" % 2 === 0).select("doc_id").as[Long].collect().toSet
+    val part = Sample.stratifiedBernoulli(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "lang", rates, 0.25).select("doc_id").as[Long].collect().toSet
+    assert(whole === part)
+  }
+
+  test("stratifiedBernoulli hits per-stratum rates within binomial tolerance") {
+    val docs = Tables.documents(spark, docsDir)
+    val kept = Sample.stratifiedBernoulli(docs, "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.3), 0.25)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    def ratio(l: String) = kept.getOrElse(l, 0L).toDouble / totals(l)
+    assert(math.abs(ratio("en") - 0.5) < 0.15, kept.toString)
+    assert(math.abs(ratio("zh") - 0.3) < 0.2, kept.toString)
+  }
+
+  test("perGroupFixedN returns exactly min(n, |group|) rows, stable under repartition") {
+    val docs = Tables.documents(spark, docsDir)
+    val out = Sample.perGroupFixedN(docs, "source", "doc_id", 5)
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (s, n) => assert(counts(s) === math.min(5L, n), s) }
+    val again = Sample.perGroupFixedN(docs.repartition(13), "source", "doc_id", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === out.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("mixtureSample keeps ~budget*weight tokens per stratum") {
+    val docs = Tables.documents(spark, docsDir)
+      .select($"doc_id", $"lang", graft.functions.Text.estBpeTokens($"n_chars").as("tok"))
+    val weights = Map("en" -> 0.4, "zh" -> 0.2, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1)
+    val kept = Sample.mixtureSample(docs, "doc_id", "lang", "tok", weights, 20000.0)
+      .groupBy("lang").agg(sum($"tok").as("t")).as[(String, Long)].collect().toMap
+    weights.foreach { case (lang, wt) =>
+      val target = 20000.0 * wt
+      assert(math.abs(kept(lang) - target) < target * 0.45,
+        s"$lang kept=${kept(lang)} target=$target")
+    }
+  }
+
+  // ---------- semantic dedup ----------
+
+  test("semanticDedupPairs ⊆ exact cosine near-dup pairs; no cartesian in the plan") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Ann.coarseCentroids(emb, nCells = 8)
+    val sem = Ann.semanticDedupPairs(emb, centroids, threshold = 0.2)
+    val semPairs = sem.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Ann.cosineNearDupPairs(emb, threshold = 0.2)
+      .as[(Long, Long)].collect().toSet
+    assert(semPairs.subsetOf(exact), s"${semPairs.size} vs ${exact.size}")
+    assert(semPairs.nonEmpty)
+    val plan = sem.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+}
+
+object TemporalSampleSpec {
+  case class Ev(user_id: String, ts: Timestamp, value_cents: Long)
+}
