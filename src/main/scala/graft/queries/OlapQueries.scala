@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Rollup
+
+/** Classic OLAP query surface over `events` — the Pinot-style
+  * capabilities a reference user reaches for beyond top-K: sketch
+  * percentiles (PERCENTILEEST), sketch set-operations
+  * (DISTINCTCOUNT* intersection via inclusion-exclusion), moving
+  * window frames, pivot, and CUBE grouping sets.
+  *
+  * Gate pattern matches the HLL family: every deterministic column
+  * hash-checks against DuckDB; sketch estimates ship as an `est_ok`
+  * in-tolerance predicate the oracle asserts as constant 1.
+  */
+object OlapQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Sketch percentiles per event_type: exact p50/p95 (linear
+    * interpolation — same definition as DuckDB quantile_cont) plus
+    * approx_percentile estimates checked in-tolerance. The approx
+    * sketch returns an element of the value set, so its error bound
+    * is a rank bound — the tolerance compares on the value scale with
+    * the estOk envelope.
+    */
+  def percentileEst(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        percentile(col("value_cents"), lit(0.5)).as("p50_exact"),
+        percentile(col("value_cents"), lit(0.95)).as("p95_exact"),
+        approx_percentile(col("value_cents"), lit(0.5), lit(10000)).as("p50_est"),
+        approx_percentile(col("value_cents"), lit(0.95), lit(10000)).as("p95_est"))
+      .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+        Rollup.estOk(col("p50_est"), col("p50_exact")).as("p50_ok"),
+        Rollup.estOk(col("p95_est"), col("p95_exact")).as("p95_ok"))
+  }
+
+  /** Sketch set-operation: distinct users who BOTH clicked and
+    * purchased — exact via a distinct-set semi-join, estimated via
+    * HLL inclusion-exclusion (|A∩B| ≈ est(A) + est(B) - est(A∪B),
+    * the DISTINCTCOUNTTHETASKETCH-style query shape). Sketches for A,
+    * B, and A∪B are built mergeably (one pass + one union merge).
+    */
+  def distinctIntersectHll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val exact = clicks.select(col("user_id")).distinct()
+      .join(purchases.select(col("user_id")).distinct(), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("both_exact"))
+    val sketches = ev
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val est = sketches.agg(
+      sum(when(col("event_type") === "click",
+        hll_sketch_estimate(col("sk")))).as("est_a"),
+      sum(when(col("event_type") === "purchase",
+        hll_sketch_estimate(col("sk")))).as("est_b"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+      .select((col("est_a") + col("est_b") - col("est_union")).as("both_est"))
+    exact.crossJoin(est)
+      .select(col("both_exact"),
+        Rollup.estOk(col("both_est"), col("both_exact")).as("est_ok"))
+  }
+
+  /** Moving window frame: per event_type daily revenue with a 7-day
+    * trailing sum and day count (RANGE frame over epoch-ms — the
+    * time-series smoothing query). All-integer output.
+    */
+  def movingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(col("event_type"),
+        unix_millis(date_trunc("DAY", col("ts"))).as("day_ms"))
+      .agg(sum(col("value_cents")).as("day_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_ms"))
+      .rangeBetween(-6L * 86400000, 0)
+    daily
+      .withColumn("trail7_cents", sum(col("day_cents")).over(w))
+      .withColumn("trail7_days", count(lit(1)).over(w))
+  }
+
+  /** Pivot: one row per user, event-type counts spread into columns
+    * plus total revenue — the wide activity-profile query.
+    */
+  def pivotUserTypes(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val counts = ev.groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    val totals = ev.groupBy(col("user_id"))
+      .agg(sum(col("value_cents")).as("total_cents"))
+    counts.join(totals, Seq("user_id"))
+      .select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")) :+
+        col("total_cents"): _*)
+  }
+
+  /** CUBE grouping sets over (event_type, hour_of_day): all four
+    * aggregation grains in one pass, subtotal rows marked by
+    * grouping_id and dims coalesced to sentinels ('ALL' / -1) so the
+    * output stays null-free.
+    */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("hour_of_day", hour(col("ts")).cast("long"))
+    ev.cube(col("event_type"), col("hour_of_day"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("sum_value_cents"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("hour_of_day"), lit(-1L)).as("hour_of_day"),
+        col("gid"), col("order_count"), col("sum_value_cents"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q_percentile_est" -> (percentileEst _),
+    "q_distinct_intersect_hll" -> (distinctIntersectHll _),
+    "q_moving_revenue" -> (movingRevenue _),
+    "q_pivot_user_types" -> (pivotUserTypes _),
+    "q_cube_revenue" -> (cubeRevenue _),
+  )
+
+  private val cents = "CAST(round(value*100) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q_percentile_est" ->
+      s"""SELECT event_type,
+         |  quantile_cont($cents, 0.5) AS p50_exact,
+         |  quantile_cont($cents, 0.95) AS p95_exact,
+         |  1::BIGINT AS p50_ok, 1::BIGINT AS p95_ok
+         |FROM events GROUP BY 1""".stripMargin,
+    "q_distinct_intersect_hll" ->
+      """SELECT count(DISTINCT c.user_id) AS both_exact, 1::BIGINT AS est_ok
+        |FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id""".stripMargin,
+    "q_moving_revenue" ->
+      s"""SELECT event_type, day_ms, day_cents,
+         |  CAST(SUM(day_cents) OVER w AS BIGINT) AS trail7_cents,
+         |  count(*) OVER w AS trail7_days
+         |FROM (
+         |  SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day_ms,
+         |    CAST(SUM($cents) AS BIGINT) AS day_cents
+         |  FROM events GROUP BY 1, 2)
+         |WINDOW w AS (PARTITION BY event_type ORDER BY day_ms
+         |             RANGE BETWEEN 518400000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_pivot_user_types" ->
+      s"""SELECT user_id,
+         |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+         |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+         |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+         |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+         |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+         |  CAST(SUM($cents) AS BIGINT) AS total_cents
+         |FROM events GROUP BY 1""".stripMargin,
+    // GROUPING(a, b) bitmask: first argument = high bit — same
+    // convention as Spark's grouping_id().
+    "q_cube_revenue" ->
+      s"""SELECT coalesce(event_type, 'ALL') AS event_type,
+         |  coalesce(CAST(hour(ts) AS BIGINT), -1) AS hour_of_day,
+         |  CAST(GROUPING(event_type, hour(ts)) AS BIGINT) AS gid,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents
+         |FROM events GROUP BY CUBE (event_type, hour(ts))""".stripMargin,
+  )
+}

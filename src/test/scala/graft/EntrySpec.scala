@@ -24,7 +24,8 @@ class EntrySpec extends SparkSuite {
       queries.EmbedQueries.queries, queries.TpchQueries.queries,
       queries.MediaQueries.queries, queries.ServingQueries.queries,
       queries.ApiQueries.queries, queries.SqlQueries.queries,
-      queries.TemporalQueries.queries, queries.SampleQueries.queries)
+      queries.TemporalQueries.queries, queries.SampleQueries.queries,
+      queries.OlapQueries.queries)
     assert(families.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across family maps")
   }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.OlapQueries
+
+/** OLAP surface invariants: window-frame arithmetic, cube grain
+  * counts, pivot conservation, sketch tolerance predicates.
+  */
+class OlapSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("moving 7-day window equals a self-join recompute") {
+    val got = OlapQueries.movingRevenue(spark, sfDir)
+    val daily = got.select($"event_type", $"day_ms", $"day_cents")
+    val expected = daily.as("a").join(daily.as("b"),
+        $"a.event_type" === $"b.event_type" &&
+        $"b.day_ms".between($"a.day_ms" - 6L * 86400000, $"a.day_ms"))
+      .groupBy($"a.event_type".as("event_type"), $"a.day_ms".as("day_ms"))
+      .agg(sum($"b.day_cents").as("trail7_cents"), count(lit(1)).as("trail7_days"))
+    val cols = Seq("event_type", "day_ms", "trail7_cents", "trail7_days").map(col)
+    assert(got.select(cols: _*).exceptAll(expected.select(cols: _*)).isEmpty)
+    assert(expected.count() === got.count())
+  }
+
+  test("cube emits all four grains with consistent totals and gids") {
+    val c = OlapQueries.cubeRevenue(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val nTypes = ev.select("event_type").distinct().count()
+    val nHours = ev.select(hour($"ts")).distinct().count()
+    val nPairs = ev.select($"event_type", hour($"ts")).distinct().count()
+    assert(c.count() === nPairs + nTypes + nHours + 1)
+    // grand-total row (gid=3) carries the global aggregates
+    val total = c.filter($"gid" === 3).select("order_count", "sum_value_cents")
+      .as[(Long, Long)].head()
+    assert(total === ((ev.count(), ev.agg(sum($"value_cents")).head.getLong(0))))
+    // each finer grain re-sums to the same global revenue
+    Seq(0, 1, 2).foreach { g =>
+      assert(c.filter($"gid" === g).agg(sum($"sum_value_cents")).head.getLong(0)
+        === total._2, s"gid=$g")
+    }
+  }
+
+  test("pivot counts conserve the per-user event count") {
+    val p = OlapQueries.pivotUserTypes(spark, sfDir)
+    val perUser = Tables.events(spark, sfDir).groupBy("user_id").count()
+    val mism = p.withColumn("n_sum",
+        $"n_click" + $"n_view" + $"n_purchase" + $"n_signup" + $"n_error")
+      .join(perUser, Seq("user_id"))
+      .filter($"n_sum" =!= $"count")
+    assert(mism.isEmpty)
+  }
+
+  test("sketch estimates sit inside the est_ok envelope") {
+    val pe = OlapQueries.percentileEst(spark, sfDir)
+    assert(pe.filter($"p50_ok" =!= 1 || $"p95_ok" =!= 1).isEmpty)
+    val di = OlapQueries.distinctIntersectHll(spark, sfDir)
+    assert(di.filter($"est_ok" =!= 1).isEmpty)
+    assert(di.select("both_exact").as[Long].head() > 0)
+  }
+}
