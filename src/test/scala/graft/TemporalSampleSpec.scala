@@ -159,6 +159,38 @@ class TemporalSampleSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    implicit val sql = spark.sqlContext
+    import TemporalSampleSpec.{PEv, REv}
+    val purchases = Seq(
+      PEv(1L, "u", ts("2024-01-01 10:00:00")),
+      PEv(2L, "u", ts("2024-01-01 12:00:00")),
+      PEv(3L, "v", ts("2024-01-01 10:00:00")))
+    val errors = Seq(
+      REv(10L, "u", ts("2024-01-01 10:03:00")), // in [0,5m] of p1
+      REv(11L, "u", ts("2024-01-01 10:06:00")), // past hi → out
+      REv(12L, "u", ts("2024-01-01 12:05:00")), // at hi of p2 → in
+      REv(13L, "v", ts("2024-01-01 09:59:00")), // before p3 → out
+      REv(14L, "w", ts("2024-01-01 10:00:00"))) // no left key → out
+    val lMem = MemoryStream[PEv]; val rMem = MemoryStream[REv]
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+      lMem.toDF(), rMem.toDF(), Seq("user_id"), "p_ts", "e_ts",
+      hi = "5 minutes", watermarkDelay = "10 seconds")
+    val q = joined.writeStream.format("memory")
+      .queryName("stream_ivj").outputMode("append").start()
+    try {
+      lMem.addData(purchases: _*); rMem.addData(errors: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_ivj")
+        .select("purchase_id", "error_id").as[(Long, Long)].collect().toSet
+      val batch = graft.ops.AsOfJoin.rangeJoin(purchases.toDF(), errors.toDF(),
+          Seq("user_id"), "p_ts", "e_ts", 0L, 5L * 60 * 1000000)
+        .select("purchase_id", "error_id").as[(Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set((1L, 10L), (2L, 12L)))
+    } finally q.stop()
+  }
+
   // ---------- deterministic sampling ----------
 
   private val docsDir = "/root/testdata/sf0.01"
@@ -226,4 +258,6 @@ class TemporalSampleSpec extends SparkSuite {
 
 object TemporalSampleSpec {
   case class Ev(user_id: String, ts: Timestamp, value_cents: Long)
+  case class PEv(purchase_id: Long, user_id: String, p_ts: Timestamp)
+  case class REv(error_id: Long, user_id: String, e_ts: Timestamp)
 }
