@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *    (ts, side, tie) sort order. Cost = ONE shuffle on the key +
   *    a per-partition sort — the same plan shape as a windowed
   *    aggregation, and the standard distributed as-of at any scale
-  *    (a sort-merge as-of over co-partitioned inputs).
+  *    (a sort-merge as-of over co-partitioned inputs). Like every
+  *    keyed window, one key's rows sort inside one partition — a
+  *    pathologically hot key spills (doesn't break); salting is not
+  *    applicable because the running order per key IS the semantics.
   *  - `rangeJoin` bucketizes time by the interval width so each left
   *    row lands in at most 2 buckets; the bucket id becomes an
   *    equi-join key and the exact interval predicate filters the

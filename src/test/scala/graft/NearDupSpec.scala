@@ -69,15 +69,15 @@ class NearDupSpec extends SparkSuite {
     // diameter), stars (max fan-in), and random sparse edge sets —
     // with ids shuffled so the min label must travel the long way.
     val genEdges: Gen[List[(Long, Long)]] = for {
-      n <- Gen.choose(2, 13)
+      n <- Gen.choose(2, 30)
       shape <- Gen.oneOf("chain", "star", "random")
       perm <- Gen.const(scala.util.Random.shuffle((0L until n.toLong).toList))
       extra <- Gen.listOfN(n / 2, for {
         a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
       } yield (perm(a), perm(b)))
     } yield shape match {
-      // chain diameter up to 12 probes the default maxIters=16 bound
-      // (each propagation round moves the min label one hop)
+      // chain diameter up to 29 exceeds maxIters=16 — only the
+      // pointer-jump (O(log d) rounds) can converge these
       case "chain" => perm.zip(perm.tail)
       case "star"  => perm.tail.map(x => (perm.head, x))
       case _       => extra
@@ -118,6 +118,15 @@ class NearDupSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L))
+  }
+
+  test("canonicalize converges on a 60-node chain (pointer-jump: O(log d) rounds)") {
+    // diameter 59 ≫ maxIters=16: plain per-hop propagation could not
+    // converge; the shortcutting step must carry it. Ids reversed so
+    // the min label travels the full length.
+    val chain = (0L until 59L).map(i => (59L - i, 58L - i)).toDF("doc_a", "doc_b")
+    val got = NearDup.canonicalize(chain).as[(Long, Long)].collect().toMap
+    assert(got === (0L to 59L).map(_ -> 0L).toMap)
   }
 
   test("jaccardPairs (prefix+length+positional filters) equals brute force on random corpora") {

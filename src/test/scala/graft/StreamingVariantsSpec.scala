@@ -125,7 +125,38 @@ class StreamingVariantsSpec extends SparkSuite {
     } finally { q.stop(); handle.detach() }
   }
 
+  test("streaming doc curation equals the batch keep-set, deduped across batches") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.DocPipeline
+    val docs = Tables.documents(spark, sfDir)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .map(d => StreamingVariantsSpec.Doc(d._1, d._2, d._3, d._4, d._5))
+    val dir = java.nio.file.Files.createTempDirectory("graft_docpipe").toString
+    val mem = MemoryStream[StreamingVariantsSpec.Doc]
+    val q = DocPipeline.start(spark, mem.toDF(), s"$dir/kept", s"$dir/ckpt")
+    try {
+      val (first, second) = docs.splitAt(docs.size / 2)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      // second half PLUS a replay of the first — cross-batch dedup
+      // state must drop every replayed fingerprint.
+      mem.addData(second ++ first: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$dir/kept")
+    val batch = DocPipeline.curate(Tables.documents(spark, sfDir))
+    // same keep-set by fingerprint, each fingerprint exactly once
+    assert(kept.select("fp").distinct().count() ===
+      batch.select("fp").distinct().count())
+    assert(kept.count() === kept.select("fp").distinct().count())
+    assert(kept.select("fp").exceptAll(batch.select("fp").distinct()).isEmpty)
+  }
+
   private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(t => (t._1, (t._2, t._3))).toMap
   }
+}
+
+object StreamingVariantsSpec {
+  case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
 }
