@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.Rollup
+import graft.ops.{Rank, Rollup}
 
 /** Classic OLAP query surface over `events` — the Pinot-style
   * capabilities a reference user reaches for beyond top-K: sketch
@@ -120,12 +120,55 @@ object OlapQueries {
         col("gid"), col("order_count"), col("sum_value_cents"))
   }
 
+  /** Exact set operation: users with no high-value purchase (>$95) —
+    * the EXCEPT physical operator over two distinct sets.
+    */
+  def usersNoBigPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(col("user_id")).distinct()
+      .except(ev.filter(col("event_type") === "purchase" &&
+        col("value_cents") > 9500).select(col("user_id")))
+  }
+
+  /** Window navigation functions per user: event count, max
+    * inter-event gap (µs), first/last event type in (ts, event_id)
+    * order — lag + first_value/last_value in one windowed pass.
+    */
+  def userGaps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("tu", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ev.select(col("user_id"), col("event_type"), col("tu"),
+        (col("tu") - lag(col("tu"), 1).over(w)).as("gap_us"),
+        first(col("event_type")).over(full).as("first_type"),
+        last(col("event_type")).over(full).as("last_type"))
+      .groupBy(col("user_id"), col("first_type"), col("last_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("gap_us")).as("max_gap_us"))
+  }
+
+  /** ntile decile bucketing of users by total revenue (deterministic
+    * total order: revenue desc, user asc) — via [[Rank.globalNtile]],
+    * the distributed exclusive-scan form, NOT `Window.orderBy` (which
+    * plans a single-partition window).
+    */
+  def revenueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value_cents")).as("total_cents"))
+    Rank.globalNtile(totals,
+      Seq(col("total_cents").desc, col("user_id").asc), n = 10, out = "decile")
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_percentile_est" -> (percentileEst _),
     "q_distinct_intersect_hll" -> (distinctIntersectHll _),
     "q_moving_revenue" -> (movingRevenue _),
     "q_pivot_user_types" -> (pivotUserTypes _),
     "q_cube_revenue" -> (cubeRevenue _),
+    "q_users_no_big_purchase" -> (usersNoBigPurchase _),
+    "q_user_gaps" -> (userGaps _),
+    "q_revenue_deciles" -> (revenueDeciles _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
@@ -161,6 +204,31 @@ object OlapQueries {
          |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
          |  CAST(SUM($cents) AS BIGINT) AS total_cents
          |FROM events GROUP BY 1""".stripMargin,
+    "q_users_no_big_purchase" ->
+      s"""SELECT DISTINCT user_id FROM events
+         |EXCEPT
+         |SELECT user_id FROM events
+         |WHERE event_type = 'purchase' AND $cents > 9500""".stripMargin,
+    // navigation functions at the engine's µs ts grain; window order
+    // (tu, event_id) is a total order so first/last are deterministic.
+    "q_user_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+        |    first_value(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING) AS first_type,
+        |    last_value(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING) AS last_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, first_type, last_type,
+        |  count(*) AS n_events, max(gap_us) AS max_gap_us
+        |FROM g GROUP BY 1, 2, 3""".stripMargin,
+    "q_revenue_deciles" ->
+      s"""SELECT user_id, total_cents,
+         |  CAST(ntile(10) OVER (ORDER BY total_cents DESC, user_id ASC) AS BIGINT) AS decile
+         |FROM (SELECT user_id, CAST(SUM($cents) AS BIGINT) AS total_cents
+         |      FROM events GROUP BY 1)""".stripMargin,
     // GROUPING(a, b) bitmask: first argument = high bit — same
     // convention as Spark's grouping_id().
     "q_cube_revenue" ->

@@ -108,7 +108,21 @@ object TpchQueries {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }
 
+  /** Anti join: customers with NO urgent order — the left_anti
+    * operator (complement of the semi-join family). Shuffled equi
+    * anti-join on the key; the fact side never broadcasts.
+    */
+  def noUrgentCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    Tables.customer(spark, dir)
+      .join(urgent, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_tpch_no_urgent" -> (noUrgentCustomers _),
     "q_tpch_pricing" -> (pricingSummary _),
     "q_tpch_top_customers" -> (topCustomers _),
     "q_tpch_revenue_by_nation" -> (revenueByNation _),
@@ -118,6 +132,11 @@ object TpchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_no_urgent" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')""".stripMargin,
     "q_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

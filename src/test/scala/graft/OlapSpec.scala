@@ -50,6 +50,35 @@ class OlapSpec extends SparkSuite {
     assert(mism.isEmpty)
   }
 
+  test("distributed globalRowNumber/globalNtile equal the window functions") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Rank
+    val totals = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(sum($"value_cents").as("total_cents"))
+    val order = Seq($"total_cents".desc, $"user_id".asc)
+    val w = Window.orderBy(order: _*)
+    val want = totals
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("tile", ntile(7).over(w).cast("long"))
+      .select("user_id", "rn", "tile").as[(Long, Long, Long)].collect().toMap2
+    // force many range partitions so ranks genuinely cross partitions
+    val rn = Rank.globalRowNumber(totals, order, partitions = 7)
+      .select("user_id", "rn").as[(Long, Long)].collect().toMap
+    val tile = Rank.globalNtile(totals, order, n = 7, partitions = 5)
+      .select("user_id", "tile").as[(Long, Long)].collect().toMap
+    assert(want.map { case (u, (r, _)) => u -> r } === rn)
+    assert(want.map { case (u, (_, t)) => u -> t } === tile)
+    // fewer rows than buckets: tile = rank
+    val tiny = totals.limit(3)
+    val tt = Rank.globalNtile(tiny, order, n = 10)
+      .select("tile").as[Long].collect().toSet
+    assert(tt === Set(1L, 2L, 3L))
+  }
+
+  private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(t => (t._1, (t._2, t._3))).toMap
+  }
+
   test("sketch estimates sit inside the est_ok envelope") {
     val pe = OlapQueries.percentileEst(spark, sfDir)
     assert(pe.filter($"p50_ok" =!= 1 || $"p95_ok" =!= 1).isEmpty)
