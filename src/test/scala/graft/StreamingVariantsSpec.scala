@@ -152,6 +152,38 @@ class StreamingVariantsSpec extends SparkSuite {
     assert(kept.select("fp").exceptAll(batch.select("fp").distinct()).isEmpty)
   }
 
+  test("incremental LSH dedup rejects exact/near dups vs history and within batches") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.IncrementalDedup
+    import StreamingVariantsSpec.Doc
+    def doc(id: Long, text: String) = Doc(id, text, "en", "src", text.length)
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    val t2 = "completely different content about distributed query engines and shuffles"
+    val t3 = "a third unique document mentioning sketches rollups and windows only"
+    val t4 = "fresh fourth text with columnar scans vectorized readers and pruning"
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val mem = MemoryStream[Doc]
+    val q = IncrementalDedup.start(spark, mem.toDF(),
+      s"$dir/admitted", s"$dir/index", s"$dir/ckpt")
+    try {
+      mem.addData(doc(1, t1), doc(2, t2), doc(3, t3))
+      q.processAllAvailable()
+      mem.addData(
+        doc(10, t1),            // exact dup of history → rejected
+        doc(11, t1 + " extra"), // near dup of history (J≈0.89) → rejected
+        doc(12, t4),            // fresh → admitted
+        doc(13, t4))            // within-batch exact dup → min id survives
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(1L, 2L, 3L, 12L))
+    // the index holds bands for every admitted doc — and only those
+    val indexed = spark.read.parquet(s"$dir/index")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(indexed === admitted)
+  }
+
   private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(t => (t._1, (t._2, t._3))).toMap
   }
