@@ -91,15 +91,15 @@ object OlapQueries {
   def pivotUserTypes(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val types = Seq("click", "view", "purchase", "signup", "error")
-    val counts = ev.groupBy(col("user_id"))
-      .pivot("event_type", types)
-      .agg(count(lit(1)))
-    val totals = ev.groupBy(col("user_id"))
-      .agg(sum(col("value_cents")).as("total_cents"))
-    counts.join(totals, Seq("user_id"))
-      .select(col("user_id") +:
-        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")) :+
-        col("total_cents"): _*)
+    // conditional aggregation, not Dataset.pivot: the builtin plans
+    // TWO aggregations (pre-agg on (key, pivot) then PivotFirst on
+    // key) = two shuffles of the fact table. Known pivot values make
+    // the one-shuffle form available — sum-of-indicators per type,
+    // total revenue in the same pass, partial aggregation intact.
+    val perType = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    ev.groupBy(col("user_id"))
+      .agg(perType.head, perType.tail :+ sum(col("value_cents")).as("total_cents"): _*)
   }
 
   /** CUBE grouping sets over (event_type, hour_of_day): all four
@@ -143,8 +143,14 @@ object OlapQueries {
         (col("tu") - lag(col("tu"), 1).over(w)).as("gap_us"),
         first(col("event_type")).over(full).as("first_type"),
         last(col("event_type")).over(full).as("last_type"))
-      .groupBy(col("user_id"), col("first_type"), col("last_type"))
-      .agg(count(lit(1)).as("n_events"), max(col("gap_us")).as("max_gap_us"))
+      // group on user_id ONLY (first/last are constant per user —
+      // min() just picks that constant): the aggregation then reuses
+      // the window's hashpartitioning(user_id) with no second shuffle.
+      .groupBy(col("user_id"))
+      .agg(min(col("first_type")).as("first_type"),
+        min(col("last_type")).as("last_type"),
+        count(lit(1)).as("n_events"), max(col("gap_us")).as("max_gap_us"))
+      .select("user_id", "first_type", "last_type", "n_events", "max_gap_us")
   }
 
   /** ntile decile bucketing of users by total revenue (deterministic

@@ -89,15 +89,54 @@ object SqlQueries {
       ORDER BY hour_of_day""")
   }
 
+  /** Sessionization straight from SQL — `session_window` is a plain
+    * SQL grouping expression in Spark, so the temporal operator is
+    * reachable from the reference's SQL-first workflow too (same
+    * semantics and oracle as TemporalQueries.sessionize).
+    */
+  def sessionizeSql(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql("""
+      SELECT user_id,
+        unix_millis(session_window.start) AS session_start_ms,
+        unix_millis(session_window.end) AS session_end_ms,
+        COUNT(*) AS n_events,
+        SUM(value_cents) AS sum_value_cents
+      FROM orders_raw
+      GROUP BY session_window(ts, '30 minutes'), user_id""")
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_sql_topk_raw" -> (topkRaw _),
     "q_sql_topk_rollup" -> (topkRollup _),
     "q_sql_revenue_by_hour" -> (revenueByHour _),
+    "q_sql_sessionize" -> (sessionizeSql _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // identical surface/semantics to q_sessionize (strictly-greater
+    // gap starts a session; end = last ts + gap at µs grain).
+    "q_sql_sessionize" ->
+      s"""WITH m AS (
+         |  SELECT user_id, epoch_us(ts) AS tu, $cents AS c,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+         |s AS (
+         |  SELECT user_id, tu, c,
+         |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tu
+         |                  ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m)
+         |SELECT user_id,
+         |  CAST(min(tu) // 1000 AS BIGINT) AS session_start_ms,
+         |  CAST(max(tu) // 1000 + 1800000 AS BIGINT) AS session_end_ms,
+         |  count(*) AS n_events,
+         |  CAST(SUM(c) AS BIGINT) AS sum_value_cents
+         |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_sql_topk_rollup" ->
       s"""WITH w AS (SELECT event_type, user_id, $cents AS vc,
          |    epoch_ms(date_trunc('minute', ts)) AS wsm FROM events),

@@ -79,6 +79,20 @@ class OlapSpec extends SparkSuite {
     def toMap2: Map[A, (B, C)] = rows.map(t => (t._1, (t._2, t._3))).toMap
   }
 
+  test("pivot and user-gaps plan exactly one shuffle (no totals join, exchange reuse)") {
+    def finalShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    }
+    val pivot = OlapQueries.pivotUserTypes(spark, sfDir)
+    assert(finalShuffles(pivot) === 1)
+    assert(!pivot.queryExecution.executedPlan.toString.contains("Join"))
+    // window on user_id then groupBy(user_id): the agg reuses the
+    // window's partitioning instead of shuffling again
+    assert(finalShuffles(OlapQueries.userGaps(spark, sfDir)) === 1)
+  }
+
   test("sketch estimates sit inside the est_ok envelope") {
     val pe = OlapQueries.percentileEst(spark, sfDir)
     assert(pe.filter($"p50_ok" =!= 1 || $"p95_ok" =!= 1).isEmpty)
