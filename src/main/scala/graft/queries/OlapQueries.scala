@@ -166,7 +166,19 @@ object OlapQueries {
       Seq(col("total_cents").desc, col("user_id").asc), n = 10, out = "decile")
   }
 
+  /** Frequent-items sketch over event_type: k=8 counters > 5 distinct
+    * values, so the Misra-Gries sketch is provably EXACT here and
+    * hash-checks against a plain GROUP BY; the approximate regime
+    * (distinct > k) is bound-tested in FreqSketchSpec.
+    */
+  def freqEventTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(graft.functions.FreqSketch.freq_items(col("event_type"), 8).as("fi"))
+      .select(explode(col("fi")).as("x"))
+      .select(col("x.item").as("event_type"), col("x.est").as("est_count"))
+
   val queries: Map[String, QFn] = Map(
+    "q_freq_event_types" -> (freqEventTypes _),
     "q_percentile_est" -> (percentileEst _),
     "q_distinct_intersect_hll" -> (distinctIntersectHll _),
     "q_moving_revenue" -> (movingRevenue _),
@@ -180,6 +192,8 @@ object OlapQueries {
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_freq_event_types" ->
+      """SELECT event_type, count(*) AS est_count FROM events GROUP BY 1""",
     "q_percentile_est" ->
       s"""SELECT event_type,
          |  quantile_cont($cents, 0.5) AS p50_exact,

@@ -62,6 +62,48 @@ class TemporalSampleSpec extends SparkSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("asOf and rangeJoin match brute force on random inputs with ts ties") {
+    import org.scalacheck.{Gen, Prop, Test => PropTest}
+    // µs timestamps drawn from a tiny range so ties and exact
+    // boundary collisions actually occur
+    val genRows: Gen[(List[(String, Long, Long)], List[(String, Long, Long)], Long)] = for {
+      nl <- Gen.choose(1, 12); nr <- Gen.choose(0, 12)
+      keys = List("a", "b")
+      l <- Gen.listOfN(nl, for { k <- Gen.oneOf(keys); t <- Gen.choose(0L, 20L) } yield (k, t))
+      r <- Gen.listOfN(nr, for { k <- Gen.oneOf(keys); t <- Gen.choose(0L, 20L) } yield (k, t))
+      hi <- Gen.choose(1L, 8L)
+    } yield (
+      l.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+      r.zipWithIndex.map { case ((k, t), i) => (k, t, 100L + i) },
+      hi)
+    val prop = Prop.forAll(genRows) { case (lRows, rRows, hi) =>
+      val left = lRows.toDF("k", "tu", "lid")
+        .select($"k", timestamp_micros($"tu").as("ts"), $"lid")
+      val right = rRows.toDF("k", "tu", "rid")
+        .select($"k", timestamp_micros($"tu").as("ts"), $"rid".as("lid"), $"rid")
+      // asOf: latest right with ts <= left.ts, max (ts, id) wins ties
+      val gotAsof = AsOfJoin.asOf(left, right, Seq("k"), "ts", "lid", Seq("rid"))
+        .select($"lid", $"asof_rid").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val wantAsof = lRows.map { case (k, t, lid) =>
+        lid -> rRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      }.toMap
+      // rangeJoin: pairs with right.ts in [left.ts, left.ts + hi]
+      val gotRange = AsOfJoin.rangeJoin(
+          left, right.select($"k", $"ts".as("rts"), $"rid"),
+          Seq("k"), "ts", "rts", 0L, hi)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val wantRange = (for {
+        (k, t, lid) <- lRows
+        (rk, rt, rid) <- rRows if rk == k && rt >= t && rt <= t + hi
+      } yield (lid, rid)).toSet
+      gotAsof == wantAsof && gotRange == wantRange
+    }
+    val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---------- range join ----------
 
   test("rangeJoin boundary µs: [lo, hi] closed on both ends") {
