@@ -172,7 +172,32 @@ object DocQueries {
         .select(col("doc_id"), Text.estBpeTokens(col("n_chars")).as("est_tokens")),
       "doc_id", "est_tokens", budget = 4096L)
 
+  /** Context-window chunking with overlap: each doc becomes chunks of
+    * up to 50 tokens at stride 40 (10-token overlap) — the
+    * sliding-window prep for sequence models. Pure array expressions
+    * (sequence → posexplode → slice), one narrow pass, rows fan out
+    * executor-side only.
+    */
+  def docChunk(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val chunkLen = 50
+    val stride = 40
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        // integer DIV — Spark's `/` on longs is double division
+        posexplode(sequence(lit(0L), expr(s"(n - 1) DIV $stride"))).as(Seq("chunk_idx", "_s")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("start_tok"),
+        least(lit(chunkLen.toLong), col("n") - col("chunk_idx") * stride).as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkLen)), " ")
+          .as("chunk_text"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_doc_chunk" -> (docChunk _),
     "q_doc_split" -> (docSplit _),
     "q_doc_repetition" -> (docRepetition _),
     "q_doc_contamination" -> (docContamination _),
@@ -210,6 +235,14 @@ object DocQueries {
        |  AND $limitExpr""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_doc_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks, len($toks) AS n FROM documents)
+         |SELECT doc_id,
+         |  CAST(i AS BIGINT) AS chunk_idx,
+         |  CAST(i * 40 AS BIGINT) AS start_tok,
+         |  CAST(least(50, n - i * 40) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(toks[i*40 + 1 : i*40 + 50], ' ') AS chunk_text
+         |FROM t, unnest(range(0, (n - 1) // 40 + 1)) AS u(i)""".stripMargin,
     "q_doc_split" ->
       """SELECT doc_id,
         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,

@@ -40,13 +40,32 @@ object MediaQueries {
       Media.resizeImages(spark,
         Media.mediaFromEvents(Tables.events(spark, dir))).toDF()).toDF()
 
+  /** Content-hash dedup of binary payloads: identical bytes collapse
+    * to one canonical media id — the image/audio dedup step of a
+    * multimodal ingest (hash computed executor-side on the binary
+    * column; payload bytes never shuffle, only the 128-bit hash does).
+    */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    Media.mediaFromEvents(Tables.events(spark, dir))
+      .groupBy(md5(col("bytes")).as("content_hash"))
+      .agg(min(col("media_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+
   val queries: Map[String, QFn] = Map(
+    "q_media_dedup" -> (mediaDedup _),
     "q_media_features" -> (mediaFeatures _),
     "q_media_frame_stats" -> (frameStats _),
     "q_media_resize" -> (resizeFeatures _),
   )
 
   val oracles: Map[String, String] = Map(
+    // payload = props' UTF-8 bytes, so DuckDB's md5 over the VARCHAR
+    // hashes the identical byte string.
+    "q_media_dedup" ->
+      """SELECT md5(props) AS content_hash,
+        |  CAST(min(event_id) AS BIGINT) AS canonical_id,
+        |  count(*) AS n_copies
+        |FROM events GROUP BY 1""".stripMargin,
     "q_media_features" ->
       """SELECT event_id AS media_id,
         |  CASE WHEN event_type IN ('click','view') THEN 'image'
