@@ -25,7 +25,7 @@ class EntrySpec extends SparkSuite {
       queries.MediaQueries.queries, queries.ServingQueries.queries,
       queries.ApiQueries.queries, queries.SqlQueries.queries,
       queries.TemporalQueries.queries, queries.SampleQueries.queries,
-      queries.OlapQueries.queries)
+      queries.OlapQueries.queries, queries.AnalyticsQueries.queries)
     assert(families.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across family maps")
   }
