@@ -196,7 +196,55 @@ object DocQueries {
           .as("chunk_text"))
   }
 
+  // Shared by the Spark program and the DuckDB oracle: Java regex and
+  // RE2 agree on this subset (char classes, {m,}, \b, \d).
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction: scrub emails and IPv4 addresses, reporting the
+    * redaction count per doc. The synthetic corpus carries no PII, so
+    * the query first plants deterministic doc_id-derived PII — the
+    * redaction path is therefore exercised on every row (and
+    * hash-checked end-to-end, not just on empty matches). Pure
+    * codegen'd string expressions, one narrow pass, no shuffle.
+    */
+  def docPii(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val planted = d.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0.1 end")).as("text"))
+    planted.select(
+      col("doc_id"),
+      (size(regexp_extract_all(col("text"), lit(emailRe), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(ipv4Re), lit(0))))
+        .cast("long").as("n_pii"),
+      regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>").as("redacted"))
+  }
+
+  /** Corpus vocabulary: global top-100 tokens by occurrence count with
+    * document frequency — the token-census step before building a
+    * tokenizer/vocab. explode → one hash shuffle with map-side combine
+    * (token cardinality, not corpus size, bounds the exchange);
+    * doc_freq's distinct expands to (token, doc) pairs which partial
+    * aggregation dedups map-side; the top-100 is TakeOrderedAndProject
+    * (per-partition heaps, no global sort).
+    */
+  def docVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(100)
+
   val queries: Map[String, QFn] = Map(
+    "q_doc_pii" -> (docPii _),
+    "q_doc_vocab" -> (docVocab _),
     "q_doc_chunk" -> (docChunk _),
     "q_doc_split" -> (docSplit _),
     "q_doc_repetition" -> (docRepetition _),
@@ -235,6 +283,28 @@ object DocQueries {
        |  AND $limitExpr""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_doc_pii" -> {
+      // identical regexes; DuckDB (RE2) needs the 'g' flag for
+      // replace-all, which is Java's default
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com from 10.'
+         |         || (doc_id % 200) || '.0.1 end' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$emailRe'))
+         |     + len(regexp_extract_all(text, '$ipv4Re')) AS BIGINT) AS n_pii,
+         |  regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+         |                 '$ipv4Re', '<IP>', 'g') AS redacted
+         |FROM planted""".stripMargin
+    },
+    "q_doc_vocab" ->
+      s"""SELECT token, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS doc_freq
+         |FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
+         |WHERE len(token) > 0
+         |GROUP BY 1
+         |ORDER BY n_occurrences DESC, token ASC LIMIT 100""".stripMargin,
     "q_doc_chunk" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks, len($toks) AS n FROM documents)
          |SELECT doc_id,
