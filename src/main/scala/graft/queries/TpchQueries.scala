@@ -121,7 +121,27 @@ object TpchQueries {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  /** Bloom-pruned semi join ([[graft.ops.BloomJoin]]): revenue of
+    * lineitems belonging to high-value orders. The build side
+    * (orders > $450k) sketches into a bloom that prunes the lineitem
+    * scan BEFORE the semi-join exchange; the exact semi join removes
+    * the sketch's false positives, so the result hash-checks against
+    * a plain IN-subquery oracle.
+    */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val highValue = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 450000)
+    graft.ops.BloomJoin
+      .semiJoin(li, highValue, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L, fpp = 0.01)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_tpch_bloom_semi" -> (bloomSemiJoin _),
     "q_tpch_no_urgent" -> (noUrgentCustomers _),
     "q_tpch_pricing" -> (pricingSummary _),
     "q_tpch_top_customers" -> (topCustomers _),
@@ -132,6 +152,12 @@ object TpchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+        |GROUP BY 1""".stripMargin,
     "q_tpch_no_urgent" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
