@@ -80,4 +80,36 @@ class PlanSpec extends SparkSuite {
     assert(shuffles <= 2,
       s"rollup should shuffle at most twice (agg + exact-distinct expand), got $shuffles\n" + p)
   }
+
+  test("funnel: the per-user reduction is the only fact-sized shuffle") {
+    val p = planOf(graft.queries.AnalyticsQueries.funnel(spark, sfDir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("partial_min") || finalPlan.contains("Partial"), p)
+    // one user_id exchange over the fact; everything after operates on
+    // the <=5-row stage table (tiny exchanges are fine, nested loops
+    // against the per-user frame are not)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(finalPlan).size === 1, p)
+    assert(!finalPlan.contains("CartesianProduct"), p)
+  }
+
+  test("vocab: explode aggregates map-side and tops out without a global sort") {
+    val p = planOf(graft.queries.DocQueries.docVocab(spark, sfDir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("TakeOrderedAndProject"), p)
+    assert(finalPlan.contains("partial_count") || finalPlan.contains("Partial"), p)
+  }
+
+  test("bloom semi join: the probe filters the fact BELOW the join") {
+    val p = planOf(TpchQueries.queries("q_tpch_bloom_semi")(spark, sfDir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    val probe = "bloommightcontainlong"
+    assert(finalPlan.toLowerCase.contains(probe),
+      "probe expression missing from the physical plan\n" + p)
+    // probe must sit on the scan side, i.e. appear AFTER (deeper than)
+    // the semi-join node in the plan text
+    val joinIdx = finalPlan.indexOf("LeftSemi")
+    val probeIdx = finalPlan.toLowerCase.indexOf(probe)
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"probe not below the semi join (join@$joinIdx, probe@$probeIdx)\n" + p)
+  }
 }
