@@ -177,7 +177,33 @@ object OlapQueries {
       .select(explode(col("fi")).as("x"))
       .select(col("x.item").as("event_type"), col("x.est").as("est_count"))
 
+  /** Hourly OHLC bars per event_type — open/high/low/close of the
+    * value stream, the time-series rollup shape (first/last by time
+    * plus extremes). open/close use the struct-argmin trick: `min`
+    * over `struct(tu, event_id, cents)` orders lexicographically, so
+    * one hash aggregation (single shuffle, map-side partials) replaces
+    * two full window passes; (tu, event_id) makes ties deterministic.
+    */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      unix_millis(date_trunc("HOUR", col("ts"))).as("hour_start_ms"),
+      col("event_type"),
+      unix_micros(col("ts")).as("tu"),
+      col("event_id"),
+      col("value_cents"))
+    ev.groupBy(col("hour_start_ms"), col("event_type"))
+      .agg(
+        min(struct(col("tu"), col("event_id"), col("value_cents")))
+          .getField("value_cents").as("open_cents"),
+        max(struct(col("tu"), col("event_id"), col("value_cents")))
+          .getField("value_cents").as("close_cents"),
+        max(col("value_cents")).as("high_cents"),
+        min(col("value_cents")).as("low_cents"),
+        count(lit(1)).as("n_events"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_ohlc_hourly" -> (ohlcBars _),
     "q_freq_event_types" -> (freqEventTypes _),
     "q_percentile_est" -> (percentileEst _),
     "q_distinct_intersect_hll" -> (distinctIntersectHll _),
@@ -192,6 +218,25 @@ object OlapQueries {
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_ohlc_hourly" ->
+      s"""WITH t AS (
+         |  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
+         |    epoch_us(ts) AS tu, event_id, $cents AS value_cents
+         |  FROM events),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY hour_start_ms, event_type
+         |                       ORDER BY tu, event_id) AS ra,
+         |    row_number() OVER (PARTITION BY hour_start_ms, event_type
+         |                       ORDER BY tu DESC, event_id DESC) AS rd
+         |  FROM t)
+         |SELECT hour_start_ms, event_type,
+         |  max(CASE WHEN ra = 1 THEN value_cents END) AS open_cents,
+         |  max(CASE WHEN rd = 1 THEN value_cents END) AS close_cents,
+         |  max(value_cents) AS high_cents,
+         |  min(value_cents) AS low_cents,
+         |  count(*) AS n_events
+         |FROM r GROUP BY 1, 2""".stripMargin,
     "q_freq_event_types" ->
       """SELECT event_type, count(*) AS est_count FROM events GROUP BY 1""",
     "q_percentile_est" ->
