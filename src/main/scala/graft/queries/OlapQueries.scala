@@ -202,7 +202,32 @@ object OlapQueries {
         count(lit(1)).as("n_events"))
   }
 
+  /** Per-type z-score outlier flags in EXACT integer arithmetic:
+    * z² > k² rewrites to `(n·x − S)² · 4 > k²·4 · (n·SS − S²)` over
+    * integer cents (k = 1.5 → k²·4 = 9), so the flag is
+    * bit-deterministic across engines — no floating-point mean/stddev
+    * on the wire. Stats per type are a 5-row aggregate broadcast back
+    * onto the fact: one fact shuffle total, no window pass.
+    * BIGINT headroom: |n·SS| ≤ n²·max(x)² needs n·max(x) < 3e9·√n —
+    * holds through ~1e8 rows/type at 10⁵ cents; beyond that, cast the
+    * two sum columns to DECIMAL(38,0).
+    */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value_cents"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value_cents")).as("s"),
+      sum(col("value_cents") * col("value_cents")).as("ss"))
+    val dev = col("n") * col("value_cents") - col("s")
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value_cents"),
+        when(dev * dev * lit(4L) > lit(9L) * (col("n") * col("ss") - col("s") * col("s")),
+          1L).otherwise(0L).as("is_outlier"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_value_outliers" -> (valueOutliers _),
     "q_ohlc_hourly" -> (ohlcBars _),
     "q_freq_event_types" -> (freqEventTypes _),
     "q_percentile_est" -> (percentileEst _),
@@ -218,6 +243,16 @@ object OlapQueries {
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_value_outliers" ->
+      s"""WITH st AS (
+         |  SELECT event_type, count(*) AS n, SUM($cents) AS s,
+         |    SUM($cents * $cents) AS ss
+         |  FROM events GROUP BY 1)
+         |SELECT event_id, e.event_type, $cents AS value_cents,
+         |  CASE WHEN 4 * (n * $cents - s) * (n * $cents - s)
+         |            > 9 * (n * ss - s * s)
+         |       THEN 1 ELSE 0 END::BIGINT AS is_outlier
+         |FROM events e JOIN st USING (event_type)""".stripMargin,
     "q_ohlc_hourly" ->
       s"""WITH t AS (
          |  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
