@@ -49,9 +49,18 @@ object ServingQueries {
       .limit(10)
   }
 
+  /** Grain-routed daily aggregate ([[graft.serving.Router]]): the day
+    * grain divides the hour, so this reads the materialized hourly agg
+    * table (~1/3600 of the raw rows) and re-aggregates — hash-checked
+    * against the raw-events oracle, proving the route lossless.
+    */
+  def routedDaily(spark: SparkSession, dir: String): DataFrame =
+    graft.serving.Router.aggregateByType(spark, dir, grainMs = 24L * hourMs)
+
   val queries: Map[String, QFn] = Map(
     "q_topk_lookup_served" -> (topKLookupServed _),
     "q_topk_lookup_revenue" -> (topKLookupRevenue _),
+    "q_routed_daily" -> (routedDaily _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
@@ -60,6 +69,11 @@ object ServingQueries {
     * so the materialized path is checked end-to-end (build + read).
     */
   val oracles: Map[String, String] = Map(
+    "q_routed_daily" ->
+      s"""SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS total_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_topk_lookup_served" ->
       s"""SELECT window_start_ms, CAST(rnk AS BIGINT) AS rank, user_id, order_count, total_cents FROM (
          |  SELECT window_start_ms, user_id, order_count, total_cents,

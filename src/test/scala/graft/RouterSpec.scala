@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.serving.Router
+
+/** Grain-aware routing: the right source is picked per grain, routed
+  * results are bit-equal to raw recomputation, and the hourly route's
+  * plan reads ONLY the materialized serving table — never the raw
+  * fact.
+  */
+class RouterSpec extends SparkSuite {
+
+  private val hourMs = graft.serving.Serving.hourMs
+
+  test("route selection: coarsest divisible grain wins") {
+    assert(Router.route(24 * hourMs) === Router.HourlyServing)
+    assert(Router.route(hourMs) === Router.HourlyServing)
+    assert(Router.route(5 * 60 * 1000L) === Router.Rollup1m)
+    assert(Router.route(90 * 1000L) === Router.Raw) // 90 s: minute doesn't divide
+    assert(Router.route(1234L) === Router.Raw)
+  }
+
+  test("routed results ≡ raw recomputation at every grain") {
+    def direct(grainMs: Long) = Tables.events(spark, sfDir)
+      .groupBy((unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(grainMs)))
+          .as("window_start_ms"), col("event_type"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("total_cents"))
+    for (grain <- Seq(24 * hourMs, hourMs, 5 * 60 * 1000L, 90 * 1000L)) {
+      val routed = Router.aggregateByType(spark, sfDir, grain)
+        .collect().map(_.toSeq).toSet
+      val raw = direct(grain).collect().map(_.toSeq).toSet
+      assert(routed === raw, s"grain $grain")
+      assert(raw.nonEmpty)
+    }
+  }
+
+  test("the hourly route scans the serving table, not the raw fact") {
+    val df = Router.aggregateByType(spark, sfDir, 24 * hourMs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("agg_keyed_by_window"), plan)
+    assert(!plan.contains("events.parquet"),
+      "daily aggregate must not touch the raw fact\n" + plan)
+  }
+}
