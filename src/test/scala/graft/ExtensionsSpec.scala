@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.VecExprs
+
+/** The SparkSessionExtensions pathway: the optimizer rule rewrites
+  * HOF dot products to the codegen'd kernel (same results), and the
+  * injected SQL function resolves for pure-SQL clients.
+  */
+class ExtensionsSpec extends SparkSuite {
+
+  /** A second session on the shared context, WITH extensions. */
+  private lazy val ext: SparkSession = {
+    val shared = spark // force the shared session FIRST, or its lazy
+    // init would getOrCreate and alias to the extended one
+    assert(shared ne null)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    // restore the shared session as default so later suites are
+    // unaffected by this one
+    SparkSession.setDefaultSession(spark)
+    SparkSession.setActiveSession(spark)
+    s
+  }
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  test("optimizer rule rewrites the HOF pattern to VecDot") {
+    import ext.implicits._
+    // repartition keeps the local relation from being constant-folded
+    // away before the plan can be inspected
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -1.5), Array(2.0, 4.0))
+    ).toDF("a", "b").repartition(1).select(hofDot($"a", $"b").as("d"))
+    assert(df.queryExecution.optimizedPlan.toString.toLowerCase.contains("vecdot"),
+      df.queryExecution.optimizedPlan.toString)
+    assert(df.collect().map(_.getDouble(0)).toSeq === Seq(32.0, -5.0))
+  }
+
+  test("rewrite preserves results vs the un-extended session, incl. float arrays") {
+    import ext.implicits._
+    val rows = Seq(
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(9.0f, 8.0f, 7.0f)))
+    val extRes = rows.toDF("a", "b")
+      .select(hofDot($"a", $"b").as("d")).collect().map(_.getDouble(0)).toSeq
+    val plain = {
+      import spark.implicits._
+      rows.toDF("a", "b")
+        .select(hofDot($"a", $"b").as("d")).collect().map(_.getDouble(0)).toSeq
+    }
+    val kernel = {
+      import spark.implicits._
+      rows.toDF("a", "b")
+        .select(VecExprs.vec_dot($"a", $"b").as("d")).collect().map(_.getDouble(0)).toSeq
+    }
+    assert(extRes === plain)
+    assert(extRes === kernel)
+  }
+
+  test("mixed-type HOF is left untouched") {
+    import ext.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0)))
+      .toDF("a", "b").select(hofDot($"a", $"b").as("d"))
+    assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("vecdot"))
+    assert(df.collect().head.getDouble(0) === 11.0)
+  }
+
+  test("injected SQL function vec_dot resolves for pure-SQL clients") {
+    val r = ext.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r === 32.0)
+    // the un-extended session must NOT have it (proves injection, not
+    // a global registry side effect)
+    val err = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0d), array(1.0d))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("vec_dot"))
+  }
+}
