@@ -79,9 +79,67 @@ object AnalyticsQueries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** CEP-style consecutive-pattern detection (the Flink-CEP shape the
+    * reference's stack is known for, expressed with window
+    * navigation): users with ≥2 'error' events inside any 24-hour
+    * span. `lag(ts, k-1)` over the per-user error stream turns "k in
+    * a span" into a per-row predicate — one shuffle on user_id, state
+    * bounded by the lag depth, not the span.
+    */
+  def errorBursts(spark: SparkSession, dir: String): DataFrame = {
+    val errs = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    errs
+      .withColumn("t2", lag(col("tu"), 1).over(w))
+      .filter(col("t2").isNotNull && col("tu") - col("t2") <= 86400L * 1000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_bursts"), min(col("tu")).as("first_burst_us"))
+  }
+
+  /** Sliding-window active users: distinct users per 1-hour window
+    * sliding every 15 minutes. Spark's slide semantics assign each
+    * event to its 4 enclosing epoch-aligned windows (a bounded ×4
+    * expand BEFORE the shuffle — never a windows×events join).
+    */
+  def slidingActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"), col("n_users"))
+
+  /** One-pass column profiler over events — per-column row/null/
+    * distinct counts and min/max (as strings, so one schema fits all
+    * columns): the data-quality report a pipeline runs before
+    * training. ONE scan computes all metrics (a 20-expression
+    * aggregate), then a 4-row unpivot; never one scan per column.
+    */
+  def profileEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value_cents"))
+    val cols = Seq("event_id", "user_id", "event_type", "value_cents")
+    val agg = ev.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c).cast("string")).as(s"${c}_min"),
+        max(col(c).cast("string")).as(s"${c}_max"))): _*)
+    agg.select(
+      expr(s"stack(${cols.size}, " + cols.map(c =>
+        s"'$c', n_rows, ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+        .mkString(", ") +
+        ") AS (column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_funnel" -> (funnel _),
     "q_cohort_retention" -> (cohortRetention _),
+    "q_error_bursts" -> (errorBursts _),
+    "q_sliding_active_users" -> (slidingActiveUsers _),
+    "q_profile_events" -> (profileEvents _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -112,5 +170,37 @@ object AnalyticsQueries {
         |SELECT cohort_day, day - cohort_day AS day_offset,
         |  count(DISTINCT user_id) AS n_users
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q_error_bursts" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tu, event_id
+        |  FROM events WHERE event_type = 'error'),
+        |l AS (
+        |  SELECT user_id, tu,
+        |    lag(tu, 1) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS t2
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_bursts, min(tu) AS first_burst_us
+        |FROM l WHERE t2 IS NOT NULL AND tu - t2 <= 86400000000
+        |GROUP BY 1""".stripMargin,
+    // each event belongs to exactly 4 epoch-aligned (1h, 15min-slide)
+    // windows — enumerate them per event instead of generating a
+    // window series
+    "q_sliding_active_users" ->
+      """SELECT ((epoch_us(ts) // 900000000) - k) * 900000 AS window_start_ms,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events CROSS JOIN range(0, 4) AS r(k)
+        |GROUP BY 1""".stripMargin,
+    "q_profile_events" -> {
+      val cents = "CAST(round(value*100) AS BIGINT)"
+      def leg(name: String, e: String) =
+        s"""SELECT '$name' AS column_name, count(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $e IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $e) AS n_distinct,
+           |  min(CAST($e AS VARCHAR)) AS min_val,
+           |  max(CAST($e AS VARCHAR)) AS max_val
+           |FROM events""".stripMargin
+      Seq(leg("event_id", "event_id"), leg("user_id", "user_id"),
+        leg("event_type", "event_type"), leg("value_cents", cents))
+        .mkString("\nUNION ALL\n")
+    },
   )
 }
