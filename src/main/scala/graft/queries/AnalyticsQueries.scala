@@ -40,8 +40,11 @@ object AnalyticsQueries {
     * precision for this source (Tables.events floors the parquet's
     * nanos to micros).
     */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(spark, Tables.events(spark, dir))
+
+  /** Core funnel over any frame with (user_id, event_type, ts). */
+  def funnelOf(spark: SparkSession, ev: DataFrame): DataFrame = {
     def firstUs(tpe: String) =
       min(when(col("event_type") === tpe, unix_micros(col("ts")))).as(s"t_$tpe")
     val perUser = ev.groupBy(col("user_id"))
@@ -86,8 +89,14 @@ object AnalyticsQueries {
     * a span" into a per-row predicate — one shuffle on user_id, state
     * bounded by the lag depth, not the span.
     */
-  def errorBursts(spark: SparkSession, dir: String): DataFrame = {
-    val errs = Tables.events(spark, dir)
+  def errorBursts(spark: SparkSession, dir: String): DataFrame =
+    errorBurstsOf(Tables.events(spark, dir))
+
+  /** Core burst detector over any frame with
+    * (user_id, event_type, ts, event_id).
+    */
+  def errorBurstsOf(ev: DataFrame): DataFrame = {
+    val errs = ev
       .filter(col("event_type") === "error")
       .select(col("user_id"), unix_micros(col("ts")).as("tu"), col("event_id"))
     val w = org.apache.spark.sql.expressions.Window

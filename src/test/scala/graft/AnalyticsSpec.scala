@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.queries.AnalyticsQueries
+
+/** Semantics of the behavioral-analytics ops on controlled synthetic
+  * users — the edge cases the corpus oracle can't isolate: out-of-order
+  * funnel steps, missing stages, burst boundaries exactly at the span.
+  */
+class AnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(minute * 60L * 1000L)
+
+  test("funnel: out-of-order and missing steps stage correctly") {
+    // A: full ordered funnel → stage 4
+    // B: view BEFORE signup → stops at stage 1 (signup exists,
+    //    but first view precedes first signup)
+    // C: no signup at all → stage 0
+    // D: signup → view, nothing later → stage 2
+    val ev = Seq(
+      (1L, "signup", ts(0)), (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      (2L, "view", ts(0)), (2L, "signup", ts(1)), (2L, "click", ts(2)),
+      (3L, "view", ts(0)), (3L, "purchase", ts(1)),
+      (4L, "signup", ts(0)), (4L, "view", ts(5))
+    ).toDF("user_id", "event_type", "ts")
+    val stages = AnalyticsQueries.funnelOf(spark, ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stages === Map(0L -> 4L, 1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("funnel: equal first-touch timestamps do NOT advance (strict order)") {
+    val ev = Seq(
+      (1L, "signup", ts(1)), (1L, "view", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val stages = AnalyticsQueries.funnelOf(spark, ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stages(1L) === 1L) // signup counted; simultaneous view doesn't
+  }
+
+  test("bursts: boundary at exactly the 24h span is included, beyond is not") {
+    val h = 60 // minutes per hour
+    val ev = Seq(
+      // user 1: errors 24h apart exactly → one qualifying pair
+      (1L, "error", ts(0), 10L), (1L, "error", ts(24 * h), 11L),
+      // user 2: errors 24h + 1min apart → no burst
+      (2L, "error", ts(0), 20L), (2L, "error", ts(24 * h + 1), 21L),
+      // user 3: three errors inside a day → two qualifying rows
+      (3L, "error", ts(0), 30L), (3L, "error", ts(10), 31L), (3L, "error", ts(20), 32L),
+      // non-error events never count
+      (2L, "click", ts(5), 22L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val res = AnalyticsQueries.errorBurstsOf(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res === Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("sliding windows: each event lands in exactly size/slide windows") {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .count().agg(sum("count")).head().getLong(0)
+    val n = Tables.events(spark, sfDir).count()
+    assert(counts === 4 * n)
+  }
+}
