@@ -57,10 +57,19 @@ object ServingQueries {
   def routedDaily(spark: SparkSession, dir: String): DataFrame =
     graft.serving.Router.aggregateByType(spark, dir, grainMs = 24L * hourMs)
 
+  /** Hybrid offline+realtime serving ([[graft.serving.Router
+    * .hybridHourlyByType]]): complete hours from the rollup, the
+    * in-flight hour from raw; hash-equality with the pure-raw oracle
+    * proves the seam neither double-counts nor gaps.
+    */
+  def hybridHourly(spark: SparkSession, dir: String): DataFrame =
+    graft.serving.Router.hybridHourlyByType(spark, dir)
+
   val queries: Map[String, QFn] = Map(
     "q_topk_lookup_served" -> (topKLookupServed _),
     "q_topk_lookup_revenue" -> (topKLookupRevenue _),
     "q_routed_daily" -> (routedDaily _),
+    "q_hybrid_hourly" -> (hybridHourly _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
@@ -71,6 +80,11 @@ object ServingQueries {
   val oracles: Map[String, String] = Map(
     "q_routed_daily" ->
       s"""SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS total_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_hybrid_hourly" ->
+      s"""SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
          |  count(*) AS order_count,
          |  CAST(SUM($cents) AS BIGINT) AS total_cents
          |FROM events GROUP BY 1, 2""".stripMargin,

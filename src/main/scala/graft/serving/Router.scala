@@ -62,4 +62,33 @@ object Router {
             sum(col("value_cents")).as("total_cents"))
     }
   }
+
+  /** Hybrid (lambda) serving — Pinot's offline+realtime hybrid-table
+    * shape: hourly aggregates answered from the materialized rollup
+    * for every COMPLETE hour, and from the raw tail for the current
+    * (possibly incomplete) hour, unioned at a single cut timestamp.
+    * The cut is the half-open seam `[cut, ∞) ← raw, (-∞, cut) ←
+    * rollup`; the gate hash-checks the union against a pure-raw
+    * oracle, which is exactly the double-count/gap test at the seam.
+    *
+    * 100 TB: the history side reads the rollup (~1/3600 of raw); the
+    * tail side's raw scan is bounded by one hour of ingest regardless
+    * of table age.
+    */
+  def hybridHourlyByType(spark: SparkSession, dataDir: String): DataFrame = {
+    val cutMs = Serving.anchorMs(spark, dataDir) / Serving.hourMs * Serving.hourMs
+    val root = Serving.materialize(spark, dataDir)
+    val hist = spark.read.parquet(s"$root/agg_keyed_by_window")
+      .filter(col("window_start_ms") < cutMs)
+      .groupBy(col("window_start_ms"), col("event_type"))
+      .agg(sum(col("order_count")).as("order_count"),
+        sum(col("total_cents")).as("total_cents"))
+    val tail = Tables.events(spark, dataDir)
+      .filter(unix_millis(col("ts")) >= cutMs)
+      .groupBy((unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(Serving.hourMs)))
+          .as("window_start_ms"), col("event_type"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("total_cents"))
+    hist.unionByName(tail)
+  }
 }

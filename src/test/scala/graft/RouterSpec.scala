@@ -35,6 +35,17 @@ class RouterSpec extends SparkSuite {
     }
   }
 
+  test("hybrid serving: rollup history + raw tail, pushed time filter on the tail") {
+    val df = graft.serving.Router.hybridHourlyByType(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("agg_keyed_by_window"), plan)
+    assert(plan.contains("events.parquet"), plan)
+    // the raw leg must scan only the tail: its ts predicate reaches
+    // the scan (unix_millis(ts) >= cut compiles to a ts comparison)
+    assert(plan.contains("PushedFilters: [IsNotNull(ts"), plan)
+  }
+
   test("the hourly route scans the serving table, not the raw fact") {
     val df = Router.aggregateByType(spark, sfDir, 24 * hourMs)
     df.collect()
