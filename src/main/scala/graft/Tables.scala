@@ -58,6 +58,21 @@ object Tables {
       .withColumn("value_cents", cents(col("value")))
   }
 
+  /** events with a time floor applied to the RAW nanosecond column
+    * BEFORE the µs derivation — a filter on the derived timestamp
+    * cannot push through the projection, but `raw_ns >= minTsMs·10⁶`
+    * is an attribute-vs-literal predicate the parquet scan prunes
+    * row groups with (exactly ⟺ derived µs ts ≥ minTsMs, since the
+    * boundary is a whole millisecond).
+    */
+  def eventsFrom(spark: SparkSession, dir: String, minTsMs: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .filter(col("ts") >= lit(minTsMs * 1000000L))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("value_cents", cents(col("value")))
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents")
 

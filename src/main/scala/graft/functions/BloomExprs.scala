@@ -55,6 +55,17 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
 
   override protected def withNewChildInternal(nc: Expression): BloomMightContainLong =
     copy(child = nc)
+
+  // case-class equality on Array[Byte] is reference identity, which
+  // would defeat semanticEquals / subexpression elimination for
+  // probes built from the same sketch — compare contents instead
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomMightContainLong =>
+      child == o.child && java.util.Arrays.equals(bloomBytes, o.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
 }
 
 object BloomExprs {

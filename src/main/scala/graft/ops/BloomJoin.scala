@@ -41,8 +41,11 @@ object BloomJoin {
   def semiJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val sketch = buildSketch(dim, dimKey, expectedItems, fpp)
+    // rename the dim key so factKey == dimKey (the common case for
+    // shared key names) doesn't hit an ambiguous-reference error
+    val dimKeys = dim.select(col(dimKey).as("__graft_bloom_key"))
     fact
       .filter(BloomExprs.might_contain_long(col(factKey), sketch))
-      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
+      .join(dimKeys, col(factKey) === col("__graft_bloom_key"), "left_semi")
   }
 }

@@ -26,12 +26,15 @@ import graft.functions.VecDot
   */
 object VecKernelRewrite extends Rule[LogicalPlan] {
 
-  /** The lambda variable `v`, possibly under casts (the canonical
-    * twin writes `x.cast("double")`; for double input the cast is
-    * already simplified away by the time the optimizer fixpoints).
+  /** The lambda variable `v`, possibly under WIDENING casts to double
+    * (the canonical twin writes `x.cast("double")`; for double input
+    * the cast is already simplified away by the time the optimizer
+    * fixpoints). Only double-target casts unwrap: a narrowing cast in
+    * the chain (e.g. a deliberate round-to-float) changes semantics
+    * and must block the rewrite.
     */
   private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
-    case c: Cast => isVar(c.child, v)
+    case c: Cast if c.dataType == DoubleType => isVar(c.child, v)
     case x: NamedLambdaVariable => x.exprId == v.exprId
     case _ => false
   }
@@ -51,14 +54,19 @@ object VecKernelRewrite extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case ArrayAggregate(
           ZipWith(a, b,
-            LambdaFunction(Multiply(mx, my, _),
+            LambdaFunction(mul @ Multiply(mx, my, _),
               Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
           Literal(0.0d, DoubleType),
           LambdaFunction(Add(al, ar, _),
             Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
           LambdaFunction(fin: NamedLambdaVariable, Seq(f: NamedLambdaVariable), _))
-        if eligible(a, b) && bothVars(mx, my, x, y) &&
-          bothVars(al, ar, acc, v) && fin.exprId == f.exprId =>
+        if eligible(a, b) && mul.dataType == DoubleType &&
+          bothVars(mx, my, x, y) && bothVars(al, ar, acc, v) &&
+          fin.exprId == f.exprId =>
+        // mul.dataType == DoubleType matters for float arrays: a
+        // lambda multiplying raw floats rounds each product to float
+        // — VecDot (widen-then-multiply) would change results, so
+        // only the cast-to-double spelling rewrites
         VecDot(a, b)
     }
 }
@@ -78,6 +86,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"vec_dot takes exactly 2 arguments, got ${children.length}")
+        VecDot(children.head, children(1))
+      }))
   }
 }

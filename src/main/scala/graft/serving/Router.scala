@@ -31,37 +31,53 @@ object Router {
   case object Rollup1m extends Route
   case object Raw extends Route
 
-  /** The coarsest source whose grain divides `grainMs`. */
-  def route(grainMs: Long): Route =
+  /** The coarsest source whose grain divides `grainMs`.
+    * `has1mRollup` says whether the caller actually has a MATERIALIZED
+    * 1-minute rollup (this serving layout persists only the hourly
+    * grain): routing to a rollup that would be recomputed from raw on
+    * the fly is strictly worse than the Raw route, so minute-divisible
+    * grains fall through to Raw unless one exists.
+    */
+  def route(grainMs: Long, has1mRollup: Boolean = false): Route =
     if (grainMs > 0 && grainMs % Serving.hourMs == 0) HourlyServing
-    else if (grainMs > 0 && grainMs % minuteMs == 0) Rollup1m
+    else if (has1mRollup && grainMs > 0 && grainMs % minuteMs == 0) Rollup1m
     else Raw
 
   /** (order_count, total_cents) per (grain window, event_type),
     * answered from the routed source.
     */
   def aggregateByType(spark: SparkSession, dataDir: String, grainMs: Long): DataFrame = {
-    def bucket(ms: org.apache.spark.sql.Column) =
-      (ms - pmod(ms, lit(grainMs))).as("window_start_ms")
     route(grainMs) match {
       case HourlyServing =>
         val root = Serving.materialize(spark, dataDir)
         spark.read.parquet(s"$root/agg_keyed_by_window")
-          .groupBy(bucket(col("window_start_ms")), col("event_type"))
+          .groupBy(bucket(col("window_start_ms"), grainMs), col("event_type"))
           .agg(sum(col("order_count")).as("order_count"),
             sum(col("total_cents")).as("total_cents"))
-      case Rollup1m =>
-        Rollup.rollup1m(Tables.events(spark, dataDir))
-          .groupBy(bucket(col("window_start_ms")), col("event_type"))
-          .agg(sum(col("order_count")).as("order_count"),
-            sum(col("sum_value_cents")).as("total_cents"))
-      case Raw =>
+      case _ =>
         Tables.events(spark, dataDir)
-          .groupBy(bucket(unix_millis(col("ts"))), col("event_type"))
+          .groupBy(bucket(unix_millis(col("ts")), grainMs), col("event_type"))
           .agg(count(lit(1)).as("order_count"),
             sum(col("value_cents")).as("total_cents"))
     }
   }
+
+  /** Re-aggregation from a caller-materialized 1-minute rollup
+    * ([[graft.ops.Rollup.rollup1m]] schema) to any minute-divisible
+    * grain — the Rollup1m route's compute, for deployments that DO
+    * persist the 1m table (the reference's `orders_1m_rollup`).
+    */
+  def aggregateFromRollup1m(rollup1m: DataFrame, grainMs: Long): DataFrame = {
+    require(grainMs > 0 && grainMs % minuteMs == 0,
+      s"grain $grainMs ms is not minute-divisible")
+    rollup1m
+      .groupBy(bucket(col("window_start_ms"), grainMs), col("event_type"))
+      .agg(sum(col("order_count")).as("order_count"),
+        sum(col("sum_value_cents")).as("total_cents"))
+  }
+
+  private def bucket(ms: org.apache.spark.sql.Column, grainMs: Long) =
+    (ms - pmod(ms, lit(grainMs))).as("window_start_ms")
 
   /** Hybrid (lambda) serving — Pinot's offline+realtime hybrid-table
     * shape: hourly aggregates answered from the materialized rollup
@@ -83,10 +99,10 @@ object Router {
       .groupBy(col("window_start_ms"), col("event_type"))
       .agg(sum(col("order_count")).as("order_count"),
         sum(col("total_cents")).as("total_cents"))
-    val tail = Tables.events(spark, dataDir)
-      .filter(unix_millis(col("ts")) >= cutMs)
-      .groupBy((unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(Serving.hourMs)))
-          .as("window_start_ms"), col("event_type"))
+    // eventsFrom applies the floor to the RAW ns column so the scan
+    // prunes row groups — a filter on the derived ts would not push
+    val tail = Tables.eventsFrom(spark, dataDir, cutMs)
+      .groupBy(bucket(unix_millis(col("ts")), Serving.hourMs), col("event_type"))
       .agg(count(lit(1)).as("order_count"),
         sum(col("value_cents")).as("total_cents"))
     hist.unionByName(tail)

@@ -191,6 +191,10 @@ object TableManager {
     val b = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    if (b.isNullAt(0) || b.isNullAt(2)) { // empty input: nothing to cluster
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val (aLo, aHi) = (b.getDouble(0), b.getDouble(1))
     val (bLo, bHi) = (b.getDouble(2), b.getDouble(3))
     val maxCode = (1L << bits) - 1

@@ -73,6 +73,18 @@ class BloomJoinSpec extends SparkSuite {
     }
   }
 
+  test("same-named keys on both sides don't hit ambiguous references") {
+    val factR = fact.withColumnRenamed("l_orderkey", "order_key")
+    val dimR = dim.select($"o_orderkey".as("order_key"))
+    val n = BloomJoin
+      .semiJoin(factR, dimR, "order_key", "order_key", expectedItems = 10000L)
+      .count()
+    val plain = factR.join(dimR.distinct(),
+      factR("order_key") === dimR("order_key"), "left_semi").count()
+    assert(n === plain)
+    assert(n > 0)
+  }
+
   test("null keys yield null (filtered out), not a crash") {
     val sketch = BloomJoin.buildSketch(dim, "o_orderkey", 10000L, 0.01)
     val df = Seq(Some(1L), None, Some(2L)).toDF("k")

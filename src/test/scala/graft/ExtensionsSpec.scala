@@ -70,6 +70,27 @@ class ExtensionsSpec extends SparkSuite {
     assert(extRes === kernel)
   }
 
+  test("raw-float multiply (no double casts) is NOT rewritten — per-product rounding differs") {
+    import ext.implicits._
+    // (x, y) => x * y over float arrays types the product as FLOAT;
+    // VecDot widens before multiplying, so rewriting would change
+    // results — the rule must skip this spelling
+    val df = Seq((Array(0.3f), Array(0.3f))).toDF("a", "b")
+      .repartition(1)
+      .select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x).as("d"))
+    assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("vecdot"),
+      df.queryExecution.optimizedPlan.toString)
+    val plain = {
+      import spark.implicits._
+      Seq((Array(0.3f), Array(0.3f))).toDF("a", "b")
+        .select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x).as("d"))
+        .collect().head.getDouble(0)
+    }
+    assert(df.collect().head.getDouble(0) === plain)
+  }
+
   test("mixed-type HOF is left untouched") {
     import ext.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0)))

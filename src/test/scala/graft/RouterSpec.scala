@@ -15,9 +15,26 @@ class RouterSpec extends SparkSuite {
   test("route selection: coarsest divisible grain wins") {
     assert(Router.route(24 * hourMs) === Router.HourlyServing)
     assert(Router.route(hourMs) === Router.HourlyServing)
-    assert(Router.route(5 * 60 * 1000L) === Router.Rollup1m)
-    assert(Router.route(90 * 1000L) === Router.Raw) // 90 s: minute doesn't divide
+    // no materialized 1m rollup in this layout → recomputing one from
+    // raw would be worse than the Raw route
+    assert(Router.route(5 * 60 * 1000L) === Router.Raw)
+    assert(Router.route(5 * 60 * 1000L, has1mRollup = true) === Router.Rollup1m)
+    assert(Router.route(90 * 1000L, has1mRollup = true) === Router.Raw)
     assert(Router.route(1234L) === Router.Raw)
+  }
+
+  test("re-aggregation from a materialized 1m rollup ≡ raw recomputation") {
+    val rollup = graft.ops.Rollup.rollup1m(Tables.events(spark, sfDir))
+    val grain = 5 * 60 * 1000L
+    val fromRollup = Router.aggregateFromRollup1m(rollup, grain)
+      .collect().map(_.toSeq).toSet
+    val raw = Tables.events(spark, sfDir)
+      .groupBy((unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(grain)))
+          .as("window_start_ms"), col("event_type"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("total_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(fromRollup === raw)
   }
 
   test("routed results ≡ raw recomputation at every grain") {
@@ -41,9 +58,9 @@ class RouterSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("agg_keyed_by_window"), plan)
     assert(plan.contains("events.parquet"), plan)
-    // the raw leg must scan only the tail: its ts predicate reaches
-    // the scan (unix_millis(ts) >= cut compiles to a ts comparison)
-    assert(plan.contains("PushedFilters: [IsNotNull(ts"), plan)
+    // the raw leg must scan only the tail: the floor applies to the
+    // raw ns column pre-derivation, so the range predicate PUSHES
+    assert(plan.contains("GreaterThanOrEqual(ts"), plan)
   }
 
   test("the hourly route scans the serving table, not the raw fact") {

@@ -21,6 +21,15 @@ class ZOrderSpec extends SparkSuite {
       .map(r => Extent(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSeq
 
+  test("empty input writes an empty table instead of crashing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_z_empty").toString
+    val empty = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value_cents"))
+      .filter(col("event_id") < 0)
+    TableManager.writeZOrdered(empty, s"$tmp/z", "user_id", "value_cents")
+    assert(spark.read.parquet(s"$tmp/z").count() === 0)
+  }
+
   test("z-order files prune a value predicate; user-sorted files cannot") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("value_cents"))
