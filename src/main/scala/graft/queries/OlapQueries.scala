@@ -184,8 +184,14 @@ object OlapQueries {
     * one hash aggregation (single shuffle, map-side partials) replaces
     * two full window passes; (tu, event_id) makes ties deterministic.
     */
-  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    ohlcOf(Tables.events(spark, dir))
+
+  /** Core OHLC over any frame with (ts, event_type, event_id,
+    * value_cents).
+    */
+  def ohlcOf(events: DataFrame): DataFrame = {
+    val ev = events.select(
       unix_millis(date_trunc("HOUR", col("ts"))).as("hour_start_ms"),
       col("event_type"),
       unix_micros(col("ts")).as("tu"),

@@ -56,6 +56,75 @@ class AnalyticsSpec extends SparkSuite {
     assert(res === Map(1L -> 1L, 3L -> 2L))
   }
 
+  test("funnel: property — Spark op ≡ in-memory reference on random event sets") {
+    import org.scalacheck.{Gen, Prop, Test => PropTest}
+    val types = Seq("signup", "view", "click", "purchase", "error")
+    val genEvents = for {
+      n <- Gen.choose(1, 60)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 8L)
+        t <- Gen.oneOf(types)
+        m <- Gen.choose(0, 500)
+      } yield (u, t, m))
+    } yield evs
+    def refStage(evs: Seq[(Long, String, Int)], u: Long): Long = {
+      def first(t: String) =
+        evs.filter(e => e._1 == u && e._2 == t).map(_._3).minOption
+      val (s, v, c, p) =
+        (first("signup"), first("view"), first("click"), first("purchase"))
+      def lt(a: Option[Int], b: Option[Int]) =
+        a.isDefined && b.isDefined && a.get < b.get
+      var stage = 0L
+      if (s.isDefined) stage += 1
+      if (lt(s, v)) stage += 1
+      if (lt(s, v) && lt(v, c)) stage += 1
+      if (lt(s, v) && lt(v, c) && lt(c, p)) stage += 1
+      stage
+    }
+    val prop = Prop.forAll(genEvents) { evs =>
+      val df = evs.toDF("user_id", "event_type", "m")
+        .select($"user_id", $"event_type",
+          timestamp_micros($"m".cast("long") * 1000000L).as("ts"))
+      val got = AnalyticsQueries.funnelOf(spark, df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val users = evs.map(_._1).distinct
+      val stages = users.map(u => refStage(evs, u))
+      val want = (0L to 4L).map(s => s -> stages.count(_ >= s).toLong).toMap
+      got == want
+    }
+    val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("OHLC: property — Spark op ≡ in-memory reference (ties broken by id)") {
+    import org.scalacheck.{Gen, Prop, Test => PropTest}
+    val genEvents = for {
+      n <- Gen.choose(1, 60)
+      evs <- Gen.listOfN(n, for {
+        id <- Gen.choose(1L, 1000L)
+        t <- Gen.choose(0, 300) // minutes, spans ~5 hours
+        v <- Gen.choose(-50L, 5000L)
+        tp <- Gen.oneOf("a", "b")
+      } yield (id, t, v, tp))
+    } yield evs.distinctBy(_._1) // unique event ids
+    val prop = Prop.forAll(genEvents) { evs =>
+      val df = evs.toDF("event_id", "m", "value_cents", "event_type")
+        .select($"event_id", timestamp_micros($"m".cast("long") * 60000000L).as("ts"),
+          $"value_cents", $"event_type")
+      val got = graft.queries.OlapQueries.ohlcOf(df)
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+      val want = evs.groupBy(e => (e._2 / 60 * 3600000L, e._4)).map { case (k, g) =>
+        val ordered = g.sortBy(e => (e._2, e._1)) // (time, id) tie-break
+        k -> (ordered.head._3, ordered.last._3,
+          g.map(_._3).max, g.map(_._3).min, g.size.toLong)
+      }
+      got == want
+    }
+    val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sliding windows: each event lands in exactly size/slide windows") {
     val counts = Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
