@@ -232,7 +232,31 @@ object OlapQueries {
           1L).otherwise(0L).as("is_outlier"))
   }
 
+  /** Flink CUMULATE windows (the third window type next to tumble /
+    * hop, both implemented elsewhere): per UTC day, expanding windows
+    * ending at each hour mark — "running daily totals as of each
+    * hour". Each event expands to the windows that contain it
+    * (`24 − hour_offset` rows, bounded by period/step) BEFORE the
+    * shuffle; an incremental deployment would instead fold the 1m/1h
+    * rollup forward, but the batch recompute is the oracle-checkable
+    * form.
+    */
+  def cumulateDaily(spark: SparkSession, dir: String): DataFrame = {
+    val dayMs = 86400000L
+    val stepMs = 3600000L
+    Tables.events(spark, dir)
+      .select(unix_millis(col("ts")).as("tms"), col("event_type"), col("value_cents"))
+      .withColumn("p0", col("tms") - pmod(col("tms"), lit(dayMs)))
+      .withColumn("k",
+        explode(sequence(expr(s"(tms - p0) DIV $stepMs") + 1, lit(dayMs / stepMs))))
+      .groupBy(col("p0").as("day_start_ms"),
+        (col("p0") + col("k") * stepMs).as("window_end_ms"), col("event_type"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("total_cents"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_cumulate_daily" -> (cumulateDaily _),
     "q_value_outliers" -> (valueOutliers _),
     "q_ohlc_hourly" -> (ohlcBars _),
     "q_freq_event_types" -> (freqEventTypes _),
@@ -249,6 +273,18 @@ object OlapQueries {
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_cumulate_daily" ->
+      s"""WITH t AS (
+         |  SELECT epoch_ms(ts) AS tms, event_type, $cents AS value_cents
+         |  FROM events),
+         |p AS (
+         |  SELECT tms - tms % 86400000 AS p0, tms, event_type, value_cents FROM t)
+         |SELECT p0 AS day_start_ms,
+         |  p0 + k * 3600000 AS window_end_ms, event_type,
+         |  count(*) AS order_count,
+         |  CAST(SUM(value_cents) AS BIGINT) AS total_cents
+         |FROM p, unnest(range((tms - p0) // 3600000 + 1, 25)) AS u(k)
+         |GROUP BY 1, 2, 3""".stripMargin,
     "q_value_outliers" ->
       s"""WITH st AS (
          |  SELECT event_type, count(*) AS n, SUM($cents) AS s,
