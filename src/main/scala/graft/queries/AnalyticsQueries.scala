@@ -123,10 +123,13 @@ object AnalyticsQueries {
     * distinct counts and min/max (as strings, so one schema fits all
     * columns): the data-quality report a pipeline runs before
     * training. Unpivots FIRST (one narrow scan → (column, value)
-    * pairs), so the distinct count is a plain two-level hash agg with
-    * map-side dedup — a single 4-way `countDistinct` aggregate would
-    * instead plan a ×(k+1) Expand of every row through one exchange
-    * (measured ~4× slower at sf0.1).
+    * pairs), then ONE two-level hash aggregation: group by
+    * (column, value) with map-side combine, then roll the value
+    * groups up per column — every metric falls out of the rollup, no
+    * join, and an all-NULL column still profiles (n_distinct = 0). A
+    * single 4-way `countDistinct` aggregate would instead plan a
+    * ×(k+1) Expand of every row through one exchange (measured ~4×
+    * slower at sf0.1).
     */
   def profileEvents(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq("event_id", "user_id", "event_type", "value_cents")
@@ -134,15 +137,14 @@ object AnalyticsQueries {
       .select(expr("stack(" + cols.size + ", " +
         cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
         ") AS (column_name, val)"))
-    val basic = pairs.groupBy(col("column_name")).agg(
-      count(lit(1)).as("n_rows"),
-      sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"),
-      min(col("val")).as("min_val"),
-      max(col("val")).as("max_val"))
-    val distinct = pairs.filter(col("val").isNotNull)
-      .groupBy(col("column_name"), col("val")).agg(lit(1))
-      .groupBy(col("column_name")).agg(count(lit(1)).as("n_distinct"))
-    basic.join(distinct, Seq("column_name"))
+    pairs
+      .groupBy(col("column_name"), col("val")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("column_name")).agg(
+        sum(col("cnt")).as("n_rows"),
+        sum(when(col("val").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+        count(when(col("val").isNotNull, lit(1))).as("n_distinct"),
+        min(col("val")).as("min_val"),
+        max(col("val")).as("max_val"))
       .select(col("column_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"))
   }
