@@ -265,70 +265,115 @@ object NearDup {
     * pair graph maps to the minimum doc_id in its connected component
     * — the survivor a dedup pipeline keeps (everything else drops).
     *
-    * Iterative min-label propagation over the edge list: each round,
-    * a doc's label becomes the min of its own and its neighbors'.
-    * Near-dup components are clique-ish (diameter 1-3) and converge
-    * in 2-3 rounds of that alone. From round 3 on, a POINTER-JUMP
-    * (shortcutting) step also folds in label(label) — the label tree
-    * halves in depth each round, so even adversarial long chains
-    * converge in O(log diameter) rounds instead of O(diameter) and
-    * `maxIters` = 16 covers diameters into the tens of thousands.
-    * Shallow graphs never reach the jump step, so the common case
-    * pays nothing for it. Non-convergence FAILS LOUDLY rather than
-    * returning partial groups. The per-round driver action is a
-    * bounded count, not a data collect — each round is one or two
-    * equi-joins + a groupBy at any scale.
+    * Large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). The edge set is
+    * kept in canonical (larger → smaller) direction and each round
+    * applies:
+    *   large-star(u): m = min(Γ(u) ∪ {u}); relink every STRICTLY
+    *     LARGER neighbor v > u to m — emit (v, m);
+    *   small-star(u): over the canonical edges (all dst < src),
+    *     m = min(dst); relink src and every other dst to m.
+    * Both preserve connectivity and never link across components
+    * (every emitted edge joins two members of the same component),
+    * and the alternation provably converges in O(log² n) rounds —
+    * in practice a handful even for shuffled-id chains, because
+    * unlike naive pointer-jumping the relink target is the
+    * NEIGHBORHOOD min, which cannot plateau at a local minimum.
+    * The fixpoint is a disjoint union of stars, each rooted at its
+    * component's min id. Non-convergence FAILS LOUDLY rather than
+    * returning partial groups. Per-round driver actions are bounded
+    * counts, never data collects — each round is two groupBy-joins
+    * partitioned by node id at any scale.
     *
-    * Each round's labels are localCheckpoint'ed (eager), truncating
-    * the lineage: without it round N's plan nests round N-1's twice,
-    * so long-diameter graphs (chains) hit exponential analyzer cost —
-    * found by the NearDupSpec random-graph property test. Truncation
-    * keeps planning O(1) per round; this is what every iterative
-    * Spark algorithm (GraphX, ALS) does.
+    * Each round's edge set is localCheckpoint'ed (eager), truncating
+    * the lineage: without it round N's plan nests round N-1's several
+    * times, so deep graphs hit exponential analyzer cost — found by
+    * the NearDupSpec random-graph property test. The PREVIOUS round's
+    * checkpoint blocks are released eagerly once the next round is
+    * materialized (see [[releaseCheckpoint]]), so a long iteration
+    * holds at most two rounds of edges in the block store, not the
+    * whole history.
     */
-  def canonicalize(pairs: DataFrame, maxIters: Int = 16): DataFrame = {
-    // single scan of the (possibly expensive) pairs DAG: explode each
-    // pair into both directions rather than unioning two scans of it.
-    val edges = pairs
-      .select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+  def canonicalize(pairs: DataFrame, maxIters: Int = 32): DataFrame = {
+    val nodes = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
       .localCheckpoint(true)
+    var e = pairs
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(
+        greatest(col("doc_a"), col("doc_b")).as("src"),
+        least(col("doc_a"), col("doc_b")).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var prevCount = e.count()
     var iters = 0
-    var changed = 1L
-    while (changed > 0 && iters < maxIters) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("label")).as("nmin"))
-      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          col("label").as("prev"))
-      val next = (if (iters < 2) stepped else {
-        // pointer jump: label ← min(label, label(label)). Labels are
-        // always component-member ids, so the jump stays inside the
-        // component and only ever decreases — correctness unchanged,
-        // depth halves per round.
-        val s = stepped.localCheckpoint(true)
-        val jump = s.select(col("doc_id").as("jkey"), col("label").as("jlabel"))
-        s.join(jump, col("label") === col("jkey"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"),
-            col("prev"))
-      }).localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("prev")).count()
-      labels = next.drop("prev")
+    var converged = prevCount == 0L
+    while (!converged && iters < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextCount = next.count()
+      // equal cardinality + empty (next \ e) ⟺ identical edge sets —
+      // the fixpoint test the Kiveris proof terminates on.
+      converged = nextCount == prevCount &&
+        next.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      releaseCheckpoint(e)
+      e = next
+      prevCount = nextCount
       iters += 1
     }
-    edges.unpersist()
-    require(changed == 0, s"label propagation did not converge in $maxIters rounds")
-    finalized(labels.withColumnRenamed("label", "canonical_id"), labels)
+    require(converged, s"star contraction did not converge in $maxIters rounds")
+    // Fixpoint edges are (member → root) stars; roots and isolated
+    // nodes (self-pairs) label themselves.
+    val labels = nodes
+      .join(e.select(col("src").as("doc_id"), col("dst").as("root")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("canonical_id"))
+    val out = finalized(labels)
+    releaseCheckpoint(e)
+    releaseCheckpoint(nodes)
+    out
   }
+
+  /** Large-star round: every node relinks its strictly-larger
+    * neighbors to the min of its closed neighborhood. Input and
+    * output are canonical (src > dst) distinct edge sets; the
+    * symmetric view is built inline so every edge is processed from
+    * its smaller endpoint's perspective.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+    sym.join(mins, "src")
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("u"), least(col("mn"), col("src")).as("v"))
+      .where(col("u") =!= col("v"))
+      .select(col("u").as("src"), col("v").as("dst"))
+      .distinct()
+  }
+
+  /** Small-star round: the canonical direction already groups each
+    * edge under its larger endpoint, so each node relinks itself and
+    * its smaller neighbors to their min. Output stays canonical
+    * (src > dst, no self-loops) by construction.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("src").agg(min("dst").as("mn"))
+    val center = mins.select(col("src"), col("mn").as("dst"))
+    val leaves = e.join(mins, "src")
+      .where(col("dst") =!= col("mn"))
+      .select(col("dst").as("src"), col("mn").as("dst"))
+    center.union(leaves).distinct()
+  }
+
+  /** Eagerly free the block-store RDD behind a `localCheckpoint(true)`
+    * DataFrame. `Dataset.unpersist` only clears CacheManager entries,
+    * not the checkpoint's persisted RDD, which otherwise lives until
+    * GC + ContextCleaner get to it — too lazy for an iterative
+    * algorithm that checkpoints every round.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** SimHash signature width: 60 bits — the token hash is the first
     * 15 hex digits of md5(token), a hash both Spark (`conv`) and the
