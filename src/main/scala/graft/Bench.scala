@@ -72,7 +72,13 @@ object Bench {
       try streamingThroughput(spark)
       catch { case e: Throwable =>
         System.err.println(s"[bench] streaming throughput FAILED: $e"); -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"streaming_ev_s":$evPerSec,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"streaming_ev_s":$evPerSec,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line: the driver captures a bounded stdout tail
+    // and has lost the front of the JSON to truncation before
+    // (round-4 verdict) — a file copy can't be truncated away.
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
     if (results.exists(_._2.isLeft) || evPerSec < 0) sys.exit(1)
   }

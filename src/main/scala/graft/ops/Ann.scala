@@ -20,6 +20,30 @@ import graft.functions.Vectors
   */
 object Ann {
 
+  /** Scale-derived block count for the triangular all-pairs grid:
+    * the smallest `b` whose b(b+1)/2 grid cells cover the session's
+    * shuffle parallelism, so every shuffle partition gets ~one cell
+    * of compares and the per-row replication factor (b+1) tracks
+    * cluster size as ~√(2·parallelism) — the work O(n²) is fixed;
+    * what must scale with the cluster is how finely it is sliced.
+    * At local[32] this derives 8 (36 cells ≥ 32); at a 2000-partition
+    * cluster, 63.
+    */
+  def defaultBlocks(spark: SparkSession): Int = {
+    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Iterator.from(2).find(b => b.toLong * (b + 1) / 2 >= parallelism).get
+  }
+
+  /** Scale-derived IVF cell count: at least the shuffle parallelism
+    * (so the per-cell equi-join can occupy every partition), floored
+    * at 16. A quality-driven deployment would use ~√n cells; the
+    * parallelism floor is the SHARDING constraint, which is what the
+    * engine owns — callers with corpus statistics pass nCells
+    * explicitly.
+    */
+  def defaultNumCells(spark: SparkSession): Int =
+    math.max(16, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** Normalize: id, vector-as-double, precomputed norm. */
   private def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(
@@ -50,11 +74,13 @@ object Ann {
     * k-means iterations add nothing for a synthetic benchmark corpus,
     * and determinism matters more than centroid quality here).
     */
-  def coarseCentroids(corpus: DataFrame, nCells: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] =
+  def coarseCentroids(corpus: DataFrame, nCells: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    val n = if (nCells > 0) nCells else defaultNumCells(corpus.sparkSession)
     corpus.select(col(idCol), Vectors.toDouble(col(vecCol)).as("v"))
-      .orderBy(col(idCol).asc).limit(nCells)
+      .orderBy(col(idCol).asc).limit(n)
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
+  }
 
   /** IVF top-k: corpus rows live in their nearest-centroid cell;
     * each query probes its `nprobe` closest cells only. The
@@ -121,7 +147,9 @@ object Ann {
     * The shuffle partitions by (lo, hi) — blocks(blocks+1)/2 evenly
     * sized cells, each ~ (n/blocks)² compares, spread across however
     * many executors exist. Replication factor is blocks+1 copies of
-    * each row; raise `blocks` proportionally to cluster parallelism.
+    * each row; `blocks = 0` (the default) derives it from the
+    * session's shuffle parallelism ([[defaultBlocks]]) so the grid
+    * tracks cluster size without a caller-side constant.
     * `topN` itself is a TakeOrderedAndProject (per-partition heap +
     * driver merge of topN rows) — no global sort.
     *
@@ -131,7 +159,7 @@ object Ann {
     */
   def topSimilarPairs(emb: DataFrame, topN: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      blocks: Int = 16): DataFrame = {
+      blocks: Int = 0): DataFrame = {
     val (scored, cached) = allPairsScored(emb, idCol, vecCol, blocks)
     finalized(
       scored
@@ -172,7 +200,7 @@ object Ann {
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      blocks: Int = 16): DataFrame = {
+      blocks: Int = 0): DataFrame = {
     val (scored, cached) = allPairsScored(emb, idCol, vecCol, blocks)
     finalized(
       scored
@@ -222,13 +250,14 @@ object Ann {
     */
   private[graft] def allPairsScored(emb: DataFrame, idCol: String, vecCol: String,
       blocks: Int): (DataFrame, DataFrame) = {
+    val b = if (blocks > 0) blocks else defaultBlocks(emb.sparkSession)
     // persisted: lo and hi below are two consumers of this prep scan
     // (normalize + norm + bucket assignment) — cache it once.
     val p = prep(emb, idCol, vecCol)
-      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(b)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lo = p.select(col("id").as("id_x"), col("v").as("vx"), col("nrm").as("nx"),
-      col("blk").as("blk_lo"), explode(sequence(col("blk"), lit(blocks - 1))).as("blk_hi"))
+      col("blk").as("blk_lo"), explode(sequence(col("blk"), lit(b - 1))).as("blk_hi"))
     val hi = p.select(col("id").as("id_y"), col("v").as("vy"), col("nrm").as("ny"),
       explode(sequence(lit(0), col("blk"))).as("blk_lo"), col("blk").as("blk_hi"))
     val scored = lo.join(hi, Seq("blk_lo", "blk_hi"))

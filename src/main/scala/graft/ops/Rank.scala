@@ -74,9 +74,14 @@ object Rank {
       val offsets = (0 until nParts).scanLeft(0L) {
         (acc, pid) => acc + counts.getOrElse(pid, 0L)
       }
-      val offsetCol = (0 until nParts).foldLeft(lit(0L)) { (acc, pid) =>
-        when(col("_pid") === pid, lit(offsets(pid))).otherwise(acc)
-      }
+      // One map-literal lookup, not a when-chain: a fold of nested
+      // when(_pid === i, …) builds an O(nParts)-deep expression tree
+      // that stalls codegen at realistic shuffle-partition counts
+      // (2000+); a MapType literal is a single constant whatever
+      // nParts is.
+      val offsetCol = element_at(
+        typedLit((0 until nParts).map(pid => pid -> offsets(pid)).toMap),
+        col("_pid"))
       val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
       val ranked = ranged
         .withColumn(out, row_number().over(w).cast("long") + offsetCol)

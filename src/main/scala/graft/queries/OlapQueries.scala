@@ -214,17 +214,22 @@ object OlapQueries {
     * bit-deterministic across engines — no floating-point mean/stddev
     * on the wire. Stats per type are a 5-row aggregate broadcast back
     * onto the fact: one fact shuffle total, no window pass.
-    * BIGINT headroom: |n·SS| ≤ n²·max(x)² needs n·max(x) < 3e9·√n —
-    * holds through ~1e8 rows/type at 10⁵ cents; beyond that, cast the
-    * two sum columns to DECIMAL(38,0).
+    * The sums and the comparison run in DECIMAL(38,0): in BIGINT,
+    * n·SS ≤ n²·max(x)² silently wraps once n·max(x) ≳ 3·10⁹ (about
+    * 3·10⁴ rows/type at 10⁵ cents — far below target scale), flipping
+    * flags where DuckDB's 128-bit HUGEINT stays exact. DECIMAL(38,0)
+    * keeps every product exact through ~10¹² rows/type, matching the
+    * oracle at any realistic scale for integer-cent values.
     */
   def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value_cents"))
+    val dec = "decimal(38,0)"
     val stats = ev.groupBy(col("event_type")).agg(
-      count(lit(1)).as("n"),
-      sum(col("value_cents")).as("s"),
-      sum(col("value_cents") * col("value_cents")).as("ss"))
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("value_cents").cast(dec)).as("s"),
+      // x² ≤ 10¹⁰ fits a long; the SUM is what needs 128-bit headroom
+      sum((col("value_cents") * col("value_cents")).cast(dec)).as("ss"))
     val dev = col("n") * col("value_cents") - col("s")
     ev.join(broadcast(stats), Seq("event_type"))
       .select(col("event_id"), col("event_type"), col("value_cents"),

@@ -65,11 +65,21 @@ object ServingQueries {
   def hybridHourly(spark: SparkSession, dir: String): DataFrame =
     graft.serving.Router.hybridHourlyByType(spark, dir)
 
+  /** Incremental CUMULATE ([[graft.serving.Router
+    * .cumulateDailyFromHourly]]): expanding daily windows folded
+    * forward from the hourly serving agg. Hash-checked against the
+    * same raw-expand oracle as `q_cumulate_daily`, proving the
+    * rollup-fed form exact.
+    */
+  def cumulateDailyRouted(spark: SparkSession, dir: String): DataFrame =
+    graft.serving.Router.cumulateDailyFromHourly(spark, dir)
+
   val queries: Map[String, QFn] = Map(
     "q_topk_lookup_served" -> (topKLookupServed _),
     "q_topk_lookup_revenue" -> (topKLookupRevenue _),
     "q_routed_daily" -> (routedDaily _),
     "q_hybrid_hourly" -> (hybridHourly _),
+    "q_cumulate_daily_routed" -> (cumulateDailyRouted _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
@@ -78,6 +88,9 @@ object ServingQueries {
     * so the materialized path is checked end-to-end (build + read).
     */
   val oracles: Map[String, String] = Map(
+    // the routed form must match the RAW-expand oracle bit-for-bit —
+    // same SQL as q_cumulate_daily, different (serving-table) plan
+    "q_cumulate_daily_routed" -> OlapQueries.oracles("q_cumulate_daily"),
     "q_routed_daily" ->
       s"""SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,
          |  count(*) AS order_count,

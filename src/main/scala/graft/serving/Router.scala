@@ -79,6 +79,31 @@ object Router {
   private def bucket(ms: org.apache.spark.sql.Column, grainMs: Long) =
     (ms - pmod(ms, lit(grainMs))).as("window_start_ms")
 
+  /** Flink CUMULATE at the day/hour grain, folded forward from the
+    * materialized hourly agg instead of re-expanding raw events
+    * ([[graft.queries.OlapQueries.cumulateDaily]] is the
+    * oracle-checkable raw form). Hour marks end on hour boundaries
+    * and SUM/COUNT re-aggregate losslessly, so expanding each HOURLY
+    * row to the marks it feeds is exact — the ×24 worst-case expand
+    * runs over ~1/3600 of the raw rows at any scale, which is the
+    * whole point of the serving table.
+    */
+  def cumulateDailyFromHourly(spark: SparkSession, dataDir: String): DataFrame = {
+    val dayMs = 24L * Serving.hourMs
+    val root = Serving.materialize(spark, dataDir)
+    spark.read.parquet(s"$root/agg_keyed_by_window")
+      .select(col("window_start_ms"), col("event_type"),
+        col("order_count"), col("total_cents"))
+      .withColumn("p0", col("window_start_ms") - pmod(col("window_start_ms"), lit(dayMs)))
+      .withColumn("k", explode(sequence(
+        ((col("window_start_ms") - col("p0")) / lit(Serving.hourMs)).cast("long") + 1,
+        lit(dayMs / Serving.hourMs))))
+      .groupBy(col("p0").as("day_start_ms"),
+        (col("p0") + col("k") * Serving.hourMs).as("window_end_ms"), col("event_type"))
+      .agg(sum(col("order_count")).as("order_count"),
+        sum(col("total_cents")).as("total_cents"))
+  }
+
   /** Hybrid (lambda) serving — Pinot's offline+realtime hybrid-table
     * shape: hourly aggregates answered from the materialized rollup
     * for every COMPLETE hour, and from the raw tail for the current

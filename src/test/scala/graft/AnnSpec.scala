@@ -73,6 +73,29 @@ class AnnSpec extends SparkSuite {
     assert(blocked === naive)
   }
 
+  test("blocks/nCells defaults derive from shuffle parallelism; results invariant to blocks") {
+    val sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // derived value tracks the parallelism knob: smallest grid
+      // covering it at local[32] scale and at a 2000-partition cluster
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      assert(Ann.defaultBlocks(spark) === 8)   // 8·9/2 = 36 ≥ 32
+      assert(Ann.defaultNumCells(spark) === 32)
+      spark.conf.set("spark.sql.shuffle.partitions", "2000")
+      assert(Ann.defaultBlocks(spark) === 63)  // 63·64/2 = 2016 ≥ 2000
+      assert(Ann.defaultNumCells(spark) === 2000)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sp)
+    // the grid size must be invisible in results: derived default and
+    // two explicit settings produce the identical ranked pair list
+    val derived = Ann.topSimilarPairs(emb, 15)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    for (b <- Seq(4, 19)) {
+      val explicit = Ann.topSimilarPairs(emb, 15, blocks = b)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(explicit === derived, s"blocks=$b diverged")
+    }
+  }
+
   test("all-pairs block-grid plan has no cartesian / broadcast-nested-loop join") {
     // assert on the inner scored computation: the public operators
     // checkpoint their (small) results, which would hide the join

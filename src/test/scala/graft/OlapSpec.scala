@@ -75,6 +75,34 @@ class OlapSpec extends SparkSuite {
     assert(tt === Set(1L, 2L, 3L))
   }
 
+  test("globalRowNumber survives 1000 range partitions (map-literal offsets, no codegen fallback)") {
+    import graft.ops.Rank
+    val totals = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(sum($"value_cents").as("total_cents"))
+    val order = Seq($"total_cents".desc, $"user_id".asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    val want = totals.withColumn("rn", row_number().over(w).cast("long"))
+      .select("user_id", "rn").as[(Long, Long)].collect().toMap
+    // a realistic cluster shuffle-partition count; the old nested
+    // when-chain built a 1000-deep expression tree here
+    val got = Rank.globalRowNumber(totals, order, partitions = 1000)
+      .select("user_id", "rn").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // The offset mechanism — element_at over a 1000-entry map LITERAL
+    // — must stay inside whole-stage codegen (the when-chain it
+    // replaced blew the generated-method size at this width).
+    val offsets = (0 until 1000).map(pid => pid -> pid.toLong * 7).toMap
+    val probe = spark.range(0, 100, 1, 8)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("off", element_at(typedLit(offsets), $"_pid"))
+    probe.collect()
+    // "*(n)" prefixes mark WholeStageCodegen stages in the simple plan
+    // string; the offset projection must carry one (no fallback).
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("element_at")),
+      plan.take(500))
+  }
+
   private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(t => (t._1, (t._2, t._3))).toMap
   }

@@ -63,6 +63,16 @@ class RouterSpec extends SparkSuite {
     assert(plan.contains("GreaterThanOrEqual(ts"), plan)
   }
 
+  test("rollup-fed CUMULATE ≡ raw-expand CUMULATE and reads only the serving table") {
+    val routed = Router.cumulateDailyFromHourly(spark, sfDir)
+    val raw = graft.queries.OlapQueries.cumulateDaily(spark, sfDir)
+    assert(routed.collect().map(_.toSeq).toSet === raw.collect().map(_.toSeq).toSet)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("agg_keyed_by_window"), plan)
+    assert(!plan.contains("events.parquet"),
+      "rollup-fed CUMULATE must not touch the raw fact\n" + plan)
+  }
+
   test("the hourly route scans the serving table, not the raw fact") {
     val df = Router.aggregateByType(spark, sfDir, 24 * hourMs)
     df.collect()
