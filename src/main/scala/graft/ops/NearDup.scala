@@ -432,4 +432,111 @@ object NearDup {
         .filter(col("hamming") <= maxDist),
       keyed)
   }
+
+  /** Per-document duplicated-n-gram statistics (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22 §4: documents whose n-grams recur across the corpus are
+    * near-duplicate or boilerplate-heavy and hurt LM training). For
+    * each doc: distinct n-gram count, how many of those n-grams occur
+    * in at least `minDocs` documents corpus-wide, and the duplicated
+    * fraction.
+    *
+    * Scale: two shuffles, both keyed — document frequency is a
+    * map-side-combining count by n-gram, and the join back
+    * repartitions by n-gram then re-aggregates by doc_id. Shingles
+    * within a doc are distinct ([[Text.shingles]]), so `count` IS the
+    * document frequency — no `countDistinct` expand. At 100 TB the
+    * n-gram strings themselves would be replaced by a 128-bit hash as
+    * the shuffle key; the string form is kept here because the gate's
+    * DuckDB oracle must rebuild identical keys. Docs shorter than n
+    * tokens have no shingles and drop out (mirrored in the oracle).
+    * `dup_ratio` is one IEEE division of two exact BIGINTs — the only
+    * double, bit-identical across engines.
+    */
+  def dupNgramStats(docs: DataFrame, n: Int = 3, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      explode(Text.shingles(col(textCol), n)).as("sh"))
+    val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(docFreq, "sh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .withColumn("dup_ratio",
+        col("n_dup_shingles").cast("double") / col("n_shingles"))
+  }
+
+  /** Edit-distance near-dup pairs on fixed-length document heads —
+    * fuzzy matching where token-set measures are blind (character
+    * typos, small rewrites). Returns (doc_a < doc_b, dist) for every
+    * pair of docs of at least `headLen` chars whose first `headLen`
+    * characters are within Levenshtein distance `maxDist`.
+    *
+    * Candidate generation is LOSSLESS, never all-pairs, via the
+    * q-gram count filter + prefix principle (Gravano et al. VLDB'01;
+    * Bayardo et al. WWW'07 — same principle [[jaccardPairs]] uses):
+    *   - a head of length L has m = L-q+1 positional q-grams; one
+    *     edit destroys at most q of them, so ed <= k implies the
+    *     MULTISET q-gram overlap is >= T = m - k*q (heads are equal
+    *     length, so no length-difference slack is needed);
+    *   - occurrence-tagging each gram ("gram#occ") turns multiset
+    *     overlap into set overlap over m-element sets;
+    *   - with tokens globally ordered rarest-first, any two sets with
+    *     overlap >= T must share a token inside their first
+    *     m - T + 1 = k*q + 1 tokens — so only those prefix tokens are
+    *     join keys. Frequent grams ("e th", "the ") sit at the back
+    *     of the order and never flood the join.
+    * Candidates are then exact-verified with `levenshtein` on the
+    * two 40-char heads — O(headLen²) per candidate, cheap.
+    *
+    * Requires q*maxDist < headLen-q+1 (else T <= 0 and no filter is
+    * lossless); the default 3*5=15 < 38 holds comfortably. All joins
+    * are equi-joins on tokens; the per-doc windows are keyed by
+    * doc_id (never a global window). One corpus-wide token-frequency
+    * aggregation provides the global order.
+    */
+  def editDistancePairs(docs: DataFrame, headLen: Int = 40, maxDist: Int = 5,
+      q: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val m = headLen - q + 1
+    require(maxDist * q < m,
+      s"q-gram filter degenerates: need q*maxDist < headLen-q+1, got ${q * maxDist} >= $m")
+    val prefixLen = maxDist * q + 1
+    val heads = docs
+      .filter(length(col(textCol)) >= headLen)
+      .select(col(idCol).as("doc_id"),
+        substring(col(textCol), 1, headLen).as("head"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // positional q-grams, occurrence-tagged: (doc_id, "gram#occ")
+    val grams = heads
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => col("head").substr(i + lit(1), lit(q)))).as(Seq("pos", "gram")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("gram")).orderBy(col("pos"))
+    val tokens = grams
+      .withColumn("tok", concat_ws("#", col("gram"), row_number().over(win)))
+      .select(col("doc_id"), col("tok"))
+    val tokFreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
+    val orderWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefixes = tokens.join(tokFreq, "tok")
+      .withColumn("rn", row_number().over(orderWin))
+      .filter(col("rn") <= prefixLen)
+      .select(col("doc_id"), col("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = prefixes.as("x").join(prefixes.as("y"), "tok")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    finalized(
+      candidates
+        .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), "doc_a")
+        .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("head_a"), col("head_b")).cast("long").as("dist"))
+        .filter(col("dist") <= maxDist),
+      heads, prefixes)
+  }
 }

@@ -242,7 +242,54 @@ object DocQueries {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(100)
 
+  /** Per-doc duplicated 3-gram fraction (Lee et al. ACL'22 boilerplate
+    * signal) — see [[NearDup.dupNgramStats]] for the scale design.
+    */
+  def docDupNgrams(spark: SparkSession, dir: String): DataFrame =
+    NearDup.dupNgramStats(Tables.documents(spark, dir), n = 3)
+
+  /** Edit-distance near-dup pairs on 40-char document heads —
+    * [[NearDup.editDistancePairs]]: lossless q-gram prefix-filter
+    * candidates, exact Levenshtein verify.
+    */
+  def docEditDist(spark: SparkSession, dir: String): DataFrame =
+    NearDup.editDistancePairs(Tables.documents(spark, dir))
+
+  /** Top-3 salient terms per doc by TF-IDF (smooth idf:
+    * tf · ln((N+1)/(df+1))). Only ids/ranks/terms leave the engine;
+    * the double score is computed identically on both sides (same
+    * integer inputs, one division, one `ln`, one multiply), so the
+    * ORDER it induces — all the hash compare sees — is stable:
+    * equal (tf, df) pairs are bit-equal and fall to the `term` ASC
+    * tie-break in both engines. Two keyed shuffles (term-frequency by
+    * (doc, term), document-frequency by term) plus a doc-partitioned
+    * window; N comes from a 1-row broadcast anchor, never a driver
+    * collect. The df join is a plain shuffle join: at 100 TB the
+    * vocabulary (long tail of rare terms) outgrows any broadcast.
+    */
+  def docTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfc, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") *
+        log((col("n_docs").cast("double") + lit(1.0)) /
+            (col("df").cast("double") + lit(1.0))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_doc_dup_ngrams" -> (docDupNgrams _),
+    "q_doc_editdist" -> (docEditDist _),
+    "q_doc_tfidf" -> (docTfidf _),
     "q_doc_pii" -> (docPii _),
     "q_doc_vocab" -> (docVocab _),
     "q_doc_chunk" -> (docChunk _),
@@ -283,6 +330,47 @@ object DocQueries {
        |  AND $limitExpr""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // duplicated 3-gram fraction: distinct shingles per doc (same CTE
+    // as the jaccard family), corpus document frequency, duplicated
+    // share. unnest of an empty list yields no rows, matching Spark's
+    // explode dropping shingle-less docs.
+    "q_doc_dup_ngrams" ->
+      s"""$shingleCte,
+         |ex AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+         |dfq AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh)
+         |SELECT e.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+         |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
+         |FROM ex e JOIN dfq d USING (sh)
+         |GROUP BY e.doc_id""".stripMargin,
+    // all-pairs reference for the prefix-filtered engine: both
+    // engines implement classic unit-cost Levenshtein.
+    "q_doc_editdist" ->
+      """WITH h AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS head
+        |  FROM documents WHERE length(text) >= 40)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 5""".stripMargin,
+    // identical integer tf/df inputs → identical doubles → identical
+    // ordering; ties are broken by term in both engines.
+    "q_doc_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(tf.tf AS DOUBLE) *
+         |      ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dfc.df AS DOUBLE) + 1.0)) AS score
+         |  FROM tf JOIN dfc USING (term) CROSS JOIN n)
+         |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term FROM (
+         |  SELECT doc_id, term,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+         |  FROM scored)
+         |WHERE rn <= 3""".stripMargin,
     "q_doc_pii" -> {
       // identical regexes; DuckDB (RE2) needs the 'g' flag for
       // replace-all, which is Java's default

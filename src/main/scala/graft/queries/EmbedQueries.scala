@@ -82,7 +82,51 @@ object EmbedQueries {
     Ann.semanticDedupPairs(emb, centroids, threshold = 0.3)
   }
 
+  /** The optimizer-extension path, end-to-end: a PURE-SQL query that
+    * spells the dot product with public higher-order functions
+    * (`aggregate(zip_with(...))`) — the exact pattern
+    * [[graft.plans.VecKernelRewrite]] rewrites into the codegen'd
+    * [[graft.functions.VecDot]] kernel. The rule is installed on the
+    * caller's live session via `spark.experimental.extraOptimizations`
+    * (the post-hoc twin of `spark.sql.extensions`, which only applies
+    * at session build — the driver owns session construction), so the
+    * driver gate exercises rule + kernel together, not just
+    * ExtensionsSpec. The `require` makes the entry fail loudly if the
+    * rewrite ever stops firing, because the HOF fallback would
+    * silently produce the same rows.
+    *
+    * Query: top-20 nearest to embedding 0 by raw dot product. The
+    * global top-20 goes through ORDER BY+LIMIT (TakeOrderedAndProject
+    * — distributed, no single-partition window); only the 20
+    * survivors are ranked.
+    */
+  def dotTopKSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VecKernelRewrite
+    if (!spark.experimental.extraOptimizations.contains(VecKernelRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ VecKernelRewrite
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    val df = spark.sql(
+      """WITH anchor AS (SELECT embedding AS av FROM embeddings WHERE vec_id = 0),
+        |dots AS (
+        |  SELECT e.vec_id,
+        |    aggregate(zip_with(e.embedding, a.av,
+        |                       (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |              0.0D, (acc, v) -> acc + v) AS dot
+        |  FROM embeddings e CROSS JOIN anchor a
+        |  WHERE e.vec_id <> 0),
+        |top AS (SELECT vec_id, dot FROM dots ORDER BY dot DESC, vec_id ASC LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rank,
+        |  vec_id
+        |FROM top""".stripMargin)
+    require(df.queryExecution.optimizedPlan.exists(
+        _.expressions.exists(_.exists(_.isInstanceOf[graft.functions.VecDot]))),
+      "VecKernelRewrite did not fire on the HOF dot-product spelling")
+    df
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_embed_dot_sql" -> (dotTopKSql _),
     "q_embed_knn" -> (knnBruteForce _),
     "q_embed_knn_ivf" -> (knnIvf _),
     "q_embed_top_pairs" -> (topPairs _),
@@ -101,6 +145,18 @@ object EmbedQueries {
       |WHERE rnk <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_embed_dot_sql" ->
+      """WITH anchor AS (SELECT embedding AS av FROM embeddings WHERE vec_id = 0),
+        |dots AS (
+        |  SELECT e.vec_id,
+        |    list_inner_product(CAST(e.embedding AS DOUBLE[]),
+        |                       CAST(a.av AS DOUBLE[])) AS dot
+        |  FROM embeddings e CROSS JOIN anchor a
+        |  WHERE e.vec_id <> 0),
+        |top AS (SELECT vec_id, dot FROM dots ORDER BY dot DESC, vec_id ASC LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rank,
+        |  vec_id
+        |FROM top""".stripMargin,
     // exhaustive-probe IVF ≡ exact KNN (nprobe = nlist) — same oracle.
     "q_embed_knn_ivf" -> knnOracle,
     "q_embed_knn" -> knnOracle,

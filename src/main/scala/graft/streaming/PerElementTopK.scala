@@ -28,6 +28,16 @@ import ContinuousTopK.ItemUpdate
   * (`spark.sql.streaming.stateStore.providerClass` =
   * `...state.RocksDBStateStoreProvider`), a transformWithState
   * constraint in Spark 4.
+  *
+  * Idle-key state TTL: pass `idleTtl` to bound state at high key
+  * cardinality, the same guarantee [[ContinuousTopK]] gives via its
+  * event-time timer. transformWithState's native `TTLConfig` is
+  * processing-time based (the only mode the API supports), so the
+  * run switches to `TimeMode.ProcessingTime`; a key idle past the
+  * TTL has its snapshot dropped by the state store itself — the next
+  * element for that key starts a fresh snapshot (seq restarts at 1).
+  * Without `idleTtl` the behavior is unchanged (`TimeMode.None`,
+  * `TTLConfig.NONE`) and state is bounded only per-key by `stateCap`.
   */
 object PerElementTopK {
 
@@ -36,13 +46,13 @@ object PerElementTopK {
 
   case class TopKSnapshot(seq: Long, metrics: Map[String, (Long, Long)])
 
-  class Processor(k: Int, stateCap: Int)
+  class Processor(k: Int, stateCap: Int, ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, ItemUpdate, ElementRanked] {
     @transient private var st: ValueState[TopKSnapshot] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[TopKSnapshot]("topk",
-        Encoders.product[TopKSnapshot], TTLConfig.NONE)
+        Encoders.product[TopKSnapshot], ttl)
 
     override def handleInputRows(key: String, rows: Iterator[ItemUpdate],
         timerValues: TimerValues): Iterator[ElementRanked] = {
@@ -65,13 +75,21 @@ object PerElementTopK {
     }
   }
 
-  /** Lift a keyed update stream into a per-ELEMENT ranked stream. */
+  /** Lift a keyed update stream into a per-ELEMENT ranked stream.
+    * `idleTtl` (processing-time) evicts snapshots for keys idle past
+    * the duration — see the object doc for semantics.
+    */
   def rank(spark: SparkSession, updates: Dataset[ItemUpdate], k: Int,
-      stateCap: Int = ContinuousTopK.defaultStateCap): Dataset[ElementRanked] = {
+      stateCap: Int = ContinuousTopK.defaultStateCap,
+      idleTtl: Option[java.time.Duration] = None): Dataset[ElementRanked] = {
     import spark.implicits._
+    val (timeMode, ttlConfig) = idleTtl match {
+      case Some(d) => (TimeMode.ProcessingTime(), TTLConfig(d))
+      case None    => (TimeMode.None(), TTLConfig.NONE)
+    }
     updates
       .groupByKey(_.groupKey)
-      .transformWithState(new Processor(k, stateCap),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new Processor(k, stateCap, ttlConfig),
+        timeMode, OutputMode.Append())
   }
 }

@@ -111,4 +111,21 @@ class ExtensionsSpec extends SparkSuite {
     }
     assert(err.getMessage.toLowerCase.contains("vec_dot"))
   }
+
+  test("q_embed_dot_sql installs the rule post-hoc and matches brute-force ranks") {
+    // the gate entry's pathway: extraOptimizations on a session built
+    // WITHOUT extensions (as the driver builds it) — its own require
+    // asserts the rewrite fired; here also pin result correctness
+    val df = graft.queries.EmbedQueries.dotTopKSql(spark, "/root/testdata/sf0.001")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 20 && got.map(_._1).toSeq === (1L to 20L))
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val anchor = emb.filter($"vec_id" === 0).select($"embedding".as("av"))
+    val expected = emb.filter($"vec_id" =!= 0).crossJoin(anchor)
+      .select($"vec_id", VecExprs.vec_dot($"embedding", $"av").as("dot"))
+      .orderBy($"dot".desc, $"vec_id").limit(20)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got.map(_._2).toSeq === expected)
+  }
 }

@@ -176,4 +176,63 @@ class NearDupSpec extends SparkSuite {
       assert(got === expected, s"seed=$seed t=$num/$den")
     }
   }
+
+  test("editDistancePairs equals brute-force Levenshtein on random mutated corpora") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "abcdefgh "
+      def randText(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      def mutate(t: String, edits: Int): String = {
+        var s = t
+        for (_ <- 0 until edits) {
+          val i = rnd.nextInt(s.length)
+          rnd.nextInt(3) match {
+            case 0 => s = s.take(i) + alpha(rnd.nextInt(alpha.length)) + s.drop(i + 1)
+            case 1 => s = s.take(i) + alpha(rnd.nextInt(alpha.length)) + s.drop(i)
+            case 2 => s = s.take(i) + s.drop(i + 1)
+          }
+        }
+        s
+      }
+      // 45-60-char texts: some fresh, some near-copies 1-8 edits away
+      // (straddling the maxDist=5 bar), one SHORT doc that must drop
+      val base = (0L until 12L).map(i => (i, randText(45 + rnd.nextInt(15))))
+      val near = (12L until 22L).map { i =>
+        (i, mutate(base(rnd.nextInt(base.size))._2, 1 + rnd.nextInt(8)))
+      }
+      val corpus = (base ++ near :+ ((22L, randText(10)))).filter(_._2.length >= 1)
+      val got = NearDup.editDistancePairs(corpus.toDF("doc_id", "text"))
+        .as[(Long, Long, Long)].collect().toSet
+      val heads = corpus.filter(_._2.length >= 40).map { case (id, t) => (id, t.take(40)) }
+      val expected = (for {
+        (a, ha) <- heads; (b, hb) <- heads if a < b
+        d = lev(ha, hb) if d <= 5
+      } yield (a, b, d.toLong)).toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("dupNgramStats equals an in-memory reference (shared vs unique trigrams)") {
+    val corpus = Seq(
+      (1L, "a b c d e"),      // trigrams: "a b c","b c d","c d e"
+      (2L, "a b c x y"),      // shares "a b c" with doc 1
+      (3L, "p q r s"),        // all unique
+      (4L, "a b"),            // too short: no trigrams, must drop
+      (5L, "a b c d e"))      // exact dup of doc 1: all 3 shared
+    val got = NearDup.dupNgramStats(corpus.toDF("doc_id", "text"))
+      .select("doc_id", "n_shingles", "n_dup_shingles")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L, 3L), (2L, 3L, 1L), (3L, 2L, 0L), (5L, 3L, 3L)))
+    val ratios = NearDup.dupNgramStats(corpus.toDF("doc_id", "text"))
+      .select("doc_id", "dup_ratio").as[(Long, Double)].collect().toMap
+    assert(ratios(2L) === 1.0 / 3.0)
+    assert(ratios(3L) === 0.0)
+  }
 }

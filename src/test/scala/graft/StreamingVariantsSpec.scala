@@ -52,6 +52,55 @@ class StreamingVariantsSpec extends SparkSuite {
     }
   }
 
+  test("per-element top-K idle TTL evicts the snapshot; key restarts fresh") {
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Processing-time mode schedules no-data batches forever (the
+    // operator's shouldRunAnotherBatch keeps the TTL clock advancing),
+    // so processAllAvailable never settles. Disable no-data batches:
+    // TTL enforcement doesn't need them — RocksDB checks the recorded
+    // expiration on every get(), so an expired snapshot reads as
+    // absent in the next REAL batch either way.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = spark.conf.getOption(ndKey)
+    spark.conf.set(ndKey, "false")
+    try {
+      val mem = MemoryStream[ContinuousTopK.ItemUpdate]
+      val ranked = PerElementTopK.rank(spark, mem.toDS(), k = 2,
+        idleTtl = Some(java.time.Duration.ofMillis(300)))
+      val q = ranked.writeStream.format("memory")
+        .queryName("pe_topk_ttl").outputMode("append").start()
+      try {
+        mem.addData(ContinuousTopK.ItemUpdate("r1", "pizza", 3, 300))
+        q.processAllAvailable()
+        // idle well past the TTL so r1's snapshot is expired
+        Thread.sleep(1500)
+        mem.addData(ContinuousTopK.ItemUpdate("r1", "burger", 1, 100))
+        q.processAllAvailable()
+        val rows = spark.table("pe_topk_ttl")
+          .as[PerElementTopK.ElementRanked].collect().toSeq
+        // batch 1 emitted pizza at seq 1; after eviction the key
+        // restarts: seq back to 1, pizza's counts gone (live state
+        // would emit seq 2 with pizza still ranked first)
+        val afterIdle = rows.filter(_.itemId == "burger")
+        assert(afterIdle.map(r => (r.seq, r.rank, r.count)) === Seq((1L, 1, 1L)))
+        assert(rows.size === 2) // one row per element — no carried items
+      } finally q.stop()
+    } finally {
+      prevNd match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None    => spark.conf.unset(ndKey)
+      }
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("timer dedup: suppresses within TTL, re-admits the key after expiry") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TimerDedup.Ev]
