@@ -14,16 +14,31 @@ object Text {
   /** Whitespace tokens (the corpus is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles ("a b c" strings). Empty array for
-    * texts shorter than n tokens.
+  /** Distinct word n-gram shingles ("a b c" strings) from an ALREADY
+    * MATERIALIZED token-array column. Empty array for docs shorter
+    * than n tokens.
+    *
+    * Callers must project `tokens(text)` into a named column first
+    * and pass that attribute: `ArrayTransform` is interpreted (no
+    * codegen for HOF lambdas), so a `toks` that is itself the
+    * `split(...)` EXPRESSION gets re-evaluated on every `element_at`
+    * of every gram — measured ~14× slower at sf0.1 than indexing a
+    * materialized array.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val grams = transform(
-      sequence(lit(0), size(t) - lit(n)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j + 1))): _*))
-    array_distinct(when(size(t) >= n, grams).otherwise(array()))
+      sequence(lit(0), size(toks) - lit(n)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
   }
+
+  /** Distinct word n-gram shingles straight from a text column —
+    * convenience for one-shot/small inputs. On data paths prefer a
+    * `tokens(text)` projection + [[shinglesFromTokens]] (see its
+    * performance note).
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Exact full-text fingerprint (md5 hex — exact-dup key). */
   def fingerprint(text: Column): Column = md5(text)

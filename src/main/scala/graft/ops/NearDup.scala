@@ -30,11 +30,16 @@ object NearDup {
         min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("n_docs"))
 
-  /** Docs → (id, distinct shingle set, set size). */
+  /** Docs → (id, distinct shingle set, set size). The token array is
+    * materialized in its own projection first — see
+    * [[Text.shinglesFromTokens]]'s note on the interpreted-HOF
+    * re-split cost.
+    */
   def shingleSets(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(
-      col(idCol).as("doc_id"),
-      Text.shingles(col(textCol), n).as("sh"))
+    docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .select(
+        col("doc_id"),
+        Text.shinglesFromTokens(col("toks"), n).as("sh"))
       .withColumn("sh_size", size(col("sh")).cast("long"))
 
   /** Exploded inverted index (doc_id, sh_size, shingle) — one row per
@@ -455,17 +460,22 @@ object NearDup {
     */
   def dupNgramStats(docs: DataFrame, n: Int = 3, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("doc_id"),
-      explode(Text.shingles(col(textCol), n)).as("sh"))
+    // persisted: the exploded shingle stream feeds both the document-
+    // frequency aggregation and the join back — without it the corpus
+    // is shingled twice.
+    val sh = docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(Text.shinglesFromTokens(col("toks"), n)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    sh.join(docFreq, "sh")
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_dup_shingles"))
-      .withColumn("dup_ratio",
-        col("n_dup_shingles").cast("double") / col("n_shingles"))
+    finalized(
+      sh.join(docFreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_dup_shingles"))
+        .withColumn("dup_ratio",
+          col("n_dup_shingles").cast("double") / col("n_shingles")),
+      sh)
   }
 
   /** Edit-distance near-dup pairs on fixed-length document heads —
@@ -475,68 +485,72 @@ object NearDup {
     * characters are within Levenshtein distance `maxDist`.
     *
     * Candidate generation is LOSSLESS, never all-pairs, via the
-    * q-gram count filter + prefix principle (Gravano et al. VLDB'01;
-    * Bayardo et al. WWW'07 — same principle [[jaccardPairs]] uses):
-    *   - a head of length L has m = L-q+1 positional q-grams; one
-    *     edit destroys at most q of them, so ed <= k implies the
-    *     MULTISET q-gram overlap is >= T = m - k*q (heads are equal
-    *     length, so no length-difference slack is needed);
-    *   - occurrence-tagging each gram ("gram#occ") turns multiset
-    *     overlap into set overlap over m-element sets;
-    *   - with tokens globally ordered rarest-first, any two sets with
-    *     overlap >= T must share a token inside their first
-    *     m - T + 1 = k*q + 1 tokens — so only those prefix tokens are
-    *     join keys. Frequent grams ("e th", "the ") sit at the back
-    *     of the order and never flood the join.
-    * Candidates are then exact-verified with `levenshtein` on the
-    * two 40-char heads — O(headLen²) per candidate, cheap.
+    * PassJoin segment partition (Li, Deng, Feng: "PASS-JOIN: A
+    * Partition-based Method for Similarity Joins", PVLDB 5(3) 2011):
+    * split each head into k+1 segments; at most k edit operations
+    * touch at most k segments, so for any pair within distance k at
+    * least one segment of `a` survives untouched and appears in `b`
+    * EXACTLY, shifted by the net indels before it — at most ±k from
+    * its home position. Candidates therefore come from an equi-join
+    * of (segment_idx, segment_string) against the ±k-shifted
+    * substring extractions of every other head — 6 seg rows and
+    * ≤ (k+1)(2k+1) substring rows per doc, partitioned by the string
+    * key at any corpus size. A q-gram prefix filter was tried first
+    * and measured nearly useless on repetitive corpora (the gate's
+    * 31-word synthetic vocabulary left only 783 distinct 3-grams at
+    * sf0.1 → 7.7M candidates); PassJoin's position-anchored segments
+    * stay selective because a hot substring must ALSO sit at the same
+    * segment index within ±k characters.
     *
-    * Requires q*maxDist < headLen-q+1 (else T <= 0 and no filter is
-    * lossless); the default 3*5=15 < 38 holds comfortably. All joins
-    * are equi-joins on tokens; the per-doc windows are keyed by
-    * doc_id (never a global window). One corpus-wide token-frequency
-    * aggregation provides the global order.
+    * Verification is banded `levenshtein(a, b, threshold)` — O(k·L)
+    * per candidate, and -1 (dropped) as soon as the band exceeds k.
     */
-  def editDistancePairs(docs: DataFrame, headLen: Int = 40, maxDist: Int = 5,
-      q: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val m = headLen - q + 1
-    require(maxDist * q < m,
-      s"q-gram filter degenerates: need q*maxDist < headLen-q+1, got ${q * maxDist} >= $m")
-    val prefixLen = maxDist * q + 1
+  def editDistancePairs(docs: DataFrame, headLen: Int = 80, maxDist: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nSeg = maxDist + 1
+    require(headLen >= nSeg, s"need headLen >= maxDist+1, got $headLen < $nSeg")
+    val baseLen = headLen / nSeg
+    val rem = headLen % nSeg
+    // even partition, longer segments first: starts are 1-based
+    val bounds = {
+      var s = 1
+      (0 until nSeg).map { i =>
+        val l = baseLen + (if (i < rem) 1 else 0)
+        val b = (s, l); s += l; b
+      }
+    }
     val heads = docs
       .filter(length(col(textCol)) >= headLen)
       .select(col(idCol).as("doc_id"),
         substring(col(textCol), 1, headLen).as("head"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // positional q-grams, occurrence-tagged: (doc_id, "gram#occ")
-    val grams = heads
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          i => col("head").substr(i + lit(1), lit(q)))).as(Seq("pos", "gram")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"), col("gram")).orderBy(col("pos"))
-    val tokens = grams
-      .withColumn("tok", concat_ws("#", col("gram"), row_number().over(win)))
-      .select(col("doc_id"), col("tok"))
-    val tokFreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
-    val orderWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    val prefixes = tokens.join(tokFreq, "tok")
-      .withColumn("rn", row_number().over(orderWin))
-      .filter(col("rn") <= prefixLen)
-      .select(col("doc_id"), col("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = prefixes.as("x").join(prefixes.as("y"), "tok")
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val segStructs = bounds.zipWithIndex.map { case ((s, l), i) =>
+      struct(lit(i).as("idx"), substring(col("head"), s, l).as("str"))
+    }
+    val segs = heads
+      .select(col("doc_id"), explode(array(segStructs: _*)).as("g"))
+      .select(col("doc_id"), col("g.idx").as("idx"), col("g.str").as("str"))
+    val subStructs = bounds.zipWithIndex.flatMap { case ((s, l), i) =>
+      (math.max(s - maxDist, 1) to math.min(s + maxDist, headLen - l + 1)).map { st =>
+        struct(lit(i).as("idx"), substring(col("head"), st, l).as("str"))
+      }
+    }
+    val subs = heads
+      .select(col("doc_id"), explode(array(subStructs: _*)).as("g"))
+      .select(col("doc_id"), col("g.idx").as("idx"), col("g.str").as("str"))
+      .distinct() // overlapping shifts often repeat a string — join once
+    val candidates = segs.as("x").join(subs.as("y"), Seq("idx", "str"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
     finalized(
       candidates
         .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), "doc_a")
         .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("head_a"), col("head_b")).cast("long").as("dist"))
-        .filter(col("dist") <= maxDist),
-      heads, prefixes)
+          levenshtein(col("head_a"), col("head_b"), maxDist).cast("long").as("dist"))
+        .filter(col("dist") >= 0),
+      heads)
   }
 }

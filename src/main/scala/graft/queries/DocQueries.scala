@@ -129,10 +129,11 @@ object DocQueries {
     */
   def docRepetition(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    d.select(
-      col("doc_id"),
-      (Text.tokenCount(col("text")) - 2).as("total_3grams"),
-      size(Text.shingles(col("text"), 3)).cast("long").as("distinct_3grams"))
+    d.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        (size(col("toks")) - 2).cast("long").as("total_3grams"),
+        size(Text.shinglesFromTokens(col("toks"), 3)).cast("long").as("distinct_3grams"))
       .filter(col("total_3grams") > 0)
       .withColumn("dup_gram_ratio",
         (col("total_3grams") - col("distinct_3grams")).cast("double") / col("total_3grams"))
@@ -248,7 +249,7 @@ object DocQueries {
   def docDupNgrams(spark: SparkSession, dir: String): DataFrame =
     NearDup.dupNgramStats(Tables.documents(spark, dir), n = 3)
 
-  /** Edit-distance near-dup pairs on 40-char document heads —
+  /** Edit-distance near-dup pairs on 80-char document heads —
     * [[NearDup.editDistancePairs]]: lossless q-gram prefix-filter
     * candidates, exact Levenshtein verify.
     */
@@ -348,8 +349,8 @@ object DocQueries {
     // engines implement classic unit-cost Levenshtein.
     "q_doc_editdist" ->
       """WITH h AS (
-        |  SELECT doc_id, substr(text, 1, 40) AS head
-        |  FROM documents WHERE length(text) >= 40)
+        |  SELECT doc_id, substr(text, 1, 80) AS head
+        |  FROM documents WHERE length(text) >= 80)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
         |FROM h a JOIN h b ON a.doc_id < b.doc_id

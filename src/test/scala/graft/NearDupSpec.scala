@@ -201,16 +201,16 @@ class NearDupSpec extends SparkSuite {
         }
         s
       }
-      // 45-60-char texts: some fresh, some near-copies 1-8 edits away
+      // 85-105-char texts: some fresh, some near-copies 1-8 edits away
       // (straddling the maxDist=5 bar), one SHORT doc that must drop
-      val base = (0L until 12L).map(i => (i, randText(45 + rnd.nextInt(15))))
+      val base = (0L until 12L).map(i => (i, randText(85 + rnd.nextInt(20))))
       val near = (12L until 22L).map { i =>
         (i, mutate(base(rnd.nextInt(base.size))._2, 1 + rnd.nextInt(8)))
       }
-      val corpus = (base ++ near :+ ((22L, randText(10)))).filter(_._2.length >= 1)
+      val corpus = (base ++ near :+ ((22L, randText(30)))).filter(_._2.length >= 1)
       val got = NearDup.editDistancePairs(corpus.toDF("doc_id", "text"))
         .as[(Long, Long, Long)].collect().toSet
-      val heads = corpus.filter(_._2.length >= 40).map { case (id, t) => (id, t.take(40)) }
+      val heads = corpus.filter(_._2.length >= 80).map { case (id, t) => (id, t.take(80)) }
       val expected = (for {
         (a, ha) <- heads; (b, hb) <- heads if a < b
         d = lev(ha, hb) if d <= 5
