@@ -460,6 +460,17 @@ object NearDup {
     */
   def dupNgramStats(docs: DataFrame, n: Int = 3, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (result, sh) = dupNgramStatsFrames(docs, n, minDocs, idCol, textCol)
+    finalized(result, sh)
+  }
+
+  /** The un-checkpointed (result, cached-shingles) pair —
+    * package-visible so PlanSpec can assert on the REAL physical plan
+    * (the public method's eager localCheckpoint reduces its visible
+    * plan to an RDD scan).
+    */
+  private[graft] def dupNgramStatsFrames(docs: DataFrame, n: Int, minDocs: Int,
+      idCol: String, textCol: String): (DataFrame, DataFrame) = {
     // persisted: the exploded shingle stream feeds both the document-
     // frequency aggregation and the join back — without it the corpus
     // is shingled twice.
@@ -467,15 +478,14 @@ object NearDup {
       .select(col("doc_id"), explode(Text.shinglesFromTokens(col("toks"), n)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    finalized(
-      sh.join(docFreq, "sh")
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_shingles"),
-          sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_dup_shingles"))
-        .withColumn("dup_ratio",
-          col("n_dup_shingles").cast("double") / col("n_shingles")),
-      sh)
+    val result = sh.join(docFreq, "sh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .withColumn("dup_ratio",
+        col("n_dup_shingles").cast("double") / col("n_shingles"))
+    (result, sh)
   }
 
   /** Edit-distance near-dup pairs on fixed-length document heads —
@@ -507,6 +517,15 @@ object NearDup {
     */
   def editDistancePairs(docs: DataFrame, headLen: Int = 80, maxDist: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (result, heads) = editDistancePairsFrames(docs, headLen, maxDist, idCol, textCol)
+    finalized(result, heads)
+  }
+
+  /** Un-checkpointed (result, cached-heads) pair — package-visible for
+    * PlanSpec (see [[dupNgramStatsFrames]]).
+    */
+  private[graft] def editDistancePairsFrames(docs: DataFrame, headLen: Int, maxDist: Int,
+      idCol: String, textCol: String): (DataFrame, DataFrame) = {
     val nSeg = maxDist + 1
     require(headLen >= nSeg, s"need headLen >= maxDist+1, got $headLen < $nSeg")
     val baseLen = headLen / nSeg
@@ -544,13 +563,12 @@ object NearDup {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    finalized(
-      candidates
-        .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), "doc_a")
-        .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("head_a"), col("head_b"), maxDist).cast("long").as("dist"))
-        .filter(col("dist") >= 0),
-      heads)
+    val result = candidates
+      .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), "doc_a")
+      .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("head_a"), col("head_b"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+    (result, heads)
   }
 }

@@ -33,17 +33,26 @@ object Pack {
     * `budget` = tokens per chunk; docs may straddle a boundary (the
     * concat-and-chunk convention: sequences are concatenated, then
     * cut every `budget` tokens).
+    *
+    * `orderBy` overrides the packing order (default: idCol ascending)
+    * — pass a hash of the id for a DETERMINISTIC GLOBAL SHUFFLE of
+    * the corpus (the training-order randomization step), at the same
+    * two-narrow-pass cost: the range partitioner just ranges over the
+    * hash instead of the id. Ties in the key fall back to doc_id, so
+    * any expression yields a total order.
     */
   def packOffsets(docs: DataFrame, idCol: String, tokenCol: String,
-      budget: Long, partitions: Int = 0): DataFrame = {
+      budget: Long, partitions: Int = 0,
+      orderBy: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = docs.sparkSession
     val nParts =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = docs
-      .select(col(idCol).as("doc_id"), col(tokenCol).cast("long").as("n_tokens"))
-      .repartitionByRange(nParts, col("doc_id"))
+      .select(col(idCol).as("doc_id"), col(tokenCol).cast("long").as("n_tokens"),
+        orderBy.getOrElse(col(idCol)).as("_ord"))
+      .repartitionByRange(nParts, col("_ord"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -54,10 +63,15 @@ object Pack {
       val offsets = (0 until nParts).scanLeft(0L) {
         (acc, pid) => acc + totals.getOrElse(pid, 0L)
       }
-      val offsetCol = (0 until nParts).foldLeft(lit(0L)) { (acc, pid) =>
-        when(col("pid") === pid, lit(offsets(pid))).otherwise(acc)
-      }
-      val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      // One map-literal lookup, not a when-chain: a fold of nested
+      // when(pid === i, …) builds an O(nParts)-deep expression tree
+      // that stalls codegen at realistic shuffle-partition counts
+      // (2000+); a MapType literal is a single constant whatever
+      // nParts is (same fix as Rank.withGlobalRowNumber).
+      val offsetCol = element_at(
+        typedLit((0 until nParts).map(pid => pid -> offsets(pid)).toMap),
+        col("pid"))
+      val w = Window.partitionBy(col("pid")).orderBy(col("_ord"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       ranged
         .withColumn("start_offset",

@@ -243,6 +243,21 @@ object DocQueries {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(100)
 
+  /** Deterministic global corpus shuffle + shard packing: the
+    * training-order randomization step. Identical to [[docPack]] but
+    * packed in md5(seed:doc_id) order instead of id order — same
+    * distributed exclusive scan, the range partitioner just ranges
+    * over the hash. Stable across runs/engines/cluster sizes (the
+    * order is a pure function of the id), which is what makes a
+    * training run reproducible.
+    */
+  def docShufflePack(spark: SparkSession, dir: String): DataFrame =
+    Pack.packOffsets(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), Text.estBpeTokens(col("n_chars")).as("est_tokens")),
+      "doc_id", "est_tokens", budget = 4096,
+      orderBy = Some(md5(concat(lit("shuf1:"), col("doc_id").cast("string")))))
+
   /** Per-doc duplicated 3-gram fraction (Lee et al. ACL'22 boilerplate
     * signal) — see [[NearDup.dupNgramStats]] for the scale design.
     */
@@ -288,6 +303,7 @@ object DocQueries {
   }
 
   val queries: Map[String, QFn] = Map(
+    "q_doc_shuffle_pack" -> (docShufflePack _),
     "q_doc_dup_ngrams" -> (docDupNgrams _),
     "q_doc_editdist" -> (docEditDist _),
     "q_doc_tfidf" -> (docTfidf _),
@@ -331,6 +347,21 @@ object DocQueries {
        |  AND $limitExpr""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // sequential cumsum in md5(seed:id) order — the engine's
+    // distributed exclusive scan must be bit-equal to it
+    "q_doc_shuffle_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST((n_chars + 3) // 4 AS BIGINT) AS n_tokens,
+        |    md5('shuf1:' || doc_id) AS ord
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(SUM(n_tokens) OVER (ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  CAST(start_offset // 4096 AS BIGINT) AS chunk
+        |FROM s""".stripMargin,
     // duplicated 3-gram fraction: distinct shingles per doc (same CTE
     // as the jaccard family), corpus document frequency, duplicated
     // share. unnest of an empty list yields no rows, matching Spark's

@@ -99,6 +99,59 @@ class PlanSpec extends SparkSuite {
     assert(finalPlan.contains("partial_count") || finalPlan.contains("Partial"), p)
   }
 
+  test("dup-ngram census: map-side partial aggs, no cartesian, equi-joins only") {
+    // the raw (pre-checkpoint) frame — the public op's eager
+    // localCheckpoint hides the real plan behind an RDD scan
+    val (raw, _) = graft.ops.NearDup.dupNgramStatsFrames(
+      Tables.documents(spark, sfDir), 3, 2, "doc_id", "text")
+    val p = planOf(raw)
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("partial_count") || finalPlan.contains("Partial"), p)
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("edit-distance pairs: candidates come from equi-joins, never a nested loop") {
+    val (raw, _) = graft.ops.NearDup.editDistancePairsFrames(
+      Tables.documents(spark, sfDir), 80, 5, "doc_id", "text")
+    val p = planOf(raw)
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      "PassJoin candidate generation must stay an equi-join\n" + p)
+  }
+
+  test("tfidf: term-frequency join keeps partial aggregation; window is doc-keyed") {
+    val p = planOf(graft.queries.DocQueries.docTfidf(spark, sfDir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("partial_count") || finalPlan.contains("Partial"), p)
+    // the top-3 window partitions by doc_id — a global (empty-key)
+    // window would serialize the corpus through one task
+    assert(finalPlan.contains("windowspecdefinition(doc_id"), p)
+  }
+
+  test("shuffled pack survives 1000 range partitions and matches the sequential scan") {
+    // parity at a realistic cluster partition count exercises the
+    // map-literal offset path (the when-chain it replaced blew the
+    // expression tree at this width — same fix as Rank); the hash
+    // order must still be bit-equal to the one-task sequential cumsum
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.Text.estBpeTokens(col("n_chars")).as("est_tokens"))
+    val ord = md5(concat(lit("shuf1:"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(ord.asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = docs
+      .withColumn("start_offset", coalesce(sum(col("est_tokens")).over(w), lit(0L)))
+      .select("doc_id", "start_offset").as[(Long, Long)].collect().toMap
+    val got = graft.ops.Pack.packOffsets(docs, "doc_id", "est_tokens",
+        budget = 4096, partitions = 1000, orderBy = Some(ord))
+      .select("doc_id", "start_offset").as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("bloom semi join: the probe filters the fact BELOW the join") {
     val p = planOf(TpchQueries.queries("q_tpch_bloom_semi")(spark, sfDir))
     val finalPlan = p.split("== Initial Plan ==").head
