@@ -101,6 +101,50 @@ class StreamingVariantsSpec extends SparkSuite {
     }
   }
 
+  test("streaming session windows equal batch sessionize on closed sessions") {
+    implicit val sql = spark.sqlContext
+    import graft.ops.Sessionize
+    val mem = MemoryStream[TimerDedup.Ev]
+    // same operator, batch and stream: Sessionize.sessions is the
+    // q_sessionize code path — this pins the streaming half of the
+    // "session_window works in both modes" claim
+    val sessions = Sessionize.sessions(
+      mem.toDF().withWatermark("ts", "10 seconds"),
+      keyCol = "user_id", tsCol = "ts", gap = "30 minutes",
+      valueCol = "value_cents")
+    val q = sessions.writeStream.format("memory")
+      .queryName("stream_sessions").outputMode("append").start()
+    try {
+      val evs = Seq(
+        TimerDedup.Ev(1, ts("2024-01-01 10:00:00"), 7, "click", 100),
+        TimerDedup.Ev(2, ts("2024-01-01 10:10:00"), 7, "click", 200),  // same session
+        TimerDedup.Ev(3, ts("2024-01-01 10:40:00"), 7, "click", 300),  // merges (gap = 30m exactly)
+        TimerDedup.Ev(4, ts("2024-01-01 11:30:01"), 7, "click", 400),  // gap > 30m: new session
+        TimerDedup.Ev(5, ts("2024-01-01 10:05:00"), 8, "view", 500))   // other key
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every session end so append
+      // mode emits them all (key 99 is the flush anchor, excluded)
+      mem.addData(TimerDedup.Ev(6, ts("2024-01-02 00:00:00"), 99, "flush", 0))
+      q.processAllAvailable()
+      import org.apache.spark.sql.functions.col
+      val got = spark.table("stream_sessions")
+        .filter(col("user_id") =!= 99)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = Sessionize.sessions(
+        evs.toDF(), keyCol = "user_id", tsCol = "ts", gap = "30 minutes",
+        valueCol = "value_cents")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === want)
+      // sanity on the semantics themselves: user 7 has two sessions,
+      // the first spanning 10:00–11:10 (3 events, end = last + gap)
+      assert(want.count(_._1 == 7L) === 2)
+      assert(want.exists(s => s._1 == 7L && s._4 == 3L &&
+        s._2 == ts("2024-01-01 10:00:00").getTime &&
+        s._3 == ts("2024-01-01 11:10:00").getTime))
+    } finally q.stop()
+  }
+
   test("timer dedup: suppresses within TTL, re-admits the key after expiry") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TimerDedup.Ev]
