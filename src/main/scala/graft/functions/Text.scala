@@ -40,6 +40,17 @@ object Text {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
+  /** Adjacent word pairs WITH multiplicity (collocation counting
+    * needs occurrences, not the distinct sets [[shinglesFromTokens]]
+    * builds): array<struct<w1,w2>> via two slices zipped — no HOF
+    * lambda, so nothing re-evaluates per element. Empty for docs
+    * under 2 tokens.
+    */
+  def bigramsFromTokens(toks: Column): Column = {
+    val m = greatest(size(toks) - lit(1), lit(0))
+    arrays_zip(slice(toks, lit(1), m).as("w1"), slice(toks, lit(2), m).as("w2"))
+  }
+
   /** Exact full-text fingerprint (md5 hex — exact-dup key). */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -271,6 +271,45 @@ object DocQueries {
   def docEditDist(spark: SparkSession, dir: String): DataFrame =
     NearDup.editDistancePairs(Tables.documents(spark, dir))
 
+  /** Collocation extraction: top-25 adjacent word pairs by PMI
+    * (pointwise mutual information) among pairs seen >= 20 times.
+    * PMI = ln(p(ab) / (p(a)p(b))) — but ln is MONOTONE, so the
+    * RANKING (all that leaves the engine) is by the exact ratio
+    * c_ab·N / (c_a·c_b), computed as one double expression over exact
+    * BIGINT counts in the identical operation order on both engines;
+    * no transcendental functions on the wire. Counts: one explode
+    * for bigrams (positions, not distinct) + one for unigrams, each
+    * a map-side-combining count; the unigram join is a shuffle join
+    * (vocab outgrows broadcast at 100 TB); top-25 is
+    * TakeOrderedAndProject.
+    */
+  def docCollocations(spark: SparkSession, dir: String): DataFrame =
+    collocations(Tables.documents(spark, dir))
+
+  /** DataFrame-level collocation core (docs must carry doc_id, text). */
+  def collocations(docs: DataFrame, minCount: Long = 20, topN: Int = 25): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks
+      .select(explode(Text.bigramsFromTokens(col("toks"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val n = toks.agg(sum(size(col("toks"))).cast("long").as("n_tokens"))
+    val scored = bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("c_ab").cast("double") * col("n_tokens") / (col("c_a") * col("c_b")))
+    scored
+      .orderBy(col("score").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+      .select(col("w1"), col("w2"), col("c_ab"))
+  }
+
   /** Top-3 salient terms per doc by TF-IDF (smooth idf:
     * tf · ln((N+1)/(df+1))). Only ids/ranks/terms leave the engine;
     * the double score is computed identically on both sides (same
@@ -304,6 +343,7 @@ object DocQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_doc_shuffle_pack" -> (docShufflePack _),
+    "q_doc_collocations" -> (docCollocations _),
     "q_doc_dup_ngrams" -> (docDupNgrams _),
     "q_doc_editdist" -> (docEditDist _),
     "q_doc_tfidf" -> (docTfidf _),
@@ -362,6 +402,23 @@ object DocQueries {
         |SELECT doc_id, n_tokens, start_offset,
         |  CAST(start_offset // 4096 AS BIGINT) AS chunk
         |FROM s""".stripMargin,
+    // PMI ranking by the exact ratio c_ab·N/(c_a·c_b): identical
+    // integer inputs and operation order → identical doubles →
+    // identical ordering; ln never enters
+    "q_doc_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |uni AS (SELECT w, count(*) AS c
+         |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |bi AS (
+         |  SELECT toks[i] AS w1, toks[i+1] AS w2, count(*) AS c_ab
+         |  FROM t, UNNEST(range(1, len(toks))) AS r(i)
+         |  GROUP BY 1, 2 HAVING count(*) >= 20),
+         |n AS (SELECT sum(len(toks)) AS n_tokens FROM t)
+         |SELECT w1, w2, c_ab FROM (
+         |  SELECT bi.w1, bi.w2, bi.c_ab,
+         |    CAST(bi.c_ab AS DOUBLE) * n.n_tokens / (a.c * b.c) AS score
+         |  FROM bi JOIN uni a ON bi.w1 = a.w JOIN uni b ON bi.w2 = b.w CROSS JOIN n)
+         |ORDER BY score DESC, w1 ASC, w2 ASC LIMIT 25""".stripMargin,
     // duplicated 3-gram fraction: distinct shingles per doc (same CTE
     // as the jaccard family), corpus document frequency, duplicated
     // share. unnest of an empty list yields no rows, matching Spark's
