@@ -67,6 +67,20 @@ object EmbedQueries {
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     Ann.cosineNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
 
+  /** Canonical dedup groups over the embedding-cosine near-dup graph:
+    * [[graft.ops.NearDup.canonicalize]] (large-star/small-star
+    * contraction) composed over [[Ann.cosineNearDupPairs]] — every
+    * embedding in a cosine>=0.4 component maps to the component's
+    * minimum vec_id, the "keep one survivor" form of embedding dedup.
+    * Exercises star contraction on a second graph family (the doc
+    * gate covers the Jaccard graph).
+    */
+  def embedDedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.NearDup.canonicalize(
+      Ann.cosineNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("canonical_id"))
+
   /** SemDeDup-style semantic dedup: near-dup pairs (cosine >= 0.3)
     * found WITHIN coarse-quantizer cells only — candidate compares
     * shrink from O(n²) to per-cluster, sharded by cell. Reuses the
@@ -126,6 +140,7 @@ object EmbedQueries {
   }
 
   val queries: Map[String, QFn] = Map(
+    "q_embed_dedup_canonical" -> (embedDedupCanonical _),
     "q_embed_dot_sql" -> (dotTopKSql _),
     "q_embed_knn" -> (knnBruteForce _),
     "q_embed_knn_ivf" -> (knnIvf _),
@@ -145,6 +160,22 @@ object EmbedQueries {
       |WHERE rnk <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // transitive closure over the cosine>=0.4 pair graph — same
+    // recursive-CTE shape as the doc canonical oracle
+    "q_embed_dedup_canonical" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.4),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(doc, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT w.doc, e.dst FROM walk w JOIN edges e ON e.src = w.r)
+        |SELECT doc AS vec_id, CAST(min(r) AS BIGINT) AS canonical_id
+        |FROM walk GROUP BY doc""".stripMargin,
     "q_embed_dot_sql" ->
       """WITH anchor AS (SELECT embedding AS av FROM embeddings WHERE vec_id = 0),
         |dots AS (
