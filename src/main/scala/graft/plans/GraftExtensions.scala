@@ -78,7 +78,12 @@ object VecKernelRewrite extends Rule[LogicalPlan] {
   * Injects:
   *  - [[VecKernelRewrite]] into the operator-optimization batch;
   *  - `vec_dot(array, array)` as a SQL-callable function, so pure-SQL
-  *    clients reach the codegen'd kernel directly.
+  *    clients reach the codegen'd kernel directly;
+  *  - the scalar text-analysis family (`graft_lang_id`,
+  *    `graft_normalize`, `graft_token_count`, `graft_fingerprint`,
+  *    `graft_hash_bucket`) — each expands to the same pure-Column
+  *    expression tree the DataFrame API builds, so SQL clients get
+  *    identical (codegen'd, UDF-free) semantics.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -91,5 +96,59 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"vec_dot takes exactly 2 arguments, got ${children.length}")
         VecDot(children.head, children(1))
       }))
+    GraftExtensions.textFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.Text", name),
+        builder))
+    }
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.GraftShim.{column, toResolvableExpression}
+  import graft.functions.Text
+
+  private def arity1(name: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : (String, Seq[Expression] => Expression) =
+    name -> { children: Seq[Expression] =>
+      require(children.length == 1, s"$name takes exactly 1 argument, got ${children.length}")
+      toResolvableExpression(f(column(children.head)))
+    }
+
+  /** Scalar text functions exposed to SQL. `graft_hash_bucket`'s
+    * bucket count must be a foldable integer literal (it sizes the
+    * expression tree).
+    */
+  val textFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    arity1("graft_lang_id", Text.langId),
+    arity1("graft_normalize", Text.normalize),
+    arity1("graft_token_count", Text.tokenCount),
+    arity1("graft_fingerprint", Text.fingerprint),
+    "graft_hash_bucket" -> { children: Seq[Expression] =>
+      require(children.length == 2,
+        s"graft_hash_bucket takes exactly 2 arguments, got ${children.length}")
+      val buckets = children(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_hash_bucket: bucket count must be an integer literal, got $other")
+      }
+      toResolvableExpression(Text.hashBucket(column(children.head), buckets))
+    })
+
+  /** Register the text family + vec_dot on a LIVE session (the
+    * driver-gate pathway — the driver owns session construction, so
+    * `spark.sql.extensions` is out of reach there). Idempotent:
+    * re-registration replaces the same entries.
+    */
+  def registerTextFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    textFunctions.foreach { case (name, builder) =>
+      org.apache.spark.sql.GraftShim.registerFunction(spark, name, builder)
+    }
+    org.apache.spark.sql.GraftShim.registerFunction(spark, "vec_dot", { children =>
+      require(children.length == 2,
+        s"vec_dot takes exactly 2 arguments, got ${children.length}")
+      VecDot(children.head, children(1))
+    })
   }
 }

@@ -106,16 +106,72 @@ object SqlQueries {
       GROUP BY session_window(ts, '30 minutes'), user_id""")
   }
 
+  /** The injected scalar text family, driven PURE-SQL end-to-end:
+    * [[graft.plans.GraftExtensions.registerTextFunctions]] registers
+    * `graft_*` on the live session (the driver owns session
+    * construction, so the `spark.sql.extensions` config path is out
+    * of reach in the gate), then one SQL statement uses normalize /
+    * token-count / fingerprint / hash-bucket / lang-id together.
+    * Hash-checked against DuckDB recomputing every function from its
+    * documented definition — proving the SQL spelling is semantics-
+    * identical to the Column API, not just resolvable.
+    */
+  def textFunctionsSql(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.registerTextFunctions(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql("""
+      SELECT doc_id,
+        graft_normalize(text) AS norm_text,
+        graft_token_count(text) AS n_tokens,
+        graft_fingerprint(text) AS fp,
+        graft_hash_bucket(doc_id, 100) AS bucket,
+        graft_lang_id(text) AS lang_pred
+      FROM documents""")
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_sql_topk_raw" -> (topkRaw _),
     "q_sql_topk_rollup" -> (topkRollup _),
     "q_sql_revenue_by_hour" -> (revenueByHour _),
     "q_sql_sessionize" -> (sessionizeSql _),
+    "q_sql_text_functions" -> (textFunctionsSql _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // each graft_* SQL function recomputed from its documented
+    // definition (same snippets as the per-function doc oracles)
+    "q_sql_text_functions" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  md5(text) AS fp,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+        |  CASE WHEN greatest(
+        |         len(list_filter(toks, x -> list_contains(['the','a','fast','slow'], x))),
+        |         len(list_filter(toks, x -> list_contains(['data','table','row','column'], x))),
+        |         len(list_filter(toks, x -> list_contains(['stream','batch','window','group'], x))),
+        |         len(list_filter(toks, x -> list_contains(['query','join','filter','sort'], x)))) = 0 THEN 'und'
+        |       WHEN len(list_filter(toks, x -> list_contains(['the','a','fast','slow'], x))) = greatest(
+        |         len(list_filter(toks, x -> list_contains(['the','a','fast','slow'], x))),
+        |         len(list_filter(toks, x -> list_contains(['data','table','row','column'], x))),
+        |         len(list_filter(toks, x -> list_contains(['stream','batch','window','group'], x))),
+        |         len(list_filter(toks, x -> list_contains(['query','join','filter','sort'], x)))) THEN 'en'
+        |       WHEN len(list_filter(toks, x -> list_contains(['data','table','row','column'], x))) = greatest(
+        |         len(list_filter(toks, x -> list_contains(['the','a','fast','slow'], x))),
+        |         len(list_filter(toks, x -> list_contains(['data','table','row','column'], x))),
+        |         len(list_filter(toks, x -> list_contains(['stream','batch','window','group'], x))),
+        |         len(list_filter(toks, x -> list_contains(['query','join','filter','sort'], x)))) THEN 'es'
+        |       WHEN len(list_filter(toks, x -> list_contains(['stream','batch','window','group'], x))) = greatest(
+        |         len(list_filter(toks, x -> list_contains(['the','a','fast','slow'], x))),
+        |         len(list_filter(toks, x -> list_contains(['data','table','row','column'], x))),
+        |         len(list_filter(toks, x -> list_contains(['stream','batch','window','group'], x))),
+        |         len(list_filter(toks, x -> list_contains(['query','join','filter','sort'], x)))) THEN 'de'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM t""".stripMargin,
     // identical surface/semantics to q_sessionize (strictly-greater
     // gap starts a session; end = last ts + gap at µs grain).
     "q_sql_sessionize" ->

@@ -15,4 +15,27 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Fully CONVERT a Column's node tree to a catalyst expression —
+    * unlike [[expression]] (a lazy adapter that codegen chokes on
+    * when the tree holds `UnresolvedFunction` Column nodes, e.g. any
+    * tree built with `org.apache.spark.sql.functions`), the converter
+    * rewrites every node into the analyzer-resolvable catalyst form.
+    * Required by function-registry builders that expand to
+    * Column-API compositions.
+    */
+  def toResolvableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a SQL function on a LIVE session (the post-hoc twin of
+    * `SparkSessionExtensions.injectFunction`, for sessions the caller
+    * didn't build — e.g. the driver gate's). `sessionState` is
+    * `private[sql]`, hence the forwarder lives here.
+    */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+      builder)
 }

@@ -112,6 +112,29 @@ class ExtensionsSpec extends SparkSuite {
     assert(err.getMessage.toLowerCase.contains("vec_dot"))
   }
 
+  test("injected text family: SQL spelling equals the Column API, isolated to its session") {
+    // withExtensions path
+    val r = ext.sql(
+      "SELECT graft_normalize(' Hello,  World! ') AS n, graft_token_count('a b c') AS c, " +
+        "graft_lang_id('the the a data') AS l, graft_hash_bucket(42, 100) AS b").collect().head
+    assert(r.getString(0) === "hello world")
+    assert(r.getLong(1) === 3L)
+    assert(r.getString(2) === "en")
+    // same value the Column API computes
+    import ext.implicits._
+    val apiBucket = Seq(42L).toDF("id")
+      .select(graft.functions.Text.hashBucket($"id", 100)).collect().head.getLong(0)
+    assert(r.getLong(3) === apiBucket)
+    // the un-extended shared session must NOT see the family...
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_normalize('x')").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_normalize"))
+    // ...until the post-hoc registration path (the gate's) adds it
+    graft.plans.GraftExtensions.registerTextFunctions(spark)
+    assert(spark.sql("SELECT graft_token_count('x y') AS c").collect().head.getLong(0) === 2L)
+  }
+
   test("q_embed_dot_sql installs the rule post-hoc and matches brute-force ranks") {
     // the gate entry's pathway: extraOptimizations on a session built
     // WITHOUT extensions (as the driver builds it) — its own require
