@@ -55,6 +55,30 @@ object EmbedQueries {
       centroids = centroids, nprobe = nprobe)
   }
 
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** KNN served from the MATERIALIZED IVF index
+    * ([[graft.serving.AnnIndex]]): cell-partitioned parquet written
+    * once per dataset fingerprint, then probed with dynamic partition
+    * pruning. Exhaustive probe (nprobe = nlist) ≡ brute force, so the
+    * same oracle hash-checks the whole materialize→prune→rank path;
+    * the approximate operating point is covered by AnnIndexSpec.
+    */
+  def knnIvfServed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val fp = graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet")
+    val centroids = centroidCache.getOrElseUpdate(fp,
+      Ann.coarseCentroids(emb, nCells = 16))
+    val root = indexCache.getOrElseUpdate(fp, {
+      val p = java.nio.file.Files.createTempDirectory("graft_ann_index").toString
+      graft.serving.AnnIndex.materialize(emb, centroids, p)
+      p
+    })
+    graft.serving.AnnIndex.query(spark, root,
+      emb.filter(col("vec_id") < 10), centroids, k = 5, nprobe = 16)
+  }
+
   /** Global top-20 most-similar embedding pairs (embedding-cosine
     * near-dup detection in ranked form).
     */
@@ -144,6 +168,7 @@ object EmbedQueries {
     "q_embed_dot_sql" -> (dotTopKSql _),
     "q_embed_knn" -> (knnBruteForce _),
     "q_embed_knn_ivf" -> (knnIvf _),
+    "q_embed_knn_served" -> (knnIvfServed _),
     "q_embed_top_pairs" -> (topPairs _),
     "q_embed_near_dup" -> (nearDupPairs _),
     "q_embed_semantic_dedup" -> (semanticDedup _),
@@ -188,8 +213,10 @@ object EmbedQueries {
         |SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rank,
         |  vec_id
         |FROM top""".stripMargin,
-    // exhaustive-probe IVF ≡ exact KNN (nprobe = nlist) — same oracle.
+    // exhaustive-probe IVF ≡ exact KNN (nprobe = nlist) — same oracle,
+    // for the in-memory path AND the materialized-index path.
     "q_embed_knn_ivf" -> knnOracle,
+    "q_embed_knn_served" -> knnOracle,
     "q_embed_knn" -> knnOracle,
     "q_embed_top_pairs" ->
       """SELECT CAST(row_number() OVER (ORDER BY sim DESC, id_a ASC, id_b ASC) AS BIGINT) AS rank,

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Ann
+import graft.serving.AnnIndex
+
+/** The materialized IVF index: layout, dynamic partition pruning at
+  * the probe, exhaustive-probe exactness, and recall at the
+  * approximate operating point.
+  */
+class AnnIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val centroids = Ann.coarseCentroids(emb, nCells = 8)
+  private lazy val root: String = {
+    val p = java.nio.file.Files.createTempDirectory("ann_index_spec").toString
+    AnnIndex.materialize(emb, centroids, p)
+    p
+  }
+
+  test("layout: one directory per probed cell, vectors stored as double + norm") {
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell=")).sorted
+    assert(dirs.nonEmpty && dirs.length <= 8, dirs.mkString(","))
+    val read = spark.read.parquet(root)
+    assert(read.columns.sorted === Array("cell", "nrm", "v", "vec_id"))
+    // every corpus row landed in exactly one cell
+    assert(read.count() === emb.count())
+  }
+
+  test("exhaustive probe over the index equals brute force") {
+    val queries = emb.filter($"vec_id" < 10)
+    val served = AnnIndex.query(spark, root, queries, centroids, k = 5, nprobe = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = Ann.bruteForceKnn(emb, queries, k = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served === exact)
+  }
+
+  test("probe scan is dynamically partition-pruned; partitions read scale with nprobe") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => findScans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(findScans)
+    }
+    def filesRead(nprobe: Int): (Long, String) = {
+      val df = AnnIndex.query(spark, root,
+        emb.filter($"vec_id" === 3), centroids, k = 5, nprobe = nprobe)
+      df.collect()
+      val scan = findScans(df.queryExecution.executedPlan)
+        .find(_.toString.contains("parquet"))
+        .getOrElse(fail("no parquet scan in plan"))
+      (scan.metrics("numFiles").value, scan.toString)
+    }
+    val (narrow, scanStr) = filesRead(1)
+    val (wide, _) = filesRead(8)
+    // the cell filter must be a DYNAMIC pruning expression on the
+    // partition column — proof the probe set reached the scan
+    assert(scanStr.toLowerCase.contains("dynamicpruning"), scanStr.take(800))
+    assert(wide > narrow,
+      s"pruned scan should read fewer files at nprobe=1 ($narrow) than nprobe=8 ($wide)")
+  }
+
+  test("recall at nprobe=2 is high but the probe is genuinely partial") {
+    val queries = emb.filter($"vec_id" < 20)
+    val served = AnnIndex.query(spark, root, queries, centroids, k = 5, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Ann.bruteForceKnn(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (served & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+    assert(served.size <= exact.size) // partial probe can only lose candidates
+  }
+}
