@@ -38,6 +38,29 @@ object AnnIndex {
       .withColumn("cell", Vectors.nearestCentroid(col("v"), centroids).cast("int"))
       .write.mode("overwrite").partitionBy("cell").parquet(root)
 
+  /** Incrementally add vectors to an existing index WITHOUT a
+    * rebuild: new rows are quantized with the SAME centroids (cell
+    * assignment is append-stable — a coarse quantizer is fixed at
+    * index build, as in any production IVF) and appended as new
+    * parquet files inside their cell directories. Idempotent under
+    * replay: ids already present are dropped by an anti-join against
+    * the existing index before the write, so a re-delivered batch
+    * adds nothing — the same at-least-once-to-exactly-once pattern
+    * as [[Serving]]'s batch-id guard, keyed on content instead.
+    */
+  def append(spark: SparkSession, root: String, newEmb: DataFrame,
+      centroids: Seq[Seq[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val staged = newEmb.select(
+        col(idCol).as("vec_id"),
+        Vectors.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+      .withColumn("cell", Vectors.nearestCentroid(col("v"), centroids).cast("int"))
+    val existing = spark.read.parquet(root).select(col("vec_id"))
+    staged.join(existing, Seq("vec_id"), "left_anti")
+      .write.mode("append").partitionBy("cell").parquet(root)
+  }
+
   /** Top-k cosine neighbors for each query row against the
     * materialized index, probing each query's `nprobe` nearest cells.
     * Output: (query_id, rank, neighbor_id) — ids only, like the other

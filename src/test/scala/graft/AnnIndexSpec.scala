@@ -66,6 +66,24 @@ class AnnIndexSpec extends SparkSuite {
       s"pruned scan should read fewer files at nprobe=1 ($narrow) than nprobe=8 ($wide)")
   }
 
+  test("incremental append: built-half + appended-half equals full rebuild; replay is a no-op") {
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 === 1)
+    val p = java.nio.file.Files.createTempDirectory("ann_index_inc").toString
+    AnnIndex.materialize(half1, centroids, p)
+    AnnIndex.append(spark, p, half2, centroids)
+    val queries = emb.filter($"vec_id" < 10)
+    val inc = AnnIndex.query(spark, p, queries, centroids, k = 5, nprobe = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = AnnIndex.query(spark, root, queries, centroids, k = 5, nprobe = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc === full)
+    // replaying the same batch (at-least-once delivery) adds nothing
+    val before = spark.read.parquet(p).count()
+    AnnIndex.append(spark, p, half2, centroids)
+    assert(spark.read.parquet(p).count() === before)
+  }
+
   test("recall at nprobe=2 is high but the probe is genuinely partial") {
     val queries = emb.filter($"vec_id" < 20)
     val served = AnnIndex.query(spark, root, queries, centroids, k = 5, nprobe = 2)
