@@ -311,20 +311,29 @@ object NearDup {
         least(col("doc_a"), col("doc_b")).as("dst"))
       .distinct()
       .localCheckpoint(true)
-    var prevCount = e.count()
+    // Fixpoint test on the CURRENT edge set, not on next == current:
+    // the alternation's fixpoints are exactly the disjoint unions of
+    // min-rooted stars (Kiveris et al. §3) — i.e. no node is the
+    // source of two edges, and no node is both a source (member) and
+    // a destination (root). Checking that directly is one cheap
+    // role-count aggregate per round and, unlike the next==current
+    // comparison, never pays a whole extra contraction round just to
+    // observe that nothing changed.
+    def isStarUnion(edges: DataFrame): Boolean = {
+      val roles = edges.select(col("src").as("n"), lit(1L).as("s"), lit(0L).as("d"))
+        .union(edges.select(col("dst").as("n"), lit(0L).as("s"), lit(1L).as("d")))
+      roles.groupBy("n").agg(sum("s").as("s"), sum("d").as("d"))
+        .where(col("s") > 1 || (col("s") >= 1 && col("d") >= 1))
+        .isEmpty
+    }
     var iters = 0
-    var converged = prevCount == 0L
+    var converged = isStarUnion(e)
     while (!converged && iters < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nextCount = next.count()
-      // equal cardinality + empty (next \ e) ⟺ identical edge sets —
-      // the fixpoint test the Kiveris proof terminates on.
-      converged = nextCount == prevCount &&
-        next.join(e, Seq("src", "dst"), "left_anti").isEmpty
       releaseCheckpoint(e)
       e = next
-      prevCount = nextCount
       iters += 1
+      converged = isStarUnion(e)
     }
     require(converged, s"star contraction did not converge in $maxIters rounds")
     // Fixpoint edges are (member → root) stars; roots and isolated
@@ -339,10 +348,13 @@ object NearDup {
   }
 
   /** Large-star round: every node relinks its strictly-larger
-    * neighbors to the min of its closed neighborhood. Input and
-    * output are canonical (src > dst) distinct edge sets; the
-    * symmetric view is built inline so every edge is processed from
-    * its smaller endpoint's perspective.
+    * neighbors to the min of its closed neighborhood. Input is a
+    * canonical (src > dst) distinct edge set; output is canonical but
+    * MAY carry duplicates — [[smallStar]]'s terminal distinct (and
+    * its map-side-combining groupBy) absorbs them, so paying an
+    * extra exchange here to dedupe early would only repeat the same
+    * shuffle volume one operator sooner (measured: one fewer
+    * exchange per contraction round).
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -352,7 +364,6 @@ object NearDup {
       .select(col("dst").as("u"), least(col("mn"), col("src")).as("v"))
       .where(col("u") =!= col("v"))
       .select(col("u").as("src"), col("v").as("dst"))
-      .distinct()
   }
 
   /** Small-star round: the canonical direction already groups each
