@@ -130,6 +130,42 @@ object OlapQueries {
         col("value_cents") > 9500).select(col("user_id")))
   }
 
+  /** Time-series gap-fill at minute grain per event_type: the dense
+    * spine query monitoring and feature pipelines need — silent
+    * minutes appear with zero-filled count/revenue, an `is_gap`
+    * marker, and a forward-filled "last observed minute revenue"
+    * (`last(_, ignoreNulls)` over an ordered running frame).
+    *
+    * Scale: the spine is TIME-bounded, not data-bounded — rows =
+    * span-minutes × event types regardless of input size, so both the
+    * `sequence` explode and the per-type ordered window stay small at
+    * 100 TB (a year is ~526k minutes/type). The raw table is touched
+    * once, by the minute rollup; everything after operates on the
+    * rollup. The spine bounds come from a per-type min/max aggregate
+    * (5 rows), and the spine⋈rollup join shuffles only span-sized
+    * sides. Leading nulls are impossible (each type's spine starts at
+    * its first observed minute), so `filled_cents` is total.
+    */
+  def gapfillMinutes(spark: SparkSession, dir: String): DataFrame = {
+    val stepMs = 60000L
+    val ev = Tables.events(spark, dir)
+    val perMin = ev.groupBy(col("event_type"),
+        unix_millis(date_trunc("MINUTE", col("ts"))).as("minute_ms"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_cents")).as("minute_cents"))
+    val spine = perMin.groupBy(col("event_type"))
+      .agg(min(col("minute_ms")).as("mn"), max(col("minute_ms")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(stepMs))).as("minute_ms"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("minute_ms"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(perMin, Seq("event_type", "minute_ms"), "left")
+      .select(col("event_type"), col("minute_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("minute_cents"), lit(0L)).as("minute_cents"),
+        col("n_events").isNull.cast("long").as("is_gap"),
+        last(col("minute_cents"), ignoreNulls = true).over(w).as("filled_cents"))
+  }
+
   /** Window navigation functions per user: event count, max
     * inter-event gap (µs), first/last event type in (ts, event_id)
     * order — lag + first_value/last_value in one windowed pass.
@@ -272,6 +308,7 @@ object OlapQueries {
     "q_cube_revenue" -> (cubeRevenue _),
     "q_users_no_big_purchase" -> (usersNoBigPurchase _),
     "q_user_gaps" -> (userGaps _),
+    "q_gapfill_minutes" -> (gapfillMinutes _),
     "q_revenue_deciles" -> (revenueDeciles _),
   )
 
@@ -371,6 +408,26 @@ object OlapQueries {
         |SELECT user_id, first_type, last_type,
         |  count(*) AS n_events, max(gap_us) AS max_gap_us
         |FROM g GROUP BY 1, 2, 3""".stripMargin,
+    "q_gapfill_minutes" ->
+      s"""WITH m AS (
+         |  SELECT event_type, epoch_ms(date_trunc('minute', ts)) AS minute_ms,
+         |    count(*) AS n_events, CAST(SUM($cents) AS BIGINT) AS minute_cents
+         |  FROM events GROUP BY 1, 2),
+         |s AS (
+         |  SELECT event_type, unnest(range(mn, mx + 60000, 60000)) AS minute_ms
+         |  FROM (SELECT event_type, min(minute_ms) AS mn, max(minute_ms) AS mx
+         |        FROM m GROUP BY 1)),
+         |j AS (
+         |  SELECT event_type, minute_ms, n_events, minute_cents
+         |  FROM s LEFT JOIN m USING (event_type, minute_ms))
+         |SELECT event_type, minute_ms,
+         |  coalesce(n_events, 0) AS n_events,
+         |  coalesce(minute_cents, 0) AS minute_cents,
+         |  (CASE WHEN n_events IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_gap,
+         |  last_value(minute_cents IGNORE NULLS) OVER (
+         |    PARTITION BY event_type ORDER BY minute_ms
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+         |FROM j""".stripMargin,
     "q_revenue_deciles" ->
       s"""SELECT user_id, total_cents,
          |  CAST(ntile(10) OVER (ORDER BY total_cents DESC, user_id ASC) AS BIGINT) AS decile

@@ -50,6 +50,29 @@ class OlapSpec extends SparkSuite {
     assert(mism.isEmpty)
   }
 
+  test("gap-fill spine is dense, conserves totals, forward-fill is total") {
+    val g = OlapQueries.gapfillMinutes(spark, sfDir).cache()
+    val ev = Tables.events(spark, sfDir)
+    // dense spine: per type, rows == (max-min)/step + 1 and minutes
+    // are exactly the arithmetic progression (sum check)
+    val spine = g.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"minute_ms").as("mn"),
+        max($"minute_ms").as("mx"), sum($"minute_ms").as("s"))
+      .filter($"n" =!= ($"mx" - $"mn") / 60000L + 1L ||
+        $"s" =!= ($"mn" + $"mx") * $"n" / 2L)
+    assert(spine.isEmpty)
+    // zero-filled gaps carry no events; totals conserve the raw table
+    assert(g.filter($"is_gap" === 1 && ($"n_events" =!= 0 || $"minute_cents" =!= 0)).isEmpty)
+    assert(g.agg(sum($"n_events")).head.getLong(0) === ev.count())
+    assert(g.agg(sum($"minute_cents")).head.getLong(0)
+      === ev.agg(sum($"value_cents")).head.getLong(0))
+    // forward fill: never null, and equals the observed value on
+    // non-gap rows
+    assert(g.filter($"filled_cents".isNull).isEmpty)
+    assert(g.filter($"is_gap" === 0 && $"filled_cents" =!= $"minute_cents").isEmpty)
+    g.unpersist()
+  }
+
   test("distributed globalRowNumber/globalNtile equal the window functions") {
     import org.apache.spark.sql.expressions.Window
     import graft.ops.Rank
