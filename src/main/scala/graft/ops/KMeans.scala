@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact quantized k-means (one Lloyd refinement step) over an
+  * embedding column — the "trained coarse quantizer" a real IVF /
+  * SemDeDup pipeline runs before cell sharding (the gate's other
+  * embed entries use the untrained k-lowest-id quantizer;
+  * cf. reference ivf usage in topk-pinot-flink's analytics surface).
+  *
+  * Exactness design: embeddings are first snapped to an integer grid
+  * (`round(x * scale)`, scale a power of two so the double multiply
+  * is exact), after which EVERY downstream number — squared L2
+  * distances, per-cell component sums, the round-half-up refined
+  * centroids — is integer arithmetic two engines compute
+  * bit-identically. That is what lets the driver gate hash-check
+  * k-means ASSIGNMENTS against a DuckDB oracle, instead of settling
+  * for a rows-only check; float k-means can differ across engines in
+  * the last ulp of a reduction and flip an argmin. Grid error is part
+  * of the algorithm's definition, not a comparison tolerance.
+  *
+  * Scale shape: one pass computes assignments map-side (centroids are
+  * literal expressions — k·dim longs of driver metadata, the same
+  * bounded class as [[Ann.coarseCentroids]]); the centroid update is
+  * one posexplode + map-side-combining groupBy on (cell, dim) —
+  * k·dim result rows regardless of corpus size. No per-row driver
+  * work, no join against the corpus. Magnitude bounds: |x| ≲ 1 ⇒
+  * quantized |v| ≲ scale, per-row distances ≤ dim·(2·scale)² (~2^36
+  * at scale 2^16), and component sums overflow BIGINT only past
+  * ~2^46/scale ≈ 1e9 rows per cell — past that, raise the sum to
+  * DECIMAL(38,0); the assignment math itself is row-local and safe at
+  * any corpus size.
+  */
+object KMeans {
+
+  /** (vec_id, cell_init, cell_refined): assignment under the k
+    * lowest-id init centroids, then under the exactly-recomputed
+    * (round-half-up component mean) centroids — one Lloyd step.
+    * Empty cells keep their init centroid. Ties break to the lowest
+    * cell id in both passes.
+    */
+  def lloydRefine(emb: DataFrame, k: Int = 10, scale: Long = 65536,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // transform is an interpreted HOF, but it runs ONCE per row into
+    // a persisted frame both assignment passes and the update reuse —
+    // the re-evaluation trap (see Text.shinglesFromTokens) doesn't
+    // apply. round() is HALF_UP in Spark and half-away-from-zero in
+    // DuckDB: identical on the non-negative-scaled grid ties.
+    val xq = emb.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("xq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val init: Seq[Seq[Long]] = xq.orderBy(col("vec_id").asc).limit(k)
+      .collect().map(_.getSeq[Long](1).toSeq).toSeq
+    require(init.size == k, s"corpus has fewer than k=$k vectors")
+    val a0 = xq.withColumn("cell_init", assignment(init))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-(cell, dim) component sums: k·dim bounded driver rows
+    val sums = a0
+      .select(col("cell_init"), posexplode(col("xq")).as(Seq("d", "v")))
+      .groupBy(col("cell_init"), col("d"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // component mean rounded half-up EXACTLY: floor((2s+n)/(2n)) on
+    // BigInt (floor via the always-nonnegative BigInt.mod) — the same
+    // formula the DuckDB oracle spells with portable truncating %.
+    val refined = init.indices.map { i =>
+      init(i).indices.map { d =>
+        sums.get((i.toLong, d)) match {
+          case Some((s, n)) =>
+            val num = BigInt(2) * s + n
+            val den = BigInt(2) * n
+            ((num - num.mod(den)) / den).toLong
+          case None => init(i)(d)
+        }
+      }
+    }
+    val out = a0.withColumn("cell_refined", assignment(refined))
+      .select(col("vec_id"), col("cell_init"), col("cell_refined"))
+      .localCheckpoint(true)
+    a0.unpersist()
+    xq.unpersist()
+    out
+  }
+
+  /** Σ_d (xq[d] - c[d])² against literal centroid c — row-local
+    * integer expression, fully codegen'd.
+    */
+  private def sqDist(cv: Seq[Long]): Column =
+    cv.zipWithIndex.map { case (c, d) =>
+      val diff = element_at(col("xq"), d + 1) - lit(c)
+      diff * diff
+    }.reduce(_ + _)
+
+  /** argmin cell by (distance, cell id) — lexicographic struct min,
+    * so ties break to the lowest cell deterministically.
+    */
+  private def assignment(cents: Seq[Seq[Long]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(sqDist(cv).as("dist"), lit(i.toLong).as("cell"))
+    }: _*)).getField("cell")
+}

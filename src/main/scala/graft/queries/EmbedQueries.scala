@@ -163,7 +163,17 @@ object EmbedQueries {
     df
   }
 
+  /** One exact quantized Lloyd step ([[graft.ops.KMeans]]): init =
+    * the 10 lowest-id embeddings (matching the corpus's 10 labeled
+    * clusters), refined = round-half-up integer component means —
+    * assignments under both quantizers, hash-checked end-to-end
+    * (every number is integer arithmetic; see KMeans scaladoc).
+    */
+  def kmeansRefine(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.KMeans.lloydRefine(Tables.embeddings(spark, dir), k = 10)
+
   val queries: Map[String, QFn] = Map(
+    "q_embed_kmeans" -> (kmeansRefine _),
     "q_embed_dedup_canonical" -> (embedDedupCanonical _),
     "q_embed_dot_sql" -> (dotTopKSql _),
     "q_embed_knn" -> (knnBruteForce _),
@@ -185,6 +195,50 @@ object EmbedQueries {
       |WHERE rnk <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // mirror of KMeans.lloydRefine on the 2^16 integer grid: same
+    // init (10 lowest ids), same integer distances, same
+    // floor((2s+n)/(2n)) round-half-up centroid update (floor spelled
+    // with the portable truncating %), same (dist, cell) tie-break.
+    "q_embed_kmeans" ->
+      """WITH xq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |init AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, xq AS cv
+        |  FROM (SELECT * FROM xq ORDER BY vec_id LIMIT 10)),
+        |ex AS (
+        |  SELECT vec_id, unnest(xq) AS v, unnest(range(1, len(xq)+1)) AS d FROM xq),
+        |cex AS (
+        |  SELECT cell, unnest(cv) AS c, unnest(range(1, len(cv)+1)) AS d FROM init),
+        |d0 AS (
+        |  SELECT e.vec_id, c.cell, SUM((e.v - c.c)*(e.v - c.c)) AS dist
+        |  FROM ex e JOIN cex c USING (d) GROUP BY 1, 2),
+        |a0 AS (
+        |  SELECT vec_id, cell AS cell_init FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |sums AS (
+        |  SELECT a.cell_init AS cell, e.d, SUM(e.v) AS s, count(*) AS n
+        |  FROM ex e JOIN a0 a USING (vec_id) GROUP BY 1, 2),
+        |cen1 AS (
+        |  SELECT c.cell, c.d, coalesce(
+        |    (2*s.s + s.n - (((2*s.s + s.n) % (2*s.n) + 2*s.n) % (2*s.n))) // (2*s.n),
+        |    c.c) AS c
+        |  FROM cex c LEFT JOIN sums s ON s.cell = c.cell AND s.d = c.d),
+        |d1 AS (
+        |  SELECT e.vec_id, c.cell, SUM((e.v - c.c)*(e.v - c.c)) AS dist
+        |  FROM ex e JOIN cen1 c USING (d) GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cell AS cell_refined FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM d1) WHERE rn = 1)
+        |SELECT vec_id, CAST(cell_init AS BIGINT) AS cell_init,
+        |  CAST(cell_refined AS BIGINT) AS cell_refined
+        |FROM a0 JOIN a1 USING (vec_id)""".stripMargin,
     // transitive closure over the cosine>=0.4 pair graph — same
     // recursive-CTE shape as the doc canonical oracle
     "q_embed_dedup_canonical" ->

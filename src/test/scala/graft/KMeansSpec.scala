@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.KMeans
+
+/** Exact quantized Lloyd step vs an independent in-memory reference
+  * (the NearDupSpec-vs-BFS pattern): same grid, same init, same
+  * integer round-half-up centroid update, computed with plain Scala
+  * collections — plus the Lloyd monotonicity theorem.
+  */
+class KMeansSpec extends SparkSuite {
+
+  private val k = 10
+  private val scale = 65536L
+
+  // round-half-away-from-zero: what Spark round() (BigDecimal
+  // HALF_UP) and DuckDB round() both do on doubles
+  private def q(x: Double): Long =
+    (if (x >= 0) math.floor(x * scale + 0.5) else math.ceil(x * scale - 0.5)).toLong
+
+  test("distributed Lloyd step equals the in-memory reference and never raises the objective") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = KMeans.lloydRefine(emb, k = k).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val raw: Map[Long, Array[Long]] = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => q(x.toDouble)).toArray).toMap
+    val init: IndexedSeq[Array[Long]] =
+      raw.keys.toIndexedSeq.sorted.take(k).map(raw)
+
+    def dist(x: Array[Long], c: Array[Long]): Long =
+      x.indices.map { d => val t = x(d) - c(d); t * t }.sum
+    def assign(cents: IndexedSeq[Array[Long]])(x: Array[Long]): (Int, Long) =
+      cents.indices.map(i => (dist(x, cents(i)), i)).min match {
+        case (d, i) => (i, d)
+      }
+
+    val a0 = raw.map { case (id, x) => id -> assign(init)(x) }
+    val refined = (0 until k).map { i =>
+      val members = raw.collect { case (id, x) if a0(id)._1 == i => x }
+      if (members.isEmpty) init(i)
+      else {
+        val n = BigInt(members.size)
+        init(i).indices.map { d =>
+          val s = members.map(x => BigInt(x(d))).sum
+          val num = 2 * s + n
+          val den = 2 * n
+          ((num - num.mod(den)) / den).toLong
+        }.toArray
+      }
+    }
+    val a1 = raw.map { case (id, x) => id -> assign(refined)(x) }
+
+    assert(got.keySet === raw.keySet)
+    raw.keys.foreach { id =>
+      assert(got(id) === ((a0(id)._1.toLong, a1(id)._1.toLong)), s"vec $id")
+    }
+    // one Lloyd step strictly improves or holds the quantized
+    // objective (reassign-then-recenter can only lower Σ d²)
+    val obj0 = a0.values.map(v => BigInt(v._2)).sum
+    val obj1 = a1.values.map(v => BigInt(v._2)).sum
+    assert(obj1 <= obj0, s"objective rose: $obj0 -> $obj1")
+    // the step actually does something on this corpus
+    assert(raw.keys.exists(id => got(id)._1 != got(id)._2))
+  }
+}
