@@ -42,7 +42,21 @@ object KMeans {
     * cell id in both passes.
     */
   def lloydRefine(emb: DataFrame, k: Int = 10, scale: Long = 65536,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lloydRefineWithCentroids(emb, k, scale, idCol, vecCol)._1
+
+  /** The refined centroids as unit-scale doubles (grid value / scale —
+    * exact: longs this small divide exactly into doubles), ready to
+    * feed [[Ann.ivfKnn]] / [[graft.serving.AnnIndex]] as a TRAINED
+    * coarse quantizer in place of the k-lowest-id one.
+    */
+  def refinedCentroids(emb: DataFrame, k: Int = 10, scale: Long = 65536,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] =
+    lloydRefineWithCentroids(emb, k, scale, idCol, vecCol)
+      ._2.map(_.map(_.toDouble / scale))
+
+  private def lloydRefineWithCentroids(emb: DataFrame, k: Int, scale: Long,
+      idCol: String, vecCol: String): (DataFrame, Seq[Seq[Long]]) = {
     // transform is an interpreted HOF, but it runs ONCE per row into
     // a persisted frame both assignment passes and the update reuse —
     // the re-evaluation trap (see Text.shinglesFromTokens) doesn't
@@ -83,7 +97,7 @@ object KMeans {
       .localCheckpoint(true)
     a0.unpersist()
     xq.unpersist()
-    out
+    (out, refined.map(_.toSeq))
   }
 
   /** Σ_d (xq[d] - c[d])² against literal centroid c — row-local

@@ -163,6 +163,27 @@ object EmbedQueries {
     df
   }
 
+  private val trainedCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+
+  /** IVF over the TRAINED quantizer: the same cell-sharded KNN path
+    * as `q_embed_knn_ivf`, but with [[graft.ops.KMeans]]'s Lloyd-
+    * refined centroids instead of the k-lowest-id ones — training →
+    * indexing → probing composed end-to-end. Exhaustive probe
+    * (nprobe = nlist) keeps the identity with brute force, so the
+    * exact-KNN oracle hash-checks the composition no matter what the
+    * quantizer is; the approximate operating point (nprobe << nlist)
+    * is covered by KMeansSpec's recall assertion.
+    */
+  def knnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = trainedCache.getOrElseUpdate(
+      graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet"),
+      graft.ops.KMeans.refinedCentroids(emb, k = 10))
+    Ann.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 5,
+      centroids = centroids, nprobe = 10)
+  }
+
   /** One exact quantized Lloyd step ([[graft.ops.KMeans]]): init =
     * the 10 lowest-id embeddings (matching the corpus's 10 labeled
     * clusters), refined = round-half-up integer component means —
@@ -174,6 +195,7 @@ object EmbedQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_embed_kmeans" -> (kmeansRefine _),
+    "q_embed_knn_ivf_trained" -> (knnIvfTrained _),
     "q_embed_dedup_canonical" -> (embedDedupCanonical _),
     "q_embed_dot_sql" -> (dotTopKSql _),
     "q_embed_knn" -> (knnBruteForce _),
@@ -270,6 +292,7 @@ object EmbedQueries {
     // exhaustive-probe IVF ≡ exact KNN (nprobe = nlist) — same oracle,
     // for the in-memory path AND the materialized-index path.
     "q_embed_knn_ivf" -> knnOracle,
+    "q_embed_knn_ivf_trained" -> knnOracle,
     "q_embed_knn_served" -> knnOracle,
     "q_embed_knn" -> knnOracle,
     "q_embed_top_pairs" ->

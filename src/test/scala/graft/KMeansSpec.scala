@@ -62,4 +62,25 @@ class KMeansSpec extends SparkSuite {
     // the step actually does something on this corpus
     assert(raw.keys.exists(id => got(id)._1 != got(id)._2))
   }
+
+  test("trained IVF: exhaustive probe equals brute force; usable recall at nprobe=2/10") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Ann
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val trained = KMeans.refinedCentroids(emb, k = k)
+    val bf = Ann.bruteForceKnn(emb, queries, 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Ann.ivfKnn(emb, queries, 5, trained, nprobe = k)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === bf, "exhaustive probe over the trained cells must equal brute force")
+    val narrow = Ann.ivfKnn(emb, queries, 5, trained, nprobe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfPairs = bf.map { case (q, _, n) => (q, n) }
+    val recall = (bfPairs & narrow).size.toDouble / bfPairs.size
+    assert(recall >= 0.6, s"trained-IVF recall $recall at nprobe=2")
+  }
 }
