@@ -130,6 +130,29 @@ object OlapQueries {
         col("value_cents") > 9500).select(col("user_id")))
   }
 
+  /** Equi-width value histogram per event_type (20 buckets over the
+    * type's [min, max] cents range) — the distribution-profile query
+    * behind dashboards and outlier triage. Bucket ids are exact
+    * integer arithmetic: b = (v - mn)·20 DIV (mx - mn + 1), values
+    * non-negative so truncating DIV is floor in both engines.
+    *
+    * Scale: one pass for the per-type extrema (5 rows, broadcast
+    * back), one map-side-combining pass for the bucket counts —
+    * the fact table is read once, shuffled only by the tiny
+    * (type, bucket) key space.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 20
+    val ev = Tables.events(spark, dir)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(min(col("value_cents")).as("mn"), max(col("value_cents")).as("mx"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("bucket",
+        expr(s"CAST((value_cents - mn) * $nBuckets DIV (mx - mn + 1) AS BIGINT)"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_cents")).as("bucket_cents"))
+  }
+
   /** Time-series gap-fill at minute grain per event_type: the dense
     * spine query monitoring and feature pipelines need — silent
     * minutes appear with zero-filled count/revenue, an `is_gap`
@@ -309,6 +332,7 @@ object OlapQueries {
     "q_users_no_big_purchase" -> (usersNoBigPurchase _),
     "q_user_gaps" -> (userGaps _),
     "q_gapfill_minutes" -> (gapfillMinutes _),
+    "q_value_histogram" -> (valueHistogram _),
     "q_revenue_deciles" -> (revenueDeciles _),
   )
 
@@ -408,6 +432,16 @@ object OlapQueries {
         |SELECT user_id, first_type, last_type,
         |  count(*) AS n_events, max(gap_us) AS max_gap_us
         |FROM g GROUP BY 1, 2, 3""".stripMargin,
+    "q_value_histogram" ->
+      s"""WITH st AS (
+         |  SELECT event_type, min($cents) AS mn, max($cents) AS mx
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type,
+         |  ($cents - mn) * 20 // (mx - mn + 1) AS bucket,
+         |  count(*) AS n_events,
+         |  CAST(SUM($cents) AS BIGINT) AS bucket_cents
+         |FROM events e JOIN st USING (event_type)
+         |GROUP BY 1, 2""".stripMargin,
     "q_gapfill_minutes" ->
       s"""WITH m AS (
          |  SELECT event_type, epoch_ms(date_trunc('minute', ts)) AS minute_ms,

@@ -50,6 +50,16 @@ class OlapSpec extends SparkSuite {
     assert(mism.isEmpty)
   }
 
+  test("histogram buckets are in range and conserve count and revenue") {
+    val h = OlapQueries.valueHistogram(spark, sfDir).cache()
+    val ev = Tables.events(spark, sfDir)
+    assert(h.filter($"bucket" < 0 || $"bucket" >= 20).isEmpty)
+    assert(h.agg(sum($"n_events")).head.getLong(0) === ev.count())
+    assert(h.agg(sum($"bucket_cents")).head.getLong(0)
+      === ev.agg(sum($"value_cents")).head.getLong(0))
+    h.unpersist()
+  }
+
   test("gap-fill spine is dense, conserves totals, forward-fill is total") {
     val g = OlapQueries.gapfillMinutes(spark, sfDir).cache()
     val ev = Tables.events(spark, sfDir)
