@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.GapAlert
+
+/** Absence detection: closed-gap alerts must equal the batch
+  * lag-pair recompute under ANY batch split (the StreamingFunnel
+  * parity discipline), and the event-time timer must raise an open
+  * alert while a key is still silent.
+  */
+class GapAlertSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val gapMs = 60000L // 1 minute
+
+  private def ev(key: String, t: String) = GapAlert.Ev(Timestamp.valueOf(t), key)
+
+  // key a: gaps 09:00→09:05 (closed) and 09:05→silence (open);
+  // key b: steady heartbeats, one in-batch gap 09:01→09:03
+  private val feed = Seq(
+    ev("a", "2024-01-01 09:00:00"), ev("b", "2024-01-01 09:00:00"),
+    ev("b", "2024-01-01 09:00:30"), ev("b", "2024-01-01 09:01:00"),
+    ev("b", "2024-01-01 09:03:00"), ev("a", "2024-01-01 09:05:00"),
+    ev("b", "2024-01-01 09:03:30"), ev("b", "2024-01-01 09:04:00"))
+
+  private def runSplits(splits: Seq[Seq[GapAlert.Ev]]): Seq[GapAlert.Alert] = {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[GapAlert.Ev]
+    val alerts = GapAlert.alerts(spark,
+      mem.toDS().withWatermark("ts", "1 second").as[GapAlert.Ev], gapMs)
+    val name = s"gap_alerts_${System.nanoTime()}"
+    val q = alerts.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      splits.foreach { b => mem.addData(b); q.processAllAvailable() }
+      spark.table(name).as[GapAlert.Alert].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("closed-gap alerts equal the batch lag recompute under any batch split") {
+    val expected = feed.groupBy(_.key).flatMap { case (k, evs) =>
+      evs.map(_.ts.getTime).sorted.sliding(2).collect {
+        case Seq(a, b) if b - a > gapMs => GapAlert.Alert(k, "closed", a, b, b - a)
+      }
+    }.toSet
+    val splits = Seq(
+      Seq(feed),                       // one batch
+      feed.map(Seq(_)),                // one event per batch
+      Seq(feed.take(3), feed.slice(3, 6), feed.drop(6))) // ragged
+    splits.foreach { s =>
+      val closed = runSplits(s).filter(_.kind == "closed").toSet
+      assert(closed === expected, s"split sizes ${s.map(_.size)}")
+    }
+  }
+
+  test("open alert fires while the key is silent, once per episode") {
+    // key a stops at 09:00; key b's heartbeats push the watermark
+    // past a's timer (09:01) -> exactly one open alert for a
+    val got = runSplits(Seq(
+      Seq(ev("a", "2024-01-01 09:00:00"), ev("b", "2024-01-01 09:00:00")),
+      Seq(ev("b", "2024-01-01 09:00:50")),
+      Seq(ev("b", "2024-01-01 09:01:40")),
+      Seq(ev("b", "2024-01-01 09:02:30")),
+      Seq(ev("b", "2024-01-01 09:03:20"))))
+    val opens = got.filter(a => a.kind == "open" && a.key == "a")
+    assert(opens === Seq(GapAlert.Alert("a", "open",
+      Timestamp.valueOf("2024-01-01 09:00:00").getTime, -1L, -1L)))
+    // b never went silent past the threshold
+    assert(!got.exists(a => a.key == "b" && a.kind == "open"))
+    // when a returns, the episode closes with exact bounds
+    val got2 = runSplits(Seq(
+      Seq(ev("a", "2024-01-01 09:00:00"), ev("b", "2024-01-01 09:00:00")),
+      Seq(ev("b", "2024-01-01 09:02:00")),
+      Seq(ev("a", "2024-01-01 09:04:00"))))
+    val aAlerts = got2.filter(_.key == "a")
+    assert(aAlerts.map(_.kind).sorted === Seq("closed", "open"))
+    val closed = aAlerts.find(_.kind == "closed").get
+    assert(closed.gap_ms === 240000L)
+  }
+}
