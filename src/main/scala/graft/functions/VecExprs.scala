@@ -89,8 +89,107 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Argmin cell over a literal centroid matrix for a quantized
+  * (array<long>) vector: returns the index of the centroid with the
+  * smallest squared L2 distance, ties to the LOWEST index.
+  *
+  * Exists for plan-size reasons as much as runtime ones: spelling
+  * k×dim squared differences as column arithmetic builds a ~20k-node
+  * expression tree whose ANALYSIS alone costs seconds per query (the
+  * k-means gate entry measured ~4 s of pure driver time at k=10,
+  * dim=64); as a single node carrying the matrix in one reference
+  * object, analysis is O(1) and the distance loop is a tight
+  * primitive nest in both interpreted and generated form. Integer
+  * math throughout — this is the engine-side twin of the exact
+  * quantized k-means contract (see [[graft.ops.KMeans]]).
+  */
+case class VecArgminSqDist(child: Expression, centroids: Seq[Seq[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.nonEmpty && centroids.forall(_.size == centroids.head.size),
+    "centroid matrix must be non-empty and rectangular")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"VecArgminSqDist needs array<bigint>, got ${t.simpleString}")
+    }
+
+  override def nullable: Boolean = true
+
+  @transient private lazy val matrix: Array[Array[Long]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val dim = matrix(0).length
+    if (x.numElements() != dim) return null
+    var best = Long.MaxValue
+    var bestCell = 0L
+    var c = 0
+    while (c < matrix.length) {
+      val cv = matrix(c)
+      var acc = 0L
+      var i = 0
+      while (i < dim) {
+        if (x.isNullAt(i)) return null
+        val d = x.getLong(i) - cv(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < best) { best = acc; bestCell = c.toLong }
+      c += 1
+    }
+    bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroidMatrix", matrix, "long[][]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val dim = ctx.freshName("dim")
+      val best = ctx.freshName("best")
+      val bestCell = ctx.freshName("bestCell")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $dim = $m[0].length;
+         |if ($x.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $best = Long.MAX_VALUE;
+         |  long $bestCell = 0L;
+         |  for (int $c = 0; $c < $m.length && !${ev.isNull}; $c++) {
+         |    long $acc = 0L;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |      long $d = $x.getLong($i) - $m[$c][$i];
+         |      $acc += $d * $d;
+         |    }
+         |    if (!${ev.isNull} && $acc < $best) { $best = $acc; $bestCell = (long) $c; }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $bestCell; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecArgminSqDist =
+    copy(child = newChild)
+}
+
 object VecExprs {
   import org.apache.spark.sql.GraftShim.{column, expression}
+
+  /** Argmin centroid index by squared L2 over a quantized vector. */
+  def vec_argmin_sqdist(v: Column, centroids: Seq[Seq[Long]]): Column =
+    column(VecArgminSqDist(expression(v), centroids))
 
   /** Dot product of two equally-typed float/double array columns. */
   def vec_dot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))

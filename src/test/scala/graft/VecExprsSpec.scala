@@ -77,6 +77,31 @@ class VecExprsSpec extends SparkSuite {
     }
   }
 
+  test("vec_argmin_sqdist: nearest cell, lowest-cell ties, null/length guard, codegen==interpreted") {
+    val cents = Seq(Seq(0L, 0L), Seq(10L, 0L), Seq(0L, 10L))
+    val df = Seq(
+      (1L, Some(Seq(1L, 1L))),    // nearest cell 0
+      (2L, Some(Seq(9L, 1L))),    // nearest cell 1
+      (3L, Some(Seq(5L, 0L))),    // tie cells 0/1 (25 vs 25) -> 0
+      (4L, Some(Seq(0L, 10L))),   // exact on cell 2
+      (5L, Some(Seq(1L, 2L, 3L))), // wrong dim -> null
+      (6L, None: Option[Seq[Long]]) // null vec -> null
+    ).toDF("id", "xq")
+    def eval() = df.orderBy($"id")
+      .select(VecExprs.vec_argmin_sqdist($"xq", cents)).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    val withCodegen = eval()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(eval() === withCodegen)
+      assert(withCodegen === Seq(Some(0L), Some(1L), Some(0L), Some(2L), None, None))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    }
+  }
+
   test("cosine of a vector with itself is 1.0") {
     val df = Seq(Tuple1(Array(0.3f, -0.7f, 0.64f))).toDF("v")
     val sim = df.select(Vectors.cosine($"v", $"v")).head.getDouble(0)
