@@ -100,6 +100,99 @@ object KMeans {
     (out, refined.map(_.toSeq))
   }
 
+  /** Product-quantization codes (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI'11): the embedding splits
+    * into `m` contiguous subspaces, each encoded independently as the
+    * index of its nearest sub-centroid — m small ints replace dim
+    * floats (the memory layout real billion-vector ANN serving
+    * stores). Same exactness contract as [[lloydRefine]]: vectors
+    * snap to the 2^16 integer grid first, sub-codebooks are the k
+    * lowest-id vectors' subvectors, distances/argmins are pure
+    * integer math — so the full code table hash-checks against a
+    * DuckDB recompute. Assignment is m compact
+    * [[graft.functions.VecArgminSqDist]] nodes over array slices —
+    * row-local, one pass, no shuffle at any corpus size (the codebook
+    * is k·dim driver metadata).
+    */
+  def pqCodes(emb: DataFrame, m: Int = 8, k: Int = 16, scale: Long = 65536,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val xq = emb.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("xq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val init: Seq[Seq[Long]] = xq.orderBy(col("vec_id").asc).limit(k)
+      .collect().map(_.getSeq[Long](1).toSeq).toSeq
+    require(init.size == k, s"corpus has fewer than k=$k vectors")
+    val dim = init.head.size
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val codeCols = (0 until m).map { s =>
+      val cents = init.map(_.slice(s * sub, (s + 1) * sub))
+      graft.functions.VecExprs
+        .vec_argmin_sqdist(slice(col("xq"), s * sub + 1, sub), cents)
+        .as(s"code_$s")
+    }
+    val out = xq.select(col("vec_id") +: codeCols: _*).localCheckpoint(true)
+    xq.unpersist()
+    out
+  }
+
+  /** PQ asymmetric-distance KNN (ADC — Jégou et al. §IV): each query
+    * precomputes one m×k lookup table of exact subspace distances to
+    * every sub-centroid; a candidate's approximate distance is then m
+    * table lookups summed over its CODES — the corpus vectors
+    * themselves are never touched at query time, which is the entire
+    * point of PQ serving (m bytes/vector in place of dim floats).
+    *
+    * Everything is grid-integer arithmetic over the same codebook as
+    * [[pqCodes]], so the approximate RANKING is deterministic and the
+    * gate hash-checks it end-to-end (ties break on neighbor id).
+    * Scale shape: queries are a bounded serving batch (collected like
+    * IVF probe centroids); the corpus side streams its code table
+    * through a broadcast nested-loop against ≤ tens of queries with
+    * per-query top-k via WindowGroupLimit — no corpus shuffle.
+    */
+  def adcKnn(corpus: DataFrame, queries: DataFrame, topK: Int,
+      m: Int = 8, k: Int = 16, scale: Long = 65536,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = pqCodes(corpus, m, k, scale, idCol, vecCol)
+    val init: Seq[Seq[Long]] = corpus
+      .select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("xq"))
+      .orderBy(col("vec_id").asc).limit(k)
+      .collect().map(_.getSeq[Long](1).toSeq).toSeq
+    val dim = init.head.size
+    val sub = dim / m
+    // queries quantized BY THE ENGINE (collect of the same transform
+    // expression) so driver and executors can't disagree on rounding
+    val qRows: Seq[(Long, Seq[Long])] = queries
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("xq"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    // per-query LUT: luts(s)(c) = ||q_sub(s) - cent_c_sub(s)||²
+    val spark2 = corpus.sparkSession
+    import spark2.implicits._
+    val lutDf = qRows.map { case (qid, xqv) =>
+      (qid, (0 until m).map { s =>
+        init.map { cv =>
+          (s * sub until (s + 1) * sub).map { i =>
+            val d = xqv(i) - cv(i); d * d
+          }.sum
+        }
+      })
+    }.toDF("query_id", "luts")
+    val adc = (0 until m)
+      .map(s => element_at(element_at(col("luts"), s + 1), col(s"code_$s").cast("int") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id").asc)
+    codes.crossJoin(broadcast(lutDf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
   /** argmin cell by (distance, cell id) — a single
     * [[graft.functions.VecArgminSqDist]] node carrying the centroid
     * matrix as one reference object. The same math spelled as k·dim

@@ -193,7 +193,25 @@ object EmbedQueries {
   def kmeansRefine(spark: SparkSession, dir: String): DataFrame =
     graft.ops.KMeans.lloydRefine(Tables.embeddings(spark, dir), k = 10)
 
+  /** PQ code table ([[graft.ops.KMeans.pqCodes]]): 8 subspaces × 16
+    * sub-centroids over the 64-dim embeddings — every code
+    * hash-checked against the DuckDB recompute.
+    */
+  def pqCodeTable(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.KMeans.pqCodes(Tables.embeddings(spark, dir), m = 8, k = 16)
+
+  /** PQ serving: ADC top-5 for the standard query set (vec_id < 10)
+    * over the 8×16 code table — integer LUT arithmetic end-to-end,
+    * so even the APPROXIMATE ranking hash-checks.
+    */
+  def pqAdcKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.ops.KMeans.adcKnn(emb, emb.filter(col("vec_id") < 10), topK = 5)
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_embed_knn_pq" -> (pqAdcKnn _),
+    "q_embed_pq_codes" -> (pqCodeTable _),
     "q_embed_kmeans" -> (kmeansRefine _),
     "q_embed_knn_ivf_trained" -> (knnIvfTrained _),
     "q_embed_dedup_canonical" -> (embedDedupCanonical _),
@@ -217,6 +235,85 @@ object EmbedQueries {
       |WHERE rnk <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // mirror of KMeans.pqCodes: same grid, sub-codebooks = the 16
+    // lowest-id vectors' subvector slices, integer distances, ties to
+    // the lowest cell; codes pivot into one row per vector.
+    "q_embed_pq_codes" ->
+      """WITH xq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |init AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, xq AS cv
+        |  FROM (SELECT * FROM xq ORDER BY vec_id LIMIT 16)),
+        |cex AS (
+        |  SELECT cell, (d - 1) // 8 AS s, d, c FROM (
+        |    SELECT cell, unnest(cv) AS c, unnest(range(1, len(cv)+1)) AS d
+        |    FROM init)),
+        |exd AS (
+        |  SELECT vec_id, d, (d - 1) // 8 AS s, v FROM (
+        |    SELECT vec_id, unnest(xq) AS v, unnest(range(1, len(xq)+1)) AS d
+        |    FROM xq)),
+        |dist AS (
+        |  SELECT e.vec_id, e.s, c.cell, SUM((e.v - c.c)*(e.v - c.c)) AS dist
+        |  FROM exd e JOIN cex c ON c.d = e.d
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, s, cell FROM (
+        |    SELECT vec_id, s, cell,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cell) AS rn
+        |    FROM dist) WHERE rn = 1)
+        |SELECT vec_id,
+        |  CAST(MAX(CASE WHEN s = 0 THEN cell END) AS BIGINT) AS code_0,
+        |  CAST(MAX(CASE WHEN s = 1 THEN cell END) AS BIGINT) AS code_1,
+        |  CAST(MAX(CASE WHEN s = 2 THEN cell END) AS BIGINT) AS code_2,
+        |  CAST(MAX(CASE WHEN s = 3 THEN cell END) AS BIGINT) AS code_3,
+        |  CAST(MAX(CASE WHEN s = 4 THEN cell END) AS BIGINT) AS code_4,
+        |  CAST(MAX(CASE WHEN s = 5 THEN cell END) AS BIGINT) AS code_5,
+        |  CAST(MAX(CASE WHEN s = 6 THEN cell END) AS BIGINT) AS code_6,
+        |  CAST(MAX(CASE WHEN s = 7 THEN cell END) AS BIGINT) AS code_7
+        |FROM codes GROUP BY 1""".stripMargin,
+    // mirror of KMeans.adcKnn: the `dist` CTE is BOTH the code
+    // assignment (argmin per (vec, subspace)) and the query LUT
+    // (its rows restricted to query ids) — summing LUT entries at a
+    // candidate's codes is the ADC distance; ranking ties on id.
+    "q_embed_knn_pq" ->
+      """WITH xq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |init AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, xq AS cv
+        |  FROM (SELECT * FROM xq ORDER BY vec_id LIMIT 16)),
+        |cex AS (
+        |  SELECT cell, (d - 1) // 8 AS s, d, c FROM (
+        |    SELECT cell, unnest(cv) AS c, unnest(range(1, len(cv)+1)) AS d
+        |    FROM init)),
+        |exd AS (
+        |  SELECT vec_id, d, (d - 1) // 8 AS s, v FROM (
+        |    SELECT vec_id, unnest(xq) AS v, unnest(range(1, len(xq)+1)) AS d
+        |    FROM xq)),
+        |dist AS (
+        |  SELECT e.vec_id, e.s, c.cell, SUM((e.v - c.c)*(e.v - c.c)) AS dist
+        |  FROM exd e JOIN cex c ON c.d = e.d
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, s, cell FROM (
+        |    SELECT vec_id, s, cell,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cell) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id, SUM(q.dist) AS adc
+        |  FROM codes c JOIN dist q ON q.s = c.s AND q.cell = c.cell
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rnk
+        |  FROM cand)
+        |WHERE rnk <= 5""".stripMargin,
     // mirror of KMeans.lloydRefine on the 2^16 integer grid: same
     // init (10 lowest ids), same integer distances, same
     // floor((2s+n)/(2n)) round-half-up centroid update (floor spelled

@@ -63,6 +63,60 @@ class KMeansSpec extends SparkSuite {
     assert(raw.keys.exists(id => got(id)._1 != got(id)._2))
   }
 
+  test("PQ codes equal the in-memory reference; init vectors encode at zero error") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val m = 8; val nCells = 16
+    val got = KMeans.pqCodes(emb, m = m, k = nCells).collect()
+      .map(r => r.getLong(0) -> (0 until m).map(s => r.getLong(1 + s))).toMap
+
+    val raw: Map[Long, Array[Long]] = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => q(x.toDouble)).toArray).toMap
+    val init = raw.keys.toIndexedSeq.sorted.take(nCells).map(raw)
+    val sub = init.head.length / m
+    def code(x: Array[Long], s: Int): (Long, Long) =
+      (0 until nCells).map { c =>
+        val d = (s * sub until (s + 1) * sub)
+          .map { i => val t = x(i) - init(c)(i); t * t }.sum
+        (d, c.toLong)
+      }.min
+    assert(got.keySet === raw.keySet)
+    raw.foreach { case (id, x) =>
+      val expect = (0 until m).map(s => code(x, s)._2)
+      assert(got(id) === expect, s"vec $id")
+    }
+    // every init vector's own subvectors sit in the codebook, so its
+    // reconstruction error is exactly zero in every subspace
+    raw.keys.toSeq.sorted.take(nCells).foreach { id =>
+      (0 until m).foreach { s => assert(code(raw(id), s)._1 === 0L, s"vec $id s=$s") }
+    }
+  }
+
+  test("ADC KNN equals the in-memory reference ranking") {
+    val emb = Tables.embeddings(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val m = 8; val nCells = 16; val topK = 5
+    val got = KMeans.adcKnn(emb, emb.filter(col("vec_id") < 10), topK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val raw: Map[Long, Array[Long]] = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => q(x.toDouble)).toArray).toMap
+    val init = raw.keys.toIndexedSeq.sorted.take(nCells).map(raw)
+    val sub = init.head.length / m
+    def subDist(x: Array[Long], c: Int, s: Int): Long =
+      (s * sub until (s + 1) * sub).map { i => val t = x(i) - init(c)(i); t * t }.sum
+    val codes: Map[Long, IndexedSeq[Int]] = raw.map { case (id, x) =>
+      id -> (0 until m).map(s => (0 until nCells).map(c => (subDist(x, c, s), c)).min._2)
+    }
+    val expect = (0L until 10L).flatMap { qid =>
+      val lut = Array.tabulate(m, nCells)((s, c) => subDist(raw(qid), c, s))
+      raw.keys.filter(_ != qid).toSeq
+        .map(v => (codes(v).zipWithIndex.map { case (c, s) => lut(s)(c) }.sum, v))
+        .sorted.take(topK).zipWithIndex
+        .map { case ((_, v), r) => (qid, (r + 1).toLong, v) }
+    }.toSet
+    assert(got === expect)
+  }
+
   test("trained IVF: exhaustive probe equals brute force; usable recall at nprobe=2/10") {
     import org.apache.spark.sql.functions.col
     import graft.ops.Ann
