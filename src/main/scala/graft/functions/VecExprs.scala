@@ -129,15 +129,18 @@ case class VecArgminSqDist(child: Expression, centroids: Seq[Seq[Long]])
     val x = a.asInstanceOf[ArrayData]
     val dim = matrix(0).length
     if (x.numElements() != dim) return null
+    // one null scan up front, not k per row — the distance nest stays
+    // branch-free for the JIT
+    var i = 0
+    while (i < dim) { if (x.isNullAt(i)) return null; i += 1 }
     var best = Long.MaxValue
     var bestCell = 0L
     var c = 0
     while (c < matrix.length) {
       val cv = matrix(c)
       var acc = 0L
-      var i = 0
+      i = 0
       while (i < dim) {
-        if (x.isNullAt(i)) return null
         val d = x.getLong(i) - cv(i)
         acc += d * d
         i += 1
@@ -163,18 +166,22 @@ case class VecArgminSqDist(child: Expression, centroids: Seq[Seq[Long]])
          |if ($x.numElements() != $dim) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long $best = Long.MAX_VALUE;
-         |  long $bestCell = 0L;
-         |  for (int $c = 0; $c < $m.length && !${ev.isNull}; $c++) {
-         |    long $acc = 0L;
-         |    for (int $i = 0; $i < $dim; $i++) {
-         |      if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |      long $d = $x.getLong($i) - $m[$c][$i];
-         |      $acc += $d * $d;
-         |    }
-         |    if (!${ev.isNull} && $acc < $best) { $best = $acc; $bestCell = (long) $c; }
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  }
-         |  if (!${ev.isNull}) { ${ev.value} = $bestCell; }
+         |  if (!${ev.isNull}) {
+         |    long $best = Long.MAX_VALUE;
+         |    long $bestCell = 0L;
+         |    for (int $c = 0; $c < $m.length; $c++) {
+         |      long $acc = 0L;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        long $d = $x.getLong($i) - $m[$c][$i];
+         |        $acc += $d * $d;
+         |      }
+         |      if ($acc < $best) { $best = $acc; $bestCell = (long) $c; }
+         |    }
+         |    ${ev.value} = $bestCell;
+         |  }
          |}
        """.stripMargin
     })

@@ -55,19 +55,35 @@ object KMeans {
     lloydRefineWithCentroids(emb, k, scale, idCol, vecCol)
       ._2.map(_.map(_.toDouble / scale))
 
-  private def lloydRefineWithCentroids(emb: DataFrame, k: Int, scale: Long,
+  /** THE grid snap — every engine path must use this one expression
+    * (the exactness contract is bit-identity of the quantization
+    * everywhere: assignments, codes, and LUTs all compare numbers
+    * derived from it). transform is an interpreted HOF, but each
+    * caller runs it once per row into a persisted/collected frame —
+    * the re-evaluation trap (see Text.shinglesFromTokens) doesn't
+    * apply. round() is HALF_UP in Spark and half-away-from-zero in
+    * DuckDB: identical on the non-negative-scaled grid ties.
+    */
+  private def quantize(vecCol: String, scale: Long): Column =
+    transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
+
+  /** Persisted (vec_id, xq) frame + the k-lowest-id codebook rows
+    * (bounded driver metadata, like [[Ann.coarseCentroids]]). Caller
+    * unpersists the frame.
+    */
+  private def quantizedWithCodebook(emb: DataFrame, k: Int, scale: Long,
       idCol: String, vecCol: String): (DataFrame, Seq[Seq[Long]]) = {
-    // transform is an interpreted HOF, but it runs ONCE per row into
-    // a persisted frame both assignment passes and the update reuse —
-    // the re-evaluation trap (see Text.shinglesFromTokens) doesn't
-    // apply. round() is HALF_UP in Spark and half-away-from-zero in
-    // DuckDB: identical on the non-negative-scaled grid ties.
-    val xq = emb.select(col(idCol).as("vec_id"),
-        transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("xq"))
+    val xq = emb.select(col(idCol).as("vec_id"), quantize(vecCol, scale).as("xq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val init: Seq[Seq[Long]] = xq.orderBy(col("vec_id").asc).limit(k)
       .collect().map(_.getSeq[Long](1).toSeq).toSeq
     require(init.size == k, s"corpus has fewer than k=$k vectors")
+    (xq, init)
+  }
+
+  private def lloydRefineWithCentroids(emb: DataFrame, k: Int, scale: Long,
+      idCol: String, vecCol: String): (DataFrame, Seq[Seq[Long]]) = {
+    val (xq, init) = quantizedWithCodebook(emb, k, scale, idCol, vecCol)
     val a0 = xq.withColumn("cell_init", assignment(init))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // per-(cell, dim) component sums: k·dim bounded driver rows
@@ -115,13 +131,12 @@ object KMeans {
     * is k·dim driver metadata).
     */
   def pqCodes(emb: DataFrame, m: Int = 8, k: Int = 16, scale: Long = 65536,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val xq = emb.select(col(idCol).as("vec_id"),
-        transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("xq"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val init: Seq[Seq[Long]] = xq.orderBy(col("vec_id").asc).limit(k)
-      .collect().map(_.getSeq[Long](1).toSeq).toSeq
-    require(init.size == k, s"corpus has fewer than k=$k vectors")
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqCodesWithCodebook(emb, m, k, scale, idCol, vecCol)._1
+
+  private def pqCodesWithCodebook(emb: DataFrame, m: Int, k: Int, scale: Long,
+      idCol: String, vecCol: String): (DataFrame, Seq[Seq[Long]]) = {
+    val (xq, init) = quantizedWithCodebook(emb, k, scale, idCol, vecCol)
     val dim = init.head.size
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -133,7 +148,7 @@ object KMeans {
     }
     val out = xq.select(col("vec_id") +: codeCols: _*).localCheckpoint(true)
     xq.unpersist()
-    out
+    (out, init)
   }
 
   /** PQ asymmetric-distance KNN (ADC — Jégou et al. §IV): each query
@@ -155,19 +170,13 @@ object KMeans {
       m: Int = 8, k: Int = 16, scale: Long = 65536,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val codes = pqCodes(corpus, m, k, scale, idCol, vecCol)
-    val init: Seq[Seq[Long]] = corpus
-      .select(col(idCol).as("vec_id"),
-        transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("xq"))
-      .orderBy(col("vec_id").asc).limit(k)
-      .collect().map(_.getSeq[Long](1).toSeq).toSeq
+    val (codes, init) = pqCodesWithCodebook(corpus, m, k, scale, idCol, vecCol)
     val dim = init.head.size
     val sub = dim / m
-    // queries quantized BY THE ENGINE (collect of the same transform
+    // queries quantized BY THE ENGINE (collect of the same quantize
     // expression) so driver and executors can't disagree on rounding
     val qRows: Seq[(Long, Seq[Long])] = queries
-      .select(col(idCol).as("query_id"),
-        transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("xq"))
+      .select(col(idCol).as("query_id"), quantize(vecCol, scale).as("xq"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
     // per-query LUT: luts(s)(c) = ||q_sub(s) - cent_c_sub(s)||²
     val spark2 = corpus.sparkSession

@@ -28,6 +28,18 @@ object EmbedQueries {
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
 
+  /** The shared untrained coarse quantizer (16 lowest-id embeddings),
+    * cached per source FINGERPRINT (path+bytes+mtime, not path) so a
+    * dataset regenerated in place retrains instead of serving stale
+    * cells. One helper, one cell count — the IVF, served-IVF, and
+    * SemDeDup entries must all quantize identically or the per-entry
+    * oracles diverge.
+    */
+  private def cachedCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] =
+    centroidCache.getOrElseUpdate(
+      graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet"),
+      Ann.coarseCentroids(Tables.embeddings(spark, dir), nCells = 16))
+
   /** IVF top-5 for the same queries (16 cells) — the 100 TB scale
     * path. Centroids (16 bounded driver rows — index metadata, like a
     * real IVF index's coarse quantizer) are cached per dataset so
@@ -42,17 +54,12 @@ object EmbedQueries {
     * machinery (cell assignment, per-cell sharded equi-join, ranked
     * merge) is hash-checked against the brute-force oracle; the
     * approximate operating point (nprobe << nlist) is covered by
-    * AnnSpec's recall assertions. Centroids are cached per source
-    * FINGERPRINT (path+bytes+mtime), not per path, so a dataset
-    * regenerated in place retrains instead of serving stale cells.
+    * AnnSpec's recall assertions.
     */
   def knnIvfProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val centroids = centroidCache.getOrElseUpdate(
-      graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet"),
-      Ann.coarseCentroids(emb, nCells = 16))
     Ann.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 5,
-      centroids = centroids, nprobe = nprobe)
+      centroids = cachedCentroids(spark, dir), nprobe = nprobe)
   }
 
   private val indexCache =
@@ -68,16 +75,26 @@ object EmbedQueries {
   def knnIvfServed(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val fp = graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet")
-    val centroids = centroidCache.getOrElseUpdate(fp,
-      Ann.coarseCentroids(emb, nCells = 16))
+    val centroids = cachedCentroids(spark, dir)
     val root = indexCache.getOrElseUpdate(fp, {
       val p = java.nio.file.Files.createTempDirectory("graft_ann_index").toString
       graft.serving.AnnIndex.materialize(emb, centroids, p)
       p
     })
+    // a dataset regenerated in place gets a new fingerprint and a
+    // fresh index; superseded index dirs for the same source path are
+    // deleted or they accumulate a full corpus copy each (found by
+    // round-5 review)
+    indexByPath.put(dir, fp).filter(_ != fp)
+      .flatMap(indexCache.remove).foreach { old =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
+      }
     graft.serving.AnnIndex.query(spark, root,
       emb.filter(col("vec_id") < 10), centroids, k = 5, nprobe = 16)
   }
+
+  private val indexByPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Global top-20 most-similar embedding pairs (embedding-cosine
     * near-dup detection in ranked form).
@@ -112,13 +129,9 @@ object EmbedQueries {
     * assignment (argmax cosine over the 16 lowest-id embeddings,
     * lowest-cell tie-break) and the in-cell pair scan.
     */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val centroids = centroidCache.getOrElseUpdate(
-      graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet"),
-      Ann.coarseCentroids(emb, nCells = 16))
-    Ann.semanticDedupPairs(emb, centroids, threshold = 0.3)
-  }
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Ann.semanticDedupPairs(Tables.embeddings(spark, dir),
+      cachedCentroids(spark, dir), threshold = 0.3)
 
   /** The optimizer-extension path, end-to-end: a PURE-SQL query that
     * spells the dot product with public higher-order functions
@@ -140,9 +153,14 @@ object EmbedQueries {
     */
   def dotTopKSql(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.VecKernelRewrite
-    if (!spark.experimental.extraOptimizations.contains(VecKernelRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ VecKernelRewrite
+    // synchronized: read-modify-write on extraOptimizations — two
+    // concurrent entry calls could otherwise both append and run the
+    // rule twice per query from then on
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(VecKernelRewrite))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ VecKernelRewrite
+    }
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
     val df = spark.sql(
       """WITH anchor AS (SELECT embedding AS av FROM embeddings WHERE vec_id = 0),
