@@ -202,6 +202,99 @@ object KMeans {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** IVFADC (Jégou et al. §V — the FAISS billion-scale layout):
+    * coarse-quantize every vector to one of `coarseK` cells, then
+    * product-quantize its RESIDUAL (vector − coarse centroid); a
+    * query probes its `nprobe` nearest cells and ranks only their
+    * members by ADC over per-(query, probed-cell) residual LUTs. Two
+    * approximations compose — cell pruning and code quantization —
+    * and both are deterministic grid-integer arithmetic here, so the
+    * result hash-checks end-to-end like the rest of the family.
+    *
+    * The residual trick in code form: for a member of cell c,
+    * ‖(x−coarse_c) − sub_j‖² = ‖x − (coarse_c + sub_j)‖², so each
+    * cell's effective codebook is the sub-codebook SHIFTED by its
+    * centroid — assignment is an m×coarseK grid of compact argmin
+    * nodes picked by a when-chain on the cell column (coarseK-deep:
+    * bounded by the cell count, not data). Sub-codebook = residuals
+    * of the k lowest-id vectors w.r.t. their own cells.
+    *
+    * Scale shape: codes are ONE corpus pass; candidate selection is
+    * an equi-join of the code table against nprobe·|queries| broadcast
+    * LUT rows ON THE CELL KEY — exactly how a sharded IVFADC fans a
+    * probe out to its cells, no corpus shuffle, per-query top-k via
+    * WindowGroupLimit.
+    */
+  def ivfAdcKnn(corpus: DataFrame, queries: DataFrame, topK: Int,
+      nprobe: Int = 4, coarseK: Int = 8, m: Int = 8, k: Int = 16,
+      scale: Long = 65536,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (xq, coarse) = quantizedWithCodebook(corpus, coarseK, scale, idCol, vecCol)
+    val dim = coarse.head.size
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    def sqd(a: Seq[Long], b: Seq[Long]): Long =
+      a.indices.map { i => val d = a(i) - b(i); d * d }.sum
+    def nearestCell(v: Seq[Long]): Int =
+      coarse.indices.map(c => (sqd(v, coarse(c)), c)).min._2
+    // sub-codebook: residuals of the k lowest-id vectors w.r.t. their
+    // own coarse cell (k·dim driver metadata)
+    val cbVecs: Seq[Seq[Long]] = xq.orderBy(col("vec_id").asc).limit(k)
+      .collect().map(_.getSeq[Long](1).toSeq).toSeq
+    require(cbVecs.size == k, s"corpus has fewer than k=$k vectors")
+    val subCB: Seq[Seq[Long]] = cbVecs.map { v =>
+      val cc = coarse(nearestCell(v))
+      v.indices.map(i => v(i) - cc(i))
+    }
+    // codes: cell assignment + per-subspace argmin over the
+    // cell-shifted codebook, selected by a coarseK-deep when-chain
+    val celled = xq.withColumn("cell", assignment(coarse))
+    val codeCols = (0 until m).map { s =>
+      val range = s * sub until (s + 1) * sub
+      (0 until coarseK).foldLeft(lit(null).cast("long")) { (acc, c) =>
+        val shifted = subCB.map(r => range.map(i => coarse(c)(i) + r(i)))
+        when(col("cell") === c.toLong,
+          graft.functions.VecExprs
+            .vec_argmin_sqdist(slice(col("xq"), s * sub + 1, sub), shifted))
+          .otherwise(acc)
+      }.as(s"code_$s")
+    }
+    val codes = celled
+      .select(col("vec_id") +: col("cell") +: codeCols: _*)
+      .localCheckpoint(true)
+    xq.unpersist()
+    // queries: quantize by the engine, probe cells + residual LUTs on
+    // the driver (nprobe·|queries| bounded rows)
+    val qRows: Seq[(Long, Seq[Long])] = queries
+      .select(col(idCol).as("query_id"), quantize(vecCol, scale).as("xq"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    val spark2 = corpus.sparkSession
+    import spark2.implicits._
+    val probeRows = qRows.flatMap { case (qid, qv) =>
+      coarse.indices.map(c => (sqd(qv, coarse(c)), c)).sorted.take(nprobe)
+        .map { case (_, c) =>
+          val qres = qv.indices.map(i => qv(i) - coarse(c)(i))
+          val lut = (0 until m).map { s =>
+            val range = s * sub until (s + 1) * sub
+            subCB.map(r => range.map(i => { val d = qres(i) - r(i); d * d }).sum)
+          }
+          (qid, c.toLong, lut)
+        }
+    }
+    val probeDf = probeRows.toDF("query_id", "cell", "luts")
+    val adc = (0 until m)
+      .map(s => element_at(element_at(col("luts"), s + 1), col(s"code_$s").cast("int") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id").asc)
+    codes.join(broadcast(probeDf), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
   /** argmin cell by (distance, cell id) — a single
     * [[graft.functions.VecArgminSqDist]] node carrying the centroid
     * matrix as one reference object. The same math spelled as k·dim

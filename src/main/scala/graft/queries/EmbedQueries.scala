@@ -227,7 +227,17 @@ object EmbedQueries {
     graft.ops.KMeans.adcKnn(emb, emb.filter(col("vec_id") < 10), topK = 5)
   }
 
+  /** IVFADC top-5 for the standard query set: 8 coarse cells,
+    * nprobe=4, residual PQ 8×16 — both approximations (cell pruning +
+    * code quantization) deterministic and hash-checked.
+    */
+  def ivfAdcTop5(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.ops.KMeans.ivfAdcKnn(emb, emb.filter(col("vec_id") < 10), topK = 5)
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_embed_knn_ivfadc" -> (ivfAdcTop5 _),
     "q_embed_knn_pq" -> (pqAdcKnn _),
     "q_embed_pq_codes" -> (pqCodeTable _),
     "q_embed_kmeans" -> (kmeansRefine _),
@@ -292,6 +302,74 @@ object EmbedQueries {
         |  CAST(MAX(CASE WHEN s = 6 THEN cell END) AS BIGINT) AS code_6,
         |  CAST(MAX(CASE WHEN s = 7 THEN cell END) AS BIGINT) AS code_7
         |FROM codes GROUP BY 1""".stripMargin,
+    // mirror of KMeans.ivfAdcKnn: coarse assignment, residuals of
+    // everything w.r.t. own cells, sub-codebook = first-16 residuals,
+    // per-(query, probed-cell) residual LUTs, candidates restricted
+    // to probed cells, ties on ids everywhere.
+    "q_embed_knn_ivfadc" ->
+      """WITH xq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |co AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, xq AS cv
+        |  FROM (SELECT * FROM xq ORDER BY vec_id LIMIT 8)),
+        |cod AS (
+        |  SELECT cell, unnest(cv) AS c, unnest(range(1, len(cv)+1)) AS d FROM co),
+        |exd AS (
+        |  SELECT vec_id, unnest(xq) AS v, unnest(range(1, len(xq)+1)) AS d FROM xq),
+        |cdist AS (
+        |  SELECT e.vec_id, c.cell, SUM((e.v - c.c)*(e.v - c.c)) AS dist
+        |  FROM exd e JOIN cod c USING (d) GROUP BY 1, 2),
+        |asgn AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM cdist) WHERE rn = 1),
+        |res AS (
+        |  SELECT e.vec_id, e.d, (e.d - 1) // 8 AS s, e.v - c.c AS rv
+        |  FROM exd e JOIN asgn a USING (vec_id)
+        |  JOIN cod c ON c.cell = a.cell AND c.d = e.d),
+        |sub AS (
+        |  SELECT ids.subcell, r.d, r.rv AS sc
+        |  FROM res r JOIN (
+        |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS subcell
+        |    FROM (SELECT vec_id FROM xq ORDER BY vec_id LIMIT 16)) ids
+        |  USING (vec_id)),
+        |sdist AS (
+        |  SELECT r.vec_id, r.s, u.subcell, SUM((r.rv - u.sc)*(r.rv - u.sc)) AS dist
+        |  FROM res r JOIN sub u ON u.d = r.d GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, s, subcell FROM (
+        |    SELECT vec_id, s, subcell,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, subcell) AS rn
+        |    FROM sdist) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM cdist WHERE vec_id < 10) WHERE rn <= 4),
+        |qres AS (
+        |  SELECT e.vec_id AS query_id, p.cell, e.d, (e.d - 1) // 8 AS s,
+        |    e.v - c.c AS rv
+        |  FROM exd e JOIN probes p ON p.query_id = e.vec_id
+        |  JOIN cod c ON c.cell = p.cell AND c.d = e.d),
+        |lut AS (
+        |  SELECT q.query_id, q.cell, q.s, u.subcell,
+        |    SUM((q.rv - u.sc)*(q.rv - u.sc)) AS dist
+        |  FROM qres q JOIN sub u ON u.d = q.d GROUP BY 1, 2, 3, 4),
+        |cand AS (
+        |  SELECT l.query_id, c.vec_id, SUM(l.dist) AS adc
+        |  FROM codes c JOIN asgn a USING (vec_id)
+        |  JOIN lut l ON l.cell = a.cell AND l.s = c.s AND l.subcell = c.subcell
+        |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rnk
+        |  FROM cand)
+        |WHERE rnk <= 5""".stripMargin,
     // mirror of KMeans.adcKnn: the `dist` CTE is BOTH the code
     // assignment (argmin per (vec, subspace)) and the query LUT
     // (its rows restricted to query ids) — summing LUT entries at a

@@ -117,6 +117,49 @@ class KMeansSpec extends SparkSuite {
     assert(got === expect)
   }
 
+  test("IVFADC equals the in-memory reference ranking") {
+    val emb = Tables.embeddings(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val m = 8; val coarseK = 8; val nCells = 16; val nprobe = 4; val topK = 5
+    val got = KMeans.ivfAdcKnn(emb, emb.filter(col("vec_id") < 10), topK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val raw: Map[Long, Array[Long]] = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => q(x.toDouble)).toArray).toMap
+    val ids = raw.keys.toIndexedSeq.sorted
+    val coarse = ids.take(coarseK).map(raw)
+    def sqd(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      a.indices.map { i => val t = a(i) - b(i); t * t }.sum
+    def cellOf(v: IndexedSeq[Long]): Int =
+      coarse.indices.map(c => (sqd(v, coarse(c)), c)).min._2
+    val cells: Map[Long, Int] = raw.map { case (id, v) => id -> cellOf(v.toIndexedSeq) }
+    def residual(id: Long): IndexedSeq[Long] = {
+      val v = raw(id); val cc = coarse(cells(id))
+      v.indices.map(i => v(i) - cc(i))
+    }
+    val subCB = ids.take(nCells).map(residual)
+    val dim = coarse.head.length
+    val sub = dim / m
+    def subSqd(a: IndexedSeq[Long], b: IndexedSeq[Long], s: Int): Long =
+      (s * sub until (s + 1) * sub).map { i => val t = a(i) - b(i); t * t }.sum
+    val codes: Map[Long, IndexedSeq[Int]] = raw.keys.map { id =>
+      val r = residual(id)
+      id -> (0 until m).map(s => subCB.indices.map(c => (subSqd(r, subCB(c), s), c)).min._2)
+    }.toMap
+    val expect = (0L until 10L).flatMap { qid =>
+      val qv = raw(qid).toIndexedSeq
+      val probed = coarse.indices.map(c => (sqd(qv, coarse(c)), c)).sorted
+        .take(nprobe).map(_._2).toSet
+      val cand = raw.keys.filter(v => v != qid && probed(cells(v))).toSeq.map { v =>
+        val qr = Array.tabulate(dim)(i => qv(i) - coarse(cells(v))(i)).toIndexedSeq
+        val adc = (0 until m).map(s => subSqd(qr, subCB(codes(v)(s)), s)).sum
+        (adc, v)
+      }
+      cand.sorted.take(topK).zipWithIndex.map { case ((_, v), r) => (qid, (r + 1).toLong, v) }
+    }.toSet
+    assert(got === expect)
+  }
+
   test("trained IVF: exhaustive probe equals brute force; usable recall at nprobe=2/10") {
     import org.apache.spark.sql.functions.col
     import graft.ops.Ann
