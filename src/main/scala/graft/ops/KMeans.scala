@@ -130,7 +130,7 @@ object KMeans {
     * row-local, one pass, no shuffle at any corpus size (the codebook
     * is k·dim driver metadata).
     */
-  def pqCodes(emb: DataFrame, m: Int = 8, k: Int = 16, scale: Long = 65536,
+  def pqCodes(emb: DataFrame, m: Int = 16, k: Int = 64, scale: Long = 65536,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     pqCodesWithCodebook(emb, m, k, scale, idCol, vecCol)._1
 
@@ -167,7 +167,7 @@ object KMeans {
     * per-query top-k via WindowGroupLimit — no corpus shuffle.
     */
   def adcKnn(corpus: DataFrame, queries: DataFrame, topK: Int,
-      m: Int = 8, k: Int = 16, scale: Long = 65536,
+      m: Int = 16, k: Int = 64, scale: Long = 65536,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (codes, init) = pqCodesWithCodebook(corpus, m, k, scale, idCol, vecCol)
@@ -226,7 +226,7 @@ object KMeans {
     * WindowGroupLimit.
     */
   def ivfAdcKnn(corpus: DataFrame, queries: DataFrame, topK: Int,
-      nprobe: Int = 4, coarseK: Int = 8, m: Int = 8, k: Int = 16,
+      nprobe: Int = 4, coarseK: Int = 8, m: Int = 16, k: Int = 64,
       scale: Long = 65536,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -211,15 +211,17 @@ object EmbedQueries {
   def kmeansRefine(spark: SparkSession, dir: String): DataFrame =
     graft.ops.KMeans.lloydRefine(Tables.embeddings(spark, dir), k = 10)
 
-  /** PQ code table ([[graft.ops.KMeans.pqCodes]]): 8 subspaces × 16
-    * sub-centroids over the 64-dim embeddings — every code
-    * hash-checked against the DuckDB recompute.
+  /** PQ code table ([[graft.ops.KMeans.pqCodes]]): 16 subspaces × 64
+    * sub-centroids over the 64-dim embeddings (4-dim subspaces — the
+    * operating point where untrained codebooks still recall ~half the
+    * exact-L2 neighbors, see KMeansSpec) — every code hash-checked
+    * against the DuckDB recompute.
     */
   def pqCodeTable(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.KMeans.pqCodes(Tables.embeddings(spark, dir), m = 8, k = 16)
+    graft.ops.KMeans.pqCodes(Tables.embeddings(spark, dir))
 
   /** PQ serving: ADC top-5 for the standard query set (vec_id < 10)
-    * over the 8×16 code table — integer LUT arithmetic end-to-end,
+    * over the 16×64 code table — integer LUT arithmetic end-to-end,
     * so even the APPROXIMATE ranking hash-checks.
     */
   def pqAdcKnn(spark: SparkSession, dir: String): DataFrame = {
@@ -228,8 +230,8 @@ object EmbedQueries {
   }
 
   /** IVFADC top-5 for the standard query set: 8 coarse cells,
-    * nprobe=4, residual PQ 8×16 — both approximations (cell pruning +
-    * code quantization) deterministic and hash-checked.
+    * nprobe=4, residual PQ 16×64 — both approximations (cell pruning
+    * + code quantization) deterministic and hash-checked.
     */
   def ivfAdcTop5(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -274,13 +276,13 @@ object EmbedQueries {
         |  FROM embeddings),
         |init AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, xq AS cv
-        |  FROM (SELECT * FROM xq ORDER BY vec_id LIMIT 16)),
+        |  FROM (SELECT * FROM xq ORDER BY vec_id LIMIT 64)),
         |cex AS (
-        |  SELECT cell, (d - 1) // 8 AS s, d, c FROM (
+        |  SELECT cell, (d - 1) // 4 AS s, d, c FROM (
         |    SELECT cell, unnest(cv) AS c, unnest(range(1, len(cv)+1)) AS d
         |    FROM init)),
         |exd AS (
-        |  SELECT vec_id, d, (d - 1) // 8 AS s, v FROM (
+        |  SELECT vec_id, d, (d - 1) // 4 AS s, v FROM (
         |    SELECT vec_id, unnest(xq) AS v, unnest(range(1, len(xq)+1)) AS d
         |    FROM xq)),
         |dist AS (
@@ -300,7 +302,15 @@ object EmbedQueries {
         |  CAST(MAX(CASE WHEN s = 4 THEN cell END) AS BIGINT) AS code_4,
         |  CAST(MAX(CASE WHEN s = 5 THEN cell END) AS BIGINT) AS code_5,
         |  CAST(MAX(CASE WHEN s = 6 THEN cell END) AS BIGINT) AS code_6,
-        |  CAST(MAX(CASE WHEN s = 7 THEN cell END) AS BIGINT) AS code_7
+        |  CAST(MAX(CASE WHEN s = 7 THEN cell END) AS BIGINT) AS code_7,
+        |  CAST(MAX(CASE WHEN s = 8 THEN cell END) AS BIGINT) AS code_8,
+        |  CAST(MAX(CASE WHEN s = 9 THEN cell END) AS BIGINT) AS code_9,
+        |  CAST(MAX(CASE WHEN s = 10 THEN cell END) AS BIGINT) AS code_10,
+        |  CAST(MAX(CASE WHEN s = 11 THEN cell END) AS BIGINT) AS code_11,
+        |  CAST(MAX(CASE WHEN s = 12 THEN cell END) AS BIGINT) AS code_12,
+        |  CAST(MAX(CASE WHEN s = 13 THEN cell END) AS BIGINT) AS code_13,
+        |  CAST(MAX(CASE WHEN s = 14 THEN cell END) AS BIGINT) AS code_14,
+        |  CAST(MAX(CASE WHEN s = 15 THEN cell END) AS BIGINT) AS code_15
         |FROM codes GROUP BY 1""".stripMargin,
     // mirror of KMeans.ivfAdcKnn: coarse assignment, residuals of
     // everything w.r.t. own cells, sub-codebook = first-16 residuals,
@@ -328,14 +338,14 @@ object EmbedQueries {
         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
         |    FROM cdist) WHERE rn = 1),
         |res AS (
-        |  SELECT e.vec_id, e.d, (e.d - 1) // 8 AS s, e.v - c.c AS rv
+        |  SELECT e.vec_id, e.d, (e.d - 1) // 4 AS s, e.v - c.c AS rv
         |  FROM exd e JOIN asgn a USING (vec_id)
         |  JOIN cod c ON c.cell = a.cell AND c.d = e.d),
         |sub AS (
         |  SELECT ids.subcell, r.d, r.rv AS sc
         |  FROM res r JOIN (
         |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS subcell
-        |    FROM (SELECT vec_id FROM xq ORDER BY vec_id LIMIT 16)) ids
+        |    FROM (SELECT vec_id FROM xq ORDER BY vec_id LIMIT 64)) ids
         |  USING (vec_id)),
         |sdist AS (
         |  SELECT r.vec_id, r.s, u.subcell, SUM((r.rv - u.sc)*(r.rv - u.sc)) AS dist
@@ -351,7 +361,7 @@ object EmbedQueries {
         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
         |    FROM cdist WHERE vec_id < 10) WHERE rn <= 4),
         |qres AS (
-        |  SELECT e.vec_id AS query_id, p.cell, e.d, (e.d - 1) // 8 AS s,
+        |  SELECT e.vec_id AS query_id, p.cell, e.d, (e.d - 1) // 4 AS s,
         |    e.v - c.c AS rv
         |  FROM exd e JOIN probes p ON p.query_id = e.vec_id
         |  JOIN cod c ON c.cell = p.cell AND c.d = e.d),
@@ -382,13 +392,13 @@ object EmbedQueries {
         |  FROM embeddings),
         |init AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, xq AS cv
-        |  FROM (SELECT * FROM xq ORDER BY vec_id LIMIT 16)),
+        |  FROM (SELECT * FROM xq ORDER BY vec_id LIMIT 64)),
         |cex AS (
-        |  SELECT cell, (d - 1) // 8 AS s, d, c FROM (
+        |  SELECT cell, (d - 1) // 4 AS s, d, c FROM (
         |    SELECT cell, unnest(cv) AS c, unnest(range(1, len(cv)+1)) AS d
         |    FROM init)),
         |exd AS (
-        |  SELECT vec_id, d, (d - 1) // 8 AS s, v FROM (
+        |  SELECT vec_id, d, (d - 1) // 4 AS s, v FROM (
         |    SELECT vec_id, unnest(xq) AS v, unnest(range(1, len(xq)+1)) AS d
         |    FROM xq)),
         |dist AS (

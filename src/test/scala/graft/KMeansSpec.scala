@@ -65,7 +65,7 @@ class KMeansSpec extends SparkSuite {
 
   test("PQ codes equal the in-memory reference; init vectors encode at zero error") {
     val emb = Tables.embeddings(spark, sfDir)
-    val m = 8; val nCells = 16
+    val m = 16; val nCells = 64
     val got = KMeans.pqCodes(emb, m = m, k = nCells).collect()
       .map(r => r.getLong(0) -> (0 until m).map(s => r.getLong(1 + s))).toMap
 
@@ -94,7 +94,7 @@ class KMeansSpec extends SparkSuite {
   test("ADC KNN equals the in-memory reference ranking") {
     val emb = Tables.embeddings(spark, sfDir)
     import org.apache.spark.sql.functions.col
-    val m = 8; val nCells = 16; val topK = 5
+    val m = 16; val nCells = 64; val topK = 5
     val got = KMeans.adcKnn(emb, emb.filter(col("vec_id") < 10), topK).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
@@ -120,7 +120,7 @@ class KMeansSpec extends SparkSuite {
   test("IVFADC equals the in-memory reference ranking") {
     val emb = Tables.embeddings(spark, sfDir)
     import org.apache.spark.sql.functions.col
-    val m = 8; val coarseK = 8; val nCells = 16; val nprobe = 4; val topK = 5
+    val m = 16; val coarseK = 8; val nCells = 64; val nprobe = 4; val topK = 5
     val got = KMeans.ivfAdcKnn(emb, emb.filter(col("vec_id") < 10), topK).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
@@ -158,6 +158,35 @@ class KMeansSpec extends SparkSuite {
       cand.sorted.take(topK).zipWithIndex.map { case ((_, v), r) => (qid, (r + 1).toLong, v) }
     }.toSet
     assert(got === expect)
+  }
+
+  test("PQ approximations recall the exact-L2 neighbors (same metric, same grid)") {
+    // NB the baseline must be exact L2 on the quantized grid — the
+    // cosine brute-force entry is a different metric on unnormalized
+    // vectors and recall against it measures metric disagreement, not
+    // quantization loss
+    val emb = Tables.embeddings(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val raw: Map[Long, IndexedSeq[Long]] = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => q(x.toDouble)).toIndexedSeq).toMap
+    def sqd(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      a.indices.map { i => val t = a(i) - b(i); t * t }.sum
+    val exact = (0L until 10L).flatMap { qid =>
+      raw.keys.filter(_ != qid).toSeq
+        .map(v => (sqd(raw(qid), raw(v)), v)).sorted.take(5)
+        .map { case (_, v) => (qid, v) }
+    }.toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val queries = emb.filter(col("vec_id") < 10)
+    val adc = recall(KMeans.adcKnn(emb, queries, 5))
+    val ivfadc = recall(KMeans.ivfAdcKnn(emb, queries, 5))
+    info(s"recall vs exact L2: adc=$adc ivfadc=$ivfadc")
+    assert(adc >= 0.4, s"ADC recall $adc")
+    assert(ivfadc >= 0.25, s"IVFADC recall $ivfadc (cell pruning compounds)")
   }
 
   test("trained IVF: exhaustive probe equals brute force; usable recall at nprobe=2/10") {
