@@ -229,22 +229,32 @@ object KMeans {
       nprobe: Int = 4, coarseK: Int = 8, m: Int = 16, k: Int = 64,
       scale: Long = 65536,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val idx = ivfAdcIndex(corpus, coarseK, m, k, scale, idCol, vecCol)
+    ivfAdcQuery(idx, queries, topK, nprobe, scale, idCol, vecCol)
+  }
+
+  /** The built index: checkpointed code table + the two codebooks
+    * (driver metadata). Build once per corpus, serve many query
+    * batches — the split every serving path here follows
+    * ([[graft.serving.AnnIndex]], the rollup tables).
+    */
+  case class IvfAdcIndex(codes: DataFrame, coarse: Seq[Seq[Long]],
+      subCB: Seq[Seq[Long]], m: Int)
+
+  def ivfAdcIndex(corpus: DataFrame,
+      coarseK: Int = 8, m: Int = 16, k: Int = 64, scale: Long = 65536,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfAdcIndex = {
     val (xq, coarse) = quantizedWithCodebook(corpus, coarseK, scale, idCol, vecCol)
     val dim = coarse.head.size
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    def sqd(a: Seq[Long], b: Seq[Long]): Long =
-      a.indices.map { i => val d = a(i) - b(i); d * d }.sum
-    def nearestCell(v: Seq[Long]): Int =
-      coarse.indices.map(c => (sqd(v, coarse(c)), c)).min._2
     // sub-codebook: residuals of the k lowest-id vectors w.r.t. their
     // own coarse cell (k·dim driver metadata)
     val cbVecs: Seq[Seq[Long]] = xq.orderBy(col("vec_id").asc).limit(k)
       .collect().map(_.getSeq[Long](1).toSeq).toSeq
     require(cbVecs.size == k, s"corpus has fewer than k=$k vectors")
     val subCB: Seq[Seq[Long]] = cbVecs.map { v =>
-      val cc = coarse(nearestCell(v))
+      val cc = coarse(nearestCell(coarse)(v))
       v.indices.map(i => v(i) - cc(i))
     }
     // codes: cell assignment + per-subspace argmin over the
@@ -264,12 +274,24 @@ object KMeans {
       .select(col("vec_id") +: col("cell") +: codeCols: _*)
       .localCheckpoint(true)
     xq.unpersist()
+    IvfAdcIndex(codes, coarse, subCB, m)
+  }
+
+  def ivfAdcQuery(idx: IvfAdcIndex, queries: DataFrame, topK: Int,
+      nprobe: Int = 4, scale: Long = 65536,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val IvfAdcIndex(codes, coarse, subCB, m) = idx
+    val dim = coarse.head.size
+    val sub = dim / m
+    def sqd(a: Seq[Long], b: Seq[Long]): Long =
+      a.indices.map { i => val d = a(i) - b(i); d * d }.sum
     // queries: quantize by the engine, probe cells + residual LUTs on
     // the driver (nprobe·|queries| bounded rows)
     val qRows: Seq[(Long, Seq[Long])] = queries
       .select(col(idCol).as("query_id"), quantize(vecCol, scale).as("xq"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
-    val spark2 = corpus.sparkSession
+    val spark2 = queries.sparkSession
     import spark2.implicits._
     val probeRows = qRows.flatMap { case (qid, qv) =>
       coarse.indices.map(c => (sqd(qv, coarse(c)), c)).sorted.take(nprobe)
@@ -294,6 +316,14 @@ object KMeans {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
+
+  /** argmin by squared L2 on the driver — tie to the lowest cell,
+    * matching [[graft.functions.VecArgminSqDist]].
+    */
+  private def nearestCell(cents: Seq[Seq[Long]])(v: Seq[Long]): Int =
+    cents.indices.map { c =>
+      (v.indices.map { i => val d = v(i) - cents(c)(i); d * d }.sum, c)
+    }.min._2
 
   /** argmin cell by (distance, cell id) — a single
     * [[graft.functions.VecArgminSqDist]] node carrying the centroid

@@ -229,13 +229,22 @@ object EmbedQueries {
     graft.ops.KMeans.adcKnn(emb, emb.filter(col("vec_id") < 10), topK = 5)
   }
 
+  private val ivfAdcCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.KMeans.IvfAdcIndex]
+
   /** IVFADC top-5 for the standard query set: 8 coarse cells,
     * nprobe=4, residual PQ 16×64 — both approximations (cell pruning
-    * + code quantization) deterministic and hash-checked.
+    * + code quantization) deterministic and hash-checked. The index
+    * (code table + codebooks) builds once per dataset fingerprint and
+    * serves from the checkpointed codes — the PQ twin of the
+    * materialized-IVF entry, and what the warm bench numbers measure.
     */
   def ivfAdcTop5(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    graft.ops.KMeans.ivfAdcKnn(emb, emb.filter(col("vec_id") < 10), topK = 5)
+    val idx = ivfAdcCache.getOrElseUpdate(
+      graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet"),
+      graft.ops.KMeans.ivfAdcIndex(emb))
+    graft.ops.KMeans.ivfAdcQuery(idx, emb.filter(col("vec_id") < 10), topK = 5)
   }
 
   val queries: Map[String, QFn] = Map(
