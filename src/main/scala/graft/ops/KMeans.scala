@@ -28,10 +28,11 @@ import org.apache.spark.storage.StorageLevel
   * k·dim result rows regardless of corpus size. No per-row driver
   * work, no join against the corpus. Magnitude bounds: |x| ≲ 1 ⇒
   * quantized |v| ≲ scale, per-row distances ≤ dim·(2·scale)² (~2^36
-  * at scale 2^16), and component sums overflow BIGINT only past
-  * ~2^46/scale ≈ 1e9 rows per cell — past that, raise the sum to
-  * DECIMAL(38,0); the assignment math itself is row-local and safe at
-  * any corpus size.
+  * at scale 2^16); the per-cell component sums travel as
+  * DECIMAL(38,0) so the distributed reduction can't overflow at any
+  * row count (a BIGINT sum would turn over past ~1e9 rows per cell);
+  * the assignment math itself is row-local and safe at any corpus
+  * size.
   */
 object KMeans {
 
@@ -86,13 +87,18 @@ object KMeans {
     val (xq, init) = quantizedWithCodebook(emb, k, scale, idCol, vecCol)
     val a0 = xq.withColumn("cell_init", assignment(init))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // per-(cell, dim) component sums: k·dim bounded driver rows
+    // per-(cell, dim) component sums: k·dim bounded driver rows.
+    // DECIMAL(38,0) on the wire: a BIGINT sum of scale-2^16 grid
+    // components overflows past ~1e9 rows per cell — exactness must
+    // hold in the distributed reduction itself, not just in the
+    // BigInt math after collect (same policy as the z-score path).
     val sums = a0
       .select(col("cell_init"), posexplode(col("xq")).as(Seq("d", "v")))
       .groupBy(col("cell_init"), col("d"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("v").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
       .collect()
-      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        (BigInt(r.getDecimal(2).toBigInteger), r.getLong(3))))
       .toMap
     // component mean rounded half-up EXACTLY: floor((2s+n)/(2n)) on
     // BigInt (floor via the always-nonnegative BigInt.mod) — the same
@@ -101,7 +107,7 @@ object KMeans {
       init(i).indices.map { d =>
         sums.get((i.toLong, d)) match {
           case Some((s, n)) =>
-            val num = BigInt(2) * s + n
+            val num = 2 * s + n
             val den = BigInt(2) * n
             ((num - num.mod(den)) / den).toLong
           case None => init(i)(d)
@@ -211,13 +217,14 @@ object KMeans {
     * and both are deterministic grid-integer arithmetic here, so the
     * result hash-checks end-to-end like the rest of the family.
     *
-    * The residual trick in code form: for a member of cell c,
-    * ‖(x−coarse_c) − sub_j‖² = ‖x − (coarse_c + sub_j)‖², so each
-    * cell's effective codebook is the sub-codebook SHIFTED by its
-    * centroid — assignment is an m×coarseK grid of compact argmin
-    * nodes picked by a when-chain on the cell column (coarseK-deep:
-    * bounded by the cell count, not data). Sub-codebook = residuals
-    * of the k lowest-id vectors w.r.t. their own cells.
+    * The residual trick in code form: assignment computes the
+    * residual x − coarse_cell ONCE (one zip_with against the coarse
+    * matrix carried as a single literal), then runs m compact argmin
+    * nodes over the unshifted sub-codebook — the identity
+    * ‖(x−coarse_c) − sub_j‖² = ‖x − (coarse_c + sub_j)‖² makes the
+    * per-cell shifted codebooks unnecessary, so the expression count
+    * is m + 1 regardless of coarseK. Sub-codebook = residuals of the
+    * k lowest-id vectors w.r.t. their own cells.
     *
     * Scale shape: codes are ONE corpus pass; candidate selection is
     * an equi-join of the code table against nprobe·|queries| broadcast
@@ -257,24 +264,46 @@ object KMeans {
       val cc = coarse(nearestCell(coarse)(v))
       v.indices.map(i => v(i) - cc(i))
     }
-    // codes: cell assignment + per-subspace argmin over the
-    // cell-shifted codebook, selected by a coarseK-deep when-chain
+    // codes: cell assignment, residual once, m argmin nodes — see the
+    // residual-identity note in the scaladoc. The earlier form (an
+    // m×coarseK when-chain, each arm carrying a shifted-codebook
+    // literal) was the same Catalyst analysis-cost explosion
+    // [[assignment]] exists to avoid; KMeansSpec asserts the node
+    // count is now coarseK-independent.
     val celled = xq.withColumn("cell", assignment(coarse))
-    val codeCols = (0 until m).map { s =>
-      val range = s * sub until (s + 1) * sub
-      (0 until coarseK).foldLeft(lit(null).cast("long")) { (acc, c) =>
-        val shifted = subCB.map(r => range.map(i => coarse(c)(i) + r(i)))
-        when(col("cell") === c.toLong,
-          graft.functions.VecExprs
-            .vec_argmin_sqdist(slice(col("xq"), s * sub + 1, sub), shifted))
-          .otherwise(acc)
-      }.as(s"code_$s")
-    }
+      .withColumn("res", residualCol(coarse))
     val codes = celled
-      .select(col("vec_id") +: col("cell") +: codeCols: _*)
+      .select(col("vec_id") +: col("cell") +: residualCodeCols(subCB, m, sub): _*)
       .localCheckpoint(true)
     xq.unpersist()
     IvfAdcIndex(codes, coarse, subCB, m)
+  }
+
+  /** Incrementally absorb new vectors into an existing index WITHOUT
+    * retraining: both codebooks are FROZEN (coarse + sub — a
+    * production IVFADC serving realtime appends never moves its
+    * quantizers under stored codes; analog: the reference's realtime
+    * segment append, orders_raw_upsert_table.json:39-49), new rows
+    * are assigned and encoded by the same expressions as the build,
+    * and the merged code table is re-checkpointed. Idempotent under
+    * replay: ids already present are dropped by an anti-join before
+    * the union, so a re-delivered batch adds nothing — the
+    * content-keyed twin of [[graft.serving.Serving]]'s batch-id
+    * guard, mirroring [[graft.serving.AnnIndex.append]].
+    */
+  def ivfAdcAppend(idx: IvfAdcIndex, newVecs: DataFrame, scale: Long = 65536,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfAdcIndex = {
+    val dim = idx.coarse.head.size
+    val sub = dim / idx.m
+    val staged = newVecs
+      .select(col(idCol).as("vec_id"), quantize(vecCol, scale).as("xq"))
+      .withColumn("cell", assignment(idx.coarse))
+      .withColumn("res", residualCol(idx.coarse))
+      .select(col("vec_id") +: col("cell") +:
+        residualCodeCols(idx.subCB, idx.m, sub): _*)
+      .join(idx.codes.select("vec_id"), Seq("vec_id"), "left_anti")
+    IvfAdcIndex(idx.codes.unionByName(staged).localCheckpoint(true),
+      idx.coarse, idx.subCB, idx.m)
   }
 
   def ivfAdcQuery(idx: IvfAdcIndex, queries: DataFrame, topK: Int,
@@ -316,6 +345,30 @@ object KMeans {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
+
+  /** The residual x − coarse(cell): one zip_with against the coarse
+    * matrix carried as a SINGLE typedlit literal, so the node count is
+    * independent of coarseK. zip_with is an interpreted HOF, but like
+    * [[quantize]] each caller evaluates it once per row into a
+    * checkpointed frame — the hot query path only ever touches the
+    * resulting codes.
+    */
+  private[graft] def residualCol(coarse: Seq[Seq[Long]]): Column =
+    zip_with(col("xq"),
+      element_at(typedlit(coarse.map(_.toSeq)), col("cell").cast("int") + 1),
+      (x, c) => x - c)
+
+  /** Per-subspace PQ codes of the residual: m compact
+    * [[graft.functions.VecArgminSqDist]] nodes over sub-codebook
+    * slices — the same shape as [[pqCodes]]' assignment.
+    */
+  private[graft] def residualCodeCols(subCB: Seq[Seq[Long]], m: Int, sub: Int): Seq[Column] =
+    (0 until m).map { s =>
+      graft.functions.VecExprs.vec_argmin_sqdist(
+          slice(col("res"), s * sub + 1, sub),
+          subCB.map(_.slice(s * sub, (s + 1) * sub)))
+        .as(s"code_$s")
+    }
 
   /** argmin by squared L2 on the driver — tie to the lowest cell,
     * matching [[graft.functions.VecArgminSqDist]].

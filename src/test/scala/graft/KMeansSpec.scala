@@ -189,6 +189,72 @@ class KMeansSpec extends SparkSuite {
     assert(ivfadc >= 0.25, s"IVFADC recall $ivfadc (cell pruning compounds)")
   }
 
+  test("IVFADC append with frozen codebooks equals a rebuild; replay adds nothing") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    // the base slice holds every codebook-training id (coarse takes
+    // the 8 lowest, sub the 64 lowest), so a from-scratch rebuild on
+    // the full corpus trains IDENTICAL codebooks and any difference
+    // isolates the append path itself
+    val base = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    val appended = KMeans.ivfAdcAppend(KMeans.ivfAdcIndex(base), rest)
+    val rebuilt = KMeans.ivfAdcIndex(emb)
+    def codesOf(i: KMeans.IvfAdcIndex): Set[Seq[Any]] =
+      i.codes.collect().map(_.toSeq).toSet
+    assert(codesOf(appended) === codesOf(rebuilt))
+    def served(i: KMeans.IvfAdcIndex): Set[(Long, Long, Long)] =
+      KMeans.ivfAdcQuery(i, emb.filter(col("vec_id") < 10), topK = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served(appended) === served(rebuilt))
+    // at-least-once replay: the same batch re-delivered is a no-op
+    val replayed = KMeans.ivfAdcAppend(appended, rest)
+    assert(replayed.codes.count() === appended.codes.count())
+  }
+
+  test("centroid-update sums survive past the BIGINT edge (DECIMAL on the wire)") {
+    import spark.implicits._
+    // components sit near the grid's Long ceiling: 16 rows of ~9.1e17
+    // sum to ~1.46e19 > Long.MaxValue, so a BIGINT wire sum would turn
+    // over; the DECIMAL(38,0) sum must stay exact
+    val base = 1.39e13
+    val rows = (0 until 16).map(i => (i.toLong, Seq(base + i, base)))
+    val got = KMeans.refinedCentroids(rows.toDF("vec_id", "embedding"), k = 1)
+    val qv = rows.map { case (_, v) => v.map(x => BigInt(q(x))) }
+    assert(qv.map(_(0)).sum > BigInt(Long.MaxValue), "edge case lost its teeth")
+    def mean(d: Int): Long = {
+      val s = qv.map(_(d)).sum
+      val n = BigInt(qv.size)
+      val num = 2 * s + n
+      val den = 2 * n
+      ((num - num.mod(den)) / den).toLong
+    }
+    assert(got === Seq(Seq(mean(0).toDouble / scale, mean(1).toDouble / scale)))
+  }
+
+  test("IVFADC assignment expression size is coarseK-independent; coarseK=64 builds fast") {
+    // the residual carries the whole coarse matrix as ONE literal, so
+    // growing coarseK must not grow the expression tree (the earlier
+    // m×coarseK when-chain did, and its analysis cost exploded)
+    def coarseOf(n: Int): Seq[Seq[Long]] =
+      Seq.tabulate(n)(c => Seq.tabulate(64)(d => (c * 64 + d).toLong))
+    def nodes(c: org.apache.spark.sql.Column): Int =
+      org.apache.spark.sql.GraftShim.expression(c).collect { case e => e }.size
+    assert(nodes(KMeans.residualCol(coarseOf(64))) ===
+      nodes(KMeans.residualCol(coarseOf(8))))
+    val subCB = Seq.tabulate(64)(c => Seq.tabulate(64)(d => (c + d).toLong))
+    val codeNodes = KMeans.residualCodeCols(subCB, m = 16, sub = 4).map(nodes).sum
+    assert(codeNodes < 200, s"code columns grew to $codeNodes nodes")
+    // end-to-end: a real-corpus-shaped coarseK builds in seconds, not
+    // the minutes the when-chain form cost at this width
+    val emb = Tables.embeddings(spark, sfDir)
+    val t0 = System.nanoTime()
+    KMeans.ivfAdcIndex(emb, coarseK = 64)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"coarseK=64 IVFADC index build: $secs%.2f s")
+    assert(secs < 20.0, f"coarseK=64 build took $secs%.2f s")
+  }
+
   test("trained IVF: exhaustive probe equals brute force; usable recall at nprobe=2/10") {
     import org.apache.spark.sql.functions.col
     import graft.ops.Ann
