@@ -21,10 +21,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    re-armed until data returns); when data does return, the
   *    episode still produces its closed alert with final bounds.
   *
-  * State at scale: one (lastSeenMs, alerted) pair per key ever seen.
-  * Keys here are low-cardinality dimensions (event types, tenants);
-  * for per-entity keys compose with an idle-TTL sweep like
-  * [[PerElementTopK]]'s, or the dead-key states accumulate.
+  * State at scale: one (lastSeenMs, alerted) pair per key, bounded by
+  * an idle-TTL sweep (the [[PerElementTopK]] policy, spelled with this
+  * operator's own event-time timers): once a key's open alert has
+  * fired and the key stays silent another `idleTtlMs`, its state is
+  * removed — so dead per-entity keys cost state for gapMs + idleTtlMs
+  * after their last event, not forever. A key returning AFTER the
+  * sweep restarts fresh: its episode's eventual closed alert is
+  * forfeited (the bounds were swept — the open alert already reported
+  * the outage), and no spurious open fires on return.
   */
 object GapAlert {
 
@@ -41,14 +46,24 @@ object GapAlert {
     */
   case class KeyState(lastSeenMs: Long, alerted: Boolean)
 
-  private def update(gapMs: Long)(
+  private def update(gapMs: Long, idleTtlMs: Long)(
       key: String,
       it: Iterator[Ev],
       state: GroupState[KeyState]): Iterator[Alert] = {
     if (state.hasTimedOut) {
       val s = state.get
-      state.update(KeyState(s.lastSeenMs, alerted = true))
-      Iterator.single(Alert(key, "open", s.lastSeenMs, -1L, -1L))
+      if (s.alerted) {
+        // idle-TTL sweep: the open alert fired idleTtlMs ago and the
+        // key is still silent — evict. No output; a later return
+        // starts a fresh episode.
+        state.remove()
+        Iterator.empty
+      } else {
+        state.update(KeyState(s.lastSeenMs, alerted = true))
+        state.setTimeoutTimestamp(
+          math.max(s.lastSeenMs + idleTtlMs, state.getCurrentWatermarkMs() + 1))
+        Iterator.single(Alert(key, "open", s.lastSeenMs, -1L, -1L))
+      }
     } else {
       val times = it.map(_.ts.getTime).toArray.sorted
       val prev = state.getOption
@@ -60,11 +75,12 @@ object GapAlert {
       val fresh = prev.fold(times)(p => times.filter(_ > p.lastSeenMs))
       if (fresh.isEmpty) {
         // timers are cleared on every invocation — re-arm the pending
-        // one (unless this episode already alerted) or the open alert
-        // is silently lost
-        prev.filterNot(_.alerted).foreach { p =>
+        // one (open-alert timer before the alert, eviction timer
+        // after) or it is silently lost
+        prev.foreach { p =>
+          val at = if (p.alerted) p.lastSeenMs + idleTtlMs else p.lastSeenMs + gapMs
           state.setTimeoutTimestamp(
-            math.max(p.lastSeenMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            math.max(at, state.getCurrentWatermarkMs() + 1))
         }
         Iterator.empty
       } else {
@@ -85,12 +101,18 @@ object GapAlert {
     }
   }
 
-  /** `events` must already carry a watermark on `ts`. */
-  def alerts(spark: SparkSession, events: Dataset[Ev], gapMs: Long): Dataset[Alert] = {
+  /** `events` must already carry a watermark on `ts`. `idleTtlMs`
+    * (default 10 gaps) bounds per-key state: silence past
+    * gapMs + idleTtlMs evicts the key — size it to the longest outage
+    * whose closed-alert bounds are still worth reporting on recovery.
+    */
+  def alerts(spark: SparkSession, events: Dataset[Ev], gapMs: Long,
+      idleTtlMs: Long = -1L): Dataset[Alert] = {
     import spark.implicits._
+    val ttl = if (idleTtlMs > 0) idleTtlMs else 10 * gapMs
     events
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
-        update(gapMs))
+        update(gapMs, ttl))
   }
 }

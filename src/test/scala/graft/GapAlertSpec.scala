@@ -25,11 +25,12 @@ class GapAlertSpec extends SparkSuite {
     ev("b", "2024-01-01 09:03:00"), ev("a", "2024-01-01 09:05:00"),
     ev("b", "2024-01-01 09:03:30"), ev("b", "2024-01-01 09:04:00"))
 
-  private def runSplits(splits: Seq[Seq[GapAlert.Ev]]): Seq[GapAlert.Alert] = {
+  private def runSplits(splits: Seq[Seq[GapAlert.Ev]],
+      idleTtlMs: Long = -1L): Seq[GapAlert.Alert] = {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[GapAlert.Ev]
     val alerts = GapAlert.alerts(spark,
-      mem.toDS().withWatermark("ts", "1 second").as[GapAlert.Ev], gapMs)
+      mem.toDS().withWatermark("ts", "1 second").as[GapAlert.Ev], gapMs, idleTtlMs)
     val name = s"gap_alerts_${System.nanoTime()}"
     val q = alerts.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
@@ -78,5 +79,27 @@ class GapAlertSpec extends SparkSuite {
     assert(aAlerts.map(_.kind).sorted === Seq("closed", "open"))
     val closed = aAlerts.find(_.kind == "closed").get
     assert(closed.gap_ms === 240000L)
+  }
+
+  test("idle keys evict after the TTL and restart fresh — no spurious alerts") {
+    // ttl = 2 gaps: a alerts at wm>09:01, evicts at wm>09:02
+    // (lastSeen 09:00 + 120 s), returns at 09:10 to a FRESH slate —
+    // the swept episode yields no closed alert and no extra open; the
+    // key then still works: its NEXT silence opens a new episode.
+    val got = runSplits(Seq(
+      Seq(ev("a", "2024-01-01 09:00:00"), ev("b", "2024-01-01 09:00:00")),
+      Seq(ev("b", "2024-01-01 09:01:30")), // fires a's open alert
+      Seq(ev("b", "2024-01-01 09:02:30")), // fires a's eviction sweep
+      Seq(ev("a", "2024-01-01 09:10:00")), // returns after the sweep
+      Seq(ev("b", "2024-01-01 09:10:30")), // wm below a's new timer
+      Seq(ev("b", "2024-01-01 09:12:00"))), // wm past 09:11 -> new open
+      idleTtlMs = 120000L)
+    val a = got.filter(_.key == "a")
+    assert(a.count(_.kind == "closed") === 0,
+      s"swept episode must not emit a closed alert: $a")
+    val opens = a.filter(_.kind == "open").sortBy(_.gap_start_ms)
+    assert(opens.map(_.gap_start_ms) === Seq(
+      Timestamp.valueOf("2024-01-01 09:00:00").getTime,
+      Timestamp.valueOf("2024-01-01 09:10:00").getTime), s"opens: $opens")
   }
 }
