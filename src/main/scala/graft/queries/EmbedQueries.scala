@@ -133,6 +133,24 @@ object EmbedQueries {
     Ann.semanticDedupPairs(Tables.embeddings(spark, dir),
       cachedCentroids(spark, dir), threshold = 0.3)
 
+  /** SemDeDup over the TRAINED quantizer — the paper's actual recipe
+    * (k-means first, then within-cluster near-dup pruning): the same
+    * per-cell pair scan as `q_embed_semantic_dedup`, but the cells
+    * come from [[graft.ops.KMeans]]'s Lloyd-refined centroids instead
+    * of the k lowest-id embeddings, composing training → cell
+    * sharding → in-cell dedup end-to-end. Centroids are exact
+    * grid-integer/2^16 doubles, so the oracle re-derives them with
+    * the same CTE chain as `q_embed_kmeans` and then mirrors the
+    * cosine assignment and pair scan.
+    */
+  def semanticDedupTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = trainedCache.getOrElseUpdate(
+      graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet"),
+      graft.ops.KMeans.refinedCentroids(emb, k = 10))
+    Ann.semanticDedupPairs(emb, centroids, threshold = 0.3)
+  }
+
   /** The optimizer-extension path, end-to-end: a PURE-SQL query that
     * spells the dot product with public higher-order functions
     * (`aggregate(zip_with(...))`) — the exact pattern
@@ -261,7 +279,43 @@ object EmbedQueries {
     "q_embed_top_pairs" -> (topPairs _),
     "q_embed_near_dup" -> (nearDupPairs _),
     "q_embed_semantic_dedup" -> (semanticDedup _),
+    "q_embed_semantic_dedup_trained" -> (semanticDedupTrained _),
   )
+
+  /** DuckDB mirror of [[graft.ops.KMeans.lloydRefine]]'s training
+    * pass, through the refined centroids (cen1) — shared by the
+    * kmeans gate and the trained-SemDeDup gate so the two can't
+    * drift apart.
+    */
+  private val lloydCtes =
+    """xq AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS xq
+      |  FROM embeddings),
+      |init AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, xq AS cv
+      |  FROM (SELECT * FROM xq ORDER BY vec_id LIMIT 10)),
+      |ex AS (
+      |  SELECT vec_id, unnest(xq) AS v, unnest(range(1, len(xq)+1)) AS d FROM xq),
+      |cex AS (
+      |  SELECT cell, unnest(cv) AS c, unnest(range(1, len(cv)+1)) AS d FROM init),
+      |d0 AS (
+      |  SELECT e.vec_id, c.cell, SUM((e.v - c.c)*(e.v - c.c)) AS dist
+      |  FROM ex e JOIN cex c USING (d) GROUP BY 1, 2),
+      |a0 AS (
+      |  SELECT vec_id, cell AS cell_init FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+      |    FROM d0) WHERE rn = 1),
+      |sums AS (
+      |  SELECT a.cell_init AS cell, e.d, SUM(e.v) AS s, count(*) AS n
+      |  FROM ex e JOIN a0 a USING (vec_id) GROUP BY 1, 2),
+      |cen1 AS (
+      |  SELECT c.cell, c.d, coalesce(
+      |    (2*s.s + s.n - (((2*s.s + s.n) % (2*s.n) + 2*s.n) % (2*s.n))) // (2*s.n),
+      |    c.c) AS c
+      |  FROM cex c LEFT JOIN sums s ON s.cell = c.cell AND s.d = c.d)""".stripMargin
 
   private val knnOracle =
     """SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM (
@@ -434,34 +488,7 @@ object EmbedQueries {
     // floor((2s+n)/(2n)) round-half-up centroid update (floor spelled
     // with the portable truncating %), same (dist, cell) tie-break.
     "q_embed_kmeans" ->
-      """WITH xq AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS xq
-        |  FROM embeddings),
-        |init AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, xq AS cv
-        |  FROM (SELECT * FROM xq ORDER BY vec_id LIMIT 10)),
-        |ex AS (
-        |  SELECT vec_id, unnest(xq) AS v, unnest(range(1, len(xq)+1)) AS d FROM xq),
-        |cex AS (
-        |  SELECT cell, unnest(cv) AS c, unnest(range(1, len(cv)+1)) AS d FROM init),
-        |d0 AS (
-        |  SELECT e.vec_id, c.cell, SUM((e.v - c.c)*(e.v - c.c)) AS dist
-        |  FROM ex e JOIN cex c USING (d) GROUP BY 1, 2),
-        |a0 AS (
-        |  SELECT vec_id, cell AS cell_init FROM (
-        |    SELECT vec_id, cell,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-        |    FROM d0) WHERE rn = 1),
-        |sums AS (
-        |  SELECT a.cell_init AS cell, e.d, SUM(e.v) AS s, count(*) AS n
-        |  FROM ex e JOIN a0 a USING (vec_id) GROUP BY 1, 2),
-        |cen1 AS (
-        |  SELECT c.cell, c.d, coalesce(
-        |    (2*s.s + s.n - (((2*s.s + s.n) % (2*s.n) + 2*s.n) % (2*s.n))) // (2*s.n),
-        |    c.c) AS c
-        |  FROM cex c LEFT JOIN sums s ON s.cell = c.cell AND s.d = c.d),
+      s"""WITH $lloydCtes,
         |d1 AS (
         |  SELECT e.vec_id, c.cell, SUM((e.v - c.c)*(e.v - c.c)) AS dist
         |  FROM ex e JOIN cen1 c USING (d) GROUP BY 1, 2),
@@ -535,6 +562,26 @@ object EmbedQueries {
         |                                        CAST(c.cv AS DOUBLE[])) DESC,
         |                 c.cell ASC) AS rn
         |    FROM embeddings e CROSS JOIN cen c)
+        |  WHERE rn = 1)
+        |SELECT CAST(a.cell AS BIGINT) AS cell, a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin,
+    // trained quantizer: refined centroids re-derived via the shared
+    // Lloyd CTE chain (exact grid integers / 2^16 — the division by a
+    // power of two is lossless in doubles), then the same cosine
+    // assignment + in-cell pair scan as the untrained gate.
+    "q_embed_semantic_dedup_trained" ->
+      s"""WITH $lloydCtes,
+        |cent AS (
+        |  SELECT cell, list(c / 65536.0 ORDER BY d) AS cv FROM cen1 GROUP BY cell),
+        |asgn AS (
+        |  SELECT vec_id, cell, embedding FROM (
+        |    SELECT e.vec_id, c.cell, e.embedding,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+        |                 c.cell ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cent c)
         |  WHERE rn = 1)
         |SELECT CAST(a.cell AS BIGINT) AS cell, a.vec_id AS id_a, b.vec_id AS id_b
         |FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
