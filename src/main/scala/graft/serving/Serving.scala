@@ -51,6 +51,36 @@ object Serving {
         unix_millis(col("w.start")).as("window_start_ms"),
         col("user_id"), col("order_count"), col("total_cents"))
 
+  /** 1-minute keyed rollup at the serving grain — the materialized
+    * orders_1m_rollup analog (orders_1m_rollup_table.json): only the
+    * MERGEABLE measures (count, sum) live in this state so an
+    * incremental refresh is a deterministic re-sum; distinct-user
+    * measures derive from [[minuteUsers]] (exact) or a query-time
+    * sketch over it (HLL is insensitive to duplicates, so sketches
+    * built from the distinct state equal sketches built from raw
+    * rows). Time-part dims re-derive from window_start_ms at read.
+    */
+  def minuteRollupAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("sum_value_cents"))
+      .select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("order_count"), col("sum_value_cents"))
+
+  /** Minute-grain distinct-user state: one row per (window,
+    * event_type, user) ever seen — the upsert-dim state that makes
+    * exact COUNT(DISTINCT) serveable without rescanning raw events,
+    * and merge-stable under refresh (union + distinct).
+    */
+  def minuteUsers(events: DataFrame): DataFrame =
+    events.select(
+        unix_millis(date_trunc("minute", col("ts"))).as("window_start_ms"),
+        col("event_type"), col("user_id"))
+      .distinct()
+
   /** Hourly per-(restaurant, user) aggregate — the keyed tables'
     * grain (restaurant_topk analog; event_type plays restaurant_id).
     */
@@ -115,6 +145,17 @@ object Serving {
       sortCols = Seq("event_type", "window_start_ms", "user_id"))
   }
 
+  private def writeMinuteState(root: String, roll: DataFrame, users: DataFrame): Unit = {
+    TableManager.writePartitioned(
+      roll.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+      s"$root/rollup_1m", tsCol = "w_ts",
+      sortCols = Seq("event_type", "window_start_ms"))
+    TableManager.writePartitioned(
+      users.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+      s"$root/rollup_1m_users", tsCol = "w_ts",
+      sortCols = Seq("event_type", "window_start_ms", "user_id"))
+  }
+
   /** Meta row: the now-anchor (max event ts) + the last applied
     * refresh batch id (-1 = built by batch rebuild; see
     * [[refreshWithBatch]]'s replay guard).
@@ -132,7 +173,8 @@ object Serving {
   val allTables: Seq[String] = Seq(
     "topk_by_count", "topk_by_revenue",
     "topk_keyed_by_count", "topk_keyed_by_revenue",
-    "agg_by_window", "agg_keyed_by_window", "meta")
+    "agg_by_window", "agg_keyed_by_window",
+    "rollup_1m", "rollup_1m_users", "meta")
 
   /** Full build of the serving layout at `root` from an events frame
     * (batch path; the streaming path refreshes incrementally via
@@ -151,6 +193,7 @@ object Serving {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       writeAggState(root, agg, keyed)
+      writeMinuteState(root, minuteRollupAgg(events), minuteUsers(events))
       writeRankedTables(root, agg, keyed)
       writeMeta(spark, root, maxRow.getLong(0), -1L)
     } finally {
@@ -238,8 +281,32 @@ object Serving {
         val keyed = merge(s"$root/agg_keyed_by_window", deltaKeyed,
           Seq("window_start_ms", "event_type", "user_id"))
           .localCheckpoint(true)
+        // minute-grain state merges the same way: sums re-sum,
+        // distinct-user rows union+distinct — both deterministic, so
+        // refresh==rebuild holds exactly (ServingSpec asserts it).
+        val roll = spark.read.parquet(s"$root/rollup_1m")
+          .filter(col("p_date").isin(dates: _*))
+          .select("window_start_ms", "event_type", "order_count", "sum_value_cents")
+          .unionAll(minuteRollupAgg(batch))
+          .groupBy(col("window_start_ms"), col("event_type"))
+          .agg(sum(col("order_count")).as("order_count"),
+            sum(col("sum_value_cents")).as("sum_value_cents"))
+          .localCheckpoint(true)
+        val musers = spark.read.parquet(s"$root/rollup_1m_users")
+          .filter(col("p_date").isin(dates: _*))
+          .select("window_start_ms", "event_type", "user_id")
+          .unionAll(minuteUsers(batch))
+          .distinct()
+          .localCheckpoint(true)
         try {
           writeAggStatePartitions(root, agg, keyed)
+          TableManager.overwritePartitions(
+            roll.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+            s"$root/rollup_1m", "w_ts", Seq("event_type", "window_start_ms"))
+          TableManager.overwritePartitions(
+            musers.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+            s"$root/rollup_1m_users", "w_ts",
+            Seq("event_type", "window_start_ms", "user_id"))
           writeRankedPartitions(root, agg, keyed)
           val oldMax = readMeta(spark, root)._1
           val batchMaxRow = batch.agg(unix_millis(max(col("ts")))).head
@@ -248,7 +315,11 @@ object Serving {
             else math.max(oldMax, batchMaxRow.getLong(0))
           writeMeta(spark, root, newMax, math.max(batchId, lastApplied))
           anchorCache.put(root, newMax)
-        } finally { agg.unpersist(); keyed.unpersist(); invalidate(root) }
+        } finally {
+          agg.unpersist(); keyed.unpersist()
+          roll.unpersist(); musers.unpersist()
+          invalidate(root)
+        }
       }
     } finally { deltaAgg.unpersist(); deltaKeyed.unpersist() }
   }
