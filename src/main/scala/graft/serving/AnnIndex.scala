@@ -56,7 +56,14 @@ object AnnIndex {
         Vectors.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
       .withColumn("cell", Vectors.nearestCentroid(col("v"), centroids).cast("int"))
-    val existing = spark.read.parquet(root).select(col("vec_id"))
+    // absent root = empty index (first streaming append bootstraps
+    // the layout) — one FS existence RPC, like IncrementalDedup's
+    // band-index read
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(p)) spark.read.parquet(root).select(col("vec_id"))
+      else spark.range(0).select(col("id").as("vec_id"))
     staged.join(existing, Seq("vec_id"), "left_anti")
       .write.mode("append").partitionBy("cell").parquet(root)
   }

@@ -245,6 +245,41 @@ class StreamingVariantsSpec extends SparkSuite {
     assert(kept.select("fp").exceptAll(batch.select("fp").distinct()).isEmpty)
   }
 
+  test("streaming embeddings leg: stream-appended ANN index equals the batch build") {
+    import graft.serving.AnnIndex
+    implicit val sql = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = graft.ops.Ann.coarseCentroids(emb, nCells = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_embed_ingest").toString
+    // seed: quantizer trained offline over the first slice, index
+    // materialized once; the stream then feeds deltas
+    AnnIndex.materialize(emb.filter(col("vec_id") < 100), centroids, s"$dir/index")
+    val rest = emb.filter(col("vec_id") >= 100)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    // AvailableNow latches offsets at start — feed every micro-batch
+    // first, then run the query to completion
+    rest.grouped(150).foreach(mem.addData(_))
+    val q = graft.streaming.EmbedIngest.start(spark,
+      mem.toDF().toDF("vec_id", "embedding"), s"$dir/index", centroids,
+      s"$dir/ckpt", trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q.awaitTermination() finally q.stop()
+    // at-least-once replay: re-delivering a batch admits nothing
+    AnnIndex.append(spark, s"$dir/index",
+      emb.filter(col("vec_id") >= 100).limit(50), centroids)
+    val batchDir = java.nio.file.Files.createTempDirectory("graft_embed_full").toString
+    AnnIndex.materialize(emb, centroids, s"$batchDir/index")
+    def layout(root: String): Seq[String] =
+      spark.read.parquet(root).select("cell", "vec_id", "v", "nrm")
+        .collect().map(_.toString).sorted.toSeq
+    assert(layout(s"$dir/index") === layout(s"$batchDir/index"))
+    def served(root: String): Set[(Long, Long, Long)] =
+      AnnIndex.query(spark, root, emb.filter(col("vec_id") < 10), centroids,
+          k = 5, nprobe = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served(s"$dir/index") === served(s"$batchDir/index"))
+  }
+
   test("incremental LSH dedup rejects exact/near dups vs history and within batches") {
     implicit val sql = spark.sqlContext
     import graft.streaming.IncrementalDedup
