@@ -167,10 +167,13 @@ object KMeans {
     * Everything is grid-integer arithmetic over the same codebook as
     * [[pqCodes]], so the approximate RANKING is deterministic and the
     * gate hash-checks it end-to-end (ties break on neighbor id).
-    * Scale shape: queries are a bounded serving batch (collected like
-    * IVF probe centroids); the corpus side streams its code table
-    * through a broadcast nested-loop against ≤ tens of queries with
-    * per-query top-k via WindowGroupLimit — no corpus shuffle.
+    * Scale shape: the per-query LUT is a row-local engine expression
+    * ([[lutCol]]) — the query side is a DataFrame end-to-end, any
+    * size. The candidate pass itself is a broadcast nested-loop of
+    * the code table against the query LUTs: exhaustive ADC is
+    * inherently |codes|×|queries|, so it assumes a serving-batch
+    * query side; [[ivfAdcQuery]] (cell-pruned, equi-join) is the
+    * large-query-volume path.
     */
   def adcKnn(corpus: DataFrame, queries: DataFrame, topK: Int,
       m: Int = 16, k: Int = 64, scale: Long = 65536,
@@ -179,23 +182,13 @@ object KMeans {
     val (codes, init) = pqCodesWithCodebook(corpus, m, k, scale, idCol, vecCol)
     val dim = init.head.size
     val sub = dim / m
-    // queries quantized BY THE ENGINE (collect of the same quantize
-    // expression) so driver and executors can't disagree on rounding
-    val qRows: Seq[(Long, Seq[Long])] = queries
+    // per-query LUT: luts(s)(c) = ||q_sub(s) - cent_c_sub(s)||²,
+    // computed BY THE ENGINE so driver and executors can't disagree
+    // on rounding — and no driver-side query handling at all
+    val lutDf = queries
       .select(col(idCol).as("query_id"), quantize(vecCol, scale).as("xq"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
-    // per-query LUT: luts(s)(c) = ||q_sub(s) - cent_c_sub(s)||²
-    val spark2 = corpus.sparkSession
-    import spark2.implicits._
-    val lutDf = qRows.map { case (qid, xqv) =>
-      (qid, (0 until m).map { s =>
-        init.map { cv =>
-          (s * sub until (s + 1) * sub).map { i =>
-            val d = xqv(i) - cv(i); d * d
-          }.sum
-        }
-      })
-    }.toDF("query_id", "luts")
+      .withColumn("luts", lutCol(col("xq"), init, m, sub))
+      .select(col("query_id"), col("luts"))
     val adc = (0 until m)
       .map(s => element_at(element_at(col("luts"), s + 1), col(s"code_$s").cast("int") + 1))
       .reduce(_ + _)
@@ -306,39 +299,45 @@ object KMeans {
       idx.coarse, idx.subCB, idx.m)
   }
 
+  /** Probe + rank against a built index. Every query-side number —
+    * quantization, probe-cell choice, residual, LUT — is a row-local
+    * engine expression: no driver-side query handling, so "queries"
+    * can be a full dataset, not just a serving batch.
+    * `broadcastQueries = true` (default) broadcasts the
+    * nprobe·|queries| LUT rows and streams the code table against
+    * them; pass `false` for offline all-vs-index volumes — both sides
+    * then shuffle BY CELL, exactly how a sharded IVFADC fans probes
+    * out to its cells (the [[Ann.ivfKnn]] contract).
+    */
   def ivfAdcQuery(idx: IvfAdcIndex, queries: DataFrame, topK: Int,
       nprobe: Int = 4, scale: Long = 65536,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val IvfAdcIndex(codes, coarse, subCB, m) = idx
     val dim = coarse.head.size
     val sub = dim / m
-    def sqd(a: Seq[Long], b: Seq[Long]): Long =
-      a.indices.map { i => val d = a(i) - b(i); d * d }.sum
-    // queries: quantize by the engine, probe cells + residual LUTs on
-    // the driver (nprobe·|queries| bounded rows)
-    val qRows: Seq[(Long, Seq[Long])] = queries
+    // squared L2 to every coarse cell (one transform over the coarse
+    // matrix literal), then (dist, cell) struct sort — ascending
+    // lexicographic, so ties break to the lowest cell like
+    // [[assignment]] and the DuckDB oracle
+    val dists = transform(typedlit(coarse.map(_.toSeq)), c =>
+      aggregate(zip_with(col("xq"), c, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x))
+    val ranked = transform(dists, (d, i) =>
+      struct(d.as("d"), i.cast("long").as("cell")))
+    val probeDf = queries
       .select(col(idCol).as("query_id"), quantize(vecCol, scale).as("xq"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
-    val spark2 = queries.sparkSession
-    import spark2.implicits._
-    val probeRows = qRows.flatMap { case (qid, qv) =>
-      coarse.indices.map(c => (sqd(qv, coarse(c)), c)).sorted.take(nprobe)
-        .map { case (_, c) =>
-          val qres = qv.indices.map(i => qv(i) - coarse(c)(i))
-          val lut = (0 until m).map { s =>
-            val range = s * sub until (s + 1) * sub
-            subCB.map(r => range.map(i => { val d = qres(i) - r(i); d * d }).sum)
-          }
-          (qid, c.toLong, lut)
-        }
-    }
-    val probeDf = probeRows.toDF("query_id", "cell", "luts")
+      .withColumn("cell",
+        explode(slice(array_sort(ranked), 1, nprobe).getField("cell")))
+      .withColumn("res", residualCol(coarse))
+      .withColumn("luts", lutCol(col("res"), subCB, m, sub))
+      .select(col("query_id"), col("cell"), col("luts"))
     val adc = (0 until m)
       .map(s => element_at(element_at(col("luts"), s + 1), col(s"code_$s").cast("int") + 1))
       .reduce(_ + _)
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id").asc)
-    codes.join(broadcast(probeDf), "cell")
+    codes.join(if (broadcastQueries) broadcast(probeDf) else probeDf, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", adc)
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -369,6 +368,24 @@ object KMeans {
           subCB.map(_.slice(s * sub, (s + 1) * sub)))
         .as(s"code_$s")
     }
+
+  /** Per-subspace ADC lookup table of `of` against a codebook:
+    * lut(s)(c) = ||of_sub(s) − cb_c_sub(s)||², spelled as HOFs over
+    * the codebook carried as ONE literal. Row-local integer math
+    * identical to a driver-side loop, which is the point: the query
+    * side stays a DataFrame at any size. Interpreted HOFs are fine
+    * here — per-row work is the algorithmic k·dim multiply-adds and
+    * the expression tree is constant-size.
+    */
+  private def lutCol(of: Column, cb: Seq[Seq[Long]], m: Int, sub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(typedlit(cb.map(_.toSeq)), c =>
+        aggregate(
+          zip_with(
+            slice(of, s * lit(sub) + 1, lit(sub)),
+            slice(c, s * lit(sub) + 1, lit(sub)),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)))
 
   /** argmin by squared L2 on the driver — tie to the lowest cell,
     * matching [[graft.functions.VecArgminSqDist]].

@@ -189,6 +189,17 @@ class KMeansSpec extends SparkSuite {
     assert(ivfadc >= 0.25, s"IVFADC recall $ivfadc (cell pruning compounds)")
   }
 
+  test("IVFADC shuffle-by-cell query path (broadcastQueries=false) equals broadcast") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = KMeans.ivfAdcIndex(emb)
+    val qs = emb.filter(col("vec_id") < 10)
+    def rows(bc: Boolean): Set[(Long, Long, Long)] =
+      KMeans.ivfAdcQuery(idx, qs, topK = 5, broadcastQueries = bc).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(bc = false) === rows(bc = true))
+  }
+
   test("IVFADC append with frozen codebooks equals a rebuild; replay adds nothing") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sfDir)
