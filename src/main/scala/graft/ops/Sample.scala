@@ -55,6 +55,29 @@ object Sample {
       .filter(col("rn") <= n)
   }
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-ES,
+    * "Weighted random sampling with a reservoir", IPL 2006): the k
+    * rows with the largest key u^(1/w), where u = (hash60(id)+1)/2^60
+    * ∈ (0,1] and w > 0 is the row weight — inclusion probability
+    * proportional to weight, yet fully deterministic in the id hash
+    * (re-runs, repartitions, and engine swaps select the same rows).
+    * Ranked by the monotone-equivalent ln(u)/w (one transcendental
+    * instead of pow; ln(u) ≤ 0, so dividing by a larger weight pulls
+    * the key toward 0 = better), with the id as tie-break.
+    *
+    * Scale shape: `orderBy.limit(k)` plans as TakeOrderedAndProject —
+    * a bounded per-partition heap of k rows plus a k-per-partition
+    * driver merge, exactly the global top-K shape ([[TopK.topKGlobal]]).
+    * No global sort, no window, no shuffle of the full input.
+    */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    val u = (hash60(col(idCol)).cast("double") + lit(1.0)) / lit(HashSpace.toDouble)
+    df.withColumn("_es_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("_es_key").desc, col(idCol).asc)
+      .limit(k)
+      .drop("_es_key")
+  }
+
   /** Budget-driven mixture sampling: per-stratum keep-rate
     * min(1, budget*weight / stratum_tokens), so the kept token mass
     * approximates `budget` split by `weights`. Strata absent from

@@ -52,10 +52,26 @@ object SampleQueries {
       .select(col("doc_id"), col("lang"), col("est_tokens"))
   }
 
+  /** Importance-weighted 200-doc sample (selection probability ∝
+    * estimated token count): the "sample long documents more often"
+    * curation step, deterministic via A-ES keys over the doc hash.
+    * Output is the selected membership only — no FP keys on the wire;
+    * the oracle replays the identical IEEE-double key expression and
+    * the k/k+1 key gap is astronomically larger than cross-libm ULP
+    * noise, so the selected set hash-checks exactly.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Sample.weightedTopK(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          Text.estBpeTokens(col("n_chars")).as("est_tokens")),
+      idCol = "doc_id", weightCol = "est_tokens", k = 200)
+
   val queries: Map[String, QFn] = Map(
     "q_doc_sample_stratified" -> (sampleStratified _),
     "q_doc_sample_pergroup" -> (samplePerGroup _),
     "q_doc_mixture" -> (sampleMixture _),
+    "q_doc_sample_weighted" -> (sampleWeighted _),
   )
 
   private val h60 =
@@ -91,5 +107,14 @@ object SampleQueries {
          |SELECT d.doc_id, d.lang, CAST((d.n_chars + 3) // 4 AS BIGINT) AS est_tokens
          |FROM documents d JOIN r USING (lang)
          |WHERE CAST($h60 AS DOUBLE) / 1152921504606846976.0 < r.rate""".stripMargin,
+    // same A-ES key expression (same IEEE ops in the same order):
+    // ln((hash+1)/2^60) / weight, descending, doc_id tie-break.
+    "q_doc_sample_weighted" ->
+      s"""SELECT doc_id, lang, est_tokens FROM (
+         |  SELECT doc_id, lang, CAST((n_chars + 3) // 4 AS BIGINT) AS est_tokens
+         |  FROM documents)
+         |ORDER BY ln((CAST($h60 AS DOUBLE) + 1.0) / 1152921504606846976.0)
+         |    / CAST(est_tokens AS DOUBLE) DESC, doc_id
+         |LIMIT 200""".stripMargin,
   )
 }

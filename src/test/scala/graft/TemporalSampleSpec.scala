@@ -282,6 +282,42 @@ class TemporalSampleSpec extends SparkSuite {
     }
   }
 
+  test("weightedTopK matches the brute-force A-ES selection and is repartition-stable") {
+    val docs = Tables.documents(spark, docsDir)
+      .select($"doc_id", graft.functions.Text.estBpeTokens($"n_chars").as("w"))
+    val out = Sample.weightedTopK(docs, "doc_id", "w", 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.size === 100)
+    // brute force with the identical math (md5-60-bit u, ln(u)/w key)
+    def h60(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val expected = docs.as[(Long, Long)].collect().map { case (id, w) =>
+      val u = (h60(id).toDouble + 1.0) / Sample.HashSpace.toDouble
+      (math.log(u) / w.toDouble, id)
+    }.sortBy { case (k, id) => (-k, id) }.take(100).map(_._2).toSet
+    assert(out === expected)
+    val again = Sample.weightedTopK(docs.repartition(13), "doc_id", "w", 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === out)
+  }
+
+  test("weightedTopK favors heavy rows; plans as TakeOrderedAndProject (no global sort)") {
+    val docs = Tables.documents(spark, docsDir)
+      .select($"doc_id", graft.functions.Text.estBpeTokens($"n_chars").as("w"))
+    val sel = Sample.weightedTopK(docs, "doc_id", "w", 100)
+    sel.collect()
+    val p = sel.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // inclusion probability ∝ weight ⇒ the sample over-represents
+    // heavy docs: its mean weight must beat the corpus mean
+    val meanSel = sel.agg(avg($"w")).as[Double].head()
+    val meanAll = docs.agg(avg($"w")).as[Double].head()
+    assert(meanSel > meanAll, s"sample mean $meanSel !> corpus mean $meanAll")
+  }
+
   // ---------- semantic dedup ----------
 
   test("semanticDedupPairs ⊆ exact cosine near-dup pairs; no cartesian in the plan") {
