@@ -266,6 +266,38 @@ object NearDup {
       .agg(count(lit(1)).as("shared_shingles"))
   }
 
+  /** [[contaminationOverlap]] with a bloom prefilter on the candidate
+    * postings — the 100 TB shape. The exact path shuffles EVERY
+    * candidate shingle toward the join even though almost none match
+    * a benchmark (eval sets are tiny next to a training corpus). Here
+    * one pass over the benchmark shingles builds a ~MB bloom sketch
+    * of their 64-bit hashes; the candidate scan drops non-members
+    * through the codegen'd probe BEFORE any exchange, and only the
+    * ~fpp survivors enter the exact equi-join that removes the false
+    * positives. Blooms have no false negatives and the terminal join
+    * is the same exact join, so prefilter∘join ≡ join — the gate
+    * hash-checks this path against the plain-join oracle. The hash
+    * (xxhash64) never crosses the engine boundary: it exists only
+    * inside the sketch, and collisions are just extra false positives
+    * killed by the exact join.
+    */
+  def contaminationOverlapBloom(docs: DataFrame, benchmark: DataFrame, n: Int,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val candidates = postingsOf(docs, n)
+    val benchShingles = shingleSets(benchmark, n)
+      .select(explode(col("sh")).as("shingle")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sketch = BloomJoin.buildSketch(
+      benchShingles.select(xxhash64(col("shingle")).as("h")),
+      "h", expectedItems, fpp)
+    candidates
+      .filter(graft.functions.BloomExprs.might_contain_long(
+        xxhash64(col("shingle")), sketch))
+      .join(benchShingles, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+  }
+
   /** Collapse near-dup pairs into canonical groups: every doc in the
     * pair graph maps to the minimum doc_id in its connected component
     * — the survivor a dedup pipeline keeps (everything else drops).

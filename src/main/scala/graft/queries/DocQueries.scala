@@ -162,6 +162,17 @@ object DocQueries {
       d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10), n = 3)
   }
 
+  /** Same decontamination result through the bloom-prefiltered scale
+    * path (candidate shingles dropped before the exchange); shares
+    * the plain-join oracle because the sketch never changes the
+    * answer, only the shuffled volume.
+    */
+  def docContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    NearDup.contaminationOverlapBloom(
+      d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10), n = 3)
+  }
+
   /** Concat-and-chunk shard packing: global token start offset and
     * 4096-token chunk id per doc in doc_id order, via the distributed
     * exclusive scan (see [[graft.ops.Pack]]) — bit-equal to the
@@ -353,6 +364,7 @@ object DocQueries {
     "q_doc_split" -> (docSplit _),
     "q_doc_repetition" -> (docRepetition _),
     "q_doc_contamination" -> (docContamination _),
+    "q_doc_contamination_bloom" -> (docContaminationBloom _),
     "q_doc_pack" -> (docPack _),
     "q_doc_stats" -> (docStats _),
     "q_doc_normalize" -> (docNormalize _),
@@ -375,6 +387,14 @@ object DocQueries {
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
        |  FROM t)""".stripMargin
   private val shingleCte = s"WITH $shingleCteBody"
+
+  private lazy val contaminationOracle =
+    s"""WITH $shingleCteBody,
+       |b AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id < 10),
+       |post AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE doc_id >= 10)
+       |SELECT doc_id, count(*) AS shared_shingles
+       |FROM post JOIN b USING (shingle)
+       |GROUP BY doc_id""".stripMargin
 
   private def jaccardOracle(c: String, limitExpr: String) =
     s"""$shingleCte
@@ -506,13 +526,10 @@ object DocQueries {
          |    i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))) AS DOUBLE)
          |    / (len($toks) - 2) AS dup_gram_ratio
          |FROM documents WHERE len($toks) > 2""".stripMargin,
-    "q_doc_contamination" ->
-      s"""WITH $shingleCteBody,
-         |b AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id < 10),
-         |post AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE doc_id >= 10)
-         |SELECT doc_id, count(*) AS shared_shingles
-         |FROM post JOIN b USING (shingle)
-         |GROUP BY doc_id""".stripMargin,
+    "q_doc_contamination" -> contaminationOracle,
+    // the bloom prefilter is answer-preserving, so the scale path
+    // shares the plain-join oracle verbatim
+    "q_doc_contamination_bloom" -> contaminationOracle,
     "q_doc_pack" ->
       """SELECT doc_id, n_tokens,
         |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id

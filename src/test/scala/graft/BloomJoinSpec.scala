@@ -85,6 +85,26 @@ class BloomJoinSpec extends SparkSuite {
     assert(n > 0)
   }
 
+  test("bloom-prefiltered decontamination ≡ exact decontamination, probe below the join") {
+    val d = Tables.documents(spark, sfDir)
+    val cand = d.filter($"doc_id" >= 10)
+    val bench = d.filter($"doc_id" < 10)
+    val exact = graft.ops.NearDup.contaminationOverlap(cand, bench, n = 3)
+      .as[(Long, Long)].collect().toSet
+    val bloomDf = graft.ops.NearDup.contaminationOverlapBloom(cand, bench, n = 3)
+    assert(bloomDf.as[(Long, Long)].collect().toSet === exact)
+    assert(exact.nonEmpty)
+    // the probe must prune the candidate postings BELOW (deeper than)
+    // the exact join — i.e. before any exchange of candidate shingles
+    val p = bloomDf.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==").head
+    val probeIdx = finalPlan.toLowerCase.indexOf("bloommightcontainlong")
+    val joinIdx = finalPlan.indexOf("Join")
+    assert(probeIdx >= 0, "probe expression missing\n" + p)
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"probe not below the join (join@$joinIdx, probe@$probeIdx)\n" + p)
+  }
+
   test("null keys yield null (filtered out), not a crash") {
     val sketch = BloomJoin.buildSketch(dim, "o_orderkey", 10000L, 0.01)
     val df = Seq(Some(1L), None, Some(2L)).toDF("k")
