@@ -405,4 +405,42 @@ object KMeans {
     */
   private def assignment(cents: Seq[Seq[Long]]): Column =
     graft.functions.VecExprs.vec_argmin_sqdist(col("xq"), cents)
+
+  /** Per-group centroid outliers — the embedding-quality curation
+    * step: for every label the k vectors FARTHEST (squared L2) from
+    * their group's mean embedding, i.e. the mislabeled/noisy examples
+    * a pipeline prunes or audits before training.
+    *
+    * Exactness: on the scale-2^16 grid, ranking by
+    * n·Σ_d v_d² − 2·Σ_d v_d·S_d (S = per-(group,dim) component sum,
+    * n = group size) orders identically to distance-to-mean — the
+    * per-group constant Σ_d (S_d/n)² cancels inside a group — and
+    * every term is integer, carried as DECIMAL(38,0) through the
+    * distributed reduction (n·2^34-scale addends; exact to any
+    * realistic group size), so the DuckDB oracle (HUGEINT) ranks
+    * bit-identically. No floating-point mean ever exists.
+    *
+    * Plan shape: one narrow posexplode, a broadcast join against the
+    * (groups × dims) stats rows, one groupBy(vec) shuffle, and a
+    * per-group rank that plans as WindowGroupLimit — no pairwise
+    * distances, nothing quadratic, no driver data.
+    */
+  def centroidOutliers(emb: DataFrame, k: Int = 5, scale: Long = 65536,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = emb.select(col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("label"),
+      posexplode(quantize(vecCol, scale)).as(Seq("d", "v")))
+    val st = ex.groupBy("label", "d")
+      .agg(sum(col("v").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
+    val key = ex.join(broadcast(st), Seq("label", "d"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("v").cast("decimal(38,0)") *
+        (col("n").cast("decimal(38,0)") * col("v") - lit(2) * col("s"))).as("kk"))
+    val w = Window.partitionBy(col("label")).orderBy(col("kk").desc, col("vec_id").asc)
+    key.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("vec_id"), col("rank"))
+  }
 }

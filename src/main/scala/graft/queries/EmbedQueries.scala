@@ -229,6 +229,13 @@ object EmbedQueries {
   def kmeansRefine(spark: SparkSession, dir: String): DataFrame =
     graft.ops.KMeans.lloydRefine(Tables.embeddings(spark, dir), k = 10)
 
+  /** Embedding-quality curation: per label, the 5 vectors farthest
+    * from their label's mean embedding (integer-exact ranking on the
+    * quantization grid — see [[graft.ops.KMeans.centroidOutliers]]).
+    */
+  def centroidOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.KMeans.centroidOutliers(Tables.embeddings(spark, dir), k = 5)
+
   /** PQ code table ([[graft.ops.KMeans.pqCodes]]): 16 subspaces × 64
     * sub-centroids over the 64-dim embeddings (4-dim subspaces — the
     * operating point where untrained codebooks still recall ~half the
@@ -270,6 +277,7 @@ object EmbedQueries {
     "q_embed_knn_pq" -> (pqAdcKnn _),
     "q_embed_pq_codes" -> (pqCodeTable _),
     "q_embed_kmeans" -> (kmeansRefine _),
+    "q_embed_centroid_outliers" -> (centroidOutliers _),
     "q_embed_knn_ivf_trained" -> (knnIvfTrained _),
     "q_embed_dedup_canonical" -> (embedDedupCanonical _),
     "q_embed_dot_sql" -> (dotTopKSql _),
@@ -500,6 +508,28 @@ object EmbedQueries {
         |SELECT vec_id, CAST(cell_init AS BIGINT) AS cell_init,
         |  CAST(cell_refined AS BIGINT) AS cell_refined
         |FROM a0 JOIN a1 USING (vec_id)""".stripMargin,
+    // same integer key the engine ranks by (HUGEINT here, DECIMAL(38,0)
+    // there): n·Σv² − 2·Σv·S per vector within its label
+    "q_embed_centroid_outliers" ->
+      """WITH xq AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, label, unnest(xq) AS v,
+        |  unnest(range(1, len(xq)+1)) AS d FROM xq),
+        |st AS (SELECT label, d, SUM(CAST(v AS HUGEINT)) AS s, count(*) AS n
+        |  FROM ex GROUP BY 1, 2),
+        |kk AS (
+        |  SELECT e.vec_id, e.label,
+        |    SUM(CAST(e.v AS HUGEINT) * (st.n * CAST(e.v AS HUGEINT) - 2 * st.s)) AS kk
+        |  FROM ex e JOIN st ON st.label = e.label AND st.d = e.d
+        |  GROUP BY 1, 2)
+        |SELECT CAST(label AS BIGINT) AS label, vec_id, rank FROM (
+        |  SELECT label, vec_id,
+        |    row_number() OVER (PARTITION BY label ORDER BY kk DESC, vec_id) AS rank
+        |  FROM kk)
+        |WHERE rank <= 5""".stripMargin,
     // transitive closure over the cosine>=0.4 pair graph — same
     // recursive-CTE shape as the doc canonical oracle
     "q_embed_dedup_canonical" ->

@@ -286,4 +286,44 @@ class KMeansSpec extends SparkSuite {
     val recall = (bfPairs & narrow).size.toDouble / bfPairs.size
     assert(recall >= 0.6, s"trained-IVF recall $recall at nprobe=2")
   }
+
+  test("centroidOutliers matches a BigInt brute force of the ranking key") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val df = KMeans.centroidOutliers(emb, k = 5)
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(x => BigInt(q(x.toDouble)))))
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (label, g) =>
+      val n = BigInt(g.length)
+      val dims = g.head._3.indices
+      val s = dims.map(d => g.map(_._3(d)).sum)
+      g.map { case (id, _, v) =>
+        (id, dims.map(d => v(d) * (n * v(d) - 2 * s(d))).sum)
+      }.sortBy { case (id, kk) => (-kk, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (label, id, (i + 1).toLong) }
+    }.toSet
+    assert(out === expected)
+    // per-group rank must stay bounded (WindowGroupLimit), and the
+    // (groups × dims) stats side must broadcast, not shuffle the join
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("centroidOutliers: a planted far point is its group's top outlier") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, 0, Array.fill(4)(0.01f)),
+      (2L, 0, Array.fill(4)(0.02f)),
+      (3L, 0, Array.fill(4)(0.5f)),
+      (4L, 1, Array.fill(4)(0.1f)),
+      (5L, 1, Array.fill(4)(0.1f)),
+      (6L, 1, Array.fill(4)(0.9f))).toDF("vec_id", "label", "embedding")
+    val top1 = KMeans.centroidOutliers(tiny, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top1 === Set((0L, 3L), (1L, 6L)))
+  }
 }
