@@ -162,6 +162,15 @@ object DocQueries {
       d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10), n = 3)
   }
 
+  /** Sparse lexical retrieval: top-10 corpus docs for each of the 5
+    * lowest-id query docs, ranked by the integer-exact TF-IDF score
+    * (see [[graft.ops.SparseSearch]]) — the postings-join ranked
+    * search complementing the dense KNN family.
+    */
+  def docSearchSparse(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SparseSearch.rankedRetrieval(
+      Tables.documents(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+
   /** Same decontamination result through the bloom-prefiltered scale
     * path (candidate shingles dropped before the exchange); shares
     * the plain-join oracle because the sketch never changes the
@@ -365,6 +374,7 @@ object DocQueries {
     "q_doc_repetition" -> (docRepetition _),
     "q_doc_contamination" -> (docContamination _),
     "q_doc_contamination_bloom" -> (docContaminationBloom _),
+    "q_doc_search_sparse" -> (docSearchSparse _),
     "q_doc_pack" -> (docPack _),
     "q_doc_stats" -> (docStats _),
     "q_doc_normalize" -> (docNormalize _),
@@ -527,6 +537,25 @@ object DocQueries {
          |    / (len($toks) - 2) AS dup_gram_ratio
          |FROM documents WHERE len($toks) > 2""".stripMargin,
     "q_doc_contamination" -> contaminationOracle,
+    // integer-exact TF-IDF ranking: idf = (N*10000) // df, score =
+    // SUM(qtf*tf*idf) — floor/trunc division agree on positives
+    "q_doc_search_sparse" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |idf AS (SELECT tok,
+         |  ((SELECT count(*) FROM documents) * 10000) // df AS idf FROM dft),
+         |q AS (SELECT doc_id AS query_id, tok, tf AS qtf FROM tf WHERE doc_id < 5),
+         |sc AS (SELECT q.query_id, c.doc_id,
+         |    SUM(CAST(q.qtf AS HUGEINT) * c.tf * i.idf) AS score
+         |  FROM tf c JOIN q USING (tok) JOIN idf i USING (tok)
+         |  WHERE c.doc_id <> q.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rank FROM (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10""".stripMargin,
     // the bloom prefilter is answer-preserving, so the scale path
     // shares the plain-join oracle verbatim
     "q_doc_contamination_bloom" -> contaminationOracle,

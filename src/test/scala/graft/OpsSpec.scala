@@ -153,6 +153,40 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("sparse retrieval matches a BigInt brute force; bounded rank, no self-match") {
+    val docs = Tables.documents(spark, sfDir)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val df = graft.ops.SparseSearch.rankedRetrieval(docs, qids, k = 10)
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.forall { case (q, d, _) => q != d })
+    // brute force: same integer idf/score math over collected tokens
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val n = toks.length.toLong
+    val tf: Map[(Long, String), Long] = toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, g) => ((id, t), g.length.toLong) }
+    }.toMap
+    val dfreq: Map[String, Long] =
+      tf.keys.groupBy(_._2).map { case (t, ks) => (t, ks.size.toLong) }
+    val idf: Map[String, Long] = dfreq.map { case (t, d) => (t, n * 10000L / d) }
+    val expected = qids.flatMap { q =>
+      val qTerms = tf.collect { case ((id, t), c) if id == q => (t, c) }
+      val scores = toks.collect { case (d, _) if d != q =>
+        val s = qTerms.map { case (t, qtf) =>
+          BigInt(qtf) * BigInt(tf.getOrElse((d, t): (Long, String), 0L)) * BigInt(idf(t))
+        }.sum
+        (d, s)
+      }.filter(_._2 > 0)
+      scores.toSeq.sortBy { case (d, s) => (-s, d) }.take(10)
+        .zipWithIndex.map { case ((d, _), i) => (q, d, (i + 1).toLong) }
+    }.toSet
+    assert(out === expected)
+    // per-query rank state stays bounded; the query side broadcasts
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("salted join equals the plain join on skewed data") {
     import graft.ops.SkewJoin
     // one hot key (90% of rows) + a long tail
