@@ -171,6 +171,36 @@ object DocQueries {
     graft.ops.SparseSearch.rankedRetrieval(
       Tables.documents(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
 
+  private val searchIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val searchIndexByPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Sparse retrieval served from the MATERIALIZED inverted index
+    * ([[graft.serving.SearchIndex]]): term-bucket-partitioned parquet
+    * written once per dataset fingerprint, then probed with the
+    * query's bucket set. Same integer scoring as the direct path, so
+    * it shares the oracle; the pruning/append behavior is covered by
+    * SearchIndexSpec.
+    */
+  def docSearchServed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = Tables.fingerprint(spark, s"$dir/documents.parquet")
+    val root = searchIndexCache.getOrElseUpdate(fp, {
+      val p = java.nio.file.Files.createTempDirectory("graft_search_index").toString
+      graft.serving.SearchIndex.materialize(docs, p)
+      p
+    })
+    // regenerated-in-place datasets get a fresh index; drop superseded
+    // dirs for the same source path (the knnIvfServed pattern)
+    searchIndexByPath.put(dir, fp).filter(_ != fp)
+      .flatMap(searchIndexCache.remove).foreach { old =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
+      }
+    graft.serving.SearchIndex.query(spark, root,
+      docs.filter(col("doc_id") < 5), k = 10)
+  }
+
   /** Same decontamination result through the bloom-prefiltered scale
     * path (candidate shingles dropped before the exchange); shares
     * the plain-join oracle because the sketch never changes the
@@ -375,6 +405,7 @@ object DocQueries {
     "q_doc_contamination" -> (docContamination _),
     "q_doc_contamination_bloom" -> (docContaminationBloom _),
     "q_doc_search_sparse" -> (docSearchSparse _),
+    "q_doc_search_served" -> (docSearchServed _),
     "q_doc_pack" -> (docPack _),
     "q_doc_stats" -> (docStats _),
     "q_doc_normalize" -> (docNormalize _),
@@ -397,6 +428,24 @@ object DocQueries {
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
        |  FROM t)""".stripMargin
   private val shingleCte = s"WITH $shingleCteBody"
+
+  private lazy val sparseSearchOracle =
+    s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+       |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |idf AS (SELECT tok,
+       |  ((SELECT count(*) FROM documents) * 10000) // df AS idf FROM dft),
+       |q AS (SELECT doc_id AS query_id, tok, tf AS qtf FROM tf WHERE doc_id < 5),
+       |sc AS (SELECT q.query_id, c.doc_id,
+       |    SUM(CAST(q.qtf AS HUGEINT) * c.tf * i.idf) AS score
+       |  FROM tf c JOIN q USING (tok) JOIN idf i USING (tok)
+       |  WHERE c.doc_id <> q.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, doc_id, rank FROM (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= 10""".stripMargin
 
   private lazy val contaminationOracle =
     s"""WITH $shingleCteBody,
@@ -538,24 +587,11 @@ object DocQueries {
          |FROM documents WHERE len($toks) > 2""".stripMargin,
     "q_doc_contamination" -> contaminationOracle,
     // integer-exact TF-IDF ranking: idf = (N*10000) // df, score =
-    // SUM(qtf*tf*idf) — floor/trunc division agree on positives
-    "q_doc_search_sparse" ->
-      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
-         |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-         |idf AS (SELECT tok,
-         |  ((SELECT count(*) FROM documents) * 10000) // df AS idf FROM dft),
-         |q AS (SELECT doc_id AS query_id, tok, tf AS qtf FROM tf WHERE doc_id < 5),
-         |sc AS (SELECT q.query_id, c.doc_id,
-         |    SUM(CAST(q.qtf AS HUGEINT) * c.tf * i.idf) AS score
-         |  FROM tf c JOIN q USING (tok) JOIN idf i USING (tok)
-         |  WHERE c.doc_id <> q.query_id
-         |  GROUP BY 1, 2)
-         |SELECT query_id, doc_id, rank FROM (
-         |  SELECT query_id, doc_id,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-         |  FROM sc)
-         |WHERE rank <= 10""".stripMargin,
+    // SUM(qtf*tf*idf) — floor/trunc division agree on positives.
+    // The served path computes the identical numbers from the
+    // materialized index, so it shares the oracle.
+    "q_doc_search_sparse" -> sparseSearchOracle,
+    "q_doc_search_served" -> sparseSearchOracle,
     // the bloom prefilter is answer-preserving, so the scale path
     // shares the plain-join oracle verbatim
     "q_doc_contamination_bloom" -> contaminationOracle,

@@ -1,0 +1,136 @@
+package graft.serving
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{SparseSearch, TopK}
+
+/** MATERIALIZED inverted index for sparse lexical retrieval — the
+  * text-side twin of [[AnnIndex]]: term postings written as parquet
+  * PARTITIONED BY a term-hash bucket, so a query batch reads only the
+  * bucket directories its terms live in (dynamic partition pruning
+  * from the broadcast query side — same mechanism AnnIndexSpec proves
+  * for IVF cells), instead of scanning the corpus-wide index.
+  *
+  * Layout under `root`:
+  *   - `postings/bucket=B/` — (doc_id, tok, tf) term frequencies;
+  *   - `stats/bucket=B/`    — (tok, df_delta) document-frequency
+  *     DELTAS: an append-only corpus makes df additive, so appends
+  *     write deltas and queries merge them with one tiny pruned
+  *     aggregate — no read-modify-write of global stats, ever;
+  *   - `meta/`              — (n_delta) corpus-size deltas, same idea.
+  *
+  * Appends are idempotent under at-least-once replay: the new batch
+  * is anti-joined on doc_id against the existing postings BEFORE any
+  * of the three deltas is derived, so a re-delivered batch contributes
+  * zero rows to all of them (the [[AnnIndex.append]] content-keyed
+  * guard, extended to keep postings, df, and N consistent with each
+  * other).
+  *
+  * Scoring matches [[SparseSearch.rankedRetrieval]] number-for-number
+  * (integer idf = (N·idfScale) div df, DECIMAL(38,0) score sums), so
+  * the served path shares the gate oracle with the direct path.
+  */
+object SearchIndex {
+
+  /** Term-hash partition fan-out. 64 keeps directory counts sane at
+    * test scale; a web-scale index raises it (buckets are the unit of
+    * pruning AND of write parallelism). The hash never crosses the
+    * engine boundary — it only names directories.
+    */
+  val nBuckets = 64
+
+  private def bucketOf(tok: Column): Column =
+    pmod(xxhash64(tok), lit(nBuckets.toLong)).cast("int")
+
+  /** Build the index from scratch (overwrites `root`). */
+  def materialize(corpus: DataFrame, root: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeDelta(corpus, root, overwrite = true, idCol, textCol)
+
+  /** Incrementally index new documents. Docs whose ids are already
+    * present are dropped (replay-safe); genuinely new docs append
+    * postings, df deltas, and a corpus-size delta consistently.
+    */
+  def append(spark: SparkSession, root: String, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/postings")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (fs.exists(p)) {
+        val existing = spark.read.parquet(s"$root/postings")
+          .select(col("doc_id")).distinct()
+        newDocs.join(existing, newDocs(idCol) === existing("doc_id"), "left_anti")
+      } else newDocs
+    writeDelta(fresh, root, overwrite = false, idCol, textCol)
+  }
+
+  private def writeDelta(docs: DataFrame, root: String, overwrite: Boolean,
+      idCol: String, textCol: String): Unit = {
+    val spark = docs.sparkSession
+    val mode = if (overwrite) "overwrite" else "append"
+    // PIN the delta before the first write: an append's `docs` is
+    // anti-joined against the very postings directory the first write
+    // appends to, so any later re-evaluation of its plan would see
+    // the just-written rows and collapse the delta to empty (found by
+    // SearchIndexSpec: the stats/meta writes ran against a re-read).
+    // The doc count is an action, and the postings delta an eager
+    // localCheckpoint, both taken while the directory is untouched.
+    val nDelta = docs.select(col(idCol)).count()
+    val post = SparseSearch.termPostings(docs, idCol, textCol)
+      .withColumn("bucket", bucketOf(col("tok")))
+      .localCheckpoint(true)
+    post.write.mode(mode).partitionBy("bucket").parquet(s"$root/postings")
+    // df delta = postings rows per term (termPostings is one row per
+    // (doc, term)); additive across appends because docs never repeat
+    post.groupBy(col("bucket"), col("tok"))
+      .agg(count(lit(1)).as("df_delta"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$root/stats")
+    import spark.implicits._
+    Seq(nDelta).toDF("n_delta").write.mode(mode).parquet(s"$root/meta")
+    post.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Top-k docs per query doc from the materialized index — same
+    * output and same numbers as [[SparseSearch.rankedRetrieval]],
+    * but reading only the term-bucket partitions the queries touch.
+    */
+  def query(spark: SparkSession, root: String, queries: DataFrame, k: Int,
+      idfScale: Long = 10000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = spark.read.parquet(s"$root/meta")
+      .agg(coalesce(sum(col("n_delta")), lit(0L))).head().getLong(0)
+    val qpost = SparseSearch.termPostings(queries, idCol, textCol)
+      .select(col("doc_id").as("query_id"), col("tok"), col("tf").as("qtf"))
+      .withColumn("bucket", bucketOf(col("tok")))
+    // STATIC partition pruning: the query's bucket set is bounded
+    // driver metadata (≤ nBuckets ints, independent of corpus AND
+    // query size), and an explicit IN-filter on the partition column
+    // prunes both scans at planning time — no reliance on the
+    // optimizer electing dynamic pruning for the broadcast join
+    val buckets = qpost.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val post = spark.read.parquet(s"$root/postings")
+      .where(col("bucket").isin(buckets: _*))
+    // merge df deltas for the query's terms only — the stats scan is
+    // pruned to the same bucket set as the postings scan
+    val idf = spark.read.parquet(s"$root/stats")
+      .where(col("bucket").isin(buckets: _*))
+      .join(broadcast(qpost.select(col("bucket"), col("tok")).distinct()),
+        Seq("bucket", "tok"))
+      .groupBy(col("bucket"), col("tok"))
+      .agg(sum(col("df_delta")).as("df"))
+      .withColumn("idf", expr(s"${n * idfScale} div df"))
+      .select(col("bucket"), col("tok"), col("idf"))
+    val scored = post.join(broadcast(qpost), Seq("bucket", "tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(idf), Seq("bucket", "tok"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum((col("qtf") * col("tf")).cast("decimal(38,0)") * col("idf"))
+        .as("score"))
+    TopK.topKPerKey(scored, Seq("query_id"),
+        Seq(col("score").desc, col("doc_id").asc), k)
+      .select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank"))
+  }
+}

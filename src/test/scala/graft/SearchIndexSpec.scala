@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SparseSearch
+import graft.serving.SearchIndex
+
+/** The materialized inverted index: served ≡ direct retrieval,
+  * bucket-partition pruning at the probe, and consistent idempotent
+  * appends (postings + df deltas + corpus-size deltas together).
+  */
+class SearchIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val root: String = {
+    val p = java.nio.file.Files.createTempDirectory("search_index_spec").toString
+    SearchIndex.materialize(docs, p)
+    p
+  }
+
+  private def served(r: String) = SearchIndex
+    .query(spark, r, docs.filter($"doc_id" < 5), k = 10)
+
+  test("served retrieval equals the direct postings-join retrieval") {
+    val s = served(root).as[(Long, Long, Long)].collect().toSet
+    val direct = SparseSearch
+      .rankedRetrieval(docs, queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(s === direct)
+    assert(s.nonEmpty)
+  }
+
+  test("postings scan is pruned to the query's term buckets") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => findScans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(findScans)
+    }
+    def partitionsRead(queries: org.apache.spark.sql.DataFrame): Long = {
+      val df = SearchIndex.query(spark, root, queries, k = 10)
+      df.collect()
+      val scans = findScans(df.queryExecution.executedPlan)
+        .filter(_.toString.contains("postings"))
+      assert(scans.nonEmpty, "no postings scan in plan")
+      scans.map(_.metrics("numPartitions").value).max
+    }
+    // a one-word query touches at most one bucket; a full query doc
+    // touches many — partitions read must scale with the term set
+    val narrowDoc = Seq((9999L, "the")).toDF("doc_id", "text")
+    val narrow = partitionsRead(narrowDoc)
+    val wide = partitionsRead(docs.filter($"doc_id" < 5))
+    assert(narrow <= 1L, s"one-term query read $narrow buckets")
+    assert(wide > narrow,
+      s"multi-term query should read more buckets ($wide) than one-term ($narrow)")
+  }
+
+  test("append half onto half equals full rebuild; replay adds nothing anywhere") {
+    val half1 = docs.filter($"doc_id" % 2 === 0)
+    val half2 = docs.filter($"doc_id" % 2 === 1)
+    val p = java.nio.file.Files.createTempDirectory("search_index_inc").toString
+    SearchIndex.materialize(half1, p)
+    SearchIndex.append(spark, p, half2)
+    val inc = served(p).as[(Long, Long, Long)].collect().toSet
+    val full = served(root).as[(Long, Long, Long)].collect().toSet
+    assert(inc === full)
+    // at-least-once replay: postings, df deltas, and N all unchanged
+    def counts() = (
+      spark.read.parquet(s"$p/postings").count(),
+      spark.read.parquet(s"$p/stats").agg(sum($"df_delta")).head().getLong(0),
+      spark.read.parquet(s"$p/meta").agg(sum($"n_delta")).head().getLong(0))
+    val before = counts()
+    SearchIndex.append(spark, p, half2)
+    assert(counts() === before)
+    assert(before._3 === docs.count())
+  }
+}
