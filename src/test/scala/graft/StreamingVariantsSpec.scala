@@ -280,6 +280,40 @@ class StreamingVariantsSpec extends SparkSuite {
     assert(served(s"$dir/index") === served(s"$batchDir/index"))
   }
 
+  test("streaming doc ingest builds the same search index as a batch rebuild") {
+    implicit val sql = spark.sqlContext
+    import graft.serving.SearchIndex
+    import StreamingVariantsSpec.Doc
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_search_ingest").toString
+    SearchIndex.materialize(docs.filter(col("doc_id") < 100), s"$dir/index")
+    val rest = docs.filter(col("doc_id") >= 100)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[Doc].collect().toSeq
+    val mem = MemoryStream[Doc]
+    rest.grouped(150).foreach(mem.addData(_))
+    val q = graft.streaming.SearchIngest.start(spark, mem.toDF(),
+      s"$dir/index", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q.awaitTermination() finally q.stop()
+    // at-least-once replay: re-delivering docs admits nothing
+    SearchIndex.append(spark, s"$dir/index", docs.filter(col("doc_id") >= 100).limit(50))
+    val batchDir = java.nio.file.Files.createTempDirectory("graft_search_full").toString
+    SearchIndex.materialize(docs, s"$batchDir/index")
+    def state(root: String): (Seq[String], Seq[String], Long) = (
+      spark.read.parquet(s"$root/postings").select("bucket", "tok", "doc_id", "tf")
+        .collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(s"$root/stats").groupBy("bucket", "tok")
+        .agg(sum($"df_delta").as("df")).collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(s"$root/meta").agg(sum($"n_delta")).head().getLong(0))
+    assert(state(s"$dir/index") === state(s"$batchDir/index"))
+    def served(root: String): Set[(Long, Long, Long)] =
+      SearchIndex.query(spark, root, docs.filter(col("doc_id") < 5), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served(s"$dir/index") === served(s"$batchDir/index"))
+    assert(served(s"$dir/index").nonEmpty)
+  }
+
   test("incremental LSH dedup rejects exact/near dups vs history and within batches") {
     implicit val sql = spark.sqlContext
     import graft.streaming.IncrementalDedup
