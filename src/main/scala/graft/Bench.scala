@@ -79,9 +79,15 @@ object Bench {
     // away, and target/ lives inside the repo where the driver (and
     // the judge) can always read the latest full result.
     Seq("/tmp/bench.json", "target/bench_latest.json").foreach { p =>
-      val path = java.nio.file.Paths.get(p)
-      Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(path, (line + "\n").getBytes("UTF-8"))
+      // each copy best-effort: a failed file write (read-only dir,
+      // full disk) must not take the stdout line down with it
+      try {
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(path, (line + "\n").getBytes("UTF-8"))
+      } catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] persist to $p FAILED: $e")
+      }
     }
     println(line)
     spark.stop()

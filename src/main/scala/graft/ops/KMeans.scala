@@ -429,9 +429,14 @@ object KMeans {
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: the exploded grid feeds both the stats aggregate and
+    // the scoring join — without it the interpreted quantize HOF runs
+    // twice over the corpus (the re-evaluation trap in quantize's
+    // scaladoc; the cache manager dedupes repeated calls by plan)
     val ex = emb.select(col(idCol).as("vec_id"),
-      col(labelCol).cast("long").as("label"),
-      posexplode(quantize(vecCol, scale)).as(Seq("d", "v")))
+        col(labelCol).cast("long").as("label"),
+        posexplode(quantize(vecCol, scale)).as(Seq("d", "v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val st = ex.groupBy("label", "d")
       .agg(sum(col("v").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
     val key = ex.join(broadcast(st), Seq("label", "d"))

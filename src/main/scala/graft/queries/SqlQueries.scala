@@ -19,6 +19,8 @@ object SqlQueries {
 
   private val rollupViewCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, Long)]
+  private val rollupViewByPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def registerRawView(spark: SparkSession, dir: String): Unit =
     Tables.events(spark, dir).createOrReplaceTempView("orders_raw")
@@ -50,8 +52,16 @@ object SqlQueries {
     * at any data size).
     */
   private def registerRollupViews(spark: SparkSession, dir: String): Long = {
-    val (view, lastSeen, anchor) = rollupViewCache.getOrElseUpdate(
-      Tables.fingerprint(spark, s"$dir/events.parquet"), {
+    val fp = Tables.fingerprint(spark, s"$dir/events.parquet")
+    // a dataset regenerated in place gets a new fingerprint and fresh
+    // frames; unpersist the superseded entry's pinned frames or they
+    // hold executor storage forever (the docSearchServed discipline)
+    rollupViewByPath.put(dir, fp).filter(_ != fp)
+      .flatMap(rollupViewCache.remove).foreach { case (v, ls, _) =>
+        v.unpersist(blocking = false)
+        ls.unpersist(blocking = false)
+      }
+    val (view, lastSeen, anchor) = rollupViewCache.getOrElseUpdate(fp, {
         val users = Serving.readTable(spark, dir, "rollup_1m_users")
         val sketches = users
           .groupBy(col("window_start_ms"), col("event_type"))

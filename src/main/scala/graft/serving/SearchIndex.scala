@@ -13,18 +13,24 @@ import graft.ops.{SparseSearch, TopK}
   *
   * Layout under `root`:
   *   - `postings/bucket=B/` — (doc_id, tok, tf) term frequencies;
-  *   - `stats/bucket=B/`    — (tok, df_delta) document-frequency
-  *     DELTAS: an append-only corpus makes df additive, so appends
-  *     write deltas and queries merge them with one tiny pruned
-  *     aggregate — no read-modify-write of global stats, ever;
-  *   - `meta/`              — (n_delta) corpus-size deltas, same idea.
+  *   - `stats/bucket=B/`    — (tok, df_delta, delta_id)
+  *     document-frequency DELTAS: an append-only corpus makes df
+  *     additive, so appends write deltas and queries merge them with
+  *     one tiny pruned aggregate — no read-modify-write of global
+  *     stats, ever;
+  *   - `meta/`              — (delta_id, n_delta) corpus-size deltas,
+  *     same idea.
   *
   * Appends are idempotent under at-least-once replay: the new batch
   * is anti-joined on doc_id against the existing postings BEFORE any
-  * of the three deltas is derived, so a re-delivered batch contributes
-  * zero rows to all of them (the [[AnnIndex.append]] content-keyed
-  * guard, extended to keep postings, df, and N consistent with each
-  * other).
+  * delta is derived, so a fully-delivered batch re-contributes
+  * nothing (the [[AnnIndex.append]] content-keyed guard). A crash
+  * PART-WAY through an append repairs on replay: stats and meta are
+  * written first, tagged with a delta_id that is a pure content hash
+  * of the batch's doc-id set, and postings — the guard table — last;
+  * the replay redoes whatever is missing under the same delta_id and
+  * the read side collapses duplicates per delta_id before summing.
+  * Orphan stats/meta rows exist only between a crash and its replay.
   *
   * Scoring matches [[SparseSearch.rankedRetrieval]] number-for-number
   * (integer idf = (N·idfScale) div df, DECIMAL(38,0) score sums), so
@@ -64,29 +70,50 @@ object SearchIndex {
     writeDelta(fresh, root, overwrite = false, idCol, textCol)
   }
 
-  private def writeDelta(docs: DataFrame, root: String, overwrite: Boolean,
+  private def writeDelta(docs0: DataFrame, root: String, overwrite: Boolean,
       idCol: String, textCol: String): Unit = {
-    val spark = docs.sparkSession
+    val spark = docs0.sparkSession
     val mode = if (overwrite) "overwrite" else "append"
-    // PIN the delta before the first write: an append's `docs` is
-    // anti-joined against the very postings directory the first write
-    // appends to, so any later re-evaluation of its plan would see
-    // the just-written rows and collapse the delta to empty (found by
-    // SearchIndexSpec: the stats/meta writes ran against a re-read).
-    // The doc count is an action, and the postings delta an eager
-    // localCheckpoint, both taken while the directory is untouched.
-    val nDelta = docs.select(col(idCol)).count()
-    val post = SparseSearch.termPostings(docs, idCol, textCol)
+    // deterministic within-batch dedupe: an at-least-once source can
+    // repeat a doc id INSIDE one micro-batch (producer retry at two
+    // offsets); min(text) picks one copy stably, so tf and N never
+    // double-count
+    val docs = docs0
+      .groupBy(col(idCol).as("doc_id"))
+      .agg(min(col(textCol)).as("text"))
+    // PIN the delta and its identity before any write: an append's
+    // `docs` is anti-joined against the very postings directory
+    // written below, so nothing may re-evaluate its plan afterwards
+    // (found by SearchIndexSpec: lazily re-read postings collapsed
+    // the stats/meta deltas to empty). The identity (content hash of
+    // the doc-id set + count) is a pure function of the batch, so a
+    // crash-replay recomputes the SAME delta_id.
+    val idRow = docs.agg(
+      coalesce(sum(xxhash64(col("doc_id")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("h"),
+      count(lit(1)).as("c")).head()
+    val nDelta = idRow.getLong(1)
+    if (!overwrite && nDelta == 0) return
+    val deltaId = s"${idRow.getDecimal(0).toBigInteger}_$nDelta"
+    val post = SparseSearch.termPostings(docs, "doc_id", "text")
       .withColumn("bucket", bucketOf(col("tok")))
       .localCheckpoint(true)
-    post.write.mode(mode).partitionBy("bucket").parquet(s"$root/postings")
-    // df delta = postings rows per term (termPostings is one row per
-    // (doc, term)); additive across appends because docs never repeat
+    // WRITE ORDER: stats and meta first (delta_id-tagged, deduplicated
+    // by delta_id at read time), postings LAST — postings doubles as
+    // the replay guard, so a crash anywhere in this sequence repairs
+    // on replay: the guard still reports the docs missing, the redo
+    // rewrites every piece under the SAME delta_id, and the read-side
+    // max-per-delta collapse absorbs the duplicates. df delta =
+    // postings rows per term (one row per (doc, term)); additive
+    // across appends because doc ids never repeat across batches.
     post.groupBy(col("bucket"), col("tok"))
       .agg(count(lit(1)).as("df_delta"))
+      .withColumn("delta_id", lit(deltaId))
       .write.mode(mode).partitionBy("bucket").parquet(s"$root/stats")
     import spark.implicits._
-    Seq(nDelta).toDF("n_delta").write.mode(mode).parquet(s"$root/meta")
+    Seq((deltaId, nDelta)).toDF("delta_id", "n_delta")
+      .write.mode(mode).parquet(s"$root/meta")
+    post.write.mode(mode).partitionBy("bucket").parquet(s"$root/postings")
     post.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
@@ -99,7 +126,10 @@ object SearchIndex {
   def query(spark: SparkSession, root: String, queries: DataFrame, k: Int,
       idfScale: Long = 10000L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // crash-replay can write a delta's meta/stats rows twice under the
+    // same delta_id (see writeDelta) — collapse before summing
     val n = spark.read.parquet(s"$root/meta")
+      .groupBy(col("delta_id")).agg(max(col("n_delta")).as("n_delta"))
       .agg(coalesce(sum(col("n_delta")), lit(0L))).head().getLong(0)
     val qpost = SparseSearch.termPostings(queries, idCol, textCol)
       .select(col("doc_id").as("query_id"), col("tok"), col("tf").as("qtf"))
@@ -119,6 +149,8 @@ object SearchIndex {
       .where(col("bucket").isin(buckets: _*))
       .join(broadcast(qpost.select(col("bucket"), col("tok")).distinct()),
         Seq("bucket", "tok"))
+      .groupBy(col("bucket"), col("tok"), col("delta_id"))
+      .agg(max(col("df_delta")).as("df_delta"))
       .groupBy(col("bucket"), col("tok"))
       .agg(sum(col("df_delta")).as("df"))
       .withColumn("idf", expr(s"${n * idfScale} div df"))

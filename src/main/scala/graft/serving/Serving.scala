@@ -260,8 +260,20 @@ object Serving {
     val deltaKeyed = hourlyKeyedAgg(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // one date per GRAIN: minute windows inside an hour window can
+      // land on the NEXT local date in fractional-offset session
+      // timezones (e.g. +05:30: hour start 23:30 local, minutes past
+      // 00:00) — deriving dates from the hour starts alone would then
+      // exclude those minute partitions from the read-back while the
+      // merged frame still writes them, silently dropping history.
+      // Covering both the hour start and the hour's last millisecond
+      // bounds every contained minute's date; extra dates only widen
+      // the read-back (re-written unchanged), never lose rows.
       val dates = deltaAgg
-        .select(to_date(timestamp_millis(col("window_start_ms"))).as("p_date"))
+        .select(explode(array(
+          to_date(timestamp_millis(col("window_start_ms"))),
+          to_date(timestamp_millis(col("window_start_ms") + lit(3599999L)))))
+          .as("p_date"))
         .distinct().collect().map(_.getDate(0).toString).toSeq
       if (dates.nonEmpty) {
         def merge(statePath: String, delta: DataFrame, keys: Seq[String]): DataFrame =

@@ -60,8 +60,14 @@ object GapAlert {
         Iterator.empty
       } else {
         state.update(KeyState(s.lastSeenMs, alerted = true))
+        // evict idleTtlMs after the OPEN ALERT (lastSeen + gapMs),
+        // not after lastSeen — an idleTtlMs <= gapMs would otherwise
+        // make this timer already due and sweep the key on the next
+        // watermark tick, unconditionally forfeiting the episode's
+        // closed alert (contract: gapMs + idleTtlMs of silence)
         state.setTimeoutTimestamp(
-          math.max(s.lastSeenMs + idleTtlMs, state.getCurrentWatermarkMs() + 1))
+          math.max(s.lastSeenMs + gapMs + idleTtlMs,
+            state.getCurrentWatermarkMs() + 1))
         Iterator.single(Alert(key, "open", s.lastSeenMs, -1L, -1L))
       }
     } else {
@@ -78,7 +84,9 @@ object GapAlert {
         // one (open-alert timer before the alert, eviction timer
         // after) or it is silently lost
         prev.foreach { p =>
-          val at = if (p.alerted) p.lastSeenMs + idleTtlMs else p.lastSeenMs + gapMs
+          val at =
+            if (p.alerted) p.lastSeenMs + gapMs + idleTtlMs
+            else p.lastSeenMs + gapMs
           state.setTimeoutTimestamp(
             math.max(at, state.getCurrentWatermarkMs() + 1))
         }

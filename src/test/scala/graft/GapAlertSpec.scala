@@ -82,14 +82,15 @@ class GapAlertSpec extends SparkSuite {
   }
 
   test("idle keys evict after the TTL and restart fresh — no spurious alerts") {
-    // ttl = 2 gaps: a alerts at wm>09:01, evicts at wm>09:02
-    // (lastSeen 09:00 + 120 s), returns at 09:10 to a FRESH slate —
-    // the swept episode yields no closed alert and no extra open; the
-    // key then still works: its NEXT silence opens a new episode.
+    // ttl = 2 gaps: a alerts at wm>09:01, evicts at wm>09:03
+    // (lastSeen 09:00 + gap 60 s + ttl 120 s), returns at 09:10 to a
+    // FRESH slate — the swept episode yields no closed alert and no
+    // extra open; the key then still works: its NEXT silence opens a
+    // new episode.
     val got = runSplits(Seq(
       Seq(ev("a", "2024-01-01 09:00:00"), ev("b", "2024-01-01 09:00:00")),
       Seq(ev("b", "2024-01-01 09:01:30")), // fires a's open alert
-      Seq(ev("b", "2024-01-01 09:02:30")), // fires a's eviction sweep
+      Seq(ev("b", "2024-01-01 09:03:30")), // fires a's eviction sweep
       Seq(ev("a", "2024-01-01 09:10:00")), // returns after the sweep
       Seq(ev("b", "2024-01-01 09:10:30")), // wm below a's new timer
       Seq(ev("b", "2024-01-01 09:12:00"))), // wm past 09:11 -> new open
@@ -101,5 +102,21 @@ class GapAlertSpec extends SparkSuite {
     assert(opens.map(_.gap_start_ms) === Seq(
       Timestamp.valueOf("2024-01-01 09:00:00").getTime,
       Timestamp.valueOf("2024-01-01 09:10:00").getTime), s"opens: $opens")
+  }
+
+  test("idleTtl <= gap still delivers the closed alert when the key returns in time") {
+    // eviction is idleTtl after the OPEN ALERT (lastSeen+gap+ttl =
+    // 09:01:30), not idleTtl after lastSeen (09:00:30, which the
+    // watermark passed before the open alert even fired — the old
+    // math would sweep the key on the next tick and forfeit the
+    // closed alert unconditionally for any ttl <= gap)
+    val got = runSplits(Seq(
+      Seq(ev("a", "2024-01-01 09:00:00"), ev("b", "2024-01-01 09:00:00")),
+      Seq(ev("b", "2024-01-01 09:01:15")), // wm>09:01 fires a's open
+      Seq(ev("a", "2024-01-01 09:05:00"))), // returns before eviction
+      idleTtlMs = 30000L)
+    val a = got.filter(_.key == "a")
+    assert(a.map(_.kind).sorted === Seq("closed", "open"), s"alerts: $a")
+    assert(a.find(_.kind == "closed").get.gap_ms === 300000L)
   }
 }

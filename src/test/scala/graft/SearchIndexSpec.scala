@@ -77,4 +77,41 @@ class SearchIndexSpec extends SparkSuite {
     assert(counts() === before)
     assert(before._3 === docs.count())
   }
+
+  test("a doc repeated inside one batch is indexed once (within-batch dedupe)") {
+    val half1 = docs.filter($"doc_id" < 250)
+    val half2 = docs.filter($"doc_id" >= 250)
+    val clean = java.nio.file.Files.createTempDirectory("search_index_dup_a").toString
+    val dup = java.nio.file.Files.createTempDirectory("search_index_dup_b").toString
+    SearchIndex.materialize(half1, clean)
+    SearchIndex.append(spark, clean, half2)
+    SearchIndex.materialize(half1, dup)
+    SearchIndex.append(spark, dup, half2.union(half2)) // redelivered in-batch
+    def state(root: String) = (
+      spark.read.parquet(s"$root/postings").select("bucket", "tok", "doc_id", "tf")
+        .collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(s"$root/stats").groupBy("bucket", "tok")
+        .agg(sum($"df_delta")).collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(s"$root/meta").agg(sum($"n_delta")).head().getLong(0))
+    assert(state(dup) === state(clean))
+  }
+
+  test("duplicated stats/meta files (crash-replay residue) collapse by delta_id") {
+    val p = java.nio.file.Files.createTempDirectory("search_index_crash").toString
+    SearchIndex.materialize(docs, p)
+    val baseline = served(p).as[(Long, Long, Long)].collect().toSet
+    // simulate the replay's double write: the same delta rows land in
+    // stats and meta a second time under the same delta_id
+    val statsCopy = spark.read.parquet(s"$p/stats").collect()
+    val metaCopy = spark.read.parquet(s"$p/meta").collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(statsCopy.toSeq),
+        spark.read.parquet(s"$p/stats").schema)
+      .write.mode("append").partitionBy("bucket").parquet(s"$p/stats")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(metaCopy.toSeq),
+        spark.read.parquet(s"$p/meta").schema)
+      .write.mode("append").parquet(s"$p/meta")
+    assert(served(p).as[(Long, Long, Long)].collect().toSet === baseline)
+  }
 }

@@ -30,7 +30,7 @@ class ServingSpec extends SparkSuite {
     assert(key === key.sorted)
   }
 
-  test("incremental refresh equals full rebuild") {
+  private def assertRefreshEqualsRebuild(): Unit = {
     val ev = Tables.events(spark, sfDir)
     val cutoff = ev.selectExpr("percentile(unix_millis(ts), 0.7)").head.getDouble(0).toLong
     val before = ev.filter(unix_millis(col("ts")) <= cutoff)
@@ -53,6 +53,51 @@ class ServingSpec extends SparkSuite {
     }
     assert(spark.read.parquet(s"$incRoot/meta").head.getLong(0) ===
       spark.read.parquet(s"$fullRoot/meta").head.getLong(0))
+  }
+
+  test("incremental refresh equals full rebuild") {
+    assertRefreshEqualsRebuild()
+  }
+
+  test("incremental refresh equals rebuild in a fractional-offset session timezone") {
+    // +05:30: local midnight falls at 18:30 UTC, INSIDE the
+    // epoch-aligned 18:00 UTC hour window, so that window's minutes
+    // straddle a local date boundary. The refresh batch below lives
+    // ENTIRELY in the 18:00 hour but past local midnight — its hour
+    // date set alone would exclude the next-date partition where the
+    // seed's 18:3x-UTC minute rows already live, and the dynamic
+    // partition overwrite would drop them (inc ≠ rebuild). A dense
+    // batch masks this (the following hour window contributes the
+    // next date); a batch ending mid-hour is the trailing-edge case.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try {
+      def ev(utc: String, uid: Long, cents: Long, typ: String) =
+        (java.sql.Timestamp.from(java.time.Instant.parse(utc)), uid, typ, cents)
+      def frame(rows: Seq[(java.sql.Timestamp, Long, String, Long)]) =
+        rows.toDF("ts", "user_id", "event_type", "value_cents")
+      val seed = frame(Seq(
+        ev("2024-06-01T17:10:00Z", 1L, 100L, "click"),
+        ev("2024-06-01T18:20:00Z", 2L, 200L, "click"),   // local 23:50 Jun 1
+        ev("2024-06-01T18:35:00Z", 3L, 300L, "purchase"), // local 00:05 Jun 2
+        ev("2024-06-01T18:40:00Z", 4L, 400L, "click")))   // local 00:10 Jun 2
+      val batch = frame(Seq(
+        ev("2024-06-01T18:50:00Z", 5L, 500L, "click"),    // local 00:20 Jun 2,
+        ev("2024-06-01T18:55:00Z", 3L, 250L, "click")))   // hour window 18:00
+      val incRoot = java.nio.file.Files.createTempDirectory("graft_inc_tz").toString
+      val fullRoot = java.nio.file.Files.createTempDirectory("graft_full_tz").toString
+      Serving.materializeInto(spark, incRoot, seed)
+      Serving.refreshWithBatch(spark, incRoot, batch)
+      Serving.materializeInto(spark, fullRoot, seed.unionAll(batch))
+      for (t <- Serving.allTables if t != "meta") {
+        val inc = spark.read.parquet(s"$incRoot/$t").drop("w_ts")
+        val full = spark.read.parquet(s"$fullRoot/$t").drop("w_ts")
+        val cols = full.columns.sorted.toSeq
+        val a = inc.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+        val b = full.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+        assert(a === b, s"table $t diverged after fractional-offset refresh")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("streaming serving-refresh sink keeps the layout equal to batch rebuild") {
