@@ -74,12 +74,55 @@ object ServingQueries {
   def cumulateDailyRouted(spark: SparkSession, dir: String): DataFrame =
     graft.serving.Router.cumulateDailyFromHourly(spark, dir)
 
+  /** Served value percentiles (p50/p90/p99, cents) per event_type
+    * over the last 24 h of minute windows — read from the materialized
+    * histogram state ([[Serving.minuteValueHist]]), never from raw
+    * events. Re-aggregating fixed-bin counts under a window filter is
+    * EXACT (counts are additive), so the estimate is a deterministic
+    * integer function of the data and hash-checks against a raw-scan
+    * oracle computing the same binned quantile: the p-th estimate is
+    * the lower edge of the first bin whose cumulative count reaches
+    * p% of the total (`100*cum >= p*n` — integer form, no ceil/FP).
+    * Precision is the bin width (1 dollar); tighter needs only a
+    * narrower bin in the state, not a different read path.
+    *
+    * Scale: the scan is partition-pruned to the filter's dates and
+    * the re-aggregation domain is types x occupied bins (hundreds of
+    * rows), so the window cumsum is a no-shuffle-pressure final step
+    * over an already-tiny frame.
+    */
+  def percentilesServed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t0 = Serving.anchorMs(spark, dir) - 24L * hourMs
+    val hist = Serving.readTable(spark, dir, "rollup_1m_hist")
+      .filter(col("p_date") >= Serving.utcDate(t0) && // directory pruning
+        col("window_start_ms") > t0)
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("cnt")).as("c"))
+    val tot = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("event_type")).orderBy(col("bin"))))
+    val ps = Seq(50L, 90L, 99L)
+    cum.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("n"), col("bin"), col("cum"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .filter(col("cum") * 100 >= col("p") * col("n"))
+      .groupBy(col("event_type"), col("n"), col("p"))
+      .agg(min(col("bin") * lit(Serving.histBinCents)).as("est"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        max(when(col("p") === 50, col("est"))).as("p50_cents"),
+        max(when(col("p") === 90, col("est"))).as("p90_cents"),
+        max(when(col("p") === 99, col("est"))).as("p99_cents"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_topk_lookup_served" -> (topKLookupServed _),
     "q_topk_lookup_revenue" -> (topKLookupRevenue _),
     "q_routed_daily" -> (routedDaily _),
     "q_hybrid_hourly" -> (hybridHourly _),
     "q_cumulate_daily_routed" -> (cumulateDailyRouted _),
+    "q_percentile_served" -> (percentilesServed _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
@@ -91,6 +134,34 @@ object ServingQueries {
     // the routed form must match the RAW-expand oracle bit-for-bit —
     // same SQL as q_cumulate_daily, different (serving-table) plan
     "q_cumulate_daily_routed" -> OlapQueries.oracles("q_cumulate_daily"),
+    // same binned-quantile definition recomputed from raw events:
+    // `100*cum >= p*n` is the integer spelling of cum >= ceil(p%*n),
+    // and DuckDB's `//` floor-division matches Spark's DIV on the
+    // non-negative cents domain — so the served estimate hash-checks
+    // exactly, no tolerance band
+    "q_percentile_served" ->
+      s"""WITH f AS (
+         |  SELECT event_type, $cents // 100 AS bin
+         |  FROM events
+         |  WHERE epoch_ms(date_trunc('minute', ts)) >
+         |        (SELECT epoch_ms(max(ts)) FROM events) - 24*3600*1000),
+         |h AS (SELECT event_type, bin, count(*) AS c FROM f GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+         |cum AS (SELECT event_type, bin,
+         |          sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+         |        FROM h),
+         |sel AS (
+         |  SELECT c.event_type, p.p, CAST(min(c.bin)*100 AS BIGINT) AS est
+         |  FROM cum c JOIN t USING (event_type)
+         |  CROSS JOIN (VALUES (50), (90), (99)) AS p(p)
+         |  WHERE c.cum * 100 >= p.p * t.n
+         |  GROUP BY 1, 2)
+         |SELECT s.event_type, t.n,
+         |  MAX(CASE WHEN p = 50 THEN est END) AS p50_cents,
+         |  MAX(CASE WHEN p = 90 THEN est END) AS p90_cents,
+         |  MAX(CASE WHEN p = 99 THEN est END) AS p99_cents
+         |FROM sel s JOIN t USING (event_type)
+         |GROUP BY 1, 2""".stripMargin,
     "q_routed_daily" ->
       s"""SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,
          |  count(*) AS order_count,

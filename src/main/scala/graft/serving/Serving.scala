@@ -81,6 +81,40 @@ object Serving {
         col("event_type"), col("user_id"))
       .distinct()
 
+  /** Fixed-bin width of the value histogram state, in cents: 1-dollar
+    * bins over non-negative integer cents. Equi-width (not equi-depth)
+    * because the bin boundaries must be DATA-INDEPENDENT for the state
+    * to merge associatively across refreshes and re-aggregate across
+    * arbitrary window filters — the property KLL/t-digest give up
+    * (their merges are order-sensitive, which would make refresh
+    * nondeterministic under Spark's shuffle order).
+    */
+  val histBinCents = 100L
+
+  /** Minute-grain value-histogram state: (window, event_type, bin) →
+    * count — the mergeable quantile sketch backing served percentiles
+    * (Pinot PercentileEst / star-tree measure analog). Counts are
+    * additive, so incremental refresh is the same union + re-sum as
+    * [[minuteRollupAgg]], and any window filter re-aggregates to the
+    * EXACT histogram a raw rescan would build — the percentile read
+    * path is gate-checked bit-for-bit, not in-tolerance. State is
+    * bounded by windows x types x occupied bins (values are bounded
+    * by the domain, not the row count), so it scales like the rollup
+    * table, not like raw data.
+    */
+  def minuteValueHist(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 minute").as("w"),
+        col("event_type"),
+        // value_cents >= 0 here; integer DIV is then a floor, matching
+        // the oracle's `//`
+        expr(s"value_cents DIV $histBinCents").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("bin"), col("cnt"))
+
   /** Hourly per-(restaurant, user) aggregate — the keyed tables'
     * grain (restaurant_topk analog; event_type plays restaurant_id).
     */
@@ -145,7 +179,8 @@ object Serving {
       sortCols = Seq("event_type", "window_start_ms", "user_id"))
   }
 
-  private def writeMinuteState(root: String, roll: DataFrame, users: DataFrame): Unit = {
+  private def writeMinuteState(root: String, roll: DataFrame, users: DataFrame,
+      hist: DataFrame): Unit = {
     TableManager.writePartitioned(
       roll.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
       s"$root/rollup_1m", tsCol = "w_ts",
@@ -154,6 +189,10 @@ object Serving {
       users.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
       s"$root/rollup_1m_users", tsCol = "w_ts",
       sortCols = Seq("event_type", "window_start_ms", "user_id"))
+    TableManager.writePartitioned(
+      hist.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+      s"$root/rollup_1m_hist", tsCol = "w_ts",
+      sortCols = Seq("event_type", "window_start_ms", "bin"))
   }
 
   /** Meta row: the now-anchor (max event ts) + the last applied
@@ -174,7 +213,7 @@ object Serving {
     "topk_by_count", "topk_by_revenue",
     "topk_keyed_by_count", "topk_keyed_by_revenue",
     "agg_by_window", "agg_keyed_by_window",
-    "rollup_1m", "rollup_1m_users", "meta")
+    "rollup_1m", "rollup_1m_users", "rollup_1m_hist", "meta")
 
   /** Full build of the serving layout at `root` from an events frame
     * (batch path; the streaming path refreshes incrementally via
@@ -193,7 +232,8 @@ object Serving {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       writeAggState(root, agg, keyed)
-      writeMinuteState(root, minuteRollupAgg(events), minuteUsers(events))
+      writeMinuteState(root, minuteRollupAgg(events), minuteUsers(events),
+        minuteValueHist(events))
       writeRankedTables(root, agg, keyed)
       writeMeta(spark, root, maxRow.getLong(0), -1L)
     } finally {
@@ -310,6 +350,13 @@ object Serving {
           .unionAll(minuteUsers(batch))
           .distinct()
           .localCheckpoint(true)
+        val hist = spark.read.parquet(s"$root/rollup_1m_hist")
+          .filter(col("p_date").isin(dates: _*))
+          .select("window_start_ms", "event_type", "bin", "cnt")
+          .unionAll(minuteValueHist(batch))
+          .groupBy(col("window_start_ms"), col("event_type"), col("bin"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .localCheckpoint(true)
         try {
           writeAggStatePartitions(root, agg, keyed)
           TableManager.overwritePartitions(
@@ -319,6 +366,10 @@ object Serving {
             musers.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
             s"$root/rollup_1m_users", "w_ts",
             Seq("event_type", "window_start_ms", "user_id"))
+          TableManager.overwritePartitions(
+            hist.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+            s"$root/rollup_1m_hist", "w_ts",
+            Seq("event_type", "window_start_ms", "bin"))
           writeRankedPartitions(root, agg, keyed)
           val oldMax = readMeta(spark, root)._1
           val batchMaxRow = batch.agg(unix_millis(max(col("ts")))).head
@@ -329,7 +380,7 @@ object Serving {
           anchorCache.put(root, newMax)
         } finally {
           agg.unpersist(); keyed.unpersist()
-          roll.unpersist(); musers.unpersist()
+          roll.unpersist(); musers.unpersist(); hist.unpersist()
           invalidate(root)
         }
       }

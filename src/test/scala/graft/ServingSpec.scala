@@ -22,6 +22,36 @@ class ServingSpec extends SparkSuite {
     assert(served === recomputed)
   }
 
+  test("served percentiles equal the binned quantile recomputed from raw events") {
+    val served = ServingQueries.percentilesServed(spark, sfDir)
+      .select("event_type", "n", "p50_cents", "p90_cents", "p99_cents")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (t, n, p50, p90, p99) => t -> ((n, p50, p90, p99)) }.toMap
+    // independent brute force in Scala over the same filter: sort the
+    // per-type bins, walk the cumulative count to the first bin with
+    // 100*cum >= p*n — the operator's documented integer definition
+    val t0 = Serving.anchorMs(spark, sfDir) - 24L * 3600 * 1000
+    val rows = Tables.events(spark, sfDir)
+      .filter(unix_millis(date_trunc("minute", col("ts"))) > t0)
+      .select(col("event_type"), col("value_cents"))
+      .as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    val expected = rows.groupBy(_._1).map { case (tpe, vs) =>
+      val n = vs.length.toLong
+      val binCounts = vs.map(_._2 / Serving.histBinCents)
+        .groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      def est(p: Long): Long = {
+        var cum = 0L
+        binCounts.iterator.map { case (b, c) => cum += c; (b, cum) }
+          .collectFirst { case (b, acc) if acc * 100 >= p * n => b * Serving.histBinCents }
+          .get
+      }
+      tpe -> ((n, est(50), est(90), est(99)))
+    }
+    assert(served === expected)
+  }
+
   test("revenue lookup: 10 rows, revenue-desc then window-desc order") {
     val rows = ServingQueries.topKLookupRevenue(spark, sfDir)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
