@@ -332,17 +332,15 @@ object NearDup {
     * whole history.
     */
   def canonicalize(pairs: DataFrame, maxIters: Int = 32): DataFrame = {
-    val nodes = pairs
+    val nodes = roundCheckpoint(pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-      .localCheckpoint(true)
-    var e = pairs
+      .distinct())
+    var e = roundCheckpoint(pairs
       .where(col("doc_a") =!= col("doc_b"))
       .select(
         greatest(col("doc_a"), col("doc_b")).as("src"),
         least(col("doc_a"), col("doc_b")).as("dst"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     // Fixpoint test on the CURRENT edge set, not on next == current:
     // the alternation's fixpoints are exactly the disjoint unions of
     // min-rooted stars (Kiveris et al. §3) — i.e. no node is the
@@ -361,7 +359,7 @@ object NearDup {
     var iters = 0
     var converged = isStarUnion(e)
     while (!converged && iters < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = roundCheckpoint(smallStar(largeStar(e)))
       releaseCheckpoint(e)
       e = next
       iters += 1
@@ -412,16 +410,42 @@ object NearDup {
     center.union(leaves).distinct()
   }
 
-  /** Eagerly free the block-store RDD behind a `localCheckpoint(true)`
-    * DataFrame. `Dataset.unpersist` only clears CacheManager entries,
-    * not the checkpoint's persisted RDD, which otherwise lives until
-    * GC + ContextCleaner get to it — too lazy for an iterative
-    * algorithm that checkpoints every round.
+  /** Per-round checkpoint policy. `localCheckpoint(true)` keeps round
+    * state in the executor block store — the fast choice on local[n],
+    * but it is NOT fault-tolerant: lose an executor mid-iteration on a
+    * real cluster and the truncated lineage cannot recompute. When the
+    * session has a checkpoint dir configured
+    * (`sc.setCheckpointDir(...)`, pointing at HDFS/object storage in
+    * production), rounds checkpoint RELIABLY there instead; each
+    * round's files are deleted as soon as the next round materializes
+    * (see [[releaseCheckpoint]]), so the footprint stays at two rounds
+    * of edges either way. The eager flag holds for both paths.
+    */
+  private def roundCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(true)
+
+  /** Eagerly free the storage behind a round checkpoint.
+    * `Dataset.unpersist` only clears CacheManager entries, not the
+    * checkpoint's persisted RDD, which otherwise lives until GC +
+    * ContextCleaner get to it — too lazy for an iterative algorithm
+    * that checkpoints every round. Local checkpoints free block-store
+    * blocks; reliable ones also delete their `rdd-<id>` directory
+    * (safe once the next round is materialized — nothing recomputes
+    * through a released round).
     */
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    }.foreach { rdd =>
+      rdd.unpersist(blocking = false)
+      rdd.getCheckpointFile.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(path, true)
+      }
+    }
 
   /** SimHash signature width: 60 bits — the token hash is the first
     * 15 hex digits of md5(token), a hash both Spark (`conv`) and the

@@ -23,6 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object TableManager {
 
+  /** Bloom-filter writer options for `bloomCol`, shared by every
+    * layout writer. Adaptive sizing: parquet builds several candidate
+    * filters and keeps the smallest that fits the ACTUAL per-row-group
+    * NDV; expected.ndv only caps the largest candidate. Without it a
+    * 240-row ranked file carries the same ~1 MB filter as a 2M-row raw
+    * file (measured: the topk serving tables were 31 MB for 7 200
+    * rows — 43x their data — all bloom padding).
+    */
+  private def withBloom(writer: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      bloomCol: Option[String]) =
+    bloomCol.fold(writer) { c =>
+      writer
+        .option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.adaptive.enabled", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", "1000000")
+    }
+
   /** Write `df` date-partitioned on `tsCol`'s date, sorted inside
     * each file by `sortCols`, with a parquet bloom filter on
     * `bloomCol`. `repartition(date, bucketExpr)` keeps one shuffle
@@ -42,19 +59,7 @@ object TableManager {
       .write
       .mode(mode)
       .partitionBy("p_date")
-    val writer = bloomCol.fold(writer0) { c =>
-      // adaptive sizing: parquet builds several candidate filters and
-      // keeps the smallest that fits the ACTUAL per-row-group NDV;
-      // expected.ndv only caps the largest candidate. Without it a
-      // 240-row ranked file carries the same ~1 MB filter as a 2M-row
-      // raw file (measured: the topk serving tables were 31 MB for
-      // 7 200 rows — 43x their data — all bloom padding).
-      writer0
-        .option(s"parquet.bloom.filter.enabled#$c", "true")
-        .option(s"parquet.bloom.filter.adaptive.enabled", "true")
-        .option(s"parquet.bloom.filter.expected.ndv#$c", "1000000")
-    }
-    writer.parquet(path)
+    withBloom(writer0, bloomCol).parquet(path)
   }
 
   /** Overwrite ONLY the date partitions present in `df` (dynamic
@@ -76,19 +81,7 @@ object TableManager {
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("p_date")
-    val writer = bloomCol.fold(writer0) { c =>
-      // adaptive sizing: parquet builds several candidate filters and
-      // keeps the smallest that fits the ACTUAL per-row-group NDV;
-      // expected.ndv only caps the largest candidate. Without it a
-      // 240-row ranked file carries the same ~1 MB filter as a 2M-row
-      // raw file (measured: the topk serving tables were 31 MB for
-      // 7 200 rows — 43x their data — all bloom padding).
-      writer0
-        .option(s"parquet.bloom.filter.enabled#$c", "true")
-        .option(s"parquet.bloom.filter.adaptive.enabled", "true")
-        .option(s"parquet.bloom.filter.expected.ndv#$c", "1000000")
-    }
-    writer.parquet(path)
+    withBloom(writer0, bloomCol).parquet(path)
   }
 
   /** Drop date partitions older than `retentionDays` relative to
@@ -108,6 +101,60 @@ object TableManager {
       }
     dropped.foreach(st => fs.delete(st.getPath, true))
     dropped.map(_.getPath.getName)
+  }
+
+  /** Rewrite date partitions that accumulated more than `maxFiles`
+    * data files into ~`targetBytes` files — the file-grain
+    * maintenance twin of [[compactRollupSegments]] (Pinot's
+    * MergeRollupTask merges segments; a Structured Streaming file
+    * sink writes one file per micro-batch per partition, so a
+    * 10-second trigger leaves ~8.6k files/day/partition behind and
+    * every read pays that many opens + footer parses). Only the
+    * oversized partitions are read or rewritten; rows are re-sorted
+    * by `sortCols` inside each output file and the bloom filter
+    * rewritten, so the compacted layout keeps the exact pruning
+    * contract of [[writePartitioned]]. `repartitionByRange` over
+    * (p_date, sortCols) gives each date contiguous sorted chunks with
+    * file counts proportional to its bytes — one global shuffle of
+    * just the compacted dates. Dynamic partition overwrite swaps each
+    * date at job commit; a crash mid-job leaves the original files
+    * untouched (output stages in the job's temporary directory).
+    * Returns the rewritten partition directory names.
+    */
+  def compactDates(
+      spark: SparkSession,
+      path: String,
+      sortCols: Seq[String],
+      bloomCol: Option[String] = None,
+      maxFiles: Int = 8,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/p_date=*")))
+      .getOrElse(Array.empty).toSeq.filter(_.isDirectory)
+    def dataFiles(p: org.apache.hadoop.fs.FileStatus) =
+      fs.listStatus(p.getPath).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+    val todo = parts.map(p => p -> dataFiles(p)).filter(_._2.size > maxFiles)
+    if (todo.isEmpty) Nil
+    else {
+      val bytes = todo.flatMap(_._2).map(_.getLen).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val df = spark.read
+        .option("basePath", path)
+        .parquet(todo.map(_._1.getPath.toString): _*)
+      val keys = (col("p_date") +: sortCols.map(col))
+      val writer0 = df
+        .repartitionByRange(nOut, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("p_date")
+      withBloom(writer0, bloomCol).parquet(path)
+      todo.map(_._1.getPath.getName)
+    }
   }
 
   /** Write a table bucketed (and sorted) by its recurring join key.

@@ -148,6 +148,32 @@ class NearDupSpec extends SparkSuite {
       s"round checkpoints leaked: ${(after -- before).size} new persistent RDDs")
   }
 
+  test("canonicalize uses reliable round checkpoints when a checkpoint dir is set, and deletes them") {
+    // The cluster-mode policy: with sc.setCheckpointDir configured,
+    // round state goes to fault-tolerant storage instead of executor
+    // blocks (lose an executor mid-iteration and local blocks cannot
+    // recompute — the lineage is truncated). Same result either way;
+    // each round's rdd-<id> directory is deleted once the next round
+    // is materialized, so the dir does not accumulate one snapshot
+    // per round. NOTE: the shared session keeps the checkpoint dir
+    // for the rest of the JVM (Spark has no unset); later canonicalize
+    // calls simply keep exercising the reliable path.
+    val ckptDir = java.nio.file.Files.createTempDirectory("neardup_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val rnd = new scala.util.Random(11)
+    val perm = rnd.shuffle((0L until 300L).toVector)
+    val chain = perm.zip(perm.tail).toDF("doc_a", "doc_b")
+    val got = NearDup.canonicalize(chain).as[(Long, Long)].collect().toMap
+    assert(got === (0L until 300L).map(_ -> 0L).toMap)
+    def rddDirs(p: java.io.File): Seq[String] =
+      Option(p.listFiles).toSeq.flatten.flatMap { f =>
+        if (f.getName.startsWith("rdd-")) Seq(f.getPath)
+        else if (f.isDirectory) rddDirs(f) else Nil
+      }
+    assert(rddDirs(new java.io.File(ckptDir)).isEmpty,
+      "reliable round checkpoints were not deleted after convergence")
+  }
+
   test("jaccardPairs (prefix+length+positional filters) equals brute force on random corpora") {
     // The filters are all exactness-preserving by argument; this pins
     // that down empirically across random shapes and both thresholds.

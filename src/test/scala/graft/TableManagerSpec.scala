@@ -5,6 +5,7 @@ import graft.ops.Rollup
 import graft.tables.TableManager
 
 class TableManagerSpec extends SparkSuite {
+  import spark.implicits._
 
   test("partitioned write → partition pruning + retention sweep + compaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tbl").toString
@@ -36,6 +37,48 @@ class TableManagerSpec extends SparkSuite {
     TableManager.compactToHourly(spark, s"$dir/rollup1m", s"$dir/rollup1h", Seq("event_type"))
     val h = spark.read.parquet(s"$dir/rollup1h")
     assert(h.agg(sum("order_count")).head.getLong(0) === ev.count())
+  }
+
+  test("compactDates merges micro-batch file debris, preserves rows/sort/bloom, and is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val ev = Tables.events(spark, sfDir)
+    // simulate a streaming file sink: several appends, each leaving
+    // its own files in every date partition
+    for (_ <- 1 to 4)
+      TableManager.writePartitioned(ev, s"$dir/raw", "ts",
+        sortCols = Seq("event_type", "ts"), bloomCol = Some("event_id"),
+        mode = org.apache.spark.sql.SaveMode.Append)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesPerDate: Map[String, Int] =
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/raw/p_date=*")).toSeq
+        .map(p => p.getPath.getName ->
+          fs.listStatus(p.getPath).count(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")))
+        .toMap
+    val before = filesPerDate
+    assert(before.values.forall(_ >= 4), s"append setup produced $before")
+    val rowsBefore = spark.read.parquet(s"$dir/raw")
+      .drop("p_date").collect().map(_.toString).sorted.toSeq
+
+    val compacted = TableManager.compactDates(spark, s"$dir/raw",
+      sortCols = Seq("event_type", "ts"), bloomCol = Some("event_id"), maxFiles = 2)
+    assert(compacted.toSet === before.keySet, "every oversized date compacts")
+    val after = filesPerDate
+    assert(after.values.forall(n => n >= 1 && n < 4), s"still fragmented: $after")
+    val rowsAfter = spark.read.parquet(s"$dir/raw")
+      .drop("p_date").collect().map(_.toString).sorted.toSeq
+    assert(rowsAfter === rowsBefore, "compaction changed the data")
+    // a compacted file keeps the sort contract (event_type, ts)
+    val oneFile = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/raw/p_date=*/part-*"))
+      .head.getPath.toString
+    val inFile = spark.read.parquet(oneFile)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)].collect().toSeq
+    assert(inFile === inFile.sortBy(r => (r._1, r._2)), "within-file sort lost")
+    // second pass: nothing left over the threshold
+    assert(TableManager.compactDates(spark, s"$dir/raw",
+      sortCols = Seq("event_type", "ts"), maxFiles = 2).isEmpty)
   }
 
   test("bucketed fact tables join with zero shuffle exchange") {
