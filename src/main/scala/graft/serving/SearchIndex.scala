@@ -117,23 +117,41 @@ object SearchIndex {
     post.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
+    nCache.remove(root)
   }
 
   /** Top-k docs per query doc from the materialized index — same
     * output and same numbers as [[SparseSearch.rankedRetrieval]],
     * but reading only the term-bucket partitions the queries touch.
     */
+  // Corpus size per index root, cached on the driver like
+  // [[Serving.anchorMs]]: one tiny meta aggregate on first query,
+  // invalidated by this JVM's own [[writeDelta]] calls (streaming
+  // appends run in-process via SearchIngest). An index appended to by
+  // ANOTHER process needs the meta re-read — same single-writer scope
+  // as the fingerprint-keyed index caches upstream.
+  private val nCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   def query(spark: SparkSession, root: String, queries: DataFrame, k: Int,
       idfScale: Long = 10000L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // crash-replay can write a delta's meta/stats rows twice under the
     // same delta_id (see writeDelta) — collapse before summing
-    val n = spark.read.parquet(s"$root/meta")
-      .groupBy(col("delta_id")).agg(max(col("n_delta")).as("n_delta"))
-      .agg(coalesce(sum(col("n_delta")), lit(0L))).head().getLong(0)
+    val n = nCache.getOrElseUpdate(root,
+      spark.read.parquet(s"$root/meta")
+        .groupBy(col("delta_id")).agg(max(col("n_delta")).as("n_delta"))
+        .agg(coalesce(sum(col("n_delta")), lit(0L))).head().getLong(0))
+    // tokenize the query batch ONCE: this subplan feeds the bucket
+    // collect and two broadcasts below, and without the eager pin each
+    // consumer would re-scan and re-explode the query docs (measured:
+    // most of the served path's per-call wall was 4x query
+    // tokenization, not index reads). Query batches are bounded, so
+    // the pinned blocks are small; ContextCleaner frees them once the
+    // caller's result is executed and dropped.
     val qpost = SparseSearch.termPostings(queries, idCol, textCol)
       .select(col("doc_id").as("query_id"), col("tok"), col("tf").as("qtf"))
       .withColumn("bucket", bucketOf(col("tok")))
+      .localCheckpoint(true)
     // STATIC partition pruning: the query's bucket set is bounded
     // driver metadata (≤ nBuckets ints, independent of corpus AND
     // query size), and an explicit IN-filter on the partition column
