@@ -68,8 +68,18 @@ object Bench {
     val errors = results.collect { case (k, Left(e)) => "\"" + k + ": " + e + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Right(v)) => v }.sum
+    // Max-of-3 for the same reason the queries report min-of-3: the
+    // leg is ~20 s of sustained work on a shared box, and a single
+    // sample has landed anywhere in a ±30% band across rounds. Max is
+    // the throughput analog of min latency — the machine's capability
+    // with the load noise stripped. Each run is fully self-contained
+    // (fresh MemoryStream, sinks, and checkpoints).
     val evPerSec =
-      try streamingThroughput(spark)
+      try (1 to 3).map { i =>
+        val r = streamingThroughput(spark)
+        System.err.println(f"[bench] streaming run $i: $r%.0f ev/s")
+        r
+      }.max
       catch { case e: Throwable =>
         System.err.println(s"[bench] streaming throughput FAILED: $e"); -1.0 }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"streaming_ev_s":$evPerSec,"sf":"$sfDir"}"""

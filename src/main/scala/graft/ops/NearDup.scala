@@ -422,9 +422,18 @@ object NearDup {
     * of edges either way. The eager flag holds for both paths.
     */
   private def roundCheckpoint(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // persist before a reliable checkpoint, per RDD.checkpoint's own
+      // contract: the checkpoint files are written by a SECOND job
+      // re-running the lineage after the eager action, so an
+      // unpersisted round computes its two shuffles twice — on exactly
+      // the cluster path this mode exists for. The cache is dropped as
+      // soon as the checkpoint files are on stable storage.
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint(eager = true)
+      cached.unpersist(blocking = false)
+      out
+    } else df.localCheckpoint(true)
 
   /** Eagerly free the storage behind a round checkpoint.
     * `Dataset.unpersist` only clears CacheManager entries, not the

@@ -117,6 +117,7 @@ object SearchIndex {
     post.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
+    writeGen.incrementAndGet()
     nCache.remove(root)
   }
 
@@ -129,18 +130,32 @@ object SearchIndex {
   // invalidated by this JVM's own [[writeDelta]] calls (streaming
   // appends run in-process via SearchIngest). An index appended to by
   // ANOTHER process needs the meta re-read — same single-writer scope
-  // as the fingerprint-keyed index caches upstream.
+  // as the fingerprint-keyed index caches upstream. `writeGen` closes
+  // the check-then-act race with a concurrent in-process append: a
+  // reader that started its meta read before an append's invalidation
+  // must not install its (stale) value afterwards, so it only caches
+  // when no write happened in between; writers bump the generation
+  // BEFORE removing, so a reader can never observe the removal
+  // without also observing a generation change.
   private val nCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val writeGen = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def query(spark: SparkSession, root: String, queries: DataFrame, k: Int,
       idfScale: Long = 10000L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // crash-replay can write a delta's meta/stats rows twice under the
     // same delta_id (see writeDelta) — collapse before summing
-    val n = nCache.getOrElseUpdate(root,
-      spark.read.parquet(s"$root/meta")
+    val gen0 = writeGen.get()
+    val n = nCache.get(root).getOrElse {
+      val v = spark.read.parquet(s"$root/meta")
         .groupBy(col("delta_id")).agg(max(col("n_delta")).as("n_delta"))
-        .agg(coalesce(sum(col("n_delta")), lit(0L))).head().getLong(0))
+        .agg(coalesce(sum(col("n_delta")), lit(0L))).head().getLong(0)
+      // cache only if no append invalidated while we were reading —
+      // a racing install of a pre-append value would serve stale idf
+      // until the NEXT append; better one extra meta read per race
+      if (writeGen.get() == gen0) nCache.putIfAbsent(root, v)
+      v
+    }
     // tokenize the query batch ONCE: this subplan feeds the bucket
     // collect and two broadcasts below, and without the eager pin each
     // consumer would re-scan and re-explode the query docs (measured:
@@ -179,8 +194,19 @@ object SearchIndex {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum((col("qtf") * col("tf")).cast("decimal(38,0)") * col("idf"))
         .as("score"))
-    TopK.topKPerKey(scored, Seq("query_id"),
+    // materialize the ≤ k·|queries|-row result eagerly so the pinned
+    // query postings can be RELEASED now (the writeDelta discipline:
+    // GC + ContextCleaner are too lazy for a serving loop — without
+    // this, every call leaks one pinned postings RDD into executor
+    // storage until a driver GC). The caller gets a frame backed by
+    // its own small blocks, freed normally when dropped.
+    val out = TopK.topKPerKey(scored, Seq("query_id"),
         Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank"))
+      .localCheckpoint(true)
+    qpost.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+    out
   }
 }

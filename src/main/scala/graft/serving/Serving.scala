@@ -316,46 +316,44 @@ object Serving {
           .as("p_date"))
         .distinct().collect().map(_.getDate(0).toString).toSeq
       if (dates.nonEmpty) {
-        def merge(statePath: String, delta: DataFrame, keys: Seq[String]): DataFrame =
-          spark.read.parquet(statePath)
-            .filter(col("p_date").isin(dates: _*))
-            .select(keys.map(col) :+ col("order_count") :+ col("total_cents"): _*)
-            .unionAll(delta.select(keys.map(col) :+ col("order_count") :+ col("total_cents"): _*))
-            .groupBy(keys.map(col): _*)
-            .agg(sum(col("order_count")).as("order_count"),
-              sum(col("total_cents")).as("total_cents"))
+        // ONE merge shape for every additive state table: read back
+        // just the touched dates, union the delta, re-sum per key.
         // localCheckpoint (eager): the merged state is written back
         // over the partitions it was read from — the lineage must be
         // cut or Spark (rightly) rejects overwriting a read path.
+        def merge(statePath: String, delta: DataFrame, keys: Seq[String],
+            measures: Seq[String]): DataFrame = {
+          val cols = (keys ++ measures).map(col)
+          val sums = measures.map(m => sum(col(m)).as(m))
+          spark.read.parquet(statePath)
+            .filter(col("p_date").isin(dates: _*))
+            .select(cols: _*)
+            .unionAll(delta.select(cols: _*))
+            .groupBy(keys.map(col): _*)
+            .agg(sums.head, sums.tail: _*)
+            .localCheckpoint(true)
+        }
         val agg = merge(s"$root/agg_by_window", deltaAgg,
-          Seq("window_start_ms", "user_id"))
-          .localCheckpoint(true)
+          Seq("window_start_ms", "user_id"),
+          Seq("order_count", "total_cents"))
         val keyed = merge(s"$root/agg_keyed_by_window", deltaKeyed,
-          Seq("window_start_ms", "event_type", "user_id"))
-          .localCheckpoint(true)
-        // minute-grain state merges the same way: sums re-sum,
-        // distinct-user rows union+distinct — both deterministic, so
+          Seq("window_start_ms", "event_type", "user_id"),
+          Seq("order_count", "total_cents"))
+        // minute-grain state merges the same way: sums re-sum (and
+        // distinct-user rows union+distinct) — deterministic, so
         // refresh==rebuild holds exactly (ServingSpec asserts it).
-        val roll = spark.read.parquet(s"$root/rollup_1m")
-          .filter(col("p_date").isin(dates: _*))
-          .select("window_start_ms", "event_type", "order_count", "sum_value_cents")
-          .unionAll(minuteRollupAgg(batch))
-          .groupBy(col("window_start_ms"), col("event_type"))
-          .agg(sum(col("order_count")).as("order_count"),
-            sum(col("sum_value_cents")).as("sum_value_cents"))
-          .localCheckpoint(true)
+        val roll = merge(s"$root/rollup_1m", minuteRollupAgg(batch),
+          Seq("window_start_ms", "event_type"),
+          Seq("order_count", "sum_value_cents"))
+        val hist = merge(s"$root/rollup_1m_hist", minuteValueHist(batch),
+          Seq("window_start_ms", "event_type", "bin"),
+          Seq("cnt"))
+        // the one non-additive table: distinct user rows, set-union
         val musers = spark.read.parquet(s"$root/rollup_1m_users")
           .filter(col("p_date").isin(dates: _*))
           .select("window_start_ms", "event_type", "user_id")
           .unionAll(minuteUsers(batch))
           .distinct()
-          .localCheckpoint(true)
-        val hist = spark.read.parquet(s"$root/rollup_1m_hist")
-          .filter(col("p_date").isin(dates: _*))
-          .select("window_start_ms", "event_type", "bin", "cnt")
-          .unionAll(minuteValueHist(batch))
-          .groupBy(col("window_start_ms"), col("event_type"), col("bin"))
-          .agg(sum(col("cnt")).as("cnt"))
           .localCheckpoint(true)
         try {
           writeAggStatePartitions(root, agg, keyed)

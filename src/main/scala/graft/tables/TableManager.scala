@@ -104,7 +104,11 @@ object TableManager {
   }
 
   /** Rewrite date partitions that accumulated more than `maxFiles`
-    * data files into ~`targetBytes` files — the file-grain
+    * SMALL data files (< targetBytes/2 — files already at target size
+    * don't count, so a partition that legitimately needs many
+    * full-size files is not rewritten over and over on every
+    * maintenance pass; compaction converges and a second pass is a
+    * no-op) into ~`targetBytes` files — the file-grain
     * maintenance twin of [[compactRollupSegments]] (Pinot's
     * MergeRollupTask merges segments; a Structured Streaming file
     * sink writes one file per micro-batch per partition, so a
@@ -136,7 +140,8 @@ object TableManager {
       fs.listStatus(p.getPath).toSeq
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
           !f.getPath.getName.startsWith("."))
-    val todo = parts.map(p => p -> dataFiles(p)).filter(_._2.size > maxFiles)
+    val todo = parts.map(p => p -> dataFiles(p))
+      .filter(_._2.count(_.getLen < targetBytes / 2) > maxFiles)
     if (todo.isEmpty) Nil
     else {
       val bytes = todo.flatMap(_._2).map(_.getLen).sum

@@ -40,22 +40,42 @@ class SearchIndexSpec extends SparkSuite {
       case f: FileSourceScanExec => Seq(f)
       case other => other.children.flatMap(findScans)
     }
-    def partitionsRead(queries: org.apache.spark.sql.DataFrame): Long = {
-      val df = SearchIndex.query(spark, root, queries, k = 10)
-      df.collect()
-      val scans = findScans(df.queryExecution.executedPlan)
-        .filter(_.toString.contains("postings"))
-      assert(scans.nonEmpty, "no postings scan in plan")
-      scans.map(_.metrics("numPartitions").value).max
+    // query() executes the retrieval eagerly (so it can release its
+    // pinned query postings before returning) — the postings scan is
+    // no longer in the RETURNED frame's plan, so observe it from the
+    // executions themselves via a QueryExecutionListener
+    @volatile var captured: Seq[Long] = Nil
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val scans = findScans(qe.executedPlan).filter(_.toString.contains("postings"))
+        if (scans.nonEmpty)
+          captured = captured ++ scans.map(_.metrics("numPartitions").value)
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     }
-    // a one-word query touches at most one bucket; a full query doc
-    // touches many — partitions read must scale with the term set
-    val narrowDoc = Seq((9999L, "the")).toDF("doc_id", "text")
-    val narrow = partitionsRead(narrowDoc)
-    val wide = partitionsRead(docs.filter($"doc_id" < 5))
-    assert(narrow <= 1L, s"one-term query read $narrow buckets")
-    assert(wide > narrow,
-      s"multi-term query should read more buckets ($wide) than one-term ($narrow)")
+    spark.listenerManager.register(listener)
+    try {
+      def partitionsRead(queries: org.apache.spark.sql.DataFrame): Long = {
+        captured = Nil
+        SearchIndex.query(spark, root, queries, k = 10).collect()
+        // the listener bus is async — wait for the capture
+        val deadline = System.currentTimeMillis() + 30000
+        while (captured.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(captured.nonEmpty, "no postings scan captured")
+        captured.max
+      }
+      // a one-word query touches at most one bucket; a full query doc
+      // touches many — partitions read must scale with the term set
+      val narrowDoc = Seq((9999L, "the")).toDF("doc_id", "text")
+      val narrow = partitionsRead(narrowDoc)
+      val wide = partitionsRead(docs.filter($"doc_id" < 5))
+      assert(narrow <= 1L, s"one-term query read $narrow buckets")
+      assert(wide > narrow,
+        s"multi-term query should read more buckets ($wide) than one-term ($narrow)")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("append half onto half equals full rebuild; replay adds nothing anywhere") {

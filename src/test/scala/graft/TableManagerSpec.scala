@@ -81,6 +81,22 @@ class TableManagerSpec extends SparkSuite {
       sortCols = Seq("event_type", "ts"), maxFiles = 2).isEmpty)
   }
 
+  test("compactDates leaves partitions alone when their files are already target-sized") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_big").toString
+    val ev = Tables.events(spark, sfDir)
+    for (_ <- 1 to 4)
+      TableManager.writePartitioned(ev, s"$dir/raw", "ts",
+        sortCols = Seq("event_type", "ts"),
+        mode = org.apache.spark.sql.SaveMode.Append)
+    // with a tiny targetBytes every data file counts as full-size, so
+    // a date that legitimately needs more than maxFiles such files
+    // must NOT be rewritten on every maintenance pass — only SMALL
+    // files (< targetBytes/2) trigger compaction
+    assert(TableManager.compactDates(spark, s"$dir/raw",
+      sortCols = Seq("event_type", "ts"), maxFiles = 2,
+      targetBytes = 64L).isEmpty)
+  }
+
   test("bucketed fact tables join with zero shuffle exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toString
     TableManager.writeBucketed(
