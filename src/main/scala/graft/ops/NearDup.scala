@@ -51,9 +51,18 @@ object NearDup {
     * with the same inputs share one materialization.
     */
   def postingsOf(docs: DataFrame, n: Int): DataFrame =
+    postingsNoCache(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The same inverted index WITHOUT the persist — for single-pass
+    * consumers (band signatures) and per-call serving paths, where a
+    * cached plan per distinct input frame would accumulate forever
+    * (every micro-batch / query batch is a new plan, so the cache
+    * manager's plan-dedup never reuses it and nothing releases it).
+    */
+  private[graft] def postingsNoCache(docs: DataFrame, n: Int): DataFrame =
     shingleSets(docs, n).filter(col("sh_size") > 0)
       .select(col("doc_id"), col("sh_size"), explode(col("sh")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Jaccard(a,b) >= num/den as exact integer predicate:
     * c/(|A|+|B|-c) >= num/den  ⟺  c*(den+num) >= num*(|A|+|B|).
@@ -152,7 +161,7 @@ object NearDup {
     * and count per pair. Shingles are distinct per doc, so the count
     * IS |A ∩ B|; the threshold test is exact integer arithmetic.
     */
-  private def verifyPairs(cand: DataFrame, postings: DataFrame,
+  private[graft] def verifyPairs(cand: DataFrame, postings: DataFrame,
       thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val pa = postings.select(col("doc_id").as("doc_a"), col("sh_size").as("shingles_a"), col("shingle"))
     val pb = postings.select(col("doc_id").as("doc_b"), col("sh_size").as("shingles_b"), col("shingle"))

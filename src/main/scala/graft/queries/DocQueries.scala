@@ -201,6 +201,35 @@ object DocQueries {
       docs.filter(col("doc_id") < 5), k = 10)
   }
 
+  private val nearDupIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val nearDupIndexByPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Served near-duplicate lookup from the MATERIALIZED band index
+    * ([[graft.serving.NearDupIndex]]): docs 50+ are the admitted
+    * corpus, docs <50 probe it — each returned (query_id, match_id)
+    * pair is an exact-verified n-gram-Jaccard>=0.8 near-duplicate.
+    * The oracle recomputes the exact cross pair set; LSH candidate
+    * odds are the [[graft.ops.NearDup.minhashPairs]] ones, so the
+    * served set equals the exact set on this corpus the same way the
+    * q_doc_dedup_minhash gate does.
+    */
+  def docNearDupServed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = Tables.fingerprint(spark, s"$dir/documents.parquet")
+    val root = nearDupIndexCache.getOrElseUpdate(fp, {
+      val p = java.nio.file.Files.createTempDirectory("graft_neardup_index").toString
+      graft.serving.NearDupIndex.materialize(docs.filter(col("doc_id") >= 50), p)
+      p
+    })
+    nearDupIndexByPath.put(dir, fp).filter(_ != fp)
+      .flatMap(nearDupIndexCache.remove).foreach { old =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
+      }
+    graft.serving.NearDupIndex.query(spark, root, docs.filter(col("doc_id") < 50))
+  }
+
   /** Same decontamination result through the bloom-prefiltered scale
     * path (candidate shingles dropped before the exchange); shares
     * the plain-join oracle because the sketch never changes the
@@ -406,6 +435,7 @@ object DocQueries {
     "q_doc_contamination_bloom" -> (docContaminationBloom _),
     "q_doc_search_sparse" -> (docSearchSparse _),
     "q_doc_search_served" -> (docSearchServed _),
+    "q_doc_neardup_served" -> (docNearDupServed _),
     "q_doc_pack" -> (docPack _),
     "q_doc_stats" -> (docStats _),
     "q_doc_normalize" -> (docNormalize _),
@@ -679,6 +709,14 @@ object DocQueries {
       "3 * len(list_intersect(a.sh, b.sh)) >= 1 * (len(a.sh) + len(b.sh))"),
     "q_doc_dedup_minhash" -> jaccardOracle("c",
       "9 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh))"),
+    // exact Jaccard>=0.8 cross pairs: queries (<50) vs corpus (50+) —
+    // what the served band-index probe must return after verification
+    "q_doc_neardup_served" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS query_id, b.doc_id AS match_id
+         |FROM s a JOIN s b ON a.doc_id < 50 AND b.doc_id >= 50
+         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND 9 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh))""".stripMargin,
     // connected components of the Jaccard>=0.5 pair graph via a
     // recursive transitive closure; canonical = min reachable id.
     "q_doc_dedup_canonical" ->

@@ -1,0 +1,139 @@
+package graft.serving
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.NearDup
+import graft.streaming.IncrementalDedup
+
+/** MATERIALIZED near-duplicate index — the dedup-side sibling of
+  * [[SearchIndex]] (lexical retrieval) and [[AnnIndex]] (dense
+  * retrieval): the MinHash band buckets of an admitted corpus written
+  * as band-hash-bucket-partitioned parquet, probed by a bounded query
+  * batch to answer "which corpus documents is each of these NEW
+  * documents a near-duplicate of?" — with exact Jaccard verification,
+  * without ever rescanning the corpus.
+  *
+  * This is the query-side complement of [[IncrementalDedup]] (which
+  * REJECTS an incoming doc on any band collision at ingest, returning
+  * no match identities): eval-set decontamination audits, "why was
+  * this rejected", and against-corpus dedup of a candidate batch all
+  * need the matching corpus doc ids, verified exactly.
+  *
+  * Layout under `root`:
+  *   - `bands/bucket=B/` — (doc_id, band_idx, band_hash): the
+  *     [[IncrementalDedup.bandBuckets]] signature of every admitted
+  *     doc, partitioned by a hash bucket of the band hash so a probe
+  *     reads only the bucket directories its own bands land in
+  *     (static IN-filter pruning, the [[SearchIndex]] mechanism —
+  *     the probe's bucket set is bounded driver metadata).
+  *   - `docs/` — (doc_id, text) sorted by doc_id with a doc_id bloom
+  *     filter: candidate verification re-shingles only the candidate
+  *     docs, read back through rowgroup-stat + bloom pruning on a
+  *     bounded id set, never a corpus scan.
+  *
+  * Scale shape: the probe is an equi-join of the pruned band scan
+  * against a broadcast bounded query side; candidates are bounded by
+  * |queries| × band collisions (the same odds as
+  * [[IncrementalDedup]]'s tier 1 — ~1e-9 per band row for unrelated
+  * pairs); verification is [[NearDup.verifyPairs]] postings joins
+  * over candidate docs only. Query and corpus doc ids must be
+  * disjoint (the contamination-op contract).
+  */
+object NearDupIndex {
+
+  /** Band-hash partition fan-out — same sizing rationale as
+    * [[SearchIndex.nBuckets]].
+    */
+  val nBuckets = 64
+
+  private def bucketOf(bandHash: Column): Column =
+    pmod(bandHash, lit(nBuckets.toLong)).cast("int")
+
+  /** Build the index from scratch (overwrites `root`). */
+  def materialize(corpus: DataFrame, root: String): Unit = {
+    IncrementalDedup.bandBuckets(corpus)
+      .withColumn("bucket", bucketOf(col("band_hash")))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$root/bands")
+    corpus.select(col("doc_id"), col("text"))
+      .sort(col("doc_id"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .parquet(s"$root/docs")
+  }
+
+  /** Incrementally admit new documents: ids already present are
+    * dropped first (replay-safe, the [[SearchIndex.append]] guard),
+    * genuinely new docs append their bands and text together. Appended
+    * files keep per-file doc_id stats/blooms, so id-pruned reads stay
+    * pruned.
+    */
+  def append(spark: SparkSession, root: String, newDocs: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/docs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (fs.exists(p)) {
+        val existing = spark.read.parquet(s"$root/docs").select("doc_id").distinct()
+        newDocs.join(existing, Seq("doc_id"), "left_anti")
+      } else newDocs
+    // pin the delta before any write: `fresh` is anti-joined against
+    // the very directory written below (the writeDelta discipline)
+    val staged = fresh.select(col("doc_id"), col("text")).localCheckpoint(true)
+    IncrementalDedup.bandBuckets(staged)
+      .withColumn("bucket", bucketOf(col("band_hash")))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$root/bands")
+    staged.sort(col("doc_id"))
+      .write.mode("append")
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .parquet(s"$root/docs")
+    staged.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+  }
+
+  /** (query_id, match_id) pairs: for each query doc, every corpus doc
+    * it is an exact-verified near-duplicate of (n-gram Jaccard >=
+    * num/den). LSH-candidate odds match [[NearDup.minhashPairs]]:
+    * identical docs always collide; a true near-dup at j=0.8 is
+    * missed w.p. ~2e-4. Executes eagerly and releases its pinned
+    * intermediates before returning (the [[SearchIndex.query]]
+    * serving-loop discipline); `queries` is a bounded serving batch.
+    */
+  def query(spark: SparkSession, root: String, queries: DataFrame,
+      n: Int = 3, thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    // the query batch's band buckets: pinned once, feeds the bucket
+    // collect and the probe broadcast
+    val qb = IncrementalDedup.bandBuckets(queries)
+      .withColumn("bucket", bucketOf(col("band_hash")))
+      .select(col("doc_id").as("query_id"),
+        col("band_idx"), col("band_hash"), col("bucket"))
+      .localCheckpoint(true)
+    // static partition pruning: ≤ min(16·|queries|, nBuckets) ints of
+    // driver metadata, independent of corpus size
+    val buckets = qb.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cand = spark.read.parquet(s"$root/bands")
+      .where(col("bucket").isin(buckets: _*))
+      .join(broadcast(qb), Seq("bucket", "band_idx", "band_hash"))
+      .select(col("query_id").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint(true)
+    // bounded: |queries| × collisions — collected so the doc read
+    // prunes statically (rowgroup stats + bloom on doc_id)
+    val candIds = cand.select(col("doc_b")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val candDocs = spark.read.parquet(s"$root/docs")
+      .where(col("doc_id").isin(candIds: _*))
+    val postings = NearDup.postingsOf(
+      queries.select(col("doc_id"), col("text")).unionByName(candDocs), n)
+    val out = NearDup.verifyPairs(cand, postings, thresholdNum, thresholdDen)
+      .select(col("doc_a").as("query_id"), col("doc_b").as("match_id"))
+      .localCheckpoint(true)
+    postings.unpersist(blocking = false)
+    Seq(qb, cand).foreach(_.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false)))
+    out
+  }
+}

@@ -33,9 +33,15 @@ object IncrementalDedup {
   val bandsN = 16
   val rowsPerBand = 4
 
-  /** Band buckets (doc_id, band_idx, band_hash) for a static frame. */
+  /** Band buckets (doc_id, band_idx, band_hash) for a static frame.
+    * Built over UNPERSISTED postings: the signature aggregation is the
+    * only pass, and each micro-batch is a distinct plan — a cached
+    * postings per batch would accumulate in executor storage with
+    * nothing ever releasing it.
+    */
   def bandBuckets(docs: DataFrame): DataFrame =
-    NearDup.minhashSigs(docs, n = 3, numHashes = bandsN * rowsPerBand)
+    NearDup.minhashSigsFromPostings(
+        NearDup.postingsNoCache(docs, n = 3), bandsN * rowsPerBand)
       .withColumn("bands", NearDup.lshBands(col("sig"), bandsN, rowsPerBand))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
 

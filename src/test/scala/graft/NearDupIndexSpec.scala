@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.NearDup
+import graft.serving.NearDupIndex
+
+/** The materialized near-dup band index: served lookup ≡ exhaustive
+  * exact-Jaccard cross pairs, band-bucket pruning at the probe, and
+  * idempotent appends.
+  */
+class NearDupIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val corpus = docs.filter($"doc_id" >= 50)
+  private lazy val queriesDf = docs.filter($"doc_id" < 50)
+  private lazy val root: String = {
+    val p = java.nio.file.Files.createTempDirectory("neardup_index_spec").toString
+    NearDupIndex.materialize(corpus, p)
+    p
+  }
+
+  private def served(r: String): Set[(Long, Long)] = NearDupIndex
+    .query(spark, r, queriesDf).as[(Long, Long)].collect().toSet
+
+  test("served lookup equals exhaustive exact-Jaccard cross pairs") {
+    // brute force: every (query, corpus) pair exact-verified — no LSH
+    val cand = queriesDf.select($"doc_id".as("doc_a"))
+      .crossJoin(corpus.select($"doc_id".as("doc_b")))
+    val postings = NearDup.postingsOf(docs, 3)
+    val expected = NearDup.verifyPairs(cand, postings, 4, 5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    postings.unpersist()
+    val s = served(root)
+    assert(s === expected)
+    assert(s.nonEmpty, "test corpus has no cross near-dup pairs")
+  }
+
+  test("probe reads only the query's band buckets") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => findScans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(findScans)
+    }
+    @volatile var captured: Seq[Long] = Nil
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val scans = findScans(qe.executedPlan).filter(_.toString.contains("bands"))
+        if (scans.nonEmpty)
+          captured = captured ++ scans.map(_.metrics("numPartitions").value)
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // the corpus populates (essentially) all 64 buckets; one query
+      // doc has 16 bands, so its probe may touch at most 16 of them
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val total = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$root/bands/bucket=*")).length
+      assert(total > 16, s"corpus should spread over >16 buckets, got $total")
+      NearDupIndex.query(spark, root, docs.filter($"doc_id" === 0L)).collect()
+      val deadline = System.currentTimeMillis() + 30000
+      while (captured.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(captured.nonEmpty, "no bands scan captured")
+      assert(captured.max <= 16L,
+        s"one-doc probe read ${captured.max} of $total buckets")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("append half onto half equals full rebuild; replay adds nothing") {
+    val half1 = corpus.filter($"doc_id" % 2 === 0)
+    val half2 = corpus.filter($"doc_id" % 2 === 1)
+    val p = java.nio.file.Files.createTempDirectory("neardup_index_inc").toString
+    NearDupIndex.materialize(half1, p)
+    NearDupIndex.append(spark, p, half2)
+    assert(served(p) === served(root))
+    def counts() = (
+      spark.read.parquet(s"$p/bands").count(),
+      spark.read.parquet(s"$p/docs").count())
+    val before = counts()
+    NearDupIndex.append(spark, p, half2) // at-least-once replay
+    assert(counts() === before, "replayed append changed the index")
+    assert(served(p) === served(root))
+  }
+}
