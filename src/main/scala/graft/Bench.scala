@@ -99,7 +99,31 @@ object Bench {
         System.err.println(s"[bench] persist to $p FAILED: $e")
       }
     }
-    println(line)
+    // The driver keeps only the LAST ~2000 chars of output and parses
+    // the JSON it finds there; the full line above is ~3.6 KB (the 108
+    // query names alone are ~1.8 KB), so it can NEVER survive that
+    // window — that, not logging order, is why BENCH_r4/r5/r6 all came
+    // back `parsed: null`. The line we PRINT must therefore carry a
+    // bounded queries map: the BASELINE.md-compared serving family
+    // first, then the slowest remaining queries, greedily packed into
+    // a hard byte budget (window 2000 − sbt's trailing "[success]"
+    // line ≈ 1900; 1600 leaves margin). Full per-query detail lives in
+    // the two files above, pointed to by "detail".
+    def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val ordered = results.sortBy { case (k, r) =>
+      (if (servingFamily(k)) 0 else 1, -r.getOrElse(Double.MaxValue)) }
+    val errsCapped = results.collect { case (k, Left(e)) => "\"" + k + ": " + e + "\"" }
+      .take(5).mkString("[", ",", "]")
+    val fixed = s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
+      s""""queries_n":${results.size},"errors":$errsCapped,""" +
+      s""""streaming_ev_s":${d3(evPerSec)},"sf":"$sfDir",""" +
+      s""""detail":"target/bench_latest.json","queries":{}}"""
+    var room = 1600 - fixed.length
+    val picked = ordered.flatMap { case (k, r) =>
+      val e = "\"" + k + "\":" + r.fold(_ => "-1", d3)
+      if (e.length + 1 <= room) { room -= e.length + 1; Some(e) } else None
+    }
+    println(fixed.dropRight(3) + picked.mkString("{", ",", "}") + "}")
     spark.stop()
     if (results.exists(_._2.isLeft) || evPerSec < 0) sys.exit(1)
   }

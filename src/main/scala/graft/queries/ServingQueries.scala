@@ -116,6 +116,22 @@ object ServingQueries {
         max(when(col("p") === 99, col("est"))).as("p99_cents"))
   }
 
+  /** One-dim star-tree node ([[graft.serving.StarTree]]): revenue by
+    * event_type answered from the gid=3 node directory — pruned
+    * pre-aggregated rows, fact table untouched. Hash-equality with a
+    * raw GROUP BY oracle proves node build + routing lossless.
+    */
+  def starTreeByType(spark: SparkSession, dir: String): DataFrame =
+    graft.serving.StarTree.aggregate(spark, dir, Seq("event_type"))
+
+  /** Two-dim star-tree node: the (ISO dow × hour) activity profile —
+    * the same result shape as `q_hour_profile`, served from the gid=4
+    * node instead of scanning events.
+    */
+  def starTreeProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.serving.StarTree.aggregate(spark, dir,
+      Seq("day_of_week_iso", "hour_of_day"))
+
   val queries: Map[String, QFn] = Map(
     "q_topk_lookup_served" -> (topKLookupServed _),
     "q_topk_lookup_revenue" -> (topKLookupRevenue _),
@@ -123,6 +139,8 @@ object ServingQueries {
     "q_hybrid_hourly" -> (hybridHourly _),
     "q_cumulate_daily_routed" -> (cumulateDailyRouted _),
     "q_percentile_served" -> (percentilesServed _),
+    "q_startree_by_type" -> (starTreeByType _),
+    "q_startree_profile" -> (starTreeProfile _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
@@ -162,6 +180,18 @@ object ServingQueries {
          |  MAX(CASE WHEN p = 99 THEN est END) AS p99_cents
          |FROM sel s JOIN t USING (event_type)
          |GROUP BY 1, 2""".stripMargin,
+    // star-tree nodes re-checked against plain raw GROUP BYs: node
+    // build (base agg + cube re-agg) and gid routing must be lossless
+    "q_startree_by_type" ->
+      s"""SELECT event_type, count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents
+         |FROM events GROUP BY 1""".stripMargin,
+    "q_startree_profile" ->
+      s"""SELECT CAST(isodow(ts) AS BIGINT) AS day_of_week_iso,
+         |  CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_routed_daily" ->
       s"""SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,
          |  count(*) AS order_count,

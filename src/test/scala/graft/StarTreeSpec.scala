@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.serving.StarTree
+
+/** The materialized star-tree: every node ≡ a raw GROUP BY recompute,
+  * node routing hits the right grouping set, and a node read prunes to
+  * exactly one partition directory.
+  */
+class StarTreeSpec extends SparkSuite {
+
+  private lazy val events = Tables.events(spark, sfDir)
+    .select(col("event_type"),
+      (((dayofweek(col("ts")) + lit(5)) % 7) + 1).cast("long").as("day_of_week_iso"),
+      hour(col("ts")).cast("long").as("hour_of_day"),
+      col("value_cents"))
+
+  test("nodeId bitmask: requested dims clear their bit, high bit first") {
+    assert(StarTree.nodeId(StarTree.dims.toSet) === 0)
+    assert(StarTree.nodeId(Set.empty) === 7)
+    assert(StarTree.nodeId(Set("event_type")) === 3)
+    assert(StarTree.nodeId(Set("day_of_week_iso", "hour_of_day")) === 4)
+    intercept[IllegalArgumentException](StarTree.nodeId(Set("user_id")))
+  }
+
+  test("every node equals the raw GROUP BY over its dim subset") {
+    for (sub <- StarTree.dims.toSet.subsets()) {
+      val gd = StarTree.dims.filter(sub) // tree order
+      val got = StarTree.aggregate(spark, sfDir, gd)
+        .collect().map(_.toSeq).toSet
+      val expected = (if (gd.isEmpty) events.groupBy()
+                      else events.groupBy(gd.map(col): _*))
+        .agg(count(lit(1)).as("order_count"),
+          sum(col("value_cents")).as("sum_value_cents"))
+        .collect().map(_.toSeq).toSet
+      assert(got === expected, s"node for $gd diverges from raw recompute")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("a node read prunes to one partition directory") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => findScans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(findScans)
+    }
+    val df = StarTree.aggregate(spark, sfDir, Seq("event_type"))
+    df.collect()
+    val scans = findScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in the node-read plan")
+    // all 8 gid directories exist; the node read must touch exactly 1
+    assert(scans.map(_.metrics("numPartitions").value).max === 1L,
+      "node read touched more than its own gid directory")
+    val root = StarTree.materialize(spark, sfDir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gids = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/nodes/gid=*")).length
+    assert(gids === 8, s"expected 8 node directories, found $gids")
+  }
+}
