@@ -70,14 +70,20 @@ object StarTree {
       hour(col("ts")).cast("long").as("hour_of_day"),
       col("value_cents"))
 
-  /** Build every node into `root/nodes/gid=N/`. */
-  def materializeInto(spark: SparkSession, root: String, events: DataFrame): Unit = {
-    // one fact pass → full-grain base; the cube's Expand runs over
-    // ≤ |types|·7·24 rows, never the fact table
-    val base = withDims(events)
+  /** Base (full-grain) aggregate of a fact frame — the one pass that
+    * touches fact rows; map-side partial agg collapses to ≤
+    * |types|·7·24 rows before any shuffle.
+    */
+  private def baseAgg(events: DataFrame): DataFrame =
+    withDims(events)
       .groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as("order_count"),
         sum(col("value_cents")).as("sum_value_cents"))
+
+  /** Expand a base aggregate into all 2^d nodes and write them. The
+    * cube's Expand runs over the tiny base, never the fact table.
+    */
+  private def writeNodes(root: String, base: DataFrame): Unit =
     base.cube(dims.map(col): _*)
       .agg(sum(col("order_count")).as("order_count"),
         sum(col("sum_value_cents")).as("sum_value_cents"),
@@ -92,6 +98,51 @@ object StarTree {
       .sortWithinPartitions(dims.map(col): _*)
       .write.mode("overwrite").partitionBy("gid")
       .parquet(s"$root/nodes")
+
+  private def writeMeta(spark: SparkSession, root: String, lastBatchId: Long): Unit =
+    spark.range(1).select(lit(lastBatchId).as("last_batch_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+
+  /** Build every node into `root/nodes/gid=N/`. */
+  def materializeInto(spark: SparkSession, root: String, events: DataFrame): Unit = {
+    writeNodes(root, baseAgg(events))
+    writeMeta(spark, root, -1L)
+  }
+
+  /** Absorb one micro-batch into existing nodes WITHOUT re-scanning
+    * already-ingested fact data: SUM/COUNT metrics are additive, so
+    * the batch's base delta merges into the stored full-grain node by
+    * re-aggregation, and the other 2^d−1 nodes rebuild from the merged
+    * base (tiny — node rows, not fact rows). Exactly-once under
+    * foreachBatch replays via the batch-id guard: a re-delivered
+    * batchId ≤ the recorded one is a no-op ([[Serving.refreshWithBatch]]'s
+    * discipline). The merged base is pinned (localCheckpoint) before
+    * the overwrite of the directory it was read from.
+    */
+  def refresh(spark: SparkSession, root: String, newEvents: DataFrame,
+      batchId: Long): Unit = this.synchronized {
+    val metaP = new org.apache.hadoop.fs.Path(s"$root/meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaP)) { // absent root: the first batch IS the tree
+      writeNodes(root, baseAgg(newEvents))
+      writeMeta(spark, root, batchId)
+      return
+    }
+    val last = spark.read.parquet(s"$root/meta").head.getAs[Long]("last_batch_id")
+    if (batchId <= last) return // replayed batch: already applied
+    val existing = spark.read.parquet(s"$root/nodes")
+      .where(col("gid") === 0)
+      .select((dims ++ metrics).map(col): _*)
+    val merged = existing.unionByName(baseAgg(newEvents))
+      .groupBy(dims.map(col): _*)
+      .agg(sum(col("order_count")).as("order_count"),
+        sum(col("sum_value_cents")).as("sum_value_cents"))
+      .localCheckpoint(true) // pin BEFORE overwriting its own source
+    writeNodes(root, merged)
+    writeMeta(spark, root, batchId)
+    merged.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
   }
 
   // fingerprint-keyed root + in-process guard, the Serving.materialize

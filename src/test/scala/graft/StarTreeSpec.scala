@@ -38,6 +38,22 @@ class StarTreeSpec extends SparkSuite {
     }
   }
 
+  test("refresh merges a batch additively; replayed batch is a no-op") {
+    val ev = Tables.events(spark, sfDir)
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+    val half2 = ev.filter(col("event_id") % 2 === 1)
+    val inc = java.nio.file.Files.createTempDirectory("startree_inc").toString
+    val full = java.nio.file.Files.createTempDirectory("startree_full").toString
+    StarTree.materializeInto(spark, inc, half1)
+    StarTree.refresh(spark, inc, half2, batchId = 0L)
+    StarTree.materializeInto(spark, full, ev)
+    def nodes(r: String) = spark.read.parquet(s"$r/nodes")
+      .collect().map(_.toSeq).toSet
+    assert(nodes(inc) === nodes(full), "refreshed tree diverges from full rebuild")
+    StarTree.refresh(spark, inc, half2, batchId = 0L) // at-least-once replay
+    assert(nodes(inc) === nodes(full), "replayed batch changed the tree")
+  }
+
   test("a node read prunes to one partition directory") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

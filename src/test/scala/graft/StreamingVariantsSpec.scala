@@ -346,6 +346,34 @@ class StreamingVariantsSpec extends SparkSuite {
     assert(indexed === admitted)
   }
 
+  test("streaming star-tree ingest equals a batch rebuild; replay is a no-op") {
+    implicit val sql = spark.sqlContext
+    import graft.serving.StarTree
+    import graft.streaming.StarTreeIngest
+    import StreamingVariantsSpec.StarEvt
+    val evAll = Tables.events(spark, sfDir)
+    val seed = evAll.filter($"event_id" % 2 === 0)
+    val delta = evAll.filter($"event_id" % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_startree_ingest").toString
+    StarTree.materializeInto(spark, s"$dir/tree", seed)
+    val mem = MemoryStream[StarEvt]
+    delta.select($"ts", $"event_type", $"value_cents")
+      .as[StarEvt].collect().grouped(1500).foreach(mem.addData(_))
+    val q = StarTreeIngest.start(spark, mem.toDF(), s"$dir/tree", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q.awaitTermination() finally q.stop()
+    def nodes(r: String) = spark.read.parquet(s"$r/nodes")
+      .collect().map(_.toSeq).toSet
+    val full = java.nio.file.Files.createTempDirectory("graft_startree_full").toString
+    StarTree.materializeInto(spark, s"$full/tree", evAll)
+    assert(nodes(s"$dir/tree") === nodes(s"$full/tree"),
+      "stream-built tree diverges from batch rebuild")
+    // at-least-once replay: a re-delivered batch id admits nothing
+    StarTree.refresh(spark, s"$dir/tree", delta, batchId = 0L)
+    assert(nodes(s"$dir/tree") === nodes(s"$full/tree"),
+      "replayed batch changed the tree")
+  }
+
   private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(t => (t._1, (t._2, t._3))).toMap
   }
@@ -353,4 +381,5 @@ class StreamingVariantsSpec extends SparkSuite {
 
 object StreamingVariantsSpec {
   case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+  case class StarEvt(ts: java.sql.Timestamp, event_type: String, value_cents: Long)
 }
