@@ -109,6 +109,32 @@ object DocQueries {
         col("stop_ratio") <= 0.5 && col("ttr") >= 0.2)
       .select("doc_id", "n_tokens", "n_distinct")
 
+  /** Model-based quality scoring (the CCNet/fastText-classifier stage
+    * of a curation pipeline, distinct from [[docQualityFilter]]'s
+    * hand rules): a linear classifier DISTILLED TO INTEGER WEIGHTS
+    * scores every document row-locally —
+    * logit = 50·n_distinct − 8·n_tokens + 25·n_stop − 30·n_punct —
+    * rewarding lexical diversity and stopword fluency, penalizing
+    * length-repetition and punctuation noise. The weight vector is
+    * driver metadata (here literals; a learned model drops in the
+    * same way), the features are the established integer Text
+    * signals, so the score is exact and the gate hash-checks it.
+    *
+    * Scale shape: embarrassingly parallel — no shuffle, no window, no
+    * per-group sort; calibration is a fixed threshold (keep=logit≥800,
+    * both classes populated on the synthetic corpus), NOT a per-lang
+    * ntile, which would be a single-reducer sort per language.
+    */
+  def docQualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), col("lang"),
+        (lit(50L) * Text.distinctTokenCount(col("text"))
+          - lit(8L) * Text.tokenCount(col("text"))
+          + lit(25L) * Text.markerHits(col("text"), Text.stopwords)
+          - lit(30L) * Text.punctCount(col("text"))).as("logit"))
+      .withColumn("keep", (col("logit") >= 800L).cast("long"))
+  }
+
   /** Length-distribution quantiles (the cut points a percentile-based
     * quality filter uses). Exact `percentile` with linear
     * interpolation — same definition as DuckDB's quantile_cont, and
@@ -440,6 +466,7 @@ object DocQueries {
     "q_doc_stats" -> (docStats _),
     "q_doc_normalize" -> (docNormalize _),
     "q_doc_quality_filter" -> (docQualityFilter _),
+    "q_doc_quality_model" -> (docQualityModel _),
     "q_doc_length_quantiles" -> (docLengthQuantiles _),
     "q_doc_dedup_canonical" -> (dedupCanonical _),
     "q_lang_id" -> (langId _),
@@ -687,6 +714,18 @@ object DocQueries {
          |WHERE len($toks) BETWEEN 5 AND 500
          |  AND CAST(len(list_filter($toks, x -> list_contains(['the','a'], x))) AS DOUBLE) / len($toks) <= 0.5
          |  AND CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) >= 0.2""".stripMargin,
+    // the same integer-weight linear scorer, feature expressions
+    // copied from the q_doc_stats oracle
+    "q_doc_quality_model" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(50*len(list_distinct($toks)) - 8*len($toks)
+         |    + 25*len(list_filter($toks, x -> list_contains(['the','a'], x)))
+         |    - 30*strlen(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS logit,
+         |  CAST(CASE WHEN 50*len(list_distinct($toks)) - 8*len($toks)
+         |    + 25*len(list_filter($toks, x -> list_contains(['the','a'], x)))
+         |    - 30*strlen(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) >= 800
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM documents""".stripMargin,
     // Full SimHash recomputation: same md5-60-bit token hash, same
     // frequency-weighted ±1 votes, same >=0 sign rule as
     // NearDup.simhashSigs; pairs brute-forced (500 docs — the oracle
