@@ -285,18 +285,29 @@ object KMeans {
     * guard, mirroring [[graft.serving.AnnIndex.append]].
     */
   def ivfAdcAppend(idx: IvfAdcIndex, newVecs: DataFrame, scale: Long = 65536,
-      idCol: String = "vec_id", vecCol: String = "embedding"): IvfAdcIndex = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfAdcIndex =
+    IvfAdcIndex(
+      idx.codes.unionByName(stagedCodes(idx, newVecs, scale, idCol, vecCol))
+        .localCheckpoint(true),
+      idx.coarse, idx.subCB, idx.m)
+
+  /** The frozen-codebook encode + already-present anti-join shared by
+    * [[ivfAdcAppend]] (in-memory merge) and
+    * [[graft.serving.PqIndex.append]] (per-cell file append): new rows
+    * are assigned and encoded by the same expressions as the build,
+    * ids already in the index drop out, so replays add nothing.
+    */
+  private[graft] def stagedCodes(idx: IvfAdcIndex, newVecs: DataFrame,
+      scale: Long, idCol: String, vecCol: String): DataFrame = {
     val dim = idx.coarse.head.size
     val sub = dim / idx.m
-    val staged = newVecs
+    newVecs
       .select(col(idCol).as("vec_id"), quantize(vecCol, scale).as("xq"))
       .withColumn("cell", assignment(idx.coarse))
       .withColumn("res", residualCol(idx.coarse))
       .select(col("vec_id") +: col("cell") +:
         residualCodeCols(idx.subCB, idx.m, sub): _*)
       .join(idx.codes.select("vec_id"), Seq("vec_id"), "left_anti")
-    IvfAdcIndex(idx.codes.unionByName(staged).localCheckpoint(true),
-      idx.coarse, idx.subCB, idx.m)
   }
 
   /** Probe + rank against a built index. Every query-side number —

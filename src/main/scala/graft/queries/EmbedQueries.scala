@@ -272,8 +272,29 @@ object EmbedQueries {
     graft.ops.KMeans.ivfAdcQuery(idx, emb.filter(col("vec_id") < 10), topK = 5)
   }
 
+  private val pqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The same IVFADC top-5 answered from the MATERIALIZED on-disk
+    * index ([[graft.serving.PqIndex]]): codes partitioned by coarse
+    * cell, probe reads only the probed cell directories (DPP), ADC
+    * over stored codes — bit-identical to the in-memory path, so it
+    * shares `q_embed_knn_ivfadc`'s oracle.
+    */
+  def ivfAdcServed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val root = pqIndexCache.getOrElseUpdate(
+      graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet"), {
+        val p = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
+        graft.serving.PqIndex.materialize(spark, emb, p)
+        p
+      })
+    graft.serving.PqIndex.query(spark, root, emb.filter(col("vec_id") < 10), topK = 5)
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_embed_knn_ivfadc" -> (ivfAdcTop5 _),
+    "q_embed_knn_ivfadc_served" -> (ivfAdcServed _),
     "q_embed_knn_pq" -> (pqAdcKnn _),
     "q_embed_pq_codes" -> (pqCodeTable _),
     "q_embed_kmeans" -> (kmeansRefine _),
@@ -335,7 +356,7 @@ object EmbedQueries {
       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
       |WHERE rnk <= 5""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     // mirror of KMeans.pqCodes: same grid, sub-codebooks = the 16
     // lowest-id vectors' subvector slices, integer distances, ties to
     // the lowest cell; codes pivot into one row per vector.
@@ -618,4 +639,9 @@ object EmbedQueries {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin,
   )
+
+  // the served path must be bit-identical to the in-memory index, so
+  // it shares the oracle verbatim (same recompute, different plan)
+  val oracles: Map[String, String] =
+    oraclesBase + ("q_embed_knn_ivfadc_served" -> oraclesBase("q_embed_knn_ivfadc"))
 }

@@ -1,0 +1,80 @@
+package graft.serving
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.KMeans
+
+/** MATERIALIZED IVFADC index — the PQ twin of [[AnnIndex]] and the
+  * layout a billion-vector serving tier actually stores (FAISS's
+  * IVFADC on disk: m bytes of codes per vector instead of dim floats;
+  * Jégou et al. TPAMI'11 §V): the residual-PQ code table is written
+  * once as parquet PARTITIONED BY coarse cell, the two codebooks ride
+  * along as bounded metadata rows, and every query batch reads only
+  * the `nprobe` cell directories it probes.
+  *
+  * Pruning is the [[AnnIndex]] mechanism: the probe side broadcasts
+  * per-(query, probed-cell) LUT rows joined on the `cell` PARTITION
+  * column, and dynamic partition pruning turns that broadcast into a
+  * runtime directory filter on the codes scan — no driver-side query
+  * handling, files read scale with nprobe not corpus size
+  * (PqIndexSpec asserts both). Queries execute ADC over the stored
+  * codes via [[KMeans.ivfAdcQuery]] unchanged, so the served result
+  * is bit-identical to the in-memory index's — which is what the
+  * gate hash-checks.
+  *
+  * Append absorbs new vectors with FROZEN codebooks
+  * ([[KMeans.stagedCodes]]): encoded rows land as new files inside
+  * their cell directories, ids already present drop out first —
+  * replay-idempotent, per-cell, no rebuild (the realtime-segment
+  * append discipline every serving structure here follows).
+  */
+object PqIndex {
+
+  /** Build the index from scratch (overwrites `root`). */
+  def materialize(spark: SparkSession, corpus: DataFrame, root: String,
+      coarseK: Int = 8, m: Int = 16, k: Int = 64, scale: Long = 65536,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val idx = KMeans.ivfAdcIndex(corpus, coarseK, m, k, scale, idCol, vecCol)
+    idx.codes
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes")
+    val cb = idx.coarse.zipWithIndex.map { case (v, i) => ("coarse", i, v) } ++
+      idx.subCB.zipWithIndex.map { case (v, i) => ("sub", i, v) }
+    import spark.implicits._
+    cb.toDF("kind", "idx", "vec").withColumn("m", lit(idx.m))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
+  }
+
+  /** Rehydrate codebooks (bounded driver metadata — k·dim longs, the
+    * same class as IVF centroids) + the lazily-read code table.
+    */
+  def load(spark: SparkSession, root: String): KMeans.IvfAdcIndex = {
+    val rows = spark.read.parquet(s"$root/codebooks").collect()
+    def grab(kind: String): Seq[Seq[Long]] = rows
+      .filter(_.getAs[String]("kind") == kind)
+      .sortBy(_.getAs[Int]("idx"))
+      .map(r => r.getSeq[Long](r.fieldIndex("vec")).toSeq).toSeq
+    KMeans.IvfAdcIndex(spark.read.parquet(s"$root/codes"),
+      grab("coarse"), grab("sub"), rows.head.getAs[Int]("m"))
+  }
+
+  /** Incrementally admit new vectors: frozen-codebook encode, ids
+    * already present dropped, new files appended inside their cell
+    * directories. Idempotent under at-least-once replay.
+    */
+  def append(spark: SparkSession, root: String, newVecs: DataFrame,
+      scale: Long = 65536,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    KMeans.stagedCodes(load(spark, root), newVecs, scale, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$root/codes")
+
+  /** Probe + ADC-rank a query batch against the stored codes —
+    * [[KMeans.ivfAdcQuery]] over the loaded index, inheriting its
+    * everything-in-the-engine query side and cell equi-join.
+    */
+  def query(spark: SparkSession, root: String, queries: DataFrame,
+      topK: Int, nprobe: Int = 4, scale: Long = 65536,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame =
+    KMeans.ivfAdcQuery(load(spark, root), queries, topK, nprobe, scale,
+      idCol, vecCol, broadcastQueries)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.KMeans
+import graft.serving.PqIndex
+
+/** The materialized IVFADC index: served ≡ in-memory, probe reads
+  * only the probed cell directories, and appends are idempotent.
+  */
+class PqIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val queriesDf = emb.filter($"vec_id" < 10)
+  private lazy val root: String = {
+    val p = java.nio.file.Files.createTempDirectory("pq_index_spec").toString
+    PqIndex.materialize(spark, emb, p)
+    p
+  }
+
+  private def served(r: String, nprobe: Int = 4): Set[(Long, Long, Long)] =
+    PqIndex.query(spark, r, queriesDf, topK = 5, nprobe = nprobe)
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("served query equals the in-memory IVFADC index") {
+    val mem = KMeans.ivfAdcQuery(KMeans.ivfAdcIndex(emb), queriesDf, topK = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val s = served(root)
+    assert(s === mem)
+    assert(s.nonEmpty)
+  }
+
+  test("probe reads only the probed cell directories") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => findScans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(findScans)
+    }
+    val one = PqIndex.query(spark, root, emb.filter($"vec_id" === 0L),
+      topK = 5, nprobe = 2)
+    one.collect()
+    val scans = findScans(one.queryExecution.executedPlan)
+      .filter(_.toString.contains("codes"))
+    assert(scans.nonEmpty, "no codes scan in the served-query plan")
+    // 8 cell directories exist; a 1-query nprobe=2 probe may read ≤ 2
+    assert(scans.map(_.metrics("numPartitions").value).max <= 2L,
+      "probe read more cell directories than it probed")
+  }
+
+  test("append half onto half equals full rebuild; replay adds nothing") {
+    // the codebooks are the k lowest-id vectors, so the seed half must
+    // contain them for append==rebuild to be meaningful (a frozen
+    // quantizer only matches a rebuild whose training set is the same)
+    val half1 = emb.filter($"vec_id" < 250)
+    val half2 = emb.filter($"vec_id" >= 250)
+    val p = java.nio.file.Files.createTempDirectory("pq_index_inc").toString
+    PqIndex.materialize(spark, half1, p)
+    PqIndex.append(spark, p, half2)
+    def codes(r: String) = spark.read.parquet(s"$r/codes")
+      .collect().map(_.toSeq).toSet
+    assert(codes(p) === codes(root), "appended index diverges from full rebuild")
+    assert(served(p) === served(root))
+    val before = spark.read.parquet(s"$p/codes").count()
+    PqIndex.append(spark, p, half2) // at-least-once replay
+    assert(spark.read.parquet(s"$p/codes").count() === before,
+      "replayed append changed the index")
+  }
+}
