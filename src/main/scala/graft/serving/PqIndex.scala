@@ -42,20 +42,28 @@ object PqIndex {
     import spark.implicits._
     cb.toDF("kind", "idx", "vec").withColumn("m", lit(idx.m))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
+    loaded.remove(root)
   }
+
+  // loaded-index cache for the serving loop (codebook collect + file
+  // listing happen once per root); append/materialize invalidate it —
+  // a cached codes plan pins the file listing of its read time
+  private val loaded =
+    scala.collection.concurrent.TrieMap.empty[String, KMeans.IvfAdcIndex]
 
   /** Rehydrate codebooks (bounded driver metadata — k·dim longs, the
     * same class as IVF centroids) + the lazily-read code table.
     */
-  def load(spark: SparkSession, root: String): KMeans.IvfAdcIndex = {
-    val rows = spark.read.parquet(s"$root/codebooks").collect()
-    def grab(kind: String): Seq[Seq[Long]] = rows
-      .filter(_.getAs[String]("kind") == kind)
-      .sortBy(_.getAs[Int]("idx"))
-      .map(r => r.getSeq[Long](r.fieldIndex("vec")).toSeq).toSeq
-    KMeans.IvfAdcIndex(spark.read.parquet(s"$root/codes"),
-      grab("coarse"), grab("sub"), rows.head.getAs[Int]("m"))
-  }
+  def load(spark: SparkSession, root: String): KMeans.IvfAdcIndex =
+    loaded.getOrElseUpdate(root, {
+      val rows = spark.read.parquet(s"$root/codebooks").collect()
+      def grab(kind: String): Seq[Seq[Long]] = rows
+        .filter(_.getAs[String]("kind") == kind)
+        .sortBy(_.getAs[Int]("idx"))
+        .map(r => r.getSeq[Long](r.fieldIndex("vec")).toSeq).toSeq
+      KMeans.IvfAdcIndex(spark.read.parquet(s"$root/codes"),
+        grab("coarse"), grab("sub"), rows.head.getAs[Int]("m"))
+    })
 
   /** Incrementally admit new vectors: frozen-codebook encode, ids
     * already present dropped, new files appended inside their cell
@@ -63,9 +71,11 @@ object PqIndex {
     */
   def append(spark: SparkSession, root: String, newVecs: DataFrame,
       scale: Long = 65536,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     KMeans.stagedCodes(load(spark, root), newVecs, scale, idCol, vecCol)
       .write.mode("append").partitionBy("cell").parquet(s"$root/codes")
+    loaded.remove(root) // the cached codes plan pins a stale file list
+  }
 
   /** Probe + ADC-rank a query batch against the stored codes —
     * [[KMeans.ivfAdcQuery]] over the loaded index, inheriting its

@@ -164,6 +164,9 @@ object StarTree {
 
   /** Answer GROUP BY `groupDims` from the matching node: one pruned
     * partition directory of pre-aggregated rows, fact table untouched.
+    * Deliberately NOT cached: the read is a single tiny directory (the
+    * pruning StarTreeSpec asserts), and a pinned copy would go stale
+    * under [[refresh]].
     */
   def aggregate(spark: SparkSession, dataDir: String,
       groupDims: Seq[String]): DataFrame = {

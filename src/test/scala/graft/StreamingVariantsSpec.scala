@@ -346,6 +346,37 @@ class StreamingVariantsSpec extends SparkSuite {
     assert(indexed === admitted)
   }
 
+  test("streaming PQ ingest: stream-appended IVFADC index equals the batch build") {
+    import graft.serving.PqIndex
+    implicit val sql = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_ingest").toString
+    // seed: codebooks trained offline over the low-id slice (which is
+    // exactly what a full rebuild trains on), stream feeds the rest
+    PqIndex.materialize(spark, emb.filter(col("vec_id") < 250), s"$dir/index")
+    val rest = emb.filter(col("vec_id") >= 250)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    rest.grouped(100).foreach(mem.addData(_))
+    val q = graft.streaming.PqIngest.start(spark,
+      mem.toDF().toDF("vec_id", "embedding"), s"$dir/index",
+      s"$dir/ckpt", trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q.awaitTermination() finally q.stop()
+    // at-least-once replay: re-delivering a slice admits nothing
+    PqIndex.append(spark, s"$dir/index", emb.filter(col("vec_id") >= 250).limit(50))
+    val batchDir = java.nio.file.Files.createTempDirectory("graft_pq_full").toString
+    PqIndex.materialize(spark, emb, s"$batchDir/index")
+    def codes(root: String) = spark.read.parquet(s"$root/codes")
+      .collect().map(_.toSeq).toSet
+    assert(codes(s"$dir/index") === codes(s"$batchDir/index"),
+      "stream-built code table diverges from batch rebuild")
+    def served(root: String) = PqIndex.query(spark, root,
+        emb.filter(col("vec_id") < 10), topK = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served(s"$dir/index") === served(s"$batchDir/index"))
+    assert(served(s"$dir/index").nonEmpty)
+  }
+
   test("streaming star-tree ingest equals a batch rebuild; replay is a no-op") {
     implicit val sql = spark.sqlContext
     import graft.serving.StarTree
