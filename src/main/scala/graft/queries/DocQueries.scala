@@ -135,6 +135,39 @@ object DocQueries {
       .withColumn("keep", (col("logit") >= 800L).cast("long"))
   }
 
+  /** END-TO-END batch curation — the composition a training-data run
+    * actually executes, each stage an individually-gated operator:
+    * (1) model keep-set ([[docQualityModel]], logit ≥ 800);
+    * (2) exact dedup among survivors (min doc_id per md5 text);
+    * (3) near-dup collapse over what remains (Jaccard ≥ 0.5 pairs →
+    * star-contraction components, component root survives). Output is
+    * the final training set (doc_id, logit). Composing AFTER filtering
+    * is the cheap order — every dedup join runs over the already-
+    * shrunk survivor set — and each stage keeps its own plan shape
+    * (row-local scoring; hash groupBy; bucketed postings equi-joins +
+    * O(log² n) contraction rounds), so the composition inherits the
+    * per-stage 100 TB story unchanged. The oracle mirrors all three
+    * stages in one recursive-CTE pipeline, so the gate hash-checks the
+    * COMPOSITION, not just the parts.
+    */
+  def docCurate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val kept = docQualityModel(spark, dir)
+      .filter(col("keep") === 1).select(col("doc_id"), col("logit"))
+      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val reps = kept
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("logit"), col("text"))
+    val labels = NearDup.canonicalize(
+      NearDup.jaccardPairs(reps.select(col("doc_id"), col("text")),
+        n = 3, thresholdNum = 1, thresholdDen = 2))
+    reps.join(labels, Seq("doc_id"), "left")
+      .filter(col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
+      .select(col("doc_id"), col("logit"))
+  }
+
   /** Length-distribution quantiles (the cut points a percentile-based
     * quality filter uses). Exact `percentile` with linear
     * interpolation — same definition as DuckDB's quantile_cont, and
@@ -467,6 +500,7 @@ object DocQueries {
     "q_doc_normalize" -> (docNormalize _),
     "q_doc_quality_filter" -> (docQualityFilter _),
     "q_doc_quality_model" -> (docQualityModel _),
+    "q_doc_curate" -> (docCurate _),
     "q_doc_length_quantiles" -> (docLengthQuantiles _),
     "q_doc_dedup_canonical" -> (dedupCanonical _),
     "q_lang_id" -> (langId _),
@@ -478,6 +512,12 @@ object DocQueries {
   )
 
   private val toks = "string_split(text, ' ')"
+  // the quality-model logit, shared by q_doc_quality_model and the
+  // q_doc_curate pipeline oracle
+  private val logitSql =
+    s"""50*len(list_distinct($toks)) - 8*len($toks)
+       | + 25*len(list_filter($toks, x -> list_contains(['the','a'], x)))
+       | - 30*strlen(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))""".stripMargin.replace("\n", "")
   private val shingleCteBody =
     s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
        |s AS (SELECT doc_id,
@@ -714,6 +754,33 @@ object DocQueries {
          |WHERE len($toks) BETWEEN 5 AND 500
          |  AND CAST(len(list_filter($toks, x -> list_contains(['the','a'], x))) AS DOUBLE) / len($toks) <= 0.5
          |  AND CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) >= 0.2""".stripMargin,
+    // the three curation stages composed in one pipeline: model
+    // keep-set -> md5 exact dedup -> Jaccard>=0.5 recursive-CTE
+    // components (the q_doc_dedup_canonical closure over the
+    // survivor set), component root survives
+    "q_doc_curate" ->
+      s"""WITH RECURSIVE
+         |q AS (SELECT doc_id, text, CAST($logitSql AS BIGINT) AS logit
+         |      FROM documents WHERE $logitSql >= 800),
+         |e AS (SELECT q.doc_id, q.logit, q.text FROM q
+         |      JOIN (SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM q GROUP BY 1) r
+         |      USING (doc_id)),
+         |t AS (SELECT doc_id, $toks AS toks FROM e),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |            AND 3 * len(list_intersect(a.sh, b.sh)) >= 1 * (len(a.sh) + len(b.sh))),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(doc, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.doc, e2.dst FROM walk w JOIN edges e2 ON e2.src = w.r),
+         |canon AS (SELECT doc, min(r) AS root FROM walk GROUP BY doc)
+         |SELECT e.doc_id, e.logit FROM e LEFT JOIN canon c ON c.doc = e.doc_id
+         |WHERE c.doc IS NULL OR c.root = e.doc_id""".stripMargin,
     // the same integer-weight linear scorer, feature expressions
     // copied from the q_doc_stats oracle
     "q_doc_quality_model" ->
