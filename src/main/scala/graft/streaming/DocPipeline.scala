@@ -44,15 +44,49 @@ object DocPipeline {
       .select("doc_id", "fp", "lang", "source", "n_tokens")
   }
 
+  /** Decontamination AT INGEST — the streaming twin of
+    * [[graft.ops.NearDup.contaminationOverlapBloom]]: a document is
+    * dropped if ANY of its n-gram shingles might be in the benchmark
+    * bloom. Entirely row-local (shingle HOF + the codegen'd
+    * [[graft.functions.BloomExprs]] probe over a ~KB sketch literal),
+    * so it composes into the continuous query with no extra state or
+    * shuffle — the eval set itself never ships with the stream.
+    *
+    * Semantics are deliberately CONSERVATIVE: bloom false positives
+    * drop clean docs, never admit contaminated ones. Per-doc FP odds
+    * ≈ shingles·fpp, so the sketch must be sized tight
+    * ([[evalSketch]] defaults fpp = 1e-6 → ~0.02% spurious drops at
+    * 200 shingles/doc); the exact batch op remains the audit surface.
+    */
+  def decontaminate(docs: DataFrame, evalBloom: Array[Byte], n: Int = 3): DataFrame =
+    docs.filter(!exists(
+      Text.shinglesFromTokens(Text.tokens(col("text")), n),
+      s => graft.functions.BloomExprs.might_contain_long(xxhash64(s), evalBloom)))
+
+  /** Build the benchmark shingle bloom once, offline (eval sets are
+    * bounded — the sketch is driver metadata like IVF centroids).
+    */
+  def evalSketch(evalDocs: DataFrame, n: Int = 3, fpp: Double = 1e-6): Array[Byte] = {
+    val sh = evalDocs
+      .select(explode(Text.shinglesFromTokens(Text.tokens(col("text")), n)).as("sh"))
+      .distinct()
+      .select(xxhash64(col("sh")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try graft.ops.BloomJoin.buildSketch(sh, "h", math.max(sh.count(), 1024L), fpp)
+    finally sh.unpersist(blocking = false)
+  }
+
   /** Start the curation stream: `source` must carry the documents
     * schema (doc_id, text, lang, source, n_chars). Kept, deduped docs
     * append to `keptPath` as parquet with exactly-once file-sink
-    * semantics.
+    * semantics. `evalBloom` (from [[evalSketch]]) additionally drops
+    * benchmark-contaminated docs at ingest.
     */
   def start(spark: SparkSession, source: DataFrame, keptPath: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
-    curate(source)
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      evalBloom: Option[Array[Byte]] = None): StreamingQuery =
+    curate(evalBloom.fold(source)(decontaminate(source, _)))
       .dropDuplicates("fp")
       .writeStream
       .format("parquet")

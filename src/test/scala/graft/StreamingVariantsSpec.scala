@@ -346,6 +346,44 @@ class StreamingVariantsSpec extends SparkSuite {
     assert(indexed === admitted)
   }
 
+  test("ingest-time decontamination drops exactly the bloom-flagged overlap set") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.DocPipeline
+    val d = Tables.documents(spark, sfDir)
+    val eval = d.filter(col("doc_id") < 10)
+    val train = d.filter(col("doc_id") >= 10)
+    val bloom = DocPipeline.evalSketch(eval)
+    // batch-side expectation: contaminated = any shared 3-gram with
+    // the eval set (the exact op); the bloom drop must cover it —
+    // conservative, never admitting a contaminated doc
+    val contaminated = graft.ops.NearDup
+      .contaminationOverlap(train, eval, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = DocPipeline.decontaminate(train, bloom)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.intersect(contaminated).isEmpty,
+      "a contaminated doc survived ingest decontamination")
+    // at fpp=1e-6 spurious drops are ~none on this corpus: the drop
+    // set IS the exact overlap set
+    val all = train.select("doc_id").as[Long].collect().toSet
+    assert(all -- kept === contaminated, "bloom dropped clean docs")
+    // composes into the stream: the curated sink contains no
+    // contaminated fingerprints
+    val docsSeq = train
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .map(x => StreamingVariantsSpec.Doc(x._1, x._2, x._3, x._4, x._5))
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam").toString
+    val mem = MemoryStream[StreamingVariantsSpec.Doc]
+    docsSeq.grouped(200).foreach(mem.addData(_))
+    val q = DocPipeline.start(spark, mem.toDF(), s"$dir/kept", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      evalBloom = Some(bloom))
+    try q.awaitTermination() finally q.stop()
+    val sunk = spark.read.parquet(s"$dir/kept").select("doc_id").as[Long].collect().toSet
+    assert(sunk.intersect(contaminated).isEmpty)
+    assert(sunk.nonEmpty)
+  }
+
   test("streaming PQ ingest: stream-appended IVFADC index equals the batch build") {
     import graft.serving.PqIndex
     implicit val sql = spark.sqlContext
