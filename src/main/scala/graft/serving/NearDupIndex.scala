@@ -96,44 +96,53 @@ object NearDupIndex {
     * it is an exact-verified near-duplicate of (n-gram Jaccard >=
     * num/den). LSH-candidate odds match [[NearDup.minhashPairs]]:
     * identical docs always collide; a true near-dup at j=0.8 is
-    * missed w.p. ~2e-4. Executes eagerly and releases its pinned
-    * intermediates before returning (the [[SearchIndex.query]]
+    * missed w.p. ~2e-4. Executes eagerly (the [[SearchIndex.query]]
     * serving-loop discipline); `queries` is a bounded serving batch.
+    *
+    * Per-call cost is THREE jobs: the query bands are collected once
+    * (bandsN·|queries| rows — the same bounded-driver-metadata class
+    * as the bucket set they replace, and they feed both the static
+    * bucket pruning and the probe side as a local relation), the
+    * pruned probe join collects its collision pairs (|queries| ×
+    * ~1e-9-odds collisions), and verification runs over candidate
+    * docs only. Earlier shape pinned two intermediates with
+    * localCheckpoints — five jobs of scheduling for the same bounded
+    * data.
     */
   def query(spark: SparkSession, root: String, queries: DataFrame,
       n: Int = 3, thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
-    // the query batch's band buckets: pinned once, feeds the bucket
-    // collect and the probe broadcast
-    val qb = IncrementalDedup.bandBuckets(queries)
+    // job 1: the query batch's band buckets, collected — derives the
+    // static bucket pruning AND replays as the probe-side local
+    // relation (no checkpoint, no second pass)
+    val qbDf = IncrementalDedup.bandBuckets(queries)
       .withColumn("bucket", bucketOf(col("band_hash")))
       .select(col("doc_id").as("query_id"),
         col("band_idx"), col("band_hash"), col("bucket"))
-      .localCheckpoint(true)
-    // static partition pruning: ≤ min(16·|queries|, nBuckets) ints of
-    // driver metadata, independent of corpus size
-    val buckets = qb.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val cand = spark.read.parquet(s"$root/bands")
+    val qbRows = qbDf.collect()
+    val buckets = qbRows.map(_.getAs[Int]("bucket")).distinct.toSeq
+    val probe = spark.createDataFrame(
+      spark.sparkContext.parallelize(qbRows.toSeq, 1), qbDf.schema)
+    // job 2: pruned probe join → collision pairs (bounded), so the
+    // doc read below prunes statically (rowgroup stats + bloom)
+    val candRows = spark.read.parquet(s"$root/bands")
       .where(col("bucket").isin(buckets: _*))
-      .join(broadcast(qb), Seq("bucket", "band_idx", "band_hash"))
+      .join(broadcast(probe), Seq("bucket", "band_idx", "band_hash"))
       .select(col("query_id").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint(true)
-    // bounded: |queries| × collisions — collected so the doc read
-    // prunes statically (rowgroup stats + bloom on doc_id)
-    val candIds = cand.select(col("doc_b")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .collect()
+    val candIds = candRows.map(_.getLong(1)).distinct.toSeq
+    import spark.implicits._
+    val cand = candRows.map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.toDF("doc_a", "doc_b")
     val candDocs = spark.read.parquet(s"$root/docs")
       .where(col("doc_id").isin(candIds: _*))
+    // job 3: exact verification over candidate docs only
     val postings = NearDup.postingsOf(
       queries.select(col("doc_id"), col("text")).unionByName(candDocs), n)
     val out = NearDup.verifyPairs(cand, postings, thresholdNum, thresholdDen)
       .select(col("doc_a").as("query_id"), col("doc_b").as("match_id"))
       .localCheckpoint(true)
     postings.unpersist(blocking = false)
-    Seq(qb, cand).foreach(_.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false)))
     out
   }
 }
