@@ -152,6 +152,27 @@ class PlanSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("star-tree node: partition filter on gid, no fact-table scan") {
+    val p = planOf(graft.serving.StarTree.aggregate(spark, sfDir, Seq("event_type")))
+    assert(p.contains("PartitionFilters: [isnotnull(gid"), p)
+    assert(!p.contains("events.parquet"),
+      "node read must never touch the fact table\n" + p)
+  }
+
+  test("curation pipeline: equi-joins only, partial aggregation, no cartesian") {
+    val p = planOf(graft.queries.DocQueries.docCurate(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), "map-side combine missing\n" + p)
+  }
+
+  test("served IVFADC probe: dynamic partition pruning on the codes scan") {
+    val df = graft.queries.EmbedQueries.queries("q_embed_knn_ivfadc_served")(spark, sfDir)
+    val p = planOf(df)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "codes scan lost its dynamic partition-pruning expression\n" + p)
+  }
+
   test("bloom semi join: the probe filters the fact BELOW the join") {
     val p = planOf(TpchQueries.queries("q_tpch_bloom_semi")(spark, sfDir))
     val finalPlan = p.split("== Initial Plan ==").head
