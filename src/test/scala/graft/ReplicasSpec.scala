@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.serving.{Replicas, Serving}
+
+/** Replica-group routing: identical copies, deterministic key→replica
+  * pinning, and failover when a replica disappears.
+  */
+class ReplicasSpec extends SparkSuite {
+
+  private lazy val root: String = {
+    val servingRoot = Serving.materialize(spark, sfDir)
+    val r = java.nio.file.Files.createTempDirectory("graft_replicas").toString
+    Replicas.replicate(spark, s"$servingRoot/topk_by_count", r, n = 3)
+    r
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select(col("window_start_ms"), col("rank"), col("user_id"))
+      .collect().map(_.toString).toSet
+
+  test("every replica serves the identical table") {
+    val all = (0 until 3).map(i => rows(spark.read.parquet(s"$root/replica=$i")))
+    assert(all.forall(_ === all.head))
+    assert(all.head.nonEmpty)
+  }
+
+  test("routing is deterministic and actually spreads keys") {
+    val keys = (0 until 100).map(i => s"tenant-$i")
+    val routed = keys.map(Replicas.replicaFor(_, 3))
+    assert(routed === keys.map(Replicas.replicaFor(_, 3)), "routing not stable")
+    assert(routed.distinct.sorted === Seq(0, 1, 2), "keys all pinned to one replica")
+    // the routed read reports the replica the key hashes to
+    val k = keys.head
+    val (df, served) = Replicas.read(spark, root, k, n = 3)
+    assert(served === Replicas.replicaFor(k, 3))
+    assert(rows(df).nonEmpty)
+  }
+
+  test("a lost replica fails over with identical results") {
+    val k = (0 until 100).map(i => s"tenant-$i")
+      .find(Replicas.replicaFor(_, 3) == 1).get
+    val before = rows(Replicas.read(spark, root, k, n = 3)._1)
+    val victim = new org.apache.hadoop.fs.Path(s"$root/replica=1")
+    val fs = victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(victim, true)
+    val (df, served) = Replicas.read(spark, root, k, n = 3)
+    assert(served === 2, "failover must move to the next replica")
+    assert(rows(df) === before, "failover changed the served result")
+  }
+}
