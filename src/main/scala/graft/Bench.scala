@@ -50,7 +50,8 @@ object Bench {
     // sit at scheduler-jitter scale, and the ≤200 ms BASELINE bar is
     // the one claim that needs a stable floor across bench runs.
     val servingFamily = Set("q_topk_lookup_served", "q_topk_lookup_revenue",
-      "q_api_topk_global", "q_api_topk_restaurant", "q_api_topk_revenue")
+      "q_api_topk_global", "q_api_topk_restaurant", "q_api_topk_revenue",
+      "q_startree_by_type", "q_startree_profile")
     val passes = (1 to 3).map(_ => names.map { case (name, fn) => name -> run(name, fn) })
     val extra = (1 to 4).map(_ => names.collect {
       case (name, fn) if servingFamily(name) => name -> run(name, fn)
