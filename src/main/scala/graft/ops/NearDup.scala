@@ -656,4 +656,46 @@ object NearDup {
       .filter(col("dist") >= 0)
     (result, heads)
   }
+
+  /** Corpus-level segment deduplication — the CCNet/RefinedWeb "line
+    * dedup" stage (Wenzek et al. 2020; Penedo et al. 2023)
+    * re-expressed for documents without line structure: the token
+    * stream is cut into fixed `segWords`-word segments, each DISTINCT
+    * segment keeps only its first corpus occurrence (ordered by
+    * doc_id, then segment position — a total order, so the keep-set
+    * is deterministic), and every document is reassembled from its
+    * surviving segments in original order. Documents whose every
+    * segment occurred earlier drop out entirely (the fully-boilerplate
+    * case). Returns (doc_id, text_deduped, segs_kept).
+    *
+    * Scale shape: one explode (Σ segments ≈ tokens/segWords rows),
+    * then a first-occurrence `row_number` window PARTITIONed BY the
+    * segment string — key cardinality is the distinct-segment count
+    * (≈ corpus size), per-key group size is the duplicate multiplicity
+    * (exactly the mass being removed) — then a per-doc reassembly
+    * aggregation whose groups are doc-bounded. Two high-cardinality
+    * keyed shuffles, no joins, nothing driver-side; the same shuffle
+    * class as [[exactDupGroups]] one level below the document.
+    */
+  def segmentDedup(docs: DataFrame, segWords: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nSegs = floor((size(col("toks")) + lit(segWords - 1)) / lit(segWords))
+    val segs = docs
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .withColumn("seg_idx", explode(sequence(lit(0L), nSegs.cast("long") - 1)))
+      .select(col("doc_id"), col("seg_idx"),
+        concat_ws(" ", slice(col("toks"),
+          (col("seg_idx") * segWords).cast("int") + 1, lit(segWords))).as("seg"))
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
+    segs
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg")), " ").as("text_deduped"),
+        count(lit(1)).as("segs_kept"))
+  }
 }

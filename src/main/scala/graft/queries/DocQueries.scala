@@ -198,6 +198,13 @@ object DocQueries {
         (col("total_3grams") - col("distinct_3grams")).cast("double") / col("total_3grams"))
   }
 
+  /** Corpus-wide 10-word-segment dedup with document reassembly —
+    * [[NearDup.segmentDedup]]: each distinct segment survives only at
+    * its first corpus occurrence; docs reduced to nothing drop out.
+    */
+  def docSegmentDedup(spark: SparkSession, dir: String): DataFrame =
+    NearDup.segmentDedup(Tables.documents(spark, dir), segWords = 10)
+
   /** Deterministic train/val/test split: hash-bucket each doc_id into
     * 100 buckets (80/10/10). Pure function of the id — stable across
     * runs/engines, new data never reshuffles old assignments.
@@ -490,6 +497,7 @@ object DocQueries {
     "q_doc_chunk" -> (docChunk _),
     "q_doc_split" -> (docSplit _),
     "q_doc_repetition" -> (docRepetition _),
+    "q_doc_segment_dedup" -> (docSegmentDedup _),
     "q_doc_contamination" -> (docContamination _),
     "q_doc_contamination_bloom" -> (docContaminationBloom _),
     "q_doc_search_sparse" -> (docSearchSparse _),
@@ -682,6 +690,24 @@ object DocQueries {
          |    i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))) AS DOUBLE)
          |    / (len($toks) - 2) AS dup_gram_ratio
          |FROM documents WHERE len($toks) > 2""".stripMargin,
+    // segment dedup: DuckDB's unnest(generate_series) is empty when
+    // the stop bound is negative — but nseg >= 1 always (split('')
+    // yields ['']), so both engines emit >= 1 segment per doc. The
+    // first-occurrence order (doc_id, seg_idx) is total, so the
+    // keep-set — and the reassembled text — is deterministic.
+    "q_doc_segment_dedup" ->
+      s"""WITH ws AS (SELECT doc_id, $toks AS w FROM documents),
+         |idx AS (SELECT doc_id, w,
+         |  unnest(generate_series(0, CAST(ceil(len(w)/10.0) AS INT) - 1)) AS gs
+         |  FROM ws),
+         |segs AS (SELECT doc_id, CAST(gs AS BIGINT) AS seg_idx,
+         |  array_to_string(w[(gs*10+1):(gs*10+10)], ' ') AS seg FROM idx),
+         |firsts AS (SELECT doc_id, seg_idx, seg,
+         |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+         |  FROM segs)
+         |SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_deduped,
+         |  CAST(count(*) AS BIGINT) AS segs_kept
+         |FROM firsts WHERE rn = 1 GROUP BY doc_id""".stripMargin,
     "q_doc_contamination" -> contaminationOracle,
     // integer-exact TF-IDF ranking: idf = (N*10000) // df, score =
     // SUM(qtf*tf*idf) — floor/trunc division agree on positives.

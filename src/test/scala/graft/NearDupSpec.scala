@@ -261,4 +261,39 @@ class NearDupSpec extends SparkSuite {
     assert(ratios(2L) === 1.0 / 3.0)
     assert(ratios(3L) === 0.0)
   }
+
+  test("segmentDedup equals a sequential first-occurrence reference") {
+    // segWords=2 so duplicate segments are easy to plant: doc 1 owns
+    // "a b" and "c d"; doc 2 repeats "a b" (dropped) but keeps its
+    // tail; doc 3 is built ONLY of earlier segments and must vanish;
+    // doc 4 has a short trailing segment ("z") surviving intact.
+    val corpus = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "c d e f"),
+      (4L, "a b x y z"))
+    val got = NearDup.segmentDedup(corpus.toDF("doc_id", "text"), segWords = 2)
+      .select("doc_id", "text_deduped", "segs_kept")
+      .as[(Long, String, Long)].collect().toSet
+    // sequential reference over (doc_id, seg_idx) order
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = corpus.flatMap { case (id, text) =>
+      val kept = text.split(" ").grouped(2).map(_.mkString(" "))
+        .filter(seen.add).toSeq
+      if (kept.isEmpty) None else Some((id, kept.mkString(" "), kept.size.toLong))
+    }.toSet
+    assert(got === expected)
+    assert(!got.exists(_._1 == 3L)) // fully-duplicate doc vanished
+    assert(got.contains((4L, "x y z", 2L)))
+  }
+
+  test("segmentDedup keep-set is invariant to input partitioning") {
+    val base = docs.select("doc_id", "text")
+    val a = NearDup.segmentDedup(base, segWords = 10)
+      .as[(Long, String, Long)].collect().toSet
+    val b = NearDup.segmentDedup(base.repartition(13), segWords = 10)
+      .as[(Long, String, Long)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
