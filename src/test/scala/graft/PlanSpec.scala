@@ -111,6 +111,18 @@ class PlanSpec extends SparkSuite {
       !finalPlan.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("segment dedup: no joins at all, both windows/aggs keyed, no single-partition window") {
+    val p = planOf(graft.ops.NearDup.segmentDedup(
+      Tables.documents(spark, sfDir), segWords = 10))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the op is explode → seg-keyed window → doc-keyed agg: any join
+    // node (cartesian or otherwise) means the shape regressed
+    assert(!finalPlan.contains("Join"), p)
+    // the first-occurrence window must partition by the segment, not
+    // collapse to Spark's single-partition unpartitioned-window plan
+    assert(!finalPlan.contains("SinglePartition"), p)
+  }
+
   test("edit-distance pairs: candidates come from equi-joins, never a nested loop") {
     val (raw, _) = graft.ops.NearDup.editDistancePairsFrames(
       Tables.documents(spark, sfDir), 80, 5, "doc_id", "text")
