@@ -679,23 +679,39 @@ object NearDup {
     */
   def segmentDedup(docs: DataFrame, segWords: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
+    reassemble(
+      segmentsOf(docs, segWords, idCol, textCol)
+        .withColumn("rn", row_number().over(firstSeen))
+        .filter(col("rn") === 1))
+  }
+
+  /** The (doc_id, seg_idx, seg) segment stream both [[segmentDedup]]
+    * and the streaming ingest twin ([[graft.streaming.SegmentIngest]])
+    * cut: fixed `segWords`-word windows over the token stream, last
+    * segment possibly short, >= 1 segment per doc.
+    */
+  private[graft] def segmentsOf(docs: DataFrame, segWords: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nSegs = floor((size(col("toks")) + lit(segWords - 1)) / lit(segWords))
-    val segs = docs
+    docs
       .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
       .withColumn("seg_idx", explode(sequence(lit(0L), nSegs.cast("long") - 1)))
       .select(col("doc_id"), col("seg_idx"),
         concat_ws(" ", slice(col("toks"),
           (col("seg_idx") * segWords).cast("int") + 1, lit(segWords))).as("seg"))
-    val firstSeen = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
-    segs
-      .withColumn("rn", row_number().over(firstSeen))
-      .filter(col("rn") === 1)
-      .groupBy(col("doc_id"))
+  }
+
+  /** Rebuild (doc_id, text_deduped, segs_kept) from surviving
+    * segments, original order; docs with no surviving segments
+    * disappear. Per-group state is doc-bounded.
+    */
+  private[graft] def reassemble(segs: DataFrame): DataFrame =
+    segs.groupBy(col("doc_id"))
       .agg(
         array_join(transform(
           array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           s => s.getField("seg")), " ").as("text_deduped"),
         count(lit(1)).as("segs_kept"))
-  }
 }

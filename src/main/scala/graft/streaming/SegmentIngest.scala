@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.NearDup
+
+/** Ingestion-time segment dedup — the streaming twin of
+  * [[NearDup.segmentDedup]]: every micro-batch of documents is cut
+  * into fixed-width segments, each segment survives only if it is
+  * (a) the batch's own first occurrence and (b) unseen in the
+  * accumulated corpus, and surviving segments are reassembled into
+  * admitted documents. A continuously-fed corpus thus stays
+  * segment-deduped as it lands — the sub-document refinement of
+  * [[IncrementalDedup]]'s whole-document tiers.
+  *
+  * State is a parquet segment-hash index (128-bit md5 per distinct
+  * admitted segment — only hashes persist and shuffle, never segment
+  * text, the media-dedup discipline): restart-safe, shardable by
+  * hash at any size, appended idempotently per batch. Replay safety
+  * needs no explicit guard: a replayed batch finds its own segment
+  * hashes in the index, keeps nothing, and a dynamic partition
+  * overwrite of an empty frame rewrites nothing.
+  *
+  * Write order is kept-then-index: if the index append crashes, the
+  * restart recomputes the identical kept frame (the index still
+  * lacks this batch) and overwrites it in place before appending.
+  *
+  * When micro-batches arrive in ascending doc_id order, the admitted
+  * output equals batch [[NearDup.segmentDedup]] over the full corpus
+  * exactly (first-occurrence order is (arrival, doc_id, seg_idx) —
+  * identical to the batch op's (doc_id, seg_idx) total order).
+  */
+object SegmentIngest {
+
+  /** Process one micro-batch; returns the admitted (doc_id,
+    * text_deduped, segs_kept) frame for tests/inspection.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, keptPath: String,
+      indexPath: String, segWords: Int = 10): DataFrame = {
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    try {
+      val segs = NearDup.segmentsOf(b, segWords)
+        .withColumn("h", md5(col("seg")))
+      val firstInBatch = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"), col("seg_idx"))
+      // pinned: feeds both writes below — without it the anti-join
+      // would re-run for the index append (and see a half-new index)
+      val fresh = segs
+        .withColumn("rn", row_number().over(firstInBatch))
+        .filter(col("rn") === 1).drop("rn")
+        .join(readIndex(spark, indexPath), Seq("h"), "left_anti")
+        .localCheckpoint(true)
+      // kept is pinned too — it must stay evaluable after fresh's
+      // blocks are released below (callers inspect the return value)
+      val kept = NearDup.reassemble(fresh.select("doc_id", "seg_idx", "seg"))
+        .localCheckpoint(true)
+      StreamingPipeline.writeBatchIdempotent(kept, batchId, keptPath)
+      StreamingPipeline.writeBatchIdempotent(
+        fresh.select(col("h")), batchId, indexPath)
+      release(fresh)
+      kept
+    } finally { b.unpersist(); () }
+  }
+
+  private def release(pinned: DataFrame): Unit =
+    pinned.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+  /** The accumulated segment-hash index (empty before the first
+    * admit) — one FS existence RPC per batch.
+    */
+  def readIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(indexPath).select("h")
+    else spark.range(0).select(lit("").as("h"))
+  }
+
+  /** Start the ingest stream over a `documents`-schema source. */
+  def start(spark: SparkSession, source: DataFrame, keptPath: String,
+      indexPath: String, checkpoint: String, segWords: Int = 10,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the stream discards the returned frame — release its pinned
+        // blocks so a long-running ingest doesn't accumulate them
+        release(processBatch(batch, batchId, keptPath, indexPath, segWords))
+      }
+      .start()
+}

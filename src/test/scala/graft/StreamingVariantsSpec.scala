@@ -314,6 +314,43 @@ class StreamingVariantsSpec extends SparkSuite {
     assert(served(s"$dir/index").nonEmpty)
   }
 
+  test("streaming segment dedup equals batch reassembly; replay is a no-op") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.SegmentIngest
+    import graft.ops.NearDup
+    import StreamingVariantsSpec.Doc
+    // id-ordered batches: the equivalence precondition (arrival order
+    // == doc_id order makes streaming first-occurrence == batch's)
+    val docs = Tables.documents(spark, sfDir)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .sortBy(_._1).map(d => Doc(d._1, d._2, d._3, d._4, d._5))
+    val dir = java.nio.file.Files.createTempDirectory("graft_segingest").toString
+    val mem = MemoryStream[Doc]
+    val q = SegmentIngest.start(spark, mem.toDF(),
+      s"$dir/kept", s"$dir/index", s"$dir/ckpt")
+    val (first, second) = docs.splitAt(docs.size / 2)
+    try {
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def keptSet() = spark.read.parquet(s"$dir/kept")
+      .select("doc_id", "text_deduped", "segs_kept")
+      .as[(Long, String, Long)].collect().toSet
+    val streamed = keptSet()
+    val batch = NearDup.segmentDedup(Tables.documents(spark, sfDir))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed === batch)
+    // replay batch 1 (the second half, already indexed): every segment
+    // hits history, nothing is admitted, the idempotent writes touch
+    // no partitions — kept output must be unchanged
+    val replayed = SegmentIngest.processBatch(
+      second.toDF(), batchId = 1L, s"$dir/kept", s"$dir/index")
+    assert(replayed.isEmpty)
+    assert(keptSet() === streamed)
+  }
+
   test("incremental LSH dedup rejects exact/near dups vs history and within batches") {
     implicit val sql = spark.sqlContext
     import graft.streaming.IncrementalDedup
