@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, ApiQueries, DocQueries, EmbedQueries, EventQueries, MediaQueries, OlapQueries, SampleQueries, ServingQueries, SqlQueries, TemporalQueries, TpchQueries}
+import graft.queries.{AnalyticsQueries, ApiQueries, DocQueries, EmbedQueries, EventQueries, MediaQueries, OlapQueries, SampleQueries, ServingQueries, SketchQueries, SqlQueries, TemporalQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,11 +24,13 @@ object SparkEntry {
     EventQueries.queries ++ DocQueries.queries ++ EmbedQueries.queries ++
       TpchQueries.queries ++ MediaQueries.queries ++ ServingQueries.queries ++
       ApiQueries.queries ++ SqlQueries.queries ++ TemporalQueries.queries ++
-      SampleQueries.queries ++ OlapQueries.queries ++ AnalyticsQueries.queries
+      SampleQueries.queries ++ OlapQueries.queries ++ AnalyticsQueries.queries ++
+      SketchQueries.queries
 
   def oracleSql: Map[String, String] =
     EventQueries.oracles ++ DocQueries.oracles ++ EmbedQueries.oracles ++
       TpchQueries.oracles ++ MediaQueries.oracles ++ ServingQueries.oracles ++
       ApiQueries.oracles ++ SqlQueries.oracles ++ TemporalQueries.oracles ++
-      SampleQueries.oracles ++ OlapQueries.oracles ++ AnalyticsQueries.oracles
+      SampleQueries.oracles ++ OlapQueries.oracles ++ AnalyticsQueries.oracles ++
+      SketchQueries.oracles
 }

@@ -40,37 +40,50 @@ object Tables {
   def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(c * 100).cast(LongType)
 
-  /** Event stream table. The parquet stores INT64 TIMESTAMP(NANOS)
-    * which Spark 4 rejects by default — read nanos as long
-    * (legacy conf) and floor-convert to microsecond TimestampType.
-    * The generated data IS sub-microsecond (ns remainders in ~all
-    * rows), so the engine's time precision contract is µs: any oracle
-    * that compares or orders on raw ts must do so at epoch_us grain
-    * (see EventQueries q_dedup_events / q_recent_24h), not at DuckDB's
-    * native ns. Also derives `value_cents` the same way the reference
-    * derives `revenue_cents` at ingest
+  /** Event stream table. The generator's `ts` physical type has
+    * varied across testdata versions — INT64 TIMESTAMP(NANOS) (which
+    * Spark 4 reads as long under the legacy conf; floor-convert to
+    * µs) vs native timestamp[us] without timezone (which Spark reads
+    * as TIMESTAMP_NTZ; reinterpret as an instant under the session's
+    * UTC zone, matching how DuckDB's epoch_us reads the same file) —
+    * so normalize BOTH to µs TimestampType here. The engine's time
+    * precision contract stays µs: any oracle that compares or orders
+    * on raw ts does so at epoch_us grain (see EventQueries
+    * q_dedup_events / q_recent_24h). Also derives `value_cents` the
+    * same way the reference derives `revenue_cents` at ingest
     * (orders_raw_upsert_table.json:53-59).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeTs(load(spark, dir, "events"))
       .withColumn("value_cents", cents(col("value")))
   }
 
-  /** events with a time floor applied to the RAW nanosecond column
-    * BEFORE the µs derivation — a filter on the derived timestamp
-    * cannot push through the projection, but `raw_ns >= minTsMs·10⁶`
-    * is an attribute-vs-literal predicate the parquet scan prunes
-    * row groups with (exactly ⟺ derived µs ts ≥ minTsMs, since the
-    * boundary is a whole millisecond).
+  private def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+
+  /** events with a time floor applied to the RAW stored column BEFORE
+    * any derivation — a filter on a derived timestamp cannot push
+    * through the projection, but attribute-vs-literal on the stored
+    * representation (raw_ns ≥ minTsMs·10⁶, or the equivalent NTZ
+    * literal) is a predicate the parquet scan prunes row groups with
+    * (exactly ⟺ derived µs ts ≥ minTsMs, since the boundary is a
+    * whole millisecond).
     */
   def eventsFrom(spark: SparkSession, dir: String, minTsMs: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .filter(col("ts") >= lit(minTsMs * 1000000L))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      .withColumn("value_cents", cents(col("value")))
+    val raw = load(spark, dir, "events")
+    val pruned = raw.schema("ts").dataType match {
+      case LongType => raw.filter(col("ts") >= lit(minTsMs * 1000000L))
+      case TimestampNTZType => raw.filter(
+        col("ts") >= timestamp_micros(lit(minTsMs * 1000L)).cast(TimestampNTZType))
+      case _ => raw.filter(col("ts") >= timestamp_micros(lit(minTsMs * 1000L)))
+    }
+    normalizeTs(pruned).withColumn("value_cents", cents(col("value")))
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame =

@@ -237,6 +237,27 @@ object DocQueries {
     graft.ops.SparseSearch.rankedRetrieval(
       Tables.documents(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
 
+  /** Hybrid retrieval: the sparse TF-IDF leg fused with a dense
+    * cosine-KNN leg over the embeddings table (vec_id ≡ doc_id in
+    * the testdata) by integer-exact reciprocal-rank fusion
+    * ([[graft.ops.HybridSearch]]). The two legs never join — fusion
+    * is one keyed groupBy over their union — and the oracle
+    * recomputes both legs and the fused ranking end-to-end.
+    */
+  def docSearchHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val sparse = graft.ops.SparseSearch.rankedRetrieval(
+        Tables.documents(spark, dir), queryIds = qids, k = 10)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+    val emb = Tables.embeddings(spark, dir)
+    val dense = graft.ops.Ann.bruteForceKnn(
+        emb, emb.filter(col("vec_id").isInCollection(qids)), k = 10)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+    graft.ops.HybridSearch.rrfFuse(Seq(sparse, dense), k = 10)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+        col("rrf_scaled"), col("n_legs"))
+  }
+
   private val searchIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val searchIndexByPath =
@@ -501,6 +522,7 @@ object DocQueries {
     "q_doc_contamination" -> (docContamination _),
     "q_doc_contamination_bloom" -> (docContaminationBloom _),
     "q_doc_search_sparse" -> (docSearchSparse _),
+    "q_doc_search_hybrid" -> (docSearchHybrid _),
     "q_doc_search_served" -> (docSearchServed _),
     "q_doc_neardup_served" -> (docNearDupServed _),
     "q_doc_pack" -> (docPack _),
@@ -715,6 +737,41 @@ object DocQueries {
     // materialized index, so it shares the oracle.
     "q_doc_search_sparse" -> sparseSearchOracle,
     "q_doc_search_served" -> sparseSearchOracle,
+    // both legs recomputed from scratch, fused by the same scaled
+    // integer RRF (P = lcm(61..70), every addend exact)
+    "q_doc_search_hybrid" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |idf AS (SELECT tok,
+         |  ((SELECT count(*) FROM documents) * 10000) // df AS idf FROM dft),
+         |q AS (SELECT doc_id AS query_id, tok, tf AS qtf FROM tf WHERE doc_id < 5),
+         |sc AS (SELECT q.query_id, c.doc_id,
+         |    SUM(CAST(q.qtf AS HUGEINT) * c.tf * i.idf) AS score
+         |  FROM tf c JOIN q USING (tok) JOIN idf i USING (tok)
+         |  WHERE c.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |sp AS (SELECT query_id, doc_id AS id, rank FROM (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc) WHERE rank <= 10),
+         |dn AS (SELECT query_id, id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+         |               c.vec_id ASC) AS rank
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) WHERE rank <= 10),
+         |u AS (SELECT * FROM sp UNION ALL SELECT * FROM dn),
+         |f AS (SELECT query_id, id,
+         |    CAST(SUM(142813628717760 // (60 + least(rank, 10))) AS BIGINT) AS rrf_scaled,
+         |    CAST(count(*) AS BIGINT) AS n_legs
+         |  FROM u GROUP BY 1, 2)
+         |SELECT query_id, rank, id AS doc_id, rrf_scaled, n_legs FROM (
+         |  SELECT query_id, id, rrf_scaled, n_legs,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_scaled DESC, id) AS BIGINT) AS rank
+         |  FROM f) WHERE rank <= 10""".stripMargin,
     // the bloom prefilter is answer-preserving, so the scale path
     // shares the plain-join oracle verbatim
     "q_doc_contamination_bloom" -> contaminationOracle,

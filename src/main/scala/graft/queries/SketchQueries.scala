@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.KmvSketch
+
+/** Deterministic-sketch query surface — the set-expression and
+  * frequency-estimation capabilities beyond the HLL family
+  * (`OlapQueries.distinctIntersectHll`): KMV/theta distinct sketches
+  * with union/intersect/DIFFERENCE estimates, and a count-min
+  * frequency sketch expressed relationally.
+  *
+  * Unlike the HLL gates (engine-specific sketch → `est_ok` tolerance
+  * bit), everything here is md5-derived integer arithmetic both
+  * engines reproduce exactly, so the gates hash-check the ESTIMATES
+  * themselves — the approximation is part of the checked contract,
+  * not a tolerance band. Accuracy (estimates near exact) is asserted
+  * in SketchSpec; the gates also carry the exact values side by side
+  * for inspection.
+  */
+object SketchQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val K = 64
+
+  /** KMV theta-sketch set operations over click/purchase user sets:
+    * per-set distinct estimates plus intersection, DIFFERENCE
+    * (click-only users — the query HLL cannot answer), and union
+    * estimates from the composed-θ samples, with the exact values
+    * alongside. One row.
+    *
+    * Scale shape: the sketch build is one pass with bounded (k-long)
+    * partial state per group merged associatively — the same
+    * partial/final agg plan as any SUM; the set-op composition runs
+    * on two one-row sketches. At 100 TB the exact columns are the
+    * expensive distinct-joins and exist only as the gate's
+    * ground-truth half; the sketch half never shuffles more than
+    * k longs per group.
+    */
+  def distinctKmv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sk = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), KmvSketch.keyHash(col("user_id")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(KmvSketch.kmv(col("h"), K).as("sk"))
+    val est = sk.agg(
+      first(when(col("event_type") === "click", col("sk")), ignoreNulls = true)
+        .as("sk_a"),
+      first(when(col("event_type") === "purchase", col("sk")), ignoreNulls = true)
+        .as("sk_b"))
+      .withColumn("theta",
+        least(KmvSketch.theta(col("sk_a"), K), KmvSketch.theta(col("sk_b"), K)))
+      .withColumn("sa", KmvSketch.sample(col("sk_a"), col("theta")))
+      .withColumn("sb", KmvSketch.sample(col("sk_b"), col("theta")))
+      .select(
+        KmvSketch.estimate(col("sk_a"), K).as("est_a"),
+        KmvSketch.estimate(col("sk_b"), K).as("est_b"),
+        KmvSketch.scaleUp(size(array_intersect(col("sa"), col("sb"))), col("theta"))
+          .as("est_inter"),
+        KmvSketch.scaleUp(size(array_except(col("sa"), col("sb"))), col("theta"))
+          .as("est_diff"),
+        KmvSketch.scaleUp(size(array_union(col("sa"), col("sb"))), col("theta"))
+          .as("est_union"))
+    val a = ev.filter(col("event_type") === "click").select("user_id").distinct()
+    val b = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+    a.agg(count(lit(1)).as("exact_a"))
+      .crossJoin(b.agg(count(lit(1)).as("exact_b")))
+      .crossJoin(a.join(b, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("exact_inter")))
+      .crossJoin(a.join(b, Seq("user_id"), "left_anti")
+        .agg(count(lit(1)).as("exact_diff")))
+      .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("exact_union")))
+      .crossJoin(est)
+  }
+
+  private val CmDepth = 4
+  private val CmWidth = 512
+
+  /** Count-min frequency sketch expressed relationally: the sketch IS
+    * a d×w aggregated table (one row per (hash-row, bucket) with its
+    * collision-summed count) — bounded at d·w rows no matter the
+    * input size, mergeable by construction (it's a SUM group-by, so
+    * Spark's partial/final agg is exactly the sketch merge). Point
+    * estimates are a broadcast probe join + MIN over the d rows:
+    * est(key) = min_i sketch[i][h_i(key)], the classic CM guarantee
+    * est >= exact with bounded overestimate.
+    *
+    * Gate: the 20 lowest user_ids, exact count vs CM estimate — both
+    * deterministic (seeded md5 row hashes), hash-checked.
+    */
+  def freqCm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val rows = explode(sequence(lit(0), lit(CmDepth - 1))).as("i")
+    def bucket(key: org.apache.spark.sql.Column) =
+      KmvSketch.keyHash(concat_ws(":", col("i"), key)) % CmWidth
+    val sketch = ev.select(col("user_id"), rows)
+      .withColumn("bucket", bucket(col("user_id")))
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val probes = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("user_id").asc).limit(20)
+    val probeRows = probes.select(col("user_id"), col("exact_cnt"), rows)
+      .withColumn("bucket", bucket(col("user_id")))
+    probeRows.join(sketch, Seq("i", "bucket"))
+      .groupBy(col("user_id"), col("exact_cnt"))
+      .agg(min(col("c")).as("est_cnt"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q_distinct_kmv" -> (distinctKmv _),
+    "q_freq_cm" -> (freqCm _),
+  )
+
+  private val Mlit = "1152921504606846976::HUGEINT"
+
+  val oracles: Map[String, String] = Map(
+    "q_distinct_kmv" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS cnt
+         |  FROM h),
+         |sk AS (SELECT * FROM r WHERE rn <= $K),
+         |th AS (
+         |  SELECT event_type,
+         |    CASE WHEN max(cnt) < $K THEN 1152921504606846976
+         |         ELSE max(CASE WHEN rn = $K THEN h END) END AS th_own,
+         |    max(cnt) AS cnt
+         |  FROM sk GROUP BY event_type),
+         |pe AS (
+         |  SELECT event_type,
+         |    CASE WHEN cnt < $K THEN CAST(cnt AS BIGINT)
+         |         ELSE CAST(${K - 1}::HUGEINT * $Mlit // th_own AS BIGINT)
+         |    END AS est
+         |  FROM th),
+         |t AS (SELECT min(th_own) AS theta FROM th),
+         |sa AS (SELECT h FROM sk, t WHERE event_type = 'click' AND h < theta),
+         |sb AS (SELECT h FROM sk, t WHERE event_type = 'purchase' AND h < theta),
+         |ops AS (
+         |  SELECT
+         |    (SELECT count(*) FROM sa WHERE h IN (SELECT h FROM sb)) AS c_inter,
+         |    (SELECT count(*) FROM sa WHERE h NOT IN (SELECT h FROM sb)) AS c_diff,
+         |    (SELECT count(*) FROM (SELECT h FROM sa UNION SELECT h FROM sb)) AS c_union),
+         |est AS (
+         |  SELECT
+         |    (SELECT est FROM pe WHERE event_type = 'click') AS est_a,
+         |    (SELECT est FROM pe WHERE event_type = 'purchase') AS est_b,
+         |    CAST(c_inter::HUGEINT * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_inter,
+         |    CAST(c_diff::HUGEINT * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_diff,
+         |    CAST(c_union::HUGEINT * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_union
+         |  FROM ops),
+         |a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         |ex AS (
+         |  SELECT
+         |    (SELECT count(*) FROM a) AS exact_a,
+         |    (SELECT count(*) FROM b) AS exact_b,
+         |    (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS exact_inter,
+         |    (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS exact_diff,
+         |    (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS exact_union)
+         |SELECT ex.*, est.* FROM ex, est""".stripMargin,
+    "q_freq_cm" ->
+      s"""WITH d AS (SELECT unnest(range(0, $CmDepth)) AS i),
+         |s AS (
+         |  SELECT i,
+         |    ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % $CmWidth AS bucket
+         |  FROM events, d),
+         |sk AS (SELECT i, bucket, count(*) AS c FROM s GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT user_id, count(*) AS exact_cnt FROM events
+         |  GROUP BY 1 ORDER BY user_id LIMIT 20),
+         |ph AS (
+         |  SELECT user_id, exact_cnt, i,
+         |    ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % $CmWidth AS bucket
+         |  FROM probes, d)
+         |SELECT ph.user_id, ph.exact_cnt, CAST(min(sk.c) AS BIGINT) AS est_cnt
+         |FROM ph JOIN sk USING (i, bucket)
+         |GROUP BY 1, 2""".stripMargin,
+  )
+}

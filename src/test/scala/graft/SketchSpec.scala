@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.KmvSketch
+import graft.queries.SketchQueries
+
+/** KMV theta sketch + relational count-min: exactness below k,
+  * statistical accuracy above k, merge-tree (partitioning)
+  * determinism, and the CM overestimate guarantee.
+  */
+class SketchSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def sketchOf(n: Int, k: Int, parts: Int): Seq[Long] =
+    (1 to n).map(i => s"key_$i").toDF("key").repartition(parts)
+      .select(KmvSketch.keyHash(col("key")).as("h"))
+      .agg(KmvSketch.kmv(col("h"), k).as("sk"))
+      .select($"sk").as[Seq[Long]].head()
+
+  test("kmv: exact regime — unfilled sketch holds every distinct hash") {
+    val sk = sketchOf(40, 64, 5)
+    assert(sk.size == 40)
+    assert(sk == sk.sorted && sk.distinct.size == 40)
+    val est = (1 to 40).map(i => s"key_$i").toDF("key")
+      .agg(KmvSketch.estimate(
+        KmvSketch.kmv(KmvSketch.keyHash(col("key")), 64), 64).as("e"))
+      .select($"e").as[Long].head()
+    assert(est == 40L)
+  }
+
+  test("kmv: sketch state is partitioning-invariant (deterministic merge)") {
+    // bit-identical state under different merge trees is what lets
+    // the gate hash-check estimates
+    assert(sketchOf(500, 64, 1) == sketchOf(500, 64, 11))
+    // duplicates change nothing: same keys fed 3x
+    val dup = (1 to 500).flatMap(i => Seq.fill(3)(s"key_$i")).toDF("key")
+      .select(KmvSketch.keyHash(col("key")).as("h"))
+      .agg(KmvSketch.kmv(col("h"), 64).as("sk"))
+      .select($"sk").as[Seq[Long]].head()
+    assert(dup == sketchOf(500, 64, 1))
+  }
+
+  test("kmv: estimate accuracy in the approximate regime") {
+    // KMV stderr ~ 1/sqrt(k-2) ≈ 12.7% at k=64; 4σ envelope
+    for (n <- Seq(300, 1000, 5000)) {
+      val est = (1 to n).map(i => s"key_$i").toDF("key")
+        .agg(KmvSketch.estimate(
+          KmvSketch.kmv(KmvSketch.keyHash(col("key")), 64), 64).as("e"))
+        .select($"e").as[Long].head()
+      assert(math.abs(est - n) < n * 0.51, s"n=$n est=$est")
+    }
+  }
+
+  test("kmv: union sketch == sketch of union (k smallest of merged)") {
+    val a = (1 to 300).map(i => s"a_$i")
+    val b = (1 to 300).map(i => s"b_$i")
+    val direct = (a ++ b).toDF("key")
+      .select(KmvSketch.keyHash(col("key")).as("h"))
+      .agg(KmvSketch.kmv(col("h"), 64).as("sk"))
+      .select($"sk").as[Seq[Long]].head()
+    val merged = (a.map(("x", _)) ++ b.map(("y", _))).toDF("g", "key")
+      .select(col("g"), KmvSketch.keyHash(col("key")).as("h"))
+      .groupBy($"g").agg(KmvSketch.kmv(col("h"), 64).as("sk"))
+      .select(explode($"sk").as("h"))
+      .agg(KmvSketch.kmv(col("h"), 64).as("sk"))
+      .select($"sk").as[Seq[Long]].head()
+    assert(direct == merged)
+  }
+
+  test("kmv gate: set-op estimates land near the exact values") {
+    val row = SketchQueries.distinctKmv(spark, sfDir).collect().head
+    def g(n: String): Long = row.getAs[Long](n)
+    // sf0.001 has few users — sketches may be exact there; the bound
+    // below holds in both regimes
+    for (p <- Seq("a", "b", "union")) {
+      val (e, x) = (g(s"est_$p"), g(s"exact_$p"))
+      assert(math.abs(e - x) <= math.max(8L, x / 2), s"$p est=$e exact=$x")
+    }
+    // inter/diff decompose a: their θ-samples partition sample(a)
+    assert(g("est_inter") >= 0 && g("est_diff") >= 0)
+  }
+
+  test("cm gate: estimates dominate exact counts and are near them") {
+    val rows = SketchQueries.freqCm(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_cnt"), r.getAs[Long]("est_cnt"))
+      assert(est >= exact, s"CM must never underestimate: $r")
+      // d=4 independent rows over w=512 buckets: collisions add other
+      // keys' mass; at sf scale the min row is usually collision-free
+      assert(est <= exact * 50 + 200, s"implausible overestimate: $r")
+    }
+  }
+
+  test("cm sketch table is bounded at d*w rows regardless of input") {
+    val ev = Tables.events(spark, sfDir)
+    val sketch = ev.select(col("user_id"),
+        explode(sequence(lit(0), lit(3))).as("i"))
+      .withColumn("bucket",
+        KmvSketch.keyHash(concat_ws(":", col("i"), col("user_id"))) % 512)
+      .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+    assert(sketch.count() <= 4L * 512)
+  }
+}
