@@ -20,17 +20,30 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     EventQueries.topKGlobalRevenue(spark, "/root/testdata/sf0.001")
 
+  /** Every query family, listed once. `queries`/`oracleSql` fold over
+    * this, and EntrySpec's duplicate-name guard sums sizes from the
+    * same Seq — a new family can never be registered in one place but
+    * forgotten in the other.
+    */
+  val families: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (EventQueries.queries, EventQueries.oracles),
+      (DocQueries.queries, DocQueries.oracles),
+      (EmbedQueries.queries, EmbedQueries.oracles),
+      (TpchQueries.queries, TpchQueries.oracles),
+      (MediaQueries.queries, MediaQueries.oracles),
+      (ServingQueries.queries, ServingQueries.oracles),
+      (ApiQueries.queries, ApiQueries.oracles),
+      (SqlQueries.queries, SqlQueries.oracles),
+      (TemporalQueries.queries, TemporalQueries.oracles),
+      (SampleQueries.queries, SampleQueries.oracles),
+      (OlapQueries.queries, OlapQueries.oracles),
+      (AnalyticsQueries.queries, AnalyticsQueries.oracles),
+      (SketchQueries.queries, SketchQueries.oracles))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventQueries.queries ++ DocQueries.queries ++ EmbedQueries.queries ++
-      TpchQueries.queries ++ MediaQueries.queries ++ ServingQueries.queries ++
-      ApiQueries.queries ++ SqlQueries.queries ++ TemporalQueries.queries ++
-      SampleQueries.queries ++ OlapQueries.queries ++ AnalyticsQueries.queries ++
-      SketchQueries.queries
+    families.map(_._1).reduce(_ ++ _)
 
   def oracleSql: Map[String, String] =
-    EventQueries.oracles ++ DocQueries.oracles ++ EmbedQueries.oracles ++
-      TpchQueries.oracles ++ MediaQueries.oracles ++ ServingQueries.oracles ++
-      ApiQueries.oracles ++ SqlQueries.oracles ++ TemporalQueries.oracles ++
-      SampleQueries.oracles ++ OlapQueries.oracles ++ AnalyticsQueries.oracles ++
-      SketchQueries.oracles
+    families.map(_._2).reduce(_ ++ _)
 }

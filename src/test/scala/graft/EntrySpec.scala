@@ -18,16 +18,12 @@ class EntrySpec extends SparkSuite {
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked.isEmpty, s"queries without a DuckDB oracle: $unchecked")
     // the per-family maps merge with ++ — a duplicate name would
-    // silently shadow a gate entry
-    val families = Seq(
-      queries.EventQueries.queries, queries.DocQueries.queries,
-      queries.EmbedQueries.queries, queries.TpchQueries.queries,
-      queries.MediaQueries.queries, queries.ServingQueries.queries,
-      queries.ApiQueries.queries, queries.SqlQueries.queries,
-      queries.TemporalQueries.queries, queries.SampleQueries.queries,
-      queries.OlapQueries.queries, queries.AnalyticsQueries.queries)
-    assert(families.map(_.size).sum === SparkEntry.queries.size,
+    // silently shadow a gate entry. The family list is the single
+    // shared Seq in SparkEntry, so it can't go stale.
+    assert(SparkEntry.families.map(_._1.size).sum === SparkEntry.queries.size,
       "duplicate query name across family maps")
+    assert(SparkEntry.families.map(_._2.size).sum === SparkEntry.oracleSql.size,
+      "duplicate oracle name across family maps")
   }
 
   test("all queries execute and return rows at sf0.001") {

@@ -82,7 +82,11 @@ class SketchSpec extends SparkSuite {
 
   test("cm gate: estimates dominate exact counts and are near them") {
     val rows = SketchQueries.freqCm(spark, sfDir).collect()
-    assert(rows.length == 20)
+    // the probe set is limit(20) over distinct users — sf0.001 has
+    // fewer than 20, so assert against the actual distinct count
+    val distinctUsers =
+      Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.length == math.min(20L, distinctUsers) && rows.nonEmpty)
     rows.foreach { r =>
       val (exact, est) = (r.getAs[Long]("exact_cnt"), r.getAs[Long]("est_cnt"))
       assert(est >= exact, s"CM must never underestimate: $r")
