@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   * when the sketch never filled the count is exact. Set ops (theta
   * composition): θ = min of the operand thresholds, S = sketch
   * entries < θ, est = |S_a ∘ S_b| · M / θ for ∘ ∈ {∩, ∖, ∪} — all
-  * integral division, DECIMAL(38,0) on the wire (63·2^60 overflows
-  * BIGINT), HUGEINT in the oracle.
+  * integral division; the intermediate product is computed as
+  * DECIMAL(38,0) (63·2^60 overflows BIGINT) and the IntegralDivide
+  * result is BIGINT, mirrored by the oracle's HUGEINT `//` + BIGINT
+  * cast.
   */
 object KmvSketch {
   import org.apache.spark.sql.GraftShim.{column, expression}
@@ -45,7 +47,12 @@ object KmvSketch {
   private def intDiv(a: Column, b: Column): Column =
     column(IntegralDivide(expression(a), expression(b)))
 
-  /** Deterministic 60-bit key hash — the cross-engine md5 trick. */
+  /** Deterministic 60-bit key hash — the cross-engine md5 trick.
+    * Precondition: `key` must be non-null — md5(NULL) is NULL, and a
+    * NULL hash fed into [[kmv]] would decode to 0L through the
+    * scalaLong encoder, silently inserting a phantom entry. Filter
+    * nulls (`col.isNotNull`) before sketching nullable keys.
+    */
   def keyHash(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
 
@@ -110,7 +117,7 @@ object KmvSketch {
     when(size(sk) < k, lit(M)).otherwise(element_at(sk, k))
 
   /** Per-set distinct estimate: exact count while unfilled, else
-    * (k−1)·M div h_k — integral, DECIMAL(38,0) on the wire.
+    * (k−1)·M div h_k — DECIMAL(38,0) product, BIGINT result.
     */
   def estimate(sk: Column, k: Int): Column =
     when(size(sk) < k, size(sk).cast("long")).otherwise(

@@ -43,16 +43,24 @@ object SparseSearch {
   /** Top-k corpus docs per query doc, ranked by Σ qtf·tf·idf with
     * idf = (N·idfScale) div df. Self-matches are excluded. Output:
     * (query_id, doc_id, rank).
+    *
+    * Deliberately uncached: the corpus is tokenized twice (df pass +
+    * scoring pass) rather than holding a persisted postings copy
+    * whose lifecycle a lazy return value can't manage. Repeated
+    * retrieval over the same corpus should go through the
+    * materialized [[graft.serving.SearchIndex]], which stores the
+    * postings once.
     */
   def rankedRetrieval(corpus: DataFrame, queryIds: Seq[Long], k: Int,
       idfScale: Long = 10000L): DataFrame = {
     val post = termPostings(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = corpus.count()
     val idf = post.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
       .withColumn("idf", expr(s"${n * idfScale} div df"))
-    val q = post.filter(col("doc_id").isInCollection(queryIds))
+    // query postings from the pre-filtered corpus: the id filter sits
+    // below the explode instead of scanning full postings
+    val q = termPostings(corpus.filter(col("doc_id").isInCollection(queryIds)))
       .select(col("doc_id").as("query_id"), col("tok"), col("tf").as("qtf"))
     val scored = post.join(broadcast(q), "tok")
       .filter(col("doc_id") =!= col("query_id"))

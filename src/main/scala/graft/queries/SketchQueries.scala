@@ -45,11 +45,17 @@ object SketchQueries {
       .select(col("event_type"), KmvSketch.keyHash(col("user_id")).as("h"))
       .groupBy(col("event_type"))
       .agg(KmvSketch.kmv(col("h"), K).as("sk"))
+    // coalesce to an empty sketch when a set is entirely absent so the
+    // degenerate regime yields 0-estimates (matching the oracle's
+    // empty CTEs) instead of NULL-propagating through the set ops
+    val emptySk = array().cast("array<bigint>")
     val est = sk.agg(
       first(when(col("event_type") === "click", col("sk")), ignoreNulls = true)
         .as("sk_a"),
       first(when(col("event_type") === "purchase", col("sk")), ignoreNulls = true)
         .as("sk_b"))
+      .withColumn("sk_a", coalesce(col("sk_a"), emptySk))
+      .withColumn("sk_b", coalesce(col("sk_b"), emptySk))
       .withColumn("theta",
         least(KmvSketch.theta(col("sk_a"), K), KmvSketch.theta(col("sk_b"), K)))
       .withColumn("sa", KmvSketch.sample(col("sk_a"), col("theta")))
