@@ -237,21 +237,30 @@ object DocQueries {
     graft.ops.SparseSearch.rankedRetrieval(
       Tables.documents(spark, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
 
-  /** Hybrid retrieval: the sparse TF-IDF leg fused with a dense
-    * cosine-KNN leg over the embeddings table (vec_id ≡ doc_id in
-    * the testdata) by integer-exact reciprocal-rank fusion
-    * ([[graft.ops.HybridSearch]]). The two legs never join — fusion
-    * is one keyed groupBy over their union — and the oracle
-    * recomputes both legs and the fused ranking end-to-end.
+  /** Hybrid retrieval: the sparse leg served from the MATERIALIZED
+    * inverted index ([[graft.serving.SearchIndex]]) fused with a
+    * dense leg served from the MATERIALIZED IVF index
+    * ([[graft.serving.AnnIndex]], exhaustive probe ≡ brute force;
+    * vec_id ≡ doc_id in the testdata) by integer-exact
+    * reciprocal-rank fusion ([[graft.ops.HybridSearch]]) — the
+    * composition a real retrieval stack runs: every leg probes its
+    * serving index, nothing recomputes from the raw corpus
+    * (reference analog: queries always go through the materialized
+    * Pinot tables, QueryService.kt:105). The two legs never join —
+    * fusion is one keyed groupBy over their union — and the oracle
+    * recomputes both legs directly and the fused ranking end-to-end,
+    * so the gate hash-checks served ≡ direct through the fusion.
     */
   def docSearchHybrid(spark: SparkSession, dir: String): DataFrame = {
-    val qids = Seq(0L, 1L, 2L, 3L, 4L)
-    val sparse = graft.ops.SparseSearch.rankedRetrieval(
-        Tables.documents(spark, dir), queryIds = qids, k = 10)
+    val docs = Tables.documents(spark, dir)
+    val sparse = graft.serving.SearchIndex.query(spark,
+        searchIndexRoot(spark, dir), docs.filter(col("doc_id") < 5), k = 10)
       .select(col("query_id"), col("doc_id").as("id"), col("rank"))
     val emb = Tables.embeddings(spark, dir)
-    val dense = graft.ops.Ann.bruteForceKnn(
-        emb, emb.filter(col("vec_id").isInCollection(qids)), k = 10)
+    val dense = graft.serving.AnnIndex.query(spark,
+        EmbedQueries.annIndexRoot(spark, dir),
+        emb.filter(col("vec_id") < 5),
+        EmbedQueries.annCentroids(spark, dir), k = 10, nprobe = 16)
       .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
     graft.ops.HybridSearch.rrfFuse(Seq(sparse, dense), k = 10)
       .select(col("query_id"), col("rank"), col("id").as("doc_id"),
@@ -263,6 +272,25 @@ object DocQueries {
   private val searchIndexByPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Root of the materialized inverted index for `dir`'s documents,
+    * built on first use per dataset fingerprint. Regenerated-in-place
+    * datasets get a fresh index; superseded dirs for the same source
+    * path are deleted (the knnIvfServed pattern).
+    */
+  private[graft] def searchIndexRoot(spark: SparkSession, dir: String): String = {
+    val fp = Tables.fingerprint(spark, s"$dir/documents.parquet")
+    val root = searchIndexCache.getOrElseUpdate(fp, {
+      val p = java.nio.file.Files.createTempDirectory("graft_search_index").toString
+      graft.serving.SearchIndex.materialize(Tables.documents(spark, dir), p)
+      p
+    })
+    searchIndexByPath.put(dir, fp).filter(_ != fp)
+      .flatMap(searchIndexCache.remove).foreach { old =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
+      }
+    root
+  }
+
   /** Sparse retrieval served from the MATERIALIZED inverted index
     * ([[graft.serving.SearchIndex]]): term-bucket-partitioned parquet
     * written once per dataset fingerprint, then probed with the
@@ -272,19 +300,7 @@ object DocQueries {
     */
   def docSearchServed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val fp = Tables.fingerprint(spark, s"$dir/documents.parquet")
-    val root = searchIndexCache.getOrElseUpdate(fp, {
-      val p = java.nio.file.Files.createTempDirectory("graft_search_index").toString
-      graft.serving.SearchIndex.materialize(docs, p)
-      p
-    })
-    // regenerated-in-place datasets get a fresh index; drop superseded
-    // dirs for the same source path (the knnIvfServed pattern)
-    searchIndexByPath.put(dir, fp).filter(_ != fp)
-      .flatMap(searchIndexCache.remove).foreach { old =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
-      }
-    graft.serving.SearchIndex.query(spark, root,
+    graft.serving.SearchIndex.query(spark, searchIndexRoot(spark, dir),
       docs.filter(col("doc_id") < 5), k = 10)
   }
 

@@ -40,6 +40,13 @@ object EmbedQueries {
       graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet"),
       Ann.coarseCentroids(Tables.embeddings(spark, dir), nCells = 16))
 
+  /** The shared coarse quantizer, exposed for cross-family serving
+    * compositions (hybrid search's dense leg probes the same
+    * materialized IVF index as `q_embed_knn_served`).
+    */
+  private[graft] def annCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] =
+    cachedCentroids(spark, dir)
+
   /** IVF top-5 for the same queries (16 cells) — the 100 TB scale
     * path. Centroids (16 bounded driver rows — index metadata, like a
     * real IVF index's coarse quantizer) are cached per dataset so
@@ -74,23 +81,30 @@ object EmbedQueries {
     */
   def knnIvfServed(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    graft.serving.AnnIndex.query(spark, annIndexRoot(spark, dir),
+      emb.filter(col("vec_id") < 10), cachedCentroids(spark, dir),
+      k = 5, nprobe = 16)
+  }
+
+  /** Root of the materialized IVF index for `dir`'s embeddings, built
+    * on first use per dataset fingerprint. A dataset regenerated in
+    * place gets a new fingerprint and a fresh index; superseded index
+    * dirs for the same source path are deleted or they accumulate a
+    * full corpus copy each (found by round-5 review).
+    */
+  private[graft] def annIndexRoot(spark: SparkSession, dir: String): String = {
     val fp = graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet")
-    val centroids = cachedCentroids(spark, dir)
     val root = indexCache.getOrElseUpdate(fp, {
       val p = java.nio.file.Files.createTempDirectory("graft_ann_index").toString
-      graft.serving.AnnIndex.materialize(emb, centroids, p)
+      graft.serving.AnnIndex.materialize(
+        Tables.embeddings(spark, dir), cachedCentroids(spark, dir), p)
       p
     })
-    // a dataset regenerated in place gets a new fingerprint and a
-    // fresh index; superseded index dirs for the same source path are
-    // deleted or they accumulate a full corpus copy each (found by
-    // round-5 review)
     indexByPath.put(dir, fp).filter(_ != fp)
       .flatMap(indexCache.remove).foreach { old =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
       }
-    graft.serving.AnnIndex.query(spark, root,
-      emb.filter(col("vec_id") < 10), centroids, k = 5, nprobe = 16)
+    root
   }
 
   private val indexByPath =
