@@ -40,6 +40,12 @@ object KmvSketch {
   /** Hash space size: 15 hex digits = 60 bits, always positive. */
   val M: Long = 1L << 60
 
+  /** Sketch size shared by the query-time gates and the materialized
+    * serving state — the stored and direct sketches must use one k or
+    * their estimates diverge. stderr ≈ 1/√(k−2) ≈ 12.7%.
+    */
+  val DefaultK = 64
+
   /** Exact integral division (SQL `div`): the Column API only exposes
     * true division, and the estimator must floor exactly like the
     * oracle's HUGEINT `//`.

@@ -1,15 +1,22 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.KmvSketch
+import graft.functions.{CmSketch, KmvSketch}
+import graft.serving.Serving
 
 /** Deterministic-sketch query surface — the set-expression and
   * frequency-estimation capabilities beyond the HLL family
   * (`OlapQueries.distinctIntersectHll`): KMV/theta distinct sketches
   * with union/intersect/DIFFERENCE estimates, and a count-min
-  * frequency sketch expressed relationally.
+  * frequency sketch expressed relationally. Each sketch has two
+  * paths sharing one oracle: query-time (one pass over raw events)
+  * and SERVED (probing the materialized sketch state under the
+  * serving root — [[graft.serving.Serving]]'s `cm_daily` /
+  * `kmv_by_type` tables, refreshed incrementally by the streaming
+  * pipeline). Both produce identical numbers because the state
+  * merges are exact (additive counts; mergeable KMV top-k).
   *
   * Unlike the HLL gates (engine-specific sketch → `est_ok` tolerance
   * bit), everything here is md5-derived integer arithmetic both
@@ -23,7 +30,56 @@ object SketchQueries {
 
   type QFn = (SparkSession, String) => DataFrame
 
-  private val K = 64
+  private val K = KmvSketch.DefaultK
+
+  /** Set-op estimate columns from a one-row (sk_a, sk_b) frame: the
+    * theta-composition algebra shared by the query-time and served
+    * KMV entries. Sketches are coalesced to empty so a wholly-absent
+    * set yields 0-estimates (matching the oracle's empty CTEs)
+    * instead of NULL-propagating.
+    */
+  private def kmvSetEstimates(pivoted: DataFrame): DataFrame = {
+    val emptySk = array().cast("array<bigint>")
+    pivoted
+      .withColumn("sk_a", coalesce(col("sk_a"), emptySk))
+      .withColumn("sk_b", coalesce(col("sk_b"), emptySk))
+      .withColumn("theta",
+        least(KmvSketch.theta(col("sk_a"), K), KmvSketch.theta(col("sk_b"), K)))
+      .withColumn("sa", KmvSketch.sample(col("sk_a"), col("theta")))
+      .withColumn("sb", KmvSketch.sample(col("sk_b"), col("theta")))
+      .select(
+        KmvSketch.estimate(col("sk_a"), K).as("est_a"),
+        KmvSketch.estimate(col("sk_b"), K).as("est_b"),
+        KmvSketch.scaleUp(size(array_intersect(col("sa"), col("sb"))), col("theta"))
+          .as("est_inter"),
+        KmvSketch.scaleUp(size(array_except(col("sa"), col("sb"))), col("theta"))
+          .as("est_diff"),
+        KmvSketch.scaleUp(size(array_union(col("sa"), col("sb"))), col("theta"))
+          .as("est_union"))
+  }
+
+  /** Pivot per-type sketch rows to one (sk_a=click, sk_b=purchase) row. */
+  private def pivotClickPurchase(sk: DataFrame): DataFrame =
+    sk.agg(
+      first(when(col("event_type") === "click", col("sk")), ignoreNulls = true)
+        .as("sk_a"),
+      first(when(col("event_type") === "purchase", col("sk")), ignoreNulls = true)
+        .as("sk_b"))
+
+  /** The gate's ground-truth half: exact distinct-set ops from raw
+    * events — the expensive joins the sketches exist to avoid.
+    */
+  private def kmvExactSetOps(ev: DataFrame): DataFrame = {
+    val a = ev.filter(col("event_type") === "click").select("user_id").distinct()
+    val b = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+    a.agg(count(lit(1)).as("exact_a"))
+      .crossJoin(b.agg(count(lit(1)).as("exact_b")))
+      .crossJoin(a.join(b, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("exact_inter")))
+      .crossJoin(a.join(b, Seq("user_id"), "left_anti")
+        .agg(count(lit(1)).as("exact_diff")))
+      .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("exact_union")))
+  }
 
   /** KMV theta-sketch set operations over click/purchase user sets:
     * per-set distinct estimates plus intersection, DIFFERENCE
@@ -45,51 +101,46 @@ object SketchQueries {
       .select(col("event_type"), KmvSketch.keyHash(col("user_id")).as("h"))
       .groupBy(col("event_type"))
       .agg(KmvSketch.kmv(col("h"), K).as("sk"))
-    // coalesce to an empty sketch when a set is entirely absent so the
-    // degenerate regime yields 0-estimates (matching the oracle's
-    // empty CTEs) instead of NULL-propagating through the set ops
-    val emptySk = array().cast("array<bigint>")
-    val est = sk.agg(
-      first(when(col("event_type") === "click", col("sk")), ignoreNulls = true)
-        .as("sk_a"),
-      first(when(col("event_type") === "purchase", col("sk")), ignoreNulls = true)
-        .as("sk_b"))
-      .withColumn("sk_a", coalesce(col("sk_a"), emptySk))
-      .withColumn("sk_b", coalesce(col("sk_b"), emptySk))
-      .withColumn("theta",
-        least(KmvSketch.theta(col("sk_a"), K), KmvSketch.theta(col("sk_b"), K)))
-      .withColumn("sa", KmvSketch.sample(col("sk_a"), col("theta")))
-      .withColumn("sb", KmvSketch.sample(col("sk_b"), col("theta")))
-      .select(
-        KmvSketch.estimate(col("sk_a"), K).as("est_a"),
-        KmvSketch.estimate(col("sk_b"), K).as("est_b"),
-        KmvSketch.scaleUp(size(array_intersect(col("sa"), col("sb"))), col("theta"))
-          .as("est_inter"),
-        KmvSketch.scaleUp(size(array_except(col("sa"), col("sb"))), col("theta"))
-          .as("est_diff"),
-        KmvSketch.scaleUp(size(array_union(col("sa"), col("sb"))), col("theta"))
-          .as("est_union"))
-    val a = ev.filter(col("event_type") === "click").select("user_id").distinct()
-    val b = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
-    a.agg(count(lit(1)).as("exact_a"))
-      .crossJoin(b.agg(count(lit(1)).as("exact_b")))
-      .crossJoin(a.join(b, Seq("user_id"), "left_semi")
-        .agg(count(lit(1)).as("exact_inter")))
-      .crossJoin(a.join(b, Seq("user_id"), "left_anti")
-        .agg(count(lit(1)).as("exact_diff")))
-      .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("exact_union")))
-      .crossJoin(est)
+    kmvExactSetOps(ev).crossJoin(kmvSetEstimates(pivotClickPurchase(sk)))
   }
 
-  private val CmDepth = 4
-  private val CmWidth = 512
+  /** The same set-op estimates SERVED from the materialized per-type
+    * sketch state (`kmv_by_type` under the serving root) — no raw
+    * scan on the sketch half at all. Stored state is bit-identical to
+    * a direct build (exact KMV merge), so this shares
+    * [[distinctKmv]]'s oracle; the exact columns remain the gate's
+    * raw-recompute ground truth.
+    */
+  def distinctKmvServed(spark: SparkSession, dir: String): DataFrame = {
+    val sk = Serving.readTable(spark, dir, "kmv_by_type")
+      .filter(col("event_type").isin("click", "purchase"))
+    kmvExactSetOps(Tables.events(spark, dir))
+      .crossJoin(kmvSetEstimates(pivotClickPurchase(sk)))
+  }
+
+  /** The 20 lowest user_ids with exact counts, fanned out to their d
+    * probe (i, bucket) coordinates — the probe side both CM paths
+    * share (exact_cnt is the gate's ground-truth half).
+    */
+  private def cmProbes(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("user_id").asc).limit(20)
+      .select(col("user_id"), col("exact_cnt"), CmSketch.rows)
+      .withColumn("bucket", CmSketch.bucket(col("i"), col("user_id")))
+
+  /** MIN over the d probed cells — the CM point estimate. */
+  private def cmEstimate(sketch: DataFrame, probes: DataFrame): DataFrame =
+    probes.join(sketch, Seq("i", "bucket"))
+      .groupBy(col("user_id"), col("exact_cnt"))
+      .agg(min(col("c")).as("est_cnt"))
 
   /** Count-min frequency sketch expressed relationally: the sketch IS
     * a d×w aggregated table (one row per (hash-row, bucket) with its
     * collision-summed count) — bounded at d·w rows no matter the
     * input size, mergeable by construction (it's a SUM group-by, so
     * Spark's partial/final agg is exactly the sketch merge). Point
-    * estimates are a broadcast probe join + MIN over the d rows:
+    * estimates are a probe join + MIN over the d rows:
     * est(key) = min_i sketch[i][h_i(key)], the classic CM guarantee
     * est >= exact with bounded overestimate.
     *
@@ -98,96 +149,110 @@ object SketchQueries {
     */
   def freqCm(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val rows = explode(sequence(lit(0), lit(CmDepth - 1))).as("i")
-    def bucket(key: org.apache.spark.sql.Column) =
-      KmvSketch.keyHash(concat_ws(":", col("i"), key)) % CmWidth
-    val sketch = ev.select(col("user_id"), rows)
-      .withColumn("bucket", bucket(col("user_id")))
+    val sketch = ev.select(col("user_id"), CmSketch.rows)
+      .withColumn("bucket", CmSketch.bucket(col("i"), col("user_id")))
       .groupBy(col("i"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-    val probes = ev.groupBy(col("user_id"))
-      .agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("user_id").asc).limit(20)
-    val probeRows = probes.select(col("user_id"), col("exact_cnt"), rows)
-      .withColumn("bucket", bucket(col("user_id")))
-    probeRows.join(sketch, Seq("i", "bucket"))
-      .groupBy(col("user_id"), col("exact_cnt"))
-      .agg(min(col("c")).as("est_cnt"))
+    cmEstimate(sketch, cmProbes(ev))
+  }
+
+  /** The same frequency estimates SERVED from the materialized
+    * day-grain CM state (`cm_daily` under the serving root): the
+    * global sketch is SUM over the day rows per (i, bucket) — d·w
+    * bounded rows read from state, no raw-event pass on the sketch
+    * half. Additive counts make the day-rollup exactly equal a
+    * one-pass build, so this shares [[freqCm]]'s oracle.
+    */
+  def freqCmServed(spark: SparkSession, dir: String): DataFrame = {
+    val sketch = Serving.readTable(spark, dir, "cm_daily")
+      .groupBy(col("i"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+    cmEstimate(sketch, cmProbes(Tables.events(spark, dir)))
   }
 
   val queries: Map[String, QFn] = Map(
     "q_distinct_kmv" -> (distinctKmv _),
+    "q_distinct_kmv_served" -> (distinctKmvServed _),
     "q_freq_cm" -> (freqCm _),
+    "q_freq_cm_served" -> (freqCmServed _),
   )
 
   private val Mlit = "1152921504606846976::HUGEINT"
 
+  private val kmvOracle =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM events WHERE event_type IN ('click', 'purchase')),
+       |r AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS cnt
+       |  FROM h),
+       |sk AS (SELECT * FROM r WHERE rn <= $K),
+       |th AS (
+       |  SELECT event_type,
+       |    CASE WHEN max(cnt) < $K THEN 1152921504606846976
+       |         ELSE max(CASE WHEN rn = $K THEN h END) END AS th_own,
+       |    max(cnt) AS cnt
+       |  FROM sk GROUP BY event_type),
+       |pe AS (
+       |  SELECT event_type,
+       |    CASE WHEN cnt < $K THEN CAST(cnt AS BIGINT)
+       |         ELSE CAST(${K - 1}::HUGEINT * $Mlit // th_own AS BIGINT)
+       |    END AS est
+       |  FROM th),
+       |t AS (SELECT min(th_own) AS theta FROM th),
+       |sa AS (SELECT h FROM sk, t WHERE event_type = 'click' AND h < theta),
+       |sb AS (SELECT h FROM sk, t WHERE event_type = 'purchase' AND h < theta),
+       |ops AS (
+       |  SELECT
+       |    (SELECT count(*) FROM sa WHERE h IN (SELECT h FROM sb)) AS c_inter,
+       |    (SELECT count(*) FROM sa WHERE h NOT IN (SELECT h FROM sb)) AS c_diff,
+       |    (SELECT count(*) FROM (SELECT h FROM sa UNION SELECT h FROM sb)) AS c_union),
+       |est AS (
+       |  SELECT
+       |    (SELECT est FROM pe WHERE event_type = 'click') AS est_a,
+       |    (SELECT est FROM pe WHERE event_type = 'purchase') AS est_b,
+       |    CAST(c_inter::HUGEINT * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_inter,
+       |    CAST(c_diff::HUGEINT * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_diff,
+       |    CAST(c_union::HUGEINT * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_union
+       |  FROM ops),
+       |a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+       |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+       |ex AS (
+       |  SELECT
+       |    (SELECT count(*) FROM a) AS exact_a,
+       |    (SELECT count(*) FROM b) AS exact_b,
+       |    (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS exact_inter,
+       |    (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS exact_diff,
+       |    (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS exact_union)
+       |SELECT ex.*, est.* FROM ex, est""".stripMargin
+
+  private val cmOracle =
+    s"""WITH d AS (SELECT unnest(range(0, ${CmSketch.Depth})) AS i),
+       |s AS (
+       |  SELECT i,
+       |    ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % ${CmSketch.Width} AS bucket
+       |  FROM events, d),
+       |sk AS (SELECT i, bucket, count(*) AS c FROM s GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT user_id, count(*) AS exact_cnt FROM events
+       |  GROUP BY 1 ORDER BY user_id LIMIT 20),
+       |ph AS (
+       |  SELECT user_id, exact_cnt, i,
+       |    ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % ${CmSketch.Width} AS bucket
+       |  FROM probes, d)
+       |SELECT ph.user_id, ph.exact_cnt, CAST(min(sk.c) AS BIGINT) AS est_cnt
+       |FROM ph JOIN sk USING (i, bucket)
+       |GROUP BY 1, 2""".stripMargin
+
+  // the served twins share the direct paths' oracles: materialized
+  // state merges are exact, so served estimates == direct estimates
   val oracles: Map[String, String] = Map(
-    "q_distinct_kmv" ->
-      s"""WITH h AS (
-         |  SELECT DISTINCT event_type,
-         |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-         |  FROM events WHERE event_type IN ('click', 'purchase')),
-         |r AS (
-         |  SELECT event_type, h,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
-         |    count(*) OVER (PARTITION BY event_type) AS cnt
-         |  FROM h),
-         |sk AS (SELECT * FROM r WHERE rn <= $K),
-         |th AS (
-         |  SELECT event_type,
-         |    CASE WHEN max(cnt) < $K THEN 1152921504606846976
-         |         ELSE max(CASE WHEN rn = $K THEN h END) END AS th_own,
-         |    max(cnt) AS cnt
-         |  FROM sk GROUP BY event_type),
-         |pe AS (
-         |  SELECT event_type,
-         |    CASE WHEN cnt < $K THEN CAST(cnt AS BIGINT)
-         |         ELSE CAST(${K - 1}::HUGEINT * $Mlit // th_own AS BIGINT)
-         |    END AS est
-         |  FROM th),
-         |t AS (SELECT min(th_own) AS theta FROM th),
-         |sa AS (SELECT h FROM sk, t WHERE event_type = 'click' AND h < theta),
-         |sb AS (SELECT h FROM sk, t WHERE event_type = 'purchase' AND h < theta),
-         |ops AS (
-         |  SELECT
-         |    (SELECT count(*) FROM sa WHERE h IN (SELECT h FROM sb)) AS c_inter,
-         |    (SELECT count(*) FROM sa WHERE h NOT IN (SELECT h FROM sb)) AS c_diff,
-         |    (SELECT count(*) FROM (SELECT h FROM sa UNION SELECT h FROM sb)) AS c_union),
-         |est AS (
-         |  SELECT
-         |    (SELECT est FROM pe WHERE event_type = 'click') AS est_a,
-         |    (SELECT est FROM pe WHERE event_type = 'purchase') AS est_b,
-         |    CAST(c_inter::HUGEINT * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_inter,
-         |    CAST(c_diff::HUGEINT * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_diff,
-         |    CAST(c_union::HUGEINT * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_union
-         |  FROM ops),
-         |a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-         |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
-         |ex AS (
-         |  SELECT
-         |    (SELECT count(*) FROM a) AS exact_a,
-         |    (SELECT count(*) FROM b) AS exact_b,
-         |    (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS exact_inter,
-         |    (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS exact_diff,
-         |    (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS exact_union)
-         |SELECT ex.*, est.* FROM ex, est""".stripMargin,
-    "q_freq_cm" ->
-      s"""WITH d AS (SELECT unnest(range(0, $CmDepth)) AS i),
-         |s AS (
-         |  SELECT i,
-         |    ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % $CmWidth AS bucket
-         |  FROM events, d),
-         |sk AS (SELECT i, bucket, count(*) AS c FROM s GROUP BY 1, 2),
-         |probes AS (
-         |  SELECT user_id, count(*) AS exact_cnt FROM events
-         |  GROUP BY 1 ORDER BY user_id LIMIT 20),
-         |ph AS (
-         |  SELECT user_id, exact_cnt, i,
-         |    ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % $CmWidth AS bucket
-         |  FROM probes, d)
-         |SELECT ph.user_id, ph.exact_cnt, CAST(min(sk.c) AS BIGINT) AS est_cnt
-         |FROM ph JOIN sk USING (i, bucket)
-         |GROUP BY 1, 2""".stripMargin,
+    "q_distinct_kmv" -> kmvOracle,
+    "q_distinct_kmv_served" -> kmvOracle,
+    "q_freq_cm" -> cmOracle,
+    "q_freq_cm_served" -> cmOracle,
   )
 }

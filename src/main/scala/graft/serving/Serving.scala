@@ -115,6 +115,41 @@ object Serving {
         unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("bin"), col("cnt"))
 
+  /** Day-grain count-min sketch state: (day window, hash-row i,
+    * bucket) → collision-summed count — the materialized twin of the
+    * query-time CM sketch ([[graft.queries.SketchQueries.freqCm]]).
+    * Counts are additive, so incremental refresh is the same
+    * union + re-sum as [[minuteRollupAgg]], and the global sketch any
+    * frequency query wants is SUM over the day rows per (i, bucket) —
+    * exactly equal to a sketch built from raw events in one pass.
+    * State is bounded at d·w rows per day regardless of row count.
+    */
+  def dailyCmSketch(events: DataFrame): DataFrame =
+    events
+      .select(col("ts"), col("user_id"), graft.functions.CmSketch.rows)
+      .withColumn("bucket", graft.functions.CmSketch.bucket(col("i"), col("user_id")))
+      .groupBy(date_trunc("day", col("ts")).as("d"), col("i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_millis(col("d")).as("window_start_ms"),
+        col("i"), col("bucket"), col("c"))
+
+  /** Per-event-type KMV distinct-user sketches — the materialized
+    * twin of the query-time theta sketches
+    * ([[graft.queries.SketchQueries.distinctKmv]]). KMV state is
+    * mergeable exactly (k smallest distinct hashes: any hash evicted
+    * from a partial sketch can never re-enter the merged top-k), so
+    * refresh == rebuild bit-for-bit and the stored sketches answer
+    * set-expression queries (union/intersect/difference estimates)
+    * without touching raw events. Bounded: one k-long array per type.
+    */
+  def kmvTypeSketches(events: DataFrame): DataFrame = {
+    import graft.functions.KmvSketch
+    events
+      .select(col("event_type"), KmvSketch.keyHash(col("user_id")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(KmvSketch.kmv(col("h"), KmvSketch.DefaultK).as("sk"))
+  }
+
   /** Hourly per-(restaurant, user) aggregate — the keyed tables'
     * grain (restaurant_topk analog; event_type plays restaurant_id).
     */
@@ -195,6 +230,15 @@ object Serving {
       sortCols = Seq("event_type", "window_start_ms", "bin"))
   }
 
+  private def writeSketchState(root: String, cm: DataFrame, kmv: DataFrame): Unit = {
+    TableManager.writePartitioned(
+      cm.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+      s"$root/cm_daily", tsCol = "w_ts",
+      sortCols = Seq("i", "bucket"))
+    // bounded at |event types| rows — one file, plain overwrite
+    kmv.coalesce(1).write.mode("overwrite").parquet(s"$root/kmv_by_type")
+  }
+
   /** Meta row: the now-anchor (max event ts) + the last applied
     * refresh batch id (-1 = built by batch rebuild; see
     * [[refreshWithBatch]]'s replay guard).
@@ -213,7 +257,8 @@ object Serving {
     "topk_by_count", "topk_by_revenue",
     "topk_keyed_by_count", "topk_keyed_by_revenue",
     "agg_by_window", "agg_keyed_by_window",
-    "rollup_1m", "rollup_1m_users", "rollup_1m_hist", "meta")
+    "rollup_1m", "rollup_1m_users", "rollup_1m_hist",
+    "cm_daily", "kmv_by_type", "meta")
 
   /** Full build of the serving layout at `root` from an events frame
     * (batch path; the streaming path refreshes incrementally via
@@ -234,6 +279,7 @@ object Serving {
       writeAggState(root, agg, keyed)
       writeMinuteState(root, minuteRollupAgg(events), minuteUsers(events),
         minuteValueHist(events))
+      writeSketchState(root, dailyCmSketch(events), kmvTypeSketches(events))
       writeRankedTables(root, agg, keyed)
       writeMeta(spark, root, maxRow.getLong(0), -1L)
     } finally {
@@ -348,12 +394,28 @@ object Serving {
         val hist = merge(s"$root/rollup_1m_hist", minuteValueHist(batch),
           Seq("window_start_ms", "event_type", "bin"),
           Seq("cnt"))
+        // CM sketch counts are additive — same merge shape, day grain
+        val cm = merge(s"$root/cm_daily", dailyCmSketch(batch),
+          Seq("window_start_ms", "i", "bucket"), Seq("c"))
         // the one non-additive table: distinct user rows, set-union
         val musers = spark.read.parquet(s"$root/rollup_1m_users")
           .filter(col("p_date").isin(dates: _*))
           .select("window_start_ms", "event_type", "user_id")
           .unionAll(minuteUsers(batch))
           .distinct()
+          .localCheckpoint(true)
+        // KMV merge: explode the stored sketches back to hashes,
+        // union the batch's hashes, re-sketch — exact (an evicted
+        // hash can never re-enter the merged top-k), so refresh ==
+        // rebuild bit-for-bit. The whole table is |types| rows;
+        // rewrite it rather than partition-merge.
+        val kmv = spark.read.parquet(s"$root/kmv_by_type")
+          .select(col("event_type"), explode(col("sk")).as("h"))
+          .unionAll(batch.select(col("event_type"),
+            graft.functions.KmvSketch.keyHash(col("user_id")).as("h")))
+          .groupBy(col("event_type"))
+          .agg(graft.functions.KmvSketch.kmv(col("h"),
+            graft.functions.KmvSketch.DefaultK).as("sk"))
           .localCheckpoint(true)
         try {
           writeAggStatePartitions(root, agg, keyed)
@@ -368,6 +430,10 @@ object Serving {
             hist.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
             s"$root/rollup_1m_hist", "w_ts",
             Seq("event_type", "window_start_ms", "bin"))
+          TableManager.overwritePartitions(
+            cm.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+            s"$root/cm_daily", "w_ts", Seq("i", "bucket"))
+          kmv.coalesce(1).write.mode("overwrite").parquet(s"$root/kmv_by_type")
           writeRankedPartitions(root, agg, keyed)
           val oldMax = readMeta(spark, root)._1
           val batchMaxRow = batch.agg(unix_millis(max(col("ts")))).head
@@ -379,6 +445,7 @@ object Serving {
         } finally {
           agg.unpersist(); keyed.unpersist()
           roll.unpersist(); musers.unpersist(); hist.unpersist()
+          cm.unpersist(); kmv.unpersist()
           invalidate(root)
         }
       }

@@ -96,6 +96,22 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("served sketch state equals the query-time sketches") {
+    // materialized cm_daily / kmv_by_type state probed by the served
+    // entries must reproduce the direct one-pass sketches exactly —
+    // the property that lets the served gates share the oracles
+    val cmDirect = SketchQueries.freqCm(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val cmServed = SketchQueries.freqCmServed(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(cmServed === cmDirect)
+    val kmvDirect = SketchQueries.distinctKmv(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val kmvServed = SketchQueries.distinctKmvServed(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(kmvServed === kmvDirect)
+  }
+
   test("cm sketch table is bounded at d*w rows regardless of input") {
     val ev = Tables.events(spark, sfDir)
     val sketch = ev.select(col("user_id"),
