@@ -41,6 +41,18 @@ object Bench {
       }
     }
 
+    // Pre-build every lazily-materialized serving artifact ONCE,
+    // before even the warm-up pass: serving tables, search/ANN index
+    // roots. First-touch materialization otherwise lands inside
+    // whichever query reaches the root first, inflating that query's
+    // warm-up and polluting the page cache mid-pass (the round-7
+    // q_hybrid_hourly 2.7x artifact). Queries with private lazy roots
+    // (near-dup index, PQ index, star-tree nodes) still amortize in
+    // the untimed warm-up pass below.
+    graft.serving.Serving.materialize(spark, sfDir)
+    graft.queries.DocQueries.searchIndexRoot(spark, sfDir)
+    graft.queries.EmbedQueries.annIndexRoot(spark, sfDir)
+
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     names.foreach { case (name, fn) => run(name, fn) } // warm-up pass
     // Three measured passes, min per query: the shared box has ±50%
@@ -50,8 +62,9 @@ object Bench {
     // sit at scheduler-jitter scale, and the ≤200 ms BASELINE bar is
     // the one claim that needs a stable floor across bench runs.
     val servingFamily = Set("q_topk_lookup_served", "q_topk_lookup_revenue",
-      "q_api_topk_global", "q_api_topk_restaurant", "q_api_topk_revenue",
-      "q_startree_by_type", "q_startree_profile")
+      "q_topk_lookup_replica", "q_api_topk_global", "q_api_topk_restaurant",
+      "q_api_topk_revenue", "q_startree_by_type", "q_startree_profile",
+      "q_sql_topk_rollup", "q_sql_revenue_by_hour")
     val passes = (1 to 3).map(_ => names.map { case (name, fn) => name -> run(name, fn) })
     val extra = (1 to 4).map(_ => names.collect {
       case (name, fn) if servingFamily(name) => name -> run(name, fn)

@@ -33,6 +33,37 @@ object ServingQueries {
       .sortWithinPartitions(col("window_start_ms").desc, col("rank").asc)
   }
 
+  private val replicaRoots =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The count-path lookup routed through replica groups
+    * ([[graft.serving.Replicas]], the X6 analog): the materialized
+    * `topk_by_count` table is replicated n=2 on first use (keyed by
+    * serving root, so a regenerated dataset re-replicates), and the
+    * query pins to the replica its tenant key hashes to — identical
+    * results from any copy (ReplicasSpec proves copy-equality and
+    * failover), so this shares `q_topk_lookup_served`'s oracle and
+    * hash-checks the whole replicate → route → read path.
+    */
+  def topKLookupReplica(spark: SparkSession, dir: String): DataFrame = {
+    val servingRoot = Serving.materialize(spark, dir)
+    val root = replicaRoots.getOrElseUpdate(servingRoot, {
+      val p = java.nio.file.Files.createTempDirectory("graft_replicas").toString
+      graft.serving.Replicas.replicate(spark, s"$servingRoot/topk_by_count", p, n = 2)
+      p
+    })
+    val (table, _) =
+      graft.serving.Replicas.read(spark, root, key = "tenant-analytics", n = 2)
+    val t0 = Serving.anchorMs(spark, dir) - 72L * hourMs
+    table
+      .filter(col("p_date") >= Serving.utcDate(t0) &&
+        col("window_start_ms") >= t0 && col("rank") <= 3)
+      .select(col("window_start_ms"), col("rank"), col("user_id"),
+        col("order_count"), col("total_cents"))
+      .coalesce(1)
+      .sortWithinPartitions(col("window_start_ms").desc, col("rank").asc)
+  }
+
   /** Revenue-path lookup (QueryService.kt:99-129): top-10 entries
     * across the last 72 h ordered by revenue desc then window end
     * desc (user asc tie-break pinned for determinism).
@@ -134,6 +165,7 @@ object ServingQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_topk_lookup_served" -> (topKLookupServed _),
+    "q_topk_lookup_replica" -> (topKLookupReplica _),
     "q_topk_lookup_revenue" -> (topKLookupRevenue _),
     "q_routed_daily" -> (routedDaily _),
     "q_hybrid_hourly" -> (hybridHourly _),
@@ -203,6 +235,20 @@ object ServingQueries {
          |  CAST(SUM($cents) AS BIGINT) AS total_cents
          |FROM events GROUP BY 1, 2""".stripMargin,
     "q_topk_lookup_served" ->
+      s"""SELECT window_start_ms, CAST(rnk AS BIGINT) AS rank, user_id, order_count, total_cents FROM (
+         |  SELECT window_start_ms, user_id, order_count, total_cents,
+         |    row_number() OVER (PARTITION BY window_start_ms
+         |      ORDER BY order_count DESC, total_cents DESC, user_id ASC) AS rnk
+         |  FROM (SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, user_id,
+         |          count(*) AS order_count, CAST(SUM($cents) AS BIGINT) AS total_cents
+         |        FROM events GROUP BY 1, 2))
+         |WHERE rnk <= 3
+         |  AND window_start_ms >= (SELECT epoch_ms(max(ts)) - 72*3600*1000 FROM events)
+         |ORDER BY window_start_ms DESC, rnk ASC""".stripMargin,
+    // the replica route reads a byte-identical copy of the same
+    // table, so the oracle is the served lookup's — the gate then
+    // checks replicate + route + read end-to-end
+    "q_topk_lookup_replica" ->
       s"""SELECT window_start_ms, CAST(rnk AS BIGINT) AS rank, user_id, order_count, total_cents FROM (
          |  SELECT window_start_ms, user_id, order_count, total_cents,
          |    row_number() OVER (PARTITION BY window_start_ms

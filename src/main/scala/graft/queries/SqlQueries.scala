@@ -110,18 +110,24 @@ object SqlQueries {
     * literal is fingerprint-determined), so the plan is keyed by
     * (dataset fingerprint, statement name) and built once. The
     * physical plan is forced inside the scoped-conf block so the
-    * 1-partition/no-AQE shape is baked in; every call runs a fresh
-    * job over the prepared plan (eager localCheckpoint — a few
-    * result rows). Because the plan's RDD DAG is shared across
-    * calls, Spark also serves its UNCHANGED upstream exchanges from
-    * the shuffle files the first execution wrote and re-executes
-    * only the stages after the last exchange — correct here because
-    * the inputs are pinned immutable frames and invalidation drops
-    * the whole entry, and it is the broker behavior a serving
-    * system wants; but it means the warm number prices the final
-    * stage, not a cold end-to-end query (~220 ms re-planned cold).
-    * Entries for a superseded fingerprint are dropped in
-    * [[registerRollupViews]]'s cleanup. Measured: 75-77 ms/call.
+    * 1-partition/no-AQE shape is baked in. Calls return a LAZY frame
+    * over the prepared plan's RDD ([[GraftShim.overPreparedPlan]]),
+    * so one call = one job executing just that DAG. Two rejected
+    * shapes, both measured slower: an eager localCheckpoint per call
+    * doubles the jobs (checkpoint + the caller's action — ~90 ms);
+    * returning the prepared frame as-is makes the caller's action
+    * RE-PLAN the whole query under the session's live conf (AQE on,
+    * 32-wide shuffles — the scoped shape is lost entirely, ~200 ms).
+    * Because the plan's RDD DAG is shared across calls, Spark serves
+    * its UNCHANGED upstream shuffle stages from the map outputs the
+    * first execution wrote and re-executes only the final stage —
+    * correct here because the inputs are pinned immutable frames and
+    * invalidation drops the whole entry, and it is the broker
+    * behavior a serving system wants; but it means the warm number
+    * prices the final stage, not a cold end-to-end query (~220 ms
+    * re-planned cold). Entries for a superseded fingerprint are
+    * dropped in [[registerRollupViews]]'s cleanup. Measured:
+    * ~45-60 ms/call warm.
     *
     * The `sql` thunk (and the temp-view registration inside it, via
     * [[registerRollupViews]]) runs only on a cache miss: a resolved
@@ -144,7 +150,7 @@ object SqlQueries {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
       }
     })
-    prepared.localCheckpoint(true)
+    org.apache.spark.sql.GraftShim.overPreparedPlan(spark, prepared)
   }
 
   /** README sample 1: top items by revenue over the raw table. */

@@ -27,6 +27,24 @@ object GraftShim {
   def toResolvableExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Re-expose an already-planned DataFrame as a LAZY frame over its
+    * physical plan's RDD (`queryExecution.toRdd` builds the RDD DAG
+    * without executing). Actions on the result run ONE job that
+    * re-executes only the stages Spark hasn't computed yet — shuffle
+    * map stages from earlier executions of the same DAG are served
+    * from their existing map outputs — with none of the re-planning a
+    * fresh action on the original frame would do under the session's
+    * CURRENT conf (which is the point: serving plans are prepared
+    * under a scoped 1-partition/no-AQE conf and must keep that shape).
+    * `internalCreateDataFrame` is `private[sql]`, hence the forwarder.
+    */
+  def overPreparedPlan(spark: SparkSession, prepared: DataFrame): DataFrame = {
+    val classicDf = prepared.asInstanceOf[classic.DataFrame]
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      classicDf.queryExecution.toRdd, classicDf.schema, isStreaming = false)
+  }
+
   /** Register a SQL function on a LIVE session (the post-hoc twin of
     * `SparkSessionExtensions.injectFunction`, for sessions the caller
     * didn't build — e.g. the driver gate's). `sessionState` is

@@ -37,6 +37,16 @@ class ReplicasSpec extends SparkSuite {
     assert(rows(df).nonEmpty)
   }
 
+  test("replica-routed gate equals the direct served lookup from any replica") {
+    import spark.implicits._
+    val served = graft.queries.ServingQueries.topKLookupServed(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val routed = graft.queries.ServingQueries.topKLookupReplica(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(routed === served)
+    assert(routed.nonEmpty)
+  }
+
   test("a lost replica fails over with identical results") {
     val k = (0 until 100).map(i => s"tenant-$i")
       .find(Replicas.replicaFor(_, 3) == 1).get
