@@ -145,4 +145,44 @@ object NearDupIndex {
     postings.unpersist(blocking = false)
     out
   }
+
+  /** OFFLINE all-vs-index near-dup lookup: the same verified
+    * (query_id, match_id) pairs as [[query]] but fully distributed
+    * and LAZY — no collects anywhere, so `queries` can be an
+    * unbounded dataset (corpus-vs-corpus decontamination audits,
+    * candidate-batch dedup at ingest volume). The [[PqIndex.query]]
+    * `broadcastQueries=false` discipline:
+    *
+    *  - candidate generation is a SHUFFLE equi-join of the full band
+    *    index against the query bands on (bucket, band_idx,
+    *    band_hash) — banded, never all-pairs, collision odds as
+    *    [[NearDup.minhashPairs]];
+    *  - candidate docs are fetched by LEFT SEMI join on doc_id (the
+    *    bloom/rowgroup pruning of the bounded path needs a driver id
+    *    list; at offline volume the id set is data-sized, so it
+    *    stays an executor-side join);
+    *  - verification postings are built uncached
+    *    ([[NearDup.postingsNoCache]]) — a lazy return value cannot
+    *    manage a persist lifecycle, so the two verification passes
+    *    re-shingle instead (the [[SparseSearch.rankedRetrieval]]
+    *    trade).
+    */
+  def queryAll(spark: SparkSession, root: String, queries: DataFrame,
+      n: Int = 3, thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    val qb = IncrementalDedup.bandBuckets(queries)
+      .withColumn("bucket", bucketOf(col("band_hash")))
+      .select(col("doc_id").as("query_id"),
+        col("band_idx"), col("band_hash"), col("bucket"))
+    val cand = spark.read.parquet(s"$root/bands")
+      .join(qb, Seq("bucket", "band_idx", "band_hash"))
+      .select(col("query_id").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    val candDocs = spark.read.parquet(s"$root/docs")
+      .join(cand.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+    val postings = NearDup.postingsNoCache(
+      queries.select(col("doc_id"), col("text")).unionByName(candDocs), n)
+    NearDup.verifyPairs(cand, postings, thresholdNum, thresholdDen)
+      .select(col("doc_a").as("query_id"), col("doc_b").as("match_id"))
+  }
 }

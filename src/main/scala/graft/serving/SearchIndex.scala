@@ -140,13 +140,11 @@ object SearchIndex {
   private val nCache = scala.collection.concurrent.TrieMap.empty[String, Long]
   private val writeGen = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def query(spark: SparkSession, root: String, queries: DataFrame, k: Int,
-      idfScale: Long = 10000L,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  private def corpusSize(spark: SparkSession, root: String): Long = {
     // crash-replay can write a delta's meta/stats rows twice under the
     // same delta_id (see writeDelta) — collapse before summing
     val gen0 = writeGen.get()
-    val n = nCache.get(root).getOrElse {
+    nCache.get(root).getOrElse {
       val v = spark.read.parquet(s"$root/meta")
         .groupBy(col("delta_id")).agg(max(col("n_delta")).as("n_delta"))
         .agg(coalesce(sum(col("n_delta")), lit(0L))).head().getLong(0)
@@ -156,6 +154,33 @@ object SearchIndex {
       if (writeGen.get() == gen0) nCache.putIfAbsent(root, v)
       v
     }
+  }
+
+  /** Per-query-term idf from the pruned stats scan: crash-replay
+    * duplicate deltas collapse per delta_id, then df sums across
+    * deltas. `qterms` must be the distinct (bucket, tok) pairs of the
+    * query batch; `shape` decides broadcast (serving) vs shuffle
+    * (offline volume) for the term-set join.
+    */
+  private def idfOf(spark: SparkSession, root: String, qterms: DataFrame,
+      n: Long, idfScale: Long, broadcastTerms: Boolean,
+      pruneBuckets: Option[Seq[Int]] = None): DataFrame = {
+    val terms = if (broadcastTerms) broadcast(qterms) else qterms
+    val stats0 = spark.read.parquet(s"$root/stats")
+    val stats = pruneBuckets.fold(stats0)(bs => stats0.where(col("bucket").isin(bs: _*)))
+    stats.join(terms, Seq("bucket", "tok"))
+      .groupBy(col("bucket"), col("tok"), col("delta_id"))
+      .agg(max(col("df_delta")).as("df_delta"))
+      .groupBy(col("bucket"), col("tok"))
+      .agg(sum(col("df_delta")).as("df"))
+      .withColumn("idf", expr(s"${n * idfScale} div df"))
+      .select(col("bucket"), col("tok"), col("idf"))
+  }
+
+  def query(spark: SparkSession, root: String, queries: DataFrame, k: Int,
+      idfScale: Long = 10000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = corpusSize(spark, root)
     // tokenize the query batch ONCE: this subplan feeds the bucket
     // collect and two broadcasts below, and without the eager pin each
     // consumer would re-scan and re-explode the query docs (measured:
@@ -178,16 +203,9 @@ object SearchIndex {
       .where(col("bucket").isin(buckets: _*))
     // merge df deltas for the query's terms only — the stats scan is
     // pruned to the same bucket set as the postings scan
-    val idf = spark.read.parquet(s"$root/stats")
-      .where(col("bucket").isin(buckets: _*))
-      .join(broadcast(qpost.select(col("bucket"), col("tok")).distinct()),
-        Seq("bucket", "tok"))
-      .groupBy(col("bucket"), col("tok"), col("delta_id"))
-      .agg(max(col("df_delta")).as("df_delta"))
-      .groupBy(col("bucket"), col("tok"))
-      .agg(sum(col("df_delta")).as("df"))
-      .withColumn("idf", expr(s"${n * idfScale} div df"))
-      .select(col("bucket"), col("tok"), col("idf"))
+    val idf = idfOf(spark, root,
+      qpost.select(col("bucket"), col("tok")).distinct(),
+      n, idfScale, broadcastTerms = true, pruneBuckets = Some(buckets))
     val scored = post.join(broadcast(qpost), Seq("bucket", "tok"))
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(idf), Seq("bucket", "tok"))
@@ -208,5 +226,47 @@ object SearchIndex {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
     out
+  }
+
+  /** OFFLINE all-vs-index retrieval: same ranked result as [[query]]
+    * but fully distributed and LAZY — nothing touches the driver, so
+    * `queries` can be an unbounded dataset (batch re-ranking, corpus
+    * cross-linking, eval sweeps). The [[PqIndex.query]]
+    * `broadcastQueries=false` discipline applied to text search:
+    *
+    *  - no bucket-set collect / static IN pruning — an offline volume
+    *    touches most buckets anyway, and pruning was the serving
+    *    optimization for point lookups;
+    *  - the postings⋈query join is a SHUFFLE equi-join ON THE TERM
+    *    KEY (both sides term-bucketed — the classic postings-sharded
+    *    layout), not a broadcast of the query side;
+    *  - idf joins the query term set the same way (a 10k-doc batch's
+    *    vocabulary is corpus-vocab-sized — past broadcast comfort).
+    *
+    * The one driver scalar is the corpus size `n` (bounded metadata,
+    * same class as IVF centroids). Scoring is number-for-number the
+    * serving path's, so results are identical (SearchIndexSpec
+    * asserts parity on a 10k-query frame).
+    */
+  def queryAll(spark: SparkSession, root: String, queries: DataFrame, k: Int,
+      idfScale: Long = 10000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = corpusSize(spark, root)
+    val qpost = SparseSearch.termPostings(queries, idCol, textCol)
+      .select(col("doc_id").as("query_id"), col("tok"), col("tf").as("qtf"))
+      .withColumn("bucket", bucketOf(col("tok")))
+    val idf = idfOf(spark, root,
+      qpost.select(col("bucket"), col("tok")).distinct(),
+      n, idfScale, broadcastTerms = false)
+    val scored = spark.read.parquet(s"$root/postings")
+      .join(qpost, Seq("bucket", "tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(idf, Seq("bucket", "tok"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum((col("qtf") * col("tf")).cast("decimal(38,0)") * col("idf"))
+        .as("score"))
+    TopK.topKPerKey(scored, Seq("query_id"),
+        Seq(col("score").desc, col("doc_id").asc), k)
+      .select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank"))
   }
 }

@@ -76,6 +76,23 @@ class NearDupIndexSpec extends SparkSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("offline distributed lookup (queryAll) matches the serving path on a 10k-query frame") {
+    val qs = (1 to 200).map(r =>
+        queriesDf.select(($"doc_id" + lit(r * 10000L)).as("doc_id"), $"text"))
+      .reduce(_ unionByName _)
+    assert(qs.count() === 10000L)
+    val offline = NearDupIndex.queryAll(spark, root, qs)
+    val lrdd = offline.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }
+    assert(lrdd.isEmpty, "offline path must not materialize through the driver")
+    val got = offline.as[(Long, Long)].collect().toSet
+    val bounded = NearDupIndex.query(spark, root, qs)
+      .as[(Long, Long)].collect().toSet
+    assert(got === bounded)
+    assert(got.nonEmpty)
+  }
+
   test("append half onto half equals full rebuild; replay adds nothing") {
     val half1 = corpus.filter($"doc_id" % 2 === 0)
     val half2 = corpus.filter($"doc_id" % 2 === 1)

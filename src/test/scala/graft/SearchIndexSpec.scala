@@ -78,6 +78,25 @@ class SearchIndexSpec extends SparkSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("offline distributed retrieval (queryAll) matches the serving path on a 10k-query frame") {
+    val qs = (1 to 20).map(r =>
+        docs.select(($"doc_id" + lit(r * 10000L)).as("doc_id"), $"text"))
+      .reduce(_ unionByName _)
+    assert(qs.count() === 10000L)
+    val offline = SearchIndex.queryAll(spark, root, qs, k = 10)
+    // lazy + distributed: built with no collect/checkpoint, so the
+    // analyzed plan holds no driver-materialized LogicalRDD
+    val lrdd = offline.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }
+    assert(lrdd.isEmpty, "offline path must not materialize through the driver")
+    val got = offline.as[(Long, Long, Long)].collect().toSet
+    val bounded = SearchIndex.query(spark, root, qs, k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === bounded)
+    assert(got.nonEmpty)
+  }
+
   test("append half onto half equals full rebuild; replay adds nothing anywhere") {
     val half1 = docs.filter($"doc_id" % 2 === 0)
     val half2 = docs.filter($"doc_id" % 2 === 1)
