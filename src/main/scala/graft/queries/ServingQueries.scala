@@ -163,6 +163,17 @@ object ServingQueries {
     graft.serving.StarTree.aggregate(spark, dir,
       Seq("day_of_week_iso", "hour_of_day"))
 
+  /** COMPOSED dim+grain routing ([[graft.serving.Router
+    * .aggregateProfile]]): a (event_type × hour-of-day) profile
+    * request routed per query shape — this one lands on the star-tree
+    * gid=2 node, a single pruned pre-aggregated directory (RouterSpec
+    * asserts the 1-directory plan; the grain and raw arms are
+    * spec-covered there too). Hash-checked against a raw GROUP BY.
+    */
+  def routedProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.serving.Router.aggregateProfile(spark, dir,
+      Seq("event_type", "hour_of_day"))
+
   val queries: Map[String, QFn] = Map(
     "q_topk_lookup_served" -> (topKLookupServed _),
     "q_topk_lookup_replica" -> (topKLookupReplica _),
@@ -173,6 +184,7 @@ object ServingQueries {
     "q_percentile_served" -> (percentilesServed _),
     "q_startree_by_type" -> (starTreeByType _),
     "q_startree_profile" -> (starTreeProfile _),
+    "q_routed_profile" -> (routedProfile _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
@@ -221,6 +233,11 @@ object ServingQueries {
     "q_startree_profile" ->
       s"""SELECT CAST(isodow(ts) AS BIGINT) AS day_of_week_iso,
          |  CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_routed_profile" ->
+      s"""SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
          |  count(*) AS order_count,
          |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents
          |FROM events GROUP BY 1, 2""".stripMargin,

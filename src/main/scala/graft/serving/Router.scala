@@ -79,6 +79,50 @@ object Router {
   private def bucket(ms: org.apache.spark.sql.Column, grainMs: Long) =
     (ms - pmod(ms, lit(grainMs))).as("window_start_ms")
 
+  /** COMPOSED routing: dimension subset AND time grain decide the
+    * source per query, the way Pinot's broker picks star-tree vs
+    * rollup vs raw segments per query shape:
+    *
+    *  - no time grain, dims within the star-tree → the matching
+    *    pre-aggregated NODE: one pruned `gid` partition directory,
+    *    fact table untouched ([[StarTree.aggregate]]);
+    *  - a time grain over `event_type` → the grain router
+    *    ([[aggregateByType]]: hourly serving table when the grain
+    *    divides the hour, else raw);
+    *  - anything else (a dim outside the tree, or grain + profile
+    *    dims) → raw — the only source that can answer it. High-card
+    *    dims like user_id are outside the tree BY CONTRACT (Pinot
+    *    likewise excludes them), so this arm is the correct route,
+    *    not a missed optimization.
+    *
+    * Metric names are unified to (order_count, sum_value_cents)
+    * across arms so callers can switch routes without rewrites.
+    */
+  def aggregateProfile(spark: SparkSession, dataDir: String,
+      groupDims: Seq[String], grainMs: Long = 0L): DataFrame = {
+    if (grainMs <= 0L && groupDims.nonEmpty &&
+        groupDims.toSet.subsetOf(StarTree.dims.toSet))
+      StarTree.aggregate(spark, dataDir, groupDims)
+    else if (grainMs > 0L && groupDims == Seq("event_type"))
+      aggregateByType(spark, dataDir, grainMs)
+        .withColumnRenamed("total_cents", "sum_value_cents")
+    else {
+      val base = Tables.events(spark, dataDir).select(
+        col("event_type"), col("user_id"),
+        (((dayofweek(col("ts")) + lit(5)) % 7) + 1).cast("long")
+          .as("day_of_week_iso"),
+        hour(col("ts")).cast("long").as("hour_of_day"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("value_cents"))
+      val keys =
+        (if (grainMs > 0L) Seq(bucket(col("ts_ms"), grainMs)) else Nil) ++
+          groupDims.map(col)
+      base.groupBy(keys: _*)
+        .agg(count(lit(1)).as("order_count"),
+          sum(col("value_cents")).as("sum_value_cents"))
+    }
+  }
+
   /** Flink CUMULATE at the day/hour grain, folded forward from the
     * materialized hourly agg instead of re-expanding raw events
     * ([[graft.queries.OlapQueries.cumulateDaily]] is the

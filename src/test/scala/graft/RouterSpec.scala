@@ -73,6 +73,51 @@ class RouterSpec extends SparkSuite {
       "rollup-fed CUMULATE must not touch the raw fact\n" + plan)
   }
 
+  test("composed dim+grain routing: star-tree arm reads exactly one node dir") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => findScans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(findScans)
+    }
+    val df = Router.aggregateProfile(spark, sfDir, Seq("event_type", "hour_of_day"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("graft_startree"),
+      "profile-shaped request must route to the star-tree\n" + plan)
+    // all 8 gid directories exist; the routed read touches exactly 1
+    val scans = findScans(plan)
+    assert(scans.nonEmpty)
+    assert(scans.map(_.metrics("numPartitions").value).max === 1L,
+      "routed node read touched more than one gid directory")
+  }
+
+  test("composed routing: grain arm uses the serving table, untreed dim falls to raw") {
+    // day grain over event_type → hourly serving table, renamed metric
+    val day = Router.aggregateProfile(spark, sfDir, Seq("event_type"),
+      grainMs = 24 * hourMs)
+    val dayPlan = day.queryExecution.executedPlan.toString
+    assert(dayPlan.contains("agg_keyed_by_window") &&
+      !dayPlan.contains("events.parquet"), dayPlan)
+    val raw = Tables.events(spark, sfDir)
+      .groupBy((unix_millis(col("ts")) - pmod(unix_millis(col("ts")),
+          lit(24 * hourMs))).as("window_start_ms"), col("event_type"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("sum_value_cents"))
+    assert(day.collect().map(_.toSeq).toSet === raw.collect().map(_.toSeq).toSet)
+    // user_id is outside the tree by contract → raw arm, same numbers
+    val byUser = Router.aggregateProfile(spark, sfDir, Seq("user_id"))
+    assert(byUser.queryExecution.executedPlan.toString.contains("events.parquet"))
+    val rawUser = Tables.events(spark, sfDir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("sum_value_cents"))
+    assert(byUser.collect().map(_.toSeq).toSet ===
+      rawUser.collect().map(_.toSeq).toSet)
+  }
+
   test("the hourly route scans the serving table, not the raw fact") {
     val df = Router.aggregateByType(spark, sfDir, 24 * hourMs)
     df.collect()
