@@ -170,11 +170,34 @@ object SketchQueries {
     cmEstimate(sketch, cmProbes(Tables.events(spark, dir)))
   }
 
+  private val dayMs = 86400000L
+
+  /** TIME-WINDOWED frequency estimates from the day-grain CM state —
+    * the reason the materialized sketch carries a day dimension at
+    * all: summing only the last-4-calendar-day rows yields the exact
+    * CM sketch of that window (counts are additive and the window is
+    * day-aligned), so a "trending in the last N days" query reads ≤
+    * N·d·w pruned state rows, never historical raw data. The cutoff
+    * is day-floored from the data's max ts, so it is deterministic
+    * and the state rows' day windows partition events exactly at it.
+    */
+  def freqCmWindow(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = Serving.anchorMs(spark, dir) / dayMs * dayMs - 3 * dayMs
+    val sketch = Serving.readTable(spark, dir, "cm_daily")
+      .filter(col("window_start_ms") >= cutoff)
+      .groupBy(col("i"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+    val ev = Tables.events(spark, dir)
+      .filter(unix_millis(col("ts")) >= cutoff)
+    cmEstimate(sketch, cmProbes(ev))
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_distinct_kmv" -> (distinctKmv _),
     "q_distinct_kmv_served" -> (distinctKmvServed _),
     "q_freq_cm" -> (freqCm _),
     "q_freq_cm_served" -> (freqCmServed _),
+    "q_freq_cm_window" -> (freqCmWindow _),
   )
 
   private val Mlit = "1152921504606846976::HUGEINT"
@@ -247,6 +270,31 @@ object SketchQueries {
        |FROM ph JOIN sk USING (i, bucket)
        |GROUP BY 1, 2""".stripMargin
 
+  // the same sketch+probe recompute over the day-aligned window: the
+  // cutoff is day-floored, so `ts >= cutoff` selects exactly the rows
+  // the engine's windowed day-state sum covers
+  private val cmWindowOracle =
+    s"""WITH cut AS (
+       |  SELECT (epoch_ms(max(ts)) // $dayMs) * $dayMs - 3*$dayMs AS c
+       |  FROM events),
+       |f AS (SELECT user_id FROM events WHERE epoch_ms(ts) >= (SELECT c FROM cut)),
+       |d AS (SELECT unnest(range(0, ${CmSketch.Depth})) AS i),
+       |s AS (
+       |  SELECT i,
+       |    ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % ${CmSketch.Width} AS bucket
+       |  FROM f, d),
+       |sk AS (SELECT i, bucket, count(*) AS c FROM s GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT user_id, count(*) AS exact_cnt FROM f
+       |  GROUP BY 1 ORDER BY user_id LIMIT 20),
+       |ph AS (
+       |  SELECT user_id, exact_cnt, i,
+       |    ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % ${CmSketch.Width} AS bucket
+       |  FROM probes, d)
+       |SELECT ph.user_id, ph.exact_cnt, CAST(min(sk.c) AS BIGINT) AS est_cnt
+       |FROM ph JOIN sk USING (i, bucket)
+       |GROUP BY 1, 2""".stripMargin
+
   // the served twins share the direct paths' oracles: materialized
   // state merges are exact, so served estimates == direct estimates
   val oracles: Map[String, String] = Map(
@@ -254,5 +302,6 @@ object SketchQueries {
     "q_distinct_kmv_served" -> kmvOracle,
     "q_freq_cm" -> cmOracle,
     "q_freq_cm_served" -> cmOracle,
+    "q_freq_cm_window" -> cmWindowOracle,
   )
 }

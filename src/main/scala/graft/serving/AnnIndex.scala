@@ -72,10 +72,20 @@ object AnnIndex {
     * materialized index, probing each query's `nprobe` nearest cells.
     * Output: (query_id, rank, neighbor_id) — ids only, like the other
     * ANN entry points.
+    *
+    * `broadcastQueries` (the [[PqIndex.query]] switch): true is the
+    * serving shape — the probe side broadcasts and DYNAMIC PARTITION
+    * PRUNING reads only the probed cell directories. false is the
+    * offline all-vs-index shape — the probe side SHUFFLES on the cell
+    * key instead, for query datasets too large to broadcast; an
+    * offline volume probes most cells anyway, so the lost pruning is
+    * the serving optimization, not a correctness trade (results are
+    * identical — AnnIndexSpec asserts parity on a 10k-query frame).
     */
   def query(spark: SparkSession, root: String, queries: DataFrame,
       centroids: Seq[Seq[Double]], k: Int, nprobe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame = {
     val index = spark.read.parquet(root)
     val q = queries.select(
         col(idCol).as("query_id"),
@@ -89,7 +99,8 @@ object AnnIndex {
       .withColumn("probe", slice(reverse(array_sort(array(sims: _*))), 1, nprobe))
       .select(col("query_id"), col("qv"), col("qn"),
         explode(col("probe.cell")).as("cell"))
-    val scored = index.join(broadcast(probed), Seq("cell"))
+    val probeSide = if (broadcastQueries) broadcast(probed) else probed
+    val scored = index.join(probeSide, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", Vectors.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)

@@ -66,6 +66,20 @@ class AnnIndexSpec extends SparkSuite {
       s"pruned scan should read fewer files at nprobe=1 ($narrow) than nprobe=8 ($wide)")
   }
 
+  test("offline shuffle mode (broadcastQueries=false) matches the serving path on a 10k-query frame") {
+    val qs = (1 to 20).map(r =>
+        emb.select(($"vec_id" + lit(r * 10000L)).as("vec_id"), $"embedding"))
+      .reduce(_ unionByName _)
+    assert(qs.count() === 10000L)
+    val offline = AnnIndex.query(spark, root, qs, centroids, k = 5, nprobe = 8,
+        broadcastQueries = false)
+      .as[(Long, Long, Long)].collect().toSet
+    val servedRes = AnnIndex.query(spark, root, qs, centroids, k = 5, nprobe = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(offline === servedRes)
+    assert(offline.nonEmpty)
+  }
+
   test("incremental append: built-half + appended-half equals full rebuild; replay is a no-op") {
     val half1 = emb.filter($"vec_id" % 2 === 0)
     val half2 = emb.filter($"vec_id" % 2 === 1)
