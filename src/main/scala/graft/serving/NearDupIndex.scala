@@ -49,6 +49,20 @@ object NearDupIndex {
   private def bucketOf(bandHash: Column): Column =
     pmod(bandHash, lit(nBuckets.toLong)).cast("int")
 
+  // Resolved bands/docs frames per root — the [[SearchIndex]]
+  // frameCache discipline: directory listing + footer schema
+  // resolution once per root instead of per probe; in-process writes
+  // invalidate; same single-writer scope as the upstream
+  // fingerprint-keyed root caches.
+  private val frameCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def indexFrame(spark: SparkSession, root: String, table: String): DataFrame =
+    frameCache.getOrElseUpdate((root, table), spark.read.parquet(s"$root/$table"))
+
+  private def invalidate(root: String): Unit =
+    frameCache.keys.filter(_._1 == root).foreach(frameCache.remove)
+
   /** Build the index from scratch (overwrites `root`). */
   def materialize(corpus: DataFrame, root: String): Unit = {
     IncrementalDedup.bandBuckets(corpus)
@@ -60,6 +74,7 @@ object NearDupIndex {
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#doc_id", "true")
       .parquet(s"$root/docs")
+    invalidate(root)
   }
 
   /** Incrementally admit new documents: ids already present are
@@ -90,6 +105,7 @@ object NearDupIndex {
     staged.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
+    invalidate(root)
   }
 
   /** (query_id, match_id) pairs: for each query doc, every corpus doc
@@ -124,7 +140,7 @@ object NearDupIndex {
       spark.sparkContext.parallelize(qbRows.toSeq, 1), qbDf.schema)
     // job 2: pruned probe join → collision pairs (bounded), so the
     // doc read below prunes statically (rowgroup stats + bloom)
-    val candRows = spark.read.parquet(s"$root/bands")
+    val candRows = indexFrame(spark, root, "bands")
       .where(col("bucket").isin(buckets: _*))
       .join(broadcast(probe), Seq("bucket", "band_idx", "band_hash"))
       .select(col("query_id").as("doc_a"), col("doc_id").as("doc_b"))
@@ -134,7 +150,7 @@ object NearDupIndex {
     import spark.implicits._
     val cand = candRows.map(r => (r.getLong(0), r.getLong(1)))
       .toSeq.toDF("doc_a", "doc_b")
-    val candDocs = spark.read.parquet(s"$root/docs")
+    val candDocs = indexFrame(spark, root, "docs")
       .where(col("doc_id").isin(candIds: _*))
     // job 3: exact verification over candidate docs only
     val postings = NearDup.postingsOf(
@@ -173,11 +189,11 @@ object NearDupIndex {
       .withColumn("bucket", bucketOf(col("band_hash")))
       .select(col("doc_id").as("query_id"),
         col("band_idx"), col("band_hash"), col("bucket"))
-    val cand = spark.read.parquet(s"$root/bands")
+    val cand = indexFrame(spark, root, "bands")
       .join(qb, Seq("bucket", "band_idx", "band_hash"))
       .select(col("query_id").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
-    val candDocs = spark.read.parquet(s"$root/docs")
+    val candDocs = indexFrame(spark, root, "docs")
       .join(cand.select(col("doc_b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
     val postings = NearDup.postingsNoCache(

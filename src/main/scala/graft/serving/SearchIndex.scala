@@ -119,6 +119,7 @@ object SearchIndex {
     }.foreach(_.unpersist(blocking = false))
     writeGen.incrementAndGet()
     nCache.remove(root)
+    frameCache.keys.filter(_._1 == root).foreach(frameCache.remove)
   }
 
   /** Top-k docs per query doc from the materialized index — same
@@ -139,6 +140,35 @@ object SearchIndex {
   // without also observing a generation change.
   private val nCache = scala.collection.concurrent.TrieMap.empty[String, Long]
   private val writeGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // Resolved postings/stats frames per root: `spark.read.parquet` on a
+  // 64-bucket partitioned dir pays directory listing + footer schema
+  // resolution EVERY call (~half the served lookup's warm latency,
+  // measured); the cached frame pins the resolved file index while
+  // per-query bucket pruning still applies to its scans. In-process
+  // writes invalidate alongside nCache (same single-writer scope; the
+  // writeGen race guard reasoning above applies identically).
+  private val frameCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def indexFrame(spark: SparkSession, root: String, table: String): DataFrame = {
+    val gen0 = writeGen.get()
+    frameCache.get((root, table)).getOrElse {
+      val df = spark.read.parquet(s"$root/$table")
+      if (writeGen.get() == gen0) frameCache.putIfAbsent((root, table), df)
+      df
+    }
+  }
+
+  /** Drop this root's cached frames/meta — for writers OUTSIDE
+    * [[writeDelta]] (tests simulating crash residue; an external
+    * process appending under the documented single-writer scope).
+    */
+  private[graft] def invalidateFrames(root: String): Unit = {
+    writeGen.incrementAndGet()
+    nCache.remove(root)
+    frameCache.keys.filter(_._1 == root).foreach(frameCache.remove)
+  }
 
   private def corpusSize(spark: SparkSession, root: String): Long = {
     // crash-replay can write a delta's meta/stats rows twice under the
@@ -166,7 +196,7 @@ object SearchIndex {
       n: Long, idfScale: Long, broadcastTerms: Boolean,
       pruneBuckets: Option[Seq[Int]] = None): DataFrame = {
     val terms = if (broadcastTerms) broadcast(qterms) else qterms
-    val stats0 = spark.read.parquet(s"$root/stats")
+    val stats0 = indexFrame(spark, root, "stats")
     val stats = pruneBuckets.fold(stats0)(bs => stats0.where(col("bucket").isin(bs: _*)))
     stats.join(terms, Seq("bucket", "tok"))
       .groupBy(col("bucket"), col("tok"), col("delta_id"))
@@ -199,7 +229,7 @@ object SearchIndex {
     // optimizer electing dynamic pruning for the broadcast join
     val buckets = qpost.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val post = spark.read.parquet(s"$root/postings")
+    val post = indexFrame(spark, root, "postings")
       .where(col("bucket").isin(buckets: _*))
     // merge df deltas for the query's terms only — the stats scan is
     // pruned to the same bucket set as the postings scan
@@ -258,7 +288,7 @@ object SearchIndex {
     val idf = idfOf(spark, root,
       qpost.select(col("bucket"), col("tok")).distinct(),
       n, idfScale, broadcastTerms = false)
-    val scored = spark.read.parquet(s"$root/postings")
+    val scored = indexFrame(spark, root, "postings")
       .join(qpost, Seq("bucket", "tok"))
       .filter(col("doc_id") =!= col("query_id"))
       .join(idf, Seq("bucket", "tok"))

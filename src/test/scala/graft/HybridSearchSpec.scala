@@ -30,6 +30,38 @@ class HybridSearchSpec extends SparkSuite {
     assert(served.nonEmpty)
   }
 
+  test("offline hybrid: fusing the distributed legs equals fusing the serving legs") {
+    // rrfFuse is leg-agnostic by design — the offline composition is
+    // the same fusion over SearchIndex.queryAll + AnnIndex shuffle
+    // mode, for all-vs-index hybrid re-ranking at corpus volume
+    val searchRoot = DocQueries.searchIndexRoot(spark, sfDir)
+    val annRoot = EmbedQueries.annIndexRoot(spark, sfDir)
+    val cens = EmbedQueries.annCentroids(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val qDocs = (1 to 4).map(r =>
+        docs.select(($"doc_id" + lit(r * 10000L)).as("doc_id"), $"text"))
+      .reduce(_ unionByName _)
+    val qEmb = (1 to 4).map(r =>
+        emb.select(($"vec_id" + lit(r * 10000L)).as("vec_id"), $"embedding"))
+      .reduce(_ unionByName _)
+    def fuse(sparse: org.apache.spark.sql.DataFrame,
+        dense: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      graft.ops.HybridSearch.rrfFuse(Seq(
+          sparse.select($"query_id", $"doc_id".as("id"), $"rank"),
+          dense.select($"query_id", $"neighbor_id".as("id"), $"rank")), k = 10)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val offline = fuse(
+      graft.serving.SearchIndex.queryAll(spark, searchRoot, qDocs, k = 10),
+      graft.serving.AnnIndex.query(spark, annRoot, qEmb, cens, k = 10,
+        nprobe = 16, broadcastQueries = false))
+    val servingLegs = fuse(
+      graft.serving.SearchIndex.query(spark, searchRoot, qDocs, k = 10),
+      graft.serving.AnnIndex.query(spark, annRoot, qEmb, cens, k = 10, nprobe = 16))
+    assert(offline === servingLegs)
+    assert(offline.nonEmpty)
+  }
+
   test("hybrid query reads BOTH materialized index roots") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -151,6 +151,9 @@ class SearchIndexSpec extends SparkSuite {
         spark.sparkContext.parallelize(metaCopy.toSeq),
         spark.read.parquet(s"$p/meta").schema)
       .write.mode("append").parquet(s"$p/meta")
+    // the manual writes above bypass writeDelta — drop the cached
+    // frames so the query actually reads the duplicated files
+    SearchIndex.invalidateFrames(p)
     assert(served(p).as[(Long, Long, Long)].collect().toSet === baseline)
   }
 }
