@@ -104,18 +104,47 @@ object SketchQueries {
     kmvExactSetOps(ev).crossJoin(kmvSetEstimates(pivotClickPurchase(sk)))
   }
 
-  /** The same set-op estimates SERVED from the materialized per-type
-    * sketch state (`kmv_by_type` under the serving root) — no raw
-    * scan on the sketch half at all. Stored state is bit-identical to
+  /** Merge stored day-grain sketches (optionally day-filtered) back
+    * into one sketch per type — EXACT: k smallest distinct over the
+    * union equals a direct build over the same days' raw rows.
+    */
+  private def mergedDailyKmv(spark: SparkSession, dir: String,
+      fromMs: Option[Long]): DataFrame = {
+    val daily = Serving.readTable(spark, dir, "kmv_daily")
+      .filter(col("event_type").isin("click", "purchase"))
+    fromMs.fold(daily)(c => daily.filter(col("window_start_ms") >= c))
+      .select(col("event_type"), explode(col("sk")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(KmvSketch.kmv(col("h"), K).as("sk"))
+  }
+
+  /** The same set-op estimates SERVED from the materialized day-grain
+    * sketch state (`kmv_daily` under the serving root) — no raw scan
+    * on the sketch half at all. The day re-merge is bit-identical to
     * a direct build (exact KMV merge), so this shares
     * [[distinctKmv]]'s oracle; the exact columns remain the gate's
     * raw-recompute ground truth.
     */
-  def distinctKmvServed(spark: SparkSession, dir: String): DataFrame = {
-    val sk = Serving.readTable(spark, dir, "kmv_by_type")
-      .filter(col("event_type").isin("click", "purchase"))
+  def distinctKmvServed(spark: SparkSession, dir: String): DataFrame =
     kmvExactSetOps(Tables.events(spark, dir))
-      .crossJoin(kmvSetEstimates(pivotClickPurchase(sk)))
+      .crossJoin(kmvSetEstimates(pivotClickPurchase(
+        mergedDailyKmv(spark, dir, None))))
+
+  /** TIME-WINDOWED set-op estimates from the day-grain KMV state —
+    * what the per-day sketch column exists for (a Pinot rollup
+    * table's DISTINCTCOUNTTHETASKETCH at query-time re-merge): the
+    * last-4-calendar-day sketches re-merge into exactly the sketch a
+    * direct pass over that window would build, so "distinct
+    * clickers-not-purchasers this week" never rescans history. The
+    * exact half recomputes over the same day-aligned window.
+    */
+  def distinctKmvWindow(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = Serving.anchorMs(spark, dir) / dayMs * dayMs - 3 * dayMs
+    val ev = Tables.events(spark, dir)
+      .filter(unix_millis(col("ts")) >= cutoff)
+    kmvExactSetOps(ev)
+      .crossJoin(kmvSetEstimates(pivotClickPurchase(
+        mergedDailyKmv(spark, dir, Some(cutoff)))))
   }
 
   /** The 20 lowest user_ids with exact counts, fanned out to their d
@@ -195,6 +224,7 @@ object SketchQueries {
   val queries: Map[String, QFn] = Map(
     "q_distinct_kmv" -> (distinctKmv _),
     "q_distinct_kmv_served" -> (distinctKmvServed _),
+    "q_distinct_kmv_window" -> (distinctKmvWindow _),
     "q_freq_cm" -> (freqCm _),
     "q_freq_cm_served" -> (freqCmServed _),
     "q_freq_cm_window" -> (freqCmWindow _),
@@ -202,11 +232,17 @@ object SketchQueries {
 
   private val Mlit = "1152921504606846976::HUGEINT"
 
-  private val kmvOracle =
-    s"""WITH h AS (
+  /** The KMV set-op recompute over a parameterized source: `srcWhere`
+    * scopes the rows (empty = whole table; the windowed gate passes
+    * the day-aligned cutoff) — engine and oracle then sketch the same
+    * row set.
+    */
+  private def kmvOracleFor(srcWhere: String) =
+    s"""WITH src AS (SELECT user_id, event_type FROM events $srcWhere),
+       |h AS (
        |  SELECT DISTINCT event_type,
        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-       |  FROM events WHERE event_type IN ('click', 'purchase')),
+       |  FROM src WHERE event_type IN ('click', 'purchase')),
        |r AS (
        |  SELECT event_type, h,
        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
@@ -241,8 +277,8 @@ object SketchQueries {
        |    CAST(c_diff::HUGEINT * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_diff,
        |    CAST(c_union::HUGEINT * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_union
        |  FROM ops),
-       |a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-       |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+       |a AS (SELECT DISTINCT user_id FROM src WHERE event_type = 'click'),
+       |b AS (SELECT DISTINCT user_id FROM src WHERE event_type = 'purchase'),
        |ex AS (
        |  SELECT
        |    (SELECT count(*) FROM a) AS exact_a,
@@ -295,11 +331,19 @@ object SketchQueries {
        |FROM ph JOIN sk USING (i, bucket)
        |GROUP BY 1, 2""".stripMargin
 
+  private val kmvOracle = kmvOracleFor("")
+
+  private val kmvWindowOracle = kmvOracleFor(
+    s"""WHERE epoch_ms(ts) >=
+       |  (SELECT (epoch_ms(max(ts)) // $dayMs) * $dayMs - 3*$dayMs FROM events)"""
+      .stripMargin)
+
   // the served twins share the direct paths' oracles: materialized
   // state merges are exact, so served estimates == direct estimates
   val oracles: Map[String, String] = Map(
     "q_distinct_kmv" -> kmvOracle,
     "q_distinct_kmv_served" -> kmvOracle,
+    "q_distinct_kmv_window" -> kmvWindowOracle,
     "q_freq_cm" -> cmOracle,
     "q_freq_cm_served" -> cmOracle,
     "q_freq_cm_window" -> cmWindowOracle,

@@ -133,21 +133,27 @@ object Serving {
       .select(unix_millis(col("d")).as("window_start_ms"),
         col("i"), col("bucket"), col("c"))
 
-  /** Per-event-type KMV distinct-user sketches — the materialized
-    * twin of the query-time theta sketches
-    * ([[graft.queries.SketchQueries.distinctKmv]]). KMV state is
-    * mergeable exactly (k smallest distinct hashes: any hash evicted
-    * from a partial sketch can never re-enter the merged top-k), so
-    * refresh == rebuild bit-for-bit and the stored sketches answer
-    * set-expression queries (union/intersect/difference estimates)
-    * without touching raw events. Bounded: one k-long array per type.
+  /** DAY-GRAIN per-event-type KMV distinct-user sketches — the
+    * materialized twin of the query-time theta sketches
+    * ([[graft.queries.SketchQueries.distinctKmv]]), carried per day
+    * the way a Pinot rollup table carries a sketch column per time
+    * bucket. KMV merge is EXACT (k smallest distinct hashes: a hash
+    * evicted from a partial sketch can never re-enter the merged
+    * top-k), so any day range re-merges to bit-exactly the sketch a
+    * direct pass over those days' raw rows would build — global and
+    * time-windowed set-expression queries both serve from this one
+    * table, and refresh == rebuild holds per touched date partition.
+    * Bounded: one k-long array per (day, type).
     */
-  def kmvTypeSketches(events: DataFrame): DataFrame = {
+  def kmvDailySketches(events: DataFrame): DataFrame = {
     import graft.functions.KmvSketch
     events
-      .select(col("event_type"), KmvSketch.keyHash(col("user_id")).as("h"))
-      .groupBy(col("event_type"))
+      .select(date_trunc("day", col("ts")).as("d"), col("event_type"),
+        KmvSketch.keyHash(col("user_id")).as("h"))
+      .groupBy(col("d"), col("event_type"))
       .agg(KmvSketch.kmv(col("h"), KmvSketch.DefaultK).as("sk"))
+      .select(unix_millis(col("d")).as("window_start_ms"),
+        col("event_type"), col("sk"))
   }
 
   /** Hourly per-(restaurant, user) aggregate — the keyed tables'
@@ -235,8 +241,10 @@ object Serving {
       cm.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
       s"$root/cm_daily", tsCol = "w_ts",
       sortCols = Seq("i", "bucket"))
-    // bounded at |event types| rows — one file, plain overwrite
-    kmv.coalesce(1).write.mode("overwrite").parquet(s"$root/kmv_by_type")
+    TableManager.writePartitioned(
+      kmv.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+      s"$root/kmv_daily", tsCol = "w_ts",
+      sortCols = Seq("event_type", "window_start_ms"))
   }
 
   /** Meta row: the now-anchor (max event ts) + the last applied
@@ -258,7 +266,7 @@ object Serving {
     "topk_keyed_by_count", "topk_keyed_by_revenue",
     "agg_by_window", "agg_keyed_by_window",
     "rollup_1m", "rollup_1m_users", "rollup_1m_hist",
-    "cm_daily", "kmv_by_type", "meta")
+    "cm_daily", "kmv_daily", "meta")
 
   /** Full build of the serving layout at `root` from an events frame
     * (batch path; the streaming path refreshes incrementally via
@@ -279,7 +287,7 @@ object Serving {
       writeAggState(root, agg, keyed)
       writeMinuteState(root, minuteRollupAgg(events), minuteUsers(events),
         minuteValueHist(events))
-      writeSketchState(root, dailyCmSketch(events), kmvTypeSketches(events))
+      writeSketchState(root, dailyCmSketch(events), kmvDailySketches(events))
       writeRankedTables(root, agg, keyed)
       writeMeta(spark, root, maxRow.getLong(0), -1L)
     } finally {
@@ -404,16 +412,19 @@ object Serving {
           .unionAll(minuteUsers(batch))
           .distinct()
           .localCheckpoint(true)
-        // KMV merge: explode the stored sketches back to hashes,
-        // union the batch's hashes, re-sketch — exact (an evicted
-        // hash can never re-enter the merged top-k), so refresh ==
-        // rebuild bit-for-bit. The whole table is |types| rows;
-        // rewrite it rather than partition-merge.
-        val kmv = spark.read.parquet(s"$root/kmv_by_type")
-          .select(col("event_type"), explode(col("sk")).as("h"))
-          .unionAll(batch.select(col("event_type"),
+        // KMV merge per touched day: explode the stored day sketches
+        // back to hashes, union the batch's hashes, re-sketch — exact
+        // (an evicted hash can never re-enter the merged top-k), so
+        // refresh == rebuild bit-for-bit per date partition.
+        val kmv = spark.read.parquet(s"$root/kmv_daily")
+          .filter(col("p_date").isin(dates: _*))
+          .select(col("window_start_ms"), col("event_type"),
+            explode(col("sk")).as("h"))
+          .unionAll(batch.select(
+            unix_millis(date_trunc("day", col("ts"))).as("window_start_ms"),
+            col("event_type"),
             graft.functions.KmvSketch.keyHash(col("user_id")).as("h")))
-          .groupBy(col("event_type"))
+          .groupBy(col("window_start_ms"), col("event_type"))
           .agg(graft.functions.KmvSketch.kmv(col("h"),
             graft.functions.KmvSketch.DefaultK).as("sk"))
           .localCheckpoint(true)
@@ -433,7 +444,9 @@ object Serving {
           TableManager.overwritePartitions(
             cm.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
             s"$root/cm_daily", "w_ts", Seq("i", "bucket"))
-          kmv.coalesce(1).write.mode("overwrite").parquet(s"$root/kmv_by_type")
+          TableManager.overwritePartitions(
+            kmv.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+            s"$root/kmv_daily", "w_ts", Seq("event_type", "window_start_ms"))
           writeRankedPartitions(root, agg, keyed)
           val oldMax = readMeta(spark, root)._1
           val batchMaxRow = batch.agg(unix_millis(max(col("ts")))).head
