@@ -34,7 +34,7 @@ object ServingQueries {
   }
 
   private val replicaRoots =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, (String, (Long, Long))]
 
   /** The count-path lookup routed through replica groups
     * ([[graft.serving.Replicas]], the X6 analog): the materialized
@@ -44,14 +44,29 @@ object ServingQueries {
     * results from any copy (ReplicasSpec proves copy-equality and
     * failover), so this shares `q_topk_lookup_served`'s oracle and
     * hash-checks the whole replicate → route → read path.
+    *
+    * Freshness: the replica set is stamped with the serving state's
+    * CONTENT stamp ([[Serving.metaStamp]]: max ts + last batch id —
+    * changes on every applied refresh); an incremental refresh
+    * rewrites the source in place under the SAME root via dynamic
+    * partition overwrite, which directory mtimes do not reliably
+    * surface, so the stamp is what triggers re-replication (the
+    * production analog: replicas rebuild from the segment push,
+    * brokers re-route when the new copies land).
     */
   def topKLookupReplica(spark: SparkSession, dir: String): DataFrame = {
     val servingRoot = Serving.materialize(spark, dir)
-    val root = replicaRoots.getOrElseUpdate(servingRoot, {
-      val p = java.nio.file.Files.createTempDirectory("graft_replicas").toString
-      graft.serving.Replicas.replicate(spark, s"$servingRoot/topk_by_count", p, n = 2)
-      p
-    })
+    val src = s"$servingRoot/topk_by_count"
+    val stamp = Serving.metaStamp(spark, servingRoot)
+    val root = replicaRoots.get(servingRoot) match {
+      case Some((p, s)) if s == stamp => p
+      case prev =>
+        val p = prev.map(_._1).getOrElse(
+          java.nio.file.Files.createTempDirectory("graft_replicas").toString)
+        graft.serving.Replicas.replicate(spark, src, p, n = 2)
+        replicaRoots.put(servingRoot, (p, stamp))
+        p
+    }
     val (table, _) =
       graft.serving.Replicas.read(spark, root, key = "tenant-analytics", n = 2)
     val t0 = Serving.anchorMs(spark, dir) - 72L * hourMs

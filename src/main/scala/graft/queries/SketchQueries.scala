@@ -14,7 +14,7 @@ import graft.serving.Serving
   * paths sharing one oracle: query-time (one pass over raw events)
   * and SERVED (probing the materialized sketch state under the
   * serving root — [[graft.serving.Serving]]'s `cm_daily` /
-  * `kmv_by_type` tables, refreshed incrementally by the streaming
+  * `kmv_daily` tables, refreshed incrementally by the streaming
   * pipeline). Both produce identical numbers because the state
   * merges are exact (additive counts; mergeable KMV top-k).
   *

@@ -261,6 +261,14 @@ object Serving {
     (row.getAs[Long]("max_ts_ms"), row.getAs[Long]("last_batch_id"))
   }
 
+  /** Content stamp of the serving state: (max event ts, last applied
+    * batch id) — changes on every applied refresh, so derived copies
+    * (replica sets) can detect in-place rewrites that directory
+    * mtimes do not reliably surface.
+    */
+  private[graft] def metaStamp(spark: SparkSession, root: String): (Long, Long) =
+    readMeta(spark, root)
+
   val allTables: Seq[String] = Seq(
     "topk_by_count", "topk_by_revenue",
     "topk_keyed_by_count", "topk_keyed_by_revenue",

@@ -47,6 +47,32 @@ class ReplicasSpec extends SparkSuite {
     assert(routed.nonEmpty)
   }
 
+  test("replica set re-replicates after an in-place serving refresh (freshness stamp)") {
+    import spark.implicits._
+    // isolated dataset copy: the shared sfDir serving root must not
+    // be mutated under the other suites
+    val dir = java.nio.file.Files.createTempDirectory("replica_fresh").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val before = graft.queries.ServingQueries.topKLookupReplica(spark, dir)
+      .collect().map(_.toString).toSeq
+    // refresh the SAME serving root with a late batch that rewrites
+    // the ranked tables (new dominant user past the old anchor)
+    val root = Serving.materialize(spark, dir)
+    val anchor = Serving.anchorMs(spark, dir)
+    val batch = (1 to 5).map(i =>
+        (new java.sql.Timestamp(anchor + i * 60000L), 999999L, "click", 100L))
+      .toDF("ts", "user_id", "event_type", "value_cents")
+    Serving.refreshWithBatch(spark, root, batch, batchId = 0L)
+    val served = graft.queries.ServingQueries.topKLookupServed(spark, dir)
+      .collect().map(_.toString).toSeq
+    val routed = graft.queries.ServingQueries.topKLookupReplica(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(routed === served, "stale replica served after refresh")
+    assert(routed !== before, "refresh should have changed the lookup window")
+  }
+
   test("a lost replica fails over with identical results") {
     val k = (0 until 100).map(i => s"tenant-$i")
       .find(Replicas.replicaFor(_, 3) == 1).get

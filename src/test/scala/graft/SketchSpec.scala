@@ -97,7 +97,7 @@ class SketchSpec extends SparkSuite {
   }
 
   test("served sketch state equals the query-time sketches") {
-    // materialized cm_daily / kmv_by_type state probed by the served
+    // materialized cm_daily / kmv_daily state probed by the served
     // entries must reproduce the direct one-pass sketches exactly —
     // the property that lets the served gates share the oracles
     val cmDirect = SketchQueries.freqCm(spark, sfDir)
