@@ -320,17 +320,51 @@ object DocQueries {
     */
   def docNearDupServed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    graft.serving.NearDupIndex.query(spark, nearDupIndexRoot(spark, dir),
+      docs.filter(col("doc_id") < 50))
+  }
+
+  /** Root of the materialized band index over `dir`'s admitted corpus
+    * (docs 50+), built on first use per dataset fingerprint — the
+    * searchIndexRoot pattern.
+    */
+  private[graft] def nearDupIndexRoot(spark: SparkSession, dir: String): String = {
     val fp = Tables.fingerprint(spark, s"$dir/documents.parquet")
     val root = nearDupIndexCache.getOrElseUpdate(fp, {
       val p = java.nio.file.Files.createTempDirectory("graft_neardup_index").toString
-      graft.serving.NearDupIndex.materialize(docs.filter(col("doc_id") >= 50), p)
+      graft.serving.NearDupIndex.materialize(
+        Tables.documents(spark, dir).filter(col("doc_id") >= 50), p)
       p
     })
     nearDupIndexByPath.put(dir, fp).filter(_ != fp)
       .flatMap(nearDupIndexCache.remove).foreach { old =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
       }
-    graft.serving.NearDupIndex.query(spark, root, docs.filter(col("doc_id") < 50))
+    root
+  }
+
+  /** The same near-dup lookup through the OFFLINE distributed path
+    * ([[graft.serving.NearDupIndex.queryAll]]): shuffle equi-joins,
+    * no driver collects, lazy plan — the mode an all-vs-index
+    * decontamination audit runs. Pair set is identical to the
+    * bounded serving probe, so it shares `q_doc_neardup_served`'s
+    * oracle — the gate hash-checks the distributed plan end-to-end.
+    */
+  def docNearDupOffline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.serving.NearDupIndex.queryAll(spark, nearDupIndexRoot(spark, dir),
+      docs.filter(col("doc_id") < 50))
+  }
+
+  /** The same ranked retrieval through the OFFLINE distributed path
+    * ([[graft.serving.SearchIndex.queryAll]]) — term-key shuffle
+    * joins, no bucket collect, lazy plan. Scoring is identical to
+    * the direct and served paths, so it shares the sparse oracle.
+    */
+  def docSearchOffline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.serving.SearchIndex.queryAll(spark, searchIndexRoot(spark, dir),
+      docs.filter(col("doc_id") < 5), k = 10)
   }
 
   /** Same decontamination result through the bloom-prefiltered scale
@@ -540,7 +574,9 @@ object DocQueries {
     "q_doc_search_sparse" -> (docSearchSparse _),
     "q_doc_search_hybrid" -> (docSearchHybrid _),
     "q_doc_search_served" -> (docSearchServed _),
+    "q_doc_search_offline" -> (docSearchOffline _),
     "q_doc_neardup_served" -> (docNearDupServed _),
+    "q_doc_neardup_offline" -> (docNearDupOffline _),
     "q_doc_pack" -> (docPack _),
     "q_doc_stats" -> (docStats _),
     "q_doc_normalize" -> (docNormalize _),
@@ -571,6 +607,13 @@ object DocQueries {
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
        |  FROM t)""".stripMargin
   private val shingleCte = s"WITH $shingleCteBody"
+
+  private lazy val nearDupPairsOracle =
+    s"""$shingleCte
+       |SELECT a.doc_id AS query_id, b.doc_id AS match_id
+       |FROM s a JOIN s b ON a.doc_id < 50 AND b.doc_id >= 50
+       |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |  AND 9 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh))""".stripMargin
 
   private lazy val sparseSearchOracle =
     s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
@@ -753,6 +796,7 @@ object DocQueries {
     // materialized index, so it shares the oracle.
     "q_doc_search_sparse" -> sparseSearchOracle,
     "q_doc_search_served" -> sparseSearchOracle,
+    "q_doc_search_offline" -> sparseSearchOracle,
     // both legs recomputed from scratch, fused by the same scaled
     // integer RRF (P = lcm(61..70), every addend exact)
     "q_doc_search_hybrid" ->
@@ -915,13 +959,11 @@ object DocQueries {
     "q_doc_dedup_minhash" -> jaccardOracle("c",
       "9 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh))"),
     // exact Jaccard>=0.8 cross pairs: queries (<50) vs corpus (50+) —
-    // what the served band-index probe must return after verification
-    "q_doc_neardup_served" ->
-      s"""$shingleCte
-         |SELECT a.doc_id AS query_id, b.doc_id AS match_id
-         |FROM s a JOIN s b ON a.doc_id < 50 AND b.doc_id >= 50
-         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
-         |  AND 9 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh))""".stripMargin,
+    // what the served band-index probe must return after verification.
+    // The offline distributed path returns the identical pair set, so
+    // it shares the oracle (plan differs: shuffle joins, no collects).
+    "q_doc_neardup_served" -> nearDupPairsOracle,
+    "q_doc_neardup_offline" -> nearDupPairsOracle,
     // connected components of the Jaccard>=0.5 pair graph via a
     // recursive transitive closure; canonical = min reachable id.
     "q_doc_dedup_canonical" ->
