@@ -66,12 +66,26 @@ object SketchQueries {
       first(when(col("event_type") === "purchase", col("sk")), ignoreNulls = true)
         .as("sk_b"))
 
+  /** Pivot tagged sketch rows (s ∈ {a, b}, sk) to one (sk_a, sk_b)
+    * row — for set pairs that are not event types (e.g. day cohorts).
+    */
+  private def pivotTag(sk: DataFrame): DataFrame =
+    sk.agg(
+      first(when(col("s") === "a", col("sk")), ignoreNulls = true).as("sk_a"),
+      first(when(col("s") === "b", col("sk")), ignoreNulls = true).as("sk_b"))
+
   /** The gate's ground-truth half: exact distinct-set ops from raw
     * events — the expensive joins the sketches exist to avoid.
     */
-  private def kmvExactSetOps(ev: DataFrame): DataFrame = {
-    val a = ev.filter(col("event_type") === "click").select("user_id").distinct()
-    val b = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+  private def kmvExactSetOps(ev: DataFrame): DataFrame =
+    kmvExactSetOpsAB(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+
+  /** Exact set ops over two arbitrary user-id frames. */
+  private def kmvExactSetOpsAB(a0: DataFrame, b0: DataFrame): DataFrame = {
+    val a = a0.select("user_id").distinct()
+    val b = b0.select("user_id").distinct()
     a.agg(count(lit(1)).as("exact_a"))
       .crossJoin(b.agg(count(lit(1)).as("exact_b")))
       .crossJoin(a.join(b, Seq("user_id"), "left_semi")
@@ -145,6 +159,34 @@ object SketchQueries {
     kmvExactSetOps(ev)
       .crossJoin(kmvSetEstimates(pivotClickPurchase(
         mergedDailyKmv(spark, dir, Some(cutoff)))))
+  }
+
+  /** CROSS-DAY retention set-ops from the day-grain KMV state — the
+    * theta-sketch capability a per-time-bucket sketch column exists
+    * for (Pinot's canonical DISTINCTCOUNTTHETASKETCH example: users
+    * in segment/day A ∘ day B): the first and last data days' user
+    * sketches (each the exact union-merge of that day's per-type
+    * sketches — a day's global k-minimum hashes always survive their
+    * type sketches) compose into returning/churned/either-day
+    * estimates without any raw-history scan. The exact half
+    * recomputes both day cohorts from raw — the gate's ground truth.
+    */
+  def distinctKmvRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val days = ev.agg(
+      min(expr(s"unix_millis(ts) div $dayMs")).as("a"),
+      max(expr(s"unix_millis(ts) div $dayMs")).as("b")).head
+    val (dayA, dayB) = (days.getLong(0) * dayMs, days.getLong(1) * dayMs)
+    val sk = Serving.readTable(spark, dir, "kmv_daily")
+      .filter(col("window_start_ms").isin(dayA, dayB))
+      .select(when(col("window_start_ms") === dayA, "a").otherwise("b").as("s"),
+        explode(col("sk")).as("h"))
+      .groupBy(col("s"))
+      .agg(KmvSketch.kmv(col("h"), K).as("sk"))
+    def dayOf(ms: Long) =
+      ev.filter(expr(s"unix_millis(ts) div $dayMs") === ms / dayMs)
+    kmvExactSetOpsAB(dayOf(dayA), dayOf(dayB))
+      .crossJoin(kmvSetEstimates(pivotTag(sk)))
   }
 
   /** The 20 lowest user_ids with exact counts, fanned out to their d
@@ -225,6 +267,7 @@ object SketchQueries {
     "q_distinct_kmv" -> (distinctKmv _),
     "q_distinct_kmv_served" -> (distinctKmvServed _),
     "q_distinct_kmv_window" -> (distinctKmvWindow _),
+    "q_distinct_kmv_retention" -> (distinctKmvRetention _),
     "q_freq_cm" -> (freqCm _),
     "q_freq_cm_served" -> (freqCmServed _),
     "q_freq_cm_window" -> (freqCmWindow _),
@@ -338,12 +381,76 @@ object SketchQueries {
        |  (SELECT (epoch_ms(max(ts)) // $dayMs) * $dayMs - 3*$dayMs FROM events)"""
       .stripMargin)
 
+  /** The same theta algebra over two ARBITRARY tagged user sets (the
+    * engine's pivotTag twin) — for set pairs that are not event
+    * types. Mirrors kmvOracleFor structure with `s` in place of
+    * event_type.
+    */
+  private def kmvSetOracle(defA: String, defB: String) =
+    s"""WITH src AS (
+       |  SELECT 'a' AS s, user_id FROM events WHERE $defA
+       |  UNION ALL
+       |  SELECT 'b' AS s, user_id FROM events WHERE $defB),
+       |h AS (
+       |  SELECT DISTINCT s,
+       |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM src),
+       |r AS (
+       |  SELECT s, h,
+       |    row_number() OVER (PARTITION BY s ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY s) AS cnt
+       |  FROM h),
+       |sk AS (SELECT * FROM r WHERE rn <= $K),
+       |th AS (
+       |  SELECT s,
+       |    CASE WHEN max(cnt) < $K THEN 1152921504606846976
+       |         ELSE max(CASE WHEN rn = $K THEN h END) END AS th_own,
+       |    max(cnt) AS cnt
+       |  FROM sk GROUP BY s),
+       |pe AS (
+       |  SELECT s,
+       |    CASE WHEN cnt < $K THEN CAST(cnt AS BIGINT)
+       |         ELSE CAST(${K - 1}::HUGEINT * $Mlit // th_own AS BIGINT)
+       |    END AS est
+       |  FROM th),
+       |t AS (SELECT min(th_own) AS theta FROM th),
+       |sa AS (SELECT h FROM sk, t WHERE s = 'a' AND h < theta),
+       |sb AS (SELECT h FROM sk, t WHERE s = 'b' AND h < theta),
+       |ops AS (
+       |  SELECT
+       |    (SELECT count(*) FROM sa WHERE h IN (SELECT h FROM sb)) AS c_inter,
+       |    (SELECT count(*) FROM sa WHERE h NOT IN (SELECT h FROM sb)) AS c_diff,
+       |    (SELECT count(*) FROM (SELECT h FROM sa UNION SELECT h FROM sb)) AS c_union),
+       |est AS (
+       |  SELECT
+       |    (SELECT est FROM pe WHERE s = 'a') AS est_a,
+       |    (SELECT est FROM pe WHERE s = 'b') AS est_b,
+       |    CAST(c_inter::HUGEINT * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_inter,
+       |    CAST(c_diff::HUGEINT * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_diff,
+       |    CAST(c_union::HUGEINT * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_union
+       |  FROM ops),
+       |a AS (SELECT DISTINCT user_id FROM src WHERE s = 'a'),
+       |b AS (SELECT DISTINCT user_id FROM src WHERE s = 'b'),
+       |ex AS (
+       |  SELECT
+       |    (SELECT count(*) FROM a) AS exact_a,
+       |    (SELECT count(*) FROM b) AS exact_b,
+       |    (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS exact_inter,
+       |    (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS exact_diff,
+       |    (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS exact_union)
+       |SELECT ex.*, est.* FROM ex, est""".stripMargin
+
+  private val kmvRetentionOracle = kmvSetOracle(
+    s"(epoch_ms(ts) // $dayMs) = (SELECT min(epoch_ms(ts) // $dayMs) FROM events)",
+    s"(epoch_ms(ts) // $dayMs) = (SELECT max(epoch_ms(ts) // $dayMs) FROM events)")
+
   // the served twins share the direct paths' oracles: materialized
   // state merges are exact, so served estimates == direct estimates
   val oracles: Map[String, String] = Map(
     "q_distinct_kmv" -> kmvOracle,
     "q_distinct_kmv_served" -> kmvOracle,
     "q_distinct_kmv_window" -> kmvWindowOracle,
+    "q_distinct_kmv_retention" -> kmvRetentionOracle,
     "q_freq_cm" -> cmOracle,
     "q_freq_cm_served" -> cmOracle,
     "q_freq_cm_window" -> cmWindowOracle,
