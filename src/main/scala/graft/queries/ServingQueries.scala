@@ -33,8 +33,8 @@ object ServingQueries {
       .sortWithinPartitions(col("window_start_ms").desc, col("rank").asc)
   }
 
-  private val replicaRoots =
-    scala.collection.concurrent.TrieMap.empty[String, (String, (Long, Long))]
+  private val replicaRoots = scala.collection.concurrent.TrieMap
+    .empty[String, (String, (Long, Long), DataFrame)]
 
   /** The count-path lookup routed through replica groups
     * ([[graft.serving.Replicas]], the X6 analog): the materialized
@@ -58,17 +58,26 @@ object ServingQueries {
     val servingRoot = Serving.materialize(spark, dir)
     val src = s"$servingRoot/topk_by_count"
     val stamp = Serving.metaStamp(spark, servingRoot)
-    val root = replicaRoots.get(servingRoot) match {
-      case Some((p, s)) if s == stamp => p
+    // the routed frame rides in the cache entry: between stamp
+    // changes a lookup re-lists nothing — the broker caches its
+    // routing decision AND the segment file index; failover to
+    // another replica is exercised through Replicas.read on the
+    // (re-)route path and by ReplicasSpec directly
+    val table = replicaRoots.get(servingRoot) match {
+      case Some((_, s, df)) if s == stamp => df
       case prev =>
         val p = prev.map(_._1).getOrElse(
           java.nio.file.Files.createTempDirectory("graft_replicas").toString)
         graft.serving.Replicas.replicate(spark, src, p, n = 2)
-        replicaRoots.put(servingRoot, (p, stamp))
-        p
+        // pin the routed copy like every hot serving table
+        // (Serving.tableCache discipline); drop the superseded pin
+        prev.foreach(_._3.unpersist(blocking = false))
+        val (df0, _) =
+          graft.serving.Replicas.read(spark, p, key = "tenant-analytics", n = 2)
+        val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        replicaRoots.put(servingRoot, (p, stamp, df))
+        df
     }
-    val (table, _) =
-      graft.serving.Replicas.read(spark, root, key = "tenant-analytics", n = 2)
     val t0 = Serving.anchorMs(spark, dir) - 72L * hourMs
     table
       .filter(col("p_date") >= Serving.utcDate(t0) &&

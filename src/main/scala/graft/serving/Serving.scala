@@ -264,10 +264,15 @@ object Serving {
   /** Content stamp of the serving state: (max event ts, last applied
     * batch id) — changes on every applied refresh, so derived copies
     * (replica sets) can detect in-place rewrites that directory
-    * mtimes do not reliably surface.
+    * mtimes do not reliably surface. Cached per root; in-process
+    * writes drop it via [[invalidate]] (the tableCache discipline, so
+    * a routed lookup costs no meta-read job between refreshes).
     */
   private[graft] def metaStamp(spark: SparkSession, root: String): (Long, Long) =
-    readMeta(spark, root)
+    stampCache.getOrElseUpdate(root, readMeta(spark, root))
+
+  private val stampCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
 
   val allTables: Seq[String] = Seq(
     "topk_by_count", "topk_by_revenue",
@@ -506,10 +511,12 @@ object Serving {
   private val tableCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  private def invalidate(root: String): Unit =
+  private def invalidate(root: String): Unit = {
+    stampCache.remove(root)
     tableCache.keys.filter(_._1 == root).foreach { k =>
       tableCache.remove(k).foreach(_.unpersist())
     }
+  }
 
   def readTable(spark: SparkSession, dataDir: String, table: String): DataFrame = {
     val root = materialize(spark, dataDir)
