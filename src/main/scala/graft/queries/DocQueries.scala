@@ -367,6 +367,41 @@ object DocQueries {
       docs.filter(col("doc_id") < 5), k = 10)
   }
 
+  /** BPE tokenizer training, step one: the frequency-weighted
+    * adjacent-symbol pair census over the character-level word table
+    * ([[graft.ops.Bpe.pairCounts]]) — top-20 pairs, the argmax of
+    * which is the first merge rule. The corpus collapses to the
+    * bounded word-frequency table before any pair math (the Sennrich
+    * BPE trick), so this is O(vocab) however large the corpus.
+    * Multi-iteration training is driver-loop composed from this same
+    * aggregate and is pinned against an in-memory reference in
+    * BpeSpec; the gate hash-checks the iterated aggregate itself.
+    */
+  def docBpePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.pairCounts(graft.ops.Bpe.symbolized(
+        graft.ops.Bpe.wordFreqs(Tables.documents(spark, dir)), Nil))
+      .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+      .limit(20)
+
+  /** The fixed rule chain the encode GATE uses: data-independent so
+    * the DuckDB oracle can inline the identical literal replaces
+    * (trained rules are data-derived and cannot appear in static
+    * oracle SQL — trained-rule parity lives in BpeSpec instead).
+    */
+  private[graft] val bpeFixedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("the", "</w>"), ("a", "n"),
+    ("s", "t"), ("e", "r"), ("i", "n"), ("o", "r"))
+
+  /** BPE encoding as a pure expression chain ([[graft.ops.Bpe
+    * .encode]]): per-doc token count + first-5-token head under the
+    * fixed 8-rule merge table, hash-checked against a DuckDB mirror
+    * of the same replace chain — proving the merge-application
+    * semantics (simultaneous leftmost-first, word-bounded) match the
+    * documented BPE definition in an independent engine.
+    */
+  def docBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.encode(Tables.documents(spark, dir), bpeFixedMerges)
+
   /** Same decontamination result through the bloom-prefiltered scale
     * path (candidate shingles dropped before the exchange); shares
     * the plain-join oracle because the sketch never changes the
@@ -575,6 +610,8 @@ object DocQueries {
     "q_doc_search_hybrid" -> (docSearchHybrid _),
     "q_doc_search_served" -> (docSearchServed _),
     "q_doc_search_offline" -> (docSearchOffline _),
+    "q_doc_bpe_pairs" -> (docBpePairs _),
+    "q_doc_bpe_encode" -> (docBpeEncode _),
     "q_doc_neardup_served" -> (docNearDupServed _),
     "q_doc_neardup_offline" -> (docNearDupOffline _),
     "q_doc_pack" -> (docPack _),
@@ -607,6 +644,27 @@ object DocQueries {
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
        |  FROM t)""".stripMargin
   private val shingleCte = s"WITH $shingleCteBody"
+
+  private lazy val bpeEncodeOracle = {
+    // the SAME literal replace chain as the engine's expression,
+    // interpolated from the one shared rule list
+    val sym = "' ' || array_to_string(regexp_extract_all(wd, '.'), ' ') || ' </w> '"
+    val merged = bpeFixedMerges.foldLeft(sym) { case (acc, (x, y)) =>
+      s"replace($acc, ' $x $y ', ' ${x + y} ')"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> w <> '') AS wds
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id,
+       |    flatten(list_transform(wds, wd ->
+       |      string_split(trim($merged), ' '))) AS toks
+       |  FROM t)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  array_to_string(toks[1:5], '|') AS head
+       |FROM e""".stripMargin
+  }
 
   private lazy val nearDupPairsOracle =
     s"""$shingleCte
@@ -797,6 +855,21 @@ object DocQueries {
     "q_doc_search_sparse" -> sparseSearchOracle,
     "q_doc_search_served" -> sparseSearchOracle,
     "q_doc_search_offline" -> sparseSearchOracle,
+    // char-level weighted pair census over the word-frequency table
+    "q_doc_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+        |wf AS (SELECT wd, count(*) AS freq FROM w WHERE wd <> '' GROUP BY 1),
+        |ch AS (SELECT freq,
+        |         list_append(regexp_extract_all(wd, '.'), '</w>') AS syms
+        |       FROM wf),
+        |p AS (SELECT freq,
+        |        unnest(list_transform(range(1, len(syms)),
+        |          i -> struct_pack(x := syms[i], y := syms[i+1]))) AS pr
+        |      FROM ch),
+        |c AS (SELECT pr.x AS x, pr.y AS y, CAST(sum(freq) AS BIGINT) AS cnt
+        |      FROM p GROUP BY 1, 2)
+        |SELECT x, y, cnt FROM c ORDER BY cnt DESC, x, y LIMIT 20""".stripMargin,
+    "q_doc_bpe_encode" -> bpeEncodeOracle,
     // both legs recomputed from scratch, fused by the same scaled
     // integer RRF (P = lcm(61..70), every addend exact)
     "q_doc_search_hybrid" ->

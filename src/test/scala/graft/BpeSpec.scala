@@ -1,0 +1,85 @@
+package graft
+
+import scala.collection.mutable
+import org.apache.spark.sql.functions._
+import graft.ops.Bpe
+
+/** BPE tokenizer training + encoding: trained rules match a
+  * sequential in-memory reference (the Sennrich algorithm run
+  * directly), merging strictly reduces token counts, and the
+  * zero-merge encoding equals the character census.
+  */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  /** Sequential reference: word-freq table, per-iteration weighted
+    * pair argmax (count desc, then lexicographic), simultaneous
+    * leftmost-first merge.
+    */
+  private def refTrain(words: Map[String, Long], n: Int): Seq[(String, String)] = {
+    def mergePass(s: List[String], p: (String, String)): List[String] = {
+      val buf = mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == p._1 && s(i + 1) == p._2) {
+          buf += (p._1 + p._2); i += 2
+        } else { buf += s(i); i += 1 }
+      }
+      buf.toList
+    }
+    var syms: Map[List[String], Long] =
+      words.map { case (w, f) => (w.split("").toList :+ Bpe.Eow) -> f }
+    var out = Seq.empty[(String, String)]
+    for (_ <- 1 to n) {
+      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((s, f) <- syms; w <- s.sliding(2) if w.length == 2)
+        counts((w.head, w(1))) += f
+      if (counts.nonEmpty) {
+        val best = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        out = out :+ best
+        syms = syms.toSeq.map { case (s, f) => mergePass(s, best) -> f }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out
+  }
+
+  test("trained merge rules match the sequential reference") {
+    val wf = Bpe.wordFreqs(docs).as[(String, Long)].collect().toMap
+    assert(wf.nonEmpty)
+    val expected = refTrain(wf, n = 8)
+    val got = Bpe.trainMerges(docs, n = 8)
+    assert(got === expected)
+    // rules compose: later rules may reference earlier merged symbols
+    assert(got.length === 8)
+  }
+
+  test("zero-merge encoding equals the character census; merges only shrink it") {
+    val plain = Bpe.encode(docs, Nil)
+      .agg(sum($"n_tokens")).head.getLong(0)
+    // chars-per-word + one sentinel per word, summed over the corpus
+    val census = docs
+      .select(explode(split($"text", " ")).as("wd")).filter($"wd" =!= "")
+      .agg(sum(length($"wd") + lit(1))).head.getLong(0)
+    assert(plain === census)
+    val merged = Bpe.encode(docs, graft.queries.DocQueries.bpeFixedMerges)
+      .agg(sum($"n_tokens")).head.getLong(0)
+    assert(merged < plain, s"merges should shrink tokens: $merged !< $plain")
+    // trained rules shrink at least as well as any fixed chain of the
+    // same length on the corpus they were trained on
+    val trained = Bpe.encode(docs, Bpe.trainMerges(docs, n = 8))
+      .agg(sum($"n_tokens")).head.getLong(0)
+    assert(trained < plain)
+  }
+
+  test("encoding is deterministic under repartitioning") {
+    val a = Bpe.encode(docs, graft.queries.DocQueries.bpeFixedMerges)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Bpe.encode(docs.repartition(13), graft.queries.DocQueries.bpeFixedMerges)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+}
