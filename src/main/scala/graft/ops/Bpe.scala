@@ -116,7 +116,7 @@ object Bpe {
       idCol: String = "doc_id", textCol: String = "text",
       headN: Int = 5): DataFrame = {
     val toksSql = s"split(trim(${mergedSql(symSql("wd"), merges)}), ' ')"
-    docs.select(col(idCol).as("doc_id"),
+    val agg = docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "wd")))
       .filter(col("wd") =!= "")
       .withColumn("toks", expr(toksSql))
@@ -126,5 +126,11 @@ object Bpe {
         array_sort(collect_list(struct(col("pos"), col("toks")))).as("wt"))
       .select(col("doc_id"), col("n_tokens"),
         array_join(slice(flatten(col("wt.toks")), 1, headN), "|").as("head"))
+    // a wholly-empty document has no word rows and would vanish in
+    // the groupBy; reinstate it as 0 tokens (the oracle's behavior)
+    docs.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("head"), lit("")).as("head"))
   }
 }
