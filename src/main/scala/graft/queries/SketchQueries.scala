@@ -177,10 +177,14 @@ object SketchQueries {
       min(expr(s"unix_millis(ts) div $dayMs")).as("a"),
       max(expr(s"unix_millis(ts) div $dayMs")).as("b")).head
     val (dayA, dayB) = (days.getLong(0) * dayMs, days.getLong(1) * dayMs)
-    val sk = Serving.readTable(spark, dir, "kmv_daily")
-      .filter(col("window_start_ms").isin(dayA, dayB))
-      .select(when(col("window_start_ms") === dayA, "a").otherwise("b").as("s"),
-        explode(col("sk")).as("h"))
+    // separate tagged legs (not a when-tag over one scan) so the
+    // degenerate single-day corpus (dayA == dayB) still yields BOTH
+    // cohorts, matching the oracle's tagged union
+    val daily = Serving.readTable(spark, dir, "kmv_daily")
+    def leg(ms: Long, tag: String) = daily
+      .filter(col("window_start_ms") === ms)
+      .select(lit(tag).as("s"), explode(col("sk")).as("h"))
+    val sk = leg(dayA, "a").unionAll(leg(dayB, "b"))
       .groupBy(col("s"))
       .agg(KmvSketch.kmv(col("h"), K).as("sk"))
     def dayOf(ms: Long) =

@@ -182,6 +182,13 @@ object NearDupIndex {
     *    manage a persist lifecycle, so the two verification passes
     *    re-shingle instead (the [[SparseSearch.rankedRetrieval]]
     *    trade).
+    *
+    * Latency note: the DAG is ~10 sequential shuffle stages deep
+    * (candidates → semi-join fetch → shingle → two verify joins), so
+    * small-corpus wall time is stage-scheduling-dominated — the
+    * bounded [[query]] path is the low-latency shape. This path is
+    * for VOLUME, where per-stage throughput, not stage count, is the
+    * cost; callers iterating over the result should persist it.
     */
   def queryAll(spark: SparkSession, root: String, queries: DataFrame,
       n: Int = 3, thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
