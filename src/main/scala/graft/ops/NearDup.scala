@@ -714,4 +714,83 @@ object NearDup {
           array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           s => s.getField("seg")), " ").as("text_deduped"),
         count(lit(1)).as("segs_kept"))
+
+  /** Duplicated-SPAN scrub — the exact-substring dedup of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") at word granularity: every OVERLAPPING length-`k` token
+    * window that occurs more than once corpus-wide keeps only its
+    * first occurrence (total order: doc_id, then start position);
+    * every other occurrence marks its `k` covered token positions for
+    * removal, covered sets union across overlapping windows, and each
+    * document is rebuilt from its surviving tokens in original order.
+    * Documents whose every token is covered drop out. Unlike
+    * [[segmentDedup]] (fixed non-overlapping tiles, so a one-word
+    * shift defeats it), the sliding window catches a duplicated
+    * passage at ANY alignment — this is the "suffix-array dedup"
+    * stage of the modern LLM curation stack, re-expressed as three
+    * keyed shuffles instead of a suffix automaton.
+    *
+    * Returns (doc_id, text_scrubbed, kept_tokens).
+    *
+    * Scale shape: the window stream is ~tokens rows (one per start
+    * position, k-token string each); first-occurrence selection is a
+    * `row_number` window PARTITIONed BY the gram string — key
+    * cardinality ≈ distinct grams, per-key group size = duplicate
+    * multiplicity, exactly the mass being scrubbed. Covered positions
+    * are ≤ k·duplicates rows, deduped by (doc, pos); the anti-join
+    * and reassembly shuffle on doc-bounded keys. No joins on the
+    * full token stream except the one anti-join; nothing driver-side.
+    */
+  def spanScrub(docs: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram")).orderBy(col("doc_id"), col("pos"))
+    val covered = spanGramsOf(docs, k, idCol, textCol)
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tokpos"))
+      .distinct()
+    scrubRebuild(spanTokensOf(docs, idCol, textCol), covered)
+  }
+
+  /** The (doc_id, pos, gram) OVERLAPPING k-token window stream both
+    * [[spanScrub]] and the streaming ingest twin
+    * ([[graft.streaming.SpanIngest]]) scan: one window per start
+    * position 0..n−k, none for docs shorter than k tokens.
+    */
+  private[graft] def spanGramsOf(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"span width k=$k must be >= 2")
+    docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), (size(col("toks")) - k).cast("long"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("toks"), col("pos").cast("int") + 1, lit(k))).as("gram"))
+  }
+
+  /** The positioned token stream (doc_id, pos, tok), pos 0-based. */
+  private[graft] def spanTokensOf(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+
+  /** Drop `covered` (doc_id, tokpos) positions from the token stream
+    * and rebuild (doc_id, text_scrubbed, kept_tokens) in original
+    * order; fully-covered docs disappear. The anti-join and the
+    * reassembly both shuffle on doc-bounded keys.
+    */
+  private[graft] def scrubRebuild(toksPos: DataFrame, covered: DataFrame): DataFrame = {
+    val kept = toksPos.join(covered,
+      toksPos("doc_id") === covered("doc_id") &&
+        toksPos("pos").cast("long") === covered("tokpos"),
+      "left_anti")
+    kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_scrubbed"),
+        count(lit(1)).as("kept_tokens"))
+  }
 }

@@ -98,4 +98,65 @@ object Sample {
       .filter(hash60(col(idCol)).cast("double") / lit(HashSpace.toDouble) < col("_rate"))
       .drop("_rate", "_stratum_tokens")
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") in exact integer
+    * arithmetic: word bigrams hash into `buckets` feature buckets, the
+    * target subset (`targetPred` rows) and the full corpus each get a
+    * bucket-count profile, each bucket's weight is the add-1-smoothed
+    * scaled ratio `((t+1)·10000) div (r+1)`, and a document's
+    * importance is the sum of its bigram-occurrence bucket weights —
+    * high when its n-gram profile looks like the target distribution.
+    * Returns every input doc as (doc_id, importance); feed the scores
+    * to [[weightedTopK]] / [[stratifiedBernoulli]] for the actual
+    * resampling step.
+    *
+    * Scale shape: the bigram stream is ~tokens rows but aggregates to
+    * `buckets` rows with map-side partial counts (the profiles never
+    * shuffle raw bigrams); the weight table is a `buckets`-row
+    * broadcast onto the stream; the only full-width shuffle is the
+    * final doc-keyed score sum. Integer ratio weights, not log-space
+    * floats, so scores are deterministic and oracle-checkable.
+    */
+  def importanceWeights(docs: DataFrame, targetPred: Column, buckets: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoreAgainstProfile(docs,
+      bucketProfile(docs, targetPred, buckets, idCol, textCol),
+      buckets, idCol, textCol)
+
+  /** The (b, r, t) bigram-bucket count profile feeding
+    * [[scoreAgainstProfile]]: r = corpus-wide occurrences hashing to
+    * bucket b, t = occurrences from `targetPred` rows. Both counts
+    * are plain sums, so profiles built per batch MERGE additively
+    * (union + re-sum) to exactly the full-corpus profile — the
+    * property the materialized serving twin
+    * ([[graft.serving.ImportanceProfile]]) rests on. `buckets` rows.
+    */
+  def bucketProfile(docs: DataFrame, targetPred: Column, buckets: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def bucketed(d: DataFrame) = NearDup.spanGramsOf(d, 2, idCol, textCol)
+      .select(graft.functions.Text.hashBucket(col("gram"), buckets).as("b"))
+    val rawCnt = bucketed(docs).groupBy(col("b")).agg(count(lit(1)).as("r"))
+    val tgtCnt = bucketed(docs.filter(targetPred)).groupBy(col("b")).agg(count(lit(1)).as("t"))
+    rawCnt.join(tgtCnt, Seq("b"), "left_outer")
+      .select(col("b"), col("r"), coalesce(col("t"), lit(0L)).as("t"))
+  }
+
+  /** Score `docs` against an already-built (b, r, t) profile —
+    * weights derive from the counts at score time, so scoring against
+    * an exactly-merged profile equals the one-shot
+    * [[importanceWeights]] bit-for-bit.
+    */
+  def scoreAgainstProfile(docs: DataFrame, profile: DataFrame, buckets: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = profile.select(col("b"),
+      expr("((t + 1L) * 10000L) DIV (r + 1L)").as("w"))
+    val scores = NearDup.spanGramsOf(docs, 2, idCol, textCol)
+      .select(col("doc_id"), graft.functions.Text.hashBucket(col("gram"), buckets).as("b"))
+      .join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("importance"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scores, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("importance"), lit(0L)).as("importance"))
+  }
 }

@@ -205,6 +205,12 @@ object DocQueries {
   def docSegmentDedup(spark: SparkSession, dir: String): DataFrame =
     NearDup.segmentDedup(Tables.documents(spark, dir), segWords = 10)
 
+  /** Overlapping duplicated-span scrub (suffix-array-dedup analog) at
+    * k=5 words — see [[graft.ops.NearDup.spanScrub]].
+    */
+  def docSpanScrub(spark: SparkSession, dir: String): DataFrame =
+    NearDup.spanScrub(Tables.documents(spark, dir), k = 5)
+
   /** Deterministic train/val/test split: hash-bucket each doc_id into
     * 100 buckets (80/10/10). Pure function of the id — stable across
     * runs/engines, new data never reshuffles old assignments.
@@ -604,6 +610,7 @@ object DocQueries {
     "q_doc_split" -> (docSplit _),
     "q_doc_repetition" -> (docRepetition _),
     "q_doc_segment_dedup" -> (docSegmentDedup _),
+    "q_doc_span_scrub" -> (docSpanScrub _),
     "q_doc_contamination" -> (docContamination _),
     "q_doc_contamination_bloom" -> (docContaminationBloom _),
     "q_doc_search_sparse" -> (docSearchSparse _),
@@ -847,6 +854,27 @@ object DocQueries {
          |SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_deduped,
          |  CAST(count(*) AS BIGINT) AS segs_kept
          |FROM firsts WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+    // overlapping k=5 spans; rn>1 occurrences cover their 5 positions,
+    // docs rebuilt from uncovered tokens (fully-covered docs drop out)
+    "q_doc_span_scrub" ->
+      s"""WITH ws AS (SELECT doc_id, $toks AS w FROM documents),
+         |tp AS (SELECT doc_id, CAST(gs AS BIGINT) AS pos, w[CAST(gs AS INT)+1] AS tok
+         |  FROM ws, unnest(generate_series(0, len(w) - 1)) AS t(gs)),
+         |g AS (SELECT doc_id, CAST(gs AS BIGINT) AS pos,
+         |    array_to_string(w[(CAST(gs AS INT)+1):(CAST(gs AS INT)+5)], ' ') AS gram
+         |  FROM ws, unnest(generate_series(0, len(w) - 5)) AS t(gs)
+         |  WHERE len(w) >= 5),
+         |occ AS (SELECT doc_id, pos,
+         |  row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g),
+         |cov AS (SELECT DISTINCT doc_id, tokpos FROM (
+         |  SELECT doc_id, unnest(generate_series(pos, pos+4)) AS tokpos
+         |  FROM occ WHERE rn > 1)),
+         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+         |  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.tokpos
+         |  WHERE cov.doc_id IS NULL)
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_scrubbed,
+         |  CAST(count(*) AS BIGINT) AS kept_tokens
+         |FROM kept GROUP BY doc_id""".stripMargin,
     "q_doc_contamination" -> contaminationOracle,
     // integer-exact TF-IDF ranking: idf = (N*10000) // df, score =
     // SUM(qtf*tf*idf) — floor/trunc division agree on positives.

@@ -67,11 +67,46 @@ object SampleQueries {
           Text.estBpeTokens(col("n_chars")).as("est_tokens")),
       idCol = "doc_id", weightCol = "est_tokens", k = 200)
 
+  /** DSIR-style importance scores toward an English-looking bigram
+    * profile — see [[Sample.importanceWeights]]. All 500 docs scored;
+    * the resampling step composes with [[sampleWeighted]]'s A-ES or
+    * the Bernoulli keeps.
+    */
+  def sampleImportance(spark: SparkSession, dir: String): DataFrame =
+    Sample.importanceWeights(Tables.documents(spark, dir),
+      targetPred = col("lang") === "en", buckets = 256)
+
+  private val profileCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Materialized profile root per source fingerprint (the
+    * searchIndexRoot pattern; a changed corpus gets a fresh profile).
+    */
+  private[graft] def importanceRoot(spark: SparkSession, dir: String): String = {
+    val fp = Tables.fingerprint(spark, s"$dir/documents.parquet")
+    profileCache.getOrElseUpdate(fp, {
+      val p = java.nio.file.Files.createTempDirectory("graft_importance").toString
+      graft.serving.ImportanceProfile.materialize(
+        Tables.documents(spark, dir), col("lang") === "en", p)
+      p
+    })
+  }
+
+  /** Importance scores SERVED from the materialized profile state —
+    * additive deltas re-sum to the one-shot profile, so this shares
+    * [[sampleImportance]]'s oracle bit-for-bit.
+    */
+  def sampleImportanceServed(spark: SparkSession, dir: String): DataFrame =
+    graft.serving.ImportanceProfile.score(spark,
+      importanceRoot(spark, dir), Tables.documents(spark, dir))
+
   val queries: Map[String, QFn] = Map(
     "q_doc_sample_stratified" -> (sampleStratified _),
     "q_doc_sample_pergroup" -> (samplePerGroup _),
     "q_doc_mixture" -> (sampleMixture _),
     "q_doc_sample_weighted" -> (sampleWeighted _),
+    "q_doc_importance" -> (sampleImportance _),
+    "q_doc_importance_served" -> (sampleImportanceServed _),
   )
 
   private val h60 =
@@ -116,5 +151,27 @@ object SampleQueries {
          |ORDER BY ln((CAST($h60 AS DOUBLE) + 1.0) / 1152921504606846976.0)
          |    / CAST(est_tokens AS DOUBLE) DESC, doc_id
          |LIMIT 200""".stripMargin,
+    // the full integer DSIR chain replayed: bigram → md5 bucket →
+    // add-1 ratio weight ((t+1)*10000 // (r+1)) → per-doc weight sum.
+    // The served path re-sums additive profile deltas to the identical
+    // counts, so it shares the oracle.
+    "q_doc_importance" -> importanceOracle,
+    "q_doc_importance_served" -> importanceOracle,
   )
+
+  private lazy val importanceOracle =
+    """WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |bi AS (SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      |  FROM ws WHERE len(w) >= 2),
+      |bb AS (SELECT doc_id, lang,
+      |    ('0x' || substring(md5(g), 1, 15))::BIGINT % 256 AS b FROM bi),
+      |r AS (SELECT b, count(*) AS r FROM bb GROUP BY 1),
+      |t AS (SELECT b, count(*) AS t FROM bb WHERE lang = 'en' GROUP BY 1),
+      |wt AS (SELECT r.b, ((coalesce(t.t, 0) + 1) * 10000) // (r.r + 1) AS w
+      |  FROM r LEFT JOIN t ON r.b = t.b),
+      |s AS (SELECT bb.doc_id, sum(wt.w) AS sc FROM bb
+      |  JOIN wt ON bb.b = wt.b GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(s.sc, 0) AS BIGINT) AS importance
+      |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
 }

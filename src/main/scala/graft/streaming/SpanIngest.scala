@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.NearDup
+
+/** Ingestion-time duplicated-span scrub — the streaming twin of
+  * [[NearDup.spanScrub]] the way [[SegmentIngest]] twins
+  * `segmentDedup`: every micro-batch is scanned with OVERLAPPING
+  * k-token windows, a window occurrence is scrubbed when its gram was
+  * already claimed (earlier in the accumulated corpus, or earlier in
+  * this batch by (doc_id, pos) order), covered positions union across
+  * overlapping windows, and each admitted document is rebuilt from
+  * its surviving tokens. The index accumulates the hash of every
+  * FIRST-claimed gram — claim order is computed on the original token
+  * stream, exactly as the batch op's global first-occurrence window.
+  *
+  * State is a parquet gram-hash index (128-bit md5 — only hashes
+  * persist and shuffle, never window text, the [[SegmentIngest]]
+  * discipline): restart-safe, shardable by hash, appended
+  * idempotently per batch. Replay safety differs from
+  * [[SegmentIngest]] (where a replay admits nothing and an empty
+  * overwrite rewrites nothing): a replayed span batch would find its
+  * OWN claims in the index and scrub them out of its short docs'
+  * siblings, so history is read EXCLUDING the replaying batch's own
+  * `batch_id` partition — the replay then sees the exact history of
+  * its first run and rewrites both partitions bit-identically.
+  *
+  * When micro-batches arrive in ascending doc_id order, the admitted
+  * output equals batch [[NearDup.spanScrub]] over the full corpus
+  * exactly (claim order (arrival, doc_id, pos) == the batch op's
+  * (doc_id, pos) total order).
+  */
+object SpanIngest {
+
+  /** Process one micro-batch; returns the admitted (doc_id,
+    * text_scrubbed, kept_tokens) frame for tests/inspection.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, keptPath: String,
+      indexPath: String, k: Int = 5): DataFrame = {
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    try {
+      val grams = NearDup.spanGramsOf(b, k).withColumn("h", md5(col("gram")))
+      val firstInBatch = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+      // fresh = this batch's newly-claimed grams: first occurrence
+      // within the batch AND unseen in the accumulated index. Pinned:
+      // it feeds the covered-set subtraction AND the index append —
+      // recomputing it for the append would race a half-new index.
+      val fresh = grams
+        .withColumn("rn", row_number().over(firstInBatch))
+        .filter(col("rn") === 1).drop("rn")
+        .join(readIndex(spark, indexPath, excludeBatchId = batchId), Seq("h"), "left_anti")
+        .localCheckpoint(true)
+      // covered = every occurrence EXCEPT the fresh claims (start
+      // position is unique per doc, so (doc_id, pos) identifies one)
+      val covered = grams
+        .join(fresh.select(col("doc_id"), col("pos")), Seq("doc_id", "pos"), "left_anti")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (k - 1))).as("tokpos"))
+        .distinct()
+      val kept = NearDup.scrubRebuild(NearDup.spanTokensOf(b), covered)
+        .localCheckpoint(true)
+      StreamingPipeline.writeBatchIdempotent(kept, batchId, keptPath)
+      StreamingPipeline.writeBatchIdempotent(
+        fresh.select(col("h")), batchId, indexPath)
+      release(fresh)
+      kept
+    } finally { b.unpersist(); () }
+  }
+
+  private def release(pinned: DataFrame): Unit =
+    pinned.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+  /** The accumulated gram-hash index (empty before the first claim) —
+    * one FS existence RPC per batch. `excludeBatchId` drops that
+    * batch's own partition (a pruned directory skip, not a scan
+    * filter) so a replaying batch never sees its first run's claims.
+    */
+  def readIndex(spark: SparkSession, indexPath: String,
+      excludeBatchId: Long = -1L): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(indexPath)
+        .filter(col("batch_id") =!= excludeBatchId).select("h")
+    else spark.range(0).select(lit("").as("h"))
+  }
+
+  /** Start the ingest stream over a `documents`-schema source. */
+  def start(spark: SparkSession, source: DataFrame, keptPath: String,
+      indexPath: String, checkpoint: String, k: Int = 5,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the stream discards the returned frame — release its pinned
+        // blocks so a long-running ingest doesn't accumulate them
+        release(processBatch(batch, batchId, keptPath, indexPath, k))
+      }
+      .start()
+}

@@ -296,4 +296,57 @@ class NearDupSpec extends SparkSuite {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("spanScrub equals a sequential first-occurrence reference") {
+    // k=3. doc 1 owns all its grams; doc 2 embeds doc 1's "a b c d"
+    // mid-text (any alignment — the case segmentDedup's fixed tiling
+    // misses) so only its fresh ends survive; doc 3 is a verbatim
+    // copy of doc 1 and must vanish; docs 4/5 show a short doc (one
+    // gram) kept then scrubbed.
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),
+      (3L, "a b c d e f"),
+      (4L, "p q r"),
+      (5L, "p q r"))
+    val k = 3
+    val got = NearDup.spanScrub(corpus.toDF("doc_id", "text"), k = k)
+      .select("doc_id", "text_scrubbed", "kept_tokens")
+      .as[(Long, String, Long)].collect().toSet
+    // sequential reference over global (doc_id, pos) order
+    val seen = scala.collection.mutable.Set.empty[String]
+    val covered = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Int]]
+    for ((id, text) <- corpus.sortBy(_._1)) {
+      val toks = text.split(" ")
+      for (p <- 0 to toks.length - k) {
+        val gram = toks.slice(p, p + k).mkString(" ")
+        if (!seen.add(gram))
+          covered.getOrElseUpdate(id, scala.collection.mutable.Set.empty) ++= (p until p + k)
+      }
+    }
+    val expected = corpus.flatMap { case (id, text) =>
+      val cov = covered.getOrElse(id, scala.collection.mutable.Set.empty[Int])
+      val kept = text.split(" ").zipWithIndex.collect {
+        case (t, p) if !cov(p) => t
+      }
+      if (kept.isEmpty) None else Some((id, kept.mkString(" "), kept.length.toLong))
+    }.toSet
+    assert(got === expected)
+    assert(!got.exists(_._1 == 3L)) // verbatim copy vanished
+    assert(got.contains((2L, "x y", 2L)))
+    assert(got.contains((4L, "p q r", 3L)) && !got.exists(_._1 == 5L))
+  }
+
+  test("spanScrub is invariant to input partitioning and scrubs the fixture corpus") {
+    val base = docs.select("doc_id", "text")
+    val a = NearDup.spanScrub(base, k = 5)
+      .as[(Long, String, Long)].collect().toSet
+    val b = NearDup.spanScrub(base.repartition(13), k = 5)
+      .as[(Long, String, Long)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+    // the fixture corpus has planted near-dups → something must scrub
+    val totalToks = docs.select(size(split($"text", " "))).as[Int].collect().sum
+    assert(a.toSeq.map(_._3).sum < totalToks)
+  }
 }

@@ -123,6 +123,19 @@ class PlanSpec extends SparkSuite {
     assert(!finalPlan.contains("SinglePartition"), p)
   }
 
+  test("span scrub: gram-keyed window, anti-join stays equi, no nested loop") {
+    val p = planOf(graft.ops.NearDup.spanScrub(
+      Tables.documents(spark, sfDir), k = 5))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the only join is the kept-tokens LeftAnti on (doc_id, pos) —
+    // an equi-join at any scale; a nested loop means a key got lost
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), p)
+    // first-occurrence selection must partition by the gram string,
+    // never collapse to the single-partition unpartitioned window
+    assert(!finalPlan.contains("SinglePartition"), p)
+  }
+
   test("edit-distance pairs: candidates come from equi-joins, never a nested loop") {
     val (raw, _) = graft.ops.NearDup.editDistancePairsFrames(
       Tables.documents(spark, sfDir), 80, 5, "doc_id", "text")

@@ -351,6 +351,75 @@ class StreamingVariantsSpec extends SparkSuite {
     assert(keptSet() === streamed)
   }
 
+  test("streaming span scrub equals batch spanScrub; replay rewrites identically") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.SpanIngest
+    import graft.ops.NearDup
+    import StreamingVariantsSpec.Doc
+    // id-ordered batches: the equivalence precondition (arrival order
+    // == doc_id order makes streaming claim order == batch's)
+    val docs = Tables.documents(spark, sfDir)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .sortBy(_._1).map(d => Doc(d._1, d._2, d._3, d._4, d._5))
+    val dir = java.nio.file.Files.createTempDirectory("graft_spaningest").toString
+    val mem = MemoryStream[Doc]
+    val q = SpanIngest.start(spark, mem.toDF(),
+      s"$dir/kept", s"$dir/index", s"$dir/ckpt")
+    val (first, second) = docs.splitAt(docs.size / 2)
+    try {
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def keptSet() = spark.read.parquet(s"$dir/kept")
+      .select("doc_id", "text_scrubbed", "kept_tokens")
+      .as[(Long, String, Long)].collect().toSet
+    val streamed = keptSet()
+    val batch = NearDup.spanScrub(Tables.documents(spark, sfDir))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed === batch)
+    // replay batch 1: unlike SegmentIngest (replay admits nothing),
+    // the replayed span batch RE-EMITS its original frame — history
+    // excludes its own batch_id partition, so it sees exactly the
+    // state of its first run and rewrites both partitions identically
+    val replayed = SpanIngest.processBatch(
+      second.toDF(), batchId = 1L, s"$dir/kept", s"$dir/index")
+    assert(replayed.count() > 0)
+    assert(keptSet() === streamed)
+  }
+
+  test("streamed importance-profile deltas serve batch-identical scores; replay is idempotent") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.ImportanceIngest
+    import graft.serving.ImportanceProfile
+    import StreamingVariantsSpec.Doc
+    val docs = Tables.documents(spark, sfDir)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .map(d => Doc(d._1, d._2, d._3, d._4, d._5))
+    val dir = java.nio.file.Files.createTempDirectory("graft_impingest").toString
+    val pred = col("lang") === "en"
+    val mem = MemoryStream[Doc]
+    val q = ImportanceIngest.start(spark, mem.toDF(),
+      s"$dir/profile", s"$dir/ckpt", pred)
+    val (first, second) = docs.splitAt(docs.size / 2)
+    try {
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def scores() = ImportanceProfile.score(spark, s"$dir/profile",
+      Tables.documents(spark, sfDir)).as[(Long, Long)].collect().toMap
+    val streamed = scores()
+    val batch = graft.queries.SampleQueries.sampleImportance(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === batch)
+    // replay batch 1: its delta partition is rewritten bit-identically
+    ImportanceIngest.processBatch(second.toDF(), 1L, s"$dir/profile", pred)
+    assert(scores() === streamed)
+  }
+
   test("incremental LSH dedup rejects exact/near dups vs history and within batches") {
     implicit val sql = spark.sqlContext
     import graft.streaming.IncrementalDedup

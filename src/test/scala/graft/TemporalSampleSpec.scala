@@ -320,6 +320,50 @@ class TemporalSampleSpec extends SparkSuite {
 
   // ---------- semantic dedup ----------
 
+  test("importanceWeights ranks target-profile docs above off-profile docs") {
+    // target = lang 'en'. Doc 10 repeats the exact target bigrams; doc
+    // 20 shares none of them — its buckets carry only the +1 smoothing
+    // numerator, so its score must land strictly below.
+    val corpus = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog sat on the rug", "en"),
+      (10L, "the cat sat on the rug", "xx"),
+      (20L, "ein hund liegt auf dem teppich", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val scores = Sample.importanceWeights(corpus, col("lang") === "en")
+      .as[(Long, Long)].collect().toMap
+    assert(scores.keySet === Set(1L, 2L, 10L, 20L)) // every doc scored
+    assert(scores(10L) > scores(20L))
+    // a doc of pure target bigrams scores at least the target docs' floor
+    assert(scores(10L) > 0 && scores(20L) >= 0)
+    // partition invariance: pure function of corpus content
+    val reparted = Sample.importanceWeights(
+      corpus.repartition(7), col("lang") === "en")
+      .as[(Long, Long)].collect().toMap
+    assert(reparted === scores)
+  }
+
+  test("importance profile: served ≡ direct; split-batch deltas merge to the one-shot profile") {
+    import graft.serving.ImportanceProfile
+    val docs = Tables.documents(spark, sfDir)
+    val direct = graft.queries.SampleQueries.sampleImportance(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    // one-shot materialized root (the gate's own path)
+    val served = graft.queries.SampleQueries.sampleImportanceServed(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(served === direct)
+    // rebuild the same state as two additive deltas → identical scores
+    val dir = java.nio.file.Files.createTempDirectory("graft_imp_split").toString
+    val pred = col("lang") === "en"
+    ImportanceProfile.writeDelta(
+      graft.ops.Sample.bucketProfile(docs.filter($"doc_id" % 2 === 0), pred), 0L, dir)
+    ImportanceProfile.writeDelta(
+      graft.ops.Sample.bucketProfile(docs.filter($"doc_id" % 2 === 1), pred), 1L, dir)
+    val split = ImportanceProfile.score(spark, dir, docs)
+      .as[(Long, Long)].collect().toMap
+    assert(split === direct)
+  }
+
   test("semanticDedupPairs ⊆ exact cosine near-dup pairs; no cartesian in the plan") {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = Ann.coarseCentroids(emb, nCells = 8)
