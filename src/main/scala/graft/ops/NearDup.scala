@@ -687,6 +687,33 @@ object NearDup {
         .filter(col("rn") === 1))
   }
 
+  /** Boilerplate segment scrub — the frequency-threshold twin of
+    * [[segmentDedup]] (the CCNet boilerplate-paragraph filter): a
+    * segment occurring more than `maxFreq` times corpus-wide is
+    * treated as template/boilerplate text and removed from EVERY
+    * document, first occurrence included — headers, cookie banners,
+    * licence blocks. Where keep-first dedup preserves one canonical
+    * copy, a boilerplate segment has no canonical home: all copies
+    * are noise. Documents that were wholly boilerplate drop out.
+    * Returns (doc_id, text_clean, segs_kept).
+    *
+    * Scale shape: identical to [[segmentDedup]] — the per-segment
+    * count is an unordered window over the same segment-keyed
+    * exchange the keep-first rank uses (one shuffle, partial counts
+    * merge map-side under AQE), then the doc-bounded reassembly
+    * shuffle. No joins, nothing driver-side.
+    */
+  def boilerplateScrub(docs: DataFrame, segWords: Int = 10,
+      maxFreq: Long = 1, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val perSeg = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+    reassemble(
+      segmentsOf(docs, segWords, idCol, textCol)
+        .withColumn("cnt", count(lit(1)).over(perSeg))
+        .filter(col("cnt") <= maxFreq))
+      .withColumnRenamed("text_deduped", "text_clean")
+  }
+
   /** The (doc_id, seg_idx, seg) segment stream both [[segmentDedup]]
     * and the streaming ingest twin ([[graft.streaming.SegmentIngest]])
     * cut: fixed `segWords`-word windows over the token stream, last

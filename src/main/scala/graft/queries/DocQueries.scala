@@ -205,6 +205,12 @@ object DocQueries {
   def docSegmentDedup(spark: SparkSession, dir: String): DataFrame =
     NearDup.segmentDedup(Tables.documents(spark, dir), segWords = 10)
 
+  /** Boilerplate segment scrub (every copy of a corpus-repeated
+    * segment removed) — see [[graft.ops.NearDup.boilerplateScrub]].
+    */
+  def docBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    NearDup.boilerplateScrub(Tables.documents(spark, dir), segWords = 10)
+
   /** Overlapping duplicated-span scrub (suffix-array-dedup analog) at
     * k=5 words — see [[graft.ops.NearDup.spanScrub]].
     */
@@ -610,6 +616,7 @@ object DocQueries {
     "q_doc_split" -> (docSplit _),
     "q_doc_repetition" -> (docRepetition _),
     "q_doc_segment_dedup" -> (docSegmentDedup _),
+    "q_doc_boilerplate" -> (docBoilerplate _),
     "q_doc_span_scrub" -> (docSpanScrub _),
     "q_doc_contamination" -> (docContamination _),
     "q_doc_contamination_bloom" -> (docContaminationBloom _),
@@ -854,6 +861,20 @@ object DocQueries {
          |SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_deduped,
          |  CAST(count(*) AS BIGINT) AS segs_kept
          |FROM firsts WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+    // frequency-threshold twin: EVERY copy of a segment seen more
+    // than once is removed (boilerplate has no canonical occurrence)
+    "q_doc_boilerplate" ->
+      s"""WITH ws AS (SELECT doc_id, $toks AS w FROM documents),
+         |idx AS (SELECT doc_id, w,
+         |  unnest(generate_series(0, CAST(ceil(len(w)/10.0) AS INT) - 1)) AS gs
+         |  FROM ws),
+         |segs AS (SELECT doc_id, CAST(gs AS BIGINT) AS seg_idx,
+         |  array_to_string(w[(gs*10+1):(gs*10+10)], ' ') AS seg FROM idx),
+         |cnt AS (SELECT doc_id, seg_idx, seg,
+         |  count(*) OVER (PARTITION BY seg) AS c FROM segs)
+         |SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean,
+         |  CAST(count(*) AS BIGINT) AS segs_kept
+         |FROM cnt WHERE c <= 1 GROUP BY doc_id""".stripMargin,
     // overlapping k=5 spans; rn>1 occurrences cover their 5 positions,
     // docs rebuilt from uncovered tokens (fully-covered docs drop out)
     "q_doc_span_scrub" ->

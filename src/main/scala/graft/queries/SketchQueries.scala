@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{CmSketch, KmvSketch}
+import graft.functions.{CmSketch, KmvSketch, TupleSketch}
 import graft.serving.Serving
 
 /** Deterministic-sketch query surface — the set-expression and
@@ -193,6 +193,89 @@ object SketchQueries {
       .crossJoin(kmvSetEstimates(pivotTag(sk)))
   }
 
+  /** TUPLE sketch set-op metrics — the theta sketch upgraded with an
+    * exact integer summary per retained key ([[TupleSketch]]): total
+    * purchase revenue, and purchase revenue FROM USERS WHO ALSO
+    * CLICKED — a metric over a set intersection, which two separate
+    * aggregates cannot answer and the raw path needs a user-level
+    * join for. The estimates are sample-sum scale-ups through the
+    * same composed-θ algebra as [[distinctKmv]], all md5-derived
+    * integer arithmetic, so the gate hash-checks them; the exact
+    * columns (distinct-join recompute) ride alongside as ground
+    * truth.
+    *
+    * Scale shape: identical to the KMV half — bounded 2k-long state
+    * per group, associative merges, one pass; the set-metric
+    * composition runs on two one-row sketches. The exact half is the
+    * expensive user-grain join the sketch replaces at 100 TB.
+    */
+  def distinctTuple(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sk = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        KmvSketch.keyHash(col("user_id")).as("h"),
+        col("value_cents").as("v"))
+      .groupBy(col("event_type"))
+      .agg(TupleSketch.tupleSk(col("h"), col("v"), K).as("sk"))
+    tupleExactHalf(ev).crossJoin(tupleEstimates(pivotClickPurchase(sk)))
+  }
+
+  /** The same set-metric estimates SERVED from the materialized
+    * day-grain tuple state (`tuple_daily` under the serving root):
+    * stored (hash, sum) pairs explode, equal hashes sum across days,
+    * and the k-min re-sketch is bit-identical to a direct build
+    * ([[graft.serving.Serving.dailyTupleSketches]]'s exactness
+    * argument), so this shares [[distinctTuple]]'s oracle. The exact
+    * columns remain the raw-recompute ground truth.
+    */
+  def distinctTupleServed(spark: SparkSession, dir: String): DataFrame = {
+    val merged = Serving.readTable(spark, dir, "tuple_daily")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        explode(arrays_zip(col("sk.hs"), col("sk.vs"))).as("e"))
+      .select(col("event_type"), col("e.hs").as("h"), col("e.vs").as("v"))
+      .groupBy(col("event_type"))
+      .agg(TupleSketch.tupleSk(col("h"), col("v"), K).as("sk"))
+    tupleExactHalf(Tables.events(spark, dir))
+      .crossJoin(tupleEstimates(pivotClickPurchase(merged)))
+  }
+
+  /** Estimate columns from a one-row (sk_a, sk_b) tuple-sketch frame
+    * (absent sets coalesced to empty — 0-estimates, not NULLs).
+    */
+  private def tupleEstimates(pivoted: DataFrame): DataFrame =
+    pivoted
+      .withColumn("sk_a", coalesce(col("sk_a"), TupleSketch.emptySk))
+      .withColumn("sk_b", coalesce(col("sk_b"), TupleSketch.emptySk))
+      .withColumn("th_b", KmvSketch.theta(col("sk_b.hs"), K))
+      .withColumn("theta",
+        least(KmvSketch.theta(col("sk_a.hs"), K), col("th_b")))
+      .withColumn("ha", KmvSketch.sample(col("sk_a.hs"), col("theta")))
+      .select(
+        KmvSketch.estimate(col("sk_a.hs"), K).as("est_users_a"),
+        KmvSketch.estimate(col("sk_b.hs"), K).as("est_users_b"),
+        KmvSketch.scaleUp(
+          TupleSketch.sumBelow(col("sk_b"), col("th_b")), col("th_b"))
+          .as("est_rev_b"),
+        KmvSketch.scaleUp(
+          TupleSketch.sumBelowIn(col("sk_b"), col("theta"), col("ha")),
+          col("theta"))
+          .as("est_rev_inter"))
+
+  /** Ground truth: the user-grain distinct/join recompute. */
+  private def tupleExactHalf(ev: DataFrame): DataFrame = {
+    val a = ev.filter(col("event_type") === "click")
+      .select("user_id").distinct()
+    val b = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(sum(col("value_cents")).as("v"))
+    a.agg(count(lit(1)).as("exact_users_a"))
+      .crossJoin(b.agg(
+        count(lit(1)).as("exact_users_b"),
+        coalesce(sum(col("v")), lit(0L)).as("exact_rev_b")))
+      .crossJoin(b.join(a, Seq("user_id"), "left_semi")
+        .agg(coalesce(sum(col("v")), lit(0L)).as("exact_rev_inter")))
+  }
+
   /** The 20 lowest user_ids with exact counts, fanned out to their d
     * probe (i, bucket) coordinates — the probe side both CM paths
     * share (exact_cnt is the gate's ground-truth half).
@@ -272,6 +355,8 @@ object SketchQueries {
     "q_distinct_kmv_served" -> (distinctKmvServed _),
     "q_distinct_kmv_window" -> (distinctKmvWindow _),
     "q_distinct_kmv_retention" -> (distinctKmvRetention _),
+    "q_distinct_tuple" -> (distinctTuple _),
+    "q_distinct_tuple_served" -> (distinctTupleServed _),
     "q_freq_cm" -> (freqCm _),
     "q_freq_cm_served" -> (freqCmServed _),
     "q_freq_cm_window" -> (freqCmWindow _),
@@ -444,6 +529,66 @@ object SketchQueries {
        |    (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS exact_union)
        |SELECT ex.*, est.* FROM ex, est""".stripMargin
 
+  /** Tuple-sketch mirror: the KMV chain with a collision-merged
+    * per-hash cents sum carried through, estimates = sample-sum
+    * scale-ups under the own/composed thresholds.
+    */
+  private val tupleOracle =
+    s"""WITH uv AS (
+       |  SELECT event_type,
+       |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+       |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT event_type, h, v,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS cnt
+       |  FROM uv),
+       |sk AS (SELECT * FROM r WHERE rn <= $K),
+       |th AS (
+       |  SELECT event_type,
+       |    CASE WHEN max(cnt) < $K THEN 1152921504606846976
+       |         ELSE max(CASE WHEN rn = $K THEN h END) END AS th_own,
+       |    max(cnt) AS cnt
+       |  FROM sk GROUP BY 1),
+       |pe AS (
+       |  SELECT event_type,
+       |    CASE WHEN cnt < $K THEN CAST(cnt AS BIGINT)
+       |         ELSE CAST(${K - 1}::HUGEINT * $Mlit // th_own AS BIGINT)
+       |    END AS est
+       |  FROM th),
+       |tb AS (
+       |  SELECT COALESCE((SELECT th_own FROM th WHERE event_type = 'purchase'),
+       |                  1152921504606846976) AS th_b),
+       |t AS (
+       |  SELECT COALESCE((SELECT min(th_own) FROM th),
+       |                  1152921504606846976) AS theta),
+       |sa AS (SELECT h FROM sk, t WHERE event_type = 'click' AND h < theta),
+       |est AS (
+       |  SELECT
+       |    COALESCE((SELECT est FROM pe WHERE event_type = 'click'), 0) AS est_users_a,
+       |    COALESCE((SELECT est FROM pe WHERE event_type = 'purchase'), 0) AS est_users_b,
+       |    CAST((SELECT COALESCE(sum(v), 0) FROM sk, tb
+       |          WHERE event_type = 'purchase' AND h < th_b)::HUGEINT
+       |         * $Mlit // (SELECT th_b FROM tb) AS BIGINT) AS est_rev_b,
+       |    CAST((SELECT COALESCE(sum(v), 0) FROM sk, t
+       |          WHERE event_type = 'purchase' AND h < theta
+       |            AND h IN (SELECT h FROM sa))::HUGEINT
+       |         * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_rev_inter),
+       |a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+       |bu AS (
+       |  SELECT user_id, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |ex AS (
+       |  SELECT
+       |    (SELECT count(*) FROM a) AS exact_users_a,
+       |    (SELECT count(*) FROM bu) AS exact_users_b,
+       |    (SELECT CAST(COALESCE(sum(v), 0) AS BIGINT) FROM bu) AS exact_rev_b,
+       |    (SELECT CAST(COALESCE(sum(v), 0) AS BIGINT) FROM bu
+       |     WHERE user_id IN (SELECT user_id FROM a)) AS exact_rev_inter)
+       |SELECT ex.*, est.* FROM ex, est""".stripMargin
+
   private val kmvRetentionOracle = kmvSetOracle(
     s"(epoch_ms(ts) // $dayMs) = (SELECT min(epoch_ms(ts) // $dayMs) FROM events)",
     s"(epoch_ms(ts) // $dayMs) = (SELECT max(epoch_ms(ts) // $dayMs) FROM events)")
@@ -455,6 +600,8 @@ object SketchQueries {
     "q_distinct_kmv_served" -> kmvOracle,
     "q_distinct_kmv_window" -> kmvWindowOracle,
     "q_distinct_kmv_retention" -> kmvRetentionOracle,
+    "q_distinct_tuple" -> tupleOracle,
+    "q_distinct_tuple_served" -> tupleOracle,
     "q_freq_cm" -> cmOracle,
     "q_freq_cm_served" -> cmOracle,
     "q_freq_cm_window" -> cmWindowOracle,

@@ -156,6 +156,28 @@ object Serving {
         col("event_type"), col("sk"))
   }
 
+  /** DAY-GRAIN per-event-type TUPLE sketches (KMV hashes + exact
+    * per-user cents sums, [[graft.functions.TupleSketch]]) — the
+    * materialized twin of the query-time tuple sketch
+    * ([[graft.queries.SketchQueries.distinctTuple]]). Day re-merge is
+    * exact by the same eviction argument as KMV, PLUS summary
+    * exactness: a day's globally-retained hash is retained in that
+    * day's sketch (day θ ≥ global θ), so its full day sum is carried
+    * and equal hashes sum across days — any day range re-merges to
+    * bit-exactly the direct one-pass sketch. Bounded: two k-long
+    * arrays per (day, type).
+    */
+  def dailyTupleSketches(events: DataFrame): DataFrame = {
+    import graft.functions.{KmvSketch, TupleSketch}
+    events
+      .select(date_trunc("day", col("ts")).as("d"), col("event_type"),
+        KmvSketch.keyHash(col("user_id")).as("h"), col("value_cents").as("v"))
+      .groupBy(col("d"), col("event_type"))
+      .agg(TupleSketch.tupleSk(col("h"), col("v"), KmvSketch.DefaultK).as("sk"))
+      .select(unix_millis(col("d")).as("window_start_ms"),
+        col("event_type"), col("sk"))
+  }
+
   /** Hourly per-(restaurant, user) aggregate — the keyed tables'
     * grain (restaurant_topk analog; event_type plays restaurant_id).
     */
@@ -236,7 +258,8 @@ object Serving {
       sortCols = Seq("event_type", "window_start_ms", "bin"))
   }
 
-  private def writeSketchState(root: String, cm: DataFrame, kmv: DataFrame): Unit = {
+  private def writeSketchState(root: String, cm: DataFrame, kmv: DataFrame,
+      tuple: DataFrame): Unit = {
     TableManager.writePartitioned(
       cm.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
       s"$root/cm_daily", tsCol = "w_ts",
@@ -244,6 +267,10 @@ object Serving {
     TableManager.writePartitioned(
       kmv.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
       s"$root/kmv_daily", tsCol = "w_ts",
+      sortCols = Seq("event_type", "window_start_ms"))
+    TableManager.writePartitioned(
+      tuple.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+      s"$root/tuple_daily", tsCol = "w_ts",
       sortCols = Seq("event_type", "window_start_ms"))
   }
 
@@ -279,7 +306,7 @@ object Serving {
     "topk_keyed_by_count", "topk_keyed_by_revenue",
     "agg_by_window", "agg_keyed_by_window",
     "rollup_1m", "rollup_1m_users", "rollup_1m_hist",
-    "cm_daily", "kmv_daily", "meta")
+    "cm_daily", "kmv_daily", "tuple_daily", "meta")
 
   /** Full build of the serving layout at `root` from an events frame
     * (batch path; the streaming path refreshes incrementally via
@@ -300,7 +327,8 @@ object Serving {
       writeAggState(root, agg, keyed)
       writeMinuteState(root, minuteRollupAgg(events), minuteUsers(events),
         minuteValueHist(events))
-      writeSketchState(root, dailyCmSketch(events), kmvDailySketches(events))
+      writeSketchState(root, dailyCmSketch(events), kmvDailySketches(events),
+        dailyTupleSketches(events))
       writeRankedTables(root, agg, keyed)
       writeMeta(spark, root, maxRow.getLong(0), -1L)
     } finally {
@@ -441,6 +469,25 @@ object Serving {
           .agg(graft.functions.KmvSketch.kmv(col("h"),
             graft.functions.KmvSketch.DefaultK).as("sk"))
           .localCheckpoint(true)
+        // tuple sketches re-merge the same way, with the stored
+        // (hash, sum) pairs exploded so equal hashes sum with the
+        // batch's raw rows — exact per the day-merge argument on
+        // [[dailyTupleSketches]]
+        val tuple = spark.read.parquet(s"$root/tuple_daily")
+          .filter(col("p_date").isin(dates: _*))
+          .select(col("window_start_ms"), col("event_type"),
+            explode(arrays_zip(col("sk.hs"), col("sk.vs"))).as("e"))
+          .select(col("window_start_ms"), col("event_type"),
+            col("e.hs").as("h"), col("e.vs").as("v"))
+          .unionAll(batch.select(
+            unix_millis(date_trunc("day", col("ts"))).as("window_start_ms"),
+            col("event_type"),
+            graft.functions.KmvSketch.keyHash(col("user_id")).as("h"),
+            col("value_cents").as("v")))
+          .groupBy(col("window_start_ms"), col("event_type"))
+          .agg(graft.functions.TupleSketch.tupleSk(col("h"), col("v"),
+            graft.functions.KmvSketch.DefaultK).as("sk"))
+          .localCheckpoint(true)
         try {
           writeAggStatePartitions(root, agg, keyed)
           TableManager.overwritePartitions(
@@ -460,6 +507,9 @@ object Serving {
           TableManager.overwritePartitions(
             kmv.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
             s"$root/kmv_daily", "w_ts", Seq("event_type", "window_start_ms"))
+          TableManager.overwritePartitions(
+            tuple.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+            s"$root/tuple_daily", "w_ts", Seq("event_type", "window_start_ms"))
           writeRankedPartitions(root, agg, keyed)
           val oldMax = readMeta(spark, root)._1
           val batchMaxRow = batch.agg(unix_millis(max(col("ts")))).head
@@ -471,7 +521,7 @@ object Serving {
         } finally {
           agg.unpersist(); keyed.unpersist()
           roll.unpersist(); musers.unpersist(); hist.unpersist()
-          cm.unpersist(); kmv.unpersist()
+          cm.unpersist(); kmv.unpersist(); tuple.unpersist()
           invalidate(root)
         }
       }

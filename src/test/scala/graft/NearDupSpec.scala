@@ -297,6 +297,43 @@ class NearDupSpec extends SparkSuite {
     assert(a.nonEmpty)
   }
 
+  test("boilerplateScrub removes every copy of a repeated segment") {
+    // same corpus shape as the segmentDedup test, but here "a b" and
+    // "c d"/"e f" are boilerplate (repeated) — ALL copies go,
+    // including the first: doc 1 loses everything, doc 2 and 3 each
+    // keep only their unique tail/none, doc 4 keeps its unique tail.
+    val corpus = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "c d e f"),
+      (4L, "a b x y z"))
+    val got = NearDup.boilerplateScrub(corpus.toDF("doc_id", "text"), segWords = 2)
+      .select("doc_id", "text_clean", "segs_kept")
+      .as[(Long, String, Long)].collect().toSet
+    // reference: corpus-wide segment counts, keep only count==1
+    val counts = corpus.flatMap { case (_, t) =>
+      t.split(" ").grouped(2).map(_.mkString(" ")) }
+      .groupBy(identity).map { case (s, o) => s -> o.size }
+    val expected = corpus.flatMap { case (id, text) =>
+      val kept = text.split(" ").grouped(2).map(_.mkString(" "))
+        .filter(counts(_) == 1).toSeq
+      if (kept.isEmpty) None else Some((id, kept.mkString(" "), kept.size.toLong))
+    }.toSet
+    assert(got === expected)
+    assert(!got.exists(_._1 == 1L) && !got.exists(_._1 == 3L))
+    assert(got.contains((4L, "x y z", 2L)))
+  }
+
+  test("boilerplateScrub is invariant to input partitioning") {
+    val base = docs.select("doc_id", "text")
+    val a = NearDup.boilerplateScrub(base, segWords = 10)
+      .as[(Long, String, Long)].collect().toSet
+    val b = NearDup.boilerplateScrub(base.repartition(13), segWords = 10)
+      .as[(Long, String, Long)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("spanScrub equals a sequential first-occurrence reference") {
     // k=3. doc 1 owns all its grams; doc 2 embeds doc 1's "a b c d"
     // mid-text (any alignment — the case segmentDedup's fixed tiling

@@ -110,6 +110,50 @@ class SketchSpec extends SparkSuite {
     val kmvServed = SketchQueries.distinctKmvServed(spark, sfDir)
       .collect().map(_.toString).toSeq
     assert(kmvServed === kmvDirect)
+    val tupleDirect = SketchQueries.distinctTuple(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val tupleServed = SketchQueries.distinctTupleServed(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(tupleServed === tupleDirect)
+  }
+
+  test("tuple: retained summaries are exact full sums, any partitioning") {
+    import graft.functions.TupleSketch
+    // 500 keys, values 3 rows each of (i, 2i, 3i) → per-key sum 6i;
+    // every retained entry must carry its key's FULL sum regardless
+    // of merge tree, and state must be bit-identical across trees
+    def sk(parts: Int) = (1 to 500).flatMap(i =>
+        Seq((s"key_$i", i.toLong), (s"key_$i", 2L * i), (s"key_$i", 3L * i)))
+      .toDF("key", "v").repartition(parts)
+      .select(KmvSketch.keyHash(col("key")).as("h"), col("v"))
+      .agg(TupleSketch.tupleSk(col("h"), col("v"), 64).as("sk"))
+      .select($"sk.hs", $"sk.vs").as[(Seq[Long], Seq[Long])].head()
+    val (h1, v1) = sk(1)
+    assert((h1, v1) == sk(13))
+    assert(h1.size == 64 && h1 == h1.sorted)
+    // cross-check each retained hash's sum against a direct map
+    val byHash = (1 to 500).map { i =>
+      val h = spark.sql(
+        s"SELECT conv(substring(md5('key_$i'), 1, 15), 16, 10)").head.getString(0).toLong
+      h -> 6L * i
+    }.toMap
+    h1.zip(v1).foreach { case (h, v) => assert(byHash(h) == v, s"hash $h") }
+  }
+
+  test("tuple gate: set-metric estimates land near the exact values") {
+    val row = SketchQueries.distinctTuple(spark, sfDir).collect().head
+    def g(n: String): Long = row.getAs[Long](n)
+    assert(math.abs(g("est_users_b") - g("exact_users_b")) <=
+      math.max(8L, g("exact_users_b") / 2))
+    // revenue estimates: 4σ-ish envelope, and the intersection metric
+    // can never exceed the set-B metric estimate under the same θ
+    assert(math.abs(g("est_rev_b") - g("exact_rev_b")) <=
+      math.max(200L, g("exact_rev_b") / 2),
+      s"rev_b est=${g("est_rev_b")} exact=${g("exact_rev_b")}")
+    assert(g("est_rev_inter") >= 0 &&
+      math.abs(g("est_rev_inter") - g("exact_rev_inter")) <=
+        math.max(200L, g("exact_rev_inter")),
+      s"rev_inter est=${g("est_rev_inter")} exact=${g("exact_rev_inter")}")
   }
 
   test("cm sketch table is bounded at d*w rows regardless of input") {
