@@ -240,6 +240,29 @@ object SketchQueries {
       .crossJoin(tupleEstimates(pivotClickPurchase(merged)))
   }
 
+  /** TIME-WINDOWED set-metric estimates from the day-grain tuple
+    * state — the metric twin of [[distinctKmvWindow]]: "purchase
+    * revenue this week from users who also clicked this week"
+    * re-merges only the last-4-calendar-day tuple sketches (day-
+    * aligned cutoff, so the state merge ≡ a direct build over the
+    * window); the exact half recomputes over the same window as
+    * ground truth.
+    */
+  def distinctTupleWindow(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = Serving.anchorMs(spark, dir) / dayMs * dayMs - 3 * dayMs
+    val merged = Serving.readTable(spark, dir, "tuple_daily")
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("window_start_ms") >= cutoff)
+      .select(col("event_type"),
+        explode(arrays_zip(col("sk.hs"), col("sk.vs"))).as("e"))
+      .select(col("event_type"), col("e.hs").as("h"), col("e.vs").as("v"))
+      .groupBy(col("event_type"))
+      .agg(TupleSketch.tupleSk(col("h"), col("v"), K).as("sk"))
+    tupleExactHalf(
+      Tables.events(spark, dir).filter(unix_millis(col("ts")) >= cutoff))
+      .crossJoin(tupleEstimates(pivotClickPurchase(merged)))
+  }
+
   /** Estimate columns from a one-row (sk_a, sk_b) tuple-sketch frame
     * (absent sets coalesced to empty — 0-estimates, not NULLs).
     */
@@ -357,6 +380,7 @@ object SketchQueries {
     "q_distinct_kmv_retention" -> (distinctKmvRetention _),
     "q_distinct_tuple" -> (distinctTuple _),
     "q_distinct_tuple_served" -> (distinctTupleServed _),
+    "q_distinct_tuple_window" -> (distinctTupleWindow _),
     "q_freq_cm" -> (freqCm _),
     "q_freq_cm_served" -> (freqCmServed _),
     "q_freq_cm_window" -> (freqCmWindow _),
@@ -531,14 +555,16 @@ object SketchQueries {
 
   /** Tuple-sketch mirror: the KMV chain with a collision-merged
     * per-hash cents sum carried through, estimates = sample-sum
-    * scale-ups under the own/composed thresholds.
+    * scale-ups under the own/composed thresholds. `srcWhere` narrows
+    * the source for the windowed variant (both halves).
     */
-  private val tupleOracle =
-    s"""WITH uv AS (
+  private def tupleOracleFor(srcWhere: String) =
+    s"""WITH src AS (SELECT * FROM events $srcWhere),
+       |uv AS (
        |  SELECT event_type,
        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h,
        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
-       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |  FROM src WHERE event_type IN ('click', 'purchase')
        |  GROUP BY 1, 2),
        |r AS (
        |  SELECT event_type, h, v,
@@ -576,10 +602,10 @@ object SketchQueries {
        |          WHERE event_type = 'purchase' AND h < theta
        |            AND h IN (SELECT h FROM sa))::HUGEINT
        |         * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_rev_inter),
-       |a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+       |a AS (SELECT DISTINCT user_id FROM src WHERE event_type = 'click'),
        |bu AS (
        |  SELECT user_id, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
-       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |  FROM src WHERE event_type = 'purchase' GROUP BY 1),
        |ex AS (
        |  SELECT
        |    (SELECT count(*) FROM a) AS exact_users_a,
@@ -588,6 +614,13 @@ object SketchQueries {
        |    (SELECT CAST(COALESCE(sum(v), 0) AS BIGINT) FROM bu
        |     WHERE user_id IN (SELECT user_id FROM a)) AS exact_rev_inter)
        |SELECT ex.*, est.* FROM ex, est""".stripMargin
+
+  private val tupleOracle = tupleOracleFor("")
+
+  private val tupleWindowOracle = tupleOracleFor(
+    s"""WHERE epoch_ms(ts) >=
+       |  (SELECT (epoch_ms(max(ts)) // $dayMs) * $dayMs - 3*$dayMs FROM events)"""
+      .stripMargin)
 
   private val kmvRetentionOracle = kmvSetOracle(
     s"(epoch_ms(ts) // $dayMs) = (SELECT min(epoch_ms(ts) // $dayMs) FROM events)",
@@ -602,6 +635,7 @@ object SketchQueries {
     "q_distinct_kmv_retention" -> kmvRetentionOracle,
     "q_distinct_tuple" -> tupleOracle,
     "q_distinct_tuple_served" -> tupleOracle,
+    "q_distinct_tuple_window" -> tupleWindowOracle,
     "q_freq_cm" -> cmOracle,
     "q_freq_cm_served" -> cmOracle,
     "q_freq_cm_window" -> cmWindowOracle,

@@ -177,11 +177,15 @@ object NearDupIndex {
     *    bloom/rowgroup pruning of the bounded path needs a driver id
     *    list; at offline volume the id set is data-sized, so it
     *    stays an executor-side join);
-    *  - verification postings are built uncached
-    *    ([[NearDup.postingsNoCache]]) — a lazy return value cannot
-    *    manage a persist lifecycle, so the two verification passes
-    *    re-shingle instead (the [[SparseSearch.rankedRetrieval]]
-    *    trade).
+    *  - the two multiply-consumed intermediates ARE persisted:
+    *    `cand` feeds both the doc fetch and the verify join, and
+    *    verification scans its postings twice (both pair sides) —
+    *    uncached, the whole candidate DAG re-executes per consumer
+    *    (measured 2× wall on the gate). A lazy return value cannot
+    *    unpersist after its caller materializes, so each call
+    *    releases the PREVIOUS call's generation instead — bounded at
+    *    one generation of (cand, postings), both volume-sized,
+    *    MEMORY_AND_DISK.
     *
     * Latency note: the DAG is ~10 sequential shuffle stages deep
     * (candidates → semi-join fetch → shingle → two verify joins), so
@@ -191,7 +195,8 @@ object NearDupIndex {
     * cost; callers iterating over the result should persist it.
     */
   def queryAll(spark: SparkSession, root: String, queries: DataFrame,
-      n: Int = 3, thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+      n: Int = 3, thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = synchronized {
+    lastOfflineGen.foreach(_.unpersist(blocking = false))
     val qb = IncrementalDedup.bandBuckets(queries)
       .withColumn("bucket", bucketOf(col("band_hash")))
       .select(col("doc_id").as("query_id"),
@@ -200,12 +205,20 @@ object NearDupIndex {
       .join(qb, Seq("bucket", "band_idx", "band_hash"))
       .select(col("query_id").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candDocs = indexFrame(spark, root, "docs")
       .join(cand.select(col("doc_b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
     val postings = NearDup.postingsNoCache(
       queries.select(col("doc_id"), col("text")).unionByName(candDocs), n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastOfflineGen = Seq(cand, postings)
     NearDup.verifyPairs(cand, postings, thresholdNum, thresholdDen)
       .select(col("doc_a").as("query_id"), col("doc_b").as("match_id"))
   }
+
+  /** The previous [[queryAll]] call's persisted intermediates —
+    * released on the next call (see the persist-lifecycle note).
+    */
+  private var lastOfflineGen: Seq[DataFrame] = Nil
 }
