@@ -263,6 +263,41 @@ object SketchQueries {
       .crossJoin(tupleEstimates(pivotClickPurchase(merged)))
   }
 
+  /** CROSS-DAY returning-user revenue from the day-grain tuple state —
+    * the question tuple sketches exist for in product analytics:
+    * "how much did LAST-day purchasers who were ALSO active on the
+    * FIRST day spend?" — a metric over a cross-day cohort
+    * intersection, classically a user-grain self-join over raw
+    * history. Day A's sketch union-merges all event types (active =
+    * any event); day B's keeps only purchases with their cents sums;
+    * the intersection metric composes through the same θ algebra.
+    * The exact half recomputes both cohorts from raw — ground truth.
+    */
+  def distinctTupleRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val days = ev.agg(
+      min(expr(s"unix_millis(ts) div $dayMs")).as("a"),
+      max(expr(s"unix_millis(ts) div $dayMs")).as("b")).head
+    val (dayA, dayB) = (days.getLong(0) * dayMs, days.getLong(1) * dayMs)
+    val daily = Serving.readTable(spark, dir, "tuple_daily")
+    // separate tagged legs so a single-day corpus still yields both
+    // cohorts (see distinctKmvRetention)
+    def leg(frame: DataFrame, tag: String) = frame
+      .select(lit(tag).as("s"),
+        explode(arrays_zip(col("sk.hs"), col("sk.vs"))).as("e"))
+      .select(col("s"), col("e.hs").as("h"), col("e.vs").as("v"))
+    val sk = leg(daily.filter(col("window_start_ms") === dayA), "a")
+      .unionAll(leg(daily.filter(col("window_start_ms") === dayB &&
+        col("event_type") === "purchase"), "b"))
+      .groupBy(col("s"))
+      .agg(TupleSketch.tupleSk(col("h"), col("v"), K).as("sk"))
+    def dayOf(ms: Long) =
+      ev.filter(expr(s"unix_millis(ts) div $dayMs") === ms / dayMs)
+    tupleExactHalfAB(dayOf(dayA),
+        dayOf(dayB).filter(col("event_type") === "purchase"))
+      .crossJoin(tupleEstimates(pivotTag(sk)))
+  }
+
   /** Estimate columns from a one-row (sk_a, sk_b) tuple-sketch frame
     * (absent sets coalesced to empty — 0-estimates, not NULLs).
     */
@@ -286,11 +321,18 @@ object SketchQueries {
           .as("est_rev_inter"))
 
   /** Ground truth: the user-grain distinct/join recompute. */
-  private def tupleExactHalf(ev: DataFrame): DataFrame = {
-    val a = ev.filter(col("event_type") === "click")
-      .select("user_id").distinct()
-    val b = ev.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id")).agg(sum(col("value_cents")).as("v"))
+  private def tupleExactHalf(ev: DataFrame): DataFrame =
+    tupleExactHalfAB(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+
+  /** Exact set-metric ground truth over two arbitrary event frames:
+    * distinct users of each, B's total cents, and B's cents from
+    * users also present in A.
+    */
+  private def tupleExactHalfAB(a0: DataFrame, b0: DataFrame): DataFrame = {
+    val a = a0.select("user_id").distinct()
+    val b = b0.groupBy(col("user_id")).agg(sum(col("value_cents")).as("v"))
     a.agg(count(lit(1)).as("exact_users_a"))
       .crossJoin(b.agg(
         count(lit(1)).as("exact_users_b"),
@@ -381,6 +423,7 @@ object SketchQueries {
     "q_distinct_tuple" -> (distinctTuple _),
     "q_distinct_tuple_served" -> (distinctTupleServed _),
     "q_distinct_tuple_window" -> (distinctTupleWindow _),
+    "q_distinct_tuple_retention" -> (distinctTupleRetention _),
     "q_freq_cm" -> (freqCm _),
     "q_freq_cm_served" -> (freqCmServed _),
     "q_freq_cm_window" -> (freqCmWindow _),
@@ -553,59 +596,64 @@ object SketchQueries {
        |    (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS exact_union)
        |SELECT ex.*, est.* FROM ex, est""".stripMargin
 
-  /** Tuple-sketch mirror: the KMV chain with a collision-merged
-    * per-hash cents sum carried through, estimates = sample-sum
-    * scale-ups under the own/composed thresholds. `srcWhere` narrows
-    * the source for the windowed variant (both halves).
+  /** Tuple-sketch mirror over two ARBITRARY tagged event sets (the
+    * engine's pivotTag/pivotClickPurchase twin): the KMV chain with a
+    * collision-merged per-hash cents sum carried through, estimates =
+    * sample-sum scale-ups under the own/composed thresholds. `defA` /
+    * `defB` are WHERE predicates selecting each side's rows.
     */
-  private def tupleOracleFor(srcWhere: String) =
-    s"""WITH src AS (SELECT * FROM events $srcWhere),
+  private def tupleSetOracle(defA: String, defB: String) =
+    s"""WITH src AS (
+       |  SELECT 'a' AS s, user_id, CAST(round(value*100) AS BIGINT) AS c
+       |  FROM events WHERE $defA
+       |  UNION ALL
+       |  SELECT 'b' AS s, user_id, CAST(round(value*100) AS BIGINT) AS c
+       |  FROM events WHERE $defB),
        |uv AS (
-       |  SELECT event_type,
+       |  SELECT s,
        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h,
-       |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
-       |  FROM src WHERE event_type IN ('click', 'purchase')
-       |  GROUP BY 1, 2),
+       |    CAST(sum(c) AS BIGINT) AS v
+       |  FROM src GROUP BY 1, 2),
        |r AS (
-       |  SELECT event_type, h, v,
-       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
-       |    count(*) OVER (PARTITION BY event_type) AS cnt
+       |  SELECT s, h, v,
+       |    row_number() OVER (PARTITION BY s ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY s) AS cnt
        |  FROM uv),
        |sk AS (SELECT * FROM r WHERE rn <= $K),
        |th AS (
-       |  SELECT event_type,
+       |  SELECT s,
        |    CASE WHEN max(cnt) < $K THEN 1152921504606846976
        |         ELSE max(CASE WHEN rn = $K THEN h END) END AS th_own,
        |    max(cnt) AS cnt
        |  FROM sk GROUP BY 1),
        |pe AS (
-       |  SELECT event_type,
+       |  SELECT s,
        |    CASE WHEN cnt < $K THEN CAST(cnt AS BIGINT)
        |         ELSE CAST(${K - 1}::HUGEINT * $Mlit // th_own AS BIGINT)
        |    END AS est
        |  FROM th),
        |tb AS (
-       |  SELECT COALESCE((SELECT th_own FROM th WHERE event_type = 'purchase'),
+       |  SELECT COALESCE((SELECT th_own FROM th WHERE s = 'b'),
        |                  1152921504606846976) AS th_b),
        |t AS (
        |  SELECT COALESCE((SELECT min(th_own) FROM th),
        |                  1152921504606846976) AS theta),
-       |sa AS (SELECT h FROM sk, t WHERE event_type = 'click' AND h < theta),
+       |sa AS (SELECT h FROM sk, t WHERE s = 'a' AND h < theta),
        |est AS (
        |  SELECT
-       |    COALESCE((SELECT est FROM pe WHERE event_type = 'click'), 0) AS est_users_a,
-       |    COALESCE((SELECT est FROM pe WHERE event_type = 'purchase'), 0) AS est_users_b,
+       |    COALESCE((SELECT est FROM pe WHERE s = 'a'), 0) AS est_users_a,
+       |    COALESCE((SELECT est FROM pe WHERE s = 'b'), 0) AS est_users_b,
        |    CAST((SELECT COALESCE(sum(v), 0) FROM sk, tb
-       |          WHERE event_type = 'purchase' AND h < th_b)::HUGEINT
+       |          WHERE s = 'b' AND h < th_b)::HUGEINT
        |         * $Mlit // (SELECT th_b FROM tb) AS BIGINT) AS est_rev_b,
        |    CAST((SELECT COALESCE(sum(v), 0) FROM sk, t
-       |          WHERE event_type = 'purchase' AND h < theta
+       |          WHERE s = 'b' AND h < theta
        |            AND h IN (SELECT h FROM sa))::HUGEINT
        |         * $Mlit // (SELECT theta FROM t) AS BIGINT) AS est_rev_inter),
-       |a AS (SELECT DISTINCT user_id FROM src WHERE event_type = 'click'),
+       |a AS (SELECT DISTINCT user_id FROM src WHERE s = 'a'),
        |bu AS (
-       |  SELECT user_id, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
-       |  FROM src WHERE event_type = 'purchase' GROUP BY 1),
+       |  SELECT user_id, CAST(sum(c) AS BIGINT) AS v
+       |  FROM src WHERE s = 'b' GROUP BY 1),
        |ex AS (
        |  SELECT
        |    (SELECT count(*) FROM a) AS exact_users_a,
@@ -615,12 +663,19 @@ object SketchQueries {
        |     WHERE user_id IN (SELECT user_id FROM a)) AS exact_rev_inter)
        |SELECT ex.*, est.* FROM ex, est""".stripMargin
 
-  private val tupleOracle = tupleOracleFor("")
+  private val tupleOracle =
+    tupleSetOracle("event_type = 'click'", "event_type = 'purchase'")
 
-  private val tupleWindowOracle = tupleOracleFor(
-    s"""WHERE epoch_ms(ts) >=
-       |  (SELECT (epoch_ms(max(ts)) // $dayMs) * $dayMs - 3*$dayMs FROM events)"""
-      .stripMargin)
+  private val tupleWindowCut =
+    s"epoch_ms(ts) >= (SELECT (epoch_ms(max(ts)) // $dayMs) * $dayMs - 3*$dayMs FROM events)"
+
+  private val tupleWindowOracle = tupleSetOracle(
+    s"event_type = 'click' AND $tupleWindowCut",
+    s"event_type = 'purchase' AND $tupleWindowCut")
+
+  private val tupleRetentionOracle = tupleSetOracle(
+    s"(epoch_ms(ts) // $dayMs) = (SELECT min(epoch_ms(ts) // $dayMs) FROM events)",
+    s"event_type = 'purchase' AND (epoch_ms(ts) // $dayMs) = (SELECT max(epoch_ms(ts) // $dayMs) FROM events)")
 
   private val kmvRetentionOracle = kmvSetOracle(
     s"(epoch_ms(ts) // $dayMs) = (SELECT min(epoch_ms(ts) // $dayMs) FROM events)",
@@ -636,6 +691,7 @@ object SketchQueries {
     "q_distinct_tuple" -> tupleOracle,
     "q_distinct_tuple_served" -> tupleOracle,
     "q_distinct_tuple_window" -> tupleWindowOracle,
+    "q_distinct_tuple_retention" -> tupleRetentionOracle,
     "q_freq_cm" -> cmOracle,
     "q_freq_cm_served" -> cmOracle,
     "q_freq_cm_window" -> cmWindowOracle,
