@@ -52,4 +52,28 @@ object Dedup {
     */
   def anyWins(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
+
+  /** PARTIAL upsert — Pinot's partial-upsert table mode (per-column
+    * merge strategy OVERWRITE-if-present): each incoming row is a
+    * sparse PATCH carrying values for some columns and NULL for the
+    * rest; the merged row per key holds, for every column, the value
+    * from the LATEST patch where that column was non-null. Unlike
+    * [[lastWins]] (whole-row survivor), different columns of the
+    * merged row can come from different source rows.
+    *
+    * `patches` maps output column name → patch expression (NULL =
+    * "this row does not set the column"); `ord` must totally order a
+    * key's rows (ties among rows identical on every patch expression
+    * are harmless). Plan: ONE key-shuffle with partial aggregation —
+    * `max_by(c, ord-if-set)` buffers merge map-side, so at 100 TB the
+    * exchange carries one sparse row per (partition, key), not the
+    * patch history; no window, no self-join.
+    */
+  def partialUpsert(df: DataFrame, key: String, ord: Column,
+      patches: Seq[(String, Column)]): DataFrame = {
+    val aggs = patches.map { case (name, c) =>
+      max_by(c, when(c.isNotNull, ord)).as(name)
+    }
+    df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
 }

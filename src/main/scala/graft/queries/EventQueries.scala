@@ -50,6 +50,33 @@ object EventQueries {
         col("value_cents"))
   }
 
+  /** PARTIAL upsert (Pinot partial-upsert mode,
+    * [[graft.ops.Dedup.partialUpsert]]) applied as a user-profile
+    * merge: each event is a sparse patch — purchase rows set the
+    * last-purchase-cents field, click rows the last-click time, every
+    * row the last event type — and the merged profile takes each
+    * field from the LATEST row that set it, so different fields of
+    * one profile come from different rows (what whole-row lastWins
+    * cannot express). The patch order key is a zero-padded
+    * (epoch_us, event_id, cents, type) string — identical lexicographic
+    * comparison in both engines, and rows tying on all of it are
+    * interchangeable for every patch field.
+    */
+  def partialUpsertProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val ord = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"),
+      lpad(col("value_cents").cast("string"), 12, "0"),
+      col("event_type"))
+    Dedup.partialUpsert(ev, "user_id", ord, Seq(
+      "last_type" -> col("event_type"),
+      "last_purchase_cents" ->
+        when(col("event_type") === "purchase", col("value_cents")),
+      "last_click_ms" ->
+        when(col("event_type") === "click", unix_millis(col("ts")))))
+  }
+
   /** A1/A3/A4-exact: 1-minute tumbling rollup per event_type (with
     * the carried hour_of_day / ISO day_of_week dims, P2).
     */
@@ -226,6 +253,7 @@ object EventQueries {
   val queries: Map[String, QFn] = Map(
     "q_dedup_events" -> (dedupEvents _),
     "q_dedup_upsert" -> (dedupUpsert _),
+    "q_partial_upsert" -> (partialUpsertProfile _),
     "q_rollup_1m" -> (rollup1m _),
     "q_rollup_1m_hll" -> (rollup1mHll _),
     "q_compact_hourly" -> (compactHourly _),
@@ -256,6 +284,23 @@ object EventQueries {
       s"""SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, $cents AS value_cents
          |FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY epoch_us(ts) DESC, user_id) AS rn FROM events)
          |WHERE rn = 1""".stripMargin,
+    // per-column latest-non-null merge: arg_max over the shared
+    // zero-padded (us, id, cents, type) order string, null patches
+    // excluded per column via the CASE'd order key
+    "q_partial_upsert" ->
+      s"""WITH p AS (
+         |  SELECT user_id, event_type,
+         |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+         |    lpad(CAST(event_id AS VARCHAR), 12, '0') ||
+         |    lpad(CAST($cents AS VARCHAR), 12, '0') || event_type AS ord,
+         |    CASE WHEN event_type = 'purchase' THEN $cents END AS pc,
+         |    CASE WHEN event_type = 'click' THEN epoch_ms(ts) END AS cm
+         |  FROM events)
+         |SELECT user_id,
+         |  arg_max(event_type, ord) AS last_type,
+         |  arg_max(pc, CASE WHEN pc IS NOT NULL THEN ord END) AS last_purchase_cents,
+         |  arg_max(cm, CASE WHEN cm IS NOT NULL THEN ord END) AS last_click_ms
+         |FROM p GROUP BY user_id""".stripMargin,
     "q_rollup_1m" ->
       s"""SELECT epoch_ms(date_trunc('minute', ts)) AS window_start_ms, event_type,
          |  CAST(hour(ts) AS BIGINT) AS hour_of_day,

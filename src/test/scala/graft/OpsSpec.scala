@@ -37,6 +37,29 @@ class OpsSpec extends SparkSuite {
     assert(out.toSeq === Seq(("e1", 10L, "0ties"), ("e2", 7L, "c")))
   }
 
+  test("partialUpsert merges each column from its latest-setting row") {
+    // key k1: three patches — t=1 sets (x=10, y=NULL), t=2 sets
+    // (x=NULL, y=7), t=3 sets (x=NULL, y=NULL): merged row must take
+    // x from t=1 and y from t=2 (different source rows), never lose a
+    // field to a later row that left it null. k2 never sets y → NULL.
+    val df = Seq(
+      ("k1", 1L, Some(10L), None: Option[Long]),
+      ("k1", 2L, None: Option[Long], Some(7L)),
+      ("k1", 3L, None: Option[Long], None: Option[Long]),
+      ("k2", 1L, Some(5L), None: Option[Long])
+    ).toDF("k", "t", "x", "y")
+    def run(parts: Int) =
+      Dedup.partialUpsert(df.repartition(parts), "k", col("t"),
+          Seq("x" -> col("x"), "y" -> col("y"), "last_t" -> col("t")))
+        .collect()
+        .map(r => (r.getString(0), r.getAs[Any]("x"), r.getAs[Any]("y"),
+          r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val expected = Seq(("k1", 10L, 7L, 3L), ("k2", 5L, null, 1L))
+    assert(run(1) === expected)
+    assert(run(7) === expected) // merge-tree invariant
+  }
+
   test("dedup of (events ++ duplicates) equals dedup of events") {
     val ev = Tables.events(spark, sfDir)
     val dupes = ev.limit(100)
