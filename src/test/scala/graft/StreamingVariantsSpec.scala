@@ -172,6 +172,59 @@ class StreamingVariantsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming partial upsert converges to the batch merge under any split") {
+    import graft.streaming.PartialUpsertStream
+    // user 7: purchase (sets cents) then a LATER click (sets click
+    // time) arriving in an EARLIER batch than an out-of-order middle
+    // purchase — the per-field ord guard must keep the latest setter
+    // per field, not the latest batch's
+    val events = Seq(
+      TimerDedup.Ev(1, ts("2024-01-01 10:00:00"), 7, "purchase", 500),
+      TimerDedup.Ev(2, ts("2024-01-01 10:30:00"), 7, "click", 0),
+      TimerDedup.Ev(3, ts("2024-01-01 10:10:00"), 7, "purchase", 900), // out of order
+      TimerDedup.Ev(4, ts("2024-01-01 10:05:00"), 8, "view", 0))
+    val batchExpected = graft.ops.Dedup.partialUpsert(
+        events.toDF(),
+        "user_id",
+        concat(
+          lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 12, "0"),
+          lpad(col("value_cents").cast("string"), 12, "0"),
+          col("event_type")),
+        Seq(
+          "last_type" -> col("event_type"),
+          "last_purchase_cents" ->
+            when(col("event_type") === "purchase", col("value_cents")),
+          "last_click_ms" ->
+            when(col("event_type") === "click", unix_millis(col("ts")))))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getAs[java.lang.Long](2)).map(_.toLong),
+        Option(r.getAs[java.lang.Long](3)).map(_.toLong)))
+      .toSet
+    for (splitAt <- Seq(0, 1, 2, 3)) {
+      implicit val sql = spark.sqlContext
+      val mem = MemoryStream[TimerDedup.Ev]
+      val profiles = PartialUpsertStream.profiles(spark,
+        PartialUpsertStream.patchesOf(spark, mem.toDF()))
+      val last = new java.util.concurrent.ConcurrentHashMap[Long, PartialUpsertStream.Profile]()
+      val q = profiles.writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[PartialUpsertStream.Profile], _: Long) =>
+          b.collect().foreach(p => last.put(p.user_id, p))
+        }.start()
+      try {
+        val (a, b) = events.splitAt(splitAt)
+        if (a.nonEmpty) { mem.addData(a: _*); q.processAllAvailable() }
+        if (b.nonEmpty) { mem.addData(b: _*); q.processAllAvailable() }
+        import scala.jdk.CollectionConverters._
+        val got = last.asScala.values
+          .map(p => (p.user_id, p.last_type, p.last_purchase_cents, p.last_click_ms))
+          .toSet
+        assert(got === batchExpected, s"splitAt=$splitAt")
+      } finally q.stop()
+    }
+  }
+
   test("processing-time rollup counts every row exactly once (update mode)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TimerDedup.Ev]
