@@ -76,4 +76,26 @@ object Dedup {
     }
     df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The shared events→profile-patch projection every partial-upsert
+    * surface uses (batch gate, streaming ingest twin, served profile
+    * state): purchase rows set the spend field, click rows the click
+    * time, every row the event type. `ord` is a zero-padded
+    * (epoch_us, cents, type) string — identical lexicographic
+    * comparison in any engine, and rows tying on all of it carry
+    * identical patch values, so ties are interchangeable. (No
+    * event_id in the key: the serving layer's synthetic refresh
+    * frames carry only ts/user/type/cents.)
+    */
+  def profilePatches(events: DataFrame): DataFrame = events.select(
+    col("user_id"),
+    concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("value_cents").cast("string"), 12, "0"),
+      col("event_type")).as("ord"),
+    col("event_type").as("typ"),
+    when(col("event_type") === "purchase", col("value_cents"))
+      .as("purchase_cents"),
+    when(col("event_type") === "click", unix_millis(col("ts")))
+      .as("click_ms"))
 }

@@ -57,25 +57,28 @@ object EventQueries {
     * row the last event type — and the merged profile takes each
     * field from the LATEST row that set it, so different fields of
     * one profile come from different rows (what whole-row lastWins
-    * cannot express). The patch order key is a zero-padded
-    * (epoch_us, event_id, cents, type) string — identical lexicographic
-    * comparison in both engines, and rows tying on all of it are
-    * interchangeable for every patch field.
+    * cannot express). The patch projection and order key are shared
+    * with the streaming twin and the served profile state
+    * ([[graft.ops.Dedup.profilePatches]]).
     */
-  def partialUpsertProfile(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val ord = concat(
-      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-      lpad(col("event_id").cast("string"), 12, "0"),
-      lpad(col("value_cents").cast("string"), 12, "0"),
-      col("event_type"))
-    Dedup.partialUpsert(ev, "user_id", ord, Seq(
-      "last_type" -> col("event_type"),
-      "last_purchase_cents" ->
-        when(col("event_type") === "purchase", col("value_cents")),
-      "last_click_ms" ->
-        when(col("event_type") === "click", unix_millis(col("ts")))))
-  }
+  def partialUpsertProfile(spark: SparkSession, dir: String): DataFrame =
+    Dedup.partialUpsert(
+      Dedup.profilePatches(Tables.events(spark, dir)), "user_id", col("ord"),
+      Seq(
+        "last_type" -> col("typ"),
+        "last_purchase_cents" -> col("purchase_cents"),
+        "last_click_ms" -> col("click_ms")))
+
+  /** The same merged profiles SERVED from the materialized
+    * `profile_upsert` state under the serving root (Pinot serves
+    * upserted rows from its upsert metadata, not by re-merging raw
+    * segments) — per-field order keys persist in the state so the
+    * incremental refresh merges exactly like the one-shot build;
+    * shares [[partialUpsertProfile]]'s oracle.
+    */
+  def partialUpsertServed(spark: SparkSession, dir: String): DataFrame =
+    graft.serving.Serving.readTable(spark, dir, "profile_upsert")
+      .select("user_id", "last_type", "last_purchase_cents", "last_click_ms")
 
   /** A1/A3/A4-exact: 1-minute tumbling rollup per event_type (with
     * the carried hour_of_day / ISO day_of_week dims, P2).
@@ -254,6 +257,7 @@ object EventQueries {
     "q_dedup_events" -> (dedupEvents _),
     "q_dedup_upsert" -> (dedupUpsert _),
     "q_partial_upsert" -> (partialUpsertProfile _),
+    "q_partial_upsert_served" -> (partialUpsertServed _),
     "q_rollup_1m" -> (rollup1m _),
     "q_rollup_1m_hll" -> (rollup1mHll _),
     "q_compact_hourly" -> (compactHourly _),
@@ -271,6 +275,24 @@ object EventQueries {
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
+  /** Per-column latest-non-null merge: arg_max over the shared
+    * zero-padded (us, cents, type) order string, null patches
+    * excluded per column via the CASE'd order key.
+    */
+  private val partialUpsertOracle =
+    s"""WITH p AS (
+       |  SELECT user_id, event_type,
+       |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+       |    lpad(CAST($cents AS VARCHAR), 12, '0') || event_type AS ord,
+       |    CASE WHEN event_type = 'purchase' THEN $cents END AS pc,
+       |    CASE WHEN event_type = 'click' THEN epoch_ms(ts) END AS cm
+       |  FROM events)
+       |SELECT user_id,
+       |  arg_max(event_type, ord) AS last_type,
+       |  arg_max(pc, CASE WHEN pc IS NOT NULL THEN ord END) AS last_purchase_cents,
+       |  arg_max(cm, CASE WHEN cm IS NOT NULL THEN ord END) AS last_click_ms
+       |FROM p GROUP BY user_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // NOTE: the parquet ts is nanosecond-grain; Spark reads it floored
     // to microseconds (Tables.events). Oracles that compare/order on
@@ -287,20 +309,10 @@ object EventQueries {
     // per-column latest-non-null merge: arg_max over the shared
     // zero-padded (us, id, cents, type) order string, null patches
     // excluded per column via the CASE'd order key
-    "q_partial_upsert" ->
-      s"""WITH p AS (
-         |  SELECT user_id, event_type,
-         |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
-         |    lpad(CAST(event_id AS VARCHAR), 12, '0') ||
-         |    lpad(CAST($cents AS VARCHAR), 12, '0') || event_type AS ord,
-         |    CASE WHEN event_type = 'purchase' THEN $cents END AS pc,
-         |    CASE WHEN event_type = 'click' THEN epoch_ms(ts) END AS cm
-         |  FROM events)
-         |SELECT user_id,
-         |  arg_max(event_type, ord) AS last_type,
-         |  arg_max(pc, CASE WHEN pc IS NOT NULL THEN ord END) AS last_purchase_cents,
-         |  arg_max(cm, CASE WHEN cm IS NOT NULL THEN ord END) AS last_click_ms
-         |FROM p GROUP BY user_id""".stripMargin,
+    "q_partial_upsert" -> partialUpsertOracle,
+    // the served state merges with per-field ord guards, so the
+    // materialized profiles are exactly the one-shot merge
+    "q_partial_upsert_served" -> partialUpsertOracle,
     "q_rollup_1m" ->
       s"""SELECT epoch_ms(date_trunc('minute', ts)) AS window_start_ms, event_type,
          |  CAST(hour(ts) AS BIGINT) AS hour_of_day,

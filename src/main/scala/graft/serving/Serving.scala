@@ -1,7 +1,7 @@
 package graft.serving
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.TopK
@@ -178,6 +178,58 @@ object Serving {
         col("event_type"), col("sk"))
   }
 
+  /** MATERIALIZED partial-upsert profile state — Pinot's upsert
+    * metadata analog: one merged row per key with each field's value
+    * AND the order key of the row that set it, so an incremental
+    * refresh can merge a new batch exactly like the one-shot build
+    * (the stored row replays as three per-field pseudo-patches).
+    * Every field uses the same "sets iff non-null, newest ord wins"
+    * guard, making the merge associative, commutative, and
+    * idempotent (re-applying a batch changes nothing). One row per
+    * user — the served-profile bound itself.
+    */
+  def profileUpsertState(events: DataFrame): DataFrame =
+    mergeProfilePatches(graft.ops.Dedup.profilePatches(events))
+
+  private def mergeProfilePatches(p: DataFrame): DataFrame = {
+    def setter(c: Column) = when(c.isNotNull, col("ord"))
+    p.groupBy(col("user_id")).agg(
+      max_by(col("typ"), setter(col("typ"))).as("last_type"),
+      max(setter(col("typ"))).as("typ_ord"),
+      max_by(col("purchase_cents"), setter(col("purchase_cents")))
+        .as("last_purchase_cents"),
+      max(setter(col("purchase_cents"))).as("pc_ord"),
+      max_by(col("click_ms"), setter(col("click_ms"))).as("last_click_ms"),
+      max(setter(col("click_ms"))).as("cm_ord"))
+  }
+
+  /** A stored profile row re-expressed as its per-field patches —
+    * union with a batch's raw patches and re-merge == refresh.
+    */
+  private def profileAsPatches(stored: DataFrame): DataFrame = {
+    val nullLong = lit(null).cast("long")
+    stored.filter(col("typ_ord").isNotNull)
+      .select(col("user_id"), col("typ_ord").as("ord"),
+        col("last_type").as("typ"), nullLong.as("purchase_cents"),
+        nullLong.as("click_ms"))
+      .unionAll(stored.filter(col("pc_ord").isNotNull)
+        .select(col("user_id"), col("pc_ord").as("ord"),
+          lit(null).cast("string").as("typ"),
+          col("last_purchase_cents").as("purchase_cents"),
+          nullLong.as("click_ms")))
+      .unionAll(stored.filter(col("cm_ord").isNotNull)
+        .select(col("user_id"), col("cm_ord").as("ord"),
+          lit(null).cast("string").as("typ"),
+          nullLong.as("purchase_cents"),
+          col("last_click_ms").as("click_ms")))
+  }
+
+  private def writeProfileState(root: String, prof: DataFrame): Unit =
+    prof.sort(col("user_id"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#user_id", "true")
+      .parquet(s"$root/profile_upsert")
+
   /** Hourly per-(restaurant, user) aggregate — the keyed tables'
     * grain (restaurant_topk analog; event_type plays restaurant_id).
     */
@@ -306,7 +358,7 @@ object Serving {
     "topk_keyed_by_count", "topk_keyed_by_revenue",
     "agg_by_window", "agg_keyed_by_window",
     "rollup_1m", "rollup_1m_users", "rollup_1m_hist",
-    "cm_daily", "kmv_daily", "tuple_daily", "meta")
+    "cm_daily", "kmv_daily", "tuple_daily", "profile_upsert", "meta")
 
   /** Full build of the serving layout at `root` from an events frame
     * (batch path; the streaming path refreshes incrementally via
@@ -329,6 +381,7 @@ object Serving {
         minuteValueHist(events))
       writeSketchState(root, dailyCmSketch(events), kmvDailySketches(events),
         dailyTupleSketches(events))
+      writeProfileState(root, profileUpsertState(events))
       writeRankedTables(root, agg, keyed)
       writeMeta(spark, root, maxRow.getLong(0), -1L)
     } finally {
@@ -488,6 +541,13 @@ object Serving {
           .agg(graft.functions.TupleSketch.tupleSk(col("h"), col("v"),
             graft.functions.KmvSketch.DefaultK).as("sk"))
           .localCheckpoint(true)
+        // profile state: stored rows replay as per-field pseudo-
+        // patches, merged with the batch's patches under the same
+        // newest-setter-wins guard — associative, so inc == rebuild
+        val profiles = mergeProfilePatches(
+          profileAsPatches(spark.read.parquet(s"$root/profile_upsert"))
+            .unionAll(graft.ops.Dedup.profilePatches(batch)))
+          .localCheckpoint(true)
         try {
           writeAggStatePartitions(root, agg, keyed)
           TableManager.overwritePartitions(
@@ -510,6 +570,7 @@ object Serving {
           TableManager.overwritePartitions(
             tuple.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
             s"$root/tuple_daily", "w_ts", Seq("event_type", "window_start_ms"))
+          writeProfileState(root, profiles)
           writeRankedPartitions(root, agg, keyed)
           val oldMax = readMeta(spark, root)._1
           val batchMaxRow = batch.agg(unix_millis(max(col("ts")))).head
@@ -522,6 +583,7 @@ object Serving {
           agg.unpersist(); keyed.unpersist()
           roll.unpersist(); musers.unpersist(); hist.unpersist()
           cm.unpersist(); kmv.unpersist(); tuple.unpersist()
+          profiles.unpersist()
           invalidate(root)
         }
       }

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Streaming twin of [[graft.ops.Dedup.partialUpsert]] — Pinot's
@@ -62,25 +61,12 @@ object PartialUpsertStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
 
-  /** The events→patches projection shared with the batch gate
-    * ([[graft.queries.EventQueries.partialUpsertProfile]]'s order
-    * string and field CASEs), so stream-final ≡ batch is checkable
-    * row-for-row.
+  /** The events→patches projection shared with the batch gate and
+    * the served state ([[graft.ops.Dedup.profilePatches]]), so
+    * stream-final ≡ batch is checkable row-for-row.
     */
   def patchesOf(spark: SparkSession, events: DataFrame): Dataset[Patch] = {
     import spark.implicits._
-    events.select(
-        col("user_id"),
-        concat(
-          lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-          lpad(col("event_id").cast("string"), 12, "0"),
-          lpad(col("value_cents").cast("string"), 12, "0"),
-          col("event_type")).as("ord"),
-        col("event_type").as("typ"),
-        when(col("event_type") === "purchase", col("value_cents"))
-          .as("purchase_cents"),
-        when(col("event_type") === "click", unix_millis(col("ts")))
-          .as("click_ms"))
-      .as[Patch]
+    graft.ops.Dedup.profilePatches(events).as[Patch]
   }
 }

@@ -184,19 +184,11 @@ class StreamingVariantsSpec extends SparkSuite {
       TimerDedup.Ev(3, ts("2024-01-01 10:10:00"), 7, "purchase", 900), // out of order
       TimerDedup.Ev(4, ts("2024-01-01 10:05:00"), 8, "view", 0))
     val batchExpected = graft.ops.Dedup.partialUpsert(
-        events.toDF(),
-        "user_id",
-        concat(
-          lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-          lpad(col("event_id").cast("string"), 12, "0"),
-          lpad(col("value_cents").cast("string"), 12, "0"),
-          col("event_type")),
+        graft.ops.Dedup.profilePatches(events.toDF()), "user_id", col("ord"),
         Seq(
-          "last_type" -> col("event_type"),
-          "last_purchase_cents" ->
-            when(col("event_type") === "purchase", col("value_cents")),
-          "last_click_ms" ->
-            when(col("event_type") === "click", unix_millis(col("ts")))))
+          "last_type" -> col("typ"),
+          "last_purchase_cents" -> col("purchase_cents"),
+          "last_click_ms" -> col("click_ms")))
       .collect()
       .map(r => (r.getLong(0), r.getString(1),
         Option(r.getAs[java.lang.Long](2)).map(_.toLong),
