@@ -69,6 +69,32 @@ object Ann {
         col("id").as("neighbor_id"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per
+    * anchor, the top-k MOST similar corpus rows whose similarity is
+    * still BELOW `maxSim` — candidates so close they make the hardest
+    * negatives, with near-duplicates (likely unlabeled positives,
+    * cosine >= maxSim) excluded so the training signal isn't
+    * poisoned. Same broadcast-scored single-pass plan as
+    * [[bruteForceKnn]] with the positive band filtered before the
+    * rank; the exclusion must happen pre-rank, not post-top-k, or
+    * anchors with many near-dups would return fewer than k negatives.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      maxSim: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = prep(corpus, idCol, vecCol)
+    val q = prep(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("sim", Vectors.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .filter(col("sim") < maxSim)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id").as("neighbor_id"))
+  }
+
   /** Deterministic coarse centroids: the embeddings of the `nCells`
     * lowest-id corpus rows (a seedless, reproducible "sample" —
     * k-means iterations add nothing for a synthetic benchmark corpus,

@@ -25,6 +25,16 @@ object EmbedQueries {
     Ann.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** Hard-negative mining ([[graft.ops.Ann.hardNegatives]]): top-3
+    * most-similar-but-below-0.4 rows per anchor — the near-dup band
+    * (the `q_embed_near_dup` threshold) is excluded as presumed
+    * unlabeled positives.
+    */
+  def hardNegativesTop3(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Ann.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 3, maxSim = 0.4)
+  }
+
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
 
@@ -317,6 +327,7 @@ object EmbedQueries {
     "q_embed_dedup_canonical" -> (embedDedupCanonical _),
     "q_embed_dot_sql" -> (dotTopKSql _),
     "q_embed_knn" -> (knnBruteForce _),
+    "q_embed_hard_negatives" -> (hardNegativesTop3 _),
     "q_embed_knn_ivf" -> (knnIvf _),
     "q_embed_knn_served" -> (knnIvfServed _),
     "q_embed_top_pairs" -> (topPairs _),
@@ -596,6 +607,18 @@ object EmbedQueries {
     // exhaustive-probe IVF ≡ exact KNN (nprobe = nlist) — same oracle,
     // for the in-memory path AND the materialized-index path.
     "q_embed_knn_ivf" -> knnOracle,
+    // knn ranking with the near-dup band (sim >= 0.4) excluded
+    // BEFORE ranking — negatives just under the positive threshold
+    "q_embed_hard_negatives" ->
+      """SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |               c.vec_id ASC) AS rnk
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |    AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) < 0.4)
+        |WHERE rnk <= 3""".stripMargin,
     "q_embed_knn_ivf_trained" -> knnOracle,
     "q_embed_knn_served" -> knnOracle,
     "q_embed_knn" -> knnOracle,

@@ -17,6 +17,34 @@ class AnnSpec extends SparkSuite {
     byQ.values.foreach(g => assert(g.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("hard negatives: ranked like knn but the near-dup band is excluded") {
+    val anchors = emb.filter(col("vec_id") < 5)
+    val got = Ann.hardNegatives(emb, anchors, k = 3, maxSim = 0.4)
+      .as[(Long, Long, Long)].collect().toSet
+    // in-memory reference: cosine over doubles, filter < 0.4, top-3
+    val vecs = emb.select(col("vec_id"),
+        graft.functions.Vectors.toDouble(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (0L until 5L).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .filter(_._2 < 0.4)
+        .sortBy { case (id, s) => (-s, id) }
+        .take(3).zipWithIndex
+        .map { case ((id, _), i) => (q, (i + 1).toLong, id) }
+    }.toSet
+    assert(got === expected)
+    // and none of the returned negatives is a near-dup partner
+    val dup = Ann.cosineNearDupPairs(emb, threshold = 0.4)
+      .as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    got.foreach { case (q, _, n) => assert(!dup.contains((q, n))) }
+  }
+
   test("IVF recall vs brute force >= 0.6 at nprobe=4/16") {
     val queries = emb.filter(col("vec_id") < 20)
     val bf = Ann.bruteForceKnn(emb, queries, 5)
