@@ -82,6 +82,36 @@ object TopKApi {
         .sortWithinPartitions(col("window_start_ms").desc, col("rank").asc)
   }
 
+  /** Distinct-users endpoint — the API-shaped companion to the topk
+    * routes (same defaults, sentinel, and lowercase routing): how
+    * many distinct users were active in [from, to)? Served from the
+    * MINUTE-GRAIN distinct-user state (`rollup_1m_users` — the
+    * DISTINCTCOUNT query a Pinot rollup table answers from its
+    * sketch/user column), never a raw-event scan; range semantics
+    * are minute-window overlap, the minute-grain analog of topk's
+    * hour-window overlap.
+    */
+  def distinctUsers(
+      spark: SparkSession,
+      dataDir: String,
+      restaurantId: String = All,
+      fromMs: Option[Long] = None,
+      toMs: Option[Long] = None): DataFrame = {
+    val now = Serving.anchorMs(spark, dataDir)
+    val to = toMs.getOrElse(now)
+    val from = fromMs.getOrElse(to - hourMs)
+    require(from < to, s"empty range [$from, $to)")
+    val rid = restaurantId.toLowerCase(java.util.Locale.ROOT)
+    val st = Serving.readTable(spark, dataDir, "rollup_1m_users")
+    val keyed = if (rid == All) st else st.filter(col("event_type") === rid)
+    keyed
+      .filter(col("p_date") >= Serving.utcDate(from) && // directory pruning
+        col("window_start_ms") < to && col("window_start_ms") + 60000L > from)
+      .agg(countDistinct(col("user_id")).as("distinct_users"))
+      .select(lit(rid).as("restaurant_id"), lit(from).as("from_ms"),
+        lit(to).as("to_ms"), col("distinct_users"))
+  }
+
   /** EP1 wire envelope — the reference's `TopKResponse`
     * (TopKController.kt:134-140) as one JSON document per call:
     * `{restaurantId, startTime, endTime, k, items: [...]}` with items

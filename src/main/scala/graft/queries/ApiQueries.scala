@@ -31,15 +31,32 @@ object ApiQueries {
       k = 10, byRevenue = true)
   }
 
+  /** Distinct users, ALL defaults (last hour, global) — served from
+    * the minute-grain distinct-user state.
+    */
+  def apiDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    TopKApi.distinctUsers(spark, dir)
+
   val queries: Map[String, QFn] = Map(
     "q_api_topk_global" -> (apiTopkGlobal _),
     "q_api_topk_restaurant" -> (apiTopkRestaurant _),
     "q_api_topk_revenue" -> (apiTopkRevenue _),
+    "q_api_distinct_users" -> (apiDistinctUsers _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // minute-window overlap with the default now-1h/now range; the
+    // served path reads state, the oracle rescans raw — equal counts
+    "q_api_distinct_users" ->
+      """WITH r AS (SELECT epoch_ms(max(ts)) AS to_ms,
+        |               epoch_ms(max(ts)) - 3600*1000 AS from_ms FROM events)
+        |SELECT 'all' AS restaurant_id, r.from_ms, r.to_ms,
+        |  (SELECT count(DISTINCT user_id) FROM events, r
+        |   WHERE epoch_ms(date_trunc('minute', ts)) < r.to_ms
+        |     AND epoch_ms(date_trunc('minute', ts)) + 60000 > r.from_ms) AS distinct_users
+        |FROM r""".stripMargin,
     "q_api_topk_global" ->
       s"""SELECT 'all' AS restaurant_id, window_start_ms,
          |  window_start_ms + 3600*1000 AS window_end_ms,

@@ -530,7 +530,8 @@ object SketchQueries {
        |FROM ph JOIN sk USING (i, bucket)
        |GROUP BY 1, 2""".stripMargin
 
-  private val kmvOracle = kmvOracleFor("")
+  // shared with SqlQueries' pure-SQL sketch surface
+  private[queries] val kmvOracle = kmvOracleFor("")
 
   private val kmvWindowOracle = kmvOracleFor(
     s"""WHERE epoch_ms(ts) >=

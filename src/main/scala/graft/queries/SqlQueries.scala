@@ -261,17 +261,87 @@ object SqlQueries {
       FROM documents""")
   }
 
+  /** The KMV theta sketch as a PURE SQL surface — Pinot's
+    * DISTINCTCOUNTTHETASKETCH is a SQL aggregate its users call, so
+    * the engine's sketch must be too: `graft_kmv` registers as a SQL
+    * aggregate (same typed Aggregator the DataFrame path uses — one
+    * sketch implementation, two surfaces), and the entire θ-composition
+    * algebra (thresholds, samples, intersect/DIFFERENCE/union
+    * scale-ups) runs in SQL expressions. Output is bit-identical to
+    * [[SketchQueries.distinctKmv]], so this shares its oracle.
+    */
+  def distinctKmvSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvSketch
+    spark.udf.register("graft_kmv",
+      udaf(new KmvSketch.KmvAgg(KmvSketch.DefaultK),
+        org.apache.spark.sql.Encoders.scalaLong))
+    registerRawView(spark, dir)
+    val (k, m) = (KmvSketch.DefaultK, KmvSketch.M)
+    spark.sql(s"""
+      WITH h AS (
+        SELECT event_type,
+          CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h
+        FROM orders_raw WHERE event_type IN ('click', 'purchase')),
+      sk AS (SELECT event_type, graft_kmv(h) AS sk FROM h GROUP BY event_type),
+      p AS (SELECT
+          coalesce(first(CASE WHEN event_type = 'click' THEN sk END, true),
+            CAST(array() AS ARRAY<BIGINT>)) AS sk_a,
+          coalesce(first(CASE WHEN event_type = 'purchase' THEN sk END, true),
+            CAST(array() AS ARRAY<BIGINT>)) AS sk_b
+        FROM sk),
+      t AS (SELECT sk_a, sk_b,
+          IF(size(sk_a) < $k, ${m}L, element_at(sk_a, $k)) AS th_a,
+          IF(size(sk_b) < $k, ${m}L, element_at(sk_b, $k)) AS th_b
+        FROM p),
+      s AS (SELECT *, least(th_a, th_b) AS theta FROM t),
+      f AS (SELECT *,
+          filter(sk_a, x -> x < theta) AS sa,
+          filter(sk_b, x -> x < theta) AS sb
+        FROM s),
+      est AS (SELECT
+          IF(size(sk_a) < $k, CAST(size(sk_a) AS BIGINT),
+            CAST(CAST(${k - 1} AS DECIMAL(38,0)) * CAST(${m}L AS DECIMAL(38,0))
+                 DIV element_at(sk_a, $k) AS BIGINT)) AS est_a,
+          IF(size(sk_b) < $k, CAST(size(sk_b) AS BIGINT),
+            CAST(CAST(${k - 1} AS DECIMAL(38,0)) * CAST(${m}L AS DECIMAL(38,0))
+                 DIV element_at(sk_b, $k) AS BIGINT)) AS est_b,
+          CAST(CAST(size(array_intersect(sa, sb)) AS DECIMAL(38,0))
+               * CAST(${m}L AS DECIMAL(38,0)) DIV theta AS BIGINT) AS est_inter,
+          CAST(CAST(size(array_except(sa, sb)) AS DECIMAL(38,0))
+               * CAST(${m}L AS DECIMAL(38,0)) DIV theta AS BIGINT) AS est_diff,
+          CAST(CAST(size(array_union(sa, sb)) AS DECIMAL(38,0))
+               * CAST(${m}L AS DECIMAL(38,0)) DIV theta AS BIGINT) AS est_union
+        FROM f),
+      ex AS (SELECT
+          (SELECT COUNT(DISTINCT user_id) FROM orders_raw WHERE event_type = 'click') AS exact_a,
+          (SELECT COUNT(DISTINCT user_id) FROM orders_raw WHERE event_type = 'purchase') AS exact_b,
+          (SELECT COUNT(*) FROM (
+             SELECT DISTINCT user_id FROM orders_raw WHERE event_type = 'click'
+             INTERSECT
+             SELECT DISTINCT user_id FROM orders_raw WHERE event_type = 'purchase')) AS exact_inter,
+          (SELECT COUNT(*) FROM (
+             SELECT DISTINCT user_id FROM orders_raw WHERE event_type = 'click'
+             EXCEPT
+             SELECT DISTINCT user_id FROM orders_raw WHERE event_type = 'purchase')) AS exact_diff,
+          (SELECT COUNT(DISTINCT user_id) FROM orders_raw
+           WHERE event_type IN ('click', 'purchase')) AS exact_union)
+      SELECT ex.*, est.* FROM ex, est""")
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_sql_topk_raw" -> (topkRaw _),
     "q_sql_topk_rollup" -> (topkRollup _),
     "q_sql_revenue_by_hour" -> (revenueByHour _),
     "q_sql_sessionize" -> (sessionizeSql _),
     "q_sql_text_functions" -> (textFunctionsSql _),
+    "q_sql_distinct_kmv" -> (distinctKmvSql _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // the pure-SQL sketch surface reproduces distinctKmv bit-for-bit
+    "q_sql_distinct_kmv" -> SketchQueries.kmvOracle,
     // each graft_* SQL function recomputed from its documented
     // definition (same snippets as the per-function doc oracles)
     "q_sql_text_functions" ->

@@ -81,4 +81,21 @@ class ApiSpec extends SparkSuite {
     intercept[IllegalArgumentException] { TopKApi.topk(spark, sfDir, k = 0) }
     intercept[IllegalArgumentException] { TopKApi.topk(spark, sfDir, k = Serving.K + 1) }
   }
+
+  test("distinctUsers: routed count equals the raw recompute; empty range rejected") {
+    val now = Serving.anchorMs(spark, sfDir)
+    val (from, to) = (now - 48L * Serving.hourMs, now)
+    val served = TopKApi.distinctUsers(spark, sfDir, restaurantId = "Click",
+        fromMs = Some(from), toMs = Some(to))
+      .select("restaurant_id", "distinct_users").as[(String, Long)].head()
+    val exact = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .filter(unix_millis(date_trunc("minute", col("ts"))) < to &&
+        unix_millis(date_trunc("minute", col("ts"))) + 60000L > from)
+      .select("user_id").distinct().count()
+    assert(served === ("click", exact)) // id lowercased, state == raw
+    intercept[IllegalArgumentException] {
+      TopKApi.distinctUsers(spark, sfDir, fromMs = Some(5L), toMs = Some(5L))
+    }
+  }
 }
