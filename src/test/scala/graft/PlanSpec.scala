@@ -123,6 +123,40 @@ class PlanSpec extends SparkSuite {
     assert(!finalPlan.contains("SinglePartition"), p)
   }
 
+  test("boilerplate scrub: same no-join keyed-window shape as segment dedup") {
+    val p = planOf(graft.ops.NearDup.boilerplateScrub(
+      Tables.documents(spark, sfDir), segWords = 10))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join"), p)
+    assert(!finalPlan.contains("SinglePartition"), p)
+  }
+
+  test("partial upsert: ONE key-shuffle with map-side partial max_by, no window") {
+    val p = planOf(graft.queries.EventQueries.partialUpsertProfile(spark, sfDir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // a Window/self-join formulation would shuffle the patch history;
+    // the agg form merges sparse profiles map-side before ONE exchange
+    assert(!finalPlan.contains("Window") && !finalPlan.contains("Join"), p)
+    assert(finalPlan.contains("partial_max_by") || finalPlan.contains("Partial"), p)
+    assert(finalPlan.sliding("Exchange".length).count(_ == "Exchange") <= 2, p)
+  }
+
+  test("tuple sketch build: partial aggregation before the group shuffle") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sfDir)
+    val sk = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        graft.functions.KmvSketch.keyHash(col("user_id")).as("h"),
+        col("value_cents").as("v"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TupleSketch.tupleSk(col("h"), col("v"), 64).as("sk"))
+    val p = planOf(sk)
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the bounded 2k-long buffer must combine map-side (ObjectHashAgg
+    // partial) — a single-stage agg would ship every raw row
+    assert(finalPlan.contains("partial_tupleagg"), p)
+  }
+
   test("span scrub: gram-keyed window, anti-join stays equi, no nested loop") {
     val p = planOf(graft.ops.NearDup.spanScrub(
       Tables.documents(spark, sfDir), k = 5))
