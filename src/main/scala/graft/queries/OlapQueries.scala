@@ -212,6 +212,52 @@ object OlapQueries {
       .select("user_id", "first_type", "last_type", "n_events", "max_gap_us")
   }
 
+  /** SCD2-style change history: per user, the validity interval of
+    * each event-TYPE run — a new row opens when the type differs from
+    * the previous event, closes at the next change (open-ended NULL
+    * for the current run). The slowly-changing-dimension shape a
+    * warehouse keeps for "what was this user's state at time T".
+    * One user-keyed exchange; lag (change detection) and the
+    * closing lead both ride user-keyed windows.
+    */
+  def typeHistory(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("tu", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("event_id"))
+    val changes = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val cw = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("event_id"))
+    changes
+      .withColumn("next_tu", lead(col("tu"), 1).over(cw))
+      .select(col("user_id"), col("event_type"),
+        expr("tu div 1000").as("valid_from_ms"),
+        expr("next_tu div 1000").as("valid_to_ms"))
+  }
+
+  /** Cumulative distinct-user growth curve: per day, how many users
+    * have EVER been seen by the end of that day — the expanding-
+    * window DISTINCTCOUNT no rollup column answers directly. First
+    * reduce to each user's first-seen day (one user-keyed shuffle —
+    * the only fact-sized exchange), then a day-grain running sum
+    * over the bounded day table.
+    */
+  def userGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(expr("unix_millis(ts) div 86400000")).as("day"))
+    val newPerDay = firstDay.groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    newPerDay
+      .withColumn("total_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select((col("day") * 86400000L).as("day_start_ms"),
+        col("new_users"), col("total_users"))
+  }
+
   /** ntile decile bucketing of users by total revenue (deterministic
     * total order: revenue desc, user asc) — via [[Rank.globalNtile]],
     * the distributed exclusive-scan form, NOT `Window.orderBy` (which
@@ -334,11 +380,37 @@ object OlapQueries {
     "q_gapfill_minutes" -> (gapfillMinutes _),
     "q_value_histogram" -> (valueHistogram _),
     "q_revenue_deciles" -> (revenueDeciles _),
+    "q_type_history" -> (typeHistory _),
+    "q_user_growth" -> (userGrowth _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // SCD2 run intervals: rows open on type change, close at the next
+    // change's timestamp (NULL for the live run)
+    "q_type_history" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tu,
+        |    lag(event_type) OVER w AS prev_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |c AS (
+        |  SELECT user_id, event_type, tu,
+        |    lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS next_tu
+        |  FROM o WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type,
+        |  tu // 1000 AS valid_from_ms, next_tu // 1000 AS valid_to_ms
+        |FROM c""".stripMargin,
+    // cumulative distinct users by first-seen day
+    "q_user_growth" ->
+      """WITH f AS (
+        |  SELECT user_id, min(epoch_ms(ts) // 86400000) AS day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT day * 86400000 AS day_start_ms, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS total_users
+        |FROM d""".stripMargin,
     "q_cumulate_daily" ->
       s"""WITH t AS (
          |  SELECT epoch_ms(ts) AS tms, event_type, $cents AS value_cents
