@@ -182,6 +182,42 @@ class SketchSpec extends SparkSuite {
       assert(g(ret, "est_rev_inter") <= g(ret, "est_rev_b"))
   }
 
+  test("tuple merge: associative/commutative over random splits (property)") {
+    // pure-JVM property on the Aggregator itself: any split of a
+    // random (hash, value) stream into three parts, reduced partwise
+    // and merged in either association order, equals the sequential
+    // single-pass sketch — the invariant that makes a 1000-executor
+    // partial-agg tree bit-identical to one pass
+    import org.scalacheck.{Gen, Prop, Test => PropTest}
+    import graft.functions.TupleSketch
+    val agg = new TupleSketch.TupleAgg(8) // small k → eviction exercised
+    val gen = for {
+      xs <- Gen.listOf(for {
+        h <- Gen.choose(0L, 40L) // narrow hash space → collisions common
+        v <- Gen.choose(-5L, 100L)
+      } yield (h, v))
+      c1 <- Gen.choose(0, 50)
+      c2 <- Gen.choose(0, 50)
+    } yield (xs, c1, c2)
+    def eq(a: TupleSketch.Sk, b: TupleSketch.Sk): Boolean =
+      a.hs.toSeq == b.hs.toSeq && a.vs.toSeq == b.vs.toSeq
+    val prop = Prop.forAll(gen) { case (xs, c1, c2) =>
+      def reduceAll(part: Seq[(Long, Long)]) =
+        part.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+      val (a, rest) = xs.splitAt(math.min(c1, xs.size))
+      val (b, c) = rest.splitAt(math.min(c2, rest.size))
+      val seq = agg.finish(reduceAll(xs))
+      eq(seq, agg.finish(
+        agg.merge(agg.merge(reduceAll(a), reduceAll(b)), reduceAll(c)))) &&
+      eq(seq, agg.finish(
+        agg.merge(reduceAll(a), agg.merge(reduceAll(b), reduceAll(c))))) &&
+      eq(seq, agg.finish(
+        agg.merge(reduceAll(c), agg.merge(reduceAll(b), reduceAll(a)))))
+    }
+    val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cm sketch table is bounded at d*w rows regardless of input") {
     val ev = Tables.events(spark, sfDir)
     val sketch = ev.select(col("user_id"),
