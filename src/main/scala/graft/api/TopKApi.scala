@@ -112,6 +112,54 @@ object TopKApi {
         lit(to).as("to_ms"), col("distinct_users"))
   }
 
+  /** Percentiles endpoint — order-value p50/p90/p99 for [from, to)
+    * with the same defaults/sentinel/routing as the other routes,
+    * answered from the minute-grain value HISTOGRAM state
+    * (`rollup_1m_hist`, the PERCENTILEEST serving shape): bins
+    * re-merge additively for any range, the estimate is the lower
+    * edge of the first bin whose cumulative count reaches p% (exact
+    * integer form `100·cum >= p·n`). Bin re-aggregation is bounded
+    * (occupied bins), so the cumsum is a final step over a tiny
+    * frame, never a fact scan.
+    */
+  def percentiles(
+      spark: SparkSession,
+      dataDir: String,
+      restaurantId: String = All,
+      fromMs: Option[Long] = None,
+      toMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val now = Serving.anchorMs(spark, dataDir)
+    val to = toMs.getOrElse(now)
+    val from = fromMs.getOrElse(to - hourMs)
+    require(from < to, s"empty range [$from, $to)")
+    val rid = restaurantId.toLowerCase(java.util.Locale.ROOT)
+    val st = Serving.readTable(spark, dataDir, "rollup_1m_hist")
+    val keyed = if (rid == All) st else st.filter(col("event_type") === rid)
+    val hist = keyed
+      .filter(col("p_date") >= Serving.utcDate(from) && // directory pruning
+        col("window_start_ms") < to && col("window_start_ms") + 60000L > from)
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("c"))
+    val tot = hist.agg(sum(col("c")).as("n"))
+    // unpartitioned cumsum over the bounded occupied-bin frame only
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("bin"))))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n"), col("bin"), col("cum"),
+        explode(array(Seq(50L, 90L, 99L).map(lit): _*)).as("p"))
+      .filter(col("cum") * 100 >= col("p") * col("n"))
+      .groupBy(col("n"), col("p"))
+      .agg(min(col("bin") * lit(Serving.histBinCents)).as("est"))
+      .groupBy(col("n"))
+      .agg(
+        max(when(col("p") === 50, col("est"))).as("p50_cents"),
+        max(when(col("p") === 90, col("est"))).as("p90_cents"),
+        max(when(col("p") === 99, col("est"))).as("p99_cents"))
+      .select(lit(rid).as("restaurant_id"), lit(from).as("from_ms"),
+        lit(to).as("to_ms"), col("n"), col("p50_cents"),
+        col("p90_cents"), col("p99_cents"))
+  }
+
   /** EP1 wire envelope — the reference's `TopKResponse`
     * (TopKController.kt:134-140) as one JSON document per call:
     * `{restaurantId, startTime, endTime, k, items: [...]}` with items

@@ -37,11 +37,21 @@ object ApiQueries {
   def apiDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     TopKApi.distinctUsers(spark, dir)
 
+  /** Order-value percentiles, last 24 h global — served from the
+    * minute-grain histogram state.
+    */
+  def apiPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val now = Serving.anchorMs(spark, dir)
+    TopKApi.percentiles(spark, dir,
+      fromMs = Some(now - 24L * Serving.hourMs), toMs = Some(now))
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_api_topk_global" -> (apiTopkGlobal _),
     "q_api_topk_restaurant" -> (apiTopkRestaurant _),
     "q_api_topk_revenue" -> (apiTopkRevenue _),
     "q_api_distinct_users" -> (apiDistinctUsers _),
+    "q_api_percentiles" -> (apiPercentiles _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
@@ -57,6 +67,27 @@ object ApiQueries {
         |   WHERE epoch_ms(date_trunc('minute', ts)) < r.to_ms
         |     AND epoch_ms(date_trunc('minute', ts)) + 60000 > r.from_ms) AS distinct_users
         |FROM r""".stripMargin,
+    // minute-window-overlap 24h range, binned-quantile integer form
+    // (the q_percentile_served definition with explicit [from, to))
+    "q_api_percentiles" ->
+      s"""WITH r AS (SELECT epoch_ms(max(ts)) AS to_ms,
+         |               epoch_ms(max(ts)) - 24*3600*1000 AS from_ms FROM events),
+         |f AS (
+         |  SELECT $cents // 100 AS bin FROM events, r
+         |  WHERE epoch_ms(date_trunc('minute', ts)) < r.to_ms
+         |    AND epoch_ms(date_trunc('minute', ts)) + 60000 > r.from_ms),
+         |h AS (SELECT bin, count(*) AS c FROM f GROUP BY 1),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+         |cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM h),
+         |sel AS (
+         |  SELECT p.p, CAST(min(cum.bin)*100 AS BIGINT) AS est
+         |  FROM cum CROSS JOIN t CROSS JOIN (VALUES (50), (90), (99)) AS p(p)
+         |  WHERE cum.cum * 100 >= p.p * t.n GROUP BY 1)
+         |SELECT 'all' AS restaurant_id, r.from_ms, r.to_ms, t.n,
+         |  (SELECT est FROM sel WHERE p = 50) AS p50_cents,
+         |  (SELECT est FROM sel WHERE p = 90) AS p90_cents,
+         |  (SELECT est FROM sel WHERE p = 99) AS p99_cents
+         |FROM r, t""".stripMargin,
     "q_api_topk_global" ->
       s"""SELECT 'all' AS restaurant_id, window_start_ms,
          |  window_start_ms + 3600*1000 AS window_end_ms,
