@@ -89,6 +89,28 @@ object DocQueries {
       NearDup.jaccardPairs(Tables.documents(spark, dir), n = 3,
         thresholdNum = 1, thresholdDen = 2))
 
+  /** BEST-survivor near-dup collapse — the keep policy a quality-
+    * aware curation run uses instead of min-id: within each
+    * Jaccard>=0.5 component, the surviving doc is the one with the
+    * HIGHEST quality-model logit (ties to the lowest id), so dedup
+    * removes the *worse* copies. Composition of two gated operators
+    * (canonical components × model scores); one component-keyed
+    * `max_by` agg on top, no extra fact scan.
+    */
+  def docDedupBest(spark: SparkSession, dir: String): DataFrame =
+    dedupCanonical(spark, dir)
+      .join(docQualityModel(spark, dir).select(col("doc_id"), col("logit")),
+        "doc_id")
+      .groupBy(col("canonical_id"))
+      // (logit, -id) packed into one sortable long: logits are small
+      // (|logit| ≲ 1e5) and ids ≪ 1e12, so logit·1e12 − id never
+      // overflows and orders exactly like the pair
+      .agg(
+        max_by(col("doc_id"), col("logit") * lit(1000000000000L) - col("doc_id"))
+          .as("best_id"),
+        max(col("logit")).as("best_logit"),
+        count(lit(1)).as("n_docs"))
+
   /** Normalized text + post-normalization fingerprint (the dedup key
     * robust to case/punctuation/whitespace variants).
     */
@@ -636,6 +658,7 @@ object DocQueries {
     "q_doc_curate" -> (docCurate _),
     "q_doc_length_quantiles" -> (docLengthQuantiles _),
     "q_doc_dedup_canonical" -> (dedupCanonical _),
+    "q_doc_dedup_best" -> (docDedupBest _),
     "q_lang_id" -> (langId _),
     "q_doc_fingerprint" -> (fingerprints _),
     "q_doc_dedup_exact" -> (dedupExact _),
@@ -1103,5 +1126,33 @@ object DocQueries {
          |  SELECT w.doc, e.dst FROM walk w JOIN edges e ON e.src = w.r)
          |SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
          |FROM walk GROUP BY doc""".stripMargin,
+    // the canonical-components walk joined with the quality logit;
+    // survivor = arg_max by (logit, -doc_id) — best copy, ties low-id
+    "q_doc_dedup_best" ->
+      s"""WITH RECURSIVE $shingleCteBody,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND 3 * len(list_intersect(a.sh, b.sh)) >= 1 * (len(a.sh) + len(b.sh))),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(doc, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.doc, e.dst FROM walk w JOIN edges e ON e.src = w.r),
+         |m AS (SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+         |      FROM walk GROUP BY doc),
+         |q AS (SELECT doc_id,
+         |  CAST(50*len(list_distinct($toks)) - 8*len($toks)
+         |    + 25*len(list_filter($toks, x -> list_contains(['the','a'], x)))
+         |    - 30*strlen(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS logit
+         |  FROM documents)
+         |SELECT m.canonical_id,
+         |  arg_max(m.doc_id, q.logit * 1000000000000 - m.doc_id) AS best_id,
+         |  CAST(max(q.logit) AS BIGINT) AS best_logit,
+         |  count(*) AS n_docs
+         |FROM m JOIN q USING (doc_id)
+         |GROUP BY m.canonical_id""".stripMargin,
   )
 }
