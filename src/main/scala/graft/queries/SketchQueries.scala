@@ -175,7 +175,7 @@ object SketchQueries {
     val ev = Tables.events(spark, dir)
     val days = ev.agg(
       min(expr(s"unix_millis(ts) div $dayMs")).as("a"),
-      max(expr(s"unix_millis(ts) div $dayMs")).as("b")).head
+      max(expr(s"unix_millis(ts) div $dayMs")).as("b")).head()
     val (dayA, dayB) = (days.getLong(0) * dayMs, days.getLong(1) * dayMs)
     // separate tagged legs (not a when-tag over one scan) so the
     // degenerate single-day corpus (dayA == dayB) still yields BOTH
@@ -277,7 +277,7 @@ object SketchQueries {
     val ev = Tables.events(spark, dir)
     val days = ev.agg(
       min(expr(s"unix_millis(ts) div $dayMs")).as("a"),
-      max(expr(s"unix_millis(ts) div $dayMs")).as("b")).head
+      max(expr(s"unix_millis(ts) div $dayMs")).as("b")).head()
     val (dayA, dayB) = (days.getLong(0) * dayMs, days.getLong(1) * dayMs)
     val daily = Serving.readTable(spark, dir, "tuple_daily")
     // separate tagged legs so a single-day corpus still yields both

@@ -87,7 +87,7 @@ object SqlQueries {
           .repartition(1)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         ls.count()
-        (v, ls, v.agg(max(col("window_start_ms"))).head.getLong(0))
+        (v, ls, v.agg(max(col("window_start_ms"))).head().getLong(0))
       })
     view.createOrReplaceTempView("orders_1m_rollup")
     lastSeen.createOrReplaceTempView("orders_user_state")

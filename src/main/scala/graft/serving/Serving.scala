@@ -336,7 +336,7 @@ object Serving {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
 
   private def readMeta(spark: SparkSession, root: String): (Long, Long) = {
-    val row = spark.read.parquet(s"$root/meta").head
+    val row = spark.read.parquet(s"$root/meta").head()
     (row.getAs[Long]("max_ts_ms"), row.getAs[Long]("last_batch_id"))
   }
 
@@ -368,7 +368,7 @@ object Serving {
     * views.
     */
   def materializeInto(spark: SparkSession, root: String, events: DataFrame): Unit = {
-    val maxRow = events.agg(unix_millis(max(col("ts"))).as("max_ts_ms")).head
+    val maxRow = events.agg(unix_millis(max(col("ts"))).as("max_ts_ms")).head()
     require(!maxRow.isNullAt(0),
       s"cannot materialize serving tables at $root from an empty events frame")
     val agg = hourlyUserAgg(events)
@@ -573,7 +573,7 @@ object Serving {
           writeProfileState(root, profiles)
           writeRankedPartitions(root, agg, keyed)
           val oldMax = readMeta(spark, root)._1
-          val batchMaxRow = batch.agg(unix_millis(max(col("ts")))).head
+          val batchMaxRow = batch.agg(unix_millis(max(col("ts")))).head()
           val newMax =
             if (batchMaxRow.isNullAt(0)) oldMax
             else math.max(oldMax, batchMaxRow.getLong(0))

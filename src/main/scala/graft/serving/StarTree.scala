@@ -128,7 +128,7 @@ object StarTree {
       writeMeta(spark, root, batchId)
       return
     }
-    val last = spark.read.parquet(s"$root/meta").head.getAs[Long]("last_batch_id")
+    val last = spark.read.parquet(s"$root/meta").head().getAs[Long]("last_batch_id")
     if (batchId <= last) return // replayed batch: already applied
     val existing = spark.read.parquet(s"$root/nodes")
       .where(col("gid") === 0)

@@ -106,7 +106,7 @@ object StreamingPipeline {
     * Kafka-like value sink.
     */
   def jsonEncode(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** S4: start a JSON-lines file sink (the sandbox stand-in for the
     * reference's Kafka JSON sink; text files of one JSON doc per row).
