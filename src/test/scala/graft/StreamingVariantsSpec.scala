@@ -217,6 +217,37 @@ class StreamingVariantsSpec extends SparkSuite {
     }
   }
 
+  test("streaming user growth: first-seen days converge to batch under any split") {
+    import graft.streaming.UserGrowthStream
+    val day = 86400000L
+    // user 7's day-0 event arrives AFTER its day-2 event (out of
+    // order across batches) — min-merge must settle on day 0
+    val events = Seq(
+      TimerDedup.Ev(1, new Timestamp(2 * day + 5000), 7, "click", 0),
+      TimerDedup.Ev(2, new Timestamp(1 * day + 1000), 8, "view", 0),
+      TimerDedup.Ev(3, new Timestamp(0 * day + 9000), 7, "click", 0),
+      TimerDedup.Ev(4, new Timestamp(2 * day + 7000), 9, "purchase", 0))
+    val batchExpected = events.groupBy(_.user_id)
+      .map { case (u, es) => u -> es.map(_.ts.getTime / day).min }
+    for (splitAt <- Seq(0, 1, 2, 3)) {
+      implicit val sql = spark.sqlContext
+      val mem = MemoryStream[TimerDedup.Ev]
+      val updates = UserGrowthStream.firstSeen(spark, mem.toDF())
+      val last = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val q = updates.writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[UserGrowthStream.FirstSeen], _: Long) =>
+          b.collect().foreach(f => last.put(f.user_id, f.first_day))
+        }.start()
+      try {
+        val (a, b) = events.splitAt(splitAt)
+        if (a.nonEmpty) { mem.addData(a: _*); q.processAllAvailable() }
+        if (b.nonEmpty) { mem.addData(b: _*); q.processAllAvailable() }
+        import scala.jdk.CollectionConverters._
+        assert(last.asScala.toMap === batchExpected, s"splitAt=$splitAt")
+      } finally q.stop()
+    }
+  }
+
   test("processing-time rollup counts every row exactly once (update mode)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TimerDedup.Ev]
