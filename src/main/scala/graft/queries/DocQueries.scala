@@ -190,6 +190,35 @@ object DocQueries {
       .select(col("doc_id"), col("logit"))
   }
 
+  /** The same end-to-end curation with the QUALITY-AWARE survivor
+    * policy ([[docDedupBest]]'s): the near-dup stage keeps each
+    * component's highest-logit member instead of the min-id root —
+    * the composition a production run prefers, since dedup then
+    * removes the worse copies. Identical plan shapes; only the final
+    * component-keyed reduction changes (max_by on the packed
+    * (logit, −id) key).
+    */
+  def docCurateBest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val kept = docQualityModel(spark, dir)
+      .filter(col("keep") === 1).select(col("doc_id"), col("logit"))
+      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val reps = kept
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("logit"), col("text"))
+    val labels = NearDup.canonicalize(
+      NearDup.jaccardPairs(reps.select(col("doc_id"), col("text")),
+        n = 3, thresholdNum = 1, thresholdDen = 2))
+    reps.join(labels, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("canonical_id"), col("doc_id")))
+      .groupBy(col("comp"))
+      .agg(max_by(struct(col("doc_id"), col("logit")),
+        col("logit") * lit(1000000000000L) - col("doc_id")).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("s.logit").as("logit"))
+  }
+
   /** Length-distribution quantiles (the cut points a percentile-based
     * quality filter uses). Exact `percentile` with linear
     * interpolation — same definition as DuckDB's quantile_cont, and
@@ -656,6 +685,7 @@ object DocQueries {
     "q_doc_quality_filter" -> (docQualityFilter _),
     "q_doc_quality_model" -> (docQualityModel _),
     "q_doc_curate" -> (docCurate _),
+    "q_doc_curate_best" -> (docCurateBest _),
     "q_doc_length_quantiles" -> (docLengthQuantiles _),
     "q_doc_dedup_canonical" -> (dedupCanonical _),
     "q_doc_dedup_best" -> (docDedupBest _),
@@ -1069,6 +1099,34 @@ object DocQueries {
          |canon AS (SELECT doc, min(r) AS root FROM walk GROUP BY doc)
          |SELECT e.doc_id, e.logit FROM e LEFT JOIN canon c ON c.doc = e.doc_id
          |WHERE c.doc IS NULL OR c.root = e.doc_id""".stripMargin,
+    // same three-stage mirror with the best-survivor final reduction:
+    // per component, arg_max by the packed (logit, -id) key
+    "q_doc_curate_best" ->
+      s"""WITH RECURSIVE
+         |q AS (SELECT doc_id, text, CAST($logitSql AS BIGINT) AS logit
+         |      FROM documents WHERE $logitSql >= 800),
+         |e AS (SELECT q.doc_id, q.logit, q.text FROM q
+         |      JOIN (SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM q GROUP BY 1) r
+         |      USING (doc_id)),
+         |t AS (SELECT doc_id, $toks AS toks FROM e),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |            AND 3 * len(list_intersect(a.sh, b.sh)) >= 1 * (len(a.sh) + len(b.sh))),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(doc, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.doc, e2.dst FROM walk w JOIN edges e2 ON e2.src = w.r),
+         |canon AS (SELECT doc, min(r) AS root FROM walk GROUP BY doc),
+         |lab AS (SELECT e.doc_id, e.logit, COALESCE(c.root, e.doc_id) AS comp
+         |        FROM e LEFT JOIN canon c ON c.doc = e.doc_id)
+         |SELECT arg_max(doc_id, logit * 1000000000000 - doc_id) AS doc_id,
+         |  CAST(max(logit) AS BIGINT) AS logit
+         |FROM lab GROUP BY comp""".stripMargin,
     // the same integer-weight linear scorer, feature expressions
     // copied from the q_doc_stats oracle
     "q_doc_quality_model" ->
