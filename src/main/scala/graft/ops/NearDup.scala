@@ -669,23 +669,30 @@ object NearDup {
     * case). Returns (doc_id, text_deduped, segs_kept).
     *
     * Scale shape: one explode (Σ segments ≈ tokens/segWords rows),
-    * then a first-occurrence `row_number` window PARTITIONed BY the
-    * segment string — key cardinality is the distinct-segment count
-    * (≈ corpus size), per-key group size is the duplicate multiplicity
-    * (exactly the mass being removed) — then a per-doc reassembly
-    * aggregation whose groups are doc-bounded. Two high-cardinality
-    * keyed shuffles, no joins, nothing driver-side; the same shuffle
-    * class as [[exactDupGroups]] one level below the document.
+    * then first-occurrence selection as a `min(struct(doc_id,
+    * seg_idx, seg))` aggregate keyed on the segment's 128-bit md5 —
+    * the same hash-only shuffle discipline as the streaming twin
+    * ([[graft.streaming.SegmentIngest]]): the exchange key is a
+    * fixed-width hash, never segment text, and partial aggregation
+    * collapses every duplicate occurrence map-side BEFORE the
+    * shuffle, so a hyper-common segment ships one winner struct per
+    * input partition instead of hot-partitioning a per-key sort (the
+    * row_number-window failure mode on exactly the boilerplate-heavy
+    * corpora this op targets). Then a per-doc reassembly aggregation
+    * whose groups are doc-bounded. Two keyed shuffles, no joins,
+    * nothing driver-side.
     */
   def segmentDedup(docs: DataFrame, segWords: Int = 10,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val firstSeen = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     reassemble(
       segmentsOf(docs, segWords, idCol, textCol)
-        .withColumn("rn", row_number().over(firstSeen))
-        .filter(col("rn") === 1))
-  }
+        // struct min orders (doc_id, seg_idx) exactly like the keep-
+        // first total order; seg is constant within a hash group and
+        // rides as payload of the single surviving struct
+        .groupBy(md5(col("seg")).as("seg_h"))
+        .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg"))).as("w"))
+        .select(col("w.doc_id").as("doc_id"),
+          col("w.seg_idx").as("seg_idx"), col("w.seg").as("seg")))
 
   /** Boilerplate segment scrub — the frequency-threshold twin of
     * [[segmentDedup]] (the CCNet boilerplate-paragraph filter): a
@@ -697,20 +704,28 @@ object NearDup {
     * are noise. Documents that were wholly boilerplate drop out.
     * Returns (doc_id, text_clean, segs_kept).
     *
-    * Scale shape: identical to [[segmentDedup]] — the per-segment
-    * count is an unordered window over the same segment-keyed
-    * exchange the keep-first rank uses (one shuffle, partial counts
-    * merge map-side under AQE), then the doc-bounded reassembly
-    * shuffle. No joins, nothing driver-side.
+    * Scale shape: corpus-wide counts are a count aggregate keyed on
+    * the segment's 128-bit md5 (hash-only exchange, partial counts
+    * merge map-side — a million-copy boilerplate segment ships one
+    * partial count per input partition, never a million text rows to
+    * one reducer), the OVER-threshold hash set that survives the
+    * filter is tiny by construction (boilerplate is few distinct
+    * values however high its multiplicity), so the removal anti-join
+    * broadcasts under AQE and the segment stream itself never
+    * shuffles for it; reassembly is the usual doc-bounded shuffle.
     */
   def boilerplateScrub(docs: DataFrame, segWords: Int = 10,
       maxFreq: Long = 1, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val perSeg = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+    val segs = segmentsOf(docs, segWords, idCol, textCol)
+      .withColumn("seg_h", md5(col("seg")))
+    val over = segs
+      .groupBy(col("seg_h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxFreq)
+      .select(col("seg_h"))
     reassemble(
-      segmentsOf(docs, segWords, idCol, textCol)
-        .withColumn("cnt", count(lit(1)).over(perSeg))
-        .filter(col("cnt") <= maxFreq))
+      segs.join(over, Seq("seg_h"), "left_anti")
+        .select(col("doc_id"), col("seg_idx"), col("seg")))
       .withColumnRenamed("text_deduped", "text_clean")
   }
 
@@ -760,21 +775,35 @@ object NearDup {
     * Returns (doc_id, text_scrubbed, kept_tokens).
     *
     * Scale shape: the window stream is ~tokens rows (one per start
-    * position, k-token string each); first-occurrence selection is a
-    * `row_number` window PARTITIONed BY the gram string — key
-    * cardinality ≈ distinct grams, per-key group size = duplicate
-    * multiplicity, exactly the mass being scrubbed. Covered positions
-    * are ≤ k·duplicates rows, deduped by (doc, pos); the anti-join
-    * and reassembly shuffle on doc-bounded keys. No joins on the
-    * full token stream except the one anti-join; nothing driver-side.
+    * position), immediately reduced to (doc_id, pos, gram_h) — a
+    * 128-bit md5 per gram, so no exchange ever carries window TEXT
+    * (the [[graft.streaming.SpanIngest]] hash-only discipline).
+    * First-occurrence selection is a `min(struct(doc_id, pos))`
+    * aggregate keyed on gram_h with a duplicate-count guard: partial
+    * aggregation collapses every occurrence of a gram map-side before
+    * the shuffle (one winner + one partial count per input partition,
+    * vs the row_number window's hot-partition per-key SORT of the full
+    * duplicate mass), and grams seen once — the vast majority — drop
+    * out of the `firsts` side entirely. The non-first occurrences
+    * come back from ONE equi-join of the hashed gram stream against
+    * that duplicated-grams-only table (broadcast when the duplicated
+    * set is small, plain hash join otherwise — a probe, not a sort,
+    * on any skew). Covered positions are ≤ k·duplicates rows, deduped
+    * by (doc, pos); the anti-join and reassembly shuffle on
+    * doc-bounded keys; nothing driver-side.
     */
   def spanScrub(docs: DataFrame, k: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val firstSeen = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("gram")).orderBy(col("doc_id"), col("pos"))
-    val covered = spanGramsOf(docs, k, idCol, textCol)
-      .withColumn("rn", row_number().over(firstSeen))
-      .filter(col("rn") > 1)
+    val grams = spanGramsOf(docs, k, idCol, textCol)
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("gram_h"))
+    val firsts = grams
+      .groupBy(col("gram_h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1) // unique grams scrub nothing
+      .select(col("gram_h"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+    val covered = grams.join(firsts, Seq("gram_h"))
+      .filter(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("tokpos"))
       .distinct()

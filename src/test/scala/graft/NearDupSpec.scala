@@ -374,6 +374,69 @@ class NearDupSpec extends SparkSuite {
     assert(got.contains((4L, "p q r", 3L)) && !got.exists(_._1 == 5L))
   }
 
+  test("scrub family survives a hyper-frequent gram (~20% of the corpus mass)") {
+    // the skew case the hash-keyed partial-agg shape exists for: ONE
+    // boilerplate sentence opens every 2nd doc of 400, so a single
+    // gram/segment key carries ~20% of all occurrences. The raw-text
+    // row_number-window formulation funneled all of it into one
+    // partition for a per-key sort; the agg form must stay correct
+    // (checked against the same sequential references) at any skew.
+    val boiler = "all rights reserved by the site operator"
+    val corpus = (1L to 400L).map { id =>
+      val body = s"unique u${id}a u${id}b u${id}c u${id}d u${id}e u${id}f"
+      (id, if (id % 2 == 0) s"$boiler $body" else body)
+    }
+    val df = corpus.toDF("doc_id", "text").repartition(16)
+
+    // segmentDedup (segWords=4): keep-first over global (doc_id, idx)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val segExpected = corpus.flatMap { case (id, text) =>
+      val kept = text.split(" ").grouped(4).map(_.mkString(" "))
+        .filter(seen.add).toSeq
+      if (kept.isEmpty) None else Some((id, kept.mkString(" "), kept.size.toLong))
+    }.toSet
+    val segGot = NearDup.segmentDedup(df, segWords = 4)
+      .as[(Long, String, Long)].collect().toSet
+    assert(segGot === segExpected)
+
+    // boilerplateScrub (maxFreq=1): every copy of a repeated segment goes
+    val counts = corpus.flatMap { case (_, t) =>
+      t.split(" ").grouped(4).map(_.mkString(" ")) }
+      .groupBy(identity).map { case (s, o) => s -> o.size }
+    val boilExpected = corpus.flatMap { case (id, text) =>
+      val kept = text.split(" ").grouped(4).map(_.mkString(" "))
+        .filter(counts(_) == 1).toSeq
+      if (kept.isEmpty) None else Some((id, kept.mkString(" "), kept.size.toLong))
+    }.toSet
+    val boilGot = NearDup.boilerplateScrub(df, segWords = 4)
+      .as[(Long, String, Long)].collect().toSet
+    assert(boilGot === boilExpected)
+
+    // spanScrub (k=3): sliding-window keep-first over global (doc_id, pos)
+    val k = 3
+    val seenG = scala.collection.mutable.Set.empty[String]
+    val covered = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Int]]
+    for ((id, text) <- corpus.sortBy(_._1)) {
+      val toks = text.split(" ")
+      for (p <- 0 to toks.length - k) {
+        val gram = toks.slice(p, p + k).mkString(" ")
+        if (!seenG.add(gram))
+          covered.getOrElseUpdate(id,
+            scala.collection.mutable.Set.empty) ++= (p until p + k)
+      }
+    }
+    val spanExpected = corpus.flatMap { case (id, text) =>
+      val cov = covered.getOrElse(id, scala.collection.mutable.Set.empty[Int])
+      val kept = text.split(" ").zipWithIndex.collect {
+        case (t, p) if !cov(p) => t }
+      if (kept.isEmpty) None else Some((id, kept.mkString(" "), kept.length.toLong))
+    }.toSet
+    val spanGot = NearDup.spanScrub(df, k = k)
+      .as[(Long, String, Long)].collect().toSet
+    assert(spanGot === spanExpected)
+  }
+
   test("spanScrub is invariant to input partitioning and scrubs the fixture corpus") {
     val base = docs.select("doc_id", "text")
     val a = NearDup.spanScrub(base, k = 5)

@@ -111,23 +111,31 @@ class PlanSpec extends SparkSuite {
       !finalPlan.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("segment dedup: no joins at all, both windows/aggs keyed, no single-partition window") {
+  test("segment dedup: hash-keyed partial-agg keep-first, no window, no joins") {
     val p = planOf(graft.ops.NearDup.segmentDedup(
       Tables.documents(spark, sfDir), segWords = 10))
     val finalPlan = p.split("== Initial Plan ==").head
-    // the op is explode → seg-keyed window → doc-keyed agg: any join
-    // node (cartesian or otherwise) means the shape regressed
+    // the op is explode → seg-HASH-keyed min(struct) agg → doc-keyed
+    // reassembly: any join means the shape regressed, and a Window
+    // means the keep-first went back to the hot-partition per-key sort
     assert(!finalPlan.contains("Join"), p)
-    // the first-occurrence window must partition by the segment, not
-    // collapse to Spark's single-partition unpartitioned-window plan
+    assert(!finalPlan.contains("Window"), p)
+    // duplicates must collapse map-side BEFORE the exchange — the
+    // property that makes a hyper-common segment skew-safe
+    assert(finalPlan.contains("partial_min"), p)
     assert(!finalPlan.contains("SinglePartition"), p)
   }
 
-  test("boilerplate scrub: same no-join keyed-window shape as segment dedup") {
+  test("boilerplate scrub: hash-keyed partial counts below the exchange, anti-join removal") {
     val p = planOf(graft.ops.NearDup.boilerplateScrub(
       Tables.documents(spark, sfDir), segWords = 10))
     val finalPlan = p.split("== Initial Plan ==").head
-    assert(!finalPlan.contains("Join"), p)
+    // counts collapse map-side on the 128-bit hash key; the removal
+    // is a (broadcastable) anti equi-join, never a window sort
+    assert(finalPlan.contains("partial_count"), p)
+    assert(!finalPlan.contains("Window"), p)
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), p)
     assert(!finalPlan.contains("SinglePartition"), p)
   }
 
@@ -157,16 +165,19 @@ class PlanSpec extends SparkSuite {
     assert(finalPlan.contains("partial_tupleagg"), p)
   }
 
-  test("span scrub: gram-keyed window, anti-join stays equi, no nested loop") {
+  test("span scrub: hash-keyed partial-agg firsts, equi-joins only, no window") {
     val p = planOf(graft.ops.NearDup.spanScrub(
       Tables.documents(spark, sfDir), k = 5))
     val finalPlan = p.split("== Initial Plan ==").head
-    // the only join is the kept-tokens LeftAnti on (doc_id, pos) —
-    // an equi-join at any scale; a nested loop means a key got lost
+    // joins: duplicated-grams equi-join on gram_h + the kept-tokens
+    // LeftAnti on (doc_id, pos) — a nested loop means a key got lost
     assert(!finalPlan.contains("CartesianProduct") &&
       !finalPlan.contains("BroadcastNestedLoopJoin"), p)
-    // first-occurrence selection must partition by the gram string,
-    // never collapse to the single-partition unpartitioned window
+    // first-occurrence selection is a min(struct) agg on the 128-bit
+    // gram hash: duplicates collapse map-side before the exchange,
+    // and no Window node may reintroduce the per-key sort
+    assert(finalPlan.contains("partial_min"), p)
+    assert(!finalPlan.contains("Window"), p)
     assert(!finalPlan.contains("SinglePartition"), p)
   }
 
