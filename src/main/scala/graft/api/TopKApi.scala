@@ -62,7 +62,10 @@ object TopKApi {
       else scan.filter(col("event_type") === rid)
         .withColumnRenamed("event_type", "restaurant_id")
     val inRange = routed
-      .filter(col("p_date") >= Serving.utcDate(from) && // directory pruning
+      // two-sided directory pruning: a historical [from, to) scans
+      // only its own day directories, not everything up to present
+      .filter(col("p_date") >= Serving.utcDate(from) &&
+        col("p_date") <= Serving.utcDate(to) &&
         col("window_start_ms") < to && col("window_start_ms") + hourMs > from)
       .select(col("restaurant_id"), col("window_start_ms"),
         (col("window_start_ms") + hourMs).as("window_end_ms"),
@@ -105,7 +108,10 @@ object TopKApi {
     val st = Serving.readTable(spark, dataDir, "rollup_1m_users")
     val keyed = if (rid == All) st else st.filter(col("event_type") === rid)
     keyed
-      .filter(col("p_date") >= Serving.utcDate(from) && // directory pruning
+      // two-sided directory pruning: an explicit historical range
+      // must not scan every day directory up to the present
+      .filter(col("p_date") >= Serving.utcDate(from) &&
+        col("p_date") <= Serving.utcDate(to) &&
         col("window_start_ms") < to && col("window_start_ms") + 60000L > from)
       .agg(countDistinct(col("user_id")).as("distinct_users"))
       .select(lit(rid).as("restaurant_id"), lit(from).as("from_ms"),
@@ -137,24 +143,30 @@ object TopKApi {
     val st = Serving.readTable(spark, dataDir, "rollup_1m_hist")
     val keyed = if (rid == All) st else st.filter(col("event_type") === rid)
     val hist = keyed
-      .filter(col("p_date") >= Serving.utcDate(from) && // directory pruning
+      // two-sided directory pruning (see distinctUsers)
+      .filter(col("p_date") >= Serving.utcDate(from) &&
+        col("p_date") <= Serving.utcDate(to) &&
         col("window_start_ms") < to && col("window_start_ms") + 60000L > from)
       .groupBy(col("bin")).agg(sum(col("cnt")).as("c"))
-    val tot = hist.agg(sum(col("c")).as("n"))
+    // global agg: exactly ONE row even over an empty range (n=0), so
+    // the route always answers with the envelope row — percentile
+    // columns NULL when there is nothing to rank, like distinctUsers
+    val tot = hist.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
     // unpartitioned cumsum over the bounded occupied-bin frame only
     val cum = hist.withColumn("cum",
       sum(col("c")).over(Window.orderBy(col("bin"))))
-    cum.crossJoin(broadcast(tot))
-      .select(col("n"), col("bin"), col("cum"),
+    val est = cum
+      .select(col("bin"), col("cum"),
         explode(array(Seq(50L, 90L, 99L).map(lit): _*)).as("p"))
-      .filter(col("cum") * 100 >= col("p") * col("n"))
-      .groupBy(col("n"), col("p"))
+      .join(broadcast(tot), col("cum") * 100 >= col("p") * col("n"))
+      .groupBy(col("p"))
       .agg(min(col("bin") * lit(Serving.histBinCents)).as("est"))
-      .groupBy(col("n"))
+      .groupBy()
       .agg(
         max(when(col("p") === 50, col("est"))).as("p50_cents"),
         max(when(col("p") === 90, col("est"))).as("p90_cents"),
         max(when(col("p") === 99, col("est"))).as("p99_cents"))
+    tot.join(est, lit(true), "left")
       .select(lit(rid).as("restaurant_id"), lit(from).as("from_ms"),
         lit(to).as("to_ms"), col("n"), col("p50_cents"),
         col("p90_cents"), col("p99_cents"))

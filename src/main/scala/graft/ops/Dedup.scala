@@ -91,7 +91,16 @@ object Dedup {
     col("user_id"),
     concat(
       lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-      lpad(col("value_cents").cast("string"), 12, "0"),
+      // lpad TRUNCATES beyond 12 chars and a '-' prefix breaks
+      // lexicographic order, so the total-order contract only holds
+      // on 0 <= value_cents < 1e12 — enforced, not assumed: an
+      // out-of-domain row fails loudly instead of silently misordering
+      when(col("value_cents") < 0L ||
+          col("value_cents") >= 1000000000000L,
+        raise_error(concat(
+          lit("profilePatches ord requires 0 <= value_cents < 1e12, got "),
+          col("value_cents").cast("string"))))
+        .otherwise(lpad(col("value_cents").cast("string"), 12, "0")),
       col("event_type")).as("ord"),
     col("event_type").as("typ"),
     when(col("event_type") === "purchase", col("value_cents"))

@@ -102,11 +102,14 @@ object DocQueries {
       .join(docQualityModel(spark, dir).select(col("doc_id"), col("logit")),
         "doc_id")
       .groupBy(col("canonical_id"))
-      // (logit, -id) packed into one sortable long: logits are small
-      // (|logit| ≲ 1e5) and ids ≪ 1e12, so logit·1e12 − id never
-      // overflows and orders exactly like the pair
+      // ordering key is the STRUCT (logit desc, id asc via negation)
+      // — struct comparison is lexicographic, so this orders exactly
+      // like the pair with no packed-long overflow cliff (logit·1e12
+      // wraps silently in Spark but raises in DuckDB once |logit|
+      // clears ~9.2e6, and a multi-MB doc's terms can get there)
       .agg(
-        max_by(col("doc_id"), col("logit") * lit(1000000000000L) - col("doc_id"))
+        max_by(col("doc_id"),
+          struct(col("logit"), (-col("doc_id")).as("neg_id")))
           .as("best_id"),
         max(col("logit")).as("best_logit"),
         count(lit(1)).as("n_docs"))
@@ -214,8 +217,10 @@ object DocQueries {
     reps.join(labels, Seq("doc_id"), "left")
       .withColumn("comp", coalesce(col("canonical_id"), col("doc_id")))
       .groupBy(col("comp"))
+      // struct ordering (logit desc, id asc) — see docDedupBest's
+      // overflow note on why this is not a packed long
       .agg(max_by(struct(col("doc_id"), col("logit")),
-        col("logit") * lit(1000000000000L) - col("doc_id")).as("s"))
+        struct(col("logit"), (-col("doc_id")).as("neg_id"))).as("s"))
       .select(col("s.doc_id").as("doc_id"), col("s.logit").as("logit"))
   }
 

@@ -98,4 +98,18 @@ class ApiSpec extends SparkSuite {
       TopKApi.distinctUsers(spark, sfDir, fromMs = Some(5L), toMs = Some(5L))
     }
   }
+
+  test("percentiles: a range with no data still answers ONE envelope row (n=0, NULL pcts)") {
+    // valid range, but decades before any event: the route's contract
+    // is an envelope row per call, never zero rows
+    val rows = TopKApi.percentiles(spark, sfDir,
+      fromMs = Some(0L), toMs = Some(60000L)).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[String]("restaurant_id") === "all")
+    assert(r.getAs[Long]("n") === 0L)
+    assert(r.isNullAt(r.fieldIndex("p50_cents")) &&
+      r.isNullAt(r.fieldIndex("p90_cents")) &&
+      r.isNullAt(r.fieldIndex("p99_cents")))
+  }
 }
