@@ -106,6 +106,74 @@ object Bpe {
     } finally wf.unpersist(blocking = false)
   }
 
+  /** [[trainMerges]] with per-iteration BATCHING: each Spark job
+    * collects one sorted slice of the pair census and the driver
+    * greedily accepts a PREFIX of rules from it, provably equal to
+    * running the sequential argmax that many times — cutting driver
+    * round-trips by the accepted-batch factor (the round-trip cost is
+    * what dominates a 30k-merge vocabulary; the per-iteration compute
+    * is already O(vocab)).
+    *
+    * Why the prefix rule is exact: after applying an accepted merge
+    * (x, y), (a) pairs sharing no symbol with it keep their count
+    * bit-exactly (the merge consumes only x/y tokens and cannot
+    * create or destroy a disjoint adjacency), (b) pairs sharing a
+    * symbol only DECREASE, and (c) every NEW pair involves the merged
+    * symbol and its count is bounded by an original census row that
+    * shares a symbol with (x, y). So the sorted census row r is
+    * sequentially-next iff it is symbol-disjoint from everything
+    * accepted AND no unaccepted census row with cnt >= r.cnt shares a
+    * symbol with the accepted set (such a row could still outrank r
+    * after the decrease, or bound a new pair that ties r and wins the
+    * lexicographic tie-break). Both checks need only the collected
+    * slice, provided the slice is known to contain EVERY row with
+    * cnt >= r.cnt — hence acceptance stops at the slice's truncation
+    * count. Any stop just ends the batch; the next job recounts and
+    * the argmax restores exactness, so batching never changes the
+    * rule sequence (BpeSpec pins batched == sequential).
+    */
+  def trainMergesBatched(docs: DataFrame, n: Int, batch: Int = 16,
+      slice: Int = 256, textCol: String = "text"): Seq[(String, String)] = {
+    val wf = wordFreqs(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var merges = Vector.empty[(String, String)]
+      var exhausted = false
+      while (merges.size < n && !exhausted) {
+        val rows = pairCounts(symbolized(wf, merges))
+          .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+          .limit(slice + 1).collect()
+          .map(r => (r.getAs[String]("x"), r.getAs[String]("y"),
+            r.getAs[Long]("cnt")))
+        if (rows.isEmpty) exhausted = true
+        else {
+          val truncated = rows.length > slice
+          val cand = rows.take(slice)
+          val minCnt = cand.last._3
+          val syms = scala.collection.mutable.Set.empty[String]
+          val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          var stop = false
+          for (r @ (x, y, c) <- cand if !stop) {
+            if (accepted.isEmpty) { accepted += ((x, y)); syms += x; syms += y }
+            else if (accepted.size >= batch || merges.size + accepted.size >= n)
+              stop = true
+            else if (truncated && c <= minCnt)
+              stop = true // rows with cnt >= c may exist beyond the slice
+            else if (syms(x) || syms(y))
+              stop = true // r's own count may have decreased — recount
+            else if (cand.exists { o =>
+              o._3 >= c && (syms(o._1) || syms(o._2)) && !accepted.contains((o._1, o._2))
+            })
+              stop = true // a shared-symbol row could outrank r post-merge
+            else { accepted += ((x, y)); syms += x; syms += y }
+          }
+          merges ++= accepted
+        }
+      }
+      merges
+    } finally wf.unpersist(blocking = false)
+  }
+
   /** Encode documents with an ordered rule list: (doc_id, n_tokens,
     * head) — token count plus the first `headN` tokens joined by `|`
     * (corpus-order deterministic). Per-word token arrays are computed

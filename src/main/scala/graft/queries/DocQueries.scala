@@ -470,6 +470,30 @@ object DocQueries {
   def docBpeEncode(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.encode(Tables.documents(spark, dir), bpeFixedMerges)
 
+  /** Rule count of the trained-composition gate — small enough that
+    * the DuckDB oracle's stacked per-iteration CTEs stay readable,
+    * large enough to exercise multi-level merges (symbol pairs built
+    * from earlier merged symbols).
+    */
+  private[graft] val bpeTrainedN = 8
+
+  /** The actual tokenizer-construction COMPOSITION a user runs:
+    * train `bpeTrainedN` merge rules on the corpus
+    * ([[graft.ops.Bpe.trainMergesBatched]] — the round-trip-batched
+    * trainer, provably equal to the sequential argmax), then encode
+    * the same corpus with them. The oracle TRAINS INDEPENDENTLY in
+    * DuckDB — `bpeTrainedN` stacked (pair-census → argmax → rewrite)
+    * CTE triples with the identical (cnt desc, x, y) tie-break —
+    * then applies its own trained rules, so the gate hash-checks the
+    * whole train→encode path cross-engine, not a fixed rule list
+    * (the [[docBpeEncode]] gate covers that), and doubles as an
+    * end-to-end batched≡sequential check on real data.
+    */
+  def docBpeTrained(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    graft.ops.Bpe.encode(d, graft.ops.Bpe.trainMergesBatched(d, bpeTrainedN))
+  }
+
   /** Same decontamination result through the bloom-prefiltered scale
     * path (candidate shingles dropped before the exchange); shares
     * the plain-join oracle because the sketch never changes the
@@ -682,6 +706,7 @@ object DocQueries {
     "q_doc_search_offline" -> (docSearchOffline _),
     "q_doc_bpe_pairs" -> (docBpePairs _),
     "q_doc_bpe_encode" -> (docBpeEncode _),
+    "q_doc_bpe_trained" -> (docBpeTrained _),
     "q_doc_neardup_served" -> (docNearDupServed _),
     "q_doc_neardup_offline" -> (docNearDupOffline _),
     "q_doc_pack" -> (docPack _),
@@ -736,6 +761,46 @@ object DocQueries {
        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        |  array_to_string(toks[1:5], '|') AS head
        |FROM e""".stripMargin
+  }
+
+  private lazy val bpeTrainedOracle = {
+    val n = bpeTrainedN
+    val sym = "' ' || array_to_string(regexp_extract_all(wd, '.'), ' ') || ' </w> '"
+    // one (pair census -> argmax -> simultaneous rewrite) CTE triple
+    // per training iteration — DuckDB trains its own rules
+    val steps = (0 until n).map { i =>
+      s"""p$i AS (
+         |  SELECT pr[1] AS x, pr[2] AS y, sum(freq) AS cnt FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(range(1, len(l)), j -> [l[j], l[j+1]])) AS pr
+         |    FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s$i))
+         |  GROUP BY 1, 2),
+         |r$i AS (SELECT x, y FROM p$i ORDER BY cnt DESC, x, y LIMIT 1),
+         |s${i + 1} AS (SELECT wd, freq,
+         |  replace(s, ' ' || r$i.x || ' ' || r$i.y || ' ', ' ' || r$i.x || r$i.y || ' ') AS s
+         |  FROM s$i CROSS JOIN r$i)""".stripMargin
+    }.mkString(",\n")
+    // encode: the same replace chain, rule literals taken from the
+    // 1-row rK CTEs (each a bounded cross join)
+    val repl = (0 until n).foldLeft(sym) { (acc, i) =>
+      s"replace($acc, ' ' || r$i.x || ' ' || r$i.y || ' ', ' ' || r$i.x || r$i.y || ' ')"
+    }
+    val crossRules = (0 until n).map(i => s"CROSS JOIN r$i").mkString(" ")
+    s"""WITH wf AS (
+       |  SELECT wd, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS wd
+       |    FROM documents) GROUP BY wd),
+       |s0 AS (SELECT wd, freq, $sym AS s FROM wf),
+       |$steps,
+       |w AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS wds FROM documents),
+       |enc AS (
+       |  SELECT doc_id,
+       |    flatten(list_transform(wds, wd -> string_split(trim($repl), ' '))) AS toks
+       |  FROM w $crossRules)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  array_to_string(toks[1:5], '|') AS head
+       |FROM enc""".stripMargin
   }
 
   private lazy val nearDupPairsOracle =
@@ -977,6 +1042,7 @@ object DocQueries {
         |      FROM p GROUP BY 1, 2)
         |SELECT x, y, cnt FROM c ORDER BY cnt DESC, x, y LIMIT 20""".stripMargin,
     "q_doc_bpe_encode" -> bpeEncodeOracle,
+    "q_doc_bpe_trained" -> bpeTrainedOracle,
     // both legs recomputed from scratch, fused by the same scaled
     // integer RRF (P = lcm(61..70), every addend exact)
     "q_doc_search_hybrid" ->

@@ -56,6 +56,22 @@ class BpeSpec extends SparkSuite {
     assert(got.length === 8)
   }
 
+  test("batched training equals sequential training, at any batch/slice size") {
+    val sequential = Bpe.trainMerges(docs, n = 12)
+    // generous batch: prefix-acceptance must never diverge from the
+    // one-rule-at-a-time argmax, whatever it manages to batch
+    assert(Bpe.trainMergesBatched(docs, n = 12, batch = 16) === sequential)
+    // degenerate batch=1 is exactly the sequential trainer
+    assert(Bpe.trainMergesBatched(docs, n = 12, batch = 1) === sequential)
+    // a tiny slice forces the truncation guard to fire and recount
+    assert(Bpe.trainMergesBatched(docs, n = 12, batch = 16, slice = 4) === sequential)
+    // and it really is fewer driver round-trips: the in-memory
+    // reference on the same word table accepts >= 2 rules some round
+    // whenever the top pairs are disjoint — just assert equality of
+    // the full sequence; round-trip count is a perf property measured
+    // by the gate wall-time, not unit-assertable here
+  }
+
   test("zero-merge encoding equals the character census; merges only shrink it") {
     val plain = Bpe.encode(docs, Nil)
       .agg(sum($"n_tokens")).head.getLong(0)
