@@ -56,7 +56,11 @@ object TopKApi {
     val global = rid == All
     val ordering = if (byRevenue) "revenue" else "count"
     val table = if (global) s"topk_by_$ordering" else s"topk_keyed_by_$ordering"
-    val scan = Serving.readTable(spark, dataDir, table)
+    // every API call routes through the replica set, pinned by its
+    // tenant (here: the restaurant id) — the reference's replica-group
+    // routing applies to EVERY query class, and copies are identical,
+    // so routing never changes a result (ApiSpec proves copy-equality)
+    val scan = graft.serving.ReplicaRouter.table(spark, dataDir, table, tenant = rid)
     val routed =
       if (global) scan.withColumn("restaurant_id", lit(All))
       else scan.filter(col("event_type") === rid)
@@ -105,7 +109,8 @@ object TopKApi {
     val from = fromMs.getOrElse(to - hourMs)
     require(from < to, s"empty range [$from, $to)")
     val rid = restaurantId.toLowerCase(java.util.Locale.ROOT)
-    val st = Serving.readTable(spark, dataDir, "rollup_1m_users")
+    val st = graft.serving.ReplicaRouter.table(
+      spark, dataDir, "rollup_1m_users", tenant = rid)
     val keyed = if (rid == All) st else st.filter(col("event_type") === rid)
     keyed
       // two-sided directory pruning: an explicit historical range
@@ -140,7 +145,8 @@ object TopKApi {
     val from = fromMs.getOrElse(to - hourMs)
     require(from < to, s"empty range [$from, $to)")
     val rid = restaurantId.toLowerCase(java.util.Locale.ROOT)
-    val st = Serving.readTable(spark, dataDir, "rollup_1m_hist")
+    val st = graft.serving.ReplicaRouter.table(
+      spark, dataDir, "rollup_1m_hist", tenant = rid)
     val keyed = if (rid == All) st else st.filter(col("event_type") === rid)
     val hist = keyed
       // two-sided directory pruning (see distinctUsers)

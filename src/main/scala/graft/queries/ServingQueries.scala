@@ -33,51 +33,20 @@ object ServingQueries {
       .sortWithinPartitions(col("window_start_ms").desc, col("rank").asc)
   }
 
-  private val replicaRoots = scala.collection.concurrent.TrieMap
-    .empty[String, (String, (Long, Long), DataFrame)]
-
   /** The count-path lookup routed through replica groups
-    * ([[graft.serving.Replicas]], the X6 analog): the materialized
-    * `topk_by_count` table is replicated n=2 on first use (keyed by
-    * serving root, so a regenerated dataset re-replicates), and the
-    * query pins to the replica its tenant key hashes to — identical
-    * results from any copy (ReplicasSpec proves copy-equality and
-    * failover), so this shares `q_topk_lookup_served`'s oracle and
-    * hash-checks the whole replicate → route → read path.
-    *
-    * Freshness: the replica set is stamped with the serving state's
-    * CONTENT stamp ([[Serving.metaStamp]]: max ts + last batch id —
-    * changes on every applied refresh); an incremental refresh
-    * rewrites the source in place under the SAME root via dynamic
-    * partition overwrite, which directory mtimes do not reliably
-    * surface, so the stamp is what triggers re-replication (the
-    * production analog: replicas rebuild from the segment push,
-    * brokers re-route when the new copies land).
+    * ([[graft.serving.ReplicaRouter]], the X6 analog): the
+    * materialized `topk_by_count` table is replicated n=2 on first
+    * routed use (keyed by serving root, so a regenerated dataset
+    * re-replicates), and the query pins to the replica its tenant key
+    * hashes to — identical results from any copy (ReplicasSpec proves
+    * copy-equality and failover), so this shares
+    * `q_topk_lookup_served`'s oracle and hash-checks the whole
+    * replicate → route → read path. Stamp-driven re-replication and
+    * the pinned-copy cache live in the shared router, which also
+    * serves the revenue path and the API façade.
     */
   def topKLookupReplica(spark: SparkSession, dir: String): DataFrame = {
-    val servingRoot = Serving.materialize(spark, dir)
-    val src = s"$servingRoot/topk_by_count"
-    val stamp = Serving.metaStamp(spark, servingRoot)
-    // the routed frame rides in the cache entry: between stamp
-    // changes a lookup re-lists nothing — the broker caches its
-    // routing decision AND the segment file index; failover to
-    // another replica is exercised through Replicas.read on the
-    // (re-)route path and by ReplicasSpec directly
-    val table = replicaRoots.get(servingRoot) match {
-      case Some((_, s, df)) if s == stamp => df
-      case prev =>
-        val p = prev.map(_._1).getOrElse(
-          java.nio.file.Files.createTempDirectory("graft_replicas").toString)
-        graft.serving.Replicas.replicate(spark, src, p, n = 2)
-        // pin the routed copy like every hot serving table
-        // (Serving.tableCache discipline); drop the superseded pin
-        prev.foreach(_._3.unpersist(blocking = false))
-        val (df0, _) =
-          graft.serving.Replicas.read(spark, p, key = "tenant-analytics", n = 2)
-        val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        replicaRoots.put(servingRoot, (p, stamp, df))
-        df
-    }
+    val table = graft.serving.ReplicaRouter.table(spark, dir, "topk_by_count")
     val t0 = Serving.anchorMs(spark, dir) - 72L * hourMs
     table
       .filter(col("p_date") >= Serving.utcDate(t0) &&
@@ -90,11 +59,14 @@ object ServingQueries {
 
   /** Revenue-path lookup (QueryService.kt:99-129): top-10 entries
     * across the last 72 h ordered by revenue desc then window end
-    * desc (user asc tie-break pinned for determinism).
+    * desc (user asc tie-break pinned for determinism). Reads through
+    * the replica router like the count path — Pinot routes every
+    * query class through replica groups, not just one table — so
+    * this gate hash-checks the routed revenue path end-to-end.
     */
   def topKLookupRevenue(spark: SparkSession, dir: String): DataFrame = {
     val t0 = Serving.anchorMs(spark, dir) - 72L * hourMs
-    Serving.readTable(spark, dir, "topk_by_revenue")
+    graft.serving.ReplicaRouter.table(spark, dir, "topk_by_revenue")
       .filter(col("p_date") >= Serving.utcDate(t0) && // directory pruning
         col("window_start_ms") >= t0)
       .select(col("window_start_ms"),

@@ -34,7 +34,11 @@ object Replicas {
     require(n >= 2, s"replication below 2 is just the table (n=$n)")
     val src = spark.read.parquet(srcDir)
     (0 until n).foreach { i =>
-      src.write.mode("overwrite").parquet(s"$root/replica=$i")
+      val w = src.write.mode("overwrite")
+      // preserve the source's date layout so a routed read keeps the
+      // same directory pruning the primary table has
+      val wp = if (src.columns.contains("p_date")) w.partitionBy("p_date") else w
+      wp.parquet(s"$root/replica=$i")
     }
   }
 

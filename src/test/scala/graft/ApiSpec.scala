@@ -99,6 +99,30 @@ class ApiSpec extends SparkSuite {
     }
   }
 
+  test("API routes through replica groups; both copies serve identical rows") {
+    import graft.serving.ReplicaRouter
+    // a routed call builds the replica set lazily
+    val routed = TopKApi.topk(spark, sfDir).collect()
+    assert(routed.nonEmpty)
+    val root = ReplicaRouter.replicaRootFor(spark, sfDir, "topk_by_count")
+    assert(root.isDefined, "API topk call must have built a replica set")
+    val a = spark.read.parquet(s"${root.get}/replica=0")
+      .collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(s"${root.get}/replica=1")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b) // copy-equality: any replica serves the same envelope
+    assert(a.nonEmpty)
+    // the routed read equals the unrouted primary table
+    val primary = Serving.readTable(spark, sfDir, "topk_by_count")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === primary)
+    // the histogram/users states route too (percentiles/distinctUsers)
+    TopKApi.percentiles(spark, sfDir).collect()
+    TopKApi.distinctUsers(spark, sfDir).collect()
+    assert(ReplicaRouter.replicaRootFor(spark, sfDir, "rollup_1m_hist").isDefined)
+    assert(ReplicaRouter.replicaRootFor(spark, sfDir, "rollup_1m_users").isDefined)
+  }
+
   test("percentiles: a range with no data still answers ONE envelope row (n=0, NULL pcts)") {
     // valid range, but decades before any event: the route's contract
     // is an envelope row per call, never zero rows
