@@ -27,9 +27,15 @@ import graft.streaming.IncrementalDedup
   *     (static IN-filter pruning, the [[SearchIndex]] mechanism —
   *     the probe's bucket set is bounded driver metadata).
   *   - `docs/` — (doc_id, text) sorted by doc_id with a doc_id bloom
-  *     filter: candidate verification re-shingles only the candidate
-  *     docs, read back through rowgroup-stat + bloom pruning on a
-  *     bounded id set, never a corpus scan.
+  *     filter: the admitted source of record ("why was this
+  *     rejected" inspection, rebuilds).
+  *   - `postings_<n>/` — (doc_id, sh_size, shingle) sorted by doc_id
+  *     with a doc_id bloom filter: the verification postings,
+  *     shingled ONCE at admit time. Query paths fetch candidates'
+  *     postings rows (bloom/rowgroup-pruned or semi-joined) instead
+  *     of re-tokenizing candidate text per call — admit-time work,
+  *     not per-query work, the inverted-index trade ([[SearchIndex]]
+  *     stores its postings the same way).
   *
   * Scale shape: the probe is an equi-join of the pruned band scan
   * against a broadcast bounded query side; candidates are bounded by
@@ -63,8 +69,11 @@ object NearDupIndex {
   private def invalidate(root: String): Unit =
     frameCache.keys.filter(_._1 == root).foreach(frameCache.remove)
 
-  /** Build the index from scratch (overwrites `root`). */
-  def materialize(corpus: DataFrame, root: String): Unit = {
+  /** Build the index from scratch (overwrites `root`). `n` is the
+    * shingle width the stored postings verify with — query calls must
+    * pass the same n (enforced by the postings directory name).
+    */
+  def materialize(corpus: DataFrame, root: String, n: Int = 3): Unit = {
     IncrementalDedup.bandBuckets(corpus)
       .withColumn("bucket", bucketOf(col("band_hash")))
       .write.mode("overwrite").partitionBy("bucket")
@@ -74,6 +83,15 @@ object NearDupIndex {
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#doc_id", "true")
       .parquet(s"$root/docs")
+    // the verification postings, materialized ONCE at admit time —
+    // query paths fetch candidates' (doc_id, sh_size, shingle) rows
+    // instead of re-tokenizing candidate text per call; sorted by
+    // doc_id + bloom so the bounded path's id-set read stays pruned
+    NearDup.postingsNoCache(corpus.select(col("doc_id"), col("text")), n)
+      .sort(col("doc_id"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .parquet(s"$root/postings_$n")
     invalidate(root)
   }
 
@@ -83,7 +101,8 @@ object NearDupIndex {
     * files keep per-file doc_id stats/blooms, so id-pruned reads stay
     * pruned.
     */
-  def append(spark: SparkSession, root: String, newDocs: DataFrame): Unit = {
+  def append(spark: SparkSession, root: String, newDocs: DataFrame,
+      n: Int = 3): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$root/docs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
@@ -102,6 +121,11 @@ object NearDupIndex {
       .write.mode("append")
       .option("parquet.bloom.filter.enabled#doc_id", "true")
       .parquet(s"$root/docs")
+    NearDup.postingsNoCache(staged, n)
+      .sort(col("doc_id"))
+      .write.mode("append")
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .parquet(s"$root/postings_$n")
     staged.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
@@ -150,11 +174,16 @@ object NearDupIndex {
     import spark.implicits._
     val cand = candRows.map(r => (r.getLong(0), r.getLong(1)))
       .toSeq.toDF("doc_a", "doc_b")
-    val candDocs = indexFrame(spark, root, "docs")
+    // job 3: exact verification — candidate postings come from the
+    // MATERIALIZED postings table (bloom/rowgroup-pruned on the
+    // bounded id set), so index docs are never re-tokenized at query
+    // time; only the query batch itself shingles
+    val candPost = indexFrame(spark, root, s"postings_$n")
       .where(col("doc_id").isin(candIds: _*))
-    // job 3: exact verification over candidate docs only
-    val postings = NearDup.postingsOf(
-      queries.select(col("doc_id"), col("text")).unionByName(candDocs), n)
+    val postings = NearDup
+      .postingsNoCache(queries.select(col("doc_id"), col("text")), n)
+      .unionByName(candPost)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = NearDup.verifyPairs(cand, postings, thresholdNum, thresholdDen)
       .select(col("doc_a").as("query_id"), col("doc_b").as("match_id"))
       .localCheckpoint(true)
@@ -173,10 +202,12 @@ object NearDupIndex {
     *    index against the query bands on (bucket, band_idx,
     *    band_hash) — banded, never all-pairs, collision odds as
     *    [[NearDup.minhashPairs]];
-    *  - candidate docs are fetched by LEFT SEMI join on doc_id (the
-    *    bloom/rowgroup pruning of the bounded path needs a driver id
-    *    list; at offline volume the id set is data-sized, so it
-    *    stays an executor-side join);
+    *  - candidate POSTINGS are fetched by LEFT SEMI join on doc_id
+    *    from the materialized postings table (the bounded path's
+    *    bloom pruning needs a driver id list; at offline volume the
+    *    id set is data-sized, so it stays an executor-side join) —
+    *    no candidate text is ever re-tokenized, and the docs-fetch
+    *    stage is gone from the DAG entirely;
     *  - the two multiply-consumed intermediates ARE persisted:
     *    `cand` feeds both the doc fetch and the verify join, and
     *    verification scans its postings twice (both pair sides) —
@@ -206,11 +237,17 @@ object NearDupIndex {
       .select(col("query_id").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candDocs = indexFrame(spark, root, "docs")
+    // candidate postings come from the MATERIALIZED postings table
+    // (semi-join on the data-sized candidate id set — executor-side,
+    // no collects): index docs are shingled ONCE at admit time, never
+    // re-tokenized per query-all call, which also drops the whole
+    // docs-fetch stage from this DAG
+    val candPost = indexFrame(spark, root, s"postings_$n")
       .join(cand.select(col("doc_b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
-    val postings = NearDup.postingsNoCache(
-      queries.select(col("doc_id"), col("text")).unionByName(candDocs), n)
+    val postings = NearDup
+      .postingsNoCache(queries.select(col("doc_id"), col("text")), n)
+      .unionByName(candPost)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lastOfflineGen = Seq(cand, postings)
     NearDup.verifyPairs(cand, postings, thresholdNum, thresholdDen)

@@ -93,6 +93,24 @@ class NearDupIndexSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("query paths verify from materialized postings — index text never re-tokenized") {
+    val qs = queriesDf
+    val plan = NearDupIndex.queryAll(spark, root, qs)
+      .queryExecution.optimizedPlan.toString
+    // the verification side must scan the admit-time postings table;
+    // any read of the docs table means candidate text is being
+    // re-shingled per call (the per-query cost this layout removes)
+    assert(plan.contains("postings_3"), plan.take(2000))
+    assert(!plan.contains("/docs"), plan.take(2000))
+    // stored postings equal a fresh shingle pass over the corpus
+    val stored = spark.read.parquet(s"$root/postings_3")
+      .as[(Long, Long, String)].collect().toSet
+    val fresh = graft.ops.NearDup
+      .postingsNoCache(corpus.select($"doc_id", $"text"), 3)
+      .as[(Long, Long, String)].collect().toSet
+    assert(stored === fresh)
+  }
+
   test("append half onto half equals full rebuild; replay adds nothing") {
     val half1 = corpus.filter($"doc_id" % 2 === 0)
     val half2 = corpus.filter($"doc_id" % 2 === 1)
@@ -102,7 +120,8 @@ class NearDupIndexSpec extends SparkSuite {
     assert(served(p) === served(root))
     def counts() = (
       spark.read.parquet(s"$p/bands").count(),
-      spark.read.parquet(s"$p/docs").count())
+      spark.read.parquet(s"$p/docs").count(),
+      spark.read.parquet(s"$p/postings_3").count())
     val before = counts()
     NearDupIndex.append(spark, p, half2) // at-least-once replay
     assert(counts() === before, "replayed append changed the index")
