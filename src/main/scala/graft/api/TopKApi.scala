@@ -178,6 +178,66 @@ object TopKApi {
         col("p90_cents"), col("p99_cents"))
   }
 
+  /** Arbitrary-p quantile endpoint — `quantile(p, from, to)` for ANY
+    * per-mille p list, served from the minute-grain EXACT value
+    * state (`rollup_1m_vals`, [[Serving.minuteValueVals]]). Unlike
+    * [[percentiles]] (fixed $1 bins, estimates snap to bin edges),
+    * this answers from one row per occupied value, so the result is
+    * the exact order statistic `min v : cum(v)·1000 >= p·n` over the
+    * true value multiset — no bin-resolution cliff at any p. The
+    * range re-aggregation is additive (counts re-sum), the cumsum
+    * runs over the bounded occupied-value frame (domain-bounded,
+    * never a fact scan), and the route keeps the envelope contract:
+    * one row per call, NULL quantiles over a data-free range.
+    * Output pivots one `p<ppm>_cents` column per requested p.
+    */
+  def quantile(
+      spark: SparkSession,
+      dataDir: String,
+      restaurantId: String = All,
+      pPerMille: Seq[Long] = Seq(500L),
+      fromMs: Option[Long] = None,
+      toMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pPerMille.nonEmpty && pPerMille.forall(p => p >= 1 && p <= 1000),
+      s"per-mille p values must be in [1, 1000], got $pPerMille")
+    require(pPerMille.distinct == pPerMille,
+      s"duplicate p values: $pPerMille")
+    val now = Serving.anchorMs(spark, dataDir)
+    val to = toMs.getOrElse(now)
+    val from = fromMs.getOrElse(to - hourMs)
+    require(from < to, s"empty range [$from, $to)")
+    val rid = restaurantId.toLowerCase(java.util.Locale.ROOT)
+    val st = graft.serving.ReplicaRouter.table(
+      spark, dataDir, "rollup_1m_vals", tenant = rid)
+    val keyed = if (rid == All) st else st.filter(col("event_type") === rid)
+    val hist = keyed
+      .filter(col("p_date") >= Serving.utcDate(from) &&
+        col("p_date") <= Serving.utcDate(to) &&
+        col("window_start_ms") < to && col("window_start_ms") + 60000L > from)
+      .groupBy(col("value_cents")).agg(sum(col("cnt")).as("c"))
+    val tot = hist.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("value_cents"))))
+    val est = cum
+      .select(col("value_cents"), col("cum"),
+        explode(array(pPerMille.map(lit): _*)).as("p"))
+      .join(broadcast(tot), col("cum") * 1000 >= col("p") * col("n"))
+      .groupBy(col("p"))
+      .agg(min(col("value_cents")).as("est"))
+      .groupBy()
+      .agg(
+        max(when(col("p") === pPerMille.head, col("est")))
+          .as(s"p${pPerMille.head}_cents"),
+        pPerMille.tail.map(p =>
+          max(when(col("p") === p, col("est"))).as(s"p${p}_cents")): _*)
+    tot.join(est, lit(true), "left")
+      .select(
+        lit(rid).as("restaurant_id") +: lit(from).as("from_ms") +:
+          lit(to).as("to_ms") +: col("n") +:
+          pPerMille.map(p => col(s"p${p}_cents")): _*)
+  }
+
   /** EP1 wire envelope — the reference's `TopKResponse`
     * (TopKController.kt:134-140) as one JSON document per call:
     * `{restaurantId, startTime, endTime, k, items: [...]}` with items

@@ -46,12 +46,27 @@ object ApiQueries {
       fromMs = Some(now - 24L * Serving.hourMs), toMs = Some(now))
   }
 
+  /** Arbitrary-p quantiles at three NON-default per-mille points
+    * (p12.5 / p37.5 / p97.5 — none representable by the fixed-bin
+    * p50/90/99 route), last 24 h global, served from the exact
+    * value-grain state. The oracle recomputes the same order
+    * statistics from raw events, so the gate proves the served
+    * quantile(p) EXACT at p values the histogram route cannot even
+    * express.
+    */
+  def apiQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val now = Serving.anchorMs(spark, dir)
+    TopKApi.quantile(spark, dir, pPerMille = Seq(125L, 375L, 975L),
+      fromMs = Some(now - 24L * Serving.hourMs), toMs = Some(now))
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_api_topk_global" -> (apiTopkGlobal _),
     "q_api_topk_restaurant" -> (apiTopkRestaurant _),
     "q_api_topk_revenue" -> (apiTopkRevenue _),
     "q_api_distinct_users" -> (apiDistinctUsers _),
     "q_api_percentiles" -> (apiPercentiles _),
+    "q_api_quantile" -> (apiQuantile _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
@@ -87,6 +102,28 @@ object ApiQueries {
          |  (SELECT est FROM sel WHERE p = 50) AS p50_cents,
          |  (SELECT est FROM sel WHERE p = 90) AS p90_cents,
          |  (SELECT est FROM sel WHERE p = 99) AS p99_cents
+         |FROM r, t""".stripMargin,
+    // exact order statistics at per-mille p over the true value
+    // multiset: `min v : cum(v)*1000 >= p*n` — the served value-grain
+    // state must reproduce a raw rescan bit-for-bit
+    "q_api_quantile" ->
+      s"""WITH r AS (SELECT epoch_ms(max(ts)) AS to_ms,
+         |               epoch_ms(max(ts)) - 24*3600*1000 AS from_ms FROM events),
+         |f AS (
+         |  SELECT $cents AS v FROM events, r
+         |  WHERE epoch_ms(date_trunc('minute', ts)) < r.to_ms
+         |    AND epoch_ms(date_trunc('minute', ts)) + 60000 > r.from_ms),
+         |h AS (SELECT v, count(*) AS c FROM f GROUP BY 1),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+         |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+         |sel AS (
+         |  SELECT p.p, CAST(min(cum.v) AS BIGINT) AS est
+         |  FROM cum CROSS JOIN t CROSS JOIN (VALUES (125), (375), (975)) AS p(p)
+         |  WHERE cum.cum * 1000 >= p.p * t.n GROUP BY 1)
+         |SELECT 'all' AS restaurant_id, r.from_ms, r.to_ms, t.n,
+         |  (SELECT est FROM sel WHERE p = 125) AS p125_cents,
+         |  (SELECT est FROM sel WHERE p = 375) AS p375_cents,
+         |  (SELECT est FROM sel WHERE p = 975) AS p975_cents
          |FROM r, t""".stripMargin,
     "q_api_topk_global" ->
       s"""SELECT 'all' AS restaurant_id, window_start_ms,

@@ -115,6 +115,29 @@ object Serving {
         unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("bin"), col("cnt"))
 
+  /** Minute-grain EXACT value histogram: (window, event_type,
+    * value_cents) → count — the arbitrary-p quantile state. Where
+    * [[minuteValueHist]] trades resolution for a hard state bound
+    * (fixed $1 bins: bounded however wild the domain, estimates to
+    * bin edges), this keeps one row per OCCUPIED value, so any
+    * quantile(p) over any window range is EXACT — no bin-resolution
+    * cliff — while staying additive/mergeable (counts re-sum) and
+    * refresh==rebuild-stable. State bound: windows × types ×
+    * distinct values — domain-bounded (money values repeat heavily),
+    * NOT row-bounded; for genuinely unbounded-domain metrics the
+    * fixed-bin table is the right state and this one is the exact
+    * complement. Both serve, callers pick the trade.
+    */
+  def minuteValueVals(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 minute").as("w"),
+        col("event_type"), col("value_cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("value_cents"), col("cnt"))
+
   /** Day-grain count-min sketch state: (day window, hash-row i,
     * bucket) → collision-summed count — the materialized twin of the
     * query-time CM sketch ([[graft.queries.SketchQueries.freqCm]]).
@@ -295,7 +318,7 @@ object Serving {
   }
 
   private def writeMinuteState(root: String, roll: DataFrame, users: DataFrame,
-      hist: DataFrame): Unit = {
+      hist: DataFrame, vals: DataFrame): Unit = {
     TableManager.writePartitioned(
       roll.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
       s"$root/rollup_1m", tsCol = "w_ts",
@@ -308,6 +331,10 @@ object Serving {
       hist.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
       s"$root/rollup_1m_hist", tsCol = "w_ts",
       sortCols = Seq("event_type", "window_start_ms", "bin"))
+    TableManager.writePartitioned(
+      vals.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+      s"$root/rollup_1m_vals", tsCol = "w_ts",
+      sortCols = Seq("event_type", "window_start_ms", "value_cents"))
   }
 
   private def writeSketchState(root: String, cm: DataFrame, kmv: DataFrame,
@@ -357,7 +384,7 @@ object Serving {
     "topk_by_count", "topk_by_revenue",
     "topk_keyed_by_count", "topk_keyed_by_revenue",
     "agg_by_window", "agg_keyed_by_window",
-    "rollup_1m", "rollup_1m_users", "rollup_1m_hist",
+    "rollup_1m", "rollup_1m_users", "rollup_1m_hist", "rollup_1m_vals",
     "cm_daily", "kmv_daily", "tuple_daily", "profile_upsert", "meta")
 
   /** Full build of the serving layout at `root` from an events frame
@@ -378,7 +405,7 @@ object Serving {
     try {
       writeAggState(root, agg, keyed)
       writeMinuteState(root, minuteRollupAgg(events), minuteUsers(events),
-        minuteValueHist(events))
+        minuteValueHist(events), minuteValueVals(events))
       writeSketchState(root, dailyCmSketch(events), kmvDailySketches(events),
         dailyTupleSketches(events))
       writeProfileState(root, profileUpsertState(events))
@@ -496,6 +523,9 @@ object Serving {
         val hist = merge(s"$root/rollup_1m_hist", minuteValueHist(batch),
           Seq("window_start_ms", "event_type", "bin"),
           Seq("cnt"))
+        val vals = merge(s"$root/rollup_1m_vals", minuteValueVals(batch),
+          Seq("window_start_ms", "event_type", "value_cents"),
+          Seq("cnt"))
         // CM sketch counts are additive — same merge shape, day grain
         val cm = merge(s"$root/cm_daily", dailyCmSketch(batch),
           Seq("window_start_ms", "i", "bucket"), Seq("c"))
@@ -561,6 +591,10 @@ object Serving {
             hist.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
             s"$root/rollup_1m_hist", "w_ts",
             Seq("event_type", "window_start_ms", "bin"))
+          TableManager.overwritePartitions(
+            vals.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+            s"$root/rollup_1m_vals", "w_ts",
+            Seq("event_type", "window_start_ms", "value_cents"))
           TableManager.overwritePartitions(
             cm.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
             s"$root/cm_daily", "w_ts", Seq("i", "bucket"))
