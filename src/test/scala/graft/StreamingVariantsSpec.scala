@@ -465,6 +465,44 @@ class StreamingVariantsSpec extends SparkSuite {
     assert(keptSet() === streamed)
   }
 
+  test("streaming boilerplate scrub equals batch at ANY arrival order; replay is a no-op") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.BoilerplateIngest
+    import graft.ops.NearDup
+    import StreamingVariantsSpec.Doc
+    // REVERSED id order on purpose: the additive-count state decides
+    // at read, so (unlike the keep-first twins) equivalence needs no
+    // arrival-order precondition at all
+    val docs = Tables.documents(spark, sfDir)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .sortBy(-_._1).map(d => Doc(d._1, d._2, d._3, d._4, d._5))
+    val dir = java.nio.file.Files.createTempDirectory("graft_boilingest").toString
+    val mem = MemoryStream[Doc]
+    val q = BoilerplateIngest.start(spark, mem.toDF(),
+      s"$dir/segs", s"$dir/counts", s"$dir/ckpt")
+    val (first, second) = docs.splitAt(docs.size / 3)
+    try {
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def scrubbed() = BoilerplateIngest
+      .readScrubbed(spark, s"$dir/segs", s"$dir/counts")
+      .as[(Long, String, Long)].collect().toSet
+    val streamed = scrubbed()
+    val batch = NearDup.boilerplateScrub(Tables.documents(spark, sfDir))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // replay batch 1: the dynamic partition overwrite rewrites the
+    // same (segs, counts) partitions with identical content — counts
+    // are per-batch deltas, so a replay can never double-add
+    BoilerplateIngest.processBatch(
+      second.toDF(), batchId = 1L, s"$dir/segs", s"$dir/counts")
+    assert(scrubbed() === streamed)
+  }
+
   test("streamed importance-profile deltas serve batch-identical scores; replay is idempotent") {
     implicit val sql = spark.sqlContext
     import graft.streaming.ImportanceIngest
