@@ -248,6 +248,79 @@ class StreamingVariantsSpec extends SparkSuite {
     }
   }
 
+  test("streaming SCD2 type history: a late event SPLITS a settled run; final == batch at any split") {
+    import graft.streaming.TypeHistoryStream
+    import graft.streaming.TypeHistoryStream.{History, TypeRun}
+    // user 7: a@1s and a@9s settle as ONE run, then b@5s arrives LATE
+    // and must split it into a[1,5) b[5,9) a[9,∞) — the case no
+    // change-point-only state can handle
+    val events = Seq(
+      TimerDedup.Ev(1, new Timestamp(1000), 7, "a", 0),
+      TimerDedup.Ev(2, new Timestamp(9000), 7, "a", 0),
+      TimerDedup.Ev(3, new Timestamp(5000), 7, "b", 0),
+      TimerDedup.Ev(4, new Timestamp(2000), 8, "x", 0))
+    val expected7 = Seq(
+      TypeRun("a", 1000L, Some(5000L)),
+      TypeRun("b", 5000L, Some(9000L)),
+      TypeRun("a", 9000L, None))
+    for (splitAt <- Seq(0, 1, 2, 3, 4)) {
+      implicit val sql = spark.sqlContext
+      val mem = MemoryStream[TimerDedup.Ev]
+      val updates = TypeHistoryStream.histories(spark, mem.toDF())
+      val last = new java.util.concurrent.ConcurrentHashMap[Long, Seq[TypeRun]]()
+      val q = updates.writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[History], _: Long) =>
+          b.collect().foreach(h => last.put(h.user_id, h.runs))
+        }.start()
+      try {
+        val (a, b) = events.splitAt(splitAt)
+        if (a.nonEmpty) { mem.addData(a: _*); q.processAllAvailable() }
+        if (b.nonEmpty) { mem.addData(b: _*); q.processAllAvailable() }
+        assert(last.get(7L) === expected7, s"splitAt=$splitAt")
+        assert(last.get(8L) === Seq(TypeRun("x", 2000L, None)), s"splitAt=$splitAt")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming SCD2 type history equals the batch operator on the events fixture; replay no-op") {
+    import graft.streaming.TypeHistoryStream
+    import graft.streaming.TypeHistoryStream.{History, TypeRun}
+    implicit val sql = spark.sqlContext
+    val evs = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value_cents")
+      .as[(Long, Timestamp, Long, String, Long)].collect().toSeq
+      .map(e => TimerDedup.Ev(e._1, e._2, e._3, e._4, e._5))
+    // deliberately NOT time-ordered: stream by event_id parity, so
+    // every user's events interleave out of order across batches
+    val (odd, even) = evs.partition(_.event_id % 2 == 1)
+    val mem = MemoryStream[TimerDedup.Ev]
+    val updates = TypeHistoryStream.histories(spark, mem.toDF())
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, Seq[TypeRun]]()
+    val q = updates.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[History], _: Long) =>
+        b.collect().foreach(h => last.put(h.user_id, h.runs))
+      }.start()
+    try {
+      mem.addData(odd: _*)
+      q.processAllAvailable()
+      mem.addData(even: _*)
+      q.processAllAvailable()
+      // a replayed batch merges only already-seen event_ids: state
+      // unchanged, identical re-emission
+      mem.addData(even.take(50): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = last.asScala.iterator.flatMap { case (u, runs) =>
+      runs.map(r => (u, r.event_type, r.valid_from_ms, r.valid_to_ms))
+    }.toSet
+    val batch = graft.queries.OlapQueries.typeHistory(spark, sfDir)
+      .as[(Long, String, Long, Option[Long])].collect()
+      .map(r => (r._1, r._2, r._3, r._4)).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("processing-time rollup counts every row exactly once (update mode)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TimerDedup.Ev]
