@@ -224,6 +224,36 @@ object DocQueries {
       .select(col("s.doc_id").as("doc_id"), col("s.logit").as("logit"))
   }
 
+  /** The STREAMING curation composition, gated: drive
+    * [[graft.streaming.CurationIngest]] (normalize → quality filter →
+    * first-wins exact dedup, the [[graft.streaming.DocPipeline]]
+    * pipeline on the deterministic admit pattern) over three
+    * id-ordered micro-batches of the corpus — direct `processBatch`
+    * calls, i.e. exactly the foreachBatch body; the live-harness leg
+    * (MemoryStream, checkpoint, replay) is StreamingVariantsSpec's —
+    * then read back the admitted set. On an id-ordered stream the
+    * admitted set equals the batch composition, so the oracle is the
+    * plain batch SQL: quality keep-set deduped to the min-id row per
+    * normalized fingerprint. This hash-gates the streamed composition
+    * end-to-end the way `q_doc_curate` gates the batch one.
+    */
+  def docCurateStream(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    // 1-row aggregate: bounded driver metadata (batch cut points)
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curation_gate").toString
+    val batches = Seq(
+      d.filter(col("doc_id") <= cuts(0)),
+      d.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      d.filter(col("doc_id") > cuts(1)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.CurationIngest.processBatch(
+        b, i.toLong, s"$tmp/kept", s"$tmp/index")
+    }
+    spark.read.parquet(s"$tmp/kept").select(col("doc_id"), col("n_tokens"))
+  }
+
   /** Length-distribution quantiles (the cut points a percentile-based
     * quality filter uses). Exact `percentile` with linear
     * interpolation — same definition as DuckDB's quantile_cont, and
@@ -716,6 +746,7 @@ object DocQueries {
     "q_doc_quality_model" -> (docQualityModel _),
     "q_doc_curate" -> (docCurate _),
     "q_doc_curate_best" -> (docCurateBest _),
+    "q_doc_curate_stream" -> (docCurateStream _),
     "q_doc_length_quantiles" -> (docLengthQuantiles _),
     "q_doc_dedup_canonical" -> (dedupCanonical _),
     "q_doc_dedup_best" -> (docDedupBest _),
@@ -1135,6 +1166,19 @@ object DocQueries {
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
         |    '\s+', ' ', 'g'))) AS norm_fp
         |FROM documents""".stripMargin,
+    // the streamed composition shares plain batch SQL: quality
+    // keep-set, min-id winner per normalized fingerprint
+    "q_doc_curate_stream" ->
+      s"""WITH s AS (SELECT doc_id, $toks AS toks,
+         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+         |    '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |k AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, fp FROM s
+         |  WHERE len(toks) BETWEEN 5 AND 500
+         |    AND CAST(len(list_filter(toks, x -> list_contains(['the','a'], x))) AS DOUBLE) / len(toks) <= 0.5
+         |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.2),
+         |m AS (SELECT fp, min(doc_id) AS doc_id FROM k GROUP BY fp)
+         |SELECT k.doc_id, k.n_tokens FROM k JOIN m ON k.doc_id = m.doc_id AND k.fp = m.fp""".stripMargin,
     "q_doc_quality_filter" ->
       s"""SELECT doc_id,
          |  CAST(len($toks) AS BIGINT) AS n_tokens,

@@ -538,6 +538,42 @@ class StreamingVariantsSpec extends SparkSuite {
     assert(keptSet() === streamed)
   }
 
+  test("deterministic curation ingest: admitted set == batch keep-set min-id reps; replay no-op") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.{CurationIngest, DocPipeline}
+    import StreamingVariantsSpec.Doc
+    // id-ordered batches: the determinism precondition the gate uses
+    val docs = Tables.documents(spark, sfDir)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .sortBy(_._1).map(d => Doc(d._1, d._2, d._3, d._4, d._5))
+    val dir = java.nio.file.Files.createTempDirectory("graft_curingest").toString
+    val mem = MemoryStream[Doc]
+    val q = CurationIngest.start(spark, mem.toDF(),
+      s"$dir/kept", s"$dir/index", s"$dir/ckpt")
+    val (first, second) = docs.splitAt(docs.size / 2)
+    try {
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def keptSet() = spark.read.parquet(s"$dir/kept")
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toSet
+    val streamed = keptSet()
+    // batch reference: quality keep-set, min-id winner per fingerprint
+    val cur = DocPipeline.curate(Tables.documents(spark, sfDir))
+    val minIds = cur.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val batch = cur.join(minIds, Seq("fp", "doc_id"))
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // replay: every fingerprint already indexed → nothing admitted
+    val replayed = CurationIngest.processBatch(
+      second.toDF(), batchId = 1L, s"$dir/kept", s"$dir/index")
+    assert(replayed.isEmpty)
+    assert(keptSet() === streamed)
+  }
+
   test("streaming boilerplate scrub equals batch at ANY arrival order; replay is a no-op") {
     implicit val sql = spark.sqlContext
     import graft.streaming.BoilerplateIngest
