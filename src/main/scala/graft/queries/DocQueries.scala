@@ -297,6 +297,33 @@ object DocQueries {
   def docBoilerplate(spark: SparkSession, dir: String): DataFrame =
     NearDup.boilerplateScrub(Tables.documents(spark, dir), segWords = 10)
 
+  /** The STREAMED boilerplate scrub, gated against the BATCH gate's
+    * own oracle: drive [[graft.streaming.BoilerplateIngest]] over
+    * three micro-batches (direct `processBatch` calls — the
+    * foreachBatch body; the live harness is spec-covered) and read
+    * the threshold-at-read result. The additive count state is
+    * order-independent, so the shared oracle needs no arrival-order
+    * caveat at all — the strongest stream≡batch contract in the
+    * scrub family, here hash-checked cross-engine.
+    */
+  def docBoilerplateStream(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    // 1-row aggregate: bounded driver metadata (batch cut points)
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_boil_gate").toString
+    val batches = Seq(
+      d.filter(col("doc_id") <= cuts(0)),
+      d.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      d.filter(col("doc_id") > cuts(1)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.BoilerplateIngest.processBatch(
+        b, i.toLong, s"$tmp/segs", s"$tmp/counts", segWords = 10)
+    }
+    graft.streaming.BoilerplateIngest.readScrubbed(
+      spark, s"$tmp/segs", s"$tmp/counts")
+  }
+
   /** Overlapping duplicated-span scrub (suffix-array-dedup analog) at
     * k=5 words — see [[graft.ops.NearDup.spanScrub]].
     */
@@ -727,6 +754,7 @@ object DocQueries {
     "q_doc_repetition" -> (docRepetition _),
     "q_doc_segment_dedup" -> (docSegmentDedup _),
     "q_doc_boilerplate" -> (docBoilerplate _),
+    "q_doc_boilerplate_stream" -> (docBoilerplateStream _),
     "q_doc_span_scrub" -> (docSpanScrub _),
     "q_doc_contamination" -> (docContamination _),
     "q_doc_contamination_bloom" -> (docContaminationBloom _),
@@ -877,7 +905,7 @@ object DocQueries {
        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
        |  AND $limitExpr""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private lazy val oraclesBase: Map[String, String] = Map(
     // sequential cumsum in md5(seed:id) order — the engine's
     // distributed exclusive scan must be bit-equal to it
     "q_doc_shuffle_pack" ->
@@ -1328,4 +1356,11 @@ object DocQueries {
          |FROM m JOIN q USING (doc_id)
          |GROUP BY m.canonical_id""".stripMargin,
   )
+
+  /** The streamed boilerplate gate shares the batch oracle VERBATIM:
+    * the additive-count state must reproduce the batch scrub exactly,
+    * with no arrival-order caveat.
+    */
+  val oracles: Map[String, String] = oraclesBase +
+    ("q_doc_boilerplate_stream" -> oraclesBase("q_doc_boilerplate"))
 }
