@@ -148,34 +148,49 @@ object TopKApi {
     val st = graft.serving.ReplicaRouter.table(
       spark, dataDir, "rollup_1m_hist", tenant = rid)
     val keyed = if (rid == All) st else st.filter(col("event_type") === rid)
-    val hist = keyed
+    val rows = keyed
       // two-sided directory pruning (see distinctUsers)
       .filter(col("p_date") >= Serving.utcDate(from) &&
         col("p_date") <= Serving.utcDate(to) &&
         col("window_start_ms") < to && col("window_start_ms") + 60000L > from)
-      .groupBy(col("bin")).agg(sum(col("cnt")).as("c"))
-    // global agg: exactly ONE row even over an empty range (n=0), so
-    // the route always answers with the envelope row — percentile
-    // columns NULL when there is nothing to rank, like distinctUsers
-    val tot = hist.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
-    // unpartitioned cumsum over the bounded occupied-bin frame only
-    val cum = hist.withColumn("cum",
-      sum(col("c")).over(Window.orderBy(col("bin"))))
-    val est = cum
-      .select(col("bin"), col("cum"),
-        explode(array(Seq(50L, 90L, 99L).map(lit): _*)).as("p"))
-      .join(broadcast(tot), col("cum") * 100 >= col("p") * col("n"))
-      .groupBy(col("p"))
-      .agg(min(col("bin") * lit(Serving.histBinCents)).as("est"))
-      .groupBy()
-      .agg(
-        max(when(col("p") === 50, col("est"))).as("p50_cents"),
-        max(when(col("p") === 90, col("est"))).as("p90_cents"),
-        max(when(col("p") === 99, col("est"))).as("p99_cents"))
-    tot.join(est, lit(true), "left")
+      .select(col("bin"), col("cnt"))
+    // ONE window stage computes everything — a groupBy(bin) → cumsum
+    // → per-p groupBy → pivot chain is 6 scheduled stages of ~40 ms
+    // each on a ~1k-row frame (measured ~300 ms/call; stage count,
+    // not data, was the cost). The default RANGE frame makes same-bin
+    // rows share the through-bin running total, so the bin-collapse
+    // groupBy is redundant: the first row whose shared cum crosses
+    // p%·n sits in exactly the crossing bin. The single-partition
+    // sort is over the occupied state rows in range — the same
+    // bounded frame the cumsum always needed.
+    val w = Window.orderBy(col("bin"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def estAt(p: Long) = min(when(
+      col("cum") * 100 >= lit(p) * col("n"),
+      col("bin") * lit(Serving.histBinCents))).over(full)
+    val est = rows
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(full))
+      .withColumn("p50_cents", estAt(50))
+      .withColumn("p90_cents", estAt(90))
+      .withColumn("p99_cents", estAt(99))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("n"), col("p50_cents"), col("p90_cents"), col("p99_cents"))
+    // envelope contract (exactly ONE row, n=0/NULL pcts over an empty
+    // range) via union + priority-take: a left join against the 0-or-
+    // 1-row frame would BROADCAST a subquery — a separate job worth
+    // ~100 ms of pure latency on a serving route (measured)
+    val empty = spark.range(1).select(lit(0L).as("n"),
+      lit(null).cast("long").as("p50_cents"),
+      lit(null).cast("long").as("p90_cents"),
+      lit(null).cast("long").as("p99_cents"))
+    est.withColumn("pri", lit(0))
+      .unionByName(empty.withColumn("pri", lit(1)))
+      .orderBy(col("pri")).limit(1)
       .select(lit(rid).as("restaurant_id"), lit(from).as("from_ms"),
-        lit(to).as("to_ms"), col("n"), col("p50_cents"),
-        col("p90_cents"), col("p99_cents"))
+        lit(to).as("to_ms"), col("n"),
+        col("p50_cents"), col("p90_cents"), col("p99_cents"))
   }
 
   /** Arbitrary-p quantile endpoint — `quantile(p, from, to)` for ANY
@@ -211,27 +226,35 @@ object TopKApi {
     val st = graft.serving.ReplicaRouter.table(
       spark, dataDir, "rollup_1m_vals", tenant = rid)
     val keyed = if (rid == All) st else st.filter(col("event_type") === rid)
-    val hist = keyed
+    val rows = keyed
       .filter(col("p_date") >= Serving.utcDate(from) &&
         col("p_date") <= Serving.utcDate(to) &&
         col("window_start_ms") < to && col("window_start_ms") + 60000L > from)
-      .groupBy(col("value_cents")).agg(sum(col("cnt")).as("c"))
-    val tot = hist.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
-    val cum = hist.withColumn("cum",
-      sum(col("c")).over(Window.orderBy(col("value_cents"))))
-    val est = cum
-      .select(col("value_cents"), col("cum"),
-        explode(array(pPerMille.map(lit): _*)).as("p"))
-      .join(broadcast(tot), col("cum") * 1000 >= col("p") * col("n"))
-      .groupBy(col("p"))
-      .agg(min(col("value_cents")).as("est"))
-      .groupBy()
-      .agg(
-        max(when(col("p") === pPerMille.head, col("est")))
-          .as(s"p${pPerMille.head}_cents"),
-        pPerMille.tail.map(p =>
-          max(when(col("p") === p, col("est"))).as(s"p${p}_cents")): _*)
-    tot.join(est, lit(true), "left")
+      .select(col("value_cents"), col("cnt"))
+    // one window stage, like percentiles: same-value rows share the
+    // through-value running total under the default RANGE frame, so
+    // no value-collapse groupBy is needed and the whole computation
+    // is a single bounded single-partition sort
+    val w = Window.orderBy(col("value_cents"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def estAt(p: Long) = min(when(
+      col("cum") * 1000 >= lit(p) * col("n"), col("value_cents"))).over(full)
+    val est = pPerMille
+      .foldLeft(rows
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(full))) {
+        (df, p) => df.withColumn(s"p${p}_cents", estAt(p))
+      }
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("n") +: pPerMille.map(p => col(s"p${p}_cents")): _*)
+    // union + priority-take envelope — see percentiles' broadcast note
+    val empty = spark.range(1).select(
+      lit(0L).as("n") +:
+        pPerMille.map(p => lit(null).cast("long").as(s"p${p}_cents")): _*)
+    est.withColumn("pri", lit(0))
+      .unionByName(empty.withColumn("pri", lit(1)))
+      .orderBy(col("pri")).limit(1)
       .select(
         lit(rid).as("restaurant_id") +: lit(from).as("from_ms") +:
           lit(to).as("to_ms") +: col("n") +:

@@ -68,7 +68,13 @@ object ReplicaRouter {
     val idx = Replicas.replicaFor(tenant, N)
     pins.getOrElseUpdate((replicaRoot, idx), {
       val (df, _) = Replicas.read(spark, replicaRoot, tenant, N)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // serving tables are date-sliced into many small files; cache
+      // them as a few fat blocks, not one block per file — a ~100 ms
+      // warm lookup is mostly per-task scheduling at 30 partitions
+      // of a 1 MB table (measured), and every serving query rescans
+      // this pin. 8 blocks keeps parallelism for the rare big table.
+      df.coalesce(8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
   }
 
