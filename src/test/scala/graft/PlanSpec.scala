@@ -111,6 +111,23 @@ class PlanSpec extends SparkSuite {
       !finalPlan.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("percentile/quantile routes: one window stage over the pinned state, no joins") {
+    // the sub-200ms serving claim rests on stage count: a routed
+    // in-memory scan, ONE window (RANGE-frame shared cumsum makes the
+    // bin-collapse groupBy redundant), union+take envelope. Any Join
+    // node means the broadcast-subquery envelope came back; a second
+    // HashAggregate chain means the 6-stage pivot shape did.
+    for (df <- Seq(
+      graft.api.TopKApi.percentiles(spark, sfDir),
+      graft.api.TopKApi.quantile(spark, sfDir, pPerMille = Seq(125L, 975L)))) {
+      val p = planOf(df)
+      assert(p.contains("InMemoryTableScan"), p) // routed replica pin
+      assert(!p.contains("Join"), p)
+      assert(p.sliding("Window".length).count(_ == "Window") >= 1, p)
+      assert(!p.contains("HashAggregate"), p)
+    }
+  }
+
   test("segment dedup: hash-keyed partial-agg keep-first, no window, no joins") {
     val p = planOf(graft.ops.NearDup.segmentDedup(
       Tables.documents(spark, sfDir), segWords = 10))
