@@ -261,6 +261,67 @@ object TopKApi {
           pPerMille.map(p => col(s"p${p}_cents")): _*)
   }
 
+  /** Approximate arbitrary-p quantiles from the HARD-BOUNDED integer
+    * log-histogram state (`rollup_1m_loghist`,
+    * [[Serving.minuteValueLogHist]] — the DDSketch shape): estimates
+    * are bucket lower edges with worst-case relative error
+    * 1/16 = 6.25%, and the state stays ≤ ~16 buckets per octave
+    * whatever the value domain — the right quantile state for
+    * unbounded metrics (latencies, sizes) where the exact
+    * value-grain table ([[quantile]]) would grow with the domain.
+    * Same route shape as the exact one: one window stage over the
+    * routed pin, union+take envelope, `p<ppm>_cents_est` columns.
+    */
+  def quantileApprox(
+      spark: SparkSession,
+      dataDir: String,
+      restaurantId: String = All,
+      pPerMille: Seq[Long] = Seq(500L),
+      fromMs: Option[Long] = None,
+      toMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pPerMille.nonEmpty && pPerMille.forall(p => p >= 1 && p <= 1000),
+      s"per-mille p values must be in [1, 1000], got $pPerMille")
+    require(pPerMille.distinct == pPerMille, s"duplicate p values: $pPerMille")
+    val now = Serving.anchorMs(spark, dataDir)
+    val to = toMs.getOrElse(now)
+    val from = fromMs.getOrElse(to - hourMs)
+    require(from < to, s"empty range [$from, $to)")
+    val rid = restaurantId.toLowerCase(java.util.Locale.ROOT)
+    val st = graft.serving.ReplicaRouter.table(
+      spark, dataDir, "rollup_1m_loghist", tenant = rid)
+    val keyed = if (rid == All) st else st.filter(col("event_type") === rid)
+    val rows = keyed
+      .filter(col("p_date") >= Serving.utcDate(from) &&
+        col("p_date") <= Serving.utcDate(to) &&
+        col("window_start_ms") < to && col("window_start_ms") + 60000L > from)
+      .select(col("lbucket"), col("cnt"))
+    val w = Window.orderBy(col("lbucket"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def estAt(p: Long) = min(when(
+      col("cum") * 1000 >= lit(p) * col("n"),
+      Serving.logBucketEdge(col("lbucket")))).over(full)
+    val est = pPerMille
+      .foldLeft(rows
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(full))) {
+        (df, p) => df.withColumn(s"p${p}_cents_est", estAt(p))
+      }
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("n") +: pPerMille.map(p => col(s"p${p}_cents_est")): _*)
+    val empty = spark.range(1).select(
+      lit(0L).as("n") +:
+        pPerMille.map(p => lit(null).cast("long").as(s"p${p}_cents_est")): _*)
+    est.withColumn("pri", lit(0))
+      .unionByName(empty.withColumn("pri", lit(1)))
+      .orderBy(col("pri")).limit(1)
+      .select(
+        lit(rid).as("restaurant_id") +: lit(from).as("from_ms") +:
+          lit(to).as("to_ms") +: col("n") +:
+          pPerMille.map(p => col(s"p${p}_cents_est")): _*)
+  }
+
   /** EP1 wire envelope — the reference's `TopKResponse`
     * (TopKController.kt:134-140) as one JSON document per call:
     * `{restaurantId, startTime, endTime, k, items: [...]}` with items

@@ -60,6 +60,18 @@ object ApiQueries {
       fromMs = Some(now - 24L * Serving.hourMs), toMs = Some(now))
   }
 
+  /** Sketch quantiles at the same non-default p values, last 24 h
+    * global — served from the hard-bounded integer log-histogram.
+    * The oracle mirrors the integer bucket/edge math from raw events,
+    * so the 6.25%-relative-error ESTIMATES themselves are hash-exact
+    * cross-engine (the DDSketch determinism claim, checked).
+    */
+  def apiQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val now = Serving.anchorMs(spark, dir)
+    TopKApi.quantileApprox(spark, dir, pPerMille = Seq(125L, 975L),
+      fromMs = Some(now - 24L * Serving.hourMs), toMs = Some(now))
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_api_topk_global" -> (apiTopkGlobal _),
     "q_api_topk_restaurant" -> (apiTopkRestaurant _),
@@ -67,6 +79,7 @@ object ApiQueries {
     "q_api_distinct_users" -> (apiDistinctUsers _),
     "q_api_percentiles" -> (apiPercentiles _),
     "q_api_quantile" -> (apiQuantile _),
+    "q_api_quantile_sketch" -> (apiQuantileSketch _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
@@ -124,6 +137,32 @@ object ApiQueries {
          |  (SELECT est FROM sel WHERE p = 125) AS p125_cents,
          |  (SELECT est FROM sel WHERE p = 375) AS p375_cents,
          |  (SELECT est FROM sel WHERE p = 975) AS p975_cents
+         |FROM r, t""".stripMargin,
+    // the integer log-histogram (DDSketch-shaped) estimates, mirrored
+    // bucket-for-bucket: b = (floor(log2 v)-4)*16 + (v >> (floor(log2
+    // v)-4)) via length(bin(v)) — pure integer/string ops identical in
+    // both engines; estimate = bucket lower edge
+    "q_api_quantile_sketch" ->
+      s"""WITH r AS (SELECT epoch_ms(max(ts)) AS to_ms,
+         |               epoch_ms(max(ts)) - 24*3600*1000 AS from_ms FROM events),
+         |f AS (
+         |  SELECT $cents AS v FROM events, r
+         |  WHERE epoch_ms(date_trunc('minute', ts)) < r.to_ms
+         |    AND epoch_ms(date_trunc('minute', ts)) + 60000 > r.from_ms),
+         |bkt AS (SELECT CASE WHEN v < 16 THEN v
+         |  ELSE ((length(bin(v))-5)*16 + (v >> (length(bin(v))-5))) END AS b FROM f),
+         |h AS (SELECT b, count(*) AS c FROM bkt GROUP BY 1),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+         |cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM h),
+         |sel AS (
+         |  SELECT p.p, CAST(min(CASE WHEN cum.b < 16 THEN cum.b
+         |    ELSE (cum.b - (cum.b//16 - 1)*16) * (CAST(1 AS BIGINT) << (cum.b//16 - 1)) END)
+         |    AS BIGINT) AS est
+         |  FROM cum CROSS JOIN t CROSS JOIN (VALUES (125), (975)) AS p(p)
+         |  WHERE cum.cum * 1000 >= p.p * t.n GROUP BY 1)
+         |SELECT 'all' AS restaurant_id, r.from_ms, r.to_ms, t.n,
+         |  (SELECT est FROM sel WHERE p = 125) AS p125_cents_est,
+         |  (SELECT est FROM sel WHERE p = 975) AS p975_cents_est
          |FROM r, t""".stripMargin,
     "q_api_topk_global" ->
       s"""SELECT 'all' AS restaurant_id, window_start_ms,

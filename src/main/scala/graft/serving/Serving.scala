@@ -138,6 +138,67 @@ object Serving {
         unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("value_cents"), col("cnt"))
 
+  /** Number of linear sub-buckets per power-of-2 octave in the
+    * log-histogram state: 16 → worst-case relative error 1/16 =
+    * 6.25% (the estimate is the bucket's lower edge; the true value
+    * is below the next edge, one sixteenth of an octave up).
+    */
+  val logHistSubBuckets = 16L
+
+  /** Bucket id of a non-negative value in the integer log histogram:
+    * values below 16 map to themselves (exact small-value regime);
+    * v >= 16 maps to octave b = floor(log2 v) and linear sub-bucket
+    * v >> (b-4) ∈ [16, 32), packed monotonically as (b-4)*16 + sub.
+    * floor(log2) is `length(bin(v)) - 1` — pure integer/string ops
+    * that Spark and DuckDB evaluate identically (no float log at
+    * bucket boundaries, the cross-engine hazard of a gamma-based
+    * DDSketch).
+    */
+  def logBucket(v: Column): Column = {
+    val b = (length(bin(v)) - 1).cast("long")
+    val sub = call_function("shiftright", v, (b - 4L).cast("int"))
+    when(v < logHistSubBuckets, v)
+      .otherwise((b - 4L) * logHistSubBuckets + sub)
+  }
+
+  /** Lower edge of a log-histogram bucket — the quantile estimate. */
+  def logBucketEdge(bucket: Column): Column = {
+    val oct = (bucket / logHistSubBuckets).cast("long") // 1 for b=4, 2 for b=5, …
+    val edge = (bucket - (oct - 1L) * logHistSubBuckets) *
+      call_function("shiftleft", lit(1L), (oct - 1L).cast("int"))
+    when(bucket < logHistSubBuckets, bucket).otherwise(edge)
+  }
+
+  /** Minute-grain INTEGER LOG-HISTOGRAM state — the DDSketch shape
+    * (Masson et al., VLDB'19) with power-of-2 octaves and 16 linear
+    * sub-buckets: (window, event_type, lbucket) → count. This is the
+    * third point of the quantile-state matrix:
+    *
+    *  - `rollup_1m_hist` — fixed $1 bins: hard-bounded state,
+    *    ABSOLUTE-error estimates, fails on wild domains;
+    *  - `rollup_1m_vals` — exact values: exact any-p, state bounded
+    *    by the value DOMAIN, fails on unbounded domains;
+    *  - this — RELATIVE-error (≤6.25%) any-p with state hard-bounded
+    *    at ~16 buckets per octave (≤ ~960 per (window, type) for the
+    *    full long range) whatever the domain — latencies, byte
+    *    sizes, token counts.
+    *
+    * Counts are additive, so merges are associative/commutative and
+    * refresh == rebuild exactly — the determinism KLL/t-digest give
+    * up (their merges are order-sensitive). Bucketing is pure
+    * integer math, so the served estimates hash-check against a
+    * DuckDB mirror bit-for-bit.
+    */
+  def minuteValueLogHist(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 minute").as("w"),
+        col("event_type"), logBucket(col("value_cents")).as("lbucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("lbucket"), col("cnt"))
+
   /** Day-grain count-min sketch state: (day window, hash-row i,
     * bucket) → collision-summed count — the materialized twin of the
     * query-time CM sketch ([[graft.queries.SketchQueries.freqCm]]).
@@ -318,7 +379,7 @@ object Serving {
   }
 
   private def writeMinuteState(root: String, roll: DataFrame, users: DataFrame,
-      hist: DataFrame, vals: DataFrame): Unit = {
+      hist: DataFrame, vals: DataFrame, loghist: DataFrame): Unit = {
     TableManager.writePartitioned(
       roll.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
       s"$root/rollup_1m", tsCol = "w_ts",
@@ -335,6 +396,10 @@ object Serving {
       vals.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
       s"$root/rollup_1m_vals", tsCol = "w_ts",
       sortCols = Seq("event_type", "window_start_ms", "value_cents"))
+    TableManager.writePartitioned(
+      loghist.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+      s"$root/rollup_1m_loghist", tsCol = "w_ts",
+      sortCols = Seq("event_type", "window_start_ms", "lbucket"))
   }
 
   private def writeSketchState(root: String, cm: DataFrame, kmv: DataFrame,
@@ -385,6 +450,7 @@ object Serving {
     "topk_keyed_by_count", "topk_keyed_by_revenue",
     "agg_by_window", "agg_keyed_by_window",
     "rollup_1m", "rollup_1m_users", "rollup_1m_hist", "rollup_1m_vals",
+    "rollup_1m_loghist",
     "cm_daily", "kmv_daily", "tuple_daily", "profile_upsert", "meta")
 
   /** Full build of the serving layout at `root` from an events frame
@@ -405,7 +471,8 @@ object Serving {
     try {
       writeAggState(root, agg, keyed)
       writeMinuteState(root, minuteRollupAgg(events), minuteUsers(events),
-        minuteValueHist(events), minuteValueVals(events))
+        minuteValueHist(events), minuteValueVals(events),
+        minuteValueLogHist(events))
       writeSketchState(root, dailyCmSketch(events), kmvDailySketches(events),
         dailyTupleSketches(events))
       writeProfileState(root, profileUpsertState(events))
@@ -526,6 +593,9 @@ object Serving {
         val vals = merge(s"$root/rollup_1m_vals", minuteValueVals(batch),
           Seq("window_start_ms", "event_type", "value_cents"),
           Seq("cnt"))
+        val loghist = merge(s"$root/rollup_1m_loghist", minuteValueLogHist(batch),
+          Seq("window_start_ms", "event_type", "lbucket"),
+          Seq("cnt"))
         // CM sketch counts are additive — same merge shape, day grain
         val cm = merge(s"$root/cm_daily", dailyCmSketch(batch),
           Seq("window_start_ms", "i", "bucket"), Seq("c"))
@@ -595,6 +665,10 @@ object Serving {
             vals.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
             s"$root/rollup_1m_vals", "w_ts",
             Seq("event_type", "window_start_ms", "value_cents"))
+          TableManager.overwritePartitions(
+            loghist.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+            s"$root/rollup_1m_loghist", "w_ts",
+            Seq("event_type", "window_start_ms", "lbucket"))
           TableManager.overwritePartitions(
             cm.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
             s"$root/cm_daily", "w_ts", Seq("i", "bucket"))

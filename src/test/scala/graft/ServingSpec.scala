@@ -52,6 +52,32 @@ class ServingSpec extends SparkSuite {
     assert(served === expected)
   }
 
+  test("log-histogram bucket math: monotone, edge <= v, relative error <= 1/16") {
+    // the DDSketch determinism/accuracy claim, checked over a dense
+    // value sweep plus the large-value tail: bucket ids are monotone
+    // in v (so cumsums order correctly), the reconstructed lower edge
+    // never exceeds v, and for v >= 16 the error is within one
+    // sixteenth of an octave
+    val vs = spark.range(0, 300000).toDF("v")
+      .unionByName(Seq(1L << 40, (1L << 40) + 12345L, Long.MaxValue / 4)
+        .toDF("v"))
+    val checked = vs
+      .select(col("v"), Serving.logBucket(col("v")).as("b"))
+      .withColumn("edge", Serving.logBucketEdge(col("b")))
+    val bad = checked.filter(
+      col("edge") > col("v") ||
+        (col("v") >= 16 && (col("v") - col("edge")) * 16 > col("v")))
+    assert(bad.count() === 0L, bad.limit(5).collect().mkString(","))
+    // monotonicity: bucket never decreases as v increases
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    val nonMono = checked
+      .withColumn("pb", lag(col("b"), 1).over(w))
+      .filter(col("pb") > col("b"))
+    assert(nonMono.count() === 0L)
+    // state bound: buckets over the whole sweep stay small
+    assert(checked.select("b").distinct().count() <= 1000L)
+  }
+
   test("revenue lookup: 10 rows, revenue-desc then window-desc order") {
     val rows = ServingQueries.topKLookupRevenue(spark, sfDir)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
