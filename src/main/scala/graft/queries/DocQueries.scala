@@ -551,6 +551,24 @@ object DocQueries {
     graft.ops.Bpe.encode(d, graft.ops.Bpe.trainMergesBatched(d, bpeTrainedN))
   }
 
+  /** The full tokenizer-to-shards composition a training run executes:
+    * train the BPE merges ([[graft.ops.Bpe.trainMergesBatched]]),
+    * tokenize the corpus with them, and pack shard offsets/chunk ids
+    * from the ACTUAL trained-tokenizer counts (not the n_chars
+    * estimate `q_doc_pack` uses) via the distributed exclusive scan
+    * ([[graft.ops.Pack.packOffsets]]). Three gated operators
+    * composed; the oracle trains, tokenizes, and cumsums
+    * independently in DuckDB, so the whole
+    * train -> encode -> pack path is hash-checked end-to-end.
+    */
+  def docBpePack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = graft.ops.Bpe
+      .encode(d, graft.ops.Bpe.trainMergesBatched(d, bpeTrainedN))
+      .select(col("doc_id"), col("n_tokens"))
+    Pack.packOffsets(toks, "doc_id", "n_tokens", budget = 4096L)
+  }
+
   /** Same decontamination result through the bloom-prefiltered scale
     * path (candidate shingles dropped before the exchange); shares
     * the plain-join oracle because the sketch never changes the
@@ -765,6 +783,7 @@ object DocQueries {
     "q_doc_bpe_pairs" -> (docBpePairs _),
     "q_doc_bpe_encode" -> (docBpeEncode _),
     "q_doc_bpe_trained" -> (docBpeTrained _),
+    "q_doc_bpe_pack" -> (docBpePack _),
     "q_doc_neardup_served" -> (docNearDupServed _),
     "q_doc_neardup_offline" -> (docNearDupOffline _),
     "q_doc_pack" -> (docPack _),
@@ -822,7 +841,12 @@ object DocQueries {
        |FROM e""".stripMargin
   }
 
-  private lazy val bpeTrainedOracle = {
+  /** The shared train-then-encode CTE chain (through `enc`): DuckDB
+    * trains its own rules via stacked census/argmax/rewrite triples,
+    * then applies them per word — reused by the trained-encode gate
+    * and the tokenize-then-pack composition gate.
+    */
+  private lazy val bpeTrainedCtes = {
     val n = bpeTrainedN
     val sym = "' ' || array_to_string(regexp_extract_all(wd, '.'), ' ') || ' </w> '"
     // one (pair census -> argmax -> simultaneous rewrite) CTE triple
@@ -845,7 +869,7 @@ object DocQueries {
       s"replace($acc, ' ' || r$i.x || ' ' || r$i.y || ' ', ' ' || r$i.x || r$i.y || ' ')"
     }
     val crossRules = (0 until n).map(i => s"CROSS JOIN r$i").mkString(" ")
-    s"""WITH wf AS (
+    s"""wf AS (
        |  SELECT wd, count(*) AS freq FROM (
        |    SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS wd
        |    FROM documents) GROUP BY wd),
@@ -856,11 +880,26 @@ object DocQueries {
        |enc AS (
        |  SELECT doc_id,
        |    flatten(list_transform(wds, wd -> string_split(trim($repl), ' '))) AS toks
-       |  FROM w $crossRules)
+       |  FROM w $crossRules)""".stripMargin
+  }
+
+  private lazy val bpeTrainedOracle =
+    s"""WITH $bpeTrainedCtes
        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        |  array_to_string(toks[1:5], '|') AS head
        |FROM enc""".stripMargin
-  }
+
+  // the tokenize-then-pack composition: trained-BPE token counts fed
+  // through the q_doc_pack cumsum/chunk definition
+  private lazy val bpePackOracle =
+    s"""WITH $bpeTrainedCtes,
+       |tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM enc)
+       |SELECT doc_id, n_tokens,
+       |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+       |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS chunk
+       |FROM tok""".stripMargin
 
   private lazy val nearDupPairsOracle =
     s"""$shingleCte
@@ -1102,6 +1141,7 @@ object DocQueries {
         |SELECT x, y, cnt FROM c ORDER BY cnt DESC, x, y LIMIT 20""".stripMargin,
     "q_doc_bpe_encode" -> bpeEncodeOracle,
     "q_doc_bpe_trained" -> bpeTrainedOracle,
+    "q_doc_bpe_pack" -> bpePackOracle,
     // both legs recomputed from scratch, fused by the same scaled
     // integer RRF (P = lcm(61..70), every addend exact)
     "q_doc_search_hybrid" ->
