@@ -62,6 +62,7 @@ object SqlQueries {
         v.unpersist(blocking = false)
         ls.unpersist(blocking = false)
       }
+      histViewCache.remove(old).foreach(_.unpersist(blocking = false))
       preparedCache.keysIterator.filter(_._1 == old)
         .foreach(preparedCache.remove)
     }
@@ -92,6 +93,26 @@ object SqlQueries {
     view.createOrReplaceTempView("orders_1m_rollup")
     lastSeen.createOrReplaceTempView("orders_user_state")
     (fp, anchor)
+  }
+
+  private val histViewCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  /** Register the minute-grain value-histogram state as the
+    * `orders_1m_hist` SQL view (pinned, 1 partition — the same
+    * serving-view discipline as the rollup view) for the percentile
+    * statement.
+    */
+  private def registerHistView(spark: SparkSession, dir: String, fp: String): Unit = {
+    val v = histViewCache.getOrElseUpdate(fp, {
+      val h = Serving.readTable(spark, dir, "rollup_1m_hist")
+        .select("window_start_ms", "event_type", "bin", "cnt")
+        .repartition(1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      h.count()
+      h
+    })
+    v.createOrReplaceTempView("orders_1m_hist")
   }
 
   /** Execute a serving-latency SQL statement with the ETL machinery
@@ -221,6 +242,34 @@ object SqlQueries {
     }
   }
 
+  /** Order-value percentiles straight from SQL over the histogram
+    * state — the Pinot PERCENTILEEST dashboard query re-expressed:
+    * re-merge the bins for the window, walk the cumulative count to
+    * the first bin at p% (the exact integer form). Runs through the
+    * same prepared-plan serving path as the other statements.
+    */
+  def percentileSql(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.fingerprint(spark, s"$dir/events.parquet")
+    servingSql(spark, fp, "percentile") {
+    val anchor = registerRollupViews(spark, dir, fp)._2
+    registerHistView(spark, dir, fp)
+    s"""
+      WITH h AS (
+        SELECT bin, SUM(cnt) AS c
+        FROM orders_1m_hist
+        WHERE window_start_ms > $anchor - 24*3600*1000
+        GROUP BY bin),
+      cum AS (
+        SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum, SUM(c) OVER () AS n
+        FROM h)
+      SELECT CAST(max(n) AS BIGINT) AS n,
+        CAST(min(CASE WHEN cum*100 >= 50*n THEN bin*100 END) AS BIGINT) AS p50_cents,
+        CAST(min(CASE WHEN cum*100 >= 90*n THEN bin*100 END) AS BIGINT) AS p90_cents,
+        CAST(min(CASE WHEN cum*100 >= 99*n THEN bin*100 END) AS BIGINT) AS p99_cents
+      FROM cum"""
+    }
+  }
+
   /** Sessionization straight from SQL — `session_window` is a plain
     * SQL grouping expression in Spark, so the temporal operator is
     * reachable from the reference's SQL-first workflow too (same
@@ -335,6 +384,7 @@ object SqlQueries {
     "q_sql_sessionize" -> (sessionizeSql _),
     "q_sql_text_functions" -> (textFunctionsSql _),
     "q_sql_distinct_kmv" -> (distinctKmvSql _),
+    "q_sql_percentile" -> (percentileSql _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
@@ -342,6 +392,19 @@ object SqlQueries {
   val oracles: Map[String, String] = Map(
     // the pure-SQL sketch surface reproduces distinctKmv bit-for-bit
     "q_sql_distinct_kmv" -> SketchQueries.kmvOracle,
+    "q_sql_percentile" ->
+      s"""WITH f AS (
+         |  SELECT $cents // 100 AS bin FROM events
+         |  WHERE epoch_ms(date_trunc('minute', ts)) >
+         |        (SELECT epoch_ms(max(ts)) FROM events) - 24*3600*1000),
+         |h AS (SELECT bin, count(*) AS c FROM f GROUP BY 1),
+         |cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum,
+         |          SUM(c) OVER () AS n FROM h)
+         |SELECT CAST(max(n) AS BIGINT) AS n,
+         |  CAST(min(CASE WHEN cum*100 >= 50*n THEN bin*100 END) AS BIGINT) AS p50_cents,
+         |  CAST(min(CASE WHEN cum*100 >= 90*n THEN bin*100 END) AS BIGINT) AS p90_cents,
+         |  CAST(min(CASE WHEN cum*100 >= 99*n THEN bin*100 END) AS BIGINT) AS p99_cents
+         |FROM cum""".stripMargin,
     // each graft_* SQL function recomputed from its documented
     // definition (same snippets as the per-function doc oracles)
     "q_sql_text_functions" ->
