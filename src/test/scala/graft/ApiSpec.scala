@@ -123,6 +123,33 @@ class ApiSpec extends SparkSuite {
     assert(ReplicaRouter.replicaRootFor(spark, sfDir, "rollup_1m_users").isDefined)
   }
 
+  test("sketch quantiles honor the 6.25% relative-error bound against the exact route") {
+    val now = Serving.anchorMs(spark, sfDir)
+    val (from, to) = (now - 48L * Serving.hourMs, now)
+    val ps = Seq(100L, 250L, 500L, 900L, 990L)
+    val exact = TopKApi.quantile(spark, sfDir, pPerMille = ps,
+        fromMs = Some(from), toMs = Some(to)).head()
+    val approx = TopKApi.quantileApprox(spark, sfDir, pPerMille = ps,
+        fromMs = Some(from), toMs = Some(to)).head()
+    assert(exact.getAs[Long]("n") === approx.getAs[Long]("n"))
+    ps.foreach { p =>
+      val e = exact.getAs[Long](s"p${p}_cents")
+      val a = approx.getAs[Long](s"p${p}_cents_est")
+      // the estimate is the bucket lower edge: never above the exact
+      // order statistic, within one sixteenth of an octave below it
+      assert(a <= e, s"p$p: est $a above exact $e")
+      if (e >= 16L) assert((e - a) * 16 <= e, s"p$p: est $a vs exact $e")
+      else assert(a === e, s"p$p: small-value regime must be exact")
+    }
+    // keyed routing: per-type sketch answers match the same bound
+    val exactK = TopKApi.quantile(spark, sfDir, restaurantId = "click",
+      pPerMille = Seq(500L), fromMs = Some(from), toMs = Some(to)).head()
+    val approxK = TopKApi.quantileApprox(spark, sfDir, restaurantId = "click",
+      pPerMille = Seq(500L), fromMs = Some(from), toMs = Some(to)).head()
+    val (eK, aK) = (exactK.getAs[Long]("p500_cents"), approxK.getAs[Long]("p500_cents_est"))
+    assert(aK <= eK && (eK < 16L || (eK - aK) * 16 <= eK))
+  }
+
   test("percentiles: a range with no data still answers ONE envelope row (n=0, NULL pcts)") {
     // valid range, but decades before any event: the route's contract
     // is an envelope row per call, never zero rows

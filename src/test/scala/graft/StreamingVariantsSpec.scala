@@ -248,6 +248,46 @@ class StreamingVariantsSpec extends SparkSuite {
     }
   }
 
+  test("streaming cohort retention: late events re-cohort users; final == batch at any order") {
+    import graft.streaming.CohortStream
+    import graft.streaming.CohortStream.UserCohort
+    implicit val sql = spark.sqlContext
+    val evs = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value_cents")
+      .as[(Long, Timestamp, Long, String, Long)].collect().toSeq
+      .map(e => TimerDedup.Ev(e._1, e._2, e._3, e._4, e._5))
+    // reversed-time split: most users' LATEST day arrives first, so
+    // nearly every user re-cohorts (offset shift) when the early days
+    // land in batch 2 — the hard case for incremental retention
+    val (lateFirst, earlyLast) = evs.sortBy(-_.ts.getTime).splitAt(evs.size / 2)
+    val mem = MemoryStream[TimerDedup.Ev]
+    val updates = CohortStream.cohorts(spark, mem.toDF())
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, UserCohort]()
+    val q = updates.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[UserCohort], _: Long) =>
+        b.collect().foreach(u => last.put(u.user_id, u))
+      }.start()
+    try {
+      mem.addData(lateFirst: _*)
+      q.processAllAvailable()
+      mem.addData(earlyLast: _*)
+      q.processAllAvailable()
+      // replay: already-seen days grow nothing — no emission, state same
+      mem.addData(earlyLast.take(50): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = last.asScala.values
+      .flatMap(u => u.offsets.map(o => (u.cohort_day, o, u.user_id)))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).toSet.size.toLong)
+      .toMap
+    val batch = graft.queries.AnalyticsQueries.cohortRetention(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming SCD2 type history: a late event SPLITS a settled run; final == batch at any split") {
     import graft.streaming.TypeHistoryStream
     import graft.streaming.TypeHistoryStream.{History, TypeRun}
