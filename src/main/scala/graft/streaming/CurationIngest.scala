@@ -32,13 +32,17 @@ object CurationIngest {
     val b = batch.persist()
     try {
       val cur = DocPipeline.curate(b)
-      val firstInBatch = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      // min-id winner per fingerprint as a min(struct) aggregate (the
+      // scrub family's skew discipline — no per-key window sort).
       // pinned: feeds both writes (kept + index) — the SegmentIngest
       // discipline, so the index append can't see a half-new index
       val fresh = cur
-        .withColumn("rn", row_number().over(firstInBatch))
-        .filter(col("rn") === 1).drop("rn")
+        .groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("n_tokens"),
+          col("lang"), col("source"))).as("w"))
+        .select(col("fp"), col("w.doc_id").as("doc_id"),
+          col("w.lang").as("lang"), col("w.source").as("source"),
+          col("w.n_tokens").as("n_tokens"))
         .join(readIndex(spark, indexPath), Seq("fp"), "left_anti")
         .localCheckpoint(true)
       StreamingPipeline.writeBatchIdempotent(fresh, batchId, keptPath)

@@ -43,13 +43,17 @@ object SegmentIngest {
     try {
       val segs = NearDup.segmentsOf(b, segWords)
         .withColumn("h", md5(col("seg")))
-      val firstInBatch = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("h")).orderBy(col("doc_id"), col("seg_idx"))
+      // within-batch first occurrence as a min(struct) aggregate on
+      // the hash key — the batch op's skew discipline (duplicates
+      // collapse map-side; a boilerplate-heavy micro-batch can't
+      // hot-partition a per-key sort the way a row_number window did)
       // pinned: feeds both writes below — without it the anti-join
       // would re-run for the index append (and see a half-new index)
       val fresh = segs
-        .withColumn("rn", row_number().over(firstInBatch))
-        .filter(col("rn") === 1).drop("rn")
+        .groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg"))).as("w"))
+        .select(col("h"), col("w.doc_id").as("doc_id"),
+          col("w.seg_idx").as("seg_idx"), col("w.seg").as("seg"))
         .join(readIndex(spark, indexPath), Seq("h"), "left_anti")
         .localCheckpoint(true)
       // kept is pinned too — it must stay evaluable after fresh's

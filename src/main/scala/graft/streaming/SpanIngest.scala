@@ -42,16 +42,18 @@ object SpanIngest {
     val spark = batch.sparkSession
     val b = batch.persist()
     try {
-      val grams = NearDup.spanGramsOf(b, k).withColumn("h", md5(col("gram")))
-      val firstInBatch = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+      val grams = NearDup.spanGramsOf(b, k)
+        .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
       // fresh = this batch's newly-claimed grams: first occurrence
-      // within the batch AND unseen in the accumulated index. Pinned:
-      // it feeds the covered-set subtraction AND the index append —
-      // recomputing it for the append would race a half-new index.
+      // within the batch (a min(struct) aggregate on the hash key —
+      // the batch op's skew discipline, no per-key window sort) AND
+      // unseen in the accumulated index. Pinned: it feeds the
+      // covered-set subtraction AND the index append — recomputing it
+      // for the append would race a half-new index.
       val fresh = grams
-        .withColumn("rn", row_number().over(firstInBatch))
-        .filter(col("rn") === 1).drop("rn")
+        .groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+        .select(col("h"), col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
         .join(readIndex(spark, indexPath, excludeBatchId = batchId), Seq("h"), "left_anti")
         .localCheckpoint(true)
       // covered = every occurrence EXCEPT the fresh claims (start
