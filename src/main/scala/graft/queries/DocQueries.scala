@@ -248,8 +248,11 @@ object DocQueries {
       d.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
       d.filter(col("doc_id") > cuts(1)))
     batches.zipWithIndex.foreach { case (b, i) =>
-      graft.streaming.CurationIngest.processBatch(
-        b, i.toLong, s"$tmp/kept", s"$tmp/index")
+      // release each batch's pinned localCheckpoint blocks — the gate
+      // reads the parquet result, not the returned frame
+      graft.streaming.CurationIngest.release(
+        graft.streaming.CurationIngest.processBatch(
+          b, i.toLong, s"$tmp/kept", s"$tmp/index"))
     }
     spark.read.parquet(s"$tmp/kept").select(col("doc_id"), col("n_tokens"))
   }
@@ -317,8 +320,10 @@ object DocQueries {
       d.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
       d.filter(col("doc_id") > cuts(1)))
     batches.zipWithIndex.foreach { case (b, i) =>
-      graft.streaming.BoilerplateIngest.processBatch(
-        b, i.toLong, s"$tmp/segs", s"$tmp/counts", segWords = 10)
+      // release the pinned segment stream per batch (see curate gate)
+      graft.streaming.BoilerplateIngest.release(
+        graft.streaming.BoilerplateIngest.processBatch(
+          b, i.toLong, s"$tmp/segs", s"$tmp/counts", segWords = 10))
     }
     graft.streaming.BoilerplateIngest.readScrubbed(
       spark, s"$tmp/segs", s"$tmp/counts")

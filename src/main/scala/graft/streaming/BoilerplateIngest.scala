@@ -82,7 +82,7 @@ object BoilerplateIngest {
       }
       .start()
 
-  private def release(pinned: DataFrame): Unit =
+  private[graft] def release(pinned: DataFrame): Unit =
     pinned.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))

@@ -72,7 +72,7 @@ object CurationIngest {
       }
       .start()
 
-  private def release(pinned: DataFrame): Unit =
+  private[graft] def release(pinned: DataFrame): Unit =
     pinned.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
