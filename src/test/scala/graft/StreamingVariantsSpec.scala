@@ -248,6 +248,64 @@ class StreamingVariantsSpec extends SparkSuite {
     }
   }
 
+  test("streaming burst detection: a late error SPLITS a pair; final == batch at any order") {
+    import graft.streaming.BurstStream
+    import graft.streaming.BurstStream.Burst
+    implicit val sql = spark.sqlContext
+    val hourMs = 3600L * 1000L
+    // user 7: errors at 0h and 20h form ONE burst pair; the 10h error
+    // arrives LATE and splits it into two qualifying pairs (n 1 -> 2,
+    // first_burst moves earlier) — the case gap-only state can't decide
+    val crafted = Seq(
+      TimerDedup.Ev(1, new Timestamp(0L), 7, "error", 0),
+      TimerDedup.Ev(2, new Timestamp(20L * hourMs), 7, "error", 0),
+      TimerDedup.Ev(3, new Timestamp(10L * hourMs), 7, "error", 0),
+      TimerDedup.Ev(4, new Timestamp(5L * hourMs), 8, "click", 0))
+    val mem0 = MemoryStream[TimerDedup.Ev]
+    val last0 = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+    val q0 = BurstStream.bursts(spark, mem0.toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Burst], _: Long) =>
+        b.collect().foreach(x => last0.put(x.user_id, (x.n_bursts, x.first_burst_us)))
+      }.start()
+    try {
+      mem0.addData(crafted.take(2): _*)
+      q0.processAllAvailable()
+      assert(last0.get(7L) === ((1L, 20L * hourMs * 1000L)))
+      mem0.addData(crafted.drop(2): _*)
+      q0.processAllAvailable()
+      assert(last0.get(7L) === ((2L, 10L * hourMs * 1000L)))
+      assert(!last0.containsKey(8L))
+    } finally q0.stop()
+
+    // fixture parity under out-of-order interleave + replay
+    val evs = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value_cents")
+      .as[(Long, Timestamp, Long, String, Long)].collect().toSeq
+      .map(e => TimerDedup.Ev(e._1, e._2, e._3, e._4, e._5))
+    val (odd, even) = evs.partition(_.event_id % 2 == 1)
+    val mem = MemoryStream[TimerDedup.Ev]
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+    val q = BurstStream.bursts(spark, mem.toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Burst], _: Long) =>
+        b.collect().foreach(x => last.put(x.user_id, (x.n_bursts, x.first_burst_us)))
+      }.start()
+    try {
+      mem.addData(odd: _*)
+      q.processAllAvailable()
+      mem.addData(even: _*)
+      q.processAllAvailable()
+      mem.addData(odd.take(50): _*) // replay: no new ids, no emission
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val batch = graft.queries.AnalyticsQueries.errorBursts(spark, sfDir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(last.asScala.toMap === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming cohort retention: late events re-cohort users; final == batch at any order") {
     import graft.streaming.CohortStream
     import graft.streaming.CohortStream.UserCohort
