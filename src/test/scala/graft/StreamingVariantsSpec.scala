@@ -248,6 +248,42 @@ class StreamingVariantsSpec extends SparkSuite {
     }
   }
 
+  test("streaming sliding-window active users equals batch on closed windows") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[TimerDedup.Ev]
+    // countDistinct is not allowed in streaming aggs; the distinct-set
+    // state is size(collect_set) — same result, per-window bounded
+    val slid = mem.toDF().withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(size(collect_set(col("user_id"))).cast("long").as("n_users"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"), col("n_users"))
+    val q = slid.writeStream.format("memory")
+      .queryName("stream_sliding").outputMode("append").start()
+    try {
+      val evs = Seq(
+        TimerDedup.Ev(1, ts("2024-01-01 10:00:00"), 7, "click", 0),
+        TimerDedup.Ev(2, ts("2024-01-01 10:20:00"), 7, "click", 0), // same user
+        TimerDedup.Ev(3, ts("2024-01-01 10:20:00"), 8, "view", 0),
+        TimerDedup.Ev(4, ts("2024-01-01 11:10:00"), 9, "view", 0))
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      mem.addData(TimerDedup.Ev(5, ts("2024-01-03 00:00:00"), 99, "flush", 0))
+      q.processAllAvailable()
+      val got = spark.table("stream_sliding")
+        .as[(Long, Long)].collect().toMap
+      val want = evs.toDF()
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(unix_millis(col("w.start")).as("window_start_ms"), col("n_users"))
+        .as[(Long, Long)].collect().toMap
+      // every closed batch window appears with the identical count
+      // (the flush event's own windows are still open — exclude them)
+      want.foreach { case (w, n) =>
+        assert(got.get(w) === Some(n), s"window $w")
+      }
+    } finally q.stop()
+  }
+
   test("streaming burst detection: a late error SPLITS a pair; final == batch at any order") {
     import graft.streaming.BurstStream
     import graft.streaming.BurstStream.Burst
