@@ -140,7 +140,101 @@ object TpchQueries {
         sum(cents(col("l_extendedprice"))).as("revenue_cents"))
   }
 
+  /** TPC-H Q3 shipping priority: BUILDING-segment customers' orders
+    * placed before the cutoff, revenue from their lineitems shipped
+    * after it, top-10 orders by revenue. Plan shape: the segment
+    * filter shrinks customer to a broadcast dim that prunes orders
+    * BEFORE the one fact-fact shuffle with lineitem; the top-10 is
+    * the bounded-heap global top-K (TakeOrderedAndProject), never a
+    * global sort.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-07-01"
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cutoff))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val agg = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(cutoff))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        // NTZ parquet timestamp -> epoch ms via the UTC session cast
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("o_orderpriority"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+    TopK.topKGlobal(agg,
+        Seq(col("revenue_cents").desc, col("l_orderkey").asc), 10)
+      .select(col("rank").cast("long").as("rank"), col("l_orderkey"),
+        col("revenue_cents"), col("o_orderdate_ms"), col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5 local-supplier volume: ASIA revenue by nation where the
+    * SUPPLYING nation equals the ORDERING customer's nation — the
+    * join-graph CYCLE shape (two independent dim paths constrained
+    * equal), which exercises a constraint no star query has. All
+    * dims broadcast; lineitem ⋈ orders is the only shuffle; the
+    * nation-equality is a post-broadcast row-local filter, so the
+    * cycle costs nothing extra at any scale.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q17 small-quantity revenue: lineitems of one brand whose
+    * quantity is below 20% of the part's average quantity — the
+    * SCALAR-CORRELATED-SUBQUERY shape done Spark-first: the per-part
+    * average is one map-side-combining groupBy joined back by key
+    * (never a per-row subquery), and the 0.2·avg comparison is the
+    * exact integer cross-multiplication `5·qty·cnt < sum` (quantities
+    * are integral), so no float average crosses the engine boundary.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brandItems = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+    val avgQ = brandItems
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty_sum"),
+        count(lit(1)).as("qty_cnt"))
+    brandItems
+      .join(broadcast(avgQ), Seq("l_partkey"))
+      .filter(col("l_quantity").cast("long") * 5 * col("qty_cnt") < col("qty_sum"))
+      .agg(
+        sum(cents(col("l_extendedprice"))).as("total_cents"),
+        count(lit(1)).as("n_lines"))
+      .select(coalesce(col("total_cents"), lit(0L)).as("total_cents"),
+        col("n_lines"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_tpch_shipping_priority" -> (shippingPriority _),
+    "q_tpch_local_supplier" -> (localSupplierVolume _),
+    "q_tpch_small_quantity" -> (smallQuantityRevenue _),
     "q_tpch_bloom_semi" -> (bloomSemiJoin _),
     "q_tpch_no_urgent" -> (noUrgentCustomers _),
     "q_tpch_pricing" -> (pricingSummary _),
@@ -152,6 +246,47 @@ object TpchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_shipping_priority" ->
+      """SELECT CAST(row_number() OVER (ORDER BY revenue_cents DESC, l_orderkey ASC) AS BIGINT) AS rank,
+        |  l_orderkey, revenue_cents, o_orderdate_ms, o_orderpriority FROM (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |    epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-07-01'
+        |    AND l_shipdate > TIMESTAMP '1998-07-01'
+        |  GROUP BY 1, 3, 4)
+        |ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_small_quantity" ->
+      """WITH b AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'),
+        |a AS (SELECT l_partkey, SUM(qty) AS qty_sum, count(*) AS qty_cnt
+        |      FROM b GROUP BY 1)
+        |SELECT CAST(coalesce(SUM(price_cents), 0) AS BIGINT) AS total_cents,
+        |  count(*) AS n_lines
+        |FROM b JOIN a USING (l_partkey)
+        |WHERE qty * 5 * qty_cnt < qty_sum""".stripMargin,
     "q_tpch_bloom_semi" ->
       """SELECT l_returnflag, count(*) AS n_items,
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -111,6 +111,33 @@ class PlanSpec extends SparkSuite {
       !finalPlan.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("Q5 cycle join: dims broadcast, ONE fact-fact shuffle join, no nested loop") {
+    val p = planOf(TpchQueries.localSupplierVolume(spark, sfDir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the nation-equality cycle must stay a row-local filter after
+    // broadcasts — a planner that loses the equi-keys would fall back
+    // to a nested loop
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), p)
+    assert(finalPlan.contains("BroadcastHashJoin"), p)
+    // exactly one shuffled join: lineitem x orders
+    assert(finalPlan.sliding("SortMergeJoin".length)
+      .count(_ == "SortMergeJoin") +
+      finalPlan.sliding("ShuffledHashJoin".length)
+        .count(_ == "ShuffledHashJoin") <= 1, p)
+  }
+
+  test("Q17 correlated-scalar shape: per-part avg joins back, no per-row subquery") {
+    val p = planOf(TpchQueries.smallQuantityRevenue(spark, sfDir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), p)
+    // the per-part average aggregates with map-side partials before
+    // broadcasting back onto the fact scan
+    assert(finalPlan.contains("partial_sum") || finalPlan.contains("Partial"), p)
+    assert(finalPlan.contains("BroadcastHashJoin"), p)
+  }
+
   test("percentile/quantile routes: one window stage over the pinned state, no joins") {
     // the sub-200ms serving claim rests on stage count: a routed
     // in-memory scan, ONE window (RANGE-frame shared cumsum makes the
