@@ -263,6 +263,26 @@ object OlapQueries {
     * the distributed exclusive-scan form, NOT `Window.orderBy` (which
     * plans a single-partition window).
     */
+  /** Percent-of-total (ratio_to_report): each event type's share of
+    * its DAY's revenue, in basis points — the classic OLAP window
+    * ratio, integer-exact as `share_bp = revenue·10000 DIV day_total`
+    * (no float division crosses the engine boundary). One day-grain
+    * aggregation (map-side partial), then a day-keyed window over the
+    * bounded (day × type) table for the denominator — never a second
+    * fact scan or a join back.
+    */
+  def revenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"), col("event_type"))
+      .agg(sum(col("value_cents")).as("revenue_cents"))
+    val w = Window.partitionBy(col("day"))
+    daily
+      .withColumn("day_total_cents", sum(col("revenue_cents")).over(w))
+      .select((col("day") * 86400000L).as("day_start_ms"), col("event_type"),
+        col("revenue_cents"), col("day_total_cents"),
+        expr("revenue_cents * 10000 div day_total_cents").as("share_bp"))
+  }
+
   def revenueDeciles(spark: SparkSession, dir: String): DataFrame = {
     val totals = Tables.events(spark, dir)
       .groupBy(col("user_id"))
@@ -380,6 +400,7 @@ object OlapQueries {
     "q_gapfill_minutes" -> (gapfillMinutes _),
     "q_value_histogram" -> (valueHistogram _),
     "q_revenue_deciles" -> (revenueDeciles _),
+    "q_revenue_share" -> (revenueShare _),
     "q_type_history" -> (typeHistory _),
     "q_user_growth" -> (userGrowth _),
   )
@@ -534,6 +555,16 @@ object OlapQueries {
          |    PARTITION BY event_type ORDER BY minute_ms
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
          |FROM j""".stripMargin,
+    "q_revenue_share" ->
+      s"""WITH d AS (
+         |  SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+         |    CAST(SUM($cents) AS BIGINT) AS revenue_cents
+         |  FROM events GROUP BY 1, 2)
+         |SELECT CAST(day * 86400000 AS BIGINT) AS day_start_ms, event_type,
+         |  revenue_cents,
+         |  CAST(SUM(revenue_cents) OVER (PARTITION BY day) AS BIGINT) AS day_total_cents,
+         |  CAST(revenue_cents * 10000 // SUM(revenue_cents) OVER (PARTITION BY day) AS BIGINT) AS share_bp
+         |FROM d""".stripMargin,
     "q_revenue_deciles" ->
       s"""SELECT user_id, total_cents,
          |  CAST(ntile(10) OVER (ORDER BY total_cents DESC, user_id ASC) AS BIGINT) AS decile
