@@ -96,7 +96,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"vec_dot takes exactly 2 arguments, got ${children.length}")
         VecDot(children.head, children(1))
       }))
-    GraftExtensions.textFunctions.foreach { case (name, builder) =>
+    (GraftExtensions.textFunctions ++ GraftExtensions.sketchFunctions)
+        .foreach { case (name, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.Text", name),
@@ -136,13 +137,23 @@ object GraftExtensions {
       toResolvableExpression(Text.hashBucket(column(children.head), buckets))
     })
 
+  /** The integer log-histogram sketch kernels
+    * ([[graft.serving.Serving.logBucket]]/[[graft.serving.Serving.logBucketEdge]])
+    * exposed to SQL — a pure-SQL client can build, merge, and query
+    * the DDSketch-shaped quantile state with the identical integer
+    * semantics the serving layer materializes.
+    */
+  val sketchFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    arity1("graft_log_bucket", graft.serving.Serving.logBucket),
+    arity1("graft_log_edge", graft.serving.Serving.logBucketEdge))
+
   /** Register the text family + vec_dot on a LIVE session (the
     * driver-gate pathway — the driver owns session construction, so
     * `spark.sql.extensions` is out of reach there). Idempotent:
     * re-registration replaces the same entries.
     */
   def registerTextFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
-    textFunctions.foreach { case (name, builder) =>
+    (textFunctions ++ sketchFunctions).foreach { case (name, builder) =>
       org.apache.spark.sql.GraftShim.registerFunction(spark, name, builder)
     }
     org.apache.spark.sql.GraftShim.registerFunction(spark, "vec_dot", { children =>

@@ -270,6 +270,29 @@ object SqlQueries {
     }
   }
 
+  /** The log-histogram quantile sketch straight from SQL: bucket with
+    * `graft_log_bucket`, re-aggregate, pick per-mille quantile edges
+    * with `graft_log_edge` — the extension-registered kernels give a
+    * pure-SQL client the exact integer DDSketch semantics the serving
+    * layer materializes (estimates hash-check against the DuckDB
+    * mirror of the same bucket math).
+    */
+  def quantileSketchSql(spark: SparkSession, dir: String): DataFrame = {
+    registerRawView(spark, dir)
+    graft.plans.GraftExtensions.registerTextFunctions(spark)
+    spark.sql("""
+      WITH f AS (
+        SELECT graft_log_bucket(value_cents) AS b
+        FROM orders_raw
+        WHERE ts > (SELECT max(ts) FROM orders_raw) - INTERVAL 24 HOURS),
+      h AS (SELECT b, count(*) AS c FROM f GROUP BY b),
+      cum AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cum, SUM(c) OVER () AS n FROM h)
+      SELECT CAST(max(n) AS BIGINT) AS n,
+        CAST(min(CASE WHEN cum*1000 >= 500*n THEN graft_log_edge(b) END) AS BIGINT) AS p500_cents_est,
+        CAST(min(CASE WHEN cum*1000 >= 990*n THEN graft_log_edge(b) END) AS BIGINT) AS p990_cents_est
+      FROM cum""")
+  }
+
   /** Sessionization straight from SQL — `session_window` is a plain
     * SQL grouping expression in Spark, so the temporal operator is
     * reachable from the reference's SQL-first workflow too (same
@@ -385,6 +408,7 @@ object SqlQueries {
     "q_sql_text_functions" -> (textFunctionsSql _),
     "q_sql_distinct_kmv" -> (distinctKmvSql _),
     "q_sql_percentile" -> (percentileSql _),
+    "q_sql_quantile_sketch" -> (quantileSketchSql _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
@@ -471,6 +495,20 @@ object SqlQueries {
          |ORDER BY total_revenue_cents DESC, event_type ASC
          |LIMIT 10""".stripMargin,
     // epoch_us grain: the engine's ts precision (see Tables.events).
+    "q_sql_quantile_sketch" ->
+      s"""WITH f AS (
+         |  SELECT $cents AS v FROM events
+         |  WHERE epoch_us(ts) > (SELECT epoch_us(max(ts)) FROM events) - 24::BIGINT*3600*1000000),
+         |bkt AS (SELECT CASE WHEN v < 16 THEN v
+         |  ELSE ((length(bin(v))-5)*16 + (v >> (length(bin(v))-5))) END AS b FROM f),
+         |h AS (SELECT b, count(*) AS c FROM bkt GROUP BY 1),
+         |cum AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cum, SUM(c) OVER () AS n FROM h),
+         |e AS (SELECT b, cum, n, CASE WHEN b < 16 THEN b
+         |  ELSE (b - (b//16 - 1)*16) * (CAST(1 AS BIGINT) << (b//16 - 1)) END AS edge FROM cum)
+         |SELECT CAST(max(n) AS BIGINT) AS n,
+         |  CAST(min(CASE WHEN cum*1000 >= 500*n THEN edge END) AS BIGINT) AS p500_cents_est,
+         |  CAST(min(CASE WHEN cum*1000 >= 990*n THEN edge END) AS BIGINT) AS p990_cents_est
+         |FROM e""".stripMargin,
     "q_sql_topk_raw" ->
       s"""SELECT event_type,
          |  CAST(SUM($cents) AS BIGINT) AS total_revenue_cents,
