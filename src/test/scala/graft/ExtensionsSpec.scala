@@ -135,6 +135,24 @@ class ExtensionsSpec extends SparkSuite {
     assert(spark.sql("SELECT graft_token_count('x y') AS c").collect().head.getLong(0) === 2L)
   }
 
+  test("injected sketch kernels: SQL log-bucket/edge equal the Column API and honor the bound") {
+    import ext.implicits._
+    val vs = (0L to 100000L).toDF("v")
+    vs.createOrReplaceTempView("ext_vals")
+    val viaSql = ext.sql(
+      "SELECT v, graft_log_bucket(v) AS b, graft_log_edge(graft_log_bucket(v)) AS e FROM ext_vals")
+      .as[(Long, Long, Long)].collect()
+    val viaCols = vs.select(col("v"),
+        graft.serving.Serving.logBucket(col("v")).as("b"))
+      .withColumn("e", graft.serving.Serving.logBucketEdge(col("b")))
+      .as[(Long, Long, Long)].collect()
+    assert(viaSql.sortBy(_._1).toSeq === viaCols.sortBy(_._1).toSeq)
+    viaSql.foreach { case (v, _, e) =>
+      assert(e <= v)
+      if (v >= 16) assert((v - e) * 16 <= v, s"v=$v e=$e")
+    }
+  }
+
   test("q_embed_dot_sql installs the rule post-hoc and matches brute-force ranks") {
     // the gate entry's pathway: extraOptimizations on a session built
     // WITHOUT extensions (as the driver builds it) — its own require
