@@ -231,7 +231,90 @@ object TpchQueries {
         col("n_lines"))
   }
 
+  /** TPC-H Q4 order-priority check, re-keyed to this schema: orders
+    * with at least one LATE lineitem (shipped more than 30 days after
+    * the order date), counted per priority — the EXISTS-with-
+    * correlated-predicate shape. Spark-first plan: the existential is
+    * a left_semi join whose condition carries both the key equality
+    * AND the row-vs-row date predicate, so Catalyst plans one
+    * shuffled semi join on l_orderkey (the non-equi date clause rides
+    * along as the join filter) and the probe side deduplicates
+    * matches for free — never a per-order subquery, never a
+    * count-then-filter detour. lineitem is projected to two columns
+    * before the exchange.
+    */
+  def lateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    Tables.orders(spark, dir)
+      .join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > expr("o_orderdate + INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
+  /** TPC-H Q14 promo-revenue share: the permille of one month's
+    * discounted lineitem revenue that came from PROMO-type parts —
+    * the conditional-aggregate RATIO shape. One broadcast dim join
+    * (part projected to key+type), one scan with two conditional
+    * sums, and the share is exact integer permille (1000·promo DIV
+    * total) so no float division crosses the engine boundary.
+    */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val rev = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    val agg = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-03-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L)))
+          .as("promo_cents"),
+        sum(rev).as("total_cents"))
+    agg.select(col("promo_cents"), col("total_cents"),
+      column(IntegralDivide(
+        expression(col("promo_cents") * 1000L),
+        expression(col("total_cents")))).as("promo_permille"))
+  }
+
+  /** TPC-H Q22 global-sales-opportunity shape: customers whose
+    * account balance is above the population average but who placed
+    * NO order since 1998 (lapsed big-balance accounts), per market
+    * segment — the SCALAR-SUBQUERY + ANTI-JOIN composition. The
+    * average is a one-row (sum, count) aggregate broadcast-crossed
+    * into the scan, and the comparison is the exact
+    * cross-multiplication `bal_cents·n > sum_cents` (no float
+    * average; bal ≤ 10⁶ cents keeps the product inside BIGINT up to
+    * n ≈ 9·10¹² customers). The recency clause is a shuffled
+    * left_anti on the key over an orders side date-filtered (a
+    * parquet-pruned predicate) and projected to one column before
+    * the exchange.
+    */
+  def idleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .withColumn("bal_cents", cents(col("c_acctbal")))
+    val avgRow = cust.agg(
+      sum(col("bal_cents")).as("all_sum"), count(lit(1)).as("all_n"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01"))
+      .select(col("o_custkey").as("c_custkey"))
+    cust
+      .crossJoin(broadcast(avgRow))
+      .filter(col("bal_cents") * col("all_n") > col("all_sum"))
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("bal_cents")).as("bal_sum_cents"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_tpch_late_orders" -> (lateOrders _),
+    "q_tpch_promo_share" -> (promoShare _),
+    "q_tpch_idle_customers" -> (idleCustomers _),
     "q_tpch_shipping_priority" -> (shippingPriority _),
     "q_tpch_local_supplier" -> (localSupplierVolume _),
     "q_tpch_small_quantity" -> (smallQuantityRevenue _),
@@ -246,6 +329,41 @@ object TpchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_promo_share" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS promo_cents,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01')
+        |SELECT promo_cents, total_cents,
+        |  CAST(promo_cents * 1000 // total_cents AS BIGINT) AS promo_permille
+        |FROM a""".stripMargin,
+    "q_tpch_idle_customers" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |a AS (SELECT SUM(bal_cents) AS all_sum, count(*) AS all_n FROM c)
+        |SELECT c_mktsegment, count(*) AS n_custs,
+        |  CAST(SUM(bal_cents) AS BIGINT) AS bal_sum_cents
+        |FROM c, a
+        |WHERE bal_cents * all_n > all_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY 1""".stripMargin,
     "q_tpch_shipping_priority" ->
       """SELECT CAST(row_number() OVER (ORDER BY revenue_cents DESC, l_orderkey ASC) AS BIGINT) AS rank,
         |  l_orderkey, revenue_cents, o_orderdate_ms, o_orderpriority FROM (
