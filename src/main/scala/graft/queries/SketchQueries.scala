@@ -415,7 +415,64 @@ object SketchQueries {
     cmEstimate(sketch, cmProbes(ev))
   }
 
+  /** Per-type + overall distinct users from per-(day, type) EXACT
+    * bitmaps ([[graft.functions.BitmapDistinct]], Pinot's
+    * DISTINCTCOUNTBITMAP analog): the day/type grains OR-merge back
+    * to exactly the full-range bitmap, so unlike every other sketch
+    * gate there is no estimate column at all — the merged counts ARE
+    * `COUNT(DISTINCT …)` and hash-check against it directly. The
+    * 'ALL' row re-merges ACROSS types too (set union of overlapping
+    * user sets — the query a per-type COUNT(DISTINCT) table cannot
+    * answer and HLL only approximates).
+    *
+    * Scale shape: one pass builds the grains with bounded-per-group
+    * associative state (partial-agg tree == single pass, bit-exact);
+    * the re-merge reads grain states, never raw history.
+    */
+  def distinctBitmap(spark: SparkSession, dir: String): DataFrame =
+    bitmapRollup(Serving.dailyBitmaps(Tables.events(spark, dir)))
+
+  /** The same counts SERVED from the materialized `bitmap_daily`
+    * state under the serving root — no raw scan at all. OR-merge
+    * exactness (refresh == rebuild bit-for-bit) is what lets this
+    * share [[distinctBitmap]]'s COUNT(DISTINCT) oracle.
+    */
+  def distinctBitmapServed(spark: SparkSession, dir: String): DataFrame =
+    bitmapRollup(Serving.readTable(spark, dir, "bitmap_daily")
+      .select(col("window_start_ms"), col("event_type"), col("bm")))
+
+  /** TIME-WINDOWED exact distinct users from the day-grain bitmap
+    * state: the last-4-calendar-day bitmaps OR-merge into exactly
+    * the window's bitmap (day-aligned cutoff), so "distinct users
+    * this week, exactly" reads ≤ N·types pruned state rows and never
+    * rescans history — the exact upgrade of [[distinctKmvWindow]].
+    */
+  def distinctBitmapWindow(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = Serving.anchorMs(spark, dir) / dayMs * dayMs - 3 * dayMs
+    bitmapRollup(Serving.readTable(spark, dir, "bitmap_daily")
+      .filter(col("window_start_ms") >= cutoff)
+      .select(col("window_start_ms"), col("event_type"), col("bm")))
+  }
+
+  /** Shared re-merge: (window_start_ms, event_type, bm) grain rows →
+    * one exact-count row per type plus the cross-type 'ALL' row.
+    */
+  private def bitmapRollup(grains: DataFrame): DataFrame = {
+    import graft.functions.BitmapDistinct
+    val perType = grains
+      .groupBy(col("event_type"))
+      .agg(BitmapDistinct.bitmapMerge(col("bm")).as("bm"))
+    perType
+      .unionAll(perType.select(lit("ALL").as("event_type"), col("bm"))
+        .groupBy(col("event_type"))
+        .agg(BitmapDistinct.bitmapMerge(col("bm")).as("bm")))
+      .select(col("event_type"), BitmapDistinct.cardinality(col("bm")).as("n_users"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_distinct_bitmap" -> (distinctBitmap _),
+    "q_distinct_bitmap_served" -> (distinctBitmapServed _),
+    "q_distinct_bitmap_window" -> (distinctBitmapWindow _),
     "q_distinct_kmv" -> (distinctKmv _),
     "q_distinct_kmv_served" -> (distinctKmvServed _),
     "q_distinct_kmv_window" -> (distinctKmvWindow _),
@@ -684,7 +741,28 @@ object SketchQueries {
 
   // the served twins share the direct paths' oracles: materialized
   // state merges are exact, so served estimates == direct estimates
+  /** Exact distinct per type + overall, optionally row-scoped — the
+    * bitmap gates' entire oracle: no sketch reproduction, just
+    * COUNT(DISTINCT).
+    */
+  private def bitmapOracleFor(where: String) =
+    s"""SELECT event_type, count(DISTINCT user_id) AS n_users
+       |FROM events $where GROUP BY 1
+       |UNION ALL
+       |SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS n_users
+       |FROM events $where""".stripMargin
+
+  private val bitmapOracle = bitmapOracleFor("")
+
+  private val bitmapWindowOracle = bitmapOracleFor(
+    s"""WHERE epoch_ms(ts) >=
+       |  (SELECT (epoch_ms(max(ts)) // $dayMs) * $dayMs - 3*$dayMs FROM events)"""
+      .stripMargin)
+
   val oracles: Map[String, String] = Map(
+    "q_distinct_bitmap" -> bitmapOracle,
+    "q_distinct_bitmap_served" -> bitmapOracle,
+    "q_distinct_bitmap_window" -> bitmapWindowOracle,
     "q_distinct_kmv" -> kmvOracle,
     "q_distinct_kmv_served" -> kmvOracle,
     "q_distinct_kmv_window" -> kmvWindowOracle,

@@ -262,6 +262,26 @@ object Serving {
         col("event_type"), col("sk"))
   }
 
+  /** DAY-GRAIN per-event-type EXACT distinct-user bitmaps
+    * ([[graft.functions.BitmapDistinct]]) — the exact sibling of
+    * [[kmvDailySketches]] and the Pinot DISTINCTCOUNTBITMAP column
+    * analog. Bitmap merge is bitwise OR (associative, commutative,
+    * idempotent), so any day/type range re-merges to EXACTLY the
+    * bitmap a direct pass over those raw rows would build — distinct
+    * counts served from this table carry no error bar at all, which
+    * the HLL/KMV columns cannot promise. Bounded: state is linear in
+    * the occupied user-id range per (day, type), the standard exact-
+    * bitmap tradeoff for dictionary/surrogate keys.
+    */
+  def dailyBitmaps(events: DataFrame): DataFrame =
+    events
+      .select(date_trunc("day", col("ts")).as("d"), col("event_type"),
+        col("user_id").cast("long").as("uid"))
+      .groupBy(col("d"), col("event_type"))
+      .agg(graft.functions.BitmapDistinct.bitmap(col("uid")).as("bm"))
+      .select(unix_millis(col("d")).as("window_start_ms"),
+        col("event_type"), col("bm"))
+
   /** MATERIALIZED partial-upsert profile state — Pinot's upsert
     * metadata analog: one merged row per key with each field's value
     * AND the order key of the row that set it, so an incremental
@@ -403,7 +423,11 @@ object Serving {
   }
 
   private def writeSketchState(root: String, cm: DataFrame, kmv: DataFrame,
-      tuple: DataFrame): Unit = {
+      tuple: DataFrame, bitmap: DataFrame): Unit = {
+    TableManager.writePartitioned(
+      bitmap.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+      s"$root/bitmap_daily", tsCol = "w_ts",
+      sortCols = Seq("event_type", "window_start_ms"))
     TableManager.writePartitioned(
       cm.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
       s"$root/cm_daily", tsCol = "w_ts",
@@ -451,7 +475,8 @@ object Serving {
     "agg_by_window", "agg_keyed_by_window",
     "rollup_1m", "rollup_1m_users", "rollup_1m_hist", "rollup_1m_vals",
     "rollup_1m_loghist",
-    "cm_daily", "kmv_daily", "tuple_daily", "profile_upsert", "meta")
+    "cm_daily", "kmv_daily", "tuple_daily", "bitmap_daily",
+    "profile_upsert", "meta")
 
   /** Full build of the serving layout at `root` from an events frame
     * (batch path; the streaming path refreshes incrementally via
@@ -474,7 +499,7 @@ object Serving {
         minuteValueHist(events), minuteValueVals(events),
         minuteValueLogHist(events))
       writeSketchState(root, dailyCmSketch(events), kmvDailySketches(events),
-        dailyTupleSketches(events))
+        dailyTupleSketches(events), dailyBitmaps(events))
       writeProfileState(root, profileUpsertState(events))
       writeRankedTables(root, agg, keyed)
       writeMeta(spark, root, maxRow.getLong(0), -1L)
@@ -641,6 +666,17 @@ object Serving {
           .agg(graft.functions.TupleSketch.tupleSk(col("h"), col("v"),
             graft.functions.KmvSketch.DefaultK).as("sk"))
           .localCheckpoint(true)
+        // bitmap merge per touched day: OR the stored day states with
+        // the batch's day bitmaps — OR is associative/commutative/
+        // IDEMPOTENT, so refresh == rebuild bit-for-bit per date
+        // partition and re-applying rows changes nothing
+        val bmState = spark.read.parquet(s"$root/bitmap_daily")
+          .filter(col("p_date").isin(dates: _*))
+          .select(col("window_start_ms"), col("event_type"), col("bm"))
+          .unionAll(dailyBitmaps(batch))
+          .groupBy(col("window_start_ms"), col("event_type"))
+          .agg(graft.functions.BitmapDistinct.bitmapMerge(col("bm")).as("bm"))
+          .localCheckpoint(true)
         // profile state: stored rows replay as per-field pseudo-
         // patches, merged with the batch's patches under the same
         // newest-setter-wins guard — associative, so inc == rebuild
@@ -678,6 +714,9 @@ object Serving {
           TableManager.overwritePartitions(
             tuple.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
             s"$root/tuple_daily", "w_ts", Seq("event_type", "window_start_ms"))
+          TableManager.overwritePartitions(
+            bmState.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+            s"$root/bitmap_daily", "w_ts", Seq("event_type", "window_start_ms"))
           writeProfileState(root, profiles)
           writeRankedPartitions(root, agg, keyed)
           val oldMax = readMeta(spark, root)._1
