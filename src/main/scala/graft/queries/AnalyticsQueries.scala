@@ -149,7 +149,55 @@ object AnalyticsQueries {
         col("n_distinct"), col("min_val"), col("max_val"))
   }
 
+  /** Market-basket association over event types: for every unordered
+    * type pair, the users who did BOTH, each type's user reach, and
+    * the LIFT — 1000·N·n_ab / (n_a·n_b) as exact integer permille
+    * (DECIMAL(38,0) product + integral divide, mirrored by the
+    * oracle's HUGEINT `//`, so no float ratio crosses the engine
+    * boundary).
+    *
+    * Scale shape: (user, type) distinct first (map-side partial
+    * distinct), then ONE user-keyed exchange into per-user sorted
+    * type sets whose pairs are generated ROW-LOCALLY (bounded by the
+    * type-alphabet size, never a user-keyed self-join), then a
+    * tiny pair-keyed partial-agg count. The reach table and the
+    * 1-row user count broadcast into the pair rows — at 100 TB
+    * nothing but (user, type) ever shuffles, and pair cardinality is
+    * |alphabet|², independent of row count.
+    */
+  def covisitLift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val us = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val pairs = us
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, (a, i) ->
+          |  transform(slice(ts, i + 2, size(ts)), b ->
+          |    struct(a AS type_a, b AS type_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val reach = us.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val nUsers = us.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    pairs
+      .join(broadcast(reach.select(col("event_type").as("type_a"),
+        col("c").as("n_a"))), "type_a")
+      .join(broadcast(reach.select(col("event_type").as("type_b"),
+        col("c").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
+        column(IntegralDivide(
+          expression(dec(lit(1000)) * dec(col("n_users")) * dec(col("n_ab"))),
+          expression(dec(col("n_a")) * dec(col("n_b"))))).cast("long")
+          .as("lift_milli"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_covisit_lift" -> (covisitLift _),
     "q_funnel" -> (funnel _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_error_bursts" -> (errorBursts _),
@@ -158,6 +206,23 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_covisit_lift" ->
+      """WITH us AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+        |s AS (SELECT event_type, count(*) AS c FROM us GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_ab
+        |  FROM us a JOIN us b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab, sa.c AS n_a, sb.c AS n_b,
+        |  CAST(1000::HUGEINT * n.n_users * n_ab
+        |    // (sa.c::HUGEINT * sb.c) AS BIGINT) AS lift_milli
+        |FROM p
+        |JOIN s sa ON p.type_a = sa.event_type
+        |JOIN s sb ON p.type_b = sb.event_type
+        |CROSS JOIN n""".stripMargin,
     "q_funnel" ->
       """WITH per_user AS (
         |  SELECT user_id,
