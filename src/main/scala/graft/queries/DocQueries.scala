@@ -89,6 +89,31 @@ object DocQueries {
       NearDup.jaccardPairs(Tables.documents(spark, dir), n = 3,
         thresholdNum = 1, thresholdDen = 2))
 
+  /** Dedup AUDIT: the cluster-size distribution of the Jaccard>=0.5
+    * near-dup graph — how much of the corpus is duplicated and how
+    * big the dup families are (the histogram a curation run reports
+    * before deciding thresholds; singletons counted from the doc
+    * total minus clustered docs, so no per-doc anti-join). Pure
+    * composition of gated operators plus two tiny aggregates; the
+    * histogram domain is bounded by the largest component, and
+    * everything after the component walk is integer counts.
+    */
+  def docClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val comp = NearDup.canonicalize(
+      NearDup.jaccardPairs(docs, n = 3, thresholdNum = 1, thresholdDen = 2))
+    val sizes = comp.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(comp.agg(count(lit(1)).as("n_clustered"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_docs") - col("n_clustered")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    hist.unionAll(singles)
+  }
+
   /** BEST-survivor near-dup collapse — the keep policy a quality-
     * aware curation run uses instead of min-id: within each
     * Jaccard>=0.5 component, the surviving doc is the one with the
@@ -710,6 +735,51 @@ object DocQueries {
     collocations(Tables.documents(spark, dir))
 
   /** DataFrame-level collocation core (docs must carry doc_id, text). */
+  /** Corpus-LM familiarity scoring (KenLM-style pseudo-perplexity,
+    * integerized): train a bigram census over the corpus, then score
+    * each document by the average BIT LENGTH of its bigrams' corpus
+    * counts — ⌊log₂ c⌋+1 = `length(bin(c))`, the cross-engine
+    * integer log the loghist quantile state already uses — and
+    * surface the topN LEAST familiar documents (rare-transition-
+    * heavy text: the outlier/low-quality candidates an n-gram LM
+    * filter flags in a training pipeline). Everything that crosses
+    * the engine boundary is integer arithmetic, so the gate
+    * hash-checks the scores themselves.
+    *
+    * Skew discipline (the scrub-family rule): raw bigram text NEVER
+    * shuffles — grams become 60-bit md5 hashes row-locally, the
+    * census groupBy partial-aggregates map-side, and the doc side
+    * pre-collapses to (doc, gram-hash, k) BEFORE the census join, so
+    * a hyper-frequent transition costs one census row and at most
+    * one joined row per containing doc. The oracle applies the SAME
+    * hash, so a (vanishingly unlikely) 60-bit collision would alter
+    * both engines identically rather than desync them.
+    */
+  def docLmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScore(Tables.documents(spark, dir))
+
+  def lmScore(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val grams = toks
+      .select(col("doc_id"), explode(Text.bigramsFromTokens(col("toks"))).as("bg"))
+      .select(col("doc_id"), graft.functions.KmvSketch.keyHash(
+        concat(col("bg.w1"), lit(" "), col("bg.w2"))).as("h"))
+    val census = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val docGrams = grams.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("k"))
+    val scored = docGrams.join(census, "h")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * length(bin(col("c")))).as("score_bits"))
+      .withColumn("familiarity_milli",
+        expr("CAST(score_bits * 1000 DIV n_bigrams AS BIGINT)"))
+    graft.ops.TopK.topKGlobal(scored,
+        Seq(col("familiarity_milli").asc, col("doc_id").asc), topN)
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("n_bigrams"), col("score_bits"), col("familiarity_milli"))
+  }
+
   def collocations(docs: DataFrame, minCount: Long = 20, topN: Int = 25): DataFrame = {
     val toks = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
@@ -767,6 +837,7 @@ object DocQueries {
   val queries: Map[String, QFn] = Map(
     "q_doc_shuffle_pack" -> (docShufflePack _),
     "q_doc_collocations" -> (docCollocations _),
+    "q_doc_lm_score" -> (docLmScore _),
     "q_doc_dup_ngrams" -> (docDupNgrams _),
     "q_doc_editdist" -> (docEditDist _),
     "q_doc_tfidf" -> (docTfidf _),
@@ -801,6 +872,7 @@ object DocQueries {
     "q_doc_curate_stream" -> (docCurateStream _),
     "q_doc_length_quantiles" -> (docLengthQuantiles _),
     "q_doc_dedup_canonical" -> (dedupCanonical _),
+    "q_doc_cluster_sizes" -> (docClusterSizes _),
     "q_doc_dedup_best" -> (docDedupBest _),
     "q_lang_id" -> (langId _),
     "q_doc_fingerprint" -> (fingerprints _),
@@ -982,6 +1054,28 @@ object DocQueries {
          |    CAST(bi.c_ab AS DOUBLE) * n.n_tokens / (a.c * b.c) AS score
          |  FROM bi JOIN uni a ON bi.w1 = a.w JOIN uni b ON bi.w2 = b.w CROSS JOIN n)
          |ORDER BY score DESC, w1 ASC, w2 ASC LIMIT 25""".stripMargin,
+    // bigram-LM familiarity: same 60-bit md5 gram hashing as the
+    // engine (a collision would alter both engines identically), and
+    // the integer bit-length log the loghist family established
+    "q_doc_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    ('0x' || substring(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT AS h
+         |  FROM t, UNNEST(range(1, len(toks))) AS r(i)),
+         |c AS (SELECT h, count(*) AS c FROM g GROUP BY 1),
+         |dg AS (SELECT doc_id, h, count(*) AS k FROM g GROUP BY 1, 2),
+         |s AS (
+         |  SELECT dg.doc_id,
+         |    CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(k * length(bin(c.c))) AS BIGINT) AS score_bits
+         |  FROM dg JOIN c USING (h) GROUP BY 1),
+         |f AS (SELECT *, CAST(score_bits * 1000 // n_bigrams AS BIGINT)
+         |        AS familiarity_milli FROM s)
+         |SELECT CAST(row_number() OVER
+         |    (ORDER BY familiarity_milli ASC, doc_id ASC) AS BIGINT) AS rank,
+         |  doc_id, n_bigrams, score_bits, familiarity_milli
+         |FROM f ORDER BY familiarity_milli ASC, doc_id ASC LIMIT 20""".stripMargin,
     // duplicated 3-gram fraction: distinct shingles per doc (same CTE
     // as the jaccard family), corpus document frequency, duplicated
     // share. unnest of an empty list yields no rows, matching Spark's
@@ -1372,6 +1466,33 @@ object DocQueries {
          |  SELECT w.doc, e.dst FROM walk w JOIN edges e ON e.src = w.r)
          |SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
          |FROM walk GROUP BY doc""".stripMargin,
+    // the canonical walk re-aggregated to a component-size histogram,
+    // with the singleton row derived by subtraction (docs minus
+    // clustered docs), exactly like the engine
+    "q_doc_cluster_sizes" ->
+      s"""WITH RECURSIVE $shingleCteBody,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND 3 * len(list_intersect(a.sh, b.sh)) >= 1 * (len(a.sh) + len(b.sh))),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(doc, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.doc, e.dst FROM walk w JOIN edges e ON e.src = w.r),
+         |comp AS (SELECT doc, min(r) AS c FROM walk GROUP BY doc),
+         |sizes AS (SELECT c, count(*) AS cluster_size FROM comp GROUP BY 1),
+         |hist AS (SELECT cluster_size, count(*) AS n_clusters
+         |         FROM sizes GROUP BY 1)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters FROM hist
+         |UNION ALL
+         |SELECT 1::BIGINT AS cluster_size,
+         |  (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+         |    AS n_clusters
+         |WHERE (SELECT count(*) FROM documents) > (SELECT count(*) FROM comp)"""
+        .stripMargin,
     // the canonical-components walk joined with the quality logit;
     // survivor = arg_max by (logit, -doc_id) — best copy, ties low-id
     "q_doc_dedup_best" ->
