@@ -752,7 +752,7 @@ object SketchQueries {
        |SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS n_users
        |FROM events $where""".stripMargin
 
-  private val bitmapOracle = bitmapOracleFor("")
+  private[queries] val bitmapOracle = bitmapOracleFor("")
 
   private val bitmapWindowOracle = bitmapOracleFor(
     s"""WHERE epoch_ms(ts) >=

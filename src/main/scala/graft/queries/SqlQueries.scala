@@ -400,7 +400,45 @@ object SqlQueries {
       SELECT ex.*, est.* FROM ex, est""")
   }
 
+  /** The exact distinct bitmap as a PURE SQL surface — Pinot's
+    * DISTINCTCOUNTBITMAP is a SQL aggregate, so the engine's is too:
+    * `graft_bitmap` (build) and `graft_bitmap_or` (grain re-merge)
+    * register as SQL aggregates over the same typed Aggregators the
+    * DataFrame path uses, and cardinality is a plain SQL
+    * `aggregate(..., bit_count(...))` fold. Day/type grains built,
+    * re-merged per type and across types, all in SQL — exact, so it
+    * shares [[SketchQueries.distinctBitmap]]'s COUNT(DISTINCT)
+    * oracle.
+    */
+  def distinctBitmapSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BitmapDistinct
+    spark.udf.register("graft_bitmap",
+      udaf(new BitmapDistinct.BitmapAgg,
+        org.apache.spark.sql.Encoders.scalaLong))
+    spark.udf.register("graft_bitmap_or",
+      udaf(new BitmapDistinct.BitmapMergeAgg,
+        org.apache.spark.sql.Encoders.product[BitmapDistinct.Bm]))
+    registerRawView(spark, dir)
+    spark.sql("""
+      WITH g AS (
+        SELECT date_trunc('day', ts) AS d, event_type,
+          graft_bitmap(CAST(user_id AS BIGINT)) AS bm
+        FROM orders_raw GROUP BY 1, 2),
+      t AS (SELECT event_type, graft_bitmap_or(bm.pages, bm.words) AS bm
+            FROM g GROUP BY 1),
+      u AS (SELECT * FROM t
+            UNION ALL
+            SELECT 'ALL' AS event_type, graft_bitmap_or(bm.pages, bm.words) AS bm
+            FROM t)
+      SELECT event_type,
+        CAST(coalesce(aggregate(bm.words, 0L,
+          (acc, w) -> acc + CAST(bit_count(w) AS BIGINT)), 0L) AS BIGINT)
+          AS n_users
+      FROM u""")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_sql_distinct_bitmap" -> (distinctBitmapSql _),
     "q_sql_topk_raw" -> (topkRaw _),
     "q_sql_topk_rollup" -> (topkRollup _),
     "q_sql_revenue_by_hour" -> (revenueByHour _),
@@ -416,6 +454,9 @@ object SqlQueries {
   val oracles: Map[String, String] = Map(
     // the pure-SQL sketch surface reproduces distinctKmv bit-for-bit
     "q_sql_distinct_kmv" -> SketchQueries.kmvOracle,
+    // the pure-SQL bitmap surface is exact, so its oracle is plain
+    // COUNT(DISTINCT) — same oracle as the Column-API bitmap gates
+    "q_sql_distinct_bitmap" -> SketchQueries.bitmapOracle,
     "q_sql_percentile" ->
       s"""WITH f AS (
          |  SELECT $cents // 100 AS bin FROM events

@@ -54,6 +54,14 @@ class BitmapSpec extends SparkSuite {
     assert(doubled == 1100L)
   }
 
+  test("bitmap: pure-SQL surface == Column API, row for row") {
+    val api = graft.queries.SketchQueries.distinctBitmap(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val sql = graft.queries.SqlQueries.distinctBitmapSql(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(api == sql && api.nonEmpty)
+  }
+
   test("bitmap: empty input and cardinality of the empty state") {
     val empty = Seq.empty[Long].toDF("id")
       .agg(BitmapDistinct.bitmap(col("id")).as("bm"))
