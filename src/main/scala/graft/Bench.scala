@@ -63,7 +63,8 @@ object Bench {
     // the one claim that needs a stable floor across bench runs.
     val servingFamily = Set("q_topk_lookup_served", "q_topk_lookup_revenue",
       "q_topk_lookup_replica", "q_api_topk_global", "q_api_topk_restaurant",
-      "q_api_topk_revenue", "q_api_distinct_users", "q_api_percentiles",
+      "q_api_topk_revenue", "q_api_distinct_users", "q_api_distinct_exact",
+      "q_api_percentiles",
       "q_api_quantile", "q_startree_by_type", "q_startree_profile",
       "q_sql_topk_rollup", "q_sql_revenue_by_hour")
     val passes = (1 to 3).map(_ => names.map { case (name, fn) => name -> run(name, fn) })

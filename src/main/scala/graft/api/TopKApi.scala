@@ -123,6 +123,44 @@ object TopKApi {
         lit(to).as("to_ms"), col("distinct_users"))
   }
 
+  /** EXACT distinct-users endpoint — the no-error-bar upgrade of
+    * [[distinctUsers]] for day-grain ranges, answered from the
+    * replica-routed `bitmap_daily` state
+    * ([[graft.functions.BitmapDistinct]], Pinot's
+    * DISTINCTCOUNTBITMAP serving shape): the overlapping day
+    * bitmaps OR-merge into exactly the range's user set, so the
+    * count equals a raw rescan at any scale while reading only ≤
+    * range-days × types pruned state rows. Default range: the last
+    * 3 days. Same envelope/sentinel/routing contract as the other
+    * routes, including the one-row empty-range envelope (a global
+    * aggregate always yields its row; an empty merge counts 0).
+    */
+  def distinctUsersExact(
+      spark: SparkSession,
+      dataDir: String,
+      restaurantId: String = All,
+      fromMs: Option[Long] = None,
+      toMs: Option[Long] = None): DataFrame = {
+    import graft.functions.BitmapDistinct
+    val dayMs = 24L * hourMs
+    val now = Serving.anchorMs(spark, dataDir)
+    val to = toMs.getOrElse(now)
+    val from = fromMs.getOrElse(to - 3L * dayMs)
+    require(from < to, s"empty range [$from, $to)")
+    val rid = restaurantId.toLowerCase(java.util.Locale.ROOT)
+    val st = graft.serving.ReplicaRouter.table(
+      spark, dataDir, "bitmap_daily", tenant = rid)
+    val keyed = if (rid == All) st else st.filter(col("event_type") === rid)
+    keyed
+      .filter(col("p_date") >= Serving.utcDate(from) &&
+        col("p_date") <= Serving.utcDate(to) &&
+        col("window_start_ms") < to && col("window_start_ms") + dayMs > from)
+      .agg(BitmapDistinct.bitmapMerge(col("bm")).as("bm"))
+      .select(lit(rid).as("restaurant_id"), lit(from).as("from_ms"),
+        lit(to).as("to_ms"),
+        BitmapDistinct.cardinality(col("bm")).as("distinct_users"))
+  }
+
   /** Percentiles endpoint — order-value p50/p90/p99 for [from, to)
     * with the same defaults/sentinel/routing as the other routes,
     * answered from the minute-grain value HISTOGRAM state

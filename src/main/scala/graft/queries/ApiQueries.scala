@@ -37,6 +37,13 @@ object ApiQueries {
   def apiDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     TopKApi.distinctUsers(spark, dir)
 
+  /** EXACT distinct users, default last-3-days global — served from
+    * the replica-routed day-grain bitmap state; the oracle is a raw
+    * COUNT(DISTINCT) rescan, no tolerance band.
+    */
+  def apiDistinctExact(spark: SparkSession, dir: String): DataFrame =
+    TopKApi.distinctUsersExact(spark, dir)
+
   /** Order-value percentiles, last 24 h global — served from the
     * minute-grain histogram state.
     */
@@ -77,6 +84,7 @@ object ApiQueries {
     "q_api_topk_restaurant" -> (apiTopkRestaurant _),
     "q_api_topk_revenue" -> (apiTopkRevenue _),
     "q_api_distinct_users" -> (apiDistinctUsers _),
+    "q_api_distinct_exact" -> (apiDistinctExact _),
     "q_api_percentiles" -> (apiPercentiles _),
     "q_api_quantile" -> (apiQuantile _),
     "q_api_quantile_sketch" -> (apiQuantileSketch _),
@@ -94,6 +102,18 @@ object ApiQueries {
         |  (SELECT count(DISTINCT user_id) FROM events, r
         |   WHERE epoch_ms(date_trunc('minute', ts)) < r.to_ms
         |     AND epoch_ms(date_trunc('minute', ts)) + 60000 > r.from_ms) AS distinct_users
+        |FROM r""".stripMargin,
+    // day-window overlap with the default now-3d/now range; the
+    // served bitmap path is exact, so the oracle is a plain raw
+    // COUNT(DISTINCT) over the overlapping days
+    "q_api_distinct_exact" ->
+      """WITH r AS (SELECT epoch_ms(max(ts)) AS to_ms,
+        |               epoch_ms(max(ts)) - 3*86400000 AS from_ms FROM events)
+        |SELECT 'all' AS restaurant_id, r.from_ms, r.to_ms,
+        |  (SELECT count(DISTINCT user_id) FROM events, r
+        |   WHERE epoch_ms(date_trunc('day', ts)) < r.to_ms
+        |     AND epoch_ms(date_trunc('day', ts)) + 86400000 > r.from_ms)
+        |    AS distinct_users
         |FROM r""".stripMargin,
     // minute-window-overlap 24h range, binned-quantile integer form
     // (the q_percentile_served definition with explicit [from, to))
