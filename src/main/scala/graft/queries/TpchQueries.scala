@@ -284,7 +284,7 @@ object TpchQueries {
 
   /** TPC-H Q22 global-sales-opportunity shape: customers whose
     * account balance is above the population average but who placed
-    * NO order since 1998 (lapsed big-balance accounts), per market
+    * NO order since 1999 (lapsed big-balance accounts), per market
     * segment — the SCALAR-SUBQUERY + ANTI-JOIN composition. The
     * average is a one-row (sum, count) aggregate broadcast-crossed
     * into the scan, and the comparison is the exact
@@ -301,7 +301,7 @@ object TpchQueries {
     val avgRow = cust.agg(
       sum(col("bal_cents")).as("all_sum"), count(lit(1)).as("all_n"))
     val recent = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit("1998-01-01"))
+      .filter(col("o_orderdate") >= lit("1999-01-01"))
       .select(col("o_custkey").as("c_custkey"))
     cust
       .crossJoin(broadcast(avgRow))
@@ -311,7 +311,32 @@ object TpchQueries {
       .agg(count(lit(1)).as("n_custs"), sum(col("bal_cents")).as("bal_sum_cents"))
   }
 
+  /** TPC-H Q15 top supplier: each supplier's discounted revenue over
+    * one quarter, keeping the supplier(s) whose revenue EQUALS the
+    * global maximum — the AGGREGATE-OF-AGGREGATE (view + scalar max)
+    * shape, with ties kept like the spec's correlated `= max`
+    * subquery. Spark-first: one map-side-combining groupBy builds
+    * the per-supplier view, its 1-row max broadcast-crosses back,
+    * and the equality filter is row-local — never a window over the
+    * whole view, never a second fact scan.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+    rev
+      .crossJoin(broadcast(rev.agg(max(col("revenue_cents")).as("max_cents"))))
+      .filter(col("revenue_cents") === col("max_cents"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey"), col("s_name"), col("revenue_cents"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_tpch_top_supplier" -> (topSupplier _),
     "q_tpch_late_orders" -> (lateOrders _),
     "q_tpch_promo_share" -> (promoShare _),
     "q_tpch_idle_customers" -> (idleCustomers _),
@@ -329,6 +354,18 @@ object TpchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |      AS revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT l_suppkey, s_name, revenue_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)""".stripMargin,
     "q_tpch_late_orders" ->
       """SELECT o_orderpriority, count(*) AS n_late_orders
         |FROM orders
@@ -362,7 +399,7 @@ object TpchQueries {
         |FROM c, a
         |WHERE bal_cents * all_n > all_sum
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-        |    AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |    AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1""".stripMargin,
     "q_tpch_shipping_priority" ->
       """SELECT CAST(row_number() OVER (ORDER BY revenue_cents DESC, l_orderkey ASC) AS BIGINT) AS rank,
