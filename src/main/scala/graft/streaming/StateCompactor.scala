@@ -1,0 +1,169 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Segment compaction for batch-id-partitioned ingest STATE — the
+  * Pinot merge/rollup-task analog for the additive-delta state
+  * tables the foreachBatch twins append to
+  * ([[LmIngest]] census deltas, [[CovisitIngest]] user-type rows,
+  * [[BoilerplateIngest]] counts): without it, state fragments into
+  * one partition per micro-batch forever (10 s triggers ≈ 8,640
+  * directories/day — a listing and small-file liability long before
+  * data volume matters).
+  *
+  * Folded batches collapse into a CONSOLIDATED generation directory
+  * (`_consolidated/gen=G` — underscore-prefixed, so the main
+  * partitioned read never sees it), re-aggregated at the state's own
+  * grain so the compacted table is also SMALLER, not just fewer
+  * files (the Pinot rollup-merge mode).
+  *
+  * Exactly-once without a transaction log, under BOTH failure modes:
+  *
+  *  - '''Replay''': Structured Streaming can only re-run the LAST
+  *    batch (the one whose checkpoint commit may not have landed);
+  *    earlier batches are committed and never re-fire. Compaction
+  *    therefore folds strictly-older batches only
+  *    (`batch_id < max present id`), so the one replayable batch
+  *    still owns its partition and
+  *    [[StreamingPipeline.writeBatchIdempotent]]'s overwrite contract
+  *    holds unchanged.
+  *  - '''Crash mid-compaction''': each generation directory is
+  *    written in full (merged data + the `_manifest` file naming
+  *    every batch id folded into it), and the ATOMIC CREATE of
+  *    `_manifest` is the single commit point — readers use the
+  *    highest generation that has one and ignore everything else.
+  *    A crash before the manifest lands leaves an unreferenced
+  *    half-built directory (deleted as debris by the next attempt);
+  *    a crash after it leaves folded partitions and the superseded
+  *    generation on disk — garbage readers already exclude, swept by
+  *    the next compaction. There is no window in which a reader can
+  *    see a fold twice or not at all.
+  *
+  * Readers go through [[readState]], which resolves the committed
+  * generation + batch partitions not yet folded into it. Every
+  * ingest twin's read path composes its own re-aggregation on top
+  * (sum for additive counts, distinct for set state), so compaction
+  * commutes with reads by the same associativity that makes the
+  * state mergeable in the first place.
+  */
+object StateCompactor {
+
+  private case class Gen(gen: Long, folded: Set[Long])
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def genDir(path: String, g: Long) =
+    s"$path/_consolidated/gen=$g"
+
+  /** Highest generation with a committed `_manifest`, if any. */
+  private def currentGen(spark: SparkSession, path: String): Option[Gen] = {
+    val f = fs(spark, path)
+    val root = new Path(s"$path/_consolidated")
+    if (!f.exists(root)) return None
+    val gens = f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
+      .sorted(Ordering[Long].reverse)
+    gens.iterator.flatMap { g =>
+      val mp = new Path(s"${genDir(path, g)}/_manifest")
+      if (!f.exists(mp)) None
+      else {
+        val in = f.open(mp)
+        try {
+          val folded = scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).map(_.toLong).toSet
+          Some(Gen(g, folded))
+        } finally in.close()
+      }
+    }.nextOption()
+  }
+
+  private def batchIds(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch_id=") =>
+        s.stripPrefix("batch_id=").toLong }
+      .filter(_ >= 0)
+  }
+
+  /** The state AS VISIBLE after compaction: the committed
+    * consolidated generation plus every batch partition not yet
+    * folded into it. Columns: the state's own schema (no batch_id).
+    */
+  def readState(spark: SparkSession, path: String): DataFrame = {
+    val g = currentGen(spark, path)
+    val folded = g.fold(Set.empty[Long])(_.folded)
+    val liveIds = batchIds(spark, path).filterNot(folded)
+    val live =
+      if (liveIds.isEmpty) None
+      else Some(spark.read.parquet(path)
+        .filter(col("batch_id").isin(liveIds: _*))
+        .drop("batch_id"))
+    val cons = g.map(x => spark.read.parquet(genDir(path, x.gen)))
+    (live, cons) match {
+      case (Some(l), Some(c)) => l.unionByName(c.select(l.columns.map(col): _*))
+      case (Some(l), None) => l
+      case (None, Some(c)) => c
+      case (None, None) =>
+        throw new IllegalStateException(s"no state at $path")
+    }
+  }
+
+  /** Fold every committed batch partition (strictly below the max
+    * present id — the only replayable batch keeps its own) into the
+    * next consolidated generation, re-aggregated as
+    * `groupBy(keys).agg(sum(measure)…)` — or `distinct` over the
+    * keys when `measures` is empty (set-valued state). Call between
+    * batches (the maintenance slot Pinot's minion tasks use). No-op
+    * when nothing is foldable.
+    */
+  def compactAdditive(spark: SparkSession, path: String, keys: Seq[String],
+      measures: Seq[String]): Unit = {
+    val f = fs(spark, path)
+    val cur = currentGen(spark, path)
+    val folded = cur.fold(Set.empty[Long])(_.folded)
+    val present = batchIds(spark, path).filterNot(folded)
+    if (present.size < 2) return // nothing strictly-older to fold
+    val maxId = present.max
+    val foldable = present.filter(_ < maxId)
+    val parts = spark.read.parquet(path)
+      .filter(col("batch_id").isin(foldable: _*))
+      .drop("batch_id")
+    val withOld = cur.fold(parts) { g =>
+      parts.unionByName(spark.read.parquet(genDir(path, g.gen))
+        .select(parts.columns.map(col): _*))
+    }
+    val merged =
+      if (measures.isEmpty) withOld.select(keys.map(col): _*).distinct()
+      else {
+        val sums = measures.map(c => sum(col(c)).as(c))
+        withOld.groupBy(keys.map(col): _*).agg(sums.head, sums.tail: _*)
+      }
+    val nextG = cur.fold(1L)(_.gen + 1L)
+    val next = new Path(genDir(path, nextG))
+    f.delete(next, true) // debris from a previous crashed attempt
+    merged.write.mode("overwrite").parquet(next.toString)
+    // COMMIT POINT: atomic create of the manifest inside the new gen
+    val out = f.create(new Path(s"$next/_manifest"), false)
+    try out.write((folded ++ foldable).toSeq.sorted
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    // garbage-collect folded partitions + superseded generations —
+    // best-effort: leftovers are invisible to readers, never counted
+    foldable.foreach(b => f.delete(new Path(s"$path/batch_id=$b"), true))
+    cur.foreach(g => f.delete(new Path(genDir(path, g.gen)), true))
+  }
+
+  /** Set-state convenience: fold with distinct keys, no measures. */
+  def compactDistinct(spark: SparkSession, path: String,
+      keys: Seq[String]): Unit =
+    compactAdditive(spark, path, keys, Seq.empty)
+}
