@@ -165,11 +165,17 @@ object AnalyticsQueries {
     * nothing but (user, type) ever shuffles, and pair cardinality is
     * |alphabet|², independent of row count.
     */
-  def covisitLift(spark: SparkSession, dir: String): DataFrame = {
+  def covisitLift(spark: SparkSession, dir: String): DataFrame =
+    liftOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct())
+
+  /** The pair/reach/lift derivation over an already-distinct
+    * (user_id, event_type) frame — shared by the batch gate and the
+    * ingest-state read path ([[graft.streaming.CovisitIngest]]).
+    */
+  def liftOf(us: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftShim.{column, expression}
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
-    val us = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type")).distinct()
     val pairs = us
       .groupBy(col("user_id"))
       .agg(sort_array(collect_set(col("event_type"))).as("ts"))
@@ -196,8 +202,33 @@ object AnalyticsQueries {
           .as("lift_milli"))
   }
 
+  /** The STREAMED co-visitation association table, gated against the
+    * batch gate's own oracle: drive
+    * [[graft.streaming.CovisitIngest]] over three event-id-range
+    * micro-batches (direct `processBatch` calls — the foreachBatch
+    * body) and read the derive-at-read result. Set-union state is
+    * order-independent, so the shared oracle carries no
+    * arrival-order caveat.
+    */
+  def covisitLiftStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // 1-row aggregate: bounded driver metadata (batch cut points)
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_covisit_gate").toString
+    val batches = Seq(
+      ev.filter(col("event_id") <= cuts(0)),
+      ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      ev.filter(col("event_id") > cuts(1)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.CovisitIngest.processBatch(b, i.toLong, s"$tmp/us")
+    }
+    graft.streaming.CovisitIngest.readLift(spark, s"$tmp/us")
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_covisit_lift" -> (covisitLift _),
+    "q_covisit_lift_stream" -> (covisitLiftStream _),
     "q_funnel" -> (funnel _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_error_bursts" -> (errorBursts _),
@@ -205,8 +236,7 @@ object AnalyticsQueries {
     "q_profile_events" -> (profileEvents _),
   )
 
-  val oracles: Map[String, String] = Map(
-    "q_covisit_lift" ->
+  private val covisitOracle =
       """WITH us AS (SELECT DISTINCT user_id, event_type FROM events),
         |n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
         |s AS (SELECT event_type, count(*) AS c FROM us GROUP BY 1),
@@ -222,7 +252,13 @@ object AnalyticsQueries {
         |FROM p
         |JOIN s sa ON p.type_a = sa.event_type
         |JOIN s sb ON p.type_b = sb.event_type
-        |CROSS JOIN n""".stripMargin,
+        |CROSS JOIN n""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // the streamed twin re-derives from set-union state — identical
+    // output, same oracle
+    "q_covisit_lift" -> covisitOracle,
+    "q_covisit_lift_stream" -> covisitOracle,
     "q_funnel" ->
       """WITH per_user AS (
         |  SELECT user_id,
