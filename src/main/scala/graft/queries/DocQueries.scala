@@ -751,9 +751,14 @@ object DocQueries {
     * census groupBy partial-aggregates map-side, and the doc side
     * pre-collapses to (doc, gram-hash, k) BEFORE the census join, so
     * a hyper-frequent transition costs one census row and at most
-    * one joined row per containing doc. The oracle applies the SAME
-    * hash, so a (vanishingly unlikely) 60-bit collision would alter
-    * both engines identically rather than desync them.
+    * one joined row per containing doc. The residual skew (a gram
+    * present in most docs keys one probe-side partition) is the
+    * build-side-unique shape AQE's skew-join split handles — the
+    * census side carries exactly one row per hash, so splitting the
+    * probe partition duplicates one build row, never a join blowup.
+    * The oracle applies the SAME hash, so a (vanishingly unlikely)
+    * 60-bit collision would alter both engines identically rather
+    * than desync them.
     */
   def docLmScore(spark: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(spark, dir))
@@ -778,6 +783,30 @@ object DocQueries {
         Seq(col("familiarity_milli").asc, col("doc_id").asc), topN)
       .select(col("rank").cast("long").as("rank"), col("doc_id"),
         col("n_bigrams"), col("score_bits"), col("familiarity_milli"))
+  }
+
+  /** The STREAMED LM familiarity scores, gated against the batch
+    * gate's own oracle: drive [[graft.streaming.LmIngest]] over
+    * three doc-id-range micro-batches (direct `processBatch` calls —
+    * the foreachBatch body) and score at read against the summed
+    * census. Additive census state is order-independent, so the
+    * shared oracle carries no arrival-order caveat.
+    */
+  def docLmScoreStream(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    // 1-row aggregate: bounded driver metadata (batch cut points)
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm_gate").toString
+    val batches = Seq(
+      d.filter(col("doc_id") <= cuts(0)),
+      d.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      d.filter(col("doc_id") > cuts(1)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.LmIngest.processBatch(
+        b, i.toLong, s"$tmp/grams", s"$tmp/census")
+    }
+    graft.streaming.LmIngest.readScores(spark, s"$tmp/grams", s"$tmp/census")
   }
 
   def collocations(docs: DataFrame, minCount: Long = 20, topN: Int = 25): DataFrame = {
@@ -838,6 +867,7 @@ object DocQueries {
     "q_doc_shuffle_pack" -> (docShufflePack _),
     "q_doc_collocations" -> (docCollocations _),
     "q_doc_lm_score" -> (docLmScore _),
+    "q_doc_lm_stream" -> (docLmScoreStream _),
     "q_doc_dup_ngrams" -> (docDupNgrams _),
     "q_doc_editdist" -> (docEditDist _),
     "q_doc_tfidf" -> (docTfidf _),
@@ -883,6 +913,28 @@ object DocQueries {
   )
 
   private val toks = "string_split(text, ' ')"
+  // bigram-LM familiarity: same 60-bit md5 gram hashing as the
+  // engine (a collision would alter both engines identically), and
+  // the integer bit-length log the loghist family established
+  private lazy val lmOracle =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT AS h
+       |  FROM t, UNNEST(range(1, len(toks))) AS r(i)),
+       |c AS (SELECT h, count(*) AS c FROM g GROUP BY 1),
+       |dg AS (SELECT doc_id, h, count(*) AS k FROM g GROUP BY 1, 2),
+       |s AS (
+       |  SELECT dg.doc_id,
+       |    CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(k * length(bin(c.c))) AS BIGINT) AS score_bits
+       |  FROM dg JOIN c USING (h) GROUP BY 1),
+       |f AS (SELECT *, CAST(score_bits * 1000 // n_bigrams AS BIGINT)
+       |        AS familiarity_milli FROM s)
+       |SELECT CAST(row_number() OVER
+       |    (ORDER BY familiarity_milli ASC, doc_id ASC) AS BIGINT) AS rank,
+       |  doc_id, n_bigrams, score_bits, familiarity_milli
+       |FROM f ORDER BY familiarity_milli ASC, doc_id ASC LIMIT 20""".stripMargin
   // the quality-model logit, shared by q_doc_quality_model and the
   // q_doc_curate pipeline oracle
   private val logitSql =
@@ -1056,26 +1108,11 @@ object DocQueries {
          |ORDER BY score DESC, w1 ASC, w2 ASC LIMIT 25""".stripMargin,
     // bigram-LM familiarity: same 60-bit md5 gram hashing as the
     // engine (a collision would alter both engines identically), and
-    // the integer bit-length log the loghist family established
-    "q_doc_lm_score" ->
-      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-         |g AS (
-         |  SELECT doc_id,
-         |    ('0x' || substring(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT AS h
-         |  FROM t, UNNEST(range(1, len(toks))) AS r(i)),
-         |c AS (SELECT h, count(*) AS c FROM g GROUP BY 1),
-         |dg AS (SELECT doc_id, h, count(*) AS k FROM g GROUP BY 1, 2),
-         |s AS (
-         |  SELECT dg.doc_id,
-         |    CAST(SUM(k) AS BIGINT) AS n_bigrams,
-         |    CAST(SUM(k * length(bin(c.c))) AS BIGINT) AS score_bits
-         |  FROM dg JOIN c USING (h) GROUP BY 1),
-         |f AS (SELECT *, CAST(score_bits * 1000 // n_bigrams AS BIGINT)
-         |        AS familiarity_milli FROM s)
-         |SELECT CAST(row_number() OVER
-         |    (ORDER BY familiarity_milli ASC, doc_id ASC) AS BIGINT) AS rank,
-         |  doc_id, n_bigrams, score_bits, familiarity_milli
-         |FROM f ORDER BY familiarity_milli ASC, doc_id ASC LIMIT 20""".stripMargin,
+    // the integer bit-length log the loghist family established; the
+    // streamed twin re-derives from additive census state — identical
+    // output, same oracle
+    "q_doc_lm_score" -> lmOracle,
+    "q_doc_lm_stream" -> lmOracle,
     // duplicated 3-gram fraction: distinct shingles per doc (same CTE
     // as the jaccard family), corpus document frequency, duplicated
     // share. unnest of an empty list yields no rows, matching Spark's
