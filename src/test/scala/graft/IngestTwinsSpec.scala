@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.{AnalyticsQueries, DocQueries}
+import graft.streaming.{CovisitIngest, LmIngest}
+
+/** The round-9 additive-state ingest twins (co-visitation set-union
+  * state, LM census state): stream == batch under OUT-OF-ORDER
+  * arrival and REPLAYED batches — the order-independence the
+  * additive/monotone state pattern promises (the gates check the
+  * in-order composition against the DuckDB oracle; this spec checks
+  * the orderings the gate split cannot express).
+  */
+class IngestTwinsSpec extends SparkSuite {
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("covisit ingest: out-of-order + replay == batch") {
+    val ev = Tables.events(spark, sfDir)
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val batches = Seq(
+      ev.filter(col("event_id") <= maxId / 3),
+      ev.filter(col("event_id") > maxId / 3 && col("event_id") <= 2 * maxId / 3),
+      ev.filter(col("event_id") > 2 * maxId / 3))
+    val t = tmp("graft_covisit_spec")
+    // reversed arrival order, then batch 2 replayed
+    Seq(2, 1, 0).foreach(i => CovisitIngest.processBatch(batches(i), i.toLong, s"$t/us"))
+    CovisitIngest.processBatch(batches(2), 2L, s"$t/us")
+    val streamed = rows(CovisitIngest.readLift(spark, s"$t/us"))
+    val direct = rows(AnalyticsQueries.liftOf(
+      ev.select(col("user_id"), col("event_type")).distinct()))
+    assert(streamed == direct && streamed.nonEmpty)
+  }
+
+  test("covisit ingest: compaction preserves reads, replay-after-compaction safe") {
+    val ev = Tables.events(spark, sfDir)
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val batches = Seq(
+      ev.filter(col("event_id") <= maxId / 3),
+      ev.filter(col("event_id") > maxId / 3 && col("event_id") <= 2 * maxId / 3),
+      ev.filter(col("event_id") > 2 * maxId / 3))
+    val t = tmp("graft_covisit_compact")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      CovisitIngest.processBatch(b, i.toLong, s"$t/us") }
+    val before = rows(CovisitIngest.readLift(spark, s"$t/us"))
+    CovisitIngest.compact(spark, s"$t/us")
+    assert(rows(CovisitIngest.readLift(spark, s"$t/us")) == before)
+    // batches 0/1 folded; only the last (replayable) partition remains
+    val dirs = new java.io.File(s"$t/us").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(dirs == Set("batch_id=2"))
+    // replay of the LAST batch (the only one streaming can re-fire)
+    CovisitIngest.processBatch(batches(2), 2L, s"$t/us")
+    assert(rows(CovisitIngest.readLift(spark, s"$t/us")) == before)
+    // compact again (folds nothing new), then with a fresh batch
+    CovisitIngest.compact(spark, s"$t/us")
+    CovisitIngest.processBatch(batches(0), 3L, s"$t/us") // re-sent rows: set-union no-op
+    CovisitIngest.compact(spark, s"$t/us")
+    assert(rows(CovisitIngest.readLift(spark, s"$t/us")) == before)
+    // an uncommitted generation (no _manifest — the crash-before-
+    // commit debris) must be invisible to readers
+    new java.io.File(s"$t/us/_consolidated/gen=99").mkdirs()
+    assert(rows(CovisitIngest.readLift(spark, s"$t/us")) == before)
+  }
+
+  test("lm ingest: compaction preserves scores (additive state)") {
+    val d = Tables.documents(spark, sfDir)
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val batches = Seq(
+      d.filter(col("doc_id") <= maxId / 3),
+      d.filter(col("doc_id") > maxId / 3 && col("doc_id") <= 2 * maxId / 3),
+      d.filter(col("doc_id") > 2 * maxId / 3))
+    val t = tmp("graft_lm_compact")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      LmIngest.processBatch(b, i.toLong, s"$t/grams", s"$t/census") }
+    val before = rows(LmIngest.readScores(spark, s"$t/grams", s"$t/census"))
+    LmIngest.compact(spark, s"$t/grams", s"$t/census")
+    assert(rows(LmIngest.readScores(spark, s"$t/grams", s"$t/census")) == before)
+    // replay of the last batch overwrites its own (kept) partition —
+    // no double count against the consolidated generation
+    LmIngest.processBatch(batches(2), 2L, s"$t/grams", s"$t/census")
+    assert(rows(LmIngest.readScores(spark, s"$t/grams", s"$t/census")) == before)
+    // re-compacting with nothing strictly older to fold is a no-op
+    LmIngest.compact(spark, s"$t/grams", s"$t/census")
+    assert(rows(LmIngest.readScores(spark, s"$t/grams", s"$t/census")) == before)
+  }
+
+  test("lm ingest: out-of-order + replay == batch") {
+    val d = Tables.documents(spark, sfDir)
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val batches = Seq(
+      d.filter(col("doc_id") <= maxId / 3),
+      d.filter(col("doc_id") > maxId / 3 && col("doc_id") <= 2 * maxId / 3),
+      d.filter(col("doc_id") > 2 * maxId / 3))
+    val t = tmp("graft_lm_spec")
+    Seq(1, 2, 0).foreach(i =>
+      LmIngest.processBatch(batches(i), i.toLong, s"$t/grams", s"$t/census"))
+    LmIngest.processBatch(batches(0), 0L, s"$t/grams", s"$t/census")
+    val streamed = rows(LmIngest.readScores(spark, s"$t/grams", s"$t/census"))
+    val direct = rows(DocQueries.lmScore(d))
+    assert(streamed == direct && streamed.nonEmpty)
+  }
+}
