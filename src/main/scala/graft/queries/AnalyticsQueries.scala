@@ -226,7 +226,95 @@ object AnalyticsQueries {
     graft.streaming.CovisitIngest.readLift(spark, s"$tmp/us")
   }
 
+  /** Markov transition matrix over the event stream — for each
+    * ordered event-type pair (from → to), how many times a user's
+    * event of type `from` was IMMEDIATELY followed by one of type
+    * `to`, and what permille of all transitions out of `from` that
+    * is. The "next-action path analysis" query behind every product
+    * flow diagram; the normalized rows are the empirical Markov
+    * chain a session simulator samples from.
+    *
+    * Scale shape: ONE user-keyed exchange carries the fact (the lag
+    * window's partition key — same (tu, event_id) total order as the
+    * SCD2 gate); transition counts then aggregate map-side onto a
+    * domain bounded by the type alphabet SQUARED (25 rows here), so
+    * the normalizing row-total window runs over a kilobyte table.
+    * The share is exact integer permille (1000·n DIV total) — no
+    * float division crosses the engine boundary.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitionsOf(Tables.events(spark, dir))
+
+  /** Core transition matrix over any frame with (user_id, event_id,
+    * event_type, ts); per-user order is (tu, event_id).
+    */
+  def eventTransitionsOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val counts = ev
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wOut = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    counts
+      .withColumn("out_total", sum(col("n_trans")).over(wOut))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        column(IntegralDivide(
+          expression(col("n_trans") * 1000L),
+          expression(col("out_total")))).cast("long").as("share_permille"))
+  }
+
+  /** RFM customer segmentation: per purchasing user, recency (last
+    * purchase time), frequency (purchase count), and monetary value
+    * (cents) are each quartiled, and users are bucketed into the
+    * classic R·F·M segment code (111..444) with per-segment counts
+    * and revenue — the marketing-analytics workhorse built on three
+    * global rankings.
+    *
+    * Scale shape: the fact reduces to ONE row per purchasing user
+    * first (map-side combining groupBy); the three quartiles are
+    * [[graft.ops.Rank.globalNtile]] — range-partitioned exclusive
+    * scans over that bounded per-user table, never a single-task
+    * `Window.orderBy` — and each uses (metric, user_id) as a TOTAL
+    * order so tile assignment is deterministic and partition-count
+    * invariant. The final segment rollup lands on ≤64 rows.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegmentsOf(Tables.events(spark, dir))
+
+  /** Core RFM rollup over any frame with (user_id, event_type, ts,
+    * value_cents).
+    */
+  def rfmSegmentsOf(ev: DataFrame): DataFrame = {
+    val per = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(col("value_cents")).as("monetary_cents"))
+    val tiled = Seq(
+      (Seq(col("last_us").asc, col("user_id").asc), "r_tile"),
+      (Seq(col("freq").asc, col("user_id").asc), "f_tile"),
+      (Seq(col("monetary_cents").asc, col("user_id").asc), "m_tile"))
+      .foldLeft(per) { case (df, (ord, out)) =>
+        graft.ops.Rank.globalNtile(df, ord, 4, out)
+      }
+    tiled
+      .groupBy((col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile"))
+        .as("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary_cents")).as("monetary_sum_cents"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_event_transitions" -> (eventTransitions _),
+    "q_rfm_segments" -> (rfmSegments _),
     "q_covisit_lift" -> (covisitLift _),
     "q_covisit_lift_stream" -> (covisitLiftStream _),
     "q_funnel" -> (funnel _),
@@ -255,6 +343,35 @@ object AnalyticsQueries {
         |CROSS JOIN n""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n_trans
+        |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST(n_trans * 1000
+        |    // SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS share_permille
+        |FROM c""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS freq,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (
+        |  SELECT monetary_cents,
+        |    ntile(4) OVER (ORDER BY last_us, user_id) AS r_tile,
+        |    ntile(4) OVER (ORDER BY freq, user_id) AS f_tile,
+        |    ntile(4) OVER (ORDER BY monetary_cents, user_id) AS m_tile
+        |  FROM per)
+        |SELECT CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS segment,
+        |  count(*) AS n_users,
+        |  CAST(SUM(monetary_cents) AS BIGINT) AS monetary_sum_cents
+        |FROM t GROUP BY 1""".stripMargin,
     // the streamed twin re-derives from set-union state — identical
     // output, same oracle
     "q_covisit_lift" -> covisitOracle,

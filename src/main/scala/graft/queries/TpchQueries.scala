@@ -335,7 +335,238 @@ object TpchQueries {
       .select(col("l_suppkey"), col("s_name"), col("revenue_cents"))
   }
 
+  /** TPC-H Q13 customer distribution: how many customers placed
+    * exactly k (non-urgent) orders, INCLUDING the zero-order bucket —
+    * the OUTER-JOIN + count-of-count double aggregation shape.
+    * Spark-first plan: orders pre-aggregate to per-customer counts
+    * (map-side combine, one key shuffle) BEFORE the outer join, so
+    * order rows never cross the join — the textbook
+    * `customer LEFT JOIN orders … GROUP BY c_custkey` plan would
+    * shuffle the whole fact through the join and re-shuffle it for
+    * the count; this plan moves one bounded row per active customer.
+    * The second aggregation's domain is tiny (distinct order counts),
+    * so `custdist` is a near-free final shuffle.
+    */
+  def custDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("c"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(counts, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q18 large-volume customers: orders whose total lineitem
+    * quantity exceeds 280, with their customer, top-10 by order value
+    * — the HAVING-over-fact-aggregate + join-back shape. The quantity
+    * sums aggregate map-side on l_orderkey and the >280 survivor set
+    * is a tiny fraction (≈p99.5) of orders, so the join back to
+    * orders is effectively a semi join that AQE can broadcast; the
+    * top-10 is the bounded-heap TakeOrderedAndProject, never a sort.
+    */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 280L)
+    val joined = Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("c_custkey"), col("c_name"),
+        cents(col("o_totalprice")).as("total_cents"), col("sum_qty"))
+    TopK.topKGlobal(joined,
+        Seq(col("total_cents").desc, col("o_orderkey").asc), 10)
+      .select(col("rank").cast("long").as("rank"), col("o_orderkey"),
+        col("o_orderdate_ms"), col("c_custkey"), col("c_name"),
+        col("total_cents"), col("sum_qty"))
+  }
+
+  /** TPC-H Q19 discounted revenue under a DISJUNCTION of brand/size/
+    * quantity conjunctions — the OR-of-ANDs predicate shape that
+    * defeats naive pushdown (the full predicate references BOTH join
+    * sides, so it can only apply after the join). Scale plan: the
+    * per-side NECESSARY conditions are factored out by hand —
+    * Catalyst does not distribute a cross-side disjunction — so the
+    * lineitem scan keeps only qty ∈ [1,30] rows and the part side
+    * only the three brands BEFORE the broadcast join; the residual
+    * disjunction is then row-local on the joined stream.
+    */
+  def disjunctRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity").between(1, 30)) // necessary for every disjunct
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+      .select(col("n_lines"),
+        coalesce(col("revenue_cents"), lit(0L)).as("revenue_cents"))
+  }
+
+  /** TPC-H Q21 suppliers-who-kept-orders-waiting, re-keyed to this
+    * schema (no commit/receipt dates): for multi-supplier orders
+    * where EXACTLY ONE supplier shipped late (>30 days after the
+    * order date), charge that supplier a wait; top-10 suppliers by
+    * wait count. The spec's EXISTS(other supplier) + NOT EXISTS
+    * (other LATE supplier) pair is re-expressed as per-order counts —
+    * `n_supps > 1 AND n_late = 1` with `min(case when late)` naming
+    * the culprit — so the whole double-existential costs two
+    * order-keyed aggregations (both map-side combining) instead of
+    * two correlated self-joins of the fact. The oracle keeps the
+    * textbook EXISTS/NOT-EXISTS formulation, making the gate a
+    * cross-formulation equivalence check.
+    */
+  def soleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") > expr("o_orderdate + INTERVAL 30 DAYS"),
+        lit(1L)).otherwise(lit(0L))).as("late"))
+    val waits = perSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supps"), sum(col("late")).as("n_late"),
+        min(when(col("late") === 1L, col("l_suppkey"))).as("l_suppkey"))
+      .filter(col("n_supps") > 1 && col("n_late") === 1L)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+    TopK.topKGlobal(waits, Seq(col("numwait").desc, col("l_suppkey").asc), 10)
+      .select(col("rank").cast("long").as("rank"), col("l_suppkey"),
+        col("s_name"), col("numwait"))
+  }
+
+  /** TPC-H Q7 volume shipping, at region grain (nation keys in this
+    * generator are SF-dependent; regions are stable): discounted
+    * revenue flowing EUROPE→ASIA or ASIA→EUROPE (supplier region →
+    * customer region), per direction per year — the BIDIRECTIONAL
+    * trade-pair shape whose filter is a disjunction over the two
+    * dim paths jointly. Both region dims resolve through broadcast
+    * joins, the pair filter is row-local after them, and
+    * lineitem ⋈ orders stays the only shuffle.
+    */
+  def tradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nationRegion = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    val suppRegion = Tables.supplier(spark, dir)
+      .join(broadcast(nationRegion), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("r_name").as("supp_region"))
+    val custRegion = Tables.customer(spark, dir)
+      .join(broadcast(nationRegion), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("r_name").as("cust_region"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppRegion), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_region") === "EUROPE" && col("cust_region") === "ASIA") ||
+        (col("supp_region") === "ASIA" && col("cust_region") === "EUROPE"))
+      .groupBy(col("supp_region"), col("cust_region"),
+        year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q8 national market share, at region grain: of all lineitem
+    * revenue sold to ASIA-region customers, the permille supplied
+    * from EUROPE, per order year — the CONDITIONAL-SHARE-per-group
+    * shape (Q14's ratio generalized to a grouped time series). Exact
+    * integer permille per year; the supplier-region flag rides the
+    * broadcast dim join so the fact scans once.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val nationRegion = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    val suppEurope = Tables.supplier(spark, dir)
+      .join(broadcast(nationRegion), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), (col("r_name") === "EUROPE").as("from_europe"))
+    val asiaCusts = Tables.customer(spark, dir)
+      .join(broadcast(nationRegion), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("c_custkey"))
+    val rev = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCusts), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppEurope), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(sum(when(col("from_europe"), rev).otherwise(lit(0L)))
+        .as("europe_cents"),
+        sum(rev).as("total_cents"))
+      .select(col("order_year"), col("europe_cents"), col("total_cents"),
+        column(IntegralDivide(
+          expression(col("europe_cents") * 1000L),
+          expression(col("total_cents")))).cast("long").as("share_permille"))
+  }
+
+  /** TPC-H Q10 returned-item reporting: top-20 customers by revenue
+    * lost to returns (l_returnflag = 'R') in one order year. The
+    * date filter prunes orders at the parquet scan, the returns
+    * filter prunes lineitem, the per-customer loss aggregates
+    * map-side after the one fact-fact shuffle, and customer resolves
+    * by broadcast on the ≤|survivors| aggregate — the bounded-heap
+    * top-20 never sorts.
+    */
+  def returnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("lost_cents"),
+        count(lit(1)).as("n_items"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    TopK.topKGlobal(perCust, Seq(col("lost_cents").desc, col("o_custkey").asc), 20)
+      .select(col("rank").cast("long").as("rank"), col("o_custkey"),
+        col("c_name"), col("c_mktsegment"), col("lost_cents"), col("n_items"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_tpch_trade_volume" -> (tradeVolume _),
+    "q_tpch_market_share" -> (marketShare _),
+    "q_tpch_returned_top" -> (returnedRevenue _),
+    "q_tpch_custdist" -> (custDistribution _),
+    "q_tpch_big_orders" -> (bigOrders _),
+    "q_tpch_disjunct" -> (disjunctRevenue _),
+    "q_tpch_sole_late" -> (soleLateSupplier _),
     "q_tpch_top_supplier" -> (topSupplier _),
     "q_tpch_late_orders" -> (lateOrders _),
     "q_tpch_promo_share" -> (promoShare _),
@@ -354,6 +585,101 @@ object TpchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_trade_volume" ->
+      """SELECT rs.r_name AS supp_region, rc.r_name AS cust_region,
+        |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+        |WHERE (rs.r_name = 'EUROPE' AND rc.r_name = 'ASIA')
+        |   OR (rs.r_name = 'ASIA' AND rc.r_name = 'EUROPE')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_tpch_market_share" ->
+      """WITH l AS (
+        |  SELECT year(o_orderdate) AS order_year,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev,
+        |    (SELECT r_name FROM region rr JOIN nation nn ON rr.r_regionkey = nn.n_regionkey
+        |     WHERE nn.n_nationkey = s_nationkey) = 'EUROPE' AS from_europe
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+        |  WHERE rc.r_name = 'ASIA')
+        |SELECT CAST(order_year AS BIGINT) AS order_year,
+        |  CAST(SUM(CASE WHEN from_europe THEN rev ELSE 0 END) AS BIGINT) AS europe_cents,
+        |  CAST(SUM(rev) AS BIGINT) AS total_cents,
+        |  CAST(SUM(CASE WHEN from_europe THEN rev ELSE 0 END) * 1000
+        |    // SUM(rev) AS BIGINT) AS share_permille
+        |FROM l GROUP BY 1""".stripMargin,
+    "q_tpch_returned_top" ->
+      """SELECT CAST(row_number() OVER (ORDER BY lost_cents DESC, o_custkey ASC) AS BIGINT) AS rank,
+        |  o_custkey, c_name, c_mktsegment, lost_cents, n_items FROM (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |      AS lost_cents,
+        |    count(*) AS n_items
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1) j JOIN customer ON o_custkey = c_custkey
+        |ORDER BY lost_cents DESC, o_custkey ASC LIMIT 20""".stripMargin,
+    "q_tpch_custdist" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, count(*) AS c FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT coalesce(c, 0) AS c_count
+        |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey)
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_big_orders" ->
+      """SELECT CAST(row_number() OVER (ORDER BY total_cents DESC, o_orderkey ASC) AS BIGINT) AS rank,
+        |  o_orderkey, o_orderdate_ms, c_custkey, c_name, total_cents, sum_qty FROM (
+        |  SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+        |    c_custkey, c_name,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3, 4, 5
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 280)
+        |ORDER BY total_cents DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_disjunct" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(coalesce(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)), 0) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch_sole_late" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY),
+        |culprit AS (
+        |  SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)),
+        |w AS (
+        |  SELECT l_suppkey, count(*) AS numwait FROM culprit GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY numwait DESC, l_suppkey ASC) AS BIGINT) AS rank,
+        |  l_suppkey, s_name, numwait
+        |FROM w JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY numwait DESC, l_suppkey ASC LIMIT 10""".stripMargin,
     "q_tpch_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

@@ -132,4 +132,84 @@ class AnalyticsSpec extends SparkSuite {
     val n = Tables.events(spark, sfDir).count()
     assert(counts === 4 * n)
   }
+
+  test("transitions: adjacent pairs per user, permille normalized per from-type") {
+    // user 1: a->b->a (order by ts, then event_id on the tie at ts(1))
+    // user 2: b->a; a lone user-3 event contributes nothing
+    val ev = Seq(
+      (1L, 10L, "a", ts(0)), (1L, 11L, "b", ts(1)), (1L, 12L, "a", ts(1)),
+      (2L, 20L, "b", ts(0)), (2L, 21L, "a", ts(5)),
+      (3L, 30L, "a", ts(0))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = AnalyticsQueries.eventTransitionsOf(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // transitions: a->b (u1), b->a (u1 tie-broken by event_id, u2)
+    assert(got === Map(
+      ("a", "b") -> (1L, 1000L),
+      ("b", "a") -> (2L, 1000L)))
+  }
+
+  test("transitions: property — Spark op ≡ in-memory reference, partition-invariant") {
+    import org.scalacheck.{Gen, Prop, Test => PropTest}
+    val genEvents = for {
+      n <- Gen.choose(2, 80)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 6L)
+        t <- Gen.oneOf("a", "b", "c")
+        m <- Gen.choose(0, 50)
+      } yield (u, t, m))
+    } yield evs.zipWithIndex.map { case ((u, t, m), i) => (u, i.toLong, t, m) }
+    val prop = Prop.forAll(genEvents) { evs =>
+      val df = evs.toDF("user_id", "event_id", "event_type", "m")
+        .select($"user_id", $"event_id", $"event_type",
+          timestamp_micros($"m".cast("long") * 60000000L).as("ts"))
+        .repartition(7)
+      val got = AnalyticsQueries.eventTransitionsOf(df)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val pairs = evs.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        val ordered = g.sortBy(e => (e._4, e._2)).map(_._3)
+        ordered.zip(ordered.drop(1))
+      }
+      val counts = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val outTotals = counts.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+      val want = counts.map { case ((f, t), n) =>
+        (f, t) -> (n, n * 1000L / outTotals(f)) }
+      got == want
+    }
+    val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rfm: quartile assignment matches SQL NTILE; totals conserve") {
+    // 8 purchasing users with strictly increasing metrics so every
+    // quartile holds exactly 2 users on each dimension; user k has
+    // recency rank k, frequency rank k, monetary rank k => segment
+    // (q q q) with q = (k-1)/2 + 1.
+    val ev = (1 to 8).flatMap { k =>
+      (1 to k).map(i => (k.toLong, 100L * k + i, "purchase",
+        ts(10 * k + i), k * 100L))
+    }.toDF("user_id", "event_id", "event_type", "ts", "cents")
+      .select($"user_id", $"event_id", $"event_type", $"ts",
+        ($"cents".cast("double") / 100.0).as("value"))
+      .withColumn("value_cents", round($"value" * 100).cast("long"))
+    val got = AnalyticsQueries.rfmSegmentsOf(ev)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = (1 to 8).groupBy(k => ((k - 1) / 2 + 1) * 111L).map { case (seg, ks) =>
+      seg -> (ks.size.toLong, ks.map(k => k.toLong * k * 100L).sum)
+    }
+    assert(got === want)
+    // conservation: user counts and monetary mass survive the rollup
+    assert(got.values.map(_._1).sum === 8L)
+  }
+
+  test("rfm: partition invariance (tiles are a total order, not placement)") {
+    val ev = Tables.events(spark, sfDir)
+    val a = AnalyticsQueries.rfmSegmentsOf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = AnalyticsQueries.rfmSegmentsOf(ev.repartition(13))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
 }

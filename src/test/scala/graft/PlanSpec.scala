@@ -138,6 +138,46 @@ class PlanSpec extends SparkSuite {
     assert(finalPlan.contains("BroadcastHashJoin"), p)
   }
 
+  test("Q13 custdist: orders pre-aggregate BELOW the outer join, no fact re-shuffle") {
+    val p = planOf(TpchQueries.custDistribution(spark, sfDir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the per-customer count must form before the join (the HashAggregate
+    // with partial_count sits under the join, not over it): order rows
+    // never cross the outer join
+    assert(finalPlan.contains("partial_count"), p)
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), p)
+    // outer-join form survives planning (LeftOuter via broadcast or shuffle)
+    assert(finalPlan.contains("LeftOuter"), p)
+  }
+
+  test("Q19 disjunctive predicate: per-side necessary conditions reach both scans") {
+    val p = planOf(TpchQueries.disjunctRevenue(spark, sfDir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the hand-factored qty bound prunes lineitem AT THE SCAN
+    assert(finalPlan.contains("GreaterThanOrEqual(l_quantity,1.0)") ||
+      finalPlan.contains("PushedFilters: [IsNotNull(l_quantity)"), p)
+    // the brand set prunes part at its scan
+    assert(finalPlan.contains("In(p_brand"), p)
+    assert(finalPlan.contains("BroadcastHashJoin"), p)
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("Q21 sole-late shape: two keyed aggregations, no correlated self-joins of the fact") {
+    val p = planOf(TpchQueries.soleLateSupplier(spark, sfDir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), p)
+    // ONE fact-fact join (lineitem x orders); the double existential is
+    // aggregation, not two more joins of the fact
+    assert(finalPlan.sliding("SortMergeJoin".length)
+      .count(_ == "SortMergeJoin") +
+      finalPlan.sliding("ShuffledHashJoin".length)
+        .count(_ == "ShuffledHashJoin") <= 1, p)
+    assert(finalPlan.contains("partial_count") || finalPlan.contains("Partial"), p)
+  }
+
   test("percentile/quantile routes: one window stage over the pinned state, no joins") {
     // the sub-200ms serving claim rests on stage count: a routed
     // in-memory scan, ONE window (RANGE-frame shared cumsum makes the

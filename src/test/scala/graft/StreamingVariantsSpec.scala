@@ -455,6 +455,71 @@ class StreamingVariantsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming transitions: a late event SPLITS a settled pair; final == batch at any split") {
+    import graft.streaming.TransitionsStream
+    import graft.streaming.TransitionsStream.Pairs
+    // user 7: a@1s then b@9s settle as pair a->b; c@5s arrives LATE
+    // and must rewrite it to a->c, c->b — transition counts are NOT
+    // additive over arrival batches
+    val events = Seq(
+      TimerDedup.Ev(1, new Timestamp(1000), 7, "a", 0),
+      TimerDedup.Ev(2, new Timestamp(9000), 7, "b", 0),
+      TimerDedup.Ev(3, new Timestamp(5000), 7, "c", 0),
+      TimerDedup.Ev(4, new Timestamp(2000), 8, "x", 0))
+    for (splitAt <- Seq(0, 1, 2, 3, 4)) {
+      implicit val sql = spark.sqlContext
+      val mem = MemoryStream[TimerDedup.Ev]
+      val updates = TransitionsStream.pairs(spark, mem.toDF())
+      val last = new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, String)]]()
+      val q = updates.writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Pairs], _: Long) =>
+          b.collect().foreach(p => last.put(p.user_id, p.pairs))
+        }.start()
+      try {
+        val (a, b) = events.splitAt(splitAt)
+        if (a.nonEmpty) { mem.addData(a: _*); q.processAllAvailable() }
+        if (b.nonEmpty) { mem.addData(b: _*); q.processAllAvailable() }
+        assert(last.get(7L) === Seq(("a", "c"), ("c", "b")), s"splitAt=$splitAt")
+        assert(last.get(8L) === Seq.empty, s"splitAt=$splitAt")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming transitions equal the batch matrix on the events fixture; replay no-op") {
+    import graft.streaming.TransitionsStream
+    import graft.streaming.TransitionsStream.Pairs
+    implicit val sql = spark.sqlContext
+    val evs = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value_cents")
+      .as[(Long, Timestamp, Long, String, Long)].collect().toSeq
+      .map(e => TimerDedup.Ev(e._1, e._2, e._3, e._4, e._5))
+    val (odd, even) = evs.partition(_.event_id % 2 == 1) // out-of-order interleave
+    val mem = MemoryStream[TimerDedup.Ev]
+    val updates = TransitionsStream.pairs(spark, mem.toDF())
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, String)]]()
+    val q = updates.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Pairs], _: Long) =>
+        b.collect().foreach(p => last.put(p.user_id, p.pairs))
+      }.start()
+    try {
+      mem.addData(odd: _*)
+      q.processAllAvailable()
+      mem.addData(even: _*)
+      q.processAllAvailable()
+      mem.addData(even.take(50): _*) // replay: state unchanged
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val emissions = last.asScala.toSeq.map { case (u, ps) => (u, ps) }
+      .toDF("user_id", "pairs")
+    val streamed = TransitionsStream.matrixOf(emissions)
+      .as[(String, String, Long, Long)].collect().toSet
+    val batch = graft.queries.AnalyticsQueries.eventTransitions(spark, sfDir)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("processing-time rollup counts every row exactly once (update mode)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TimerDedup.Ev]
