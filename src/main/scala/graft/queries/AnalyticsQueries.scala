@@ -312,7 +312,31 @@ object AnalyticsQueries {
         sum(col("monetary_cents")).as("monetary_sum_cents"))
   }
 
+  /** Trending top-K: the top-3 event types of every SLIDING 1-hour
+    * window (15-minute slide) by event count — the "what's hot right
+    * now" serving query, where tumbling windows would miss a burst
+    * straddling a boundary. Scale shape: the slide is a bounded ×4
+    * row expand (size/slide copies per event, same as
+    * [[slidingActiveUsers]] — never a window-spine join), counts
+    * collapse map-side onto the (window × type-alphabet) domain, and
+    * the rank filter plans as WindowGroupLimit so per-window state
+    * stays bounded at k.
+    */
+  def topKTrending(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TopK.topKPerKey(
+      Tables.events(spark, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value_cents")).as("sum_cents"))
+        .select(unix_millis(col("w.start")).as("window_start_ms"),
+          col("event_type"), col("n_events"), col("sum_cents")),
+      Seq("window_start_ms"),
+      Seq(col("n_events").desc, col("event_type").asc), 3)
+      .select(col("window_start_ms"), col("rank").cast("long").as("rank"),
+        col("event_type"), col("n_events"), col("sum_cents"))
+
   val queries: Map[String, QFn] = Map(
+    "q_topk_trending" -> (topKTrending _),
     "q_event_transitions" -> (eventTransitions _),
     "q_rfm_segments" -> (rfmSegments _),
     "q_covisit_lift" -> (covisitLift _),
@@ -343,6 +367,19 @@ object AnalyticsQueries {
         |CROSS JOIN n""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_topk_trending" ->
+      """WITH g AS (
+        |  SELECT ((epoch_us(ts) // 900000000) - k) * 900000 AS window_start_ms,
+        |    event_type, count(*) AS n_events,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events CROSS JOIN range(0, 4) AS r(k)
+        |  GROUP BY 1, 2)
+        |SELECT window_start_ms, rank, event_type, n_events, sum_cents FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY window_start_ms
+        |    ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rank
+        |  FROM g)
+        |WHERE rank <= 3""".stripMargin,
     "q_event_transitions" ->
       """WITH p AS (
         |  SELECT lag(event_type) OVER (
