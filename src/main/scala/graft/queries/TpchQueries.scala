@@ -559,7 +559,49 @@ object TpchQueries {
         col("c_name"), col("c_mktsegment"), col("lost_cents"), col("n_items"))
   }
 
+  /** TPC-H Q2 minimum-cost supplier, re-keyed to this schema (no
+    * partsupp): for every part of one brand, the supplier(s) whose
+    * average realized unit price over that part's lineitems is the
+    * minimum — the CORRELATED-MIN-PER-GROUP shape with ties kept
+    * (Q15's `= max` view generalized from one global group to one
+    * group per part). Unit price is integer micro-cents,
+    * `1e6·Σprice DIV Σqty` — the floor is mirrored verbatim in the
+    * oracle, so "minimum at micro-cent resolution" is exact on both
+    * engines and no float division crosses the boundary. Plan: the
+    * brand filter broadcasts part onto the scan, per-(part, supplier)
+    * sums aggregate map-side, the per-part min runs over that
+    * bounded aggregate, and the ties-kept equality join-back joins
+    * aggregate-sized sides on (part, unit) — the fact scans once.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val perSupp = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("sp_cents"),
+        sum(col("l_quantity").cast("long")).as("sp_qty"))
+      .withColumn("unit_micro",
+        column(IntegralDivide(
+          expression(col("sp_cents") * 1000000L),
+          expression(col("sp_qty")))).cast("long"))
+    val minPerPart = perSupp
+      .groupBy(col("l_partkey"))
+      .agg(min(col("unit_micro")).as("min_micro"))
+    perSupp
+      .join(minPerPart.withColumnRenamed("min_micro", "unit_micro"),
+        Seq("l_partkey", "unit_micro"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("s_name"),
+        col("unit_micro"), col("sp_cents"), col("sp_qty"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_tpch_min_cost_supp" -> (minCostSupplier _),
     "q_tpch_trade_volume" -> (tradeVolume _),
     "q_tpch_market_share" -> (marketShare _),
     "q_tpch_returned_top" -> (returnedRevenue _),
@@ -585,6 +627,20 @@ object TpchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_min_cost_supp" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sp_cents,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sp_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'
+        |  GROUP BY 1, 2),
+        |u AS (SELECT *, CAST(sp_cents * 1000000 // sp_qty AS BIGINT) AS unit_micro FROM pp),
+        |m AS (SELECT l_partkey, min(unit_micro) AS min_micro FROM u GROUP BY 1)
+        |SELECT u.l_partkey, u.l_suppkey, s_name, unit_micro, sp_cents, sp_qty
+        |FROM u
+        |JOIN m ON u.l_partkey = m.l_partkey AND u.unit_micro = m.min_micro
+        |JOIN supplier ON u.l_suppkey = s_suppkey""".stripMargin,
     "q_tpch_trade_volume" ->
       """SELECT rs.r_name AS supp_region, rc.r_name AS cust_region,
         |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
