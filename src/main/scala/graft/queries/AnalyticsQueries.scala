@@ -335,7 +335,31 @@ object AnalyticsQueries {
       .select(col("window_start_ms"), col("rank").cast("long").as("rank"),
         col("event_type"), col("n_events"), col("sum_cents"))
 
+  /** Whale-user revenue breakdown through the SALTED skew join
+    * ([[graft.ops.SkewJoin]]): enrich every event with its user's
+    * lifetime spend and report revenue by event type for
+    * above-median spenders. The per-user dim is exactly the
+    * fact-derived profile a bot/whale user would hot-key — the
+    * salted join spreads each user's rows over `salts` tasks while
+    * keeping equi-join semantics, so the gate pins the operator's
+    * correctness end-to-end (the oracle is the plain unsalted join).
+    * One map-side-combining profile aggregate, one salted equi-join,
+    * one alphabet-bounded rollup.
+    */
+  def skewJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value_cents"))
+    val userDim = ev.groupBy(col("user_id"))
+      .agg(sum(col("value_cents")).as("user_total_cents"))
+    graft.ops.SkewJoin.saltedInnerJoin(ev, userDim, Seq("user_id"), salts = 8)
+      .filter(col("user_total_cents") > 330000L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_cents")).as("revenue_cents"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_skew_join" -> (skewJoinRevenue _),
     "q_topk_trending" -> (topKTrending _),
     "q_event_transitions" -> (eventTransitions _),
     "q_rfm_segments" -> (rfmSegments _),
@@ -367,6 +391,16 @@ object AnalyticsQueries {
         |CROSS JOIN n""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_skew_join" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS t
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM events JOIN d USING (user_id)
+        |WHERE t > 330000
+        |GROUP BY 1""".stripMargin,
     "q_topk_trending" ->
       """WITH g AS (
         |  SELECT ((epoch_us(ts) // 900000000) - k) * 900000 AS window_start_ms,
