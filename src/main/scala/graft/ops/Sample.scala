@@ -78,6 +78,26 @@ object Sample {
       .drop("_es_key")
   }
 
+  /** Per-GROUP weighted sample without replacement: the same A-ES
+    * key as [[weightedTopK]], ranked WITHIN each group — the
+    * per-domain / per-language weighted selection step ("the k
+    * highest-drawn docs of every language, inclusion ∝ tokens").
+    * One shuffle on the group key; the rank filter plans as
+    * WindowGroupLimit, so per-group state stays bounded at k however
+    * large (or skewed) a group is. Same determinism contract:
+    * re-runs, repartitions, and engine swaps select identical rows.
+    */
+  def weightedTopKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val u = (hash60(col(idCol)).cast("double") + lit(1.0)) / lit(HashSpace.toDouble)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_es_key").desc, col(idCol).asc)
+    df.withColumn("_es_key", log(u) / col(weightCol).cast("double"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .drop("_es_key")
+  }
+
   /** Budget-driven mixture sampling: per-stratum keep-rate
     * min(1, budget*weight / stratum_tokens), so the kept token mass
     * approximates `budget` split by `weights`. Strata absent from

@@ -67,6 +67,17 @@ object SampleQueries {
           Text.estBpeTokens(col("n_chars")).as("est_tokens")),
       idCol = "doc_id", weightCol = "est_tokens", k = 200)
 
+  /** Per-language weighted selection — [[Sample.weightedTopKPerGroup]]
+    * over the same token-weight: the 5 highest-drawn docs of EVERY
+    * language (per-domain quota sampling).
+    */
+  def sampleWeightedPerGroup(spark: SparkSession, dir: String): DataFrame =
+    Sample.weightedTopKPerGroup(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          Text.estBpeTokens(col("n_chars")).as("est_tokens")),
+      groupCol = "lang", idCol = "doc_id", weightCol = "est_tokens", k = 5)
+
   /** DSIR-style importance scores toward an English-looking bigram
     * profile — see [[Sample.importanceWeights]]. All 500 docs scored;
     * the resampling step composes with [[sampleWeighted]]'s A-ES or
@@ -105,6 +116,7 @@ object SampleQueries {
     "q_doc_sample_pergroup" -> (samplePerGroup _),
     "q_doc_mixture" -> (sampleMixture _),
     "q_doc_sample_weighted" -> (sampleWeighted _),
+    "q_doc_sample_weighted_grp" -> (sampleWeightedPerGroup _),
     "q_doc_importance" -> (sampleImportance _),
     "q_doc_importance_served" -> (sampleImportanceServed _),
   )
@@ -151,6 +163,15 @@ object SampleQueries {
          |ORDER BY ln((CAST($h60 AS DOUBLE) + 1.0) / 1152921504606846976.0)
          |    / CAST(est_tokens AS DOUBLE) DESC, doc_id
          |LIMIT 200""".stripMargin,
+    "q_doc_sample_weighted_grp" ->
+      s"""SELECT doc_id, lang, est_tokens, rn FROM (
+         |  SELECT doc_id, lang, est_tokens,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY ln((CAST($h60 AS DOUBLE) + 1.0) / 1152921504606846976.0)
+         |          / CAST(est_tokens AS DOUBLE) DESC, doc_id) AS BIGINT) AS rn
+         |  FROM (SELECT doc_id, lang, CAST((n_chars + 3) // 4 AS BIGINT) AS est_tokens
+         |        FROM documents))
+         |WHERE rn <= 5""".stripMargin,
     // the full integer DSIR chain replayed: bigram → md5 bucket →
     // add-1 ratio weight ((t+1)*10000 // (r+1)) → per-doc weight sum.
     // The served path re-sums additive profile deltas to the identical

@@ -318,6 +318,36 @@ class TemporalSampleSpec extends SparkSuite {
     assert(meanSel > meanAll, s"sample mean $meanSel !> corpus mean $meanAll")
   }
 
+  test("weightedTopKPerGroup: per-group brute-force parity, WindowGroupLimit plan, stability") {
+    val docs = Tables.documents(spark, docsDir)
+      .select($"doc_id", $"lang", graft.functions.Text.estBpeTokens($"n_chars").as("w"))
+    val sel = Sample.weightedTopKPerGroup(docs, "lang", "doc_id", "w", 5)
+    val out = sel.select("lang", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def h60(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val expected = docs.as[(Long, String, Long)].collect()
+      .groupBy(_._2).view.mapValues { g =>
+        g.map { case (id, _, w) =>
+          val u = (h60(id).toDouble + 1.0) / Sample.HashSpace.toDouble
+          (math.log(u) / w.toDouble, id)
+        }.sortBy { case (k, id) => (-k, id) }.take(5).map(_._2).toSet
+      }.toMap
+    assert(out === expected)
+    // per-group rank state is bounded: the filter plans as WindowGroupLimit
+    sel.collect()
+    assert(sel.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      sel.queryExecution.executedPlan.toString)
+    // placement-independent
+    val again = Sample.weightedTopKPerGroup(docs.repartition(13), "lang", "doc_id", "w", 5)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(again === out)
+  }
+
   // ---------- semantic dedup ----------
 
   test("importanceWeights ranks target-profile docs above off-profile docs") {
