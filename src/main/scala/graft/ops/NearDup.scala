@@ -162,9 +162,17 @@ object NearDup {
     * IS |A ∩ B|; the threshold test is exact integer arithmetic.
     */
   private[graft] def verifyPairs(cand: DataFrame, postings: DataFrame,
-      thresholdNum: Int, thresholdDen: Int): DataFrame = {
-    val pa = postings.select(col("doc_id").as("doc_a"), col("sh_size").as("shingles_a"), col("shingle"))
-    val pb = postings.select(col("doc_id").as("doc_b"), col("sh_size").as("shingles_b"), col("shingle"))
+      thresholdNum: Int, thresholdDen: Int): DataFrame =
+    verifyPairsAcross(cand, postings, postings, thresholdNum, thresholdDen)
+
+  /** [[verifyPairs]] generalized to candidates whose two sides come
+    * from DIFFERENT postings tables (cross-corpus verification) —
+    * same exact-integer Jaccard, same postings-join shape.
+    */
+  private[graft] def verifyPairsAcross(cand: DataFrame, postingsA: DataFrame,
+      postingsB: DataFrame, thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val pa = postingsA.select(col("doc_id").as("doc_a"), col("sh_size").as("shingles_a"), col("shingle"))
+    val pb = postingsB.select(col("doc_id").as("doc_b"), col("sh_size").as("shingles_b"), col("shingle"))
     cand.join(pa, "doc_a")
       .join(pb, Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -255,6 +263,44 @@ object NearDup {
       .distinct()
     finalized(verifyPairs(cand, postings, thresholdNum, thresholdDen),
       buckets, postings)
+  }
+
+  /** Cross-corpus near-dup dedup — the "dedup the new crawl against
+    * the previous dump" stage: every `fresh` doc whose shingle
+    * Jaccard with ANY `frozen` doc reaches num/den is dropped;
+    * `frozen` is never touched. Candidates come from a band
+    * equi-join BETWEEN the two corpora's LSH tables only —
+    * frozen×frozen and fresh×fresh pairs are never generated (the
+    * within-corpus pair families cover those) — and every candidate
+    * exact-verifies across the two postings tables, so false drops
+    * are impossible and misses inherit [[minhashPairs]]'
+    * (1−j^r)^b envelope (0 for identical sets). Returns
+    * (doc_id, n_dup_partners) for SURVIVING fresh docs
+    * (n_dup_partners = 0 by construction; dropped docs are the
+    * complement). Scale shape: two signature aggregations (map-side
+    * partial mins), one band-bucket equi-join across corpora, one
+    * postings-join verify over candidates only, one anti-join.
+    */
+  def crossDedupSurvivors(frozen: DataFrame, fresh: DataFrame, n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    val postA = postingsOf(frozen, n)
+    val postB = postingsOf(fresh, n)
+    def bucketsOf(post: DataFrame) =
+      minhashSigsFromPostings(post, bands * rowsPerBand)
+        .withColumn("bands", lshBands(col("sig"), bands, rowsPerBand))
+        .select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cand = bucketsOf(postB).withColumnRenamed("doc_id", "doc_b")
+      .join(bucketsOf(postA).withColumnRenamed("doc_id", "doc_a"),
+        Seq("band_idx", "band_hash"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val hit = verifyPairsAcross(cand, postA, postB, thresholdNum, thresholdDen)
+      .select(col("doc_b").as("doc_id")).distinct()
+    finalized(
+      fresh.select(col("doc_id")).join(hit, Seq("doc_id"), "left_anti"),
+      postA, postB)
   }
 
   /** Benchmark decontamination: for every candidate doc, the number

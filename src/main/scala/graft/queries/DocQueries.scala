@@ -71,6 +71,20 @@ object DocQueries {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     NearDup.minhashPairs(Tables.documents(spark, dir))
 
+  /** Cross-corpus dedup — "dedup this crawl against the frozen
+    * previous dump" ([[NearDup.crossDedupSurvivors]]): odd-id docs
+    * (the fresh crawl) survive iff NO even-id doc (the frozen dump)
+    * is a Jaccard >= 0.8 near-dup. Candidates are band matches
+    * ACROSS the two corpora only, exact-verified, so the survivor
+    * set equals the oracle's NOT-EXISTS over exact cross pairs.
+    */
+  def docCrossDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    NearDup.crossDedupSurvivors(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+  }
+
   /** SimHash (frequency-weighted, 60-bit, md5-derived token hash)
     * pairs at Hamming <= 3 via pigeonhole chunk blocking. The token
     * hash is reproducible in DuckDB, so the oracle recomputes the
@@ -910,6 +924,7 @@ object DocQueries {
     "q_doc_dedup_jaccard" -> (dedupJaccard _),
     "q_doc_dedup_minhash" -> (dedupMinhash _),
     "q_doc_dedup_simhash" -> (dedupSimhash _),
+    "q_doc_cross_dedup" -> (docCrossDedup _),
   )
 
   private val toks = "string_split(text, ' ')"
@@ -1480,6 +1495,18 @@ object DocQueries {
       "3 * len(list_intersect(a.sh, b.sh)) >= 1 * (len(a.sh) + len(b.sh))"),
     "q_doc_dedup_minhash" -> jaccardOracle("c",
       "9 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh))"),
+    // fresh (odd-id) survivors of the cross-corpus dedup against the
+    // frozen even-id dump: NOT EXISTS an exact Jaccard>=0.8 partner
+    "q_doc_cross_dedup" ->
+      s"""$shingleCte
+         |SELECT f.doc_id FROM s f
+         |WHERE f.doc_id % 2 = 1
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM s z
+         |    WHERE z.doc_id % 2 = 0
+         |      AND len(f.sh) > 0 AND len(z.sh) > 0
+         |      AND 9 * len(list_intersect(f.sh, z.sh))
+         |          >= 4 * (len(f.sh) + len(z.sh)))""".stripMargin,
     // exact Jaccard>=0.8 cross pairs: queries (<50) vs corpus (50+) —
     // what the served band-index probe must return after verification.
     // The offline distributed path returns the identical pair set, so

@@ -19,6 +19,27 @@ class NearDupSpec extends SparkSuite {
     assert(lsh === exact)
   }
 
+  test("crossDedupSurvivors drops only cross-corpus near-dups; within-fresh dups both survive") {
+    // frozen: 2 (template), 4 (unique). fresh: 1 (near-dup of 2 —
+    // dropped), 3+5 (near-dups of EACH OTHER but of nothing frozen —
+    // BOTH survive: this op is cross-only), 7 (unique — survives),
+    // 9 (two tokens, no 3-gram shingles — survives by vacuity).
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val pair = "one two three four five six seven eight nine ten"
+    val corpus = Seq(
+      (2L, base), (4L, "totally different frozen content words here now"),
+      (1L, base + " lambda"), (3L, pair + " eleven"), (5L, pair + " twelve"),
+      (7L, "nothing like anything else in this corpus at all exists"),
+      (9L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val frozen = corpus.filter($"doc_id" % 2 === 0)
+    val fresh = corpus.filter($"doc_id" % 2 === 1)
+    val survivors = NearDup.crossDedupSurvivors(frozen, fresh,
+        thresholdNum = 1, thresholdDen = 2)
+      .as[Long].collect().toSet
+    assert(survivors === Set(3L, 5L, 7L, 9L))
+  }
+
   test("jaccard pairs are symmetric-free (a<b) and above threshold") {
     val rows = NearDup.jaccardPairs(docs, 3, 1, 2).collect()
     assert(rows.nonEmpty)
