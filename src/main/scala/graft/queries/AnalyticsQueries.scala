@@ -66,6 +66,39 @@ object AnalyticsQueries {
       .agg(coalesce(sum(col("n")), lit(0L)).as("n_users"))
   }
 
+  /** SESSION-grain conversion funnel — the sessionize → funnel
+    * COMPOSITION: each (user, 30-min-gap session) is staged by the
+    * strict first-touch order signup < view < click < purchase
+    * WITHIN the session, and the output counts sessions at or beyond
+    * each stage. Where the user-grain funnel asks "did this user
+    * ever convert", the session grain asks "how often does a single
+    * visit convert" — the product-analytics default. Scale shape:
+    * ONE user-keyed exchange feeds `session_window` (the same native
+    * operator as the q_sessionize gate, so grouping parity with the
+    * gap-lag oracle is already pinned); per-session state is four
+    * conditional mins; the cumulative rollup is the funnel's 5×5
+    * triangular join over a ≤5-row aggregate.
+    */
+  def sessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    def firstUs(tpe: String) =
+      min(when(col("event_type") === tpe, unix_micros(col("ts")))).as(s"t_$tpe")
+    val perSession = Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(firstUs("signup"), firstUs("view"), firstUs("click"), firstUs("purchase"))
+    val staged = perSession.select(
+      (when(col("t_signup").isNotNull, 1L).otherwise(0L) +
+        when(col("t_signup") < col("t_view"), 1L).otherwise(0L) +
+        when(col("t_signup") < col("t_view") && col("t_view") < col("t_click"), 1L)
+          .otherwise(0L) +
+        when(col("t_signup") < col("t_view") && col("t_view") < col("t_click") &&
+          col("t_click") < col("t_purchase"), 1L).otherwise(0L)).as("max_stage"))
+    val counts = staged.groupBy(col("max_stage")).agg(count(lit(1)).as("n"))
+    spark.range(0, 5).toDF("stage")
+      .join(counts, col("max_stage") >= col("stage"), "left")
+      .groupBy(col("stage"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_sessions"))
+  }
+
   /** Daily cohort retention: cohort = the UTC day index of a user's
     * first event; for each (cohort_day, day_offset) count the distinct
     * users active that many days after their first touch. Day index is
@@ -360,6 +393,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_skew_join" -> (skewJoinRevenue _),
+    "q_session_funnel" -> (sessionFunnel _),
     "q_topk_trending" -> (topKTrending _),
     "q_event_transitions" -> (eventTransitions _),
     "q_rfm_segments" -> (rfmSegments _),
@@ -391,6 +425,39 @@ object AnalyticsQueries {
         |CROSS JOIN n""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // session assignment mirrors the q_sessionize oracle verbatim
+    // (strict >30-min gap opens a session); stage logic mirrors the
+    // user-grain funnel's strict first-touch ordering
+    "q_session_funnel" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_us(ts) AS tu, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        |s AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY tu
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |f AS (
+        |  SELECT user_id, sid,
+        |    min(CASE WHEN event_type = 'signup' THEN tu END) AS t_signup,
+        |    min(CASE WHEN event_type = 'view' THEN tu END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN tu END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN tu END) AS t_purchase
+        |  FROM s GROUP BY 1, 2),
+        |st AS (
+        |  SELECT
+        |    (CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) +
+        |    (CASE WHEN t_signup < t_view THEN 1 ELSE 0 END) +
+        |    (CASE WHEN t_signup < t_view AND t_view < t_click THEN 1 ELSE 0 END) +
+        |    (CASE WHEN t_signup < t_view AND t_view < t_click
+        |          AND t_click < t_purchase THEN 1 ELSE 0 END) AS max_stage
+        |  FROM f)
+        |SELECT k.stage, CAST(coalesce(count(st.max_stage), 0) AS BIGINT) AS n_sessions
+        |FROM range(0, 5) AS k(stage)
+        |LEFT JOIN st ON st.max_stage >= k.stage
+        |GROUP BY 1""".stripMargin,
     "q_skew_join" ->
       """WITH d AS (
         |  SELECT user_id,
