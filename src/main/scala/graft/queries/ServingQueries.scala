@@ -170,7 +170,34 @@ object ServingQueries {
     graft.serving.Router.aggregateProfile(spark, dir,
       Seq("event_type", "hour_of_day"))
 
+  /** Trending top-K SERVED from the materialized minute rollup: each
+    * (minute, type) state row expands to the 4 enclosing 1h/15m
+    * sliding windows — a minute is always INTERIOR to a sliding
+    * window (never split), so re-aggregating the rollup is EXACT —
+    * then re-sums and ranks top-3 per window. Shares the raw-scan
+    * trending gate's oracle, which proves the rollup's sliding
+    * re-aggregation lossless end-to-end (build + expand + rank).
+    * Scale: reads |minutes|×|types| state rows instead of the fact;
+    * the ×4 expand happens on the state, and WindowGroupLimit caps
+    * per-window rank state at k.
+    */
+  def topKTrendingServed(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Serving.readTable(spark, dir, "rollup_1m")
+      .withColumn("k", explode(sequence(lit(0L), lit(3L))))
+      .groupBy(
+        ((expr("window_start_ms DIV 900000") - col("k")) * 900000L)
+          .as("window_start_ms"),
+        col("event_type"))
+      .agg(sum(col("order_count")).as("n_events"),
+        sum(col("sum_value_cents")).as("sum_cents"))
+    graft.ops.TopK.topKPerKey(agg, Seq("window_start_ms"),
+        Seq(col("n_events").desc, col("event_type").asc), 3)
+      .select(col("window_start_ms"), col("rank").cast("long").as("rank"),
+        col("event_type"), col("n_events"), col("sum_cents"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_topk_trending_served" -> (topKTrendingServed _),
     "q_topk_lookup_served" -> (topKLookupServed _),
     "q_topk_lookup_replica" -> (topKLookupReplica _),
     "q_topk_lookup_revenue" -> (topKLookupRevenue _),
@@ -192,6 +219,9 @@ object ServingQueries {
     // the routed form must match the RAW-expand oracle bit-for-bit —
     // same SQL as q_cumulate_daily, different (serving-table) plan
     "q_cumulate_daily_routed" -> OlapQueries.oracles("q_cumulate_daily"),
+    // served trending must equal the raw-scan trending bit-for-bit —
+    // same oracle, different (minute-rollup re-aggregation) plan
+    "q_topk_trending_served" -> AnalyticsQueries.oracles("q_topk_trending"),
     // same binned-quantile definition recomputed from raw events:
     // `100*cum >= p*n` is the integer spelling of cum >= ceil(p%*n),
     // and DuckDB's `//` floor-division matches Spark's DIV on the
