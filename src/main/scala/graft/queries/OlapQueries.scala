@@ -291,6 +291,30 @@ object OlapQueries {
       Seq(col("total_cents").desc, col("user_id").asc), n = 10, out = "decile")
   }
 
+  /** Distributed PERCENT_RANK + CUME_DIST over per-user revenue —
+    * the remaining two members of the global-ranking window family
+    * (row_number and ntile are already gated), computed from the
+    * same range-partitioned exclusive scan ([[Rank.globalRowNumber]])
+    * instead of a single-task `Window.orderBy`. Both statistics are
+    * exact integer micro-units ((rn−1)·10⁶ DIV (n−1) and
+    * rn·10⁶ DIV n) so no float division crosses the engine boundary;
+    * the 1-row count broadcast-crosses onto the ranked table.
+    */
+  def revenuePctRank(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value_cents")).as("total_cents"))
+    val ranked = Rank.globalRowNumber(totals,
+      Seq(col("total_cents").asc, col("user_id").asc), out = "rn")
+    ranked
+      .crossJoin(broadcast(totals.agg(count(lit(1)).as("n"))))
+      .select(col("user_id"), col("total_cents"),
+        when(col("n") > 1,
+          expr("(rn - 1) * 1000000 DIV (n - 1)")).otherwise(lit(0L))
+          .as("pct_rank_micro"),
+        expr("rn * 1000000 DIV n").as("cume_dist_micro"))
+  }
+
   /** Frequent-items sketch over event_type: k=8 counters > 5 distinct
     * values, so the Misra-Gries sketch is provably EXACT here and
     * hash-checks against a plain GROUP BY; the approximate regime
@@ -400,6 +424,7 @@ object OlapQueries {
     "q_gapfill_minutes" -> (gapfillMinutes _),
     "q_value_histogram" -> (valueHistogram _),
     "q_revenue_deciles" -> (revenueDeciles _),
+    "q_revenue_pct_rank" -> (revenuePctRank _),
     "q_revenue_share" -> (revenueShare _),
     "q_type_history" -> (typeHistory _),
     "q_user_growth" -> (userGrowth _),
@@ -570,6 +595,20 @@ object OlapQueries {
          |  CAST(ntile(10) OVER (ORDER BY total_cents DESC, user_id ASC) AS BIGINT) AS decile
          |FROM (SELECT user_id, CAST(SUM($cents) AS BIGINT) AS total_cents
          |      FROM events GROUP BY 1)""".stripMargin,
+    // integer-micro mirrors of SQL percent_rank/cume_dist over the
+    // same (total, user) total order
+    "q_revenue_pct_rank" ->
+      s"""WITH t AS (SELECT user_id, CAST(SUM($cents) AS BIGINT) AS total_cents
+         |           FROM events GROUP BY 1),
+         |r AS (SELECT *,
+         |    CAST(row_number() OVER (ORDER BY total_cents ASC, user_id ASC) AS BIGINT) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM t)
+         |SELECT user_id, total_cents,
+         |  CAST(CASE WHEN n > 1 THEN (rn - 1) * 1000000 // (n - 1) ELSE 0 END AS BIGINT)
+         |    AS pct_rank_micro,
+         |  CAST(rn * 1000000 // n AS BIGINT) AS cume_dist_micro
+         |FROM r""".stripMargin,
     // GROUPING(a, b) bitmask: first argument = high bit — same
     // convention as Spark's grouping_id().
     "q_cube_revenue" ->
