@@ -178,6 +178,18 @@ class PlanSpec extends SparkSuite {
     assert(finalPlan.contains("partial_count") || finalPlan.contains("Partial"), p)
   }
 
+  test("served trending reads the pinned minute rollup, never the raw fact") {
+    val df = ServingQueries.topKTrendingServed(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the serving table is pinned in memory by readTable
+    assert(p.contains("InMemoryTableScan") || p.contains("rollup_1m"), p)
+    assert(!p.contains("events.parquet"),
+      "served trending must not rescan the fact\n" + p)
+    // rank filter stays bounded per window
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("percentile/quantile routes: one window stage over the pinned state, no joins") {
     // the sub-200ms serving claim rests on stage count: a routed
     // in-memory scan, ONE window (RANGE-frame shared cumsum makes the
