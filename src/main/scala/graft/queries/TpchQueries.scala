@@ -600,7 +600,30 @@ object TpchQueries {
         col("unit_micro"), col("sp_cents"), col("sp_qty"))
   }
 
+  /** TPC-H Q6 forecast revenue change: one lineitem scan under three
+    * conjunctive range predicates (ship year, discount band, quantity
+    * cap), summing `price·discount` — the pure predicate-pushdown
+    * query: every filter reaches the parquet scan (`PushedFilters`)
+    * and row-group min/max pruning does the rest; no join, no
+    * shuffle beyond the 1-row aggregate. Revenue is exact integer
+    * micro-cents (price_cents · discount_permille), so the
+    * double-multiply chain never crosses the engine boundary.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(cents(col("l_extendedprice")) * round(col("l_discount") * 1000).cast("long"))
+          .as("revenue_microcents"),
+        count(lit(1)).as("n_lines"))
+      .select(coalesce(col("revenue_microcents"), lit(0L)).as("revenue_microcents"),
+        col("n_lines"))
+
   val queries: Map[String, QFn] = Map(
+    "q_tpch_forecast_revenue" -> (forecastRevenue _),
     "q_tpch_min_cost_supp" -> (minCostSupplier _),
     "q_tpch_trade_volume" -> (tradeVolume _),
     "q_tpch_market_share" -> (marketShare _),
@@ -627,6 +650,17 @@ object TpchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_forecast_revenue" ->
+      """SELECT
+        |  CAST(coalesce(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * CAST(round(l_discount * 1000) AS BIGINT)), 0) AS BIGINT)
+        |    AS revenue_microcents,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q_tpch_min_cost_supp" ->
       """WITH pp AS (
         |  SELECT l_partkey, l_suppkey,
