@@ -737,6 +737,96 @@ object Serving {
     } finally { deltaAgg.unpersist(); deltaKeyed.unpersist() }
   }
 
+  /** Targeted USER ERASURE across the whole serving layout — the
+    * right-to-be-forgotten maintenance op (Pinot gets this via
+    * segment-rewrite/upsert-compaction tasks; here it is
+    * first-class). Most state tables are ADDITIVE — no subtraction
+    * exists — so the date partitions the user's events touch are
+    * RECOMPUTED from the surviving events and overwritten in place
+    * (the refresh write path); dates the user never touched are
+    * neither read nor written. A date whose rows all belonged to the
+    * user VANISHES (its partition directories are dropped first —
+    * dynamic overwrite alone cannot erase a partition the recomputed
+    * frame no longer writes). The user-keyed profile table rewrites
+    * whole (it is user-, not date-partitioned), the meta anchor
+    * recomputes from the surviving events, and the content stamp
+    * change makes replica sets re-replicate. Crash recovery matches
+    * [[refreshWithBatch]]'s contract: rebuild from the raw sink.
+    *
+    * Returns the affected p_date strings (empty = user unknown,
+    * nothing touched).
+    */
+  def eraseUser(spark: SparkSession, root: String, events: DataFrame,
+      userId: Long): Seq[String] = this.synchronized {
+    val mine = events.filter(col("user_id") === userId)
+    // one date per GRAIN: the same two-sided hour-window cover as
+    // refreshWithBatch (minute windows inside an hour can land on the
+    // next local date under fractional-offset session timezones)
+    val dates = mine
+      .select(explode(array(
+        to_date(date_trunc("hour", col("ts"))),
+        to_date(timestamp_millis(
+          unix_millis(date_trunc("hour", col("ts"))) + lit(3599999L)))))
+        .as("p_date"))
+      .distinct().collect().map(_.getDate(0).toString).toSeq.sorted
+    if (dates.isEmpty) return Seq.empty
+    val erased = events.filter(col("user_id") =!= userId)
+    val maxRow = erased.agg(unix_millis(max(col("ts")))).head()
+    require(!maxRow.isNullAt(0),
+      "erasing the last user empties the dataset — drop the root instead")
+    // contributors to the affected dates: every window grain stays
+    // within a day of its event, so ±1 day bounds the recompute input
+    val expanded = dates.flatMap { d =>
+      val ld = java.time.LocalDate.parse(d)
+      Seq(ld.minusDays(1), ld, ld.plusDays(1)).map(_.toString)
+    }.distinct
+    val sub = erased.filter(to_date(col("ts")).cast("string").isin(expanded: _*))
+    def dated(df: DataFrame) = df.filter(
+      to_date(timestamp_millis(col("window_start_ms"))).cast("string")
+        .isin(dates: _*))
+    // drop the affected partitions FIRST: a recomputed frame with no
+    // rows for a date must still erase that date's old rows
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (t <- allTables if t != "meta" && t != "profile_upsert"; d <- dates)
+      fs.delete(new Path(s"$root/$t/p_date=$d"), true)
+    val agg = dated(hourlyUserAgg(sub))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = dated(hourlyKeyedAgg(sub))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeAggStatePartitions(root, agg, keyed)
+      def ow(df: DataFrame, table: String, sortCols: Seq[String]): Unit =
+        TableManager.overwritePartitions(
+          df.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
+          s"$root/$table", "w_ts", sortCols)
+      ow(dated(minuteRollupAgg(sub)), "rollup_1m",
+        Seq("event_type", "window_start_ms"))
+      ow(dated(minuteUsers(sub)), "rollup_1m_users",
+        Seq("event_type", "window_start_ms", "user_id"))
+      ow(dated(minuteValueHist(sub)), "rollup_1m_hist",
+        Seq("event_type", "window_start_ms", "bin"))
+      ow(dated(minuteValueVals(sub)), "rollup_1m_vals",
+        Seq("event_type", "window_start_ms", "value_cents"))
+      ow(dated(minuteValueLogHist(sub)), "rollup_1m_loghist",
+        Seq("event_type", "window_start_ms", "lbucket"))
+      ow(dated(dailyCmSketch(sub)), "cm_daily", Seq("i", "bucket"))
+      ow(dated(kmvDailySketches(sub)), "kmv_daily",
+        Seq("event_type", "window_start_ms"))
+      ow(dated(dailyTupleSketches(sub)), "tuple_daily",
+        Seq("event_type", "window_start_ms"))
+      ow(dated(dailyBitmaps(sub)), "bitmap_daily",
+        Seq("event_type", "window_start_ms"))
+      writeProfileState(root, profileUpsertState(erased))
+      writeRankedPartitions(root, agg, keyed)
+      val lastApplied = readMeta(spark, root)._2
+      writeMeta(spark, root, maxRow.getLong(0), lastApplied)
+      anchorCache.put(root, maxRow.getLong(0))
+    } finally {
+      agg.unpersist(); keyed.unpersist(); invalidate(root)
+    }
+    dates
+  }
+
   private def writeAggStatePartitions(root: String, agg: DataFrame, keyed: DataFrame): Unit = {
     TableManager.overwritePartitions(
       agg.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),

@@ -84,6 +84,51 @@ object TableManager {
     withBloom(writer0, bloomCol).parquet(path)
   }
 
+  /** Targeted user erasure from a raw partitioned store — the
+    * right-to-be-forgotten twin of [[graft.serving.Serving.eraseUser]]
+    * at the raw-table layer: one pruned columnar scan finds the date
+    * partitions holding the user, ONLY those rewrite without the
+    * user's rows (dynamic partition overwrite, same sort + bloom
+    * layout as [[writePartitioned]]), and a partition whose every row
+    * belonged to the user is dropped directory-level. Untouched dates
+    * are neither read nor written. The kept rows are eagerly
+    * checkpointed before the overwrite (the read path is the write
+    * path); the only non-atomic step is the idempotent directory
+    * delete of sole-owner dates. Returns the affected p_date strings.
+    */
+  def eraseUser(
+      spark: SparkSession,
+      path: String,
+      tsCol: String,
+      sortCols: Seq[String],
+      userCol: String,
+      userId: Long,
+      bloomCol: Option[String] = None): Seq[String] = {
+    val t = spark.read.parquet(path)
+    val dates = t.filter(col(userCol) === userId)
+      .select(col("p_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (dates.isEmpty) Nil
+    else {
+      val kept = t
+        .filter(col("p_date").cast("string").isin(dates: _*) &&
+          col(userCol) =!= userId)
+        .drop("p_date")
+        .localCheckpoint(true)
+      try {
+        val datesWithRows = kept
+          .select(to_date(col(tsCol)).cast("string").as("d")).distinct()
+          .collect().map(_.getString(0)).toSet
+        overwritePartitions(kept, path, tsCol, sortCols, bloomCol)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        dates.filterNot(datesWithRows).foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/p_date=$d"), true))
+      } finally { kept.unpersist(); () }
+      dates
+    }
+  }
+
   /** Drop date partitions older than `retentionDays` relative to
     * `nowDate` (yyyy-MM-dd) — the Pinot retention-manager analog.
     * Purely directory-level: no data files are read.

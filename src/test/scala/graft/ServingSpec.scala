@@ -156,6 +156,56 @@ class ServingSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("user erasure: layout == rebuild without the user; untouched dates not rewritten; sole-owner date vanishes") {
+    import java.sql.Timestamp
+    val root = java.nio.file.Files.createTempDirectory("graft_erase").toString
+    def ev(id: Long, t: String, u: Long, et: String, cents: Long) =
+      (id, Timestamp.valueOf(t), u, et, cents / 100.0)
+    val rows = Seq(
+      ev(1, "2024-01-01 10:10:00", 1, "click", 300),
+      ev(2, "2024-01-01 10:20:00", 2, "view", 500),
+      ev(3, "2024-01-01 10:40:00", 1, "click", 200),
+      ev(4, "2024-01-02 09:00:00", 3, "click", 900)) // user 3 owns the whole date
+    val mkDf = (rs: Seq[(Long, Timestamp, Long, String, Double)]) =>
+      rs.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("value_cents", round(col("value") * 100).cast("long"))
+    Serving.materializeInto(spark, root, mkDf(rows))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtimes(t: String, d: String): Seq[Long] =
+      fs.listStatus(new Path(s"$root/$t/p_date=$d"))
+        .map(_.getModificationTime).toSeq.sorted
+    val before = mtimes("rollup_1m", "2024-01-01")
+
+    // unknown user: no-op
+    assert(Serving.eraseUser(spark, root, mkDf(rows), 99L) === Seq.empty)
+
+    val affected = Serving.eraseUser(spark, root, mkDf(rows), 3L)
+    assert(affected === Seq("2024-01-02"))
+    // the sole-owner date is gone from every date-partitioned table
+    for (t <- Serving.allTables if t != "meta" && t != "profile_upsert")
+      assert(!fs.exists(new Path(s"$root/$t/p_date=2024-01-02")),
+        s"$t still has the erased user's date")
+    // untouched date partitions were neither read back nor rewritten
+    assert(mtimes("rollup_1m", "2024-01-01") === before)
+    // full layout equals a rebuild from the surviving events
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft_erase_full").toString
+    Serving.materializeInto(spark, fullRoot, mkDf(rows.take(3)))
+    for (t <- Serving.allTables if t != "meta") {
+      val cols = spark.read.parquet(s"$fullRoot/$t").drop("w_ts").columns.sorted.toSeq
+      val a = spark.read.parquet(s"$root/$t").drop("w_ts")
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val b = spark.read.parquet(s"$fullRoot/$t").drop("w_ts")
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(a === b, s"table $t diverged after user erasure")
+    }
+    // a shared date recomputes without the erased user
+    val affected2 = Serving.eraseUser(spark, root, mkDf(rows.take(3)), 2L)
+    assert(affected2 === Seq("2024-01-01"))
+    val users = spark.read.parquet(s"$root/agg_by_window")
+      .select("user_id").distinct().as[Long].collect().toSet
+    assert(users === Set(1L))
+  }
+
   test("streaming serving-refresh sink keeps the layout equal to batch rebuild") {
     import java.sql.Timestamp
     implicit val sql = spark.sqlContext

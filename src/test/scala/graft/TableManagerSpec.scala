@@ -39,6 +39,39 @@ class TableManagerSpec extends SparkSuite {
     assert(h.agg(sum("order_count")).head.getLong(0) === ev.count())
   }
 
+  test("raw-store user erasure rewrites only touched dates; sole-owner date vanishes; no-op on unknown user") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_erase_raw").toString
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "click", 3.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:20:00"), 2L, "view", 5.0),
+      (3L, Timestamp.valueOf("2024-01-02 09:00:00"), 1L, "click", 2.0),
+      (4L, Timestamp.valueOf("2024-01-03 09:00:00"), 3L, "click", 9.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    TableManager.writePartitioned(ev, s"$dir/raw", "ts",
+      sortCols = Seq("event_type", "ts"), bloomCol = Some("event_id"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtimes(d: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/raw/p_date=$d"))
+        .map(_.getModificationTime).toSeq.sorted
+    val untouchedBefore = mtimes("2024-01-03")
+
+    assert(TableManager.eraseUser(spark, s"$dir/raw", "ts",
+      Seq("event_type", "ts"), "user_id", 99L, Some("event_id")) === Nil)
+
+    // user 1 is on 01-01 (shared with user 2) and sole owner of 01-02
+    val affected = TableManager.eraseUser(spark, s"$dir/raw", "ts",
+      Seq("event_type", "ts"), "user_id", 1L, Some("event_id"))
+    assert(affected === Seq("2024-01-01", "2024-01-02"))
+    val back = spark.read.parquet(s"$dir/raw")
+    assert(back.filter(col("user_id") === 1L).count() === 0)
+    assert(back.select("event_id").as[Long].collect().toSet === Set(2L, 4L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/raw/p_date=2024-01-02")))
+    // the untouched date's files were not rewritten
+    assert(mtimes("2024-01-03") === untouchedBefore)
+  }
+
   test("compactDates merges micro-batch file debris, preserves rows/sort/bloom, and is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val ev = Tables.events(spark, sfDir)
