@@ -79,7 +79,21 @@ object ApiQueries {
       fromMs = Some(now - 24L * Serving.hourMs), toMs = Some(now))
   }
 
+  /** The PER-TYPE arm of the sketch-quantile route — the tenant
+    * filter ([[TopKApi.quantileApprox]]'s restaurantId) applied to
+    * the loghist state, which carries event_type precisely so
+    * grouped quantiles serve without a per-group state table. Same
+    * hash-exact integer bucket math, purchase-only population.
+    */
+  def apiQuantileSketchTyped(spark: SparkSession, dir: String): DataFrame = {
+    val now = Serving.anchorMs(spark, dir)
+    TopKApi.quantileApprox(spark, dir, restaurantId = "purchase",
+      pPerMille = Seq(125L, 975L),
+      fromMs = Some(now - 24L * Serving.hourMs), toMs = Some(now))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_api_quantile_typed" -> (apiQuantileSketchTyped _),
     "q_api_topk_global" -> (apiTopkGlobal _),
     "q_api_topk_restaurant" -> (apiTopkRestaurant _),
     "q_api_topk_revenue" -> (apiTopkRevenue _),
@@ -162,6 +176,32 @@ object ApiQueries {
     // bucket-for-bucket: b = (floor(log2 v)-4)*16 + (v >> (floor(log2
     // v)-4)) via length(bin(v)) — pure integer/string ops identical in
     // both engines; estimate = bucket lower edge
+    // the typed arm: identical bucket math over the purchase-only
+    // population (the loghist state's event_type column is the
+    // grouped-quantile dimension)
+    "q_api_quantile_typed" ->
+      s"""WITH r AS (SELECT epoch_ms(max(ts)) AS to_ms,
+         |               epoch_ms(max(ts)) - 24*3600*1000 AS from_ms FROM events),
+         |f AS (
+         |  SELECT $cents AS v FROM events, r
+         |  WHERE event_type = 'purchase'
+         |    AND epoch_ms(date_trunc('minute', ts)) < r.to_ms
+         |    AND epoch_ms(date_trunc('minute', ts)) + 60000 > r.from_ms),
+         |bkt AS (SELECT CASE WHEN v < 16 THEN v
+         |  ELSE ((length(bin(v))-5)*16 + (v >> (length(bin(v))-5))) END AS b FROM f),
+         |h AS (SELECT b, count(*) AS c FROM bkt GROUP BY 1),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+         |cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM h),
+         |sel AS (
+         |  SELECT p.p, CAST(min(CASE WHEN cum.b < 16 THEN cum.b
+         |    ELSE (cum.b - (cum.b//16 - 1)*16) * (CAST(1 AS BIGINT) << (cum.b//16 - 1)) END)
+         |    AS BIGINT) AS est
+         |  FROM cum CROSS JOIN t CROSS JOIN (VALUES (125), (975)) AS p(p)
+         |  WHERE cum.cum * 1000 >= p.p * t.n GROUP BY 1)
+         |SELECT 'purchase' AS restaurant_id, r.from_ms, r.to_ms, t.n,
+         |  (SELECT est FROM sel WHERE p = 125) AS p125_cents_est,
+         |  (SELECT est FROM sel WHERE p = 975) AS p975_cents_est
+         |FROM r, t""".stripMargin,
     "q_api_quantile_sketch" ->
       s"""WITH r AS (SELECT epoch_ms(max(ts)) AS to_ms,
          |               epoch_ms(max(ts)) - 24*3600*1000 AS from_ms FROM events),
