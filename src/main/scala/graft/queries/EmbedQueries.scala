@@ -25,6 +25,16 @@ object EmbedQueries {
     Ann.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** Matryoshka-prefix KNN ([[graft.ops.Ann.truncatedKnn]]): 16-dim
+    * prefix cosine keeps 50 candidates per query, exact 64-dim
+    * rerank to top-5 — both stages replayed in the oracle.
+    */
+  def knnTruncated(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Ann.truncatedKnn(emb, emb.filter(col("vec_id") < 10), k = 5,
+      prefixDims = 16, candidates = 50)
+  }
+
   /** Hard-negative mining ([[graft.ops.Ann.hardNegatives]]): top-3
     * most-similar-but-below-0.4 rows per anchor — the near-dup band
     * (the `q_embed_near_dup` threshold) is excluded as presumed
@@ -327,6 +337,7 @@ object EmbedQueries {
     "q_embed_dedup_canonical" -> (embedDedupCanonical _),
     "q_embed_dot_sql" -> (dotTopKSql _),
     "q_embed_knn" -> (knnBruteForce _),
+    "q_embed_knn_truncated" -> (knnTruncated _),
     "q_embed_hard_negatives" -> (hardNegativesTop3 _),
     "q_embed_knn_ivf" -> (knnIvf _),
     "q_embed_knn_served" -> (knnIvfServed _),
@@ -622,6 +633,27 @@ object EmbedQueries {
     "q_embed_knn_ivf_trained" -> knnOracle,
     "q_embed_knn_served" -> knnOracle,
     "q_embed_knn" -> knnOracle,
+    // both MRL stages replayed: 16-dim-prefix cosine keeps top-50
+    // candidates (id tie-break), exact full-dim rerank to top-5
+    "q_embed_knn_truncated" ->
+      """SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        |  FROM (
+        |    SELECT query_id, neighbor_id, sim FROM (
+        |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                               CAST(c.embedding AS DOUBLE[])) AS sim,
+        |        row_number() OVER (PARTITION BY q.vec_id
+        |          ORDER BY list_cosine_similarity(
+        |              CAST(q.embedding AS DOUBLE[])[1:16],
+        |              CAST(c.embedding AS DOUBLE[])[1:16]) DESC,
+        |            c.vec_id ASC) AS rp
+        |      FROM embeddings q, embeddings c
+        |      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |    WHERE rp <= 50))
+        |WHERE rnk <= 5""".stripMargin,
     "q_embed_top_pairs" ->
       """SELECT CAST(row_number() OVER (ORDER BY sim DESC, id_a ASC, id_b ASC) AS BIGINT) AS rank,
         |  id_a, id_b FROM (
