@@ -99,6 +99,55 @@ object AnalyticsQueries {
       .agg(coalesce(sum(col("n")), lit(0L)).as("n_sessions"))
   }
 
+  /** Time-BOUND conversion: users whose first purchase lands within
+    * one hour of their first click, with the exact mean
+    * time-to-convert — the conversion-window semantics every product
+    * funnel report uses ("converted within H of the touchpoint"),
+    * which the plain ordering funnel cannot express. One user-keyed
+    * reduce (two conditional mins), a row-local window predicate,
+    * and a 1-row rollup; mean delay is exact integer µs DIV.
+    */
+  def windowedConversion(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "click", unix_micros(col("ts")))).as("t_click"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("t_buy"))
+      .filter(col("t_click").isNotNull)
+    val hourUs = 3600L * 1000000L
+    perUser
+      .select(col("t_click"), col("t_buy"),
+        (col("t_buy") > col("t_click") &&
+          col("t_buy") <= col("t_click") + hourUs).as("conv"))
+      .agg(
+        count(lit(1)).as("n_clickers"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("n_converted"),
+        sum(when(col("conv"), col("t_buy") - col("t_click")).otherwise(0L))
+          .as("delay_sum_us"))
+      .select(col("n_clickers"), col("n_converted"),
+        when(col("n_converted") > 0,
+          expr("delay_sum_us DIV n_converted")).otherwise(lit(null).cast("long"))
+          .as("mean_delay_us"))
+  }
+
+  /** Rolling 7-day active users (WAU curve): for every UTC day, the
+    * distinct users active in the trailing 7 days — the standard
+    * engagement metric, computed like [[slidingActiveUsers]]: a
+    * bounded ×7 day expand BEFORE the shuffle (each (user, day) pair
+    * joins its 7 enclosing windows row-locally — never a
+    * day-spine × fact join), then one distinct count per window day.
+    * The expand input is the DISTINCT (user, day) table — map-side
+    * deduped — so the ×7 blowup applies to user-days, not raw events.
+    */
+  def wauDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+      .withColumn("k", explode(sequence(lit(0L), lit(6L))))
+      .select((col("day") + col("k")).as("wau_day"), col("user_id"))
+      .groupBy(col("wau_day"))
+      .agg(countDistinct(col("user_id")).as("n_active_7d"))
+
   /** Daily cohort retention: cohort = the UTC day index of a user's
     * first event; for each (cohort_day, day_offset) count the distinct
     * users active that many days after their first touch. Day index is
@@ -394,6 +443,8 @@ object AnalyticsQueries {
   val queries: Map[String, QFn] = Map(
     "q_skew_join" -> (skewJoinRevenue _),
     "q_session_funnel" -> (sessionFunnel _),
+    "q_funnel_windowed" -> (windowedConversion _),
+    "q_wau_daily" -> (wauDaily _),
     "q_topk_trending" -> (topKTrending _),
     "q_event_transitions" -> (eventTransitions _),
     "q_rfm_segments" -> (rfmSegments _),
@@ -425,6 +476,29 @@ object AnalyticsQueries {
         |CROSS JOIN n""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_funnel_windowed" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT t_click, t_buy,
+        |    (t_buy > t_click AND t_buy <= t_click + 3600000000) AS conv
+        |  FROM per WHERE t_click IS NOT NULL)
+        |SELECT count(*) AS n_clickers,
+        |  CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CAST(CASE WHEN SUM(CASE WHEN conv THEN 1 ELSE 0 END) > 0
+        |    THEN SUM(CASE WHEN conv THEN t_buy - t_click ELSE 0 END)
+        |         // SUM(CASE WHEN conv THEN 1 ELSE 0 END)
+        |    ELSE NULL END AS BIGINT) AS mean_delay_us
+        |FROM c""".stripMargin,
+    "q_wau_daily" ->
+      """SELECT day + k AS wau_day, count(DISTINCT user_id) AS n_active_7d
+        |FROM (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |      FROM events)
+        |CROSS JOIN range(0, 7) AS r(k)
+        |GROUP BY 1""".stripMargin,
     // session assignment mirrors the q_sessionize oracle verbatim
     // (strict >30-min gap opens a session); stage logic mirrors the
     // user-grain funnel's strict first-touch ordering
