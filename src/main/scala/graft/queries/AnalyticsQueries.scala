@@ -140,13 +140,40 @@ object AnalyticsQueries {
     * deduped — so the ×7 blowup applies to user-days, not raw events.
     */
   def wauDaily(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    wauOf(Tables.events(spark, dir)
       .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
-      .distinct()
+      .distinct())
+
+  /** The WAU derivation over a DISTINCT (user_id, day) table —
+    * shared by the batch op and the ingest twin's read path.
+    */
+  def wauOf(userDays: DataFrame): DataFrame =
+    userDays
       .withColumn("k", explode(sequence(lit(0L), lit(6L))))
       .select((col("day") + col("k")).as("wau_day"), col("user_id"))
       .groupBy(col("wau_day"))
       .agg(countDistinct(col("user_id")).as("n_active_7d"))
+
+  /** The STREAMED WAU curve, gated against the batch gate's oracle:
+    * drive [[graft.streaming.WauIngest]] over three event-id-range
+    * micro-batches and read the derive-at-read result. Set-union
+    * state is order-independent, so the shared oracle carries no
+    * arrival-order caveat.
+    */
+  def wauDailyStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wau_gate").toString
+    val batches = Seq(
+      ev.filter(col("event_id") <= cuts(0)),
+      ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      ev.filter(col("event_id") > cuts(1)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.WauIngest.processBatch(b, i.toLong, s"$tmp/ud")
+    }
+    graft.streaming.WauIngest.readWau(spark, s"$tmp/ud")
+  }
 
   /** Daily cohort retention: cohort = the UTC day index of a user's
     * first event; for each (cohort_day, day_offset) count the distinct
@@ -445,6 +472,7 @@ object AnalyticsQueries {
     "q_session_funnel" -> (sessionFunnel _),
     "q_funnel_windowed" -> (windowedConversion _),
     "q_wau_daily" -> (wauDaily _),
+    "q_wau_daily_stream" -> (wauDailyStream _),
     "q_topk_trending" -> (topKTrending _),
     "q_event_transitions" -> (eventTransitions _),
     "q_rfm_segments" -> (rfmSegments _),
@@ -456,6 +484,13 @@ object AnalyticsQueries {
     "q_sliding_active_users" -> (slidingActiveUsers _),
     "q_profile_events" -> (profileEvents _),
   )
+
+  private val wauOracle =
+    """SELECT day + k AS wau_day, count(DISTINCT user_id) AS n_active_7d
+      |FROM (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |      FROM events)
+      |CROSS JOIN range(0, 7) AS r(k)
+      |GROUP BY 1""".stripMargin
 
   private val covisitOracle =
       """WITH us AS (SELECT DISTINCT user_id, event_type FROM events),
@@ -493,12 +528,10 @@ object AnalyticsQueries {
         |         // SUM(CASE WHEN conv THEN 1 ELSE 0 END)
         |    ELSE NULL END AS BIGINT) AS mean_delay_us
         |FROM c""".stripMargin,
-    "q_wau_daily" ->
-      """SELECT day + k AS wau_day, count(DISTINCT user_id) AS n_active_7d
-        |FROM (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
-        |      FROM events)
-        |CROSS JOIN range(0, 7) AS r(k)
-        |GROUP BY 1""".stripMargin,
+    "q_wau_daily" -> wauOracle,
+    // the streamed twin re-derives from set-union state — identical
+    // output, same oracle
+    "q_wau_daily_stream" -> wauOracle,
     // session assignment mirrors the q_sessionize oracle verbatim
     // (strict >30-min gap opens a session); stage logic mirrors the
     // user-grain funnel's strict first-touch ordering

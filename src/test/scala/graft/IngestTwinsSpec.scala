@@ -68,6 +68,27 @@ class IngestTwinsSpec extends SparkSuite {
     assert(rows(CovisitIngest.readLift(spark, s"$t/us")) == before)
   }
 
+  test("wau ingest: out-of-order + replay == batch; compaction preserves reads") {
+    import graft.streaming.WauIngest
+    val ev = Tables.events(spark, sfDir)
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val batches = Seq(
+      ev.filter(col("event_id") <= maxId / 3),
+      ev.filter(col("event_id") > maxId / 3 && col("event_id") <= 2 * maxId / 3),
+      ev.filter(col("event_id") > 2 * maxId / 3))
+    val t = tmp("graft_wau_spec")
+    // reversed arrival order, then batch 2 replayed
+    Seq(2, 1, 0).foreach(i => WauIngest.processBatch(batches(i), i.toLong, s"$t/ud"))
+    WauIngest.processBatch(batches(2), 2L, s"$t/ud")
+    val streamed = rows(WauIngest.readWau(spark, s"$t/ud"))
+    val direct = rows(AnalyticsQueries.wauDaily(spark, sfDir))
+    assert(streamed == direct && streamed.nonEmpty)
+    WauIngest.compact(spark, s"$t/ud")
+    assert(rows(WauIngest.readWau(spark, s"$t/ud")) == streamed)
+    WauIngest.processBatch(batches(2), 2L, s"$t/ud") // replay after compaction
+    assert(rows(WauIngest.readWau(spark, s"$t/ud")) == streamed)
+  }
+
   test("lm ingest: compaction preserves scores (additive state)") {
     val d = Tables.documents(spark, sfDir)
     val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
