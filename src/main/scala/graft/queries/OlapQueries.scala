@@ -315,6 +315,37 @@ object OlapQueries {
         expr("rn * 1000000 DIV n").as("cume_dist_micro"))
   }
 
+  /** Exact moment aggregates for covariance/correlation — the
+    * stats-agg family (covar_pop / corr) with NO floats on the wire:
+    * per event_type, n, Σx, Σy, Σxy, Σx², Σy² over
+    * (x = value_cents, y = hour-of-day), plus the integer covariance
+    * NUMERATOR n·Σxy − Σx·Σy (its sign is the covariance sign;
+    * consumers divide by n² off the engine for the value, and build
+    * corr from the same six moments). One map-side-combining pass;
+    * sums accumulate in DECIMAL(38,0) so no row count overflows —
+    * the gate casts to BIGINT only because the fixture domain fits.
+    */
+  def corrComponents(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value_cents").as("x"),
+        hour(col("ts")).cast("long").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      .select(col("event_type"), col("n"),
+        col("sx").cast("long").as("sum_x"),
+        col("sy").cast("long").as("sum_y"),
+        col("sxy").cast("long").as("sum_xy"),
+        col("sxx").cast("long").as("sum_xx"),
+        col("syy").cast("long").as("sum_yy"),
+        (dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+          .cast("long").as("cov_num"))
+  }
+
   /** Frequent-items sketch over event_type: k=8 counters > 5 distinct
     * values, so the Misra-Gries sketch is provably EXACT here and
     * hash-checks against a plain GROUP BY; the approximate regime
@@ -425,6 +456,7 @@ object OlapQueries {
     "q_value_histogram" -> (valueHistogram _),
     "q_revenue_deciles" -> (revenueDeciles _),
     "q_revenue_pct_rank" -> (revenuePctRank _),
+    "q_corr_components" -> (corrComponents _),
     "q_revenue_share" -> (revenueShare _),
     "q_type_history" -> (typeHistory _),
     "q_user_growth" -> (userGrowth _),
@@ -595,6 +627,20 @@ object OlapQueries {
          |  CAST(ntile(10) OVER (ORDER BY total_cents DESC, user_id ASC) AS BIGINT) AS decile
          |FROM (SELECT user_id, CAST(SUM($cents) AS BIGINT) AS total_cents
          |      FROM events GROUP BY 1)""".stripMargin,
+    // six exact moments + the HUGEINT covariance numerator, BIGINT on
+    // the wire (fixture domain fits)
+    "q_corr_components" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(x) AS BIGINT) AS sum_x,
+         |  CAST(SUM(y) AS BIGINT) AS sum_y,
+         |  CAST(SUM(x::HUGEINT * y) AS BIGINT) AS sum_xy,
+         |  CAST(SUM(x::HUGEINT * x) AS BIGINT) AS sum_xx,
+         |  CAST(SUM(y::HUGEINT * y) AS BIGINT) AS sum_yy,
+         |  CAST(count(*)::HUGEINT * SUM(x::HUGEINT * y)
+         |    - SUM(x)::HUGEINT * SUM(y) AS BIGINT) AS cov_num
+         |FROM (SELECT event_type, $cents AS x,
+         |        CAST(hour(ts) AS BIGINT) AS y FROM events)
+         |GROUP BY 1""".stripMargin,
     // integer-micro mirrors of SQL percent_rank/cume_dist over the
     // same (total, user) total order
     "q_revenue_pct_rank" ->

@@ -196,7 +196,22 @@ object ServingQueries {
         col("event_type"), col("n_events"), col("sum_cents"))
   }
 
+  /** WAU curve SERVED from the minute-grain distinct-user state:
+    * `rollup_1m_users` holds every (minute, type, user) ever seen,
+    * so collapsing it to (user, day) reproduces the raw distinct
+    * (user, day) set EXACTLY and the same ×7 expand/count yields the
+    * raw-scan curve bit-for-bit — engagement curves off state, not
+    * the fact. Shares the raw-scan gate's oracle.
+    */
+  def wauServed(spark: SparkSession, dir: String): DataFrame =
+    AnalyticsQueries.wauOf(
+      Serving.readTable(spark, dir, "rollup_1m_users")
+        .select(col("user_id"),
+          org.apache.spark.sql.functions.expr("window_start_ms DIV 86400000").as("day"))
+        .distinct())
+
   val queries: Map[String, QFn] = Map(
+    "q_wau_served" -> (wauServed _),
     "q_topk_trending_served" -> (topKTrendingServed _),
     "q_topk_lookup_served" -> (topKLookupServed _),
     "q_topk_lookup_replica" -> (topKLookupReplica _),
@@ -222,6 +237,9 @@ object ServingQueries {
     // served trending must equal the raw-scan trending bit-for-bit —
     // same oracle, different (minute-rollup re-aggregation) plan
     "q_topk_trending_served" -> AnalyticsQueries.oracles("q_topk_trending"),
+    // served WAU ≡ raw-scan WAU (minute-user state collapses to the
+    // exact distinct (user, day) set)
+    "q_wau_served" -> AnalyticsQueries.oracles("q_wau_daily"),
     // same binned-quantile definition recomputed from raw events:
     // `100*cum >= p*n` is the integer spelling of cum >= ceil(p%*n),
     // and DuckDB's `//` floor-division matches Spark's DIV on the
