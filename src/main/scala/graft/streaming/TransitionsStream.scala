@@ -3,66 +3,137 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twin of the Markov transition matrix
   * ([[graft.queries.AnalyticsQueries.eventTransitions]]): per user,
-  * the list of ADJACENT (from → to) event-type pairs under the
+  * the counts of ADJACENT (from → to) event-type pairs under the
   * (tu, event_id) total order, maintained as an update-mode stream.
   * A late event SPLITS a settled pair — `a@1 b@9` + late `c@5` must
   * turn the counted a→b into a→c, c→b — so transition counts are not
   * additive over arrival batches and no pair-count-only state can be
-  * correct. State is therefore the user's (tu, event_id, type) event
-  * list, deduped by event_id (replay-idempotent by construction);
-  * each update emits the user's COMPLETE current pair list, so
-  * folding last-emission-per-user and counting globally equals the
-  * batch operator under ANY batch split and ANY arrival order.
+  * correct for events still inside the admissible-lateness window.
   *
-  * State at scale: the per-user event list — the same per-group
-  * bound as the batch operator's user-keyed lag window, held per key
-  * in the state store; recompute is key-local. The global
-  * count + permille normalization happens where the batch op does
-  * it: a derive-at-read aggregation over the (bounded, alphabet²)
-  * pair domain.
+  * State at scale — the watermark-horizon fold: only events within
+  * `horizonUs` of the key's max seen event time can still be split
+  * by an admissible late arrival (the pipeline's W2 lateness
+  * contract; the reference drops beyond-watermark events too,
+  * TopKStreamingJob.kt:248-249). Older events are SETTLED into
+  * (from, to) → n pair counts — bounded by the event-type alphabet
+  * squared — plus the single boundary event that splices the settled
+  * region onto the live tail; only the within-horizon tail stays a
+  * raw list, deduped by event_id (replay-idempotent: a replayed
+  * settled event sorts at-or-before the boundary and is dropped like
+  * a beyond-horizon arrival). Each update emits the key's COMPLETE
+  * current pair-count list (alphabet²-bounded — NOT the raw pair
+  * list, which would grow with the key's event count), so folding
+  * last-emission-per-user and summing globally equals the batch
+  * operator under ANY batch split and ANY in-contract arrival order.
+  * Optional `idleTtl` evicts keys idle past the duration
+  * (processing-time timer — the [[PerElementTopK]] guarantee).
+  *
+  * The global count + permille normalization happens where the batch
+  * op does it: [[matrixOf]], a derive-at-read aggregation over the
+  * (bounded, alphabet²) pair domain.
   */
 object TransitionsStream {
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value_cents: Long)
 
-  /** One user's complete current adjacent-pair list (update-mode
-    * emission — replaces any earlier emission for the key).
+  /** One (from → to) adjacent-pair count. */
+  case class PairCount(from_type: String, to_type: String, n: Long)
+
+  /** One user's complete current pair counts (update-mode emission —
+    * replaces any earlier emission for the key; alphabet²-bounded).
     */
-  case class Pairs(user_id: Long, pairs: Seq[(String, String)])
+  case class Pairs(user_id: Long, pairs: Seq[PairCount])
 
-  private[graft] def pairsOf(events: Seq[TypeHistoryStream.StEv]): Seq[(String, String)] = {
-    val ordered = events.sortBy(e => (e.tu, e.id)).map(_.typ)
-    ordered.zip(ordered.drop(1))
+  /** Bounded per-key state: settled pair counts (alphabet²), the
+    * last settled event as splice boundary + late-drop bound, and
+    * the raw within-horizon tail (sorted by (tu, id)).
+    */
+  case class St(settled: Seq[PairCount], boundary: Option[TypeHistoryStream.StEv],
+      tail: Seq[TypeHistoryStream.StEv], maxTu: Long)
+
+  val emptySt: St = St(Vector.empty, None, Vector.empty, Long.MinValue)
+
+  /** Pure state transition — same admit/settle contract as
+    * [[TypeHistoryStream.step]]; settling event e increments the
+    * (boundary.typ → e.typ) count and advances the boundary.
+    */
+  private[graft] def step(st: St, fresh0: Seq[TypeHistoryStream.StEv],
+      horizonUs: Long): St = {
+    val seen = st.tail.iterator.map(_.id).toSet
+    val fresh = fresh0.distinctBy(_.id)
+      .filterNot(e => seen.contains(e.id))
+      .filter(e => st.boundary.forall(b => TypeHistoryStream.after(e, b)))
+    val merged = (st.tail ++ fresh).sortBy(e => (e.tu, e.id))
+    val maxTu = if (merged.isEmpty) st.maxTu
+      else math.max(st.maxTu, merged.last.tu)
+    val threshold =
+      if (maxTu == Long.MinValue) Long.MinValue else maxTu - horizonUs
+    val (toSettle, keep) = merged.span(_.tu <= threshold)
+    var counts = st.settled.map(p => (p.from_type, p.to_type) -> p.n).toMap
+    var boundary = st.boundary
+    toSettle.foreach { e =>
+      boundary.foreach { b =>
+        val k = (b.typ, e.typ)
+        counts = counts.updated(k, counts.getOrElse(k, 0L) + 1L)
+      }
+      boundary = Some(e)
+    }
+    val settled = counts.toSeq.sortBy { case ((f, t), _) => (f, t) }
+      .map { case ((f, t), n) => PairCount(f, t, n) }
+    St(settled, boundary, keep, maxTu)
   }
 
-  private def update(key: Long, it: Iterator[Ev],
-      state: GroupState[TypeHistoryStream.St]): Pairs = {
-    val prev = state.getOption.map(_.events).getOrElse(Seq.empty)
-    val seen = prev.map(_.id).toSet
-    val fresh = it.map(e => TypeHistoryStream.StEv(
-        e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L,
-        e.event_id, e.event_type))
-      .filterNot(e => seen.contains(e.id)).toSeq
-      .distinctBy(_.id)
-    val merged = prev ++ fresh
-    state.update(TypeHistoryStream.St(merged))
-    Pairs(key, pairsOf(merged))
+  /** The key's complete current pair counts from bounded state:
+    * settled counts merged with the (boundary ++ tail) live pairs.
+    */
+  private[graft] def countsFromState(st: St): Seq[PairCount] = {
+    val live = st.boundary.toSeq ++ st.tail
+    var counts = st.settled.map(p => (p.from_type, p.to_type) -> p.n).toMap
+    live.zip(live.drop(1)).foreach { case (a, b) =>
+      val k = (a.typ, b.typ)
+      counts = counts.updated(k, counts.getOrElse(k, 0L) + 1L)
+    }
+    counts.toSeq.sortBy { case ((f, t), _) => (f, t) }
+      .map { case ((f, t), n) => PairCount(f, t, n) }
   }
 
-  /** Update-mode per-user pair lists from an events stream. */
-  def pairs(spark: SparkSession, events: DataFrame): Dataset[Pairs] = {
+  private def update(horizonUs: Long, idleTtl: Option[java.time.Duration])(
+      key: Long, it: Iterator[Ev],
+      state: GroupState[St]): Iterator[Pairs] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val next = step(state.getOption.getOrElse(emptySt),
+        it.map(e => TypeHistoryStream.StEv(
+          e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L,
+          e.event_id, e.event_type)).toSeq, horizonUs)
+      state.update(next)
+      idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+      Iterator.single(Pairs(key, countsFromState(next)))
+    }
+  }
+
+  /** Update-mode per-user pair counts from an events stream.
+    * `horizonUs` is the admissible event-time lateness; `idleTtl`
+    * (processing-time) evicts keys idle past the duration.
+    */
+  def pairs(spark: SparkSession, events: DataFrame,
+      horizonUs: Long = TypeHistoryStream.defaultHorizonUs,
+      idleTtl: Option[java.time.Duration] = None): Dataset[Pairs] = {
     import spark.implicits._
+    val timeout = if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value_cents"))
       .as[Ev]
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+      .flatMapGroupsWithState(OutputMode.Update(), timeout)(
+        update(horizonUs, idleTtl))
   }
 
   /** Fold a frame of (user_id, pairs) LAST emissions into the batch
@@ -77,9 +148,10 @@ object TransitionsStream {
       .partitionBy(col("from_type"))
     emissions
       .select(explode(col("pairs")).as("p"))
-      .select(col("p._1").as("from_type"), col("p._2").as("to_type"))
+      .select(col("p.from_type").as("from_type"),
+        col("p.to_type").as("to_type"), col("p.n").as("n"))
       .groupBy(col("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n_trans"))
+      .agg(sum(col("n")).cast("long").as("n_trans"))
       .withColumn("out_total", sum(col("n_trans")).over(wOut))
       .select(col("from_type"), col("to_type"), col("n_trans"),
         column(IntegralDivide(

@@ -457,7 +457,7 @@ class StreamingVariantsSpec extends SparkSuite {
 
   test("streaming transitions: a late event SPLITS a settled pair; final == batch at any split") {
     import graft.streaming.TransitionsStream
-    import graft.streaming.TransitionsStream.Pairs
+    import graft.streaming.TransitionsStream.{PairCount, Pairs}
     // user 7: a@1s then b@9s settle as pair a->b; c@5s arrives LATE
     // and must rewrite it to a->c, c->b — transition counts are NOT
     // additive over arrival batches
@@ -470,7 +470,7 @@ class StreamingVariantsSpec extends SparkSuite {
       implicit val sql = spark.sqlContext
       val mem = MemoryStream[TimerDedup.Ev]
       val updates = TransitionsStream.pairs(spark, mem.toDF())
-      val last = new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, String)]]()
+      val last = new java.util.concurrent.ConcurrentHashMap[Long, Seq[PairCount]]()
       val q = updates.writeStream.outputMode("update")
         .foreachBatch { (b: org.apache.spark.sql.Dataset[Pairs], _: Long) =>
           b.collect().foreach(p => last.put(p.user_id, p.pairs))
@@ -479,7 +479,8 @@ class StreamingVariantsSpec extends SparkSuite {
         val (a, b) = events.splitAt(splitAt)
         if (a.nonEmpty) { mem.addData(a: _*); q.processAllAvailable() }
         if (b.nonEmpty) { mem.addData(b: _*); q.processAllAvailable() }
-        assert(last.get(7L) === Seq(("a", "c"), ("c", "b")), s"splitAt=$splitAt")
+        assert(last.get(7L) === Seq(PairCount("a", "c", 1L), PairCount("c", "b", 1L)),
+          s"splitAt=$splitAt")
         assert(last.get(8L) === Seq.empty, s"splitAt=$splitAt")
       } finally q.stop()
     }
@@ -487,7 +488,7 @@ class StreamingVariantsSpec extends SparkSuite {
 
   test("streaming transitions equal the batch matrix on the events fixture; replay no-op") {
     import graft.streaming.TransitionsStream
-    import graft.streaming.TransitionsStream.Pairs
+    import graft.streaming.TransitionsStream.{PairCount, Pairs}
     implicit val sql = spark.sqlContext
     val evs = Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value_cents")
@@ -496,7 +497,7 @@ class StreamingVariantsSpec extends SparkSuite {
     val (odd, even) = evs.partition(_.event_id % 2 == 1) // out-of-order interleave
     val mem = MemoryStream[TimerDedup.Ev]
     val updates = TransitionsStream.pairs(spark, mem.toDF())
-    val last = new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, String)]]()
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, Seq[PairCount]]()
     val q = updates.writeStream.outputMode("update")
       .foreachBatch { (b: org.apache.spark.sql.Dataset[Pairs], _: Long) =>
         b.collect().foreach(p => last.put(p.user_id, p.pairs))
@@ -969,6 +970,165 @@ class StreamingVariantsSpec extends SparkSuite {
     StarTree.refresh(spark, s"$dir/tree", delta, batchId = 0L)
     assert(nodes(s"$dir/tree") === nodes(s"$full/tree"),
       "replayed batch changed the tree")
+  }
+
+  test("horizon fold bounds list state under a hot key; compacted == unbounded recompute") {
+    import graft.streaming.{BurstStream, TransitionsStream, TypeHistoryStream}
+    import graft.streaming.TypeHistoryStream.StEv
+    val minUs = 60L * 1000000L
+    val horizonUs = 60L * minUs // 1 hour
+    // one hot key: 5,000 events, one per minute, types cycling with a
+    // repeat so runs have length > 1; fed through the pure step in
+    // batches of 50 — the full list would be 5,000 entries
+    val types = Seq("a", "a", "b", "c", "c", "c", "d")
+    val all = (0 until 5000).map(i => StEv(i * minUs, i + 1L, types(i % types.size)))
+    var th = TypeHistoryStream.emptySt
+    var tr = TransitionsStream.emptySt
+    var bu = BurstStream.emptySt
+    all.grouped(50).foreach { batch =>
+      th = TypeHistoryStream.step(th, batch, horizonUs)
+      tr = TransitionsStream.step(tr, batch, horizonUs)
+      bu = BurstStream.step(bu, batch.map(e => BurstStream.ErrEv(e.tu, e.id)), horizonUs)
+      // tail holds at most horizon-of-minutes + one in-flight batch
+      assert(th.tail.size <= 61 + 50, s"type-history tail ${th.tail.size}")
+      assert(tr.tail.size <= 61 + 50, s"transitions tail ${tr.tail.size}")
+      assert(bu.tail.size <= 61 + 50, s"burst tail ${bu.tail.size}")
+    }
+    // settled summaries are compact: alphabet² pair counts, one change
+    // point per run, O(1) burst stats
+    assert(tr.settled.size <= types.distinct.size * types.distinct.size)
+    // unbounded-horizon twin (nothing ever settles) = full-list semantics
+    var th0 = TypeHistoryStream.emptySt
+    var tr0 = TransitionsStream.emptySt
+    var bu0 = BurstStream.emptySt
+    val noHorizon = Long.MaxValue / 2
+    all.grouped(50).foreach { batch =>
+      th0 = TypeHistoryStream.step(th0, batch, noHorizon)
+      tr0 = TransitionsStream.step(tr0, batch, noHorizon)
+      bu0 = BurstStream.step(bu0, batch.map(e => BurstStream.ErrEv(e.tu, e.id)), noHorizon)
+    }
+    assert(th0.tail.size === 5000 && th0.changes.isEmpty) // the old shape
+    assert(TypeHistoryStream.runsFromState(th) === TypeHistoryStream.runsFromState(th0))
+    assert(TransitionsStream.countsFromState(tr) === TransitionsStream.countsFromState(tr0))
+    assert(BurstStream.statsFromState(bu) === BurstStream.statsFromState(bu0))
+  }
+
+  test("horizon fold: late-WITHIN-horizon still splits a settled-adjacent pair; beyond drops") {
+    import graft.streaming.{BurstStream, TransitionsStream, TypeHistoryStream}
+    import graft.streaming.TypeHistoryStream.{StEv, TypeRun}
+    val minUs = 60L * 1000000L
+    val horizonUs = 60L * minUs
+    // a@0 settles once b@100min arrives (threshold 40min); the a->b
+    // pair then straddles the settle boundary
+    val tr1 = TransitionsStream.step(TransitionsStream.emptySt,
+      Seq(StEv(0L, 1L, "a"), StEv(100L * minUs, 2L, "b")), horizonUs)
+    assert(tr1.boundary.map(_.id) === Some(1L) && tr1.tail.map(_.id) === Seq(2L))
+    assert(TransitionsStream.countsFromState(tr1) ===
+      Seq(TransitionsStream.PairCount("a", "b", 1L)))
+    // late c@70min is within the horizon (maxTu 100min): must split
+    // the boundary-straddling a->b into a->c, c->b
+    val tr2 = TransitionsStream.step(tr1, Seq(StEv(70L * minUs, 3L, "c")), horizonUs)
+    assert(TransitionsStream.countsFromState(tr2) ===
+      Seq(TransitionsStream.PairCount("a", "c", 1L),
+        TransitionsStream.PairCount("c", "b", 1L)))
+    // beyond-horizon late (at-or-before the boundary in the (tu, id)
+    // total order): out-of-contract, dropped — including a replay of
+    // the settled boundary event itself
+    val tr3 = TransitionsStream.step(tr2, Seq(StEv(0L, 0L, "z"), StEv(0L, 1L, "a")), horizonUs)
+    assert(tr3 === tr2)
+    // same shape for SCD2 runs
+    val th1 = TypeHistoryStream.step(TypeHistoryStream.emptySt,
+      Seq(StEv(0L, 1L, "a"), StEv(100L * minUs, 2L, "b")), horizonUs)
+    val th2 = TypeHistoryStream.step(th1, Seq(StEv(70L * minUs, 3L, "c")), horizonUs)
+    assert(TypeHistoryStream.runsFromState(th2) === Seq(
+      TypeRun("a", 0L, Some(70L * minUs / 1000L)),
+      TypeRun("c", 70L * minUs / 1000L, Some(100L * minUs / 1000L)),
+      TypeRun("b", 100L * minUs / 1000L, None)))
+    // bursts: e1@0h settles (horizon 10h) once e2@20h arrives; the
+    // qualifying (e1,e2) pair straddles the boundary; late e3@15h
+    // splits it into TWO qualifying pairs and moves first_burst earlier
+    val hUs = 3600L * 1000000L
+    val bu1 = BurstStream.step(BurstStream.emptySt,
+      Seq(BurstStream.ErrEv(0L, 1L), BurstStream.ErrEv(20L * hUs, 2L)), 10L * hUs)
+    assert(bu1.boundary.map(_.id) === Some(1L))
+    assert(BurstStream.statsFromState(bu1) === ((1L, 20L * hUs)))
+    val bu2 = BurstStream.step(bu1, Seq(BurstStream.ErrEv(15L * hUs, 3L)), 10L * hUs)
+    assert(BurstStream.statsFromState(bu2) === ((2L, 15L * hUs)))
+  }
+
+  test("transitions with an aggressive horizon equal the batch matrix on a time-ordered feed") {
+    import graft.streaming.TransitionsStream
+    import graft.streaming.TransitionsStream.{PairCount, Pairs}
+    implicit val sql = spark.sqlContext
+    val evs = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value_cents")
+      .as[(Long, Timestamp, Long, String, Long)].collect().toSeq
+      .map(e => TimerDedup.Ev(e._1, e._2, e._3, e._4, e._5))
+      .sortBy(e => (e.ts.getTime, e.event_id)) // in-contract: time-ordered
+    val mem = MemoryStream[TimerDedup.Ev]
+    // 1-day horizon over a ~month-long fixture: nearly every event
+    // settles, so this drives the compaction path end-to-end
+    val updates = TransitionsStream.pairs(spark, mem.toDF(),
+      horizonUs = 86400L * 1000000L)
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, Seq[PairCount]]()
+    val q = updates.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Pairs], _: Long) =>
+        b.collect().foreach(p => last.put(p.user_id, p.pairs))
+      }.start()
+    try {
+      evs.grouped(2000).foreach { batch =>
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val emissions = last.asScala.toSeq.map { case (u, ps) => (u, ps) }
+      .toDF("user_id", "pairs")
+    val streamed = TransitionsStream.matrixOf(emissions)
+      .as[(String, String, Long, Long)].collect().toSet
+    val batch = graft.queries.AnalyticsQueries.eventTransitions(spark, sfDir)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("transitions idle TTL evicts an idle key; history restarts fresh") {
+    import graft.streaming.TransitionsStream
+    import graft.streaming.TransitionsStream.{PairCount, Pairs}
+    implicit val sql = spark.sqlContext
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = spark.conf.getOption(ndKey)
+    spark.conf.set(ndKey, "false") // see the per-element TTL test
+    try {
+      val mem = MemoryStream[TimerDedup.Ev]
+      val updates = TransitionsStream.pairs(spark, mem.toDF(),
+        idleTtl = Some(java.time.Duration.ofMillis(300)))
+      val last = new java.util.concurrent.ConcurrentHashMap[Long, Seq[PairCount]]()
+      val q = updates.writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Pairs], _: Long) =>
+          b.collect().foreach(p => last.put(p.user_id, p.pairs))
+        }.start()
+      try {
+        mem.addData(
+          TimerDedup.Ev(1, new Timestamp(1000), 7, "a", 0),
+          TimerDedup.Ev(2, new Timestamp(2000), 7, "b", 0))
+        q.processAllAvailable()
+        assert(last.get(7L) === Seq(PairCount("a", "b", 1L)))
+        Thread.sleep(1500) // idle well past the TTL
+        // a batch for ANOTHER key fires key 7's expired timer
+        mem.addData(TimerDedup.Ev(3, new Timestamp(3000), 8, "x", 0))
+        q.processAllAvailable()
+        // key 7 restarts from empty: no a->b memory, just the new pair
+        mem.addData(
+          TimerDedup.Ev(4, new Timestamp(4000), 7, "c", 0),
+          TimerDedup.Ev(5, new Timestamp(5000), 7, "d", 0))
+        q.processAllAvailable()
+        assert(last.get(7L) === Seq(PairCount("c", "d", 1L)))
+      } finally q.stop()
+    } finally prevNd match {
+      case Some(v) => spark.conf.set(ndKey, v)
+      case None    => spark.conf.unset(ndKey)
+    }
   }
 
   private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
