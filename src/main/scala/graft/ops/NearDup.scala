@@ -274,9 +274,8 @@ object NearDup {
     * within-corpus pair families cover those) — and every candidate
     * exact-verifies across the two postings tables, so false drops
     * are impossible and misses inherit [[minhashPairs]]'
-    * (1−j^r)^b envelope (0 for identical sets). Returns
-    * (doc_id, n_dup_partners) for SURVIVING fresh docs
-    * (n_dup_partners = 0 by construction; dropped docs are the
+    * (1−j^r)^b envelope (0 for identical sets). Returns the
+    * SURVIVING fresh doc_ids (single column; dropped docs are the
     * complement). Scale shape: two signature aggregations (map-side
     * partial mins), one band-bucket equi-join across corpora, one
     * postings-join verify over candidates only, one anti-join.

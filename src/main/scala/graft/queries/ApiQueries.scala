@@ -82,14 +82,24 @@ object ApiQueries {
   /** The PER-TYPE arm of the sketch-quantile route — the tenant
     * filter ([[TopKApi.quantileApprox]]'s restaurantId) applied to
     * the loghist state, which carries event_type precisely so
-    * grouped quantiles serve without a per-group state table. Same
-    * hash-exact integer bucket math, purchase-only population.
+    * grouped quantiles serve without a per-group state table. The
+    * gate SWEEPS the whole arm: every event type × three per-mille
+    * points, one routed call per type (the controller's fan-out),
+    * unioned — so the per-type bucket math is exercised across the
+    * full alphabet, not a single (type, p) cell. The type alphabet
+    * is a bounded driver-side collect (the same alphabet the serving
+    * state is keyed on).
     */
   def apiQuantileSketchTyped(spark: SparkSession, dir: String): DataFrame = {
     val now = Serving.anchorMs(spark, dir)
-    TopKApi.quantileApprox(spark, dir, restaurantId = "purchase",
-      pPerMille = Seq(125L, 975L),
-      fromMs = Some(now - 24L * Serving.hourMs), toMs = Some(now))
+    val types = graft.Tables.events(spark, dir)
+      .select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    types.map { t =>
+      TopKApi.quantileApprox(spark, dir, restaurantId = t,
+        pPerMille = Seq(125L, 500L, 975L),
+        fromMs = Some(now - 24L * Serving.hourMs), toMs = Some(now))
+    }.reduce(_ unionByName _)
   }
 
   val queries: Map[String, QFn] = Map(
@@ -176,32 +186,37 @@ object ApiQueries {
     // bucket-for-bucket: b = (floor(log2 v)-4)*16 + (v >> (floor(log2
     // v)-4)) via length(bin(v)) — pure integer/string ops identical in
     // both engines; estimate = bucket lower edge
-    // the typed arm: identical bucket math over the purchase-only
-    // population (the loghist state's event_type column is the
-    // grouped-quantile dimension)
+    // the typed arm, swept over the FULL type alphabet × three p
+    // values: identical per-type bucket math, one row per type; a
+    // type with no in-range rows mirrors the route's n=0/NULL
+    // envelope via the LEFT JOIN
     "q_api_quantile_typed" ->
       s"""WITH r AS (SELECT epoch_ms(max(ts)) AS to_ms,
          |               epoch_ms(max(ts)) - 24*3600*1000 AS from_ms FROM events),
+         |types AS (SELECT DISTINCT event_type FROM events),
          |f AS (
-         |  SELECT $cents AS v FROM events, r
-         |  WHERE event_type = 'purchase'
-         |    AND epoch_ms(date_trunc('minute', ts)) < r.to_ms
+         |  SELECT event_type, $cents AS v FROM events, r
+         |  WHERE epoch_ms(date_trunc('minute', ts)) < r.to_ms
          |    AND epoch_ms(date_trunc('minute', ts)) + 60000 > r.from_ms),
-         |bkt AS (SELECT CASE WHEN v < 16 THEN v
+         |bkt AS (SELECT event_type, CASE WHEN v < 16 THEN v
          |  ELSE ((length(bin(v))-5)*16 + (v >> (length(bin(v))-5))) END AS b FROM f),
-         |h AS (SELECT b, count(*) AS c FROM bkt GROUP BY 1),
-         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
-         |cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM h),
+         |h AS (SELECT event_type, b, count(*) AS c FROM bkt GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+         |cum AS (SELECT event_type, b,
+         |  sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum FROM h),
          |sel AS (
-         |  SELECT p.p, CAST(min(CASE WHEN cum.b < 16 THEN cum.b
+         |  SELECT cum.event_type, p.p, CAST(min(CASE WHEN cum.b < 16 THEN cum.b
          |    ELSE (cum.b - (cum.b//16 - 1)*16) * (CAST(1 AS BIGINT) << (cum.b//16 - 1)) END)
          |    AS BIGINT) AS est
-         |  FROM cum CROSS JOIN t CROSS JOIN (VALUES (125), (975)) AS p(p)
-         |  WHERE cum.cum * 1000 >= p.p * t.n GROUP BY 1)
-         |SELECT 'purchase' AS restaurant_id, r.from_ms, r.to_ms, t.n,
-         |  (SELECT est FROM sel WHERE p = 125) AS p125_cents_est,
-         |  (SELECT est FROM sel WHERE p = 975) AS p975_cents_est
-         |FROM r, t""".stripMargin,
+         |  FROM cum JOIN t ON t.event_type = cum.event_type
+         |  CROSS JOIN (VALUES (125), (500), (975)) AS p(p)
+         |  WHERE cum.cum * 1000 >= p.p * t.n GROUP BY 1, 2)
+         |SELECT ty.event_type AS restaurant_id, r.from_ms, r.to_ms,
+         |  CAST(COALESCE(t.n, 0) AS BIGINT) AS n,
+         |  (SELECT est FROM sel WHERE sel.event_type = ty.event_type AND p = 125) AS p125_cents_est,
+         |  (SELECT est FROM sel WHERE sel.event_type = ty.event_type AND p = 500) AS p500_cents_est,
+         |  (SELECT est FROM sel WHERE sel.event_type = ty.event_type AND p = 975) AS p975_cents_est
+         |FROM types ty CROSS JOIN r LEFT JOIN t ON t.event_type = ty.event_type""".stripMargin,
     "q_api_quantile_sketch" ->
       s"""WITH r AS (SELECT epoch_ms(max(ts)) AS to_ms,
          |               epoch_ms(max(ts)) - 24*3600*1000 AS from_ms FROM events),

@@ -322,12 +322,25 @@ object OlapQueries {
     * NUMERATOR n·Σxy − Σx·Σy (its sign is the covariance sign;
     * consumers divide by n² off the engine for the value, and build
     * corr from the same six moments). One map-side-combining pass;
-    * sums accumulate in DECIMAL(38,0) so no row count overflows —
-    * the gate casts to BIGINT only because the fixture domain fits.
+    * sums accumulate in DECIMAL(38,0) so no row count overflows.
+    * The BIGINT wire casts are GUARDED, not assumed: outside the
+    * long domain Spark's non-ANSI cast nulls/wraps where a 128-bit
+    * engine raises — the [[graft.ops.Dedup.profilePatches]] idiom
+    * makes both paths fail together instead of diverging.
     */
-  def corrComponents(spark: SparkSession, dir: String): DataFrame = {
+  def corrComponents(spark: SparkSession, dir: String): DataFrame =
+    corrComponentsOf(Tables.events(spark, dir))
+
+  /** [[corrComponents]] over any events-schema frame. */
+  def corrComponentsOf(events: DataFrame): DataFrame = {
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    Tables.events(spark, dir)
+    def toLong(c: org.apache.spark.sql.Column, name: String) =
+      when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+        raise_error(concat(
+          lit(s"corrComponents $name exceeds the BIGINT wire domain: "),
+          c.cast("string"))))
+        .otherwise(c.cast("long")).as(name)
+    events
       .select(col("event_type"), col("value_cents").as("x"),
         hour(col("ts")).cast("long").as("y"))
       .groupBy(col("event_type"))
@@ -337,13 +350,13 @@ object OlapQueries {
         sum(dec(col("x")) * dec(col("x"))).as("sxx"),
         sum(dec(col("y")) * dec(col("y"))).as("syy"))
       .select(col("event_type"), col("n"),
-        col("sx").cast("long").as("sum_x"),
-        col("sy").cast("long").as("sum_y"),
-        col("sxy").cast("long").as("sum_xy"),
-        col("sxx").cast("long").as("sum_xx"),
-        col("syy").cast("long").as("sum_yy"),
-        (dec(col("n")) * col("sxy") - col("sx") * col("sy"))
-          .cast("long").as("cov_num"))
+        toLong(col("sx"), "sum_x"),
+        toLong(col("sy"), "sum_y"),
+        toLong(col("sxy"), "sum_xy"),
+        toLong(col("sxx"), "sum_xx"),
+        toLong(col("syy"), "sum_yy"),
+        toLong(dec(col("n")) * col("sxy") - col("sx") * col("sy"),
+          "cov_num"))
   }
 
   /** Frequent-items sketch over event_type: k=8 counters > 5 distinct

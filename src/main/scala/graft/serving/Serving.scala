@@ -762,13 +762,33 @@ object Serving {
     // one date per GRAIN: the same two-sided hour-window cover as
     // refreshWithBatch (minute windows inside an hour can land on the
     // next local date under fractional-offset session timezones)
-    val dates = mine
+    val eventDates = mine
       .select(explode(array(
         to_date(date_trunc("hour", col("ts"))),
         to_date(timestamp_millis(
           unix_millis(date_trunc("hour", col("ts"))) + lit(3599999L)))))
         .as("p_date"))
-      .distinct().collect().map(_.getDate(0).toString).toSeq.sorted
+      .distinct().collect().map(_.getDate(0).toString).toSeq
+    // cross-check against STORED state: a stale or partial events
+    // frame must not silently no-op or leave the user's rows behind
+    // in partitions it doesn't know about. agg_by_window is
+    // user-keyed at the same hour grain the write paths cover, so
+    // its p_date set for the user is exactly the set of serving
+    // partitions holding the user's rows.
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val storedDates =
+      if (!fs.exists(new Path(s"$root/agg_by_window"))) Seq.empty[String]
+      else spark.read.parquet(s"$root/agg_by_window")
+        .filter(col("user_id") === userId)
+        .select(col("p_date").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+    val missing = storedDates.toSet -- eventDates.toSet
+    require(missing.isEmpty,
+      s"events frame is stale for user $userId: stored serving state " +
+        s"holds the user on p_date(s) ${missing.toSeq.sorted.mkString(", ")} " +
+        "absent from the supplied frame — recomputing those dates from " +
+        "this frame could drop other users' rows; pass the full raw events")
+    val dates = (eventDates ++ storedDates).distinct.sorted
     if (dates.isEmpty) return Seq.empty
     val erased = events.filter(col("user_id") =!= userId)
     val maxRow = erased.agg(unix_millis(max(col("ts")))).head()
@@ -784,15 +804,19 @@ object Serving {
     def dated(df: DataFrame) = df.filter(
       to_date(timestamp_millis(col("window_start_ms"))).cast("string")
         .isin(dates: _*))
-    // drop the affected partitions FIRST: a recomputed frame with no
-    // rows for a date must still erase that date's old rows
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (t <- allTables if t != "meta" && t != "profile_upsert"; d <- dates)
-      fs.delete(new Path(s"$root/$t/p_date=$d"), true)
+    // MATERIALIZE the recomputed agg state (the bulk of the recompute
+    // plan, shared by every downstream write) BEFORE any partition is
+    // deleted: a recompute failure — not just a crash — must not
+    // leave a multi-table hole
     val agg = dated(hourlyUserAgg(sub))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = dated(hourlyKeyedAgg(sub))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    agg.count(); keyed.count()
+    // drop the affected partitions only now: a recomputed frame with
+    // no rows for a date must still erase that date's old rows
+    for (t <- allTables if t != "meta" && t != "profile_upsert"; d <- dates)
+      fs.delete(new Path(s"$root/$t/p_date=$d"), true)
     try {
       writeAggStatePartitions(root, agg, keyed)
       def ow(df: DataFrame, table: String, sortCols: Seq[String]): Unit =

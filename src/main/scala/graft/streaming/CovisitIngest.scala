@@ -49,6 +49,13 @@ object CovisitIngest {
     StateCompactor.compactDistinct(spark, usPath,
       Seq("user_id", "event_type"))
 
+  /** Right-to-be-forgotten: drop the user's (user, type) rows from
+    * the whole state root ([[StateCompactor.eraseWhere]] — quiesced
+    * maintenance slot; crash-safe via the generation manifest).
+    */
+  def eraseUser(spark: SparkSession, usPath: String, userId: Long): Unit =
+    StateCompactor.eraseWhere(spark, usPath, col("user_id") === userId)
+
   /** Start the ingest stream over an `events`-schema source. */
   def start(spark: SparkSession, source: DataFrame, usPath: String,
       checkpoint: String,

@@ -166,4 +166,49 @@ object StateCompactor {
   def compactDistinct(spark: SparkSession, path: String,
       keys: Seq[String]): Unit =
     compactAdditive(spark, path, keys, Seq.empty)
+
+  /** Targeted ERASURE over batch-id-partitioned ingest state — the
+    * right-to-be-forgotten leg for the additive/monotone state roots
+    * ([[WauIngest]] (user, day) sets, [[CovisitIngest]] (user, type)
+    * sets), which [[graft.serving.Serving.eraseUser]]'s
+    * recompute-touched-partitions pass cannot reach. Additive state
+    * can't subtract, so the WHOLE visible state (committed
+    * generation + every live batch partition) is folded into a new
+    * generation with the matching rows filtered out; the manifest
+    * create is the single atomic commit point, exactly as in
+    * [[compactAdditive]] — a crash before it leaves debris readers
+    * never see, a crash after it is complete.
+    *
+    * Unlike routine compaction this folds the MAX batch id too (the
+    * erased rows must leave every partition), so it must run in a
+    * QUIESCED maintenance slot — stream stopped or between committed
+    * batches, the natural place for an offline erasure job. If the
+    * runtime later replays that last batch anyway, its rewritten
+    * partition is already in the manifest and stays invisible to
+    * readers: the erased rows cannot resurface through replay, and
+    * subsequent [[compactAdditive]] calls skip folded ids by
+    * construction.
+    *
+    * No-op when the root has no state yet.
+    */
+  def eraseWhere(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column): Unit = {
+    val f = fs(spark, path)
+    val cur = currentGen(spark, path)
+    val folded = cur.fold(Set.empty[Long])(_.folded)
+    val present = batchIds(spark, path).filterNot(folded)
+    if (cur.isEmpty && present.isEmpty) return
+    val kept = readState(spark, path).filter(!pred)
+    val nextG = cur.fold(1L)(_.gen + 1L)
+    val next = new Path(genDir(path, nextG))
+    f.delete(next, true) // debris from a previous crashed attempt
+    kept.write.mode("overwrite").parquet(next.toString)
+    // COMMIT POINT: atomic create of the manifest inside the new gen
+    val out = f.create(new Path(s"$next/_manifest"), false)
+    try out.write((folded ++ present).toSeq.sorted
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    present.foreach(b => f.delete(new Path(s"$path/batch_id=$b"), true))
+    cur.foreach(g => f.delete(new Path(genDir(path, g.gen)), true))
+  }
 }

@@ -46,6 +46,13 @@ object WauIngest {
   def compact(spark: SparkSession, path: String): Unit =
     StateCompactor.compactDistinct(spark, path, Seq("user_id", "day"))
 
+  /** Right-to-be-forgotten: drop the user's (user, day) rows from
+    * the whole state root ([[StateCompactor.eraseWhere]] — quiesced
+    * maintenance slot; crash-safe via the generation manifest).
+    */
+  def eraseUser(spark: SparkSession, path: String, userId: Long): Unit =
+    StateCompactor.eraseWhere(spark, path, col("user_id") === userId)
+
   /** Start the ingest stream over an `events`-schema source. */
   def start(spark: SparkSession, source: DataFrame, path: String,
       checkpoint: String,

@@ -126,4 +126,51 @@ class IngestTwinsSpec extends SparkSuite {
     val direct = rows(DocQueries.lmScore(d))
     assert(streamed == direct && streamed.nonEmpty)
   }
+
+  test("ingest-state erasure: erase == rebuild-without-user; replay can't resurface; compaction still sane") {
+    import graft.streaming.WauIngest
+    val ev = Tables.events(spark, sfDir)
+    val victim = ev.groupBy(col("user_id")).count()
+      .orderBy(desc("count"), col("user_id")).head().getLong(0) // hottest user
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val batches = Seq(
+      ev.filter(col("event_id") <= maxId / 3),
+      ev.filter(col("event_id") > maxId / 3 && col("event_id") <= 2 * maxId / 3),
+      ev.filter(col("event_id") > 2 * maxId / 3))
+    val t = tmp("graft_erase_state")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      CovisitIngest.processBatch(b, i.toLong, s"$t/us")
+      WauIngest.processBatch(b, i.toLong, s"$t/ud")
+    }
+    // compact first so the erase has BOTH a generation and live
+    // batch partitions to reach
+    CovisitIngest.compact(spark, s"$t/us")
+    WauIngest.compact(spark, s"$t/ud")
+    CovisitIngest.eraseUser(spark, s"$t/us", victim)
+    WauIngest.eraseUser(spark, s"$t/ud", victim)
+    val evErased = ev.filter(col("user_id") =!= victim)
+    val wantLift = rows(AnalyticsQueries.liftOf(
+      evErased.select(col("user_id"), col("event_type")).distinct()))
+    val wantWau = rows(AnalyticsQueries.wauOf(evErased
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day")).distinct()))
+    assert(rows(CovisitIngest.readLift(spark, s"$t/us")) == wantLift)
+    assert(rows(WauIngest.readWau(spark, s"$t/ud")) == wantWau)
+    // no row of the victim anywhere in the visible state
+    assert(graft.streaming.StateCompactor.readState(spark, s"$t/us")
+      .filter(col("user_id") === victim).isEmpty)
+    assert(graft.streaming.StateCompactor.readState(spark, s"$t/ud")
+      .filter(col("user_id") === victim).isEmpty)
+    // a replay of the last (folded) batch rewrites its partition but
+    // stays invisible: the erased user cannot resurface
+    CovisitIngest.processBatch(batches(2), 2L, s"$t/us")
+    WauIngest.processBatch(batches(2), 2L, s"$t/ud")
+    assert(rows(CovisitIngest.readLift(spark, s"$t/us")) == wantLift)
+    assert(rows(WauIngest.readWau(spark, s"$t/ud")) == wantWau)
+    // fresh erased-world batches + compaction keep reads consistent
+    CovisitIngest.processBatch(batches(0).filter(col("user_id") =!= victim), 3L, s"$t/us")
+    CovisitIngest.processBatch(batches(1).filter(col("user_id") =!= victim), 4L, s"$t/us")
+    CovisitIngest.compact(spark, s"$t/us")
+    assert(rows(CovisitIngest.readLift(spark, s"$t/us")) == wantLift)
+  }
 }

@@ -154,6 +154,32 @@ class OlapSpec extends SparkSuite {
     assert(finalShuffles(OlapQueries.userGaps(spark, sfDir)) === 1)
   }
 
+  test("corr moments fail loudly when a DECIMAL sum exceeds the BIGINT wire") {
+    import java.sql.Timestamp
+    // in-domain: guard is transparent
+    val ok = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 300L),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "click", 500L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value_cents")
+    val row = OlapQueries.corrComponentsOf(ok)
+      .select("sum_x", "sum_xx").as[(Long, Long)].head()
+    assert(row === ((800L, 300L * 300L + 500L * 500L)))
+    // x² at 10¹⁵ cents is 10³⁰ — far past Long.MaxValue: the non-ANSI
+    // cast would silently wrap/null where DuckDB's HUGEINT raises;
+    // the guard makes Spark raise too
+    val over = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click",
+        1000000000000000L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value_cents")
+    val ex = intercept[Exception] {
+      OlapQueries.corrComponentsOf(over).collect()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(messages.contains("BIGINT wire domain"))
+  }
+
   test("sketch estimates sit inside the est_ok envelope") {
     val pe = OlapQueries.percentileEst(spark, sfDir)
     assert(pe.filter($"p50_ok" =!= 1 || $"p95_ok" =!= 1).isEmpty)

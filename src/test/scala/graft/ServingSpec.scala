@@ -206,6 +206,36 @@ class ServingSpec extends SparkSuite {
     assert(users === Set(1L))
   }
 
+  test("user erasure refuses a stale frame that hides the user's stored dates") {
+    import java.sql.Timestamp
+    val root = java.nio.file.Files.createTempDirectory("graft_erase_stale").toString
+    def ev(id: Long, t: String, u: Long, et: String, cents: Long) =
+      (id, Timestamp.valueOf(t), u, et, cents / 100.0)
+    val rows = Seq(
+      ev(1, "2024-01-01 10:10:00", 1, "click", 300),
+      ev(2, "2024-01-01 10:20:00", 2, "view", 500),
+      ev(3, "2024-01-02 09:00:00", 2, "click", 900))
+    val mkDf = (rs: Seq[(Long, Timestamp, Long, String, Double)]) =>
+      rs.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("value_cents", round(col("value") * 100).cast("long"))
+    Serving.materializeInto(spark, root, mkDf(rows))
+    // the frame is missing user 2's 2024-01-02 row: stored state says
+    // the user touches that date too — a silent partial erase (or,
+    // with no user rows at all, a silent no-op) must instead fail loud
+    val ex = intercept[IllegalArgumentException] {
+      Serving.eraseUser(spark, root, mkDf(rows.take(2)), 2L)
+    }
+    assert(ex.getMessage.contains("2024-01-02"))
+    val exNoUser = intercept[IllegalArgumentException] {
+      Serving.eraseUser(spark, root, mkDf(rows.take(1)), 2L)
+    }
+    assert(exNoUser.getMessage.contains("stale"))
+    // state untouched by the refused calls
+    val users = spark.read.parquet(s"$root/agg_by_window")
+      .select("user_id").distinct().as[Long].collect().toSet
+    assert(users === Set(1L, 2L))
+  }
+
   test("streaming serving-refresh sink keeps the layout equal to batch rebuild") {
     import java.sql.Timestamp
     implicit val sql = spark.sqlContext
