@@ -232,6 +232,88 @@ object EventQueries {
       .orderBy(col("window_start_ms").desc, col("rank").asc)
   }
 
+  /** K1 gate — CONTINUOUS top-K, driven through the REAL streaming
+    * engine: the deduped corpus splits into three id-ordered parquet
+    * files consumed one-per-trigger by a file-source query running
+    * [[graft.streaming.ContinuousTopK.rank]] (flatMapGroupsWithState
+    * keyed state — the reference's TopKProcessFunction,
+    * ProcessFunctions.kt:62-134), per-restaurant keys PLUS the ALL
+    * sentinel (ProcessFunctions.kt:117-132). Emissions are
+    * cumulative, so folding the LAST emission per key equals the
+    * batch ranking over total metrics — the oracle recomputes that
+    * ranking from raw events in SQL, closing the one SURVEY §2 op
+    * whose correctness previously rested on specs alone.
+    *
+    * Harness notes (gate-only, not operator semantics): itemId is
+    * zero-padded so the operator's lexicographic tie-break equals
+    * numeric user order, and `stateCap` is set above the fixture's
+    * user cardinality so truncation (the reference's own
+    * approximation) cannot perturb the exact oracle comparison.
+    */
+  def topkContinuous(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.ContinuousTopK
+    val ev = Dedup.firstWins(Tables.events(spark, dir), Seq("event_id"),
+        Seq(col("ts").asc, col("user_id").asc))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value_cents"))
+    // 1-row aggregate: bounded driver metadata (batch cut points)
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_topk_cont").toString
+    val feed = s"$tmp/feed"
+    new java.io.File(feed).mkdirs()
+    val batches = Seq(
+      ev.filter(col("event_id") <= cuts(0)),
+      ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      ev.filter(col("event_id") > cuts(1)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val stage = s"$tmp/stage$i"
+      b.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $stage"))
+      val dst = new java.io.File(feed, f"b$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(10000L * (i + 1)) // deterministic trigger order
+    }
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    def upd(key: org.apache.spark.sql.Column) = src.select(
+      key.as("groupKey"),
+      lpad(col("user_id").cast("string"), 12, "0").as("itemId"),
+      lit(1L).as("count"),
+      col("value_cents").as("valueCents"),
+      lit(null).cast("timestamp").as("ts"))
+    val updates = upd(col("event_type")).unionByName(upd(lit("ALL")))
+      .as[ContinuousTopK.ItemUpdate]
+    val ranked = ContinuousTopK.rank(spark, updates, k = 10,
+      stateCap = 100000)
+    val acc = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Seq[ContinuousTopK.RankedItem])]()
+    val q = ranked.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[ContinuousTopK.RankedItem], id: Long) =>
+          b.collect().groupBy(_.groupKey).foreach { case (g, rows) =>
+            acc.merge(g, (id, rows.toSeq),
+              (old, fresh) => if (fresh._1 >= old._1) fresh else old)
+          }
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    spark.createDataset(acc.asScala.values.flatMap(_._2).toSeq)
+      .select(col("groupKey").as("restaurant_id"),
+        col("rank").cast("long").as("rank"),
+        col("itemId").cast("long").as("user_id"),
+        col("count").as("order_count"),
+        col("valueCents").as("total_cents"))
+  }
+
   /** S3: JSON decode of the props payload + predicate pushdown. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -269,6 +351,7 @@ object EventQueries {
     "q_topk_per_type" -> (topKPerType _),
     "q_topk_windowed" -> (topKWindowed _),
     "q_topk_lookup" -> (topKLookup _),
+    "q_topk_continuous" -> (topkContinuous _),
     "q_json_extract" -> (jsonExtract _),
     "q_recent_24h" -> (recent24h _),
   )
@@ -306,6 +389,23 @@ object EventQueries {
       s"""SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, $cents AS value_cents
          |FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY epoch_us(ts) DESC, user_id) AS rn FROM events)
          |WHERE rn = 1""".stripMargin,
+    // K1: the continuous stream's last emission per key == the batch
+    // ranking over TOTAL deduped metrics, per restaurant + ALL
+    "q_topk_continuous" ->
+      s"""WITH d AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+         |    ORDER BY epoch_us(ts), user_id) AS rn FROM events) WHERE rn = 1),
+         |m AS (
+         |  SELECT event_type AS restaurant_id, user_id, count(*) AS order_count,
+         |         CAST(SUM($cents) AS BIGINT) AS total_cents
+         |  FROM d GROUP BY event_type, user_id
+         |  UNION ALL
+         |  SELECT 'ALL' AS restaurant_id, user_id, count(*) AS order_count,
+         |         CAST(SUM($cents) AS BIGINT) AS total_cents
+         |  FROM d GROUP BY user_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY restaurant_id
+         |  ORDER BY order_count DESC, total_cents DESC, user_id ASC) AS rnk FROM m)
+         |SELECT restaurant_id, CAST(rnk AS BIGINT) AS rank, user_id, order_count, total_cents
+         |FROM r WHERE rnk <= 10""".stripMargin,
     // per-column latest-non-null merge: arg_max over the shared
     // zero-padded (us, id, cents, type) order string, null patches
     // excluded per column via the CASE'd order key
