@@ -106,6 +106,20 @@ object EmbedQueries {
       k = 5, nprobe = 16)
   }
 
+  /** Matryoshka-prefix KNN SERVED from the materialized index
+    * ([[graft.serving.AnnIndex.queryTruncated]]): stage 1 reads only
+    * the stored 16-dim prefix column (vec_id, vp, np) — the
+    * storage-layer realization of the MRL "smaller column read" —
+    * and stage 2 fetches full vectors for the 50-candidate set only.
+    * Identical two-stage semantics to [[knnTruncated]], so the gate
+    * shares its mirror oracle.
+    */
+  def knnTruncatedServed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.serving.AnnIndex.queryTruncated(spark, annIndexRoot(spark, dir),
+      emb.filter(col("vec_id") < 10), k = 5, candidates = 50)
+  }
+
   /** Root of the materialized IVF index for `dir`'s embeddings, built
     * on first use per dataset fingerprint. A dataset regenerated in
     * place gets a new fingerprint and a fresh index; superseded index
@@ -338,6 +352,7 @@ object EmbedQueries {
     "q_embed_dot_sql" -> (dotTopKSql _),
     "q_embed_knn" -> (knnBruteForce _),
     "q_embed_knn_truncated" -> (knnTruncated _),
+    "q_embed_knn_truncated_served" -> (knnTruncatedServed _),
     "q_embed_hard_negatives" -> (hardNegativesTop3 _),
     "q_embed_knn_ivf" -> (knnIvf _),
     "q_embed_knn_served" -> (knnIvfServed _),
@@ -390,6 +405,26 @@ object EmbedQueries {
       |               c.vec_id ASC) AS rnk
       |  FROM embeddings q, embeddings c
       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      |WHERE rnk <= 5""".stripMargin
+
+  private val truncatedKnnOracle =
+    """SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      |  FROM (
+      |    SELECT query_id, neighbor_id, sim FROM (
+      |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                               CAST(c.embedding AS DOUBLE[])) AS sim,
+      |        row_number() OVER (PARTITION BY q.vec_id
+      |          ORDER BY list_cosine_similarity(
+      |              CAST(q.embedding AS DOUBLE[])[1:16],
+      |              CAST(c.embedding AS DOUBLE[])[1:16]) DESC,
+      |            c.vec_id ASC) AS rp
+      |      FROM embeddings q, embeddings c
+      |      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      |    WHERE rp <= 50))
       |WHERE rnk <= 5""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
@@ -634,26 +669,10 @@ object EmbedQueries {
     "q_embed_knn_served" -> knnOracle,
     "q_embed_knn" -> knnOracle,
     // both MRL stages replayed: 16-dim-prefix cosine keeps top-50
-    // candidates (id tie-break), exact full-dim rerank to top-5
-    "q_embed_knn_truncated" ->
-      """SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id ASC) AS rnk
-        |  FROM (
-        |    SELECT query_id, neighbor_id, sim FROM (
-        |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                               CAST(c.embedding AS DOUBLE[])) AS sim,
-        |        row_number() OVER (PARTITION BY q.vec_id
-        |          ORDER BY list_cosine_similarity(
-        |              CAST(q.embedding AS DOUBLE[])[1:16],
-        |              CAST(c.embedding AS DOUBLE[])[1:16]) DESC,
-        |            c.vec_id ASC) AS rp
-        |      FROM embeddings q, embeddings c
-        |      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-        |    WHERE rp <= 50))
-        |WHERE rnk <= 5""".stripMargin,
+    // candidates (id tie-break), exact full-dim rerank to top-5 —
+    // shared by the in-memory operator and the index-served path
+    "q_embed_knn_truncated" -> truncatedKnnOracle,
+    "q_embed_knn_truncated_served" -> truncatedKnnOracle,
     "q_embed_top_pairs" ->
       """SELECT CAST(row_number() OVER (ORDER BY sim DESC, id_a ASC, id_b ASC) AS BIGINT) AS rank,
         |  id_a, id_b FROM (

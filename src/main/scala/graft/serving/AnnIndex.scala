@@ -20,52 +20,97 @@ import graft.functions.Vectors
   * the dynamic-pruning expression is present in the scan and that
   * files read scale with nprobe.
   *
+  * The layout also stores the MATRYOSHKA PREFIX as its own column
+  * (`vp` = first `prefixDims` dims + its norm `np`, Kusupati et al.
+  * 2022): parquet is columnar, so [[queryTruncated]]'s stage-1
+  * prefilter scan reads ONLY the dims/prefixDims-smaller prefix
+  * column — the storage-layer realization of the MRL "read 4× less"
+  * claim — and fetches full vectors just for the candidate set.
+  * `prefixDims` is recorded in a `_prefix_dims` manifest so appends
+  * and truncated queries cannot silently slice at a different width.
+  *
   * Same ranked-merge tail as [[graft.ops.Ann.ivfKnn]] (per-query
   * window over candidates), so exhaustive probe (nprobe = nlist) is
   * bit-identical to brute force — which is what the gate hash-checks.
   */
 object AnnIndex {
 
-  /** Write the index: one parquet directory per cell. Rewriting an
-    * existing root replaces it atomically per partition (overwrite).
+  val defaultPrefixDims = 16
+
+  private def fs(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writePrefixMeta(spark: SparkSession, root: String,
+      prefixDims: Int): Unit = {
+    val f = fs(spark, root)
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(s"$root/_prefix_dims"), true)
+    try out.write(prefixDims.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The prefix width this index was built with ([[materialize]]'s
+    * manifest) — the single source of truth for append/query slicing.
     */
-  def materialize(emb: DataFrame, centroids: Seq[Seq[Double]], root: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+  def prefixDims(spark: SparkSession, root: String): Int = {
+    val f = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/_prefix_dims")
+    require(f.exists(p), s"no _prefix_dims manifest under $root")
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  private def staged(emb: DataFrame, centroids: Seq[Seq[Double]],
+      idCol: String, vecCol: String, prefixDims: Int): DataFrame =
     emb.select(
         col(idCol).as("vec_id"),
         Vectors.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
+      .withColumn("vp", slice(col("v"), 1, prefixDims))
+      .withColumn("np", Vectors.norm(col("vp")))
       .withColumn("cell", Vectors.nearestCentroid(col("v"), centroids).cast("int"))
+
+  /** Write the index: one parquet directory per cell. Rewriting an
+    * existing root replaces it atomically per partition (overwrite).
+    */
+  def materialize(emb: DataFrame, centroids: Seq[Seq[Double]], root: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      prefixDims: Int = defaultPrefixDims): Unit = {
+    staged(emb, centroids, idCol, vecCol, prefixDims)
       .write.mode("overwrite").partitionBy("cell").parquet(root)
+    writePrefixMeta(emb.sparkSession, root, prefixDims)
+  }
 
   /** Incrementally add vectors to an existing index WITHOUT a
     * rebuild: new rows are quantized with the SAME centroids (cell
     * assignment is append-stable — a coarse quantizer is fixed at
     * index build, as in any production IVF) and appended as new
-    * parquet files inside their cell directories. Idempotent under
-    * replay: ids already present are dropped by an anti-join against
-    * the existing index before the write, so a re-delivered batch
-    * adds nothing — the same at-least-once-to-exactly-once pattern
-    * as [[Serving]]'s batch-id guard, keyed on content instead.
+    * parquet files inside their cell directories; the prefix width
+    * comes from the index's own manifest. Idempotent under replay:
+    * ids already present are dropped by an anti-join against the
+    * existing index before the write, so a re-delivered batch adds
+    * nothing — the same at-least-once-to-exactly-once pattern as
+    * [[Serving]]'s batch-id guard, keyed on content instead.
     */
   def append(spark: SparkSession, root: String, newEmb: DataFrame,
       centroids: Seq[Seq[Double]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val staged = newEmb.select(
-        col(idCol).as("vec_id"),
-        Vectors.toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", Vectors.norm(col("v")))
-      .withColumn("cell", Vectors.nearestCentroid(col("v"), centroids).cast("int"))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bootstrapPrefixDims: Int = defaultPrefixDims): Unit = {
     // absent root = empty index (first streaming append bootstraps
     // the layout) — one FS existence RPC, like IncrementalDedup's
     // band-index read
     val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = fs(spark, root)
+    val exists = f.exists(p)
+    val pd = if (exists) prefixDims(spark, root) else bootstrapPrefixDims
     val existing =
-      if (fs.exists(p)) spark.read.parquet(root).select(col("vec_id"))
+      if (exists) spark.read.parquet(root).select(col("vec_id"))
       else spark.range(0).select(col("id").as("vec_id"))
-    staged.join(existing, Seq("vec_id"), "left_anti")
+    staged(newEmb, centroids, idCol, vecCol, pd)
+      .join(existing, Seq("vec_id"), "left_anti")
       .write.mode("append").partitionBy("cell").parquet(root)
+    if (!exists) writePrefixMeta(spark, root, pd)
   }
 
   /** Top-k cosine neighbors for each query row against the
@@ -105,6 +150,51 @@ object AnnIndex {
       .withColumn("sim", Vectors.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
+  /** Matryoshka-prefix top-k against the materialized index
+    * ([[graft.ops.Ann.truncatedKnn]]'s two-stage semantics, served):
+    * stage 1 ranks the WHOLE index by prefix cosine reading only the
+    * small (vec_id, vp, np) columns — the prefilter scan never
+    * touches the full vector column, which is what makes the pass
+    * dims/prefixDims cheaper at the storage layer — and keeps
+    * `candidates` rows per query; stage 2 broadcast-joins that
+    * bounded candidate set back to the index to fetch (v, nrm) and
+    * re-ranks with the exact full-dimension cosine. Both stages
+    * tie-break by id, so the composition is deterministic and shares
+    * the in-memory operator's two-stage mirror oracle. The query's
+    * slice width comes from the index manifest — a mismatched build
+    * cannot silently compare different prefixes.
+    */
+  def queryTruncated(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, candidates: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val pd = prefixDims(spark, root)
+    val q = queries.select(
+        col(idCol).as("query_id"),
+        Vectors.toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", Vectors.norm(col("qv")))
+      .withColumn("qp", slice(col("qv"), 1, pd))
+      .withColumn("qpn", Vectors.norm(col("qp")))
+    val pre = spark.read.parquet(root).select(col("vec_id"), col("vp"), col("np"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_p").desc, col("vec_id").asc)
+    val cand = pre.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim_p",
+        Vectors.dot(col("vp"), col("qp")) / (col("np") * col("qpn")))
+      .withColumn("rp", row_number().over(wp))
+      .filter(col("rp") <= candidates)
+      .select(col("query_id"), col("vec_id"), col("qv"), col("qn"))
+    val full = spark.read.parquet(root).select(col("vec_id"), col("v"), col("nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    full.join(broadcast(cand), Seq("vec_id"))
+      .withColumn("sim", Vectors.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"))

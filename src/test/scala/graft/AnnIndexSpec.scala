@@ -24,9 +24,42 @@ class AnnIndexSpec extends SparkSuite {
       .map(_.getName).filter(_.startsWith("cell=")).sorted
     assert(dirs.nonEmpty && dirs.length <= 8, dirs.mkString(","))
     val read = spark.read.parquet(root)
-    assert(read.columns.sorted === Array("cell", "nrm", "v", "vec_id"))
+    assert(read.columns.sorted === Array("cell", "np", "nrm", "v", "vec_id", "vp"))
     // every corpus row landed in exactly one cell
     assert(read.count() === emb.count())
+    // the stored Matryoshka prefix is exactly the first prefixDims
+    // dims of the full vector, with its own norm
+    assert(AnnIndex.prefixDims(spark, root) === AnnIndex.defaultPrefixDims)
+    assert(read.filter(
+      col("vp") =!= slice(col("v"), 1, AnnIndex.defaultPrefixDims)).isEmpty)
+  }
+
+  test("truncated (MRL-prefix) query over the index equals the in-memory two-stage operator") {
+    val queries = emb.filter($"vec_id" < 10)
+    val served = AnnIndex.queryTruncated(spark, root, queries, k = 5, candidates = 50)
+    val inMem = Ann.truncatedKnn(emb, queries, k = 5, prefixDims = 16, candidates = 50)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served.as[(Long, Long, Long)].collect().toSet === inMem)
+    assert(inMem.nonEmpty)
+    // the stage-1 prefilter scan reads the SMALL prefix columns and
+    // must NOT touch the full vector column — the storage-layer claim
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => findScans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(findScans)
+    }
+    val scans = findScans(served.queryExecution.executedPlan)
+      .filter(_.toString.contains("parquet"))
+    val prefilter = scans.filter(_.requiredSchema.fieldNames.contains("vp"))
+    assert(prefilter.nonEmpty, "no prefix-column scan found")
+    prefilter.foreach { s =>
+      assert(!s.requiredSchema.fieldNames.contains("v"),
+        s"prefilter scan reads the full vector column: ${s.requiredSchema.catalogString}")
+    }
   }
 
   test("exhaustive probe over the index equals brute force") {
