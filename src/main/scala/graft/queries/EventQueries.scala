@@ -221,6 +221,15 @@ object EventQueries {
     * (QueryService.kt:43-61). Range anchored at max(ts)-72h so the
     * query is deterministic on static data (the API's now-relative
     * defaults, TopKController.kt:34-38).
+    *
+    * BENCH NOTE — this entry is the deliberate "wrong architecture"
+    * baseline: it RECOMPUTES the ranked table from the raw fact on
+    * every call (full scan + shuffle + window), so its wall time
+    * rides full-scan variance and drifts 0.6–1.1 s run to run. That
+    * drift is the point, not a regression to chase: the served twins
+    * (`q_topk_lookup_served` / `q_topk_lookup_replica`, the
+    * architecture answer) answer the same question from pinned state
+    * in ~30 ms and are the entries the latency bar applies to.
     */
   def topKLookup(spark: SparkSession, dir: String): DataFrame = {
     val ranked = topKWindowed(spark, dir)

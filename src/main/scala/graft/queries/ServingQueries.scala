@@ -181,8 +181,14 @@ object ServingQueries {
     * the ×4 expand happens on the state, and WindowGroupLimit caps
     * per-window rank state at k.
     */
-  def topKTrendingServed(spark: SparkSession, dir: String): DataFrame = {
-    val agg = Serving.readTable(spark, dir, "rollup_1m")
+  def topKTrendingServed(spark: SparkSession, dir: String): DataFrame =
+    trendingOfRollup(Serving.readTable(spark, dir, "rollup_1m"))
+
+  /** The sliding re-aggregation + rank over any `rollup_1m`-shaped
+    * frame — shared by the one-shot-built and stream-built roots.
+    */
+  private def trendingOfRollup(rollup: DataFrame): DataFrame = {
+    val agg = rollup
       .withColumn("k", explode(sequence(lit(0L), lit(3L))))
       .groupBy(
         ((expr("window_start_ms DIV 900000") - col("k")) * 900000L)
@@ -195,6 +201,47 @@ object ServingQueries {
       .select(col("window_start_ms"), col("rank").cast("long").as("rank"),
         col("event_type"), col("n_events"), col("sum_cents"))
   }
+
+  private val streamRootCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** A serving root built by the STREAMING refresh leg: first batch
+    * via [[Serving.materializeInto]], the rest as id-ordered
+    * micro-batches through [[Serving.refreshWithBatch]] — the exact
+    * `foreachBatch` body of
+    * [[graft.streaming.StreamingPipeline.servingRefreshSink]] (the
+    * `q_doc_curate_stream` harness pattern; the live MemoryStream +
+    * checkpoint + replay leg is ServingSpec's). Cached per dataset
+    * fingerprint so repeated gate/bench invocations reuse one build.
+    */
+  private def streamBuiltRoot(spark: SparkSession, dir: String): String =
+    streamRootCache.getOrElseUpdate(
+      graft.Tables.fingerprint(spark, s"$dir/events.parquet"), {
+        val ev = graft.Tables.events(spark, dir)
+        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+        val cuts = Seq(maxId / 3, 2 * maxId / 3)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_serving_stream").toString
+        Serving.materializeInto(spark, root,
+          ev.filter(col("event_id") <= cuts(0)))
+        Serving.refreshWithBatch(spark, root,
+          ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+          batchId = 1L)
+        Serving.refreshWithBatch(spark, root,
+          ev.filter(col("event_id") > cuts(1)), batchId = 2L)
+        root
+      })
+
+  /** Trending top-K read from a STREAM-BUILT serving root: the
+    * minute-rollup state accumulates through the incremental refresh
+    * leg instead of a one-shot build, then the identical sliding
+    * re-aggregation runs over it — hash-gating the
+    * stream-refresh → state → derive composition against the same
+    * raw-scan oracle as `q_topk_trending`.
+    */
+  def topKTrendingStream(spark: SparkSession, dir: String): DataFrame =
+    trendingOfRollup(
+      spark.read.parquet(s"${streamBuiltRoot(spark, dir)}/rollup_1m"))
 
   /** WAU curve SERVED from the minute-grain distinct-user state:
     * `rollup_1m_users` holds every (minute, type, user) ever seen,
@@ -213,6 +260,7 @@ object ServingQueries {
   val queries: Map[String, QFn] = Map(
     "q_wau_served" -> (wauServed _),
     "q_topk_trending_served" -> (topKTrendingServed _),
+    "q_topk_trending_stream" -> (topKTrendingStream _),
     "q_topk_lookup_served" -> (topKLookupServed _),
     "q_topk_lookup_replica" -> (topKLookupReplica _),
     "q_topk_lookup_revenue" -> (topKLookupRevenue _),
@@ -237,6 +285,9 @@ object ServingQueries {
     // served trending must equal the raw-scan trending bit-for-bit —
     // same oracle, different (minute-rollup re-aggregation) plan
     "q_topk_trending_served" -> AnalyticsQueries.oracles("q_topk_trending"),
+    // the stream-built root must reproduce the same trending table —
+    // same oracle, state accumulated via the incremental refresh leg
+    "q_topk_trending_stream" -> AnalyticsQueries.oracles("q_topk_trending"),
     // served WAU ≡ raw-scan WAU (minute-user state collapses to the
     // exact distinct (user, day) set)
     "q_wau_served" -> AnalyticsQueries.oracles("q_wau_daily"),
