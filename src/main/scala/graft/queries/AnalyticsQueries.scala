@@ -400,13 +400,31 @@ object AnalyticsQueries {
   /** Core RFM rollup over any frame with (user_id, event_type, ts,
     * value_cents).
     */
-  def rfmSegmentsOf(ev: DataFrame): DataFrame = {
-    val per = ev
-      .filter(col("event_type") === "purchase")
+  def rfmSegmentsOf(ev: DataFrame): DataFrame =
+    rfmOfPerUser(rfmPerUser(ev))
+
+  /** The MERGEABLE per-user RFM state: (last-purchase micros via max,
+    * purchase count, cents sum) — partials from any split of the
+    * input merge by (max, sum, sum) to the same per-user row, which
+    * is what the streaming twin's additive batches and the
+    * compactor's merge rely on.
+    */
+  def rfmPerUser(ev: DataFrame): DataFrame = ev
+    .filter(col("event_type") === "purchase")
+    .groupBy(col("user_id"))
+    .agg(max(unix_micros(col("ts"))).as("last_us"),
+      count(lit(1)).as("freq"),
+      sum(col("value_cents")).as("monetary_cents"))
+
+  /** Merge per-user partials (max/sum/sum re-agg), then the three
+    * global quartile rankings + segment rollup.
+    */
+  def rfmOfPerUser(perState: DataFrame): DataFrame = {
+    val per = perState
       .groupBy(col("user_id"))
-      .agg(max(unix_micros(col("ts"))).as("last_us"),
-        count(lit(1)).as("freq"),
-        sum(col("value_cents")).as("monetary_cents"))
+      .agg(max(col("last_us")).as("last_us"),
+        sum(col("freq")).cast("long").as("freq"),
+        sum(col("monetary_cents")).cast("long").as("monetary_cents"))
     val tiled = Seq(
       (Seq(col("last_us").asc, col("user_id").asc), "r_tile"),
       (Seq(col("freq").asc, col("user_id").asc), "f_tile"),
@@ -419,6 +437,23 @@ object AnalyticsQueries {
         .as("segment"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("monetary_cents")).as("monetary_sum_cents"))
+  }
+
+  /** The STREAMING RFM composition, gated: drive
+    * [[graft.streaming.RfmIngest]] over three id-ordered
+    * micro-batches (direct `processBatch` calls — the foreachBatch
+    * body; the `q_doc_curate_stream` harness pattern), then derive
+    * the quartile segments from the merged (max, sum, sum) per-user
+    * state. The merges are order-independent, so the oracle is the
+    * plain batch SQL.
+    */
+  def rfmSegmentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rfm_gate").toString
+    OlapQueries.idOrderedBatches(spark, dir).zipWithIndex.foreach {
+      case (b, i) =>
+        graft.streaming.RfmIngest.processBatch(b, i.toLong, s"$tmp/per_user")
+    }
+    graft.streaming.RfmIngest.readSegments(spark, s"$tmp/per_user")
   }
 
   /** Trending top-K: the top-3 event types of every SLIDING 1-hour
@@ -476,6 +511,7 @@ object AnalyticsQueries {
     "q_topk_trending" -> (topKTrending _),
     "q_event_transitions" -> (eventTransitions _),
     "q_rfm_segments" -> (rfmSegments _),
+    "q_rfm_segments_stream" -> (rfmSegmentsStream _),
     "q_covisit_lift" -> (covisitLift _),
     "q_covisit_lift_stream" -> (covisitLiftStream _),
     "q_funnel" -> (funnel _),
@@ -491,6 +527,22 @@ object AnalyticsQueries {
       |      FROM events)
       |CROSS JOIN range(0, 7) AS r(k)
       |GROUP BY 1""".stripMargin
+
+  private val rfmOracle =
+    """WITH per AS (
+      |  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS freq,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |t AS (
+      |  SELECT monetary_cents,
+      |    ntile(4) OVER (ORDER BY last_us, user_id) AS r_tile,
+      |    ntile(4) OVER (ORDER BY freq, user_id) AS f_tile,
+      |    ntile(4) OVER (ORDER BY monetary_cents, user_id) AS m_tile
+      |  FROM per)
+      |SELECT CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS segment,
+      |  count(*) AS n_users,
+      |  CAST(SUM(monetary_cents) AS BIGINT) AS monetary_sum_cents
+      |FROM t GROUP BY 1""".stripMargin
 
   private val covisitOracle =
       """WITH us AS (SELECT DISTINCT user_id, event_type FROM events),
@@ -602,21 +654,10 @@ object AnalyticsQueries {
         |    // SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
         |    AS share_permille
         |FROM c""".stripMargin,
-    "q_rfm_segments" ->
-      """WITH per AS (
-        |  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS freq,
-        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |t AS (
-        |  SELECT monetary_cents,
-        |    ntile(4) OVER (ORDER BY last_us, user_id) AS r_tile,
-        |    ntile(4) OVER (ORDER BY freq, user_id) AS f_tile,
-        |    ntile(4) OVER (ORDER BY monetary_cents, user_id) AS m_tile
-        |  FROM per)
-        |SELECT CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS segment,
-        |  count(*) AS n_users,
-        |  CAST(SUM(monetary_cents) AS BIGINT) AS monetary_sum_cents
-        |FROM t GROUP BY 1""".stripMargin,
+    "q_rfm_segments" -> rfmOracle,
+    // the streamed twin re-derives from merged (max, sum, sum)
+    // per-user state — identical output, same oracle
+    "q_rfm_segments_stream" -> rfmOracle,
     // the streamed twin re-derives from set-union state — identical
     // output, same oracle
     "q_covisit_lift" -> covisitOracle,

@@ -332,14 +332,17 @@ object OlapQueries {
     corrComponentsOf(Tables.events(spark, dir))
 
   /** [[corrComponents]] over any events-schema frame. */
-  def corrComponentsOf(events: DataFrame): DataFrame = {
+  def corrComponentsOf(events: DataFrame): DataFrame =
+    corrWire(corrMomentState(events))
+
+  /** The MERGEABLE moment state: per event_type partial
+    * (n, Σx, Σy, Σxy, Σx², Σy²) in DECIMAL(38,0) — plain sums, so
+    * partials from any split of the input re-aggregate to the same
+    * state (what makes the streaming twin's additive batches and the
+    * compactor's sum-merge exact).
+    */
+  def corrMomentState(events: DataFrame): DataFrame = {
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    def toLong(c: org.apache.spark.sql.Column, name: String) =
-      when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
-        raise_error(concat(
-          lit(s"corrComponents $name exceeds the BIGINT wire domain: "),
-          c.cast("string"))))
-        .otherwise(c.cast("long")).as(name)
     events
       .select(col("event_type"), col("value_cents").as("x"),
         hour(col("ts")).cast("long").as("y"))
@@ -349,6 +352,27 @@ object OlapQueries {
         sum(dec(col("x")) * dec(col("y"))).as("sxy"),
         sum(dec(col("x")) * dec(col("x"))).as("sxx"),
         sum(dec(col("y")) * dec(col("y"))).as("syy"))
+  }
+
+  /** Re-aggregate moment-state partials and cross the BIGINT wire
+    * with the guarded casts (see [[corrComponents]]'s doc).
+    */
+  def corrWire(state: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def toLong(c: org.apache.spark.sql.Column, name: String) =
+      when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+        raise_error(concat(
+          lit(s"corrComponents $name exceeds the BIGINT wire domain: "),
+          c.cast("string"))))
+        .otherwise(c.cast("long")).as(name)
+    state
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("sx")).cast("decimal(38,0)").as("sx"),
+        sum(col("sy")).cast("decimal(38,0)").as("sy"),
+        sum(col("sxy")).cast("decimal(38,0)").as("sxy"),
+        sum(col("sxx")).cast("decimal(38,0)").as("sxx"),
+        sum(col("syy")).cast("decimal(38,0)").as("syy"))
       .select(col("event_type"), col("n"),
         toLong(col("sx"), "sum_x"),
         toLong(col("sy"), "sum_y"),
@@ -383,23 +407,43 @@ object OlapQueries {
   /** Core OHLC over any frame with (ts, event_type, event_id,
     * value_cents).
     */
-  def ohlcOf(events: DataFrame): DataFrame = {
-    val ev = events.select(
-      unix_millis(date_trunc("HOUR", col("ts"))).as("hour_start_ms"),
-      col("event_type"),
-      unix_micros(col("ts")).as("tu"),
-      col("event_id"),
-      col("value_cents"))
-    ev.groupBy(col("hour_start_ms"), col("event_type"))
+  def ohlcOf(events: DataFrame): DataFrame =
+    ohlcMerge(ohlcPartials(events))
+
+  /** The MERGEABLE OHLC state: per (hour, type) partial — open/close
+    * carried as the full min/max (tu, event_id, value_cents) structs
+    * (not just the value: the struct is what stays mergeable — min of
+    * mins IS the global min under the same lexicographic order),
+    * plus high/low/count. Partials from any split of the input merge
+    * to the same bar, which is what the streaming twin's additive
+    * batches and the compactor's min/max/sum merge rely on.
+    */
+  def ohlcPartials(events: DataFrame): DataFrame =
+    events.select(
+        unix_millis(date_trunc("HOUR", col("ts"))).as("hour_start_ms"),
+        col("event_type"),
+        unix_micros(col("ts")).as("tu"),
+        col("event_id"),
+        col("value_cents"))
+      .groupBy(col("hour_start_ms"), col("event_type"))
       .agg(
-        min(struct(col("tu"), col("event_id"), col("value_cents")))
-          .getField("value_cents").as("open_cents"),
-        max(struct(col("tu"), col("event_id"), col("value_cents")))
-          .getField("value_cents").as("close_cents"),
+        min(struct(col("tu"), col("event_id"), col("value_cents"))).as("o"),
+        max(struct(col("tu"), col("event_id"), col("value_cents"))).as("c"),
         max(col("value_cents")).as("high_cents"),
         min(col("value_cents")).as("low_cents"),
         count(lit(1)).as("n_events"))
-  }
+
+  /** Merge OHLC partials into final bars (min/max/sum re-agg + the
+    * open/close struct projection).
+    */
+  def ohlcMerge(state: DataFrame): DataFrame =
+    state.groupBy(col("hour_start_ms"), col("event_type"))
+      .agg(
+        min(col("o")).getField("value_cents").as("open_cents"),
+        max(col("c")).getField("value_cents").as("close_cents"),
+        max(col("high_cents")).as("high_cents"),
+        min(col("low_cents")).as("low_cents"),
+        sum(col("n_events")).cast("long").as("n_events"))
 
   /** Per-type z-score outlier flags in EXACT integer arithmetic:
     * z² > k² rewrites to `(n·x − S)² · 4 > k²·4 · (n·SS − S²)` over
@@ -453,6 +497,47 @@ object OlapQueries {
         sum(col("value_cents")).as("total_cents"))
   }
 
+  /** The STREAMING moment-state composition, gated: drive
+    * [[graft.streaming.CorrIngest]] over three id-ordered
+    * micro-batches (direct `processBatch` calls — the foreachBatch
+    * body; the `q_doc_curate_stream` harness pattern), then read the
+    * merged moments back through the same guarded wire. Sums are
+    * order-independent, so the oracle is the plain batch SQL.
+    */
+  def corrComponentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corr_gate").toString
+    idOrderedBatches(spark, dir).zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.CorrIngest.processBatch(b, i.toLong, s"$tmp/moments")
+    }
+    graft.streaming.CorrIngest.readMoments(spark, s"$tmp/moments")
+  }
+
+  /** The STREAMING OHLC composition, gated: partial bars per
+    * micro-batch, struct-min/max merged at read — an hour's true
+    * opening trade can land in any batch and still win the merge.
+    */
+  def ohlcStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ohlc_gate").toString
+    idOrderedBatches(spark, dir).zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.OhlcIngest.processBatch(b, i.toLong, s"$tmp/bars")
+    }
+    graft.streaming.OhlcIngest.readBars(spark, s"$tmp/bars")
+  }
+
+  /** Three id-ranged micro-batches of the events table (the shared
+    * stream-gate split; 1-row aggregate = bounded driver metadata).
+    */
+  private[queries] def idOrderedBatches(spark: SparkSession,
+      dir: String): Seq[DataFrame] = {
+    val ev = Tables.events(spark, dir)
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3)
+    Seq(
+      ev.filter(col("event_id") <= cuts(0)),
+      ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      ev.filter(col("event_id") > cuts(1)))
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_cumulate_daily" -> (cumulateDaily _),
     "q_value_outliers" -> (valueOutliers _),
@@ -470,6 +555,8 @@ object OlapQueries {
     "q_revenue_deciles" -> (revenueDeciles _),
     "q_revenue_pct_rank" -> (revenuePctRank _),
     "q_corr_components" -> (corrComponents _),
+    "q_corr_components_stream" -> (corrComponentsStream _),
+    "q_ohlc_hourly_stream" -> (ohlcStream _),
     "q_revenue_share" -> (revenueShare _),
     "q_type_history" -> (typeHistory _),
     "q_user_growth" -> (userGrowth _),
@@ -477,7 +564,7 @@ object OlapQueries {
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     // SCD2 run intervals: rows open on type change, close at the next
     // change's timestamp (NULL for the live run)
     "q_type_history" ->
@@ -678,4 +765,9 @@ object OlapQueries {
          |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents
          |FROM events GROUP BY CUBE (event_type, hour(ts))""".stripMargin,
   )
+
+  /** The ingest-state twins share the batch oracles bit-for-bit. */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "q_corr_components_stream" -> oraclesBase("q_corr_components"),
+    "q_ohlc_hourly_stream" -> oraclesBase("q_ohlc_hourly"))
 }

@@ -126,7 +126,18 @@ object StateCompactor {
     * when nothing is foldable.
     */
   def compactAdditive(spark: SparkSession, path: String, keys: Seq[String],
-      measures: Seq[String]): Unit = {
+      measures: Seq[String]): Unit =
+    compactWith(spark, path, keys, measures.map(c => (c, "sum")))
+
+  /** [[compactAdditive]] with a per-measure MERGE function — for
+    * state whose re-aggregation is mergeable but not a plain sum
+    * (e.g. RFM recency = `max` of last-purchase micros, OHLC
+    * open/close = `min`/`max` over (tu, id, value) structs). Only
+    * associative+commutative merges are valid here — the same
+    * algebra that makes the state batchable at all.
+    */
+  def compactWith(spark: SparkSession, path: String, keys: Seq[String],
+      aggs: Seq[(String, String)]): Unit = {
     val f = fs(spark, path)
     val cur = currentGen(spark, path)
     val folded = cur.fold(Set.empty[Long])(_.folded)
@@ -142,10 +153,16 @@ object StateCompactor {
         .select(parts.columns.map(col): _*))
     }
     val merged =
-      if (measures.isEmpty) withOld.select(keys.map(col): _*).distinct()
+      if (aggs.isEmpty) withOld.select(keys.map(col): _*).distinct()
       else {
-        val sums = measures.map(c => sum(col(c)).as(c))
-        withOld.groupBy(keys.map(col): _*).agg(sums.head, sums.tail: _*)
+        val cols = aggs.map {
+          case (c, "sum") => sum(col(c)).as(c)
+          case (c, "max") => max(col(c)).as(c)
+          case (c, "min") => min(col(c)).as(c)
+          case (c, fn) => throw new IllegalArgumentException(
+            s"unsupported merge '$fn' for state column '$c' (sum|max|min)")
+        }
+        withOld.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
       }
     val nextG = cur.fold(1L)(_.gen + 1L)
     val next = new Path(genDir(path, nextG))

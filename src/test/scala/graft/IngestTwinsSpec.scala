@@ -127,6 +127,47 @@ class IngestTwinsSpec extends SparkSuite {
     assert(streamed == direct && streamed.nonEmpty)
   }
 
+  test("corr/rfm/ohlc ingest: out-of-order + replay == batch; compaction preserves reads") {
+    import graft.streaming.{CorrIngest, OhlcIngest, RfmIngest}
+    import graft.queries.OlapQueries
+    val ev = Tables.events(spark, sfDir)
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val batches = Seq(
+      ev.filter(col("event_id") <= maxId / 3),
+      ev.filter(col("event_id") > maxId / 3 && col("event_id") <= 2 * maxId / 3),
+      ev.filter(col("event_id") > 2 * maxId / 3))
+    val t = tmp("graft_merge_twins")
+    // reversed arrival order — the true hour-opening trades and
+    // last purchases land in the "wrong" batches — then a replay
+    Seq(2, 1, 0).foreach { i =>
+      CorrIngest.processBatch(batches(i), i.toLong, s"$t/moments")
+      RfmIngest.processBatch(batches(i), i.toLong, s"$t/per_user")
+      OhlcIngest.processBatch(batches(i), i.toLong, s"$t/bars")
+    }
+    CorrIngest.processBatch(batches(2), 2L, s"$t/moments")
+    RfmIngest.processBatch(batches(2), 2L, s"$t/per_user")
+    OhlcIngest.processBatch(batches(2), 2L, s"$t/bars")
+    val wantCorr = rows(OlapQueries.corrComponentsOf(ev))
+    val wantRfm = rows(AnalyticsQueries.rfmSegmentsOf(ev))
+    val wantOhlc = rows(OlapQueries.ohlcOf(ev))
+    assert(rows(CorrIngest.readMoments(spark, s"$t/moments")) == wantCorr)
+    assert(rows(RfmIngest.readSegments(spark, s"$t/per_user")) == wantRfm)
+    assert(rows(OhlcIngest.readBars(spark, s"$t/bars")) == wantOhlc)
+    // compaction (sum / max+sum / struct-min+max merges) preserves reads
+    CorrIngest.compact(spark, s"$t/moments")
+    RfmIngest.compact(spark, s"$t/per_user")
+    OhlcIngest.compact(spark, s"$t/bars")
+    assert(rows(CorrIngest.readMoments(spark, s"$t/moments")) == wantCorr)
+    assert(rows(RfmIngest.readSegments(spark, s"$t/per_user")) == wantRfm)
+    assert(rows(OhlcIngest.readBars(spark, s"$t/bars")) == wantOhlc)
+    // replay of the last (replayable) batch after compaction: no-op
+    CorrIngest.processBatch(batches(2), 2L, s"$t/moments")
+    OhlcIngest.processBatch(batches(2), 2L, s"$t/bars")
+    assert(rows(CorrIngest.readMoments(spark, s"$t/moments")) == wantCorr)
+    assert(rows(OhlcIngest.readBars(spark, s"$t/bars")) == wantOhlc)
+    assert(wantCorr.nonEmpty && wantRfm.nonEmpty && wantOhlc.nonEmpty)
+  }
+
   test("ingest-state erasure: erase == rebuild-without-user; replay can't resurface; compaction still sane") {
     import graft.streaming.WauIngest
     val ev = Tables.events(spark, sfDir)
