@@ -106,21 +106,31 @@ object BurstStream {
       state: GroupState[ErrSt]): Iterator[Burst] = {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
-      val prev = state.getOption.getOrElse(emptySt)
-      val fresh = it
-        .filter(_.event_type == "error")
-        .map(e => ErrEv(
-          e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L,
-          e.event_id)).toSeq
-      if (fresh.isEmpty && !state.exists) Iterator.empty
-      else {
-        val stepped = step(prev, fresh, horizonUs)
-        val (n, first) = statsFromState(stepped)
-        state.update(stepped.copy(nBursts = n, firstUs = first))
-        idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
-        if (n == prev.nBursts && first == prev.firstUs) Iterator.empty
-        else if (n == 0) Iterator.empty // not yet a burst user
-        else Iterator.single(Burst(key, n, first))
+      val evs = it.toSeq
+      // GDPR tombstone ([[StreamErase]]): drop the key's state and
+      // emit the zero-burst delete marker (n_bursts = 0, sentinel
+      // first instant) — update-mode folds treat it as removal,
+      // matching the batch operator's burst-users-only output
+      if (StreamErase.requested(evs.iterator.map(_.event_type))) {
+        state.remove()
+        Iterator.single(Burst(key, 0L, Long.MaxValue))
+      } else {
+        val prev = state.getOption.getOrElse(emptySt)
+        val fresh = evs.iterator
+          .filter(_.event_type == "error")
+          .map(e => ErrEv(
+            e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L,
+            e.event_id)).toSeq
+        if (fresh.isEmpty && !state.exists) Iterator.empty
+        else {
+          val stepped = step(prev, fresh, horizonUs)
+          val (n, first) = statsFromState(stepped)
+          state.update(stepped.copy(nBursts = n, firstUs = first))
+          idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+          if (n == prev.nBursts && first == prev.firstUs) Iterator.empty
+          else if (n == 0) Iterator.empty // not yet a burst user
+          else Iterator.single(Burst(key, n, first))
+        }
       }
     }
   }

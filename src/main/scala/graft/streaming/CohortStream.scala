@@ -20,10 +20,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   */
 object CohortStream {
 
-  case class Seen(user_id: Long, ts: Timestamp)
+  case class Seen(user_id: Long, ts: Timestamp, event_type: String)
 
   /** One user's complete current retention profile (update-mode:
-    * replaces earlier emissions for the key).
+    * replaces earlier emissions for the key). An EMPTY `offsets`
+    * list is the cleared/delete emission ([[StreamErase]]) — it
+    * contributes no (cohort, offset) rows to any fold.
     */
   case class UserCohort(user_id: Long, cohort_day: Long, offsets: Seq[Long])
 
@@ -35,21 +37,29 @@ object CohortStream {
 
   private def update(key: Long, it: Iterator[Seen],
       state: GroupState[Days]): Iterator[UserCohort] = {
-    val prev = state.getOption.map(_.days.toSet).getOrElse(Set.empty[Long])
-    val merged = prev ++ it.map(_.ts.getTime / dayMs)
-    if (state.exists && merged.size == prev.size) Iterator.empty
-    else {
-      val sorted = merged.toSeq.sorted
-      state.update(Days(sorted))
-      val cohort = sorted.head
-      Iterator.single(UserCohort(key, cohort, sorted.map(_ - cohort)))
+    val evs = it.toSeq
+    // GDPR tombstone ([[StreamErase]]): drop the key's state and
+    // emit the cleared profile (erase-wins within the batch)
+    if (StreamErase.requested(evs.iterator.map(_.event_type))) {
+      state.remove()
+      Iterator.single(UserCohort(key, 0L, Seq.empty))
+    } else {
+      val prev = state.getOption.map(_.days.toSet).getOrElse(Set.empty[Long])
+      val merged = prev ++ evs.iterator.map(_.ts.getTime / dayMs)
+      if (state.exists && merged.size == prev.size) Iterator.empty
+      else {
+        val sorted = merged.toSeq.sorted
+        state.update(Days(sorted))
+        val cohort = sorted.head
+        Iterator.single(UserCohort(key, cohort, sorted.map(_ - cohort)))
+      }
     }
   }
 
   /** Update-mode per-user retention profiles from an events stream. */
   def cohorts(spark: SparkSession, events: DataFrame): Dataset[UserCohort] = {
     import spark.implicits._
-    events.select(col("user_id"), col("ts")).as[Seen]
+    events.select(col("user_id"), col("ts"), col("event_type")).as[Seen]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Update(),

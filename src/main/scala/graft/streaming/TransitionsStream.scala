@@ -107,13 +107,21 @@ object TransitionsStream {
       state: GroupState[St]): Iterator[Pairs] = {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
-      val next = step(state.getOption.getOrElse(emptySt),
-        it.map(e => TypeHistoryStream.StEv(
-          e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L,
-          e.event_id, e.event_type)).toSeq, horizonUs)
-      state.update(next)
-      idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
-      Iterator.single(Pairs(key, countsFromState(next)))
+      val evs = it.toSeq
+      // GDPR tombstone ([[StreamErase]]): drop the key's state and
+      // emit cleared pair counts (erase-wins within the batch)
+      if (StreamErase.requested(evs.iterator.map(_.event_type))) {
+        state.remove()
+        Iterator.single(Pairs(key, Seq.empty))
+      } else {
+        val next = step(state.getOption.getOrElse(emptySt),
+          evs.map(e => TypeHistoryStream.StEv(
+            e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L,
+            e.event_id, e.event_type)), horizonUs)
+        state.update(next)
+        idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+        Iterator.single(Pairs(key, countsFromState(next)))
+      }
     }
   }
 

@@ -125,11 +125,19 @@ object TypeHistoryStream {
       state: GroupState[St]): Iterator[History] = {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
-      val next = step(state.getOption.getOrElse(emptySt),
-        it.map(toStEv).toSeq, horizonUs)
-      state.update(next)
-      idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
-      Iterator.single(History(key, runsFromState(next)))
+      val evs = it.toSeq
+      // GDPR tombstone ([[StreamErase]]): drop the key's state and
+      // emit a cleared history (erase-wins within the batch)
+      if (StreamErase.requested(evs.iterator.map(_.event_type))) {
+        state.remove()
+        Iterator.single(History(key, Seq.empty))
+      } else {
+        val next = step(state.getOption.getOrElse(emptySt),
+          evs.map(toStEv), horizonUs)
+        state.update(next)
+        idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+        Iterator.single(History(key, runsFromState(next)))
+      }
     }
   }
 

@@ -1131,6 +1131,69 @@ class StreamingVariantsSpec extends SparkSuite {
     }
   }
 
+  test("in-band erasure tombstone clears keyed stream state; replay no-op; other keys untouched") {
+    import graft.streaming.{BurstStream, CohortStream, StreamErase, TransitionsStream, TypeHistoryStream}
+    import graft.streaming.TransitionsStream.{PairCount, Pairs}
+    import graft.streaming.TypeHistoryStream.{History, TypeRun}
+    implicit val sql = spark.sqlContext
+    val hourMs = 3600L * 1000L
+    val evs = Seq(
+      TimerDedup.Ev(1, new Timestamp(1L * hourMs), 7, "error", 100),
+      TimerDedup.Ev(2, new Timestamp(2L * hourMs), 7, "click", 200),
+      TimerDedup.Ev(3, new Timestamp(3L * hourMs), 7, "error", 300),
+      TimerDedup.Ev(4, new Timestamp(1L * hourMs), 8, "view", 400))
+    val tomb = TimerDedup.Ev(99, new Timestamp(4L * hourMs), 7, StreamErase.Marker, 0)
+
+    val mem = MemoryStream[TimerDedup.Ev]
+    val lastTr = new java.util.concurrent.ConcurrentHashMap[Long, Seq[PairCount]]()
+    val lastTh = new java.util.concurrent.ConcurrentHashMap[Long, Seq[TypeRun]]()
+    val lastBu = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+    val lastCo = new java.util.concurrent.ConcurrentHashMap[Long, CohortStream.UserCohort]()
+    val src = mem.toDF()
+    val qs = Seq(
+      TransitionsStream.pairs(spark, src).writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Pairs], _: Long) =>
+          b.collect().foreach(p => lastTr.put(p.user_id, p.pairs)) }.start(),
+      TypeHistoryStream.histories(spark, src).writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[History], _: Long) =>
+          b.collect().foreach(h => lastTh.put(h.user_id, h.runs)) }.start(),
+      BurstStream.bursts(spark, src).writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[BurstStream.Burst], _: Long) =>
+          b.collect().foreach { x =>
+            if (x.n_bursts == 0L) lastBu.remove(x.user_id) // delete marker
+            else lastBu.put(x.user_id, (x.n_bursts, x.first_burst_us)) } }.start(),
+      CohortStream.cohorts(spark, src).writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[CohortStream.UserCohort], _: Long) =>
+          b.collect().foreach(u => lastCo.put(u.user_id, u)) }.start())
+    try {
+      mem.addData(evs: _*)
+      qs.foreach(_.processAllAvailable())
+      assert(lastTr.get(7L).nonEmpty && lastTh.get(7L).nonEmpty)
+      assert(lastBu.get(7L) === ((1L, 3L * hourMs * 1000L)))
+      assert(lastCo.get(7L).offsets.nonEmpty)
+      // tombstone for user 7: every operator clears the key and emits
+      // the cleared/delete emission
+      mem.addData(tomb)
+      qs.foreach(_.processAllAvailable())
+      assert(lastTr.get(7L) === Seq.empty)
+      assert(lastTh.get(7L) === Seq.empty)
+      assert(!lastBu.containsKey(7L))
+      assert(lastCo.get(7L).offsets === Seq.empty)
+      // replayed tombstone: same cleared emissions, nothing resurfaces
+      mem.addData(tomb)
+      qs.foreach(_.processAllAvailable())
+      assert(lastTr.get(7L) === Seq.empty && lastTh.get(7L) === Seq.empty)
+      // user 8 untouched throughout
+      assert(lastTh.get(8L) === Seq(TypeRun("view", 1L * hourMs, None)))
+      assert(lastCo.get(8L).offsets === Seq(0L))
+      // post-erase traffic starts the key FRESH — no erased history
+      mem.addData(TimerDedup.Ev(50, new Timestamp(10L * hourMs), 7, "signup", 0))
+      qs.foreach(_.processAllAvailable())
+      assert(lastTr.get(7L) === Seq.empty) // one event: no pairs yet
+      assert(lastTh.get(7L) === Seq(TypeRun("signup", 10L * hourMs, None)))
+    } finally qs.foreach(_.stop())
+  }
+
   private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(t => (t._1, (t._2, t._3))).toMap
   }
