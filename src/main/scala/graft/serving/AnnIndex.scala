@@ -155,6 +155,37 @@ object AnnIndex {
         col("vec_id").as("neighbor_id"))
   }
 
+  /** Targeted VECTOR ERASURE — the embedding-side leg of
+    * right-to-be-forgotten ([[Serving.eraseUser]]'s discipline
+    * applied to the IVF layout): the cells containing the erased ids
+    * are found with one id-filtered scan (bounded: cell list ≤
+    * nlist), the kept rows of ONLY those cells are MATERIALIZED
+    * first (localCheckpoint — the recompute cannot fail after the
+    * destructive step begins), the cell directories drop, and the
+    * kept rows append back. A cell whose every vector is erased
+    * stays deleted. Untouched cells are neither read nor written.
+    * Quiesced maintenance op; crash recovery = rebuild from the
+    * source corpus, the same contract as the serving-layer erase.
+    * Idempotent: re-erasing absent ids finds no cells and no-ops.
+    */
+  def erase(spark: SparkSession, root: String, vecIds: Seq[Long]): Unit = {
+    if (vecIds.isEmpty) return
+    val index = spark.read.parquet(root)
+    val cells = index.filter(col("vec_id").isin(vecIds: _*))
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    if (cells.isEmpty) return
+    val keep = index.filter(col("cell").isin(cells: _*))
+      .filter(!col("vec_id").isin(vecIds: _*))
+      .localCheckpoint(true)
+    val f = fs(spark, root)
+    cells.foreach(c =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$root/cell=$c"), true))
+    keep.write.mode("append").partitionBy("cell").parquet(root)
+    keep.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+  }
+
   /** Matryoshka-prefix top-k against the materialized index
     * ([[graft.ops.Ann.truncatedKnn]]'s two-stage semantics, served):
     * stage 1 ranks the WHOLE index by prefix cosine reading only the

@@ -132,6 +132,52 @@ object NearDupIndex {
     invalidate(root)
   }
 
+  /** Targeted DOCUMENT ERASURE — right-to-be-forgotten for the
+    * near-dup index: the erased docs' band rows leave only their own
+    * bucket directories (found with one id-filtered scan; kept rows
+    * MATERIALIZED before the bucket dirs drop — the
+    * [[graft.serving.Serving.eraseUser]] pin-then-delete
+    * discipline), while `docs` and `postings_<n>` — id-sorted
+    * whole tables — rewrite without the ids, preserving the sort +
+    * bloom layout. After the erase, [[query]]/[[queryAll]] can never
+    * return the doc (its bands are gone) and its text/shingles exist
+    * nowhere in the index. Quiesced maintenance op; crash recovery =
+    * rebuild from the admitted corpus. Idempotent: absent ids no-op.
+    */
+  def erase(spark: SparkSession, root: String, docIds: Seq[Long],
+      n: Int = 3): Unit = {
+    if (docIds.isEmpty) return
+    val bands = spark.read.parquet(s"$root/bands")
+    val buckets = bands.filter(col("doc_id").isin(docIds: _*))
+      .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty) return
+    val keepBands = bands.filter(col("bucket").isin(buckets: _*))
+      .filter(!col("doc_id").isin(docIds: _*))
+      .localCheckpoint(true)
+    val keepDocs = spark.read.parquet(s"$root/docs")
+      .filter(!col("doc_id").isin(docIds: _*))
+      .sort(col("doc_id")).localCheckpoint(true)
+    val keepPost = spark.read.parquet(s"$root/postings_$n")
+      .filter(!col("doc_id").isin(docIds: _*))
+      .sort(col("doc_id")).localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    buckets.foreach(b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/bands/bucket=$b"), true))
+    keepBands.write.mode("append").partitionBy("bucket").parquet(s"$root/bands")
+    keepDocs.write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .parquet(s"$root/docs")
+    keepPost.write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .parquet(s"$root/postings_$n")
+    Seq(keepBands, keepDocs, keepPost).foreach(
+      _.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false)))
+    invalidate(root)
+  }
+
   /** (query_id, match_id) pairs: for each query doc, every corpus doc
     * it is an exact-verified near-duplicate of (n-gram Jaccard >=
     * num/den). LSH-candidate odds match [[NearDup.minhashPairs]]:

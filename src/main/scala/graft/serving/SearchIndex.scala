@@ -122,6 +122,74 @@ object SearchIndex {
     frameCache.keys.filter(_._1 == root).foreach(frameCache.remove)
   }
 
+  /** Targeted DOCUMENT ERASURE — right-to-be-forgotten for the
+    * inverted index, with SCORING consistency: removing a doc must
+    * also shrink its terms' document frequencies and the corpus size
+    * N, or every later idf is computed against a phantom corpus.
+    *
+    *  1. `meta`: one NEGATIVE corpus-size delta, delta_id keyed to
+    *     the content hash of the ids actually present — the read
+    *     side's max-per-delta collapse makes a crash-replayed erase
+    *     count once, exactly like a crash-replayed append.
+    *  2. `stats`: the affected term buckets (only buckets holding
+    *     the erased docs' terms) are REBUILT from the kept postings
+    *     as one collapsed delta — replacing every prior delta row in
+    *     those buckets, so summed df drops by exactly the erased
+    *     docs' contribution.
+    *  3. `postings`: the same affected buckets rewrite without the
+    *     erased docs' rows; a bucket the erased docs fully owned
+    *     stays deleted.
+    *
+    * Kept rows are MATERIALIZED before anything is deleted (the
+    * [[Serving.eraseUser]] pin-then-delete discipline). The result
+    * scores identically to an index built from the corpus without
+    * those docs (SearchIndexSpec asserts it). Quiesced maintenance
+    * op; crash recovery = re-run the erase (each step is
+    * content-keyed or recomputed-from-current-state) or rebuild.
+    * Absent ids no-op.
+    */
+  def eraseDocs(spark: SparkSession, root: String, docIds: Seq[Long]): Unit = {
+    if (docIds.isEmpty) return
+    val post = spark.read.parquet(s"$root/postings")
+    val mine = post.filter(col("doc_id").isin(docIds: _*))
+    // ids actually present (bounded: ⊆ caller's list) — absent ids
+    // must not shrink N, and the content-keyed delta_id must be a
+    // pure function of what this erase really removes
+    val presentRow = mine.agg(
+      coalesce(sum(xxhash64(col("doc_id")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("h"),
+      countDistinct(col("doc_id")).as("c")).head()
+    val nErased = presentRow.getLong(1)
+    if (nErased == 0) return
+    val deltaId = s"erase_${presentRow.getDecimal(0).toBigInteger}_$nErased"
+    val buckets = mine.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val keep = post.filter(col("bucket").isin(buckets: _*))
+      .filter(!col("doc_id").isin(docIds: _*))
+      .localCheckpoint(true)
+    val newStats = keep.groupBy(col("bucket"), col("tok"))
+      .agg(count(lit(1)).as("df_delta"))
+      .withColumn("delta_id", lit(deltaId))
+      .localCheckpoint(true)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // meta first (replay-deduped by delta_id), then stats, then the
+    // postings guard table — the writeDelta order, reversed in sign
+    import spark.implicits._
+    Seq((deltaId, -nErased)).toDF("delta_id", "n_delta")
+      .write.mode("append").parquet(s"$root/meta")
+    buckets.foreach(b =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$root/stats/bucket=$b"), true))
+    newStats.write.mode("append").partitionBy("bucket").parquet(s"$root/stats")
+    buckets.foreach(b =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$root/postings/bucket=$b"), true))
+    keep.write.mode("append").partitionBy("bucket").parquet(s"$root/postings")
+    Seq(keep, newStats).foreach(_.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false)))
+    invalidateFrames(root)
+  }
+
   /** Top-k docs per query doc from the materialized index — same
     * output and same numbers as [[SparseSearch.rankedRetrieval]],
     * but reading only the term-bucket partitions the queries touch.

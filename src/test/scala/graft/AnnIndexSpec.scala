@@ -131,6 +131,29 @@ class AnnIndexSpec extends SparkSuite {
     assert(spark.read.parquet(p).count() === before)
   }
 
+  test("vector erasure: erased index equals brute force without the vectors; replay no-op") {
+    val erased = (30L to 34L).toSeq
+    val p = java.nio.file.Files.createTempDirectory("ann_index_erase").toString
+    AnnIndex.materialize(emb, centroids, p)
+    AnnIndex.erase(spark, p, erased)
+    val queries = emb.filter($"vec_id" < 10)
+    // exhaustive probe ≡ brute force, so the erased index must match
+    // brute force over the corpus without the erased vectors
+    val got = AnnIndex.query(spark, p, queries, centroids, k = 5, nprobe = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Ann.bruteForceKnn(emb.filter(!$"vec_id".isin(erased: _*)), queries, k = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // nothing of the erased vectors remains (prefix column included)
+    assert(spark.read.parquet(p).filter($"vec_id".isin(erased: _*)).isEmpty)
+    // re-erase (crash retry / absent ids): no-op
+    val before = spark.read.parquet(p).count()
+    AnnIndex.erase(spark, p, erased)
+    assert(spark.read.parquet(p).count() === before)
+    assert(before === emb.count() - erased.size)
+  }
+
   test("recall at nprobe=2 is high but the probe is genuinely partial") {
     val queries = emb.filter($"vec_id" < 20)
     val served = AnnIndex.query(spark, root, queries, centroids, k = 5, nprobe = 2)

@@ -127,4 +127,27 @@ class NearDupIndexSpec extends SparkSuite {
     assert(counts() === before, "replayed append changed the index")
     assert(served(p) === served(root))
   }
+
+  test("document erasure: matches vanish, nothing of the doc remains, equals rebuild") {
+    // erase docs that actually MATCH some query, so results must change
+    val matched = served(root).map(_._2).toSeq.sorted.take(2)
+    assert(matched.nonEmpty, "fixture has no near-dup matches to erase")
+    val p = java.nio.file.Files.createTempDirectory("neardup_index_erase").toString
+    NearDupIndex.materialize(corpus, p)
+    NearDupIndex.erase(spark, p, matched)
+    // equals an index built from the corpus without those docs
+    val rb = java.nio.file.Files.createTempDirectory("neardup_index_erase_rb").toString
+    NearDupIndex.materialize(corpus.filter(!$"doc_id".isin(matched: _*)), rb)
+    assert(served(p) === served(rb))
+    assert(served(p) !== served(root), "erasing matched docs must change results")
+    // no band row, stored text, or shingle of the erased docs anywhere
+    for (t <- Seq("bands", "docs", "postings_3"))
+      assert(spark.read.parquet(s"$p/$t")
+        .filter($"doc_id".isin(matched: _*)).isEmpty, s"$t still holds erased docs")
+    // re-erase (crash retry / absent ids): no-op
+    val before = spark.read.parquet(s"$p/bands").count()
+    NearDupIndex.erase(spark, p, matched)
+    assert(spark.read.parquet(s"$p/bands").count() === before)
+    assert(served(p) === served(rb))
+  }
 }

@@ -156,4 +156,34 @@ class SearchIndexSpec extends SparkSuite {
     SearchIndex.invalidateFrames(p)
     assert(served(p).as[(Long, Long, Long)].collect().toSet === baseline)
   }
+
+  test("document erasure: scores equal a rebuild without the docs; df and N shrink; replay no-op") {
+    val erased = Seq(7L, 8L, 9L)
+    val p = java.nio.file.Files.createTempDirectory("search_index_erase").toString
+    SearchIndex.materialize(docs, p)
+    SearchIndex.eraseDocs(spark, p, erased)
+    // the erased index must score EXACTLY like an index built from
+    // the corpus without those docs — same postings, same df, same N
+    val rb = java.nio.file.Files.createTempDirectory("search_index_erase_rb").toString
+    SearchIndex.materialize(docs.filter(!$"doc_id".isin(erased: _*)), rb)
+    val got = served(p).as[(Long, Long, Long)].collect().toSet
+    assert(got === served(rb).as[(Long, Long, Long)].collect().toSet)
+    assert(got.nonEmpty)
+    // nothing of the erased docs remains in the postings
+    assert(spark.read.parquet(s"$p/postings")
+      .filter($"doc_id".isin(erased: _*)).isEmpty)
+    // the corpus-size deltas sum to N - 3
+    val n = spark.read.parquet(s"$p/meta")
+      .groupBy($"delta_id").agg(max($"n_delta").as("n_delta"))
+      .agg(sum($"n_delta")).head().getLong(0)
+    assert(n === docs.count() - erased.size)
+    // re-erase (crash retry / absent ids): nothing changes — the
+    // content-keyed meta delta collapses, postings already clean
+    SearchIndex.eraseDocs(spark, p, erased)
+    val n2 = spark.read.parquet(s"$p/meta")
+      .groupBy($"delta_id").agg(max($"n_delta").as("n_delta"))
+      .agg(sum($"n_delta")).head().getLong(0)
+    assert(n2 === n)
+    assert(served(p).as[(Long, Long, Long)].collect().toSet === got)
+  }
 }
