@@ -77,6 +77,38 @@ object PqIndex {
     loaded.remove(root) // the cached codes plan pins a stale file list
   }
 
+  /** Targeted VECTOR ERASURE — the PQ-code leg of
+    * right-to-be-forgotten ([[AnnIndex.erase]]'s discipline on the
+    * codes table): a vector's PQ code is still derived personal data,
+    * so the cells holding the erased ids rewrite without them (kept
+    * rows MATERIALIZED before the cell directories drop; a cell the
+    * erased ids fully owned stays deleted; untouched cells are
+    * neither read nor written). Codebooks are corpus-level aggregates
+    * trained on many vectors — they stay, like the coarse quantizer
+    * after any erase. Quiesced maintenance op; crash recovery =
+    * rebuild. Absent ids no-op.
+    */
+  def erase(spark: SparkSession, root: String, vecIds: Seq[Long]): Unit = {
+    if (vecIds.isEmpty) return
+    val codes = spark.read.parquet(s"$root/codes")
+    val cells = codes.filter(col("vec_id").isin(vecIds: _*))
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (cells.isEmpty) return
+    val keep = codes.filter(col("cell").isin(cells: _*))
+      .filter(!col("vec_id").isin(vecIds: _*))
+      .localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cells.foreach(c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/codes/cell=$c"), true))
+    keep.write.mode("append").partitionBy("cell").parquet(s"$root/codes")
+    keep.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+    loaded.remove(root)
+  }
+
   /** Probe + ADC-rank a query batch against the stored codes —
     * [[KMeans.ivfAdcQuery]] over the loaded index, inheriting its
     * everything-in-the-engine query side and cell equi-join.

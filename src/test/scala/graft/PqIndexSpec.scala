@@ -69,4 +69,32 @@ class PqIndexSpec extends SparkSuite {
     assert(spark.read.parquet(s"$p/codes").count() === before,
       "replayed append changed the index")
   }
+
+  test("vector erasure: codes vanish; results equal an index encoding the corpus without them") {
+    val erased = (30L to 34L).toSeq
+    val p = java.nio.file.Files.createTempDirectory("pq_index_erase").toString
+    PqIndex.materialize(spark, emb, p)
+    PqIndex.erase(spark, p, erased)
+    // frozen codebooks + per-vector codes: the erased index must
+    // equal one whose CODE TABLE was built from the corpus without
+    // the vectors under the SAME codebooks (append==rebuild already
+    // proves code determinism, so compare against a seed+append build
+    // that never saw the erased ids)
+    val rb = java.nio.file.Files.createTempDirectory("pq_index_erase_rb").toString
+    PqIndex.materialize(spark, emb.filter($"vec_id" < 250), rb)
+    PqIndex.append(spark, rb,
+      emb.filter($"vec_id" >= 250 && !$"vec_id".isin(erased: _*)))
+    PqIndex.erase(spark, rb, erased.filter(_ < 250L)) // ids in the seed half
+    def codes(r: String) = spark.read.parquet(s"$r/codes")
+      .collect().map(_.toSeq).toSet
+    assert(codes(p) === codes(rb))
+    assert(spark.read.parquet(s"$p/codes")
+      .filter($"vec_id".isin(erased: _*)).isEmpty)
+    assert(served(p) === served(rb))
+    // re-erase (crash retry / absent ids): no-op
+    val before = spark.read.parquet(s"$p/codes").count()
+    PqIndex.erase(spark, p, erased)
+    assert(spark.read.parquet(s"$p/codes").count() === before)
+    assert(before === emb.count() - erased.size)
+  }
 }
