@@ -111,7 +111,53 @@ object SampleQueries {
     graft.serving.ImportanceProfile.score(spark,
       importanceRoot(spark, dir), Tables.documents(spark, dir))
 
+  /** Exact token-quota mixture with epoch oversampling
+    * ([[graft.ops.Quota.tokenBudget]]): per-source quota =
+    * total_src · (srcnum mod 7) / 2 tokens, epoch cap 2 — a sweep
+    * that exercises every branch on this corpus: quota-0 sources
+    * (excluded), sub-epoch partial selection, exactly-one-epoch,
+    * mixed 1/2-epoch, and the cap binding. Quotas are derived from
+    * the per-source totals via a bounded driver collect (the source
+    * alphabet — the same bounded-metadata convention as the typed
+    * quantile sweep), so the gate stays meaningful at every SF while
+    * the op itself takes an explicit per-source Map.
+    */
+  def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), Text.tokenCount(col("text")).as("n_tokens"))
+    val budgets = d.groupBy(col("source")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map { r =>
+        val s = r.getString(0)
+        s -> r.getLong(1) * (s.stripPrefix("src").toLong % 7) / 2
+      }.toMap
+    graft.ops.Quota.tokenBudget(d, "doc_id", "source", "n_tokens",
+      budgets, maxEpochs = 2)
+  }
+
+  /** The full mixture-construction COMPOSITION: token-quota
+    * allocation ([[sampleTokenBudget]]'s quotas and cap) →
+    * epoch-expand → stride-scheduled global interleave
+    * ([[graft.ops.Quota.strideInterleave]]). Output is the exact
+    * global training order (seq, doc, source, epoch); the oracle
+    * recomputes allocation, expansion, stride positions, and the
+    * global numbering with plain SQL windows.
+    */
+  def sampleMixtureSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), Text.tokenCount(col("text")).as("n_tokens"))
+    val budgets = d.groupBy(col("source")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map { r =>
+        val s = r.getString(0)
+        s -> r.getLong(1) * (s.stripPrefix("src").toLong % 7) / 2
+      }.toMap
+    graft.ops.Quota.strideInterleave(
+      graft.ops.Quota.tokenBudget(d, "doc_id", "source", "n_tokens",
+        budgets, maxEpochs = 2))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_doc_token_budget" -> (sampleTokenBudget _),
+    "q_doc_mixture_schedule" -> (sampleMixtureSchedule _),
     "q_doc_sample_stratified" -> (sampleStratified _),
     "q_doc_sample_pergroup" -> (samplePerGroup _),
     "q_doc_mixture" -> (sampleMixture _),
@@ -178,6 +224,60 @@ object SampleQueries {
     // counts, so it shares the oracle.
     "q_doc_importance" -> importanceOracle,
     "q_doc_importance_served" -> importanceOracle,
+    // sequential per-source cumsum in md5(quota1:id) order — the
+    // keyed distributed scan must be bit-equal to it; quota/epoch
+    // arithmetic is pure integer on both engines
+    "q_doc_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5('quota1:' || doc_id) AS ord FROM documents),
+        |t AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM d GROUP BY 1),
+        |b AS (SELECT source,
+        |    total * (CAST(substr(source, 4) AS BIGINT) % 7) // 2 AS budget FROM t),
+        |c AS (SELECT d.*,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |  FROM d),
+        |sel AS (
+        |  SELECT c.doc_id, c.source, c.n_tokens,
+        |    CAST(least(b.budget // t.total +
+        |      CASE WHEN c.cum < b.budget % t.total THEN 1 ELSE 0 END, 2) AS BIGINT)
+        |      AS n_epochs
+        |  FROM c JOIN t USING (source) JOIN b USING (source))
+        |SELECT doc_id, source, n_tokens, n_epochs FROM sel
+        |WHERE n_epochs > 0""".stripMargin,
+    // allocation → epoch expansion → stride position (2r+1)/(2n),
+    // one IEEE division of exactly-representable integers on both
+    // engines → global row_number with full tie-breakers
+    "q_doc_mixture_schedule" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5('quota1:' || doc_id) AS ord FROM documents),
+        |t AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM d GROUP BY 1),
+        |b AS (SELECT source,
+        |    total * (CAST(substr(source, 4) AS BIGINT) % 7) // 2 AS budget FROM t),
+        |c AS (SELECT d.*,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |  FROM d),
+        |sel AS (
+        |  SELECT c.doc_id, c.source, c.ord,
+        |    CAST(least(b.budget // t.total +
+        |      CASE WHEN c.cum < b.budget % t.total THEN 1 ELSE 0 END, 2) AS BIGINT)
+        |      AS n_epochs
+        |  FROM c JOIN t USING (source) JOIN b USING (source)),
+        |ex AS (SELECT s.doc_id, s.source, s.ord, CAST(u.e AS BIGINT) AS epoch
+        |       FROM (SELECT * FROM sel WHERE n_epochs > 0) s,
+        |            UNNEST(range(0, s.n_epochs)) AS u(e)),
+        |n AS (SELECT source, count(*) AS n FROM ex GROUP BY 1),
+        |pos AS (SELECT rk.doc_id, rk.source, rk.epoch,
+        |    CAST(2*rk.r + 1 AS DOUBLE) / CAST(2*n.n AS DOUBLE) AS pos
+        |  FROM (SELECT ex.*, row_number() OVER (PARTITION BY source
+        |          ORDER BY epoch, ord, doc_id) - 1 AS r FROM ex) rk
+        |  JOIN n USING (source))
+        |SELECT CAST(row_number() OVER (ORDER BY pos, source, doc_id, epoch) AS BIGINT)
+        |    AS seq,
+        |  doc_id, source, epoch FROM pos""".stripMargin,
   )
 
   private lazy val importanceOracle =
