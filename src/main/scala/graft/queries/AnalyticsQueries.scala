@@ -379,6 +379,123 @@ object AnalyticsQueries {
           expression(col("out_total")))).cast("long").as("share_permille"))
   }
 
+  private val transEmissionsCache =
+    scala.collection.concurrent.TrieMap.empty[
+      String, Seq[graft.streaming.TransitionsStream.Pairs]]
+
+  /** LAST per-user pair-count emissions from a REAL micro-batched
+    * run of [[graft.streaming.TransitionsStream]] over the events
+    * split into id-ordered thirds (the `q_topk_continuous` file-feed
+    * harness: three parquet files, maxFilesPerTrigger=1,
+    * AvailableNow). Update-mode emissions carry each touched user's
+    * COMPLETE current counts, so keeping the highest-batch emission
+    * per user and summing is exactly the batch operator. Cached per
+    * corpus fingerprint — the two stream-composed gates share one
+    * stream run.
+    */
+  private def transitionEmissionsStreamed(spark: SparkSession,
+      dir: String): Seq[graft.streaming.TransitionsStream.Pairs] = {
+    import graft.streaming.TransitionsStream
+    val fp = Tables.fingerprint(spark, s"$dir/events.parquet")
+    transEmissionsCache.getOrElseUpdate(fp, {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value_cents"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val cuts = Seq(maxId / 3, 2 * maxId / 3)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_trans_feed").toString
+      val feed = s"$tmp/feed"
+      new java.io.File(feed).mkdirs()
+      val batches = Seq(
+        ev.filter(col("event_id") <= cuts(0)),
+        ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+        ev.filter(col("event_id") > cuts(1)))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = s"$tmp/stage$i"
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $stage"))
+        val dst = new java.io.File(feed, f"b$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(10000L * (i + 1))
+      }
+      val src = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+      val updates = TransitionsStream.pairs(spark, src)
+      val acc = new java.util.concurrent.ConcurrentHashMap[
+        Long, (Long, TransitionsStream.Pairs)]()
+      val q = updates.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[TransitionsStream.Pairs], id: Long) =>
+            b.collect().foreach { p =>
+              acc.merge(p.user_id, (id, p),
+                (old, fresh) => if (fresh._1 >= old._1) fresh else old)
+            }
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      acc.asScala.values.map(_._2).toSeq
+    })
+  }
+
+  /** The transition matrix rebuilt from the STREAMED per-user state
+    * — shares `q_event_transitions`' oracle (stream-final ≡ batch
+    * under the id-ordered split, the r9 gate-harness contract).
+    */
+  def eventTransitionsStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.streaming.TransitionsStream.matrixOf(
+      transitionEmissionsStreamed(spark, dir).toDS().toDF())
+  }
+
+  /** PageRank served off the STREAMED transition state — graph
+    * analytics on continuously-ingested edges; shares the batch
+    * PageRank oracle.
+    */
+  def typePagerankStream(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.PageRank.ranks(
+        eventTransitionsStream(spark, dir)
+          .select(col("from_type").as("src"), col("to_type").as("dst"),
+            col("n_trans").as("w")),
+        iters = 4)
+      .select(col("node").as("event_type"), col("r").as("rank_e12"))
+
+  /** PageRank over the empirical event-type transition graph — "which
+    * state does the product flow actually revolve around": the
+    * [[eventTransitionsOf]] counts as edge weights, four exact
+    * integer-damped iterations ([[graft.ops.PageRank.ranks]], d=0.85,
+    * mass 10^12). The graph here is alphabet-bounded; the operator
+    * itself is the edge-partitioned iteration that runs unchanged on
+    * a billion-node graph.
+    */
+  def typePagerank(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.PageRank.ranks(
+        eventTransitionsOf(Tables.events(spark, dir))
+          .select(col("from_type").as("src"), col("to_type").as("dst"),
+            col("n_trans").as("w")),
+        iters = 4)
+      .select(col("node").as("event_type"), col("r").as("rank_e12"))
+
+  /** Personalized PageRank seeded at `signup` — "which states are
+    * reachable-by-flow from onboarding": restart mass lands ONLY on
+    * the seed ([[graft.ops.PageRank.personalizedRanks]], Haveliwala
+    * 2002), so ranks measure proximity to signup rather than global
+    * centrality.
+    */
+  def typePagerankPersonal(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.PageRank.personalizedRanks(
+        eventTransitionsOf(Tables.events(spark, dir))
+          .select(col("from_type").as("src"), col("to_type").as("dst"),
+            col("n_trans").as("w")),
+        seeds = Seq("signup"), iters = 4)
+      .select(col("node").as("event_type"), col("r").as("rank_e12"))
+
   /** RFM customer segmentation: per purchasing user, recency (last
     * purchase time), frequency (purchase count), and monetary value
     * (cents) are each quartiled, and users are bucketed into the
@@ -510,6 +627,10 @@ object AnalyticsQueries {
     "q_wau_daily_stream" -> (wauDailyStream _),
     "q_topk_trending" -> (topKTrending _),
     "q_event_transitions" -> (eventTransitions _),
+    "q_type_pagerank" -> (typePagerank _),
+    "q_type_pagerank_personal" -> (typePagerankPersonal _),
+    "q_type_pagerank_stream" -> (typePagerankStream _),
+    "q_event_transitions_stream" -> (eventTransitionsStream _),
     "q_rfm_segments" -> (rfmSegments _),
     "q_rfm_segments_stream" -> (rfmSegmentsStream _),
     "q_covisit_lift" -> (covisitLift _),
@@ -562,7 +683,68 @@ object AnalyticsQueries {
         |JOIN s sb ON p.type_b = sb.event_type
         |CROSS JOIN n""".stripMargin
 
+  private val transitionsOracle =
+    """WITH p AS (
+      |  SELECT lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+      |    event_type AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS n_trans
+      |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_trans,
+      |  CAST(n_trans * 1000
+      |    // SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+      |    AS share_permille
+      |FROM c""".stripMargin
+
+  // four unrolled exact-integer PageRank iterations over the
+  // transition graph — HUGEINT `//` mirrors the engine's
+  // DECIMAL(38,0) DIV truncation bit-for-bit (all operands positive).
+  // `seedPred(col)` restricts the restart targets (personalized
+  // variant); None = uniform restart over all nodes.
+  private def pagerankOracleFor(seedPred: Option[String => String]): String = {
+    val iters = 4
+    def tgt(c: String) = seedPred.fold("TRUE")(p => p(c))
+    val head =
+      s"""WITH p AS (
+         |  SELECT lag(event_type) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         |    event_type AS dst
+         |  FROM events),
+         |e AS (SELECT src, dst, CAST(count(*) AS HUGEINT) AS w
+         |      FROM p WHERE src IS NOT NULL GROUP BY 1, 2),
+         |o AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM nodes
+         |       WHERE ${tgt("node")}),
+         |r0 AS (SELECT node,
+         |    CASE WHEN ${tgt("node")}
+         |      THEN CAST(1000000000000 AS HUGEINT) // nn.n ELSE 0 END AS r
+         |  FROM nodes CROSS JOIN nn)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT nodes.node,
+         |  CASE WHEN ${tgt("nodes.node")}
+         |    THEN (150 * CAST(1000000000000 AS HUGEINT)) // (1000 * nn.n)
+         |    ELSE 0 END
+         |    + coalesce(c.s, 0) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      sum((850 * r${i - 1}.r * e.w) // (1000 * o.out_w)) AS s
+         |    FROM e JOIN o USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |    GROUP BY 1) c ON c.node = nodes.node)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + steps +
+      s"\nSELECT node AS event_type, CAST(r AS BIGINT) AS rank_e12 FROM r$iters"
+  }
+
+  private lazy val pagerankOracle: String = pagerankOracleFor(None)
+
   val oracles: Map[String, String] = Map(
+    "q_type_pagerank" -> pagerankOracle,
+    "q_type_pagerank_stream" -> pagerankOracle,
+    "q_type_pagerank_personal" ->
+      pagerankOracleFor(Some(c => s"$c IN ('signup')")),
     "q_funnel_windowed" ->
       """WITH per AS (
         |  SELECT user_id,
@@ -640,20 +822,10 @@ object AnalyticsQueries {
         |    ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rank
         |  FROM g)
         |WHERE rank <= 3""".stripMargin,
-    "q_event_transitions" ->
-      """WITH p AS (
-        |  SELECT lag(event_type) OVER (
-        |      PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
-        |    event_type AS to_type
-        |  FROM events),
-        |c AS (
-        |  SELECT from_type, to_type, count(*) AS n_trans
-        |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
-        |SELECT from_type, to_type, n_trans,
-        |  CAST(n_trans * 1000
-        |    // SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
-        |    AS share_permille
-        |FROM c""".stripMargin,
+    "q_event_transitions" -> transitionsOracle,
+    // stream-final ≡ batch: the streamed state rebuilds the same
+    // matrix, so the stream gate shares the batch oracle verbatim
+    "q_event_transitions_stream" -> transitionsOracle,
     "q_rfm_segments" -> rfmOracle,
     // the streamed twin re-derives from merged (max, sum, sum)
     // per-user state — identical output, same oracle
