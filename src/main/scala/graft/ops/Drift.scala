@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus distribution-drift audit — the data-quality monitor a
+  * training pipeline runs between a reference snapshot and a fresh
+  * crawl before mixing them: per categorical feature, the total
+  * variation distance between the two corpora's value distributions,
+  * in EXACT integer permille (2·TVD ∈ [0, 2000]: 0 = identical
+  * proportions, 2000 = disjoint supports), plus the single most
+  * drifted value. Continuous features enter through a deterministic
+  * integer bucketing (the repo's log-histogram kernel,
+  * [[graft.serving.Serving.logBucket]]) — same buckets on any
+  * engine, no float edges.
+  *
+  * Proportions are truncated integer permille (c·1000 DIV n), so the
+  * whole audit is a pure integer function of the two corpora and
+  * hash-checks cross-engine — the property PSI/KL-style float scores
+  * give up (and their log() blows up on empty buckets; TVD doesn't).
+  *
+  * Scale shape: ONE (feature, value)-keyed count exchange with
+  * map-side partial aggregation (features unioned via a narrow
+  * generator, both corpora counted in the same pass with conditional
+  * sums — the data is read ONCE); per-feature totals and the final
+  * argmax reduce over the bounded (feature × value-domain) count
+  * table. Nothing wide carries text.
+  */
+object Drift {
+
+  /** `features`: (name, expression) pairs — each expression is
+    * evaluated per row and cast to string (bucket continuous values
+    * first). `isRef` labels the reference corpus; the rest is the
+    * fresh one. Returns one row per feature:
+    * (feature, tvd_permille, top_value, top_delta_permille).
+    */
+  def audit(docs: DataFrame, isRef: Column,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "at least one feature")
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def idiv(a: Column, b: Column) =
+      column(IntegralDivide(expression(a), expression(b))).cast("long")
+    val exploded = docs
+      .select(isRef.as("_ref"), explode(array(features.map { case (n, c) =>
+        struct(lit(n).as("feature"), c.cast("string").as("value"))
+      }: _*)).as("fv"))
+      .select(col("_ref"), col("fv.feature").as("feature"), col("fv.value").as("value"))
+    val counts = exploded
+      .groupBy(col("feature"), col("value"))
+      .agg(sum(when(col("_ref"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("_ref"), 0L).otherwise(1L)).as("cb"))
+    val totals = counts.groupBy(col("feature"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    counts
+      .join(broadcast(totals), Seq("feature"))
+      .withColumn("delta",
+        abs(idiv(col("ca") * 1000L, col("na")) - idiv(col("cb") * 1000L, col("nb"))))
+      .groupBy(col("feature"))
+      .agg(sum(col("delta")).cast("long").as("tvd_permille"),
+        // (delta DESC, value ASC) via min of the inverted struct —
+        // deterministic ties, one shuffle
+        min(struct((-col("delta")).as("nd"), col("value").as("v"))).as("m"))
+      .select(col("feature"), col("tvd_permille"),
+        col("m.v").as("top_value"), (-col("m.nd")).cast("long").as("top_delta_permille"))
+  }
+}

@@ -85,6 +85,22 @@ object DocQueries {
       docs.filter(col("doc_id") % 2 === 1))
   }
 
+  /** Distribution-drift audit between the frozen dump (even ids) and
+    * the fresh crawl (odd ids) — [[graft.ops.Drift.audit]] over lang,
+    * source, and the log-bucketed token length: exact integer-permille
+    * total variation distance per feature plus its most drifted
+    * value. The pre-mixing data-quality check a pipeline runs before
+    * admitting a new crawl.
+    */
+  def docDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("ntok", Text.tokenCount(col("text")))
+    graft.ops.Drift.audit(d, col("doc_id") % 2 === 0, Seq(
+      "lang" -> col("lang"),
+      "source" -> col("source"),
+      "len_bucket" -> graft.serving.Serving.logBucket(col("ntok"))))
+  }
+
   /** SimHash (frequency-weighted, 60-bit, md5-derived token hash)
     * pairs at Hamming <= 3 via pigeonhole chunk blocking. The token
     * hash is reproducible in DuckDB, so the oracle recomputes the
@@ -925,6 +941,7 @@ object DocQueries {
     "q_doc_dedup_minhash" -> (dedupMinhash _),
     "q_doc_dedup_simhash" -> (dedupSimhash _),
     "q_doc_cross_dedup" -> (docCrossDedup _),
+    "q_doc_drift" -> (docDrift _),
   )
 
   private val toks = "string_split(text, ' ')"
@@ -1089,6 +1106,36 @@ object DocQueries {
        |  AND $limitExpr""".stripMargin
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    // exact integer-permille TVD per feature over the parity split;
+    // the log-bucket kernel is the loghist family's pure-integer
+    // formula, identical on both engines
+    "q_doc_drift" ->
+      s"""WITH d AS (SELECT doc_id, lang, source,
+         |    CAST(len($toks) AS BIGINT) AS ntok FROM documents),
+         |f AS (
+         |  SELECT doc_id % 2 = 0 AS is_ref, 'lang' AS feature, lang AS value FROM d
+         |  UNION ALL SELECT doc_id % 2 = 0, 'source', source FROM d
+         |  UNION ALL SELECT doc_id % 2 = 0, 'len_bucket',
+         |    CAST(CASE WHEN ntok < 16 THEN ntok
+         |         ELSE ((length(bin(ntok))-5)*16 + (ntok >> (length(bin(ntok))-5))) END
+         |      AS VARCHAR)
+         |  FROM d),
+         |c AS (SELECT feature, value,
+         |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         |  FROM f GROUP BY 1, 2),
+         |n AS (SELECT feature, sum(ca) AS na, sum(cb) AS nb FROM c GROUP BY 1),
+         |p AS (SELECT c.feature, c.value,
+         |    abs(c.ca * 1000 // n.na - c.cb * 1000 // n.nb) AS delta
+         |  FROM c JOIN n USING (feature)),
+         |t AS (SELECT feature, CAST(sum(delta) AS BIGINT) AS tvd_permille
+         |      FROM p GROUP BY 1),
+         |s AS (SELECT feature, value, delta FROM (
+         |    SELECT p.*, row_number() OVER (PARTITION BY feature
+         |      ORDER BY delta DESC, value ASC) AS rn FROM p) WHERE rn = 1)
+         |SELECT t.feature, t.tvd_permille, s.value AS top_value,
+         |  CAST(s.delta AS BIGINT) AS top_delta_permille
+         |FROM t JOIN s USING (feature)""".stripMargin,
     // sequential cumsum in md5(seed:id) order — the engine's
     // distributed exclusive scan must be bit-equal to it
     "q_doc_shuffle_pack" ->

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Drift
+
+/** Corpus drift audit ([[graft.ops.Drift]]): exact zero on identical
+  * corpora, exact 2000 on disjoint supports, and parity with a
+  * sequential integer reference on the real documents table.
+  */
+class DriftSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("identical distributions audit to exactly zero drift") {
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"lang", $"source")
+    // same corpus twice, tagged by parity: proportions identical
+    val both = base.withColumn("doc_id", $"doc_id" * 2)
+      .unionByName(base.withColumn("doc_id", $"doc_id" * 2 + 1))
+    val out = Drift.audit(both, $"doc_id" % 2 === 0,
+        Seq("lang" -> $"lang", "source" -> $"source"))
+      .select($"feature", $"tvd_permille").as[(String, Long)].collect().toMap
+    assert(out === Map("lang" -> 0L, "source" -> 0L))
+  }
+
+  test("disjoint supports audit to exactly 2000 permille") {
+    val rows = (0L until 40L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val out = Drift.audit(rows.toDF("id", "v"), $"id" % 2 === 0, Seq("v" -> $"v"))
+      .as[(String, Long, String, Long)].collect()
+    assert(out.toSeq === Seq(("v", 2000L, "a", 1000L)))
+  }
+
+  test("audit matches a sequential integer reference on real documents") {
+    val d = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source").as[(Long, String, String)]
+      .collect()
+    def ref(feature: String, of: ((Long, String, String)) => String) = {
+      val (a, b) = d.partition(_._1 % 2 == 0)
+      val ca = a.groupBy(of).view.mapValues(_.length.toLong).toMap
+      val cb = b.groupBy(of).view.mapValues(_.length.toLong).toMap
+      val (na, nb) = (a.length.toLong, b.length.toLong)
+      val deltas = (ca.keySet ++ cb.keySet).toSeq.map { v =>
+        v -> math.abs(ca.getOrElse(v, 0L) * 1000 / na - cb.getOrElse(v, 0L) * 1000 / nb)
+      }
+      val top = deltas.minBy { case (v, dl) => (-dl, v) }
+      (feature, deltas.map(_._2).sum, top._1, top._2)
+    }
+    val want = Seq(ref("lang", _._2), ref("source", _._3)).sortBy(_._1)
+    val got = Drift.audit(
+        Tables.documents(spark, sfDir), $"doc_id" % 2 === 0,
+        Seq("lang" -> $"lang", "source" -> $"source"))
+      .as[(String, Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === want)
+  }
+}
