@@ -35,21 +35,39 @@ object Drift {
     * (feature, tvd_permille, top_value, top_delta_permille).
     */
   def audit(docs: DataFrame, isRef: Column,
+      features: Seq[(String, Column)]): DataFrame =
+    auditFromCounts(featureCounts(docs, isRef, features))
+
+  /** The additive (feature, value, ca, cb) count table — ca =
+    * reference-corpus rows, cb = fresh rows carrying that feature
+    * value. Counts built per batch MERGE additively (union + re-sum)
+    * to exactly the full-corpus counts, the property the streaming
+    * ingest twin ([[graft.streaming.DriftIngest]]) rests on.
+    */
+  def featureCounts(docs: DataFrame, isRef: Column,
       features: Seq[(String, Column)]): DataFrame = {
     require(features.nonEmpty, "at least one feature")
-    import org.apache.spark.sql.GraftShim.{column, expression}
-    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
-    def idiv(a: Column, b: Column) =
-      column(IntegralDivide(expression(a), expression(b))).cast("long")
-    val exploded = docs
+    docs
       .select(isRef.as("_ref"), explode(array(features.map { case (n, c) =>
         struct(lit(n).as("feature"), c.cast("string").as("value"))
       }: _*)).as("fv"))
       .select(col("_ref"), col("fv.feature").as("feature"), col("fv.value").as("value"))
-    val counts = exploded
       .groupBy(col("feature"), col("value"))
       .agg(sum(when(col("_ref"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("_ref"), 0L).otherwise(1L)).as("cb"))
+  }
+
+  /** The TVD audit derived from a (feature, value, ca, cb) count
+    * table (possibly a re-summed union of batch deltas).
+    */
+  def auditFromCounts(counts0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def idiv(a: Column, b: Column) =
+      column(IntegralDivide(expression(a), expression(b))).cast("long")
+    val counts = counts0
+      .groupBy(col("feature"), col("value"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
     val totals = counts.groupBy(col("feature"))
       .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     counts

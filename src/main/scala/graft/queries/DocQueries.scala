@@ -95,11 +95,36 @@ object DocQueries {
   def docDrift(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .withColumn("ntok", Text.tokenCount(col("text")))
-    graft.ops.Drift.audit(d, col("doc_id") % 2 === 0, Seq(
-      "lang" -> col("lang"),
-      "source" -> col("source"),
-      "len_bucket" -> graft.serving.Serving.logBucket(col("ntok"))))
+    graft.ops.Drift.audit(d, col("doc_id") % 2 === 0, driftFeatures)
   }
+
+  /** The drift audit rebuilt from STREAMED additive count state
+    * ([[graft.streaming.DriftIngest]]) — documents ingested in
+    * id-ordered thirds, per-batch (feature, value) count deltas
+    * re-summed at read. Additivity makes stream-final ≡ batch under
+    * any split, so the gate shares `q_doc_drift`'s oracle verbatim.
+    */
+  def docDriftStream(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift_gate").toString
+    val batches = Seq(
+      d.filter(col("doc_id") <= cuts(0)),
+      d.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      d.filter(col("doc_id") > cuts(1)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.DriftIngest.processBatch(
+        b.withColumn("ntok", Text.tokenCount(col("text"))),
+        i.toLong, s"$tmp/counts", col("doc_id") % 2 === 0, driftFeatures)
+    }
+    graft.streaming.DriftIngest.readAudit(spark, s"$tmp/counts")
+  }
+
+  private def driftFeatures: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "lang" -> col("lang"),
+    "source" -> col("source"),
+    "len_bucket" -> graft.serving.Serving.logBucket(col("ntok")))
 
   /** SimHash (frequency-weighted, 60-bit, md5-derived token hash)
     * pairs at Hamming <= 3 via pigeonhole chunk blocking. The token
@@ -942,6 +967,7 @@ object DocQueries {
     "q_doc_dedup_simhash" -> (dedupSimhash _),
     "q_doc_cross_dedup" -> (docCrossDedup _),
     "q_doc_drift" -> (docDrift _),
+    "q_doc_drift_stream" -> (docDriftStream _),
   )
 
   private val toks = "string_split(text, ' ')"
@@ -1639,5 +1665,6 @@ object DocQueries {
     * with no arrival-order caveat.
     */
   val oracles: Map[String, String] = oraclesBase +
-    ("q_doc_boilerplate_stream" -> oraclesBase("q_doc_boilerplate"))
+    ("q_doc_boilerplate_stream" -> oraclesBase("q_doc_boilerplate")) +
+    ("q_doc_drift_stream" -> oraclesBase("q_doc_drift"))
 }

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.Drift
+
+/** Streaming twin of the corpus drift audit ([[Drift.audit]]) — the
+  * monitor a pipeline runs CONTINUOUSLY while a fresh crawl lands
+  * next to the frozen reference, not once at the end. Drift's
+  * (feature, value, ca, cb) counts are plain sums, so this is the
+  * additive-count-state pattern ([[BoilerplateIngest]], the served
+  * CM/value-histogram tables): each micro-batch appends its bounded
+  * per-(feature, value) count delta under its `batch_id` partition —
+  * map-side partial aggregation, nothing row-sized persists — and
+  * the audit re-derives at read by re-summing deltas through
+  * [[Drift.auditFromCounts]].
+  *
+  * Additivity gives stream == batch for ANY batch split and ANY
+  * arrival order, and a replayed batch overwrites its own partition
+  * with identical content (idempotent batch_id write) — the same
+  * contract as every count-state ingest leg in this repo.
+  */
+object DriftIngest {
+
+  /** Process one micro-batch: append its (feature, value, ca, cb)
+    * delta under the `batchId` partition.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, countsPath: String,
+      isRef: Column, features: Seq[(String, Column)]): Unit =
+    StreamingPipeline.writeBatchIdempotent(
+      Drift.featureCounts(batch, isRef, features), batchId, countsPath)
+
+  /** The drift audit AS OF the ingested state: re-sum the batch
+    * deltas, then the exact integer TVD derivation. Same output
+    * schema as the batch op.
+    */
+  def readAudit(spark: SparkSession, countsPath: String): DataFrame =
+    Drift.auditFromCounts(spark.read.parquet(countsPath)
+      .select("feature", "value", "ca", "cb"))
+
+  /** Start the ingest stream over a `documents`-schema source. */
+  def start(spark: SparkSession, source: DataFrame, countsPath: String,
+      checkpoint: String, isRef: Column, features: Seq[(String, Column)],
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, countsPath, isRef, features)
+      }
+      .start()
+}

@@ -28,6 +28,28 @@ class DriftSpec extends SparkSuite {
     assert(out.toSeq === Seq(("v", 2000L, "a", 1000L)))
   }
 
+  test("ingest twin: out-of-order splits + replay equal the one-shot audit") {
+    import graft.streaming.DriftIngest
+    val d = Tables.documents(spark, sfDir)
+    val features = Seq[(String, org.apache.spark.sql.Column)](
+      "lang" -> $"lang", "source" -> $"source")
+    val isRef = $"doc_id" % 2 === 0
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift_twin").toString
+    val counts = s"$tmp/counts"
+    // thirds by id-mod (NOT contiguous), processed out of order:
+    // additivity makes any split/order converge
+    def third(k: Int) = d.filter($"doc_id" % 3 === k)
+    Seq(2, 0, 1).foreach(k =>
+      DriftIngest.processBatch(third(k), k.toLong, counts, isRef, features))
+    // replay one batch: idempotent partition overwrite, bit-exact no-op
+    DriftIngest.processBatch(third(0), 0L, counts, isRef, features)
+    val got = DriftIngest.readAudit(spark, counts)
+      .as[(String, Long, String, Long)].collect().toSet
+    val want = graft.ops.Drift.audit(d, isRef, features)
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("audit matches a sequential integer reference on real documents") {
     val d = Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", $"source").as[(Long, String, String)]
