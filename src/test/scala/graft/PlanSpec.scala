@@ -339,6 +339,57 @@ class PlanSpec extends SparkSuite {
       "codes scan lost its dynamic partition-pruning expression\n" + p)
   }
 
+  test("keyed scan survives 1000 range partitions; budget joins broadcast") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // parity at cluster partition counts exercises the pid|key
+    // map-literal offset path (same width hazard as Rank/Pack)
+    val d = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("source"),
+      graft.functions.Text.tokenCount(col("text")).as("n_tokens"),
+      md5(concat(lit("quota1:"), col("doc_id").cast("string"))).as("_ord"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("_ord"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = d.withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+    val got = graft.ops.Quota.keyedExclusiveScan(d, "source", Seq("_ord"),
+        "doc_id", "n_tokens", partitions = 1000)
+      .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // the allocation's totals/budget joins stay broadcast — a
+    // sort-merge of the scan output against a nSources-row dim would
+    // be the wrong 100TB shape
+    val totals = d.groupBy($"source").agg(sum($"n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    val alloc = graft.ops.Quota.tokenBudget(d.drop("_ord"), "doc_id", "source",
+      "n_tokens", totals.map { case (s, t) => s -> t * 3 / 2 }, maxEpochs = 3)
+    val p = planOf(alloc)
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), p)
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("CartesianProduct"), p)
+  }
+
+  test("drift audit: one fact exchange, partial aggregation, broadcast totals") {
+    val p = planOf(graft.queries.DocQueries.docDrift(spark, sfDir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("partial_sum") || finalPlan.contains("Partial"), p)
+    // one (feature, value) exchange over the exploded fact — the
+    // totals branch must REUSE it (ReusedExchange), not recompute it
+    // — and the fact is scanned exactly once
+    val factEx = "Exchange hashpartitioning\\(feature[^,]*, value".r
+      .findAllIn(finalPlan).size
+    val reused = "ReusedExchange".r.findAllIn(finalPlan).size
+    assert(factEx - reused === 1,
+      s"expected 1 live (feature,value) exchange, got $factEx with $reused reused\n" + p)
+    assert("FileScan parquet".r.findAllIn(finalPlan).size === 1,
+      "documents must be scanned once\n" + p)
+    assert(finalPlan.contains("BroadcastHashJoin") &&
+      !finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("CartesianProduct"), p)
+  }
+
   test("bloom semi join: the probe filters the fact BELOW the join") {
     val p = planOf(TpchQueries.queries("q_tpch_bloom_semi")(spark, sfDir))
     val finalPlan = p.split("== Initial Plan ==").head
