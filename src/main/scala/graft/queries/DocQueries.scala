@@ -736,6 +736,43 @@ object DocQueries {
     * aggregation dedups map-side; the top-100 is TakeOrderedAndProject
     * (per-partition heaps, no global sort).
     */
+  /** Vocabulary coverage curve — tokenizer vocab sizing: the minimum
+    * number of distinct words (taken in frequency order, count DESC /
+    * word ASC) whose occurrences cover ≥ 500/900/990‰ of all tokens.
+    * "How big must the vocab be to cover 99% of the corpus" is the
+    * standard cut for vocab/OOV budgeting.
+    *
+    * Scale shape: word counts aggregate map-side; the frequency-order
+    * running sum is [[graft.ops.Quota.keyedExclusiveScan]] under a
+    * constant key (two narrow passes, no single-task global window);
+    * each target's vocab size is then a CONDITIONAL COUNT — minimum
+    * rank r with inclusive-cum·1000 ≥ target·total equals #(words
+    * with inclusive-cum·1000 < target·total) + 1 because the cum is
+    * monotone — so no rank column and no second scan are needed, one
+    * bounded aggregate finishes all targets in a single pass.
+    */
+  def docVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val targets = Seq(500L, 900L, 990L)
+    val counts = Tables.documents(spark, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("_k", lit("all"))
+      .withColumn("_neg", -col("cnt"))
+    val scanned = graft.ops.Quota.keyedExclusiveScan(
+      counts, "_k", Seq("_neg"), "word", "cnt")
+    val total = scanned.agg(sum(col("cnt")).as("total"))
+    val aggExprs = targets.map { t =>
+      (sum(when((col("cum") + col("cnt")) * 1000L < lit(t) * col("total"),
+        1L).otherwise(0L)) + 1L).as(s"v$t")
+    }
+    val one = scanned.crossJoin(broadcast(total))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    one.select(explode(array(targets.map { t =>
+        struct(lit(t).as("target_permille"), col(s"v$t").as("vocab_size"))
+      }: _*)).as("r"))
+      .select(col("r.target_permille"), col("r.vocab_size"))
+  }
+
   def docVocab(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -968,6 +1005,7 @@ object DocQueries {
     "q_doc_cross_dedup" -> (docCrossDedup _),
     "q_doc_drift" -> (docDrift _),
     "q_doc_drift_stream" -> (docDriftStream _),
+    "q_doc_vocab_coverage" -> (docVocabCoverage _),
   )
 
   private val toks = "string_split(text, ' ')"
@@ -1132,6 +1170,22 @@ object DocQueries {
        |  AND $limitExpr""".stripMargin
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    // frequency-ordered cumulative coverage: the sequential window
+    // cumsum the distributed constant-key scan must be bit-equal to
+    "q_doc_vocab_coverage" ->
+      s"""WITH w AS (SELECT unnest($toks) AS word FROM documents),
+         |c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         |r AS (SELECT word, cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT) AS rank,
+         |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ASC) AS BIGINT) AS cum
+         |  FROM c)
+         |SELECT CAST(t.p AS BIGINT) AS target_permille,
+         |  CAST(min(CASE WHEN r.cum * 1000 >= t.p * n.total THEN r.rank END)
+         |    AS BIGINT) AS vocab_size
+         |FROM r CROSS JOIN n
+         |CROSS JOIN (VALUES (500), (900), (990)) AS t(p)
+         |GROUP BY 1""".stripMargin,
     // exact integer-permille TVD per feature over the parity split;
     // the log-bucket kernel is the loghist family's pure-integer
     // formula, identical on both engines

@@ -98,6 +98,24 @@ class QuotaSpec extends SparkSuite {
     assert(got.values.toSeq.sorted === (1L to got.size.toLong))
   }
 
+  test("vocab coverage matches the sequential window definition; sizes monotone") {
+    val got = graft.queries.DocQueries.docVocabCoverage(spark, sfDir)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // sequential definition: one global window cumsum + min rank
+    val w = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect()
+    val sorted = w.sortBy { case (word, c) => (-c, word) }
+    val total = sorted.map(_._2).sum
+    val cums = sorted.scanLeft(0L)(_ + _._2).drop(1)
+    val want = Seq(500L, 900L, 990L).map { t =>
+      t -> (cums.indexWhere(_ * 1000 >= t * total) + 1).toLong
+    }
+    assert(got.toSeq === want)
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq)
+  }
+
   test("tokenBudget: sources absent from the budget map are excluded") {
     val d = docsWithTokens.drop("_ord")
     val one = d.select($"source").distinct().as[String].collect().sorted.head
