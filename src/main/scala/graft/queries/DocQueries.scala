@@ -255,7 +255,15 @@ object DocQueries {
     * stages in one recursive-CTE pipeline, so the gate hash-checks the
     * COMPOSITION, not just the parts.
     */
-  def docCurate(spark: SparkSession, dir: String): DataFrame = {
+  def docCurate(spark: SparkSession, dir: String): DataFrame =
+    curateFrames(spark, dir)._4.select(col("doc_id"), col("logit"))
+
+  /** The curation pipeline's stage frames — (input, model-kept,
+    * exact-dedup reps, near-dup survivors) — shared by [[docCurate]]
+    * and the funnel report ([[docCurationFunnel]]).
+    */
+  private def curateFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val d = Tables.documents(spark, dir)
     val kept = docQualityModel(spark, dir)
       .filter(col("keep") === 1).select(col("doc_id"), col("logit"))
@@ -268,9 +276,36 @@ object DocQueries {
     val labels = NearDup.canonicalize(
       NearDup.jaccardPairs(reps.select(col("doc_id"), col("text")),
         n = 3, thresholdNum = 1, thresholdDen = 2))
-    reps.join(labels, Seq("doc_id"), "left")
+    val survivors = reps.join(labels, Seq("doc_id"), "left")
       .filter(col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
-      .select(col("doc_id"), col("logit"))
+    (d, kept, reps, survivors)
+  }
+
+  /** Curation FUNNEL report — the pipeline-observability table every
+    * curation run ships with: per stage (model filter → exact dedup →
+    * near-dup collapse), how many docs entered, how many survived,
+    * and the exact integer-permille retention. Each count is a 1-row
+    * aggregate; the stage rows are broadcast 1-row crossJoins
+    * (bounded metadata, the est_ok verification shape), so the report
+    * costs the same three stage computations the pipeline itself
+    * runs, plus nothing. Stage names are a/b/c-prefixed so lexical
+    * order IS pipeline order.
+    */
+  def docCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val (d, kept, reps, surv) = curateFrames(spark, dir)
+    def n(df: DataFrame, as: String) =
+      df.agg(count(lit(1)).cast("long").as(as))
+    def stage(name: String, in: DataFrame, out: DataFrame) =
+      n(in, "n_in").crossJoin(broadcast(n(out, "n_out")))
+        .select(lit(name).as("stage"), col("n_in"), col("n_out"),
+          column(IntegralDivide(
+            expression(col("n_out") * 1000L),
+            expression(col("n_in")))).cast("long").as("kept_permille"))
+    stage("a_quality_model", d, kept)
+      .unionByName(stage("b_exact_dedup", kept, reps))
+      .unionByName(stage("c_near_dup", reps, surv))
   }
 
   /** The same end-to-end curation with the QUALITY-AWARE survivor
@@ -1006,6 +1041,7 @@ object DocQueries {
     "q_doc_drift" -> (docDrift _),
     "q_doc_drift_stream" -> (docDriftStream _),
     "q_doc_vocab_coverage" -> (docVocabCoverage _),
+    "q_doc_curation_funnel" -> (docCurationFunnel _),
   )
 
   private val toks = "string_split(text, ' ')"
@@ -1560,6 +1596,41 @@ object DocQueries {
          |canon AS (SELECT doc, min(r) AS root FROM walk GROUP BY doc)
          |SELECT e.doc_id, e.logit FROM e LEFT JOIN canon c ON c.doc = e.doc_id
          |WHERE c.doc IS NULL OR c.root = e.doc_id""".stripMargin,
+    // the same three-stage recursive-CTE pipeline reduced to per-stage
+    // counts + integer-permille retention (pipeline observability)
+    "q_doc_curation_funnel" ->
+      s"""WITH RECURSIVE
+         |q AS (SELECT doc_id, text, CAST($logitSql AS BIGINT) AS logit
+         |      FROM documents WHERE $logitSql >= 800),
+         |e AS (SELECT q.doc_id, q.logit, q.text FROM q
+         |      JOIN (SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM q GROUP BY 1) r
+         |      USING (doc_id)),
+         |t AS (SELECT doc_id, $toks AS toks FROM e),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |            AND 3 * len(list_intersect(a.sh, b.sh)) >= 1 * (len(a.sh) + len(b.sh))),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(doc, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.doc, e2.dst FROM walk w JOIN edges e2 ON e2.src = w.r),
+         |canon AS (SELECT doc, min(r) AS root FROM walk GROUP BY doc),
+         |surv AS (SELECT e.doc_id FROM e LEFT JOIN canon c ON c.doc = e.doc_id
+         |         WHERE c.doc IS NULL OR c.root = e.doc_id),
+         |n AS (SELECT (SELECT count(*) FROM documents) AS n0,
+         |             (SELECT count(*) FROM q) AS n1,
+         |             (SELECT count(*) FROM e) AS n2,
+         |             (SELECT count(*) FROM surv) AS n3)
+         |SELECT stage, CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+         |  CAST(n_out * 1000 // n_in AS BIGINT) AS kept_permille
+         |FROM (
+         |  SELECT 'a_quality_model' AS stage, n0 AS n_in, n1 AS n_out FROM n
+         |  UNION ALL SELECT 'b_exact_dedup', n1, n2 FROM n
+         |  UNION ALL SELECT 'c_near_dup', n2, n3 FROM n)""".stripMargin,
     // same three-stage mirror with the best-survivor final reduction:
     // per component, arg_max by the packed (logit, -id) key
     "q_doc_curate_best" ->
