@@ -35,26 +35,31 @@ object Drift {
     * (feature, tvd_permille, top_value, top_delta_permille).
     */
   def audit(docs: DataFrame, isRef: Column,
-      features: Seq[(String, Column)]): DataFrame =
-    auditFromCounts(featureCounts(docs, isRef, features))
+      features: Seq[(String, Column)], weight: Column = lit(1L)): DataFrame =
+    auditFromCounts(featureCounts(docs, isRef, features, weight))
 
   /** The additive (feature, value, ca, cb) count table — ca =
-    * reference-corpus rows, cb = fresh rows carrying that feature
-    * value. Counts built per batch MERGE additively (union + re-sum)
-    * to exactly the full-corpus counts, the property the streaming
-    * ingest twin ([[graft.streaming.DriftIngest]]) rests on.
+    * reference-corpus mass, cb = fresh mass carrying that feature
+    * value; `weight` is each row's mass (1 = doc counts; a token
+    * count makes proportions token-mass shares — the drift a mixture
+    * planner cares about). Counts built per batch MERGE additively
+    * (union + re-sum) to exactly the full-corpus counts, the
+    * property the streaming ingest twin
+    * ([[graft.streaming.DriftIngest]]) rests on.
     */
   def featureCounts(docs: DataFrame, isRef: Column,
-      features: Seq[(String, Column)]): DataFrame = {
+      features: Seq[(String, Column)], weight: Column = lit(1L)): DataFrame = {
     require(features.nonEmpty, "at least one feature")
     docs
-      .select(isRef.as("_ref"), explode(array(features.map { case (n, c) =>
-        struct(lit(n).as("feature"), c.cast("string").as("value"))
-      }: _*)).as("fv"))
-      .select(col("_ref"), col("fv.feature").as("feature"), col("fv.value").as("value"))
+      .select(isRef.as("_ref"), weight.cast("long").as("_w"),
+        explode(array(features.map { case (n, c) =>
+          struct(lit(n).as("feature"), c.cast("string").as("value"))
+        }: _*)).as("fv"))
+      .select(col("_ref"), col("_w"),
+        col("fv.feature").as("feature"), col("fv.value").as("value"))
       .groupBy(col("feature"), col("value"))
-      .agg(sum(when(col("_ref"), 1L).otherwise(0L)).as("ca"),
-        sum(when(col("_ref"), 0L).otherwise(1L)).as("cb"))
+      .agg(sum(when(col("_ref"), col("_w")).otherwise(0L)).as("ca"),
+        sum(when(col("_ref"), 0L).otherwise(col("_w"))).as("cb"))
   }
 
   /** The TVD audit derived from a (feature, value, ca, cb) count

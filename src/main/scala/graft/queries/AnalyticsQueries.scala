@@ -482,6 +482,45 @@ object AnalyticsQueries {
         iters = 4)
       .select(col("node").as("event_type"), col("r").as("rank_e12"))
 
+  /** SESSION-scoped transition matrix — [[eventTransitionsOf]] with
+    * pairs that cross a session boundary removed: two consecutive
+    * events are in the same session iff their gap is ≤ 30 min (the
+    * [[TemporalQueries.sessionize]] rule), so the session constraint
+    * is a narrow filter on the SAME single user-keyed lag window —
+    * no session-id materialization, no extra exchange. The flow
+    * matrix a product team actually wants: "returned next morning"
+    * is not a transition.
+    */
+  def sessionTransitions(spark: SparkSession, dir: String): DataFrame =
+    sessionTransitionsOf(Tables.events(spark, dir))
+
+  /** [[sessionTransitions]] over an explicit events frame (columns
+    * user_id, event_id, event_type, ts) — the spec surface.
+    */
+  def sessionTransitionsOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val gapUs = 1800000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val counts = ev
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us", col("tu") - lag(col("tu"), 1).over(w))
+      .filter(col("from_type").isNotNull && col("gap_us") <= gapUs)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wOut = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    counts
+      .withColumn("out_total", sum(col("n_trans")).over(wOut))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        column(IntegralDivide(
+          expression(col("n_trans") * 1000L),
+          expression(col("out_total")))).cast("long").as("share_permille"))
+  }
+
   /** Personalized PageRank seeded at `signup` — "which states are
     * reachable-by-flow from onboarding": restart mass lands ONLY on
     * the seed ([[graft.ops.PageRank.personalizedRanks]], Haveliwala
@@ -631,6 +670,7 @@ object AnalyticsQueries {
     "q_type_pagerank_personal" -> (typePagerankPersonal _),
     "q_type_pagerank_stream" -> (typePagerankStream _),
     "q_event_transitions_stream" -> (eventTransitionsStream _),
+    "q_session_transitions" -> (sessionTransitions _),
     "q_rfm_segments" -> (rfmSegments _),
     "q_rfm_segments_stream" -> (rfmSegmentsStream _),
     "q_covisit_lift" -> (covisitLift _),
@@ -826,6 +866,24 @@ object AnalyticsQueries {
     // stream-final ≡ batch: the streamed state rebuilds the same
     // matrix, so the stream gate shares the batch oracle verbatim
     "q_event_transitions_stream" -> transitionsOracle,
+    // the same lag window with cross-session pairs (gap > 30 min)
+    // dropped before counting
+    "q_session_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER w AS from_type,
+        |    event_type AS to_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n_trans
+        |  FROM p WHERE from_type IS NOT NULL AND gap_us <= 1800000000
+        |  GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST(n_trans * 1000
+        |    // SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS share_permille
+        |FROM c""".stripMargin,
     "q_rfm_segments" -> rfmOracle,
     // the streamed twin re-derives from merged (max, sum, sum)
     // per-user state — identical output, same oracle

@@ -98,6 +98,19 @@ object DocQueries {
     graft.ops.Drift.audit(d, col("doc_id") % 2 === 0, driftFeatures)
   }
 
+  /** TOKEN-MASS drift — the same audit with each doc weighted by its
+    * token count, so proportions are token shares rather than doc
+    * counts: the drift a mixture planner actually budgets against (a
+    * few giant fresh docs can shift token mass while doc-count
+    * proportions barely move).
+    */
+  def docDriftTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("ntok", Text.tokenCount(col("text")))
+    graft.ops.Drift.audit(d, col("doc_id") % 2 === 0, driftFeatures,
+      weight = col("ntok"))
+  }
+
   /** The drift audit rebuilt from STREAMED additive count state
     * ([[graft.streaming.DriftIngest]]) — documents ingested in
     * id-ordered thirds, per-batch (feature, value) count deltas
@@ -117,6 +130,29 @@ object DocQueries {
       graft.streaming.DriftIngest.processBatch(
         b.withColumn("ntok", Text.tokenCount(col("text"))),
         i.toLong, s"$tmp/counts", col("doc_id") % 2 === 0, driftFeatures)
+    }
+    graft.streaming.DriftIngest.readAudit(spark, s"$tmp/counts")
+  }
+
+  /** [[docDriftTokens]] rebuilt from streamed additive count state —
+    * token-mass sums are as additive as doc counts, so the weighted
+    * monitor streams through the same [[graft.streaming.DriftIngest]]
+    * leg and the gate shares `q_doc_drift_tokens`' oracle verbatim.
+    */
+  def docDriftTokensStream(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_driftw_gate").toString
+    val batches = Seq(
+      d.filter(col("doc_id") <= cuts(0)),
+      d.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      d.filter(col("doc_id") > cuts(1)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.DriftIngest.processBatch(
+        b.withColumn("ntok", Text.tokenCount(col("text"))),
+        i.toLong, s"$tmp/counts", col("doc_id") % 2 === 0, driftFeatures,
+        weight = col("ntok"))
     }
     graft.streaming.DriftIngest.readAudit(spark, s"$tmp/counts")
   }
@@ -1042,9 +1078,42 @@ object DocQueries {
     "q_doc_drift_stream" -> (docDriftStream _),
     "q_doc_vocab_coverage" -> (docVocabCoverage _),
     "q_doc_curation_funnel" -> (docCurationFunnel _),
+    "q_doc_drift_tokens" -> (docDriftTokens _),
+    "q_doc_drift_tokens_stream" -> (docDriftTokensStream _),
   )
 
   private val toks = "string_split(text, ' ')"
+
+  // q_doc_drift's TVD chain with token-count weights instead of 1s —
+  // shared by the batch gate and its streamed twin
+  private def driftTokensOracle: String =
+    s"""WITH d AS (SELECT doc_id, lang, source,
+       |    CAST(len($toks) AS BIGINT) AS ntok FROM documents),
+       |f AS (
+       |  SELECT doc_id % 2 = 0 AS is_ref, ntok AS w, 'lang' AS feature,
+       |    lang AS value FROM d
+       |  UNION ALL SELECT doc_id % 2 = 0, ntok, 'source', source FROM d
+       |  UNION ALL SELECT doc_id % 2 = 0, ntok, 'len_bucket',
+       |    CAST(CASE WHEN ntok < 16 THEN ntok
+       |         ELSE ((length(bin(ntok))-5)*16 + (ntok >> (length(bin(ntok))-5))) END
+       |      AS VARCHAR)
+       |  FROM d),
+       |c AS (SELECT feature, value,
+       |    CAST(sum(CASE WHEN is_ref THEN w ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE w END) AS BIGINT) AS cb
+       |  FROM f GROUP BY 1, 2),
+       |n AS (SELECT feature, sum(ca) AS na, sum(cb) AS nb FROM c GROUP BY 1),
+       |p AS (SELECT c.feature, c.value,
+       |    abs(c.ca * 1000 // n.na - c.cb * 1000 // n.nb) AS delta
+       |  FROM c JOIN n USING (feature)),
+       |t AS (SELECT feature, CAST(sum(delta) AS BIGINT) AS tvd_permille
+       |      FROM p GROUP BY 1),
+       |s AS (SELECT feature, value, delta FROM (
+       |    SELECT p.*, row_number() OVER (PARTITION BY feature
+       |      ORDER BY delta DESC, value ASC) AS rn FROM p) WHERE rn = 1)
+       |SELECT t.feature, t.tvd_permille, s.value AS top_value,
+       |  CAST(s.delta AS BIGINT) AS top_delta_permille
+       |FROM t JOIN s USING (feature)""".stripMargin
   // bigram-LM familiarity: same 60-bit md5 gram hashing as the
   // engine (a collision would alter both engines identically), and
   // the integer bit-length log the loghist family established
@@ -1222,6 +1291,11 @@ object DocQueries {
          |FROM r CROSS JOIN n
          |CROSS JOIN (VALUES (500), (900), (990)) AS t(p)
          |GROUP BY 1""".stripMargin,
+    // the same TVD chain with token-count weights instead of 1s;
+    // the streamed twin re-sums additive weighted deltas to the
+    // identical counts, so it shares this oracle verbatim
+    "q_doc_drift_tokens" -> driftTokensOracle,
+    "q_doc_drift_tokens_stream" -> driftTokensOracle,
     // exact integer-permille TVD per feature over the parity split;
     // the log-bucket kernel is the loghist family's pure-integer
     // formula, identical on both engines

@@ -277,6 +277,21 @@ object EmbedQueries {
   def kmeansRefine(spark: SparkSession, dir: String): DataFrame =
     graft.ops.KMeans.lloydRefine(Tables.embeddings(spark, dir), k = 10)
 
+  /** EMBEDDING-SPACE drift monitor: quantize every vector to its
+    * refined Lloyd cell (the IVF coarse quantizer) and run the exact
+    * integer-permille TVD audit ([[graft.ops.Drift.audit]]) between
+    * the even- and odd-id halves over the cell HISTOGRAM — the
+    * standard way to watch an embedding distribution shift without
+    * comparing raw floats (cells are integer-exact, so the whole
+    * monitor hash-checks; a continuous KL/MMD would not). A fresh
+    * embedding batch whose cell profile diverges from the reference
+    * corpus flags before it pollutes an index or a mixture.
+    */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.audit(
+      kmeansRefine(spark, dir), col("vec_id") % 2 === 0,
+      Seq("ivf_cell" -> col("cell_refined")))
+
   /** Embedding-quality curation: per label, the 5 vectors farthest
     * from their label's mean embedding (integer-exact ranking on the
     * quantization grid — see [[graft.ops.KMeans.centroidOutliers]]).
@@ -346,6 +361,7 @@ object EmbedQueries {
     "q_embed_knn_pq" -> (pqAdcKnn _),
     "q_embed_pq_codes" -> (pqCodeTable _),
     "q_embed_kmeans" -> (kmeansRefine _),
+    "q_embed_drift" -> (embedDrift _),
     "q_embed_centroid_outliers" -> (centroidOutliers _),
     "q_embed_knn_ivf_trained" -> (knnIvfTrained _),
     "q_embed_dedup_canonical" -> (embedDedupCanonical _),
@@ -587,6 +603,36 @@ object EmbedQueries {
     // init (10 lowest ids), same integer distances, same
     // floor((2s+n)/(2n)) round-half-up centroid update (floor spelled
     // with the portable truncating %), same (dist, cell) tie-break.
+    // the refined-cell histogram TVD between the id-parity halves —
+    // the q_doc_drift integer chain over the q_embed_kmeans cells
+    "q_embed_drift" ->
+      s"""WITH $lloydCtes,
+         |d1 AS (
+         |  SELECT e.vec_id, c.cell, SUM((e.v - c.c)*(e.v - c.c)) AS dist
+         |  FROM ex e JOIN cen1 c USING (d) GROUP BY 1, 2),
+         |a1 AS (
+         |  SELECT vec_id, cell AS cell_refined FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |f AS (SELECT vec_id % 2 = 0 AS is_ref, 'ivf_cell' AS feature,
+         |        CAST(cell_refined AS VARCHAR) AS value FROM a1),
+         |c AS (SELECT feature, value,
+         |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         |  FROM f GROUP BY 1, 2),
+         |n AS (SELECT feature, sum(ca) AS na, sum(cb) AS nb FROM c GROUP BY 1),
+         |p AS (SELECT c.feature, c.value,
+         |    abs(c.ca * 1000 // n.na - c.cb * 1000 // n.nb) AS delta
+         |  FROM c JOIN n USING (feature)),
+         |t AS (SELECT feature, CAST(sum(delta) AS BIGINT) AS tvd_permille
+         |      FROM p GROUP BY 1),
+         |s AS (SELECT feature, value, delta FROM (
+         |    SELECT p.*, row_number() OVER (PARTITION BY feature
+         |      ORDER BY delta DESC, value ASC) AS rn FROM p) WHERE rn = 1)
+         |SELECT t.feature, t.tvd_permille, s.value AS top_value,
+         |  CAST(s.delta AS BIGINT) AS top_delta_permille
+         |FROM t JOIN s USING (feature)""".stripMargin,
     "q_embed_kmeans" ->
       s"""WITH $lloydCtes,
         |d1 AS (

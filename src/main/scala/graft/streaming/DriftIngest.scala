@@ -23,12 +23,15 @@ import graft.ops.Drift
 object DriftIngest {
 
   /** Process one micro-batch: append its (feature, value, ca, cb)
-    * delta under the `batchId` partition.
+    * delta under the `batchId` partition. `weight` is each row's mass
+    * ([[Drift.featureCounts]]) — weighted sums are just as additive
+    * as counts, so the token-mass monitor streams identically.
     */
   def processBatch(batch: DataFrame, batchId: Long, countsPath: String,
-      isRef: Column, features: Seq[(String, Column)]): Unit =
+      isRef: Column, features: Seq[(String, Column)],
+      weight: Column = org.apache.spark.sql.functions.lit(1L)): Unit =
     StreamingPipeline.writeBatchIdempotent(
-      Drift.featureCounts(batch, isRef, features), batchId, countsPath)
+      Drift.featureCounts(batch, isRef, features, weight), batchId, countsPath)
 
   /** The drift audit AS OF the ingested state: re-sum the batch
     * deltas, then the exact integer TVD derivation. Same output

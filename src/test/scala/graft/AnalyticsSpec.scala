@@ -150,6 +150,24 @@ class AnalyticsSpec extends SparkSuite {
       ("b", "a") -> (2L, 1000L)))
   }
 
+  test("session transitions: cross-session pairs drop, within-session kept") {
+    // user 1: a@0m -> b@10m (kept), b@10m -> c@50m (40-min gap:
+    // DROPPED), c@50m -> a@60m (kept); the exact 30-min boundary is
+    // IN-session (<=), matching TemporalQueries.sessionize
+    val ev = Seq(
+      (1L, 10L, "a", ts(0)), (1L, 11L, "b", ts(10)),
+      (1L, 12L, "c", ts(50)), (1L, 13L, "a", ts(60)),
+      (2L, 20L, "b", ts(0)), (2L, 21L, "a", ts(30))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = AnalyticsQueries.sessionTransitionsOf(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      ("a", "b") -> (1L, 1000L),
+      ("c", "a") -> (1L, 1000L),
+      ("b", "a") -> (1L, 1000L)))
+  }
+
   test("transitions: property — Spark op ≡ in-memory reference, partition-invariant") {
     import org.scalacheck.{Gen, Prop, Test => PropTest}
     val genEvents = for {

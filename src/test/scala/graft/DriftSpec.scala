@@ -50,6 +50,29 @@ class DriftSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("weighted audit equals the unweighted audit over replicated rows") {
+    // mass-w semantics: a row with weight w must count exactly like w
+    // copies of that row — the property that makes token-mass drift
+    // ([[DocQueries.docDriftTokens]]) the same integer chain
+    val rows = Seq((0L, "a", 3L), (1L, "a", 1L), (2L, "b", 2L),
+      (3L, "b", 5L), (4L, "c", 1L), (5L, "a", 4L))
+    val df = rows.toDF("id", "v", "w")
+    val exploded = rows.flatMap { case (id, v, w) =>
+      Seq.fill(w.toInt)((id, v)) }.toDF("id", "v")
+    val weighted = Drift.audit(df, $"id" % 2 === 0, Seq("v" -> $"v"),
+        weight = $"w")
+      .as[(String, Long, String, Long)].collect().toSet
+    val replicated = Drift.audit(exploded, $"id" % 2 === 0, Seq("v" -> $"v"))
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(weighted === replicated)
+    // and the default weight is exactly the old row-count audit
+    val unit = Drift.audit(df, $"id" % 2 === 0, Seq("v" -> $"v"), lit(1L))
+      .as[(String, Long, String, Long)].collect().toSet
+    val plain = Drift.audit(df, $"id" % 2 === 0, Seq("v" -> $"v"))
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(unit === plain)
+  }
+
   test("audit matches a sequential integer reference on real documents") {
     val d = Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", $"source").as[(Long, String, String)]
