@@ -521,6 +521,32 @@ object AnalyticsQueries {
           expression(col("out_total")))).cast("long").as("share_permille"))
   }
 
+  /** Top-20 behavioral path TRIGRAMS — the sequence-mining step
+    * behind "what do users actually do in three steps": consecutive
+    * (t1→t2→t3) event-type triples per user under the (tu, event_id)
+    * total order, ranked by frequency. Both lags ride the SAME
+    * single user-keyed window exchange the transition matrix uses
+    * (no second shuffle for the deeper lag); triple counts collapse
+    * map-side onto the alphabet³ domain and the top-20 is a
+    * bounded-heap TakeOrdered, never a global sort.
+    */
+  def eventTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("event_id"), col("event_type"))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n_paths"))
+    graft.ops.TopK.topKGlobal(counts,
+        Seq(col("n_paths").desc, col("t1").asc, col("t2").asc, col("t3").asc), 20)
+      .select(col("rank").cast("long").as("rank"),
+        col("t1"), col("t2"), col("t3"), col("n_paths"))
+  }
+
   /** Personalized PageRank seeded at `signup` — "which states are
     * reachable-by-flow from onboarding": restart mass lands ONLY on
     * the seed ([[graft.ops.PageRank.personalizedRanks]], Haveliwala
@@ -671,6 +697,7 @@ object AnalyticsQueries {
     "q_type_pagerank_stream" -> (typePagerankStream _),
     "q_event_transitions_stream" -> (eventTransitionsStream _),
     "q_session_transitions" -> (sessionTransitions _),
+    "q_event_trigrams" -> (eventTrigrams _),
     "q_rfm_segments" -> (rfmSegments _),
     "q_rfm_segments_stream" -> (rfmSegmentsStream _),
     "q_covisit_lift" -> (covisitLift _),
@@ -884,6 +911,23 @@ object AnalyticsQueries {
         |    // SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
         |    AS share_permille
         |FROM c""".stripMargin,
+    // the same window with a second lag; top-20 by count with full
+    // lexicographic tie-break makes the cut deterministic
+    "q_event_trigrams" ->
+      """WITH p AS (
+        |  SELECT lag(event_type, 2) OVER w AS t1,
+        |    lag(event_type, 1) OVER w AS t2,
+        |    event_type AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT t1, t2, t3, count(*) AS n_paths
+        |  FROM p WHERE t1 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT CAST(row_number() OVER (ORDER BY n_paths DESC, t1, t2, t3)
+        |    AS BIGINT) AS rank,
+        |  t1, t2, t3, n_paths
+        |FROM c
+        |ORDER BY rank LIMIT 20""".stripMargin,
     "q_rfm_segments" -> rfmOracle,
     // the streamed twin re-derives from merged (max, sum, sum)
     // per-user state — identical output, same oracle

@@ -276,6 +276,37 @@ object DocQueries {
       .withColumn("keep", (col("logit") >= 800L).cast("long"))
   }
 
+  /** PER-SOURCE quality report — "which crawl sources are worth
+    * keeping": doc count, token mass, exact integer mean quality
+    * logit, and keep-rate permille per source, from the same
+    * row-local [[docQualityModel]] score. The decision table behind
+    * source-level allow/deny lists and mixture re-weighting. One
+    * narrow pass; the aggregate collapses map-side onto the source
+    * alphabet.
+    */
+  def docSourceQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val d = Tables.documents(spark, dir)
+    d.select(col("source"), Text.tokenCount(col("text")).as("ntok"),
+        (lit(50L) * Text.distinctTokenCount(col("text"))
+          - lit(8L) * Text.tokenCount(col("text"))
+          + lit(25L) * Text.markerHits(col("text"), Text.stopwords)
+          - lit(30L) * Text.punctCount(col("text"))).as("logit"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(col("logit")).as("sum_logit"),
+        sum(when(col("logit") >= 800L, 1L).otherwise(0L)).as("n_keep"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        column(IntegralDivide(
+          expression(col("sum_logit")),
+          expression(col("n_docs")))).cast("long").as("mean_logit"),
+        column(IntegralDivide(
+          expression(col("n_keep") * 1000L),
+          expression(col("n_docs")))).cast("long").as("keep_permille"))
+  }
+
   /** END-TO-END batch curation — the composition a training-data run
     * actually executes, each stage an individually-gated operator:
     * (1) model keep-set ([[docQualityModel]], logit ≥ 800);
@@ -1080,6 +1111,7 @@ object DocQueries {
     "q_doc_curation_funnel" -> (docCurationFunnel _),
     "q_doc_drift_tokens" -> (docDriftTokens _),
     "q_doc_drift_tokens_stream" -> (docDriftTokensStream _),
+    "q_doc_source_quality" -> (docSourceQuality _),
   )
 
   private val toks = "string_split(text, ' ')"
@@ -1296,6 +1328,19 @@ object DocQueries {
     // identical counts, so it shares this oracle verbatim
     "q_doc_drift_tokens" -> driftTokensOracle,
     "q_doc_drift_tokens_stream" -> driftTokensOracle,
+    // same integer logit; both engines' integer division truncates
+    // toward zero, so the signed mean is identical
+    "q_doc_source_quality" ->
+      s"""WITH d AS (SELECT source,
+         |    CAST(len($toks) AS BIGINT) AS ntok,
+         |    CAST($logitSql AS BIGINT) AS logit
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum(logit) AS BIGINT) // count(*) AS BIGINT) AS mean_logit,
+         |  CAST(CAST(sum(CASE WHEN logit >= 800 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000 // count(*) AS BIGINT) AS keep_permille
+         |FROM d GROUP BY 1""".stripMargin,
     // exact integer-permille TVD per feature over the parity split;
     // the log-bucket kernel is the loghist family's pure-integer
     // formula, identical on both engines

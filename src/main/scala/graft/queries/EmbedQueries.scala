@@ -292,6 +292,28 @@ object EmbedQueries {
       kmeansRefine(spark, dir), col("vec_id") % 2 === 0,
       Seq("ivf_cell" -> col("cell_refined")))
 
+  /** CLUSTER-BALANCED sample — the diversity-preserving coreset step:
+    * 5 deterministic picks (lowest 60-bit md5 key, vec_id tie-break)
+    * from EACH refined Lloyd cell, so every region of embedding space
+    * is represented regardless of how skewed the cell population is —
+    * uniform sampling would hand the dominant cluster nearly every
+    * slot. Composes the trained quantizer with the per-group hash
+    * pick ([[graft.ops.Sample]] semantics); the per-cell rank is a
+    * WindowGroupLimit (per-partition heaps bound state at k per cell,
+    * never a full sort) over the k-cell keyed exchange.
+    */
+  def embedSampleBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell_refined"))
+      .orderBy(col("_h").asc, col("vec_id").asc)
+    kmeansRefine(spark, dir)
+      .select(col("vec_id"), col("cell_refined"))
+      .withColumn("_h", graft.ops.Sample.hash60(col("vec_id")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("cell_refined"), col("vec_id"), col("rn"))
+  }
+
   /** Embedding-quality curation: per label, the 5 vectors farthest
     * from their label's mean embedding (integer-exact ranking on the
     * quantization grid — see [[graft.ops.KMeans.centroidOutliers]]).
@@ -362,6 +384,7 @@ object EmbedQueries {
     "q_embed_pq_codes" -> (pqCodeTable _),
     "q_embed_kmeans" -> (kmeansRefine _),
     "q_embed_drift" -> (embedDrift _),
+    "q_embed_sample_balanced" -> (embedSampleBalanced _),
     "q_embed_centroid_outliers" -> (centroidOutliers _),
     "q_embed_knn_ivf_trained" -> (knnIvfTrained _),
     "q_embed_dedup_canonical" -> (embedDedupCanonical _),
@@ -605,6 +628,25 @@ object EmbedQueries {
     // with the portable truncating %), same (dist, cell) tie-break.
     // the refined-cell histogram TVD between the id-parity halves —
     // the q_doc_drift integer chain over the q_embed_kmeans cells
+    // 5 lowest-h60 picks per refined cell — the q_doc_sample_pergroup
+    // rule over the q_embed_kmeans assignment
+    "q_embed_sample_balanced" ->
+      s"""WITH $lloydCtes,
+         |d1 AS (
+         |  SELECT e.vec_id, c.cell, SUM((e.v - c.c)*(e.v - c.c)) AS dist
+         |  FROM ex e JOIN cen1 c USING (d) GROUP BY 1, 2),
+         |a1 AS (
+         |  SELECT vec_id, cell AS cell_refined FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM d1) WHERE rn = 1)
+         |SELECT cell_refined, vec_id, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT cell_refined, vec_id,
+         |    row_number() OVER (PARTITION BY cell_refined
+         |      ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+         |        vec_id) AS rn
+         |  FROM a1)
+         |WHERE rn <= 5""".stripMargin,
     "q_embed_drift" ->
       s"""WITH $lloydCtes,
          |d1 AS (

@@ -622,7 +622,44 @@ object TpchQueries {
       .select(coalesce(col("revenue_microcents"), lit(0L)).as("revenue_microcents"),
         col("n_lines"))
 
+  /** TPC-H Q9-shape product-type profit: per supplier nation × order
+    * year, the margin earned on parts whose name matches a token
+    * ("bolt") — margin = discounted revenue minus retail cost
+    * (`p_retailprice · quantity`, the schema's cost stand-in for the
+    * absent partsupp.ps_supplycost; reference TPC-H Q9 otherwise).
+    * Scale shape: the name filter prunes part BEFORE its broadcast
+    * (≤|part| rows, dims never shuffle the fact), supplier→nation
+    * resolves as one small broadcast chain, and the only fact-fact
+    * exchange is the single lineitem ⋈ orders shuffle on orderkey;
+    * the (nation × year) aggregate collapses map-side onto a
+    * 25×7-row domain. Margin stays exact integer cents: retail
+    * cents · integer quantity, no float crosses the wire.
+    */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").contains("bolt"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("retail_cents"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))) -
+          col("retail_cents") * col("l_quantity").cast("long"))
+          .as("profit_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_tpch_product_profit" -> (productProfit _),
     "q_tpch_forecast_revenue" -> (forecastRevenue _),
     "q_tpch_min_cost_supp" -> (minCostSupplier _),
     "q_tpch_trade_volume" -> (tradeVolume _),
@@ -650,6 +687,23 @@ object TpchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // margin = revenue cents − retail cents · integer quantity; both
+    // engines run the identical integer chain after one rounded
+    // IEEE multiply per money input
+    "q_tpch_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    - CAST(round(p_retailprice * 100) AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2""".stripMargin,
     "q_tpch_forecast_revenue" ->
       """SELECT
         |  CAST(coalesce(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
