@@ -63,10 +63,76 @@ object TemporalQueries {
       keyCol = "user_id", tsCol = "ts", gap = "30 minutes",
       valueCol = "value_cents")
 
+  /** [[sessionize]] through a REAL Structured Streaming run — the
+    * SAME `Sessionize.sessions` call over a file-source stream fed in
+    * event-time terciles under a 10 s watermark, append mode. A
+    * far-future sentinel event (user −1) advances the global
+    * watermark past every session end so append mode finalizes all
+    * sessions (the standard flush pattern); the sentinel's own
+    * session is filtered out. Tercile batches are event-time ordered
+    * ACROSS batches, so the watermark never drops an in-contract row
+    * and stream-final ≡ batch exactly — the gate shares
+    * `q_sessionize`'s oracle verbatim. This is W3/W5's Flink-style
+    * session window driven end-to-end, not just spec-pinned.
+    */
+  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value_cents"))
+    // 1-row aggregate: bounded driver metadata (event-time cuts)
+    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val tu = unix_micros(col("ts"))
+    val sentinel = ev.sparkSession.range(1).select(
+      lit(-1L).as("user_id"),
+      timestamp_micros(lit(hi + 86400L * 1000000L)).as("ts"),
+      lit(0L).as("value_cents"))
+    val batches = Seq(
+      ev.filter(tu <= cuts(0)),
+      ev.filter(tu > cuts(0) && tu <= cuts(1)),
+      ev.filter(tu > cuts(1)),
+      sentinel)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess_stream").toString
+    val feed = s"$tmp/feed"
+    new java.io.File(feed).mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val stage = s"$tmp/stage$i"
+      b.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $stage"))
+      val dst = new java.io.File(feed, f"b$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(10000L * (i + 1)) // deterministic trigger order
+    }
+    val src = spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    val sessions = Sessionize.sessions(
+      src.withWatermark("ts", "10 seconds"),
+      keyCol = "user_id", tsCol = "ts", gap = "30 minutes",
+      valueCol = "value_cents")
+    val out = s"$tmp/out"
+    val q = sessions.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 0L)
+      .select("user_id", "session_start_ms", "session_end_ms",
+        "n_events", "sum_value_cents")
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_asof_attribution" -> (asofAttribution _),
     "q_range_join" -> (rangeJoinErrors _),
     "q_sessionize" -> (sessionize _),
+    "q_sessionize_stream" -> (sessionizeStream _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
@@ -105,24 +171,30 @@ object TemporalQueries {
     // gap rule == session_window merge rule: only diff > gap starts a
     // new session (an event exactly at the previous window's end is
     // merged); session_end = last event ts + gap (ms floor of µs).
-    "q_sessionize" ->
-      s"""WITH m AS (
-         |  SELECT user_id, epoch_us(ts) AS tu, $cents AS cents,
-         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-         |         THEN 1 ELSE 0 END AS ns
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
-         |s AS (
-         |  SELECT user_id, tu, cents,
-         |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tu
-         |                  ROWS UNBOUNDED PRECEDING) AS sid
-         |  FROM m)
-         |SELECT user_id,
-         |  CAST(min(tu) // 1000 AS BIGINT) AS session_start_ms,
-         |  CAST(max(tu) // 1000 + 1800000 AS BIGINT) AS session_end_ms,
-         |  count(*) AS n_events,
-         |  CAST(SUM(cents) AS BIGINT) AS sum_value_cents
-         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_sessionize" -> sessionizeOracle,
+    // stream-final ≡ batch: the tercile feed never crosses the
+    // watermark and the sentinel flushes every session, so the
+    // streamed run rebuilds the identical session set
+    "q_sessionize_stream" -> sessionizeOracle,
   )
+
+  private def sessionizeOracle: String =
+    s"""WITH m AS (
+       |  SELECT user_id, epoch_us(ts) AS tu, $cents AS cents,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+       |         THEN 1 ELSE 0 END AS ns
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+       |s AS (
+       |  SELECT user_id, tu, cents,
+       |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tu
+       |                  ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m)
+       |SELECT user_id,
+       |  CAST(min(tu) // 1000 AS BIGINT) AS session_start_ms,
+       |  CAST(max(tu) // 1000 + 1800000 AS BIGINT) AS session_end_ms,
+       |  count(*) AS n_events,
+       |  CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+       |FROM s GROUP BY user_id, sid""".stripMargin
 }

@@ -127,6 +127,22 @@ class PlanSpec extends SparkSuite {
         .count(_ == "ShuffledHashJoin") <= 1, p)
   }
 
+  test("Q9 profit shape: part/nation dims broadcast, ONE fact-fact shuffle") {
+    val p = planOf(TpchQueries.productProfit(spark, sfDir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), p)
+    // name-filtered part and the supplier→nation chain both broadcast
+    assert(finalPlan.contains("BroadcastHashJoin"), p)
+    // the only shuffled join is lineitem x orders
+    assert(finalPlan.sliding("SortMergeJoin".length)
+      .count(_ == "SortMergeJoin") +
+      finalPlan.sliding("ShuffledHashJoin".length)
+        .count(_ == "ShuffledHashJoin") <= 1, p)
+    // (nation, year) aggregate keeps map-side partial aggregation
+    assert(finalPlan.contains("partial_"), p)
+  }
+
   test("Q17 correlated-scalar shape: per-part avg joins back, no per-row subquery") {
     val p = planOf(TpchQueries.smallQuantityRevenue(spark, sfDir))
     val finalPlan = p.split("== Initial Plan ==").head
