@@ -217,6 +217,41 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_bursts"), min(col("tu")).as("first_burst_us"))
   }
 
+  /** [[errorBursts]] rebuilt from a REAL micro-batched
+    * [[graft.streaming.BurstStream]] run — id-ordered-thirds file
+    * feed (event-time disorder across batches exercises the settled/
+    * tail split), update-mode last-emission-per-user fold. The
+    * horizon-bounded burst state proven ≡ the batch lag window at
+    * the driver gate level; shares `q_error_bursts`' oracle.
+    */
+  def errorBurstsStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.BurstStream
+    val src = OlapQueries.fileFeed(spark,
+      OlapQueries.idOrderedBatches(spark, dir))
+    val updates = BurstStream.bursts(spark, src)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_burst_gate").toString
+    val acc = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Long, BurstStream.Burst)]()
+    val q = updates.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[BurstStream.Burst], id: Long) =>
+          b.collect().foreach { p =>
+            acc.merge(p.user_id, (id, p),
+              (old, fresh) => if (fresh._1 >= old._1) fresh else old)
+          }
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    acc.asScala.values.map(_._2).toSeq.toDS().toDF()
+      .filter(col("n_bursts") > 0L)
+      .select(col("user_id"), col("n_bursts"), col("first_burst_us"))
+  }
+
   /** Sliding-window active users: distinct users per 1-hour window
     * sliding every 15 minutes. Spark's slide semantics assign each
     * event to its 4 enclosing epoch-aligned windows (a bounded ×4
@@ -698,6 +733,7 @@ object AnalyticsQueries {
     "q_event_transitions_stream" -> (eventTransitionsStream _),
     "q_session_transitions" -> (sessionTransitions _),
     "q_event_trigrams" -> (eventTrigrams _),
+    "q_error_bursts_stream" -> (errorBurstsStream _),
     "q_rfm_segments" -> (rfmSegments _),
     "q_rfm_segments_stream" -> (rfmSegmentsStream _),
     "q_covisit_lift" -> (covisitLift _),
@@ -714,6 +750,20 @@ object AnalyticsQueries {
       |FROM (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
       |      FROM events)
       |CROSS JOIN range(0, 7) AS r(k)
+      |GROUP BY 1""".stripMargin
+
+  // error pairs within 24 h, shared by the batch gate and the
+  // streamed twin
+  private val burstsOracle =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tu, event_id
+      |  FROM events WHERE event_type = 'error'),
+      |l AS (
+      |  SELECT user_id, tu,
+      |    lag(tu, 1) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS t2
+      |  FROM e)
+      |SELECT user_id, count(*) AS n_bursts, min(tu) AS first_burst_us
+      |FROM l WHERE t2 IS NOT NULL AND tu - t2 <= 86400000000
       |GROUP BY 1""".stripMargin
 
   private val rfmOracle =
@@ -963,17 +1013,10 @@ object AnalyticsQueries {
         |SELECT cohort_day, day - cohort_day AS day_offset,
         |  count(DISTINCT user_id) AS n_users
         |FROM c GROUP BY 1, 2""".stripMargin,
-    "q_error_bursts" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS tu, event_id
-        |  FROM events WHERE event_type = 'error'),
-        |l AS (
-        |  SELECT user_id, tu,
-        |    lag(tu, 1) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS t2
-        |  FROM e)
-        |SELECT user_id, count(*) AS n_bursts, min(tu) AS first_burst_us
-        |FROM l WHERE t2 IS NOT NULL AND tu - t2 <= 86400000000
-        |GROUP BY 1""".stripMargin,
+    "q_error_bursts" -> burstsOracle,
+    // stream-final ≡ batch: the horizon fold's settled+tail pair
+    // count re-derives the same burst stats; same oracle
+    "q_error_bursts_stream" -> burstsOracle,
     // each event belongs to exactly 4 epoch-aligned (1h, 15min-slide)
     // windows — enumerate them per event instead of generating a
     // window series

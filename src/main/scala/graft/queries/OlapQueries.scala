@@ -236,6 +236,44 @@ object OlapQueries {
         expr("next_tu div 1000").as("valid_to_ms"))
   }
 
+  /** [[typeHistory]] rebuilt from a REAL micro-batched
+    * [[graft.streaming.TypeHistoryStream]] run — the id-ordered-
+    * thirds file feed (events arrive out of EVENT-TIME order across
+    * batches, exercising the late-split path), update-mode
+    * last-emission-per-user fold, runs exploded back to SCD2
+    * intervals. The horizon-bounded list state (the r9 scale fix)
+    * proven equal to the batch lag/lead windows at the driver gate
+    * level, not just in specs — shares `q_type_history`'s oracle.
+    */
+  def typeHistoryStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.TypeHistoryStream
+    val src = fileFeed(spark, idOrderedBatches(spark, dir))
+    val updates = TypeHistoryStream.histories(spark, src)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hist_gate").toString
+    val acc = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Long, TypeHistoryStream.History)]()
+    val q = updates.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[TypeHistoryStream.History], id: Long) =>
+          b.collect().foreach { h =>
+            acc.merge(h.user_id, (id, h),
+              (old, fresh) => if (fresh._1 >= old._1) fresh else old)
+          }
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    acc.asScala.values.map(_._2).toSeq.toDS()
+      .select(col("user_id"), explode(col("runs")).as("r"))
+      .select(col("user_id"), col("r.event_type").as("event_type"),
+        col("r.valid_from_ms").as("valid_from_ms"),
+        col("r.valid_to_ms").as("valid_to_ms"))
+  }
+
   /** Cumulative distinct-user growth curve: per day, how many users
     * have EVER been seen by the end of that day — the expanding-
     * window DISTINCTCOUNT no rollup column answers directly. First
@@ -538,6 +576,31 @@ object OlapQueries {
       ev.filter(col("event_id") > cuts(1)))
   }
 
+  /** Materialize `batches` as one parquet file each under a fresh
+    * feed directory (modification times force trigger order) and
+    * return the maxFilesPerTrigger=1 file-source stream over it —
+    * the shared front half of every real-stream gate harness.
+    */
+  private[queries] def fileFeed(spark: SparkSession,
+      batches: Seq[DataFrame]): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_feed").toString
+    val feed = s"$tmp/feed"
+    new java.io.File(feed).mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val stage = s"$tmp/stage$i"
+      b.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $stage"))
+      val dst = new java.io.File(feed, f"b$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(10000L * (i + 1))
+    }
+    spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_cumulate_daily" -> (cumulateDaily _),
     "q_value_outliers" -> (valueOutliers _),
@@ -559,27 +622,34 @@ object OlapQueries {
     "q_ohlc_hourly_stream" -> (ohlcStream _),
     "q_revenue_share" -> (revenueShare _),
     "q_type_history" -> (typeHistory _),
+    "q_type_history_stream" -> (typeHistoryStream _),
     "q_user_growth" -> (userGrowth _),
   )
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
+  // SCD2 run intervals, shared by the batch gate and the streamed twin
+  private val typeHistoryOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tu,
+      |    lag(event_type) OVER w AS prev_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |c AS (
+      |  SELECT user_id, event_type, tu,
+      |    lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS next_tu
+      |  FROM o WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, event_type,
+      |  tu // 1000 AS valid_from_ms, next_tu // 1000 AS valid_to_ms
+      |FROM c""".stripMargin
+
   private val oraclesBase: Map[String, String] = Map(
     // SCD2 run intervals: rows open on type change, close at the next
     // change's timestamp (NULL for the live run)
-    "q_type_history" ->
-      """WITH o AS (
-        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tu,
-        |    lag(event_type) OVER w AS prev_type
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-        |c AS (
-        |  SELECT user_id, event_type, tu,
-        |    lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS next_tu
-        |  FROM o WHERE prev_type IS NULL OR prev_type <> event_type)
-        |SELECT user_id, event_type,
-        |  tu // 1000 AS valid_from_ms, next_tu // 1000 AS valid_to_ms
-        |FROM c""".stripMargin,
+    // stream-final ≡ batch: the horizon fold re-derives identical
+    // SCD2 intervals under the id-ordered split, same oracle
+    "q_type_history_stream" -> typeHistoryOracle,
+    "q_type_history" -> typeHistoryOracle,
     // cumulative distinct users by first-seen day
     "q_user_growth" ->
       """WITH f AS (
