@@ -191,6 +191,44 @@ object AnalyticsQueries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** [[cohortRetention]] rebuilt from a REAL micro-batched
+    * [[graft.streaming.CohortStream]] run — per-user day-set state
+    * over the id-ordered-thirds file feed, update-mode last-emission-
+    * per-user fold (each emission is the user's COMPLETE retention
+    * profile), the triangle re-counted from the folded profiles.
+    * Shares `q_cohort_retention`'s oracle.
+    */
+  def cohortRetentionStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.CohortStream
+    val src = OlapQueries.fileFeed(spark,
+      OlapQueries.idOrderedBatches(spark, dir))
+    val updates = CohortStream.cohorts(spark, src)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cohort_gate").toString
+    val acc = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Long, CohortStream.UserCohort)]()
+    val q = updates.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[CohortStream.UserCohort], id: Long) =>
+          b.collect().foreach { c =>
+            acc.merge(c.user_id, (id, c),
+              (old, fresh) => if (fresh._1 >= old._1) fresh else old)
+          }
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    acc.asScala.values.map(_._2).toSeq.toDS()
+      .filter(size(col("offsets")) > 0)
+      .select(col("user_id"), col("cohort_day"),
+        explode(col("offsets")).as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** CEP-style consecutive-pattern detection (the Flink-CEP shape the
     * reference's stack is known for, expressed with window
     * navigation): users with ≥2 'error' events inside any 24-hour
@@ -734,6 +772,7 @@ object AnalyticsQueries {
     "q_session_transitions" -> (sessionTransitions _),
     "q_event_trigrams" -> (eventTrigrams _),
     "q_error_bursts_stream" -> (errorBurstsStream _),
+    "q_cohort_retention_stream" -> (cohortRetentionStream _),
     "q_rfm_segments" -> (rfmSegments _),
     "q_rfm_segments_stream" -> (rfmSegmentsStream _),
     "q_covisit_lift" -> (covisitLift _),
@@ -765,6 +804,16 @@ object AnalyticsQueries {
       |SELECT user_id, count(*) AS n_bursts, min(tu) AS first_burst_us
       |FROM l WHERE t2 IS NOT NULL AND tu - t2 <= 86400000000
       |GROUP BY 1""".stripMargin
+
+  // the retention triangle, shared by batch gate and stream twin
+  private val cohortOracle =
+    """WITH d AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (
+      |  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM d)
+      |SELECT cohort_day, day - cohort_day AS day_offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM c GROUP BY 1, 2""".stripMargin
 
   private val rfmOracle =
     """WITH per AS (
@@ -1005,14 +1054,10 @@ object AnalyticsQueries {
         |SELECT stage, count(max_stage) AS n_users
         |FROM range(0, 5) AS r(stage) LEFT JOIN staged ON max_stage >= stage
         |GROUP BY 1""".stripMargin,
-    "q_cohort_retention" ->
-      """WITH d AS (
-        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
-        |c AS (
-        |  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM d)
-        |SELECT cohort_day, day - cohort_day AS day_offset,
-        |  count(DISTINCT user_id) AS n_users
-        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q_cohort_retention" -> cohortOracle,
+    // stream-final ≡ batch: the folded complete profiles re-count
+    // the identical triangle; same oracle
+    "q_cohort_retention_stream" -> cohortOracle,
     "q_error_bursts" -> burstsOracle,
     // stream-final ≡ batch: the horizon fold's settled+tail pair
     // count re-derives the same burst stats; same oracle

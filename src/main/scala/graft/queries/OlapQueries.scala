@@ -296,6 +296,47 @@ object OlapQueries {
         col("new_users"), col("total_users"))
   }
 
+  /** [[userGrowth]] rebuilt from a REAL micro-batched
+    * [[graft.streaming.UserGrowthStream]] run — min-first-day keyed
+    * state over the id-ordered-thirds file feed, last-emission-per-
+    * user fold, growth curve re-derived from the folded (user,
+    * first_day) table exactly as the batch op derives it from its
+    * keyed aggregate. Shares `q_user_growth`'s oracle.
+    */
+  def userGrowthStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.UserGrowthStream
+    val src = fileFeed(spark, idOrderedBatches(spark, dir))
+    val updates = UserGrowthStream.firstSeen(spark, src)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_growth_gate").toString
+    val acc = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Long, UserGrowthStream.FirstSeen)]()
+    val q = updates.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[UserGrowthStream.FirstSeen], id: Long) =>
+          b.collect().foreach { f =>
+            acc.merge(f.user_id, (id, f),
+              (old, fresh) => if (fresh._1 >= old._1) fresh else old)
+          }
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val newPerDay = acc.asScala.values.map(_._2).toSeq.toDS()
+      .groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    newPerDay
+      .withColumn("total_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select((col("day") * 86400000L).as("day_start_ms"),
+        col("new_users"), col("total_users"))
+  }
+
   /** ntile decile bucketing of users by total revenue (deterministic
     * total order: revenue desc, user asc) — via [[Rank.globalNtile]],
     * the distributed exclusive-scan form, NOT `Window.orderBy` (which
@@ -623,6 +664,7 @@ object OlapQueries {
     "q_revenue_share" -> (revenueShare _),
     "q_type_history" -> (typeHistory _),
     "q_type_history_stream" -> (typeHistoryStream _),
+    "q_user_growth_stream" -> (userGrowthStream _),
     "q_user_growth" -> (userGrowth _),
   )
 
@@ -643,6 +685,16 @@ object OlapQueries {
       |  tu // 1000 AS valid_from_ms, next_tu // 1000 AS valid_to_ms
       |FROM c""".stripMargin
 
+  // first-seen-day growth curve, shared by batch gate and stream twin
+  private val userGrowthOracle: String =
+    """WITH f AS (
+      |  SELECT user_id, min(epoch_ms(ts) // 86400000) AS day
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+      |SELECT day * 86400000 AS day_start_ms, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS total_users
+      |FROM d""".stripMargin
+
   private val oraclesBase: Map[String, String] = Map(
     // SCD2 run intervals: rows open on type change, close at the next
     // change's timestamp (NULL for the live run)
@@ -651,14 +703,10 @@ object OlapQueries {
     "q_type_history_stream" -> typeHistoryOracle,
     "q_type_history" -> typeHistoryOracle,
     // cumulative distinct users by first-seen day
-    "q_user_growth" ->
-      """WITH f AS (
-        |  SELECT user_id, min(epoch_ms(ts) // 86400000) AS day
-        |  FROM events GROUP BY 1),
-        |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
-        |SELECT day * 86400000 AS day_start_ms, new_users,
-        |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS total_users
-        |FROM d""".stripMargin,
+    "q_user_growth" -> userGrowthOracle,
+    // stream-final ≡ batch: min-first-day state folds to the same
+    // (user, first_day) table; same oracle
+    "q_user_growth_stream" -> userGrowthOracle,
     "q_cumulate_daily" ->
       s"""WITH t AS (
          |  SELECT epoch_ms(ts) AS tms, event_type, $cents AS value_cents
