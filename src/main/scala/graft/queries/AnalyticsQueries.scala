@@ -191,6 +191,44 @@ object AnalyticsQueries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** [[funnel]] rebuilt from a REAL micro-batched
+    * [[graft.streaming.StreamingFunnel]] run — per-user first-touch
+    * state (four conditional-min timestamps) over the id-ordered-
+    * thirds file feed, update-mode last-emission-per-user stage
+    * fold, then the batch op's 5-row cumulative rollup. Shares
+    * `q_funnel`'s oracle.
+    */
+  def funnelStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.StreamingFunnel
+    val src = OlapQueries.fileFeed(spark,
+      OlapQueries.idOrderedBatches(spark, dir))
+    val updates = StreamingFunnel.stageUpdates(spark, src)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_gate").toString
+    val acc = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Long, StreamingFunnel.UserStage)]()
+    val q = updates.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamingFunnel.UserStage], id: Long) =>
+          b.collect().foreach { u =>
+            acc.merge(u.user_id, (id, u),
+              (old, fresh) => if (fresh._1 >= old._1) fresh else old)
+          }
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val staged = acc.asScala.values.map(_._2).toSeq.toDS().toDF()
+    val counts = staged.groupBy(col("max_stage")).agg(count(lit(1)).as("n"))
+    spark.range(0, 5).toDF("stage")
+      .join(counts, col("max_stage") >= col("stage"), "left")
+      .groupBy(col("stage"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_users"))
+  }
+
   /** [[cohortRetention]] rebuilt from a REAL micro-batched
     * [[graft.streaming.CohortStream]] run — per-user day-set state
     * over the id-ordered-thirds file feed, update-mode last-emission-
@@ -773,6 +811,7 @@ object AnalyticsQueries {
     "q_event_trigrams" -> (eventTrigrams _),
     "q_error_bursts_stream" -> (errorBurstsStream _),
     "q_cohort_retention_stream" -> (cohortRetentionStream _),
+    "q_funnel_stream" -> (funnelStream _),
     "q_rfm_segments" -> (rfmSegments _),
     "q_rfm_segments_stream" -> (rfmSegmentsStream _),
     "q_covisit_lift" -> (covisitLift _),
@@ -806,6 +845,27 @@ object AnalyticsQueries {
       |GROUP BY 1""".stripMargin
 
   // the retention triangle, shared by batch gate and stream twin
+  // the 5-row first-touch funnel, shared by batch gate and stream twin
+  private val funnelOracle =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(epoch_us(ts)) FILTER (WHERE event_type = 'signup')   AS t_signup,
+      |    min(epoch_us(ts)) FILTER (WHERE event_type = 'view')     AS t_view,
+      |    min(epoch_us(ts)) FILTER (WHERE event_type = 'click')    AS t_click,
+      |    min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      |  FROM events GROUP BY 1),
+      |staged AS (
+      |  SELECT
+      |    (CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END
+      |     + CASE WHEN t_signup < t_view THEN 1 ELSE 0 END
+      |     + CASE WHEN t_signup < t_view AND t_view < t_click THEN 1 ELSE 0 END
+      |     + CASE WHEN t_signup < t_view AND t_view < t_click AND t_click < t_purchase
+      |            THEN 1 ELSE 0 END)::BIGINT AS max_stage
+      |  FROM per_user)
+      |SELECT stage, count(max_stage) AS n_users
+      |FROM range(0, 5) AS r(stage) LEFT JOIN staged ON max_stage >= stage
+      |GROUP BY 1""".stripMargin
+
   private val cohortOracle =
     """WITH d AS (
       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
@@ -1035,25 +1095,10 @@ object AnalyticsQueries {
     // output, same oracle
     "q_covisit_lift" -> covisitOracle,
     "q_covisit_lift_stream" -> covisitOracle,
-    "q_funnel" ->
-      """WITH per_user AS (
-        |  SELECT user_id,
-        |    min(epoch_us(ts)) FILTER (WHERE event_type = 'signup')   AS t_signup,
-        |    min(epoch_us(ts)) FILTER (WHERE event_type = 'view')     AS t_view,
-        |    min(epoch_us(ts)) FILTER (WHERE event_type = 'click')    AS t_click,
-        |    min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS t_purchase
-        |  FROM events GROUP BY 1),
-        |staged AS (
-        |  SELECT
-        |    (CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END
-        |     + CASE WHEN t_signup < t_view THEN 1 ELSE 0 END
-        |     + CASE WHEN t_signup < t_view AND t_view < t_click THEN 1 ELSE 0 END
-        |     + CASE WHEN t_signup < t_view AND t_view < t_click AND t_click < t_purchase
-        |            THEN 1 ELSE 0 END)::BIGINT AS max_stage
-        |  FROM per_user)
-        |SELECT stage, count(max_stage) AS n_users
-        |FROM range(0, 5) AS r(stage) LEFT JOIN staged ON max_stage >= stage
-        |GROUP BY 1""".stripMargin,
+    "q_funnel" -> funnelOracle,
+    // stream-final ≡ batch: folded first-touch stages re-count the
+    // same 5-row funnel; same oracle
+    "q_funnel_stream" -> funnelOracle,
     "q_cohort_retention" -> cohortOracle,
     // stream-final ≡ batch: the folded complete profiles re-count
     // the identical triangle; same oracle
