@@ -641,10 +641,16 @@ object AnalyticsQueries {
     * map-side onto the alphabet³ domain and the top-20 is a
     * bounded-heap TakeOrdered, never a global sort.
     */
-  def eventTrigrams(spark: SparkSession, dir: String): DataFrame = {
+  def eventTrigrams(spark: SparkSession, dir: String): DataFrame =
+    eventTrigramsOf(Tables.events(spark, dir))
+
+  /** [[eventTrigrams]] over an explicit events frame — the spec
+    * surface.
+    */
+  def eventTrigramsOf(ev: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
-    val counts = Tables.events(spark, dir)
+    val counts = ev
       .select(col("user_id"), unix_micros(col("ts")).as("tu"),
         col("event_id"), col("event_type"))
       .withColumn("t1", lag(col("event_type"), 2).over(w))

@@ -51,7 +51,28 @@ object MediaQueries {
       .agg(min(col("media_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Cross-video FRAME overlap — duplicated-clip detection: sampled
+    * frames whose exact bytes appear in ≥2 distinct videos, with
+    * occurrence counts and the lowest owning id. The multimodal
+    * analog of the dup-n-gram census: content reuse is found at the
+    * sub-asset grain, where whole-file hashing ([[mediaDedup]]) is
+    * blind. Frames hash executor-side (md5 before the aggregation),
+    * so only 128-bit keys + ids cross the exchange — payload bytes
+    * never shuffle; distinct-video counts dedup map-side.
+    */
+  def frameOverlap(spark: SparkSession, dir: String): DataFrame =
+    Media.sampleFrames(spark,
+        Media.mediaFromEvents(Tables.events(spark, dir)))
+      .toDF()
+      .select(md5(col("frame_bytes")).as("frame_hash"), col("media_id"))
+      .groupBy(col("frame_hash"))
+      .agg(countDistinct(col("media_id")).as("n_videos"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("media_id")).as("first_media_id"))
+      .filter(col("n_videos") >= 2L)
+
   val queries: Map[String, QFn] = Map(
+    "q_media_frame_overlap" -> (frameOverlap _),
     "q_media_dedup" -> (mediaDedup _),
     "q_media_features" -> (mediaFeatures _),
     "q_media_frame_stats" -> (frameStats _),
@@ -59,6 +80,21 @@ object MediaQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same kept-chunk rule as q_media_frame_stats (offsets 16·g, 8
+    // bytes, substring truncates at end-of-payload exactly like the
+    // Spark slice); props are ASCII so md5(VARCHAR) = md5(bytes)
+    "q_media_frame_overlap" ->
+      """WITH fr AS (
+        |  SELECT event_id AS media_id,
+        |    unnest(list_transform(range(0, (strlen(props) + 15) // 16),
+        |      g -> md5(substring(props, CAST(16*g + 1 AS INTEGER), 8)))) AS frame_hash
+        |  FROM events WHERE event_type = 'purchase' AND strlen(props) > 0)
+        |SELECT frame_hash,
+        |  count(DISTINCT media_id) AS n_videos,
+        |  count(*) AS n_occurrences,
+        |  CAST(min(media_id) AS BIGINT) AS first_media_id
+        |FROM fr GROUP BY 1
+        |HAVING count(DISTINCT media_id) >= 2""".stripMargin,
     // payload = props' UTF-8 bytes, so DuckDB's md5 over the VARCHAR
     // hashes the identical byte string.
     "q_media_dedup" ->

@@ -150,6 +150,21 @@ class AnalyticsSpec extends SparkSuite {
       ("b", "a") -> (2L, 1000L)))
   }
 
+  test("trigrams: consecutive triples per user under the (ts, id) order") {
+    // user 1 path a b a b -> triples (a,b,a), (b,a,b); user 2's two
+    // events form no triple; ranks tie-break lexicographically
+    val ev = Seq(
+      (1L, 10L, "a", ts(0)), (1L, 11L, "b", ts(1)),
+      (1L, 12L, "a", ts(2)), (1L, 13L, "b", ts(3)),
+      (2L, 20L, "b", ts(0)), (2L, 21L, "a", ts(5))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = AnalyticsQueries.eventTrigramsOf(ev)
+      .as[(Long, String, String, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "a", "b", "a", 1L),
+      (2L, "b", "a", "b", 1L)))
+  }
+
   test("session transitions: cross-session pairs drop, within-session kept") {
     // user 1: a@0m -> b@10m (kept), b@10m -> c@50m (40-min gap:
     // DROPPED), c@50m -> a@60m (kept); the exact 30-min boundary is
