@@ -46,6 +46,32 @@ object DocQueries {
     d.select((col("doc_id") +: hitCols) :+ Text.langId(col("text")).as("lang_pred"): _*)
   }
 
+  /** Language-ID CONFUSION matrix — declared `lang` column vs the
+    * n-gram-heuristic prediction, with exact integer-permille share
+    * of each declared language's docs: the metadata-trust audit a
+    * curation pipeline runs before keying any decision off declared
+    * language (crawl metadata lies; the classifier is the check).
+    * Row-local scoring, one map-side aggregate onto the lang² domain,
+    * the share window over that bounded table.
+    */
+  def docLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang").as("declared"),
+        Text.langId(col("text")).as("predicted"))
+      .groupBy(col("declared"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("declared"))
+    counts
+      .withColumn("declared_total", sum(col("n_docs")).over(w))
+      .select(col("declared"), col("predicted"), col("n_docs"),
+        column(IntegralDivide(
+          expression(col("n_docs") * 1000L),
+          expression(col("declared_total")))).cast("long").as("share_permille"))
+  }
+
   /** Exact + bag-of-words document fingerprints. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -1112,6 +1138,7 @@ object DocQueries {
     "q_doc_drift_tokens" -> (docDriftTokens _),
     "q_doc_drift_tokens_stream" -> (docDriftTokensStream _),
     "q_doc_source_quality" -> (docSourceQuality _),
+    "q_doc_lang_confusion" -> (docLangConfusion _),
   )
 
   private val toks = "string_split(text, ' ')"
@@ -1632,6 +1659,30 @@ object DocQueries {
          |  CAST(len(list_filter($toks, x -> list_contains(['the','a'], x))) AS DOUBLE) / len($toks) AS stop_ratio,
          |  CAST(strlen(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len($toks) AS punct_ratio
          |FROM documents""".stripMargin,
+    // the same marker-hit argmax folded into a (declared, predicted)
+    // matrix with per-declared-language integer permille shares
+    "q_doc_lang_confusion" ->
+      s"""WITH h AS (SELECT lang AS declared,
+         |  CAST(len(list_filter($toks, x -> list_contains(['the','a','fast','slow'], x))) AS BIGINT) AS hits_en,
+         |  CAST(len(list_filter($toks, x -> list_contains(['data','table','row','column'], x))) AS BIGINT) AS hits_es,
+         |  CAST(len(list_filter($toks, x -> list_contains(['stream','batch','window','group'], x))) AS BIGINT) AS hits_de,
+         |  CAST(len(list_filter($toks, x -> list_contains(['query','join','filter','sort'], x))) AS BIGINT) AS hits_fr
+         |  FROM documents),
+         |p AS (
+         |  SELECT declared,
+         |    CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+         |         WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+         |         WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+         |         WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+         |         ELSE 'fr' END AS predicted
+         |  FROM h),
+         |c AS (SELECT declared, predicted, count(*) AS n_docs
+         |      FROM p GROUP BY 1, 2)
+         |SELECT declared, predicted, n_docs,
+         |  CAST(n_docs * 1000
+         |    // SUM(n_docs) OVER (PARTITION BY declared) AS BIGINT)
+         |    AS share_permille
+         |FROM c""".stripMargin,
     "q_lang_id" ->
       s"""WITH h AS (SELECT doc_id,
          |  CAST(len(list_filter($toks, x -> list_contains(['the','a','fast','slow'], x))) AS BIGINT) AS hits_en,
