@@ -72,6 +72,31 @@ object DocQueries {
           expression(col("declared_total")))).cast("long").as("share_permille"))
   }
 
+  /** CURRICULUM ordering — the quality-staged training sequence:
+    * documents banded into quality deciles (exact distributed NTILE
+    * over the integer logit, best first), then given a global
+    * position that walks the bands in order with a deterministic
+    * hash shuffle WITHIN each band (easy-first curriculum with
+    * decorrelated in-band order — sorted-by-quality within a band
+    * would correlate adjacent training batches). Both stages are the
+    * range-partitioned exclusive scan ([[graft.ops.Rank]]), never a
+    * single-task `Window.orderBy`; every number is integer-exact.
+    */
+  def docCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (lit(50L) * Text.distinctTokenCount(col("text"))
+          - lit(8L) * Text.tokenCount(col("text"))
+          + lit(25L) * Text.markerHits(col("text"), Text.stopwords)
+          - lit(30L) * Text.punctCount(col("text"))).as("logit"))
+    val banded = graft.ops.Rank.globalNtile(scored,
+      Seq(col("logit").desc, col("doc_id").asc), n = 10, out = "band")
+    graft.ops.Rank.globalRowNumber(
+        banded.withColumn("_h", graft.ops.Sample.hash60(col("doc_id"))),
+        Seq(col("band").asc, col("_h").asc, col("doc_id").asc), out = "seq")
+      .select(col("doc_id"), col("logit"), col("band"), col("seq"))
+  }
+
   /** Exact + bag-of-words document fingerprints. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -1139,6 +1164,7 @@ object DocQueries {
     "q_doc_drift_tokens_stream" -> (docDriftTokensStream _),
     "q_doc_source_quality" -> (docSourceQuality _),
     "q_doc_lang_confusion" -> (docLangConfusion _),
+    "q_doc_curriculum" -> (docCurriculum _),
   )
 
   private val toks = "string_split(text, ' ')"
@@ -1659,6 +1685,19 @@ object DocQueries {
          |  CAST(len(list_filter($toks, x -> list_contains(['the','a'], x))) AS DOUBLE) / len($toks) AS stop_ratio,
          |  CAST(strlen(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len($toks) AS punct_ratio
          |FROM documents""".stripMargin,
+    // exact NTILE bands over the integer logit, then the in-band h60
+    // walk; both engines' NTILE splits remainders identically
+    "q_doc_curriculum" ->
+      s"""WITH sc AS (SELECT doc_id, CAST($logitSql AS BIGINT) AS logit
+         |  FROM documents),
+         |b AS (SELECT doc_id, logit,
+         |    CAST(ntile(10) OVER (ORDER BY logit DESC, doc_id ASC) AS BIGINT) AS band
+         |  FROM sc)
+         |SELECT doc_id, logit, band,
+         |  CAST(row_number() OVER (ORDER BY band,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+         |    doc_id) AS BIGINT) AS seq
+         |FROM b""".stripMargin,
     // the same marker-hit argmax folded into a (declared, predicted)
     // matrix with per-declared-language integer permille shares
     "q_doc_lang_confusion" ->
