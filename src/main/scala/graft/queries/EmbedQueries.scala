@@ -292,6 +292,40 @@ object EmbedQueries {
       kmeansRefine(spark, dir), col("vec_id") % 2 === 0,
       Seq("ivf_cell" -> col("cell_refined")))
 
+  /** Embedding INGEST-QUALITY audit — per label: vector count,
+    * degenerate (all-zero on the 2^16 grid) count, and exact integer
+    * min/mean/max squared norms. Zero and out-of-scale vectors are
+    * the classic upstream-encoder failure modes that silently poison
+    * an ANN index or a cosine dedup; this is the check before
+    * admission. All arithmetic on the shared quantization grid
+    * (64 dims × (2^15)² ≈ 7·10¹³ per vector — row values fit a long
+    * with 10⁵ headroom; the label SUM accumulates in DECIMAL(38,0)
+    * and the mean is exact integer division). Row-local norms, one
+    * map-side aggregate onto the label alphabet.
+    */
+  def embedQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val q = transform(col("embedding"),
+      x => round(x.cast("double") * 65536).cast("long"))
+    val norm2 = aggregate(q, lit(0L).cast("decimal(38,0)"),
+      (acc, v) => acc + (v * v).cast("decimal(38,0)"))
+    Tables.embeddings(spark, dir)
+      .select(col("label"), norm2.as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("n2")).cast("long").as("min_norm2"),
+        max(col("n2")).cast("long").as("max_norm2"),
+        sum(col("n2")).as("sum_n2"))
+      .select(col("label"), col("n_vecs"), col("n_zero"),
+        col("min_norm2"), col("max_norm2"),
+        column(IntegralDivide(
+          expression(col("sum_n2")),
+          expression(col("n_vecs").cast("decimal(38,0)"))))
+          .cast("long").as("mean_norm2"))
+  }
+
   /** CLUSTER-BALANCED sample — the diversity-preserving coreset step:
     * 5 deterministic picks (lowest 60-bit md5 key, vec_id tie-break)
     * from EACH refined Lloyd cell, so every region of embedding space
@@ -385,6 +419,7 @@ object EmbedQueries {
     "q_embed_kmeans" -> (kmeansRefine _),
     "q_embed_drift" -> (embedDrift _),
     "q_embed_sample_balanced" -> (embedSampleBalanced _),
+    "q_embed_quality" -> (embedQuality _),
     "q_embed_centroid_outliers" -> (centroidOutliers _),
     "q_embed_knn_ivf_trained" -> (knnIvfTrained _),
     "q_embed_dedup_canonical" -> (embedDedupCanonical _),
@@ -628,6 +663,21 @@ object EmbedQueries {
     // with the portable truncating %), same (dist, cell) tie-break.
     // the refined-cell histogram TVD between the id-parity halves —
     // the q_doc_drift integer chain over the q_embed_kmeans cells
+    // same grid, same HUGEINT-accumulated norms, same truncating mean
+    "q_embed_quality" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS HUGEINT)
+        |           * CAST(round(CAST(x AS DOUBLE) * 65536) AS HUGEINT)),
+        |      'sum') AS n2
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(min(n2) AS BIGINT) AS min_norm2,
+        |  CAST(max(n2) AS BIGINT) AS max_norm2,
+        |  CAST(sum(n2) // count(*) AS BIGINT) AS mean_norm2
+        |FROM n GROUP BY 1""".stripMargin,
     // 5 lowest-h60 picks per refined cell — the q_doc_sample_pergroup
     // rule over the q_embed_kmeans assignment
     "q_embed_sample_balanced" ->
