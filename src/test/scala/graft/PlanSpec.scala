@@ -127,6 +127,36 @@ class PlanSpec extends SparkSuite {
         .count(_ == "ShuffledHashJoin") <= 1, p)
   }
 
+  test("trigrams: both lags ride one user-keyed window; top-20 is a bounded heap") {
+    val p = planOf(graft.queries.AnalyticsQueries.eventTrigrams(spark, sfDir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // exactly two Window nodes: the fact-sized one hosting BOTH lags
+    // (a second fact window would be a second sort), and the rank
+    // window over the ≤20-row TakeOrdered output
+    assert(finalPlan.sliding("Window [".length).count(_ == "Window [") <= 2,
+      p)
+    // the fact window is user-keyed, so both lag exprs share one node
+    assert(finalPlan.contains("lag(event_type"), p)
+    assert(finalPlan.contains("TakeOrderedAndProject"), p)
+    // counts collapse map-side onto the alphabet³ domain
+    assert(finalPlan.contains("partial_"), p)
+  }
+
+  test("frame overlap: hashes computed below the exchange, distinct dedups map-side") {
+    val p = planOf(graft.queries.MediaQueries.frameOverlap(spark, sfDir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), p)
+    // md5 projects BELOW the first exchange: everything above it (the
+    // post-shuffle reduce side) sees only frame_hash + media_id —
+    // frame bytes never cross the wire
+    val aboveExchange = finalPlan.split("Exchange").head
+    assert(!aboveExchange.contains("frame_bytes"), p)
+    // the distinct-video count dedups map-side ((hash, media) partial
+    // aggregate below the exchange)
+    assert(finalPlan.contains("partial_"), p)
+  }
+
   test("Q9 profit shape: part/nation dims broadcast, ONE fact-fact shuffle") {
     val p = planOf(TpchQueries.productProfit(spark, sfDir))
     val finalPlan = p.split("== Initial Plan ==").head
