@@ -623,7 +623,13 @@ object OlapQueries {
     * the shared front half of every real-stream gate harness.
     */
   private[queries] def fileFeed(spark: SparkSession,
-      batches: Seq[DataFrame]): DataFrame = {
+      batches: Seq[DataFrame]): DataFrame =
+    fileFeedSource(spark, fileFeedDir(batches), batches.head.schema)
+
+  /** The feed directory alone — for gates that need TWO independent
+    * sources over the same batch sequence (stream-stream joins).
+    */
+  private[queries] def fileFeedDir(batches: Seq[DataFrame]): String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_feed").toString
     val feed = s"$tmp/feed"
     new java.io.File(feed).mkdirs()
@@ -637,10 +643,14 @@ object OlapQueries {
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(10000L * (i + 1))
     }
-    spark.readStream.schema(batches.head.schema)
+    feed
+  }
+
+  private[queries] def fileFeedSource(spark: SparkSession, feed: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
-  }
 
   val queries: Map[String, QFn] = Map(
     "q_cumulate_daily" -> (cumulateDaily _),

@@ -128,9 +128,62 @@ object TemporalQueries {
         "n_events", "sum_value_cents")
   }
 
+  /** [[rangeJoinErrors]] as a REAL stream-stream interval join
+    * ([[graft.streaming.StreamJoin.intervalJoin]]) — purchases and
+    * errors read as two independent file-source streams over the
+    * same event-time-tercile feed, joined on user with
+    * `e_ts ∈ [p_ts, p_ts + 6h]` under a 10 s watermark. Inner
+    * interval joins emit on match (no flush sentinel needed); the
+    * range condition is what lets Spark EVICT buffered state once
+    * the other side's watermark passes `ts + hi` — the operator's
+    * whole 100 TB story — and the tercile feed guarantees an evicted
+    * left row can no longer match (later errors sit beyond its 6 h
+    * window), so stream ≡ batch exactly and the gate shares
+    * `q_range_join`'s oracle.
+    */
+  def rangeJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val tu = unix_micros(col("ts"))
+    val feed = OlapQueries.fileFeedDir(Seq(
+      ev.filter(tu <= cuts(0)),
+      ev.filter(tu > cuts(0) && tu <= cuts(1)),
+      ev.filter(tu > cuts(1))))
+    def srcOf() = OlapQueries.fileFeedSource(spark, feed, ev.schema)
+    val purchases = srcOf().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val errors = srcOf().filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("e_ts"))
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+      purchases, errors, keys = Seq("user_id"),
+      leftTs = "p_ts", rightTs = "e_ts", hi = "6 hours",
+      watermarkDelay = "10 seconds")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rjoin_gate").toString
+    val out = s"$tmp/out"
+    val q = joined.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(out)
+      .select(col("purchase_id"), col("user_id"), col("error_id"),
+        unix_millis(col("p_ts")).as("p_ts_ms"),
+        unix_millis(col("e_ts")).as("e_ts_ms"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_asof_attribution" -> (asofAttribution _),
     "q_range_join" -> (rangeJoinErrors _),
+    "q_range_join_stream" -> (rangeJoinStream _),
     "q_sessionize" -> (sessionize _),
     "q_sessionize_stream" -> (sessionizeStream _),
   )
@@ -159,15 +212,10 @@ object TemporalQueries {
          |  cents AS value_cents, click_id AS asof_click_id,
          |  CAST(click_tu // 1000 AS BIGINT) AS asof_click_ts_ms
          |FROM w WHERE side = 1""".stripMargin,
-    "q_range_join" ->
-      """SELECT p.event_id AS purchase_id, p.user_id, e.event_id AS error_id,
-        |  CAST(epoch_us(p.ts) // 1000 AS BIGINT) AS p_ts_ms,
-        |  CAST(epoch_us(e.ts) // 1000 AS BIGINT) AS e_ts_ms
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
-        |  ON p.user_id = e.user_id
-        | AND epoch_us(e.ts) >= epoch_us(p.ts)
-        | AND epoch_us(e.ts) <= epoch_us(p.ts) + 21600000000""".stripMargin,
+    "q_range_join" -> rangeJoinOracle,
+    // stream-final ≡ batch: inner interval join emits on match, the
+    // tercile feed keeps every matchable left row in state; same oracle
+    "q_range_join_stream" -> rangeJoinOracle,
     // gap rule == session_window merge rule: only diff > gap starts a
     // new session (an event exactly at the previous window's end is
     // merged); session_end = last event ts + gap (ms floor of µs).
@@ -177,6 +225,16 @@ object TemporalQueries {
     // streamed run rebuilds the identical session set
     "q_sessionize_stream" -> sessionizeOracle,
   )
+
+  private def rangeJoinOracle: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, e.event_id AS error_id,
+      |  CAST(epoch_us(p.ts) // 1000 AS BIGINT) AS p_ts_ms,
+      |  CAST(epoch_us(e.ts) // 1000 AS BIGINT) AS e_ts_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id
+      | AND epoch_us(e.ts) >= epoch_us(p.ts)
+      | AND epoch_us(e.ts) <= epoch_us(p.ts) + 21600000000""".stripMargin
 
   private def sessionizeOracle: String =
     s"""WITH m AS (
