@@ -658,7 +658,37 @@ object TpchQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Hierarchical ROLLUP over the geography dimension: revenue at
+    * (region, nation), region subtotal, and grand total in ONE pass —
+    * the grouping-sets sibling of the events CUBE gate
+    * (`q_cube_revenue`), on the star schema where the hierarchy is
+    * real. Dims broadcast; the rollup expand is ×3 on the aggregate
+    * KEYS only (Spark expands pre-aggregation rows, but partial
+    * aggregation still collapses map-side onto the ≤3·|nations|
+    * domain before the shuffle). Subtotal rows are marked by
+    * grouping_id and sentinel-coalesced so the output is null-free.
+    */
+  def rollupGeoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    Tables.orders(spark, dir)
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        col("gid"), col("n_orders"), col("total_cents"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_tpch_rollup_geo" -> (rollupGeoRevenue _),
     "q_tpch_product_profit" -> (productProfit _),
     "q_tpch_forecast_revenue" -> (forecastRevenue _),
     "q_tpch_min_cost_supp" -> (minCostSupplier _),
@@ -687,6 +717,21 @@ object TpchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // GROUPING SETS ((r,n),(r),()) with Spark's grouping_id bit order
+    // (r_name = high bit)
+    "q_tpch_rollup_geo" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name,
+        |  coalesce(n_name, 'ALL') AS n_name,
+        |  CAST(CASE WHEN r_name IS NULL THEN 3
+        |            WHEN n_name IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+        |  count(*) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
     // margin = revenue cents − retail cents · integer quantity; both
     // engines run the identical integer chain after one rounded
     // IEEE multiply per money input
