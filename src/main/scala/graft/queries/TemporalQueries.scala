@@ -36,6 +36,101 @@ object TemporalQueries {
         col("asof_click_id"), col("asof_click_ts_ms"))
   }
 
+  /** BOUNDED-LOOKBACK attribution — the production form of last-touch:
+    * each purchase attributes to the latest click within the trailing
+    * 24 h window, NULL when the last click is older (or absent). The
+    * unbounded [[asofAttribution]] plus one row-local window cutoff —
+    * no extra exchange; the bound is also exactly what makes the
+    * operator streamable with finite state (see
+    * [[attribution24hStream]]).
+    */
+  def attribution24h(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 24L * 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value_cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_id"), unix_micros(col("ts")).as("click_tu"))
+    val inWindow = col("asof_click_tu").isNotNull &&
+      col("asof_click_tu") >= unix_micros(col("ts")) - winUs
+    AsOfJoin.asOf(purchases, clicks, keys = Seq("user_id"),
+        tsCol = "ts", tieCol = "event_id", payload = Seq("click_id", "click_tu"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value_cents"),
+        when(inWindow, col("asof_click_id")).as("attr_click_id"),
+        when(inWindow, expr("asof_click_tu div 1000")).as("attr_click_ts_ms"))
+  }
+
+  /** [[attribution24h]] as a REAL stream-stream LEFT OUTER interval
+    * join ([[graft.streaming.StreamJoin.intervalJoinBounds]] with
+    * lookback lo = −24 h): matched (purchase, click) pairs emit on
+    * match; a purchase with NO click in its window emits null-padded
+    * once the click-side watermark passes `p_ts` — the streaming
+    * "didn't convert from a touchpoint" decision, impossible without
+    * the explicit bound (it is also what lets Spark evict both
+    * buffers). The fold keeps the latest (click_tu, click_id) per
+    * purchase, matching the batch tie rule. Two far-future sentinel
+    * events (one per side, user −1) flush the final outer rows;
+    * event-time-tercile feed keeps every matchable row in state, so
+    * stream ≡ batch exactly and the gate shares `q_attribution_24h`'s
+    * oracle.
+    */
+  def attribution24hStream(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 24L * 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value_cents"))
+    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val tu = unix_micros(col("ts"))
+    def sentinel(tpe: String, id: Long) = ev.sparkSession.range(1).select(
+      lit(id).as("event_id"), lit(-1L).as("user_id"),
+      timestamp_micros(lit(hi + 2L * 86400L * 1000000L)).as("ts"),
+      lit(tpe).as("event_type"), lit(0L).as("value_cents"))
+    val feed = OlapQueries.fileFeedDir(Seq(
+      ev.filter(tu <= cuts(0)),
+      ev.filter(tu > cuts(0) && tu <= cuts(1)),
+      ev.filter(tu > cuts(1)),
+      sentinel("purchase", -10L).unionByName(sentinel("click", -11L))))
+    def srcOf() = OlapQueries.fileFeedSource(spark, feed, ev.schema)
+    val purchases = srcOf().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value_cents"))
+    val clicks = srcOf().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+    val joined = graft.streaming.StreamJoin.intervalJoinBounds(
+      purchases, clicks, keys = Seq("user_id"),
+      leftTs = "p_ts", rightTs = "c_ts",
+      loUs = -winUs, hiUs = 0L, watermarkDelay = "10 seconds",
+      joinType = "leftOuter")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_attr_gate").toString
+    val out = s"$tmp/out"
+    val q = joined.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // latest (c_ts, click_id) per purchase — the batch tie rule; a
+    // purchase whose only row is null-padded stays null
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 0L)
+      .groupBy(col("purchase_id"), col("user_id"),
+        col("p_ts"), col("value_cents"))
+      .agg(max_by(struct(col("click_id"), unix_micros(col("c_ts")).as("ctu")),
+        struct(unix_micros(col("c_ts")), col("click_id"))).as("best"))
+      .select(col("purchase_id").as("event_id"), col("user_id"),
+        unix_millis(col("p_ts")).as("ts_ms"), col("value_cents"),
+        col("best.click_id").as("attr_click_id"),
+        expr("best.ctu div 1000").as("attr_click_ts_ms"))
+  }
+
   /** Range join: (purchase, error) pairs for the same user with the
     * error inside [purchase_ts, purchase_ts + 6h] — bucketized to an
     * equi-join, never a cartesian.
@@ -182,6 +277,8 @@ object TemporalQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_asof_attribution" -> (asofAttribution _),
+    "q_attribution_24h" -> (attribution24h _),
+    "q_attribution_24h_stream" -> (attribution24hStream _),
     "q_range_join" -> (rangeJoinErrors _),
     "q_range_join_stream" -> (rangeJoinStream _),
     "q_sessionize" -> (sessionize _),
@@ -212,6 +309,10 @@ object TemporalQueries {
          |  cents AS value_cents, click_id AS asof_click_id,
          |  CAST(click_tu // 1000 AS BIGINT) AS asof_click_ts_ms
          |FROM w WHERE side = 1""".stripMargin,
+    // latest click within the trailing 24 h, else NULL; both the
+    // batch cutoff and the streamed outer-join fold share it
+    "q_attribution_24h" -> attributionWindowOracle,
+    "q_attribution_24h_stream" -> attributionWindowOracle,
     "q_range_join" -> rangeJoinOracle,
     // stream-final ≡ batch: inner interval join emits on match, the
     // tercile feed keeps every matchable left row in state; same oracle
@@ -225,6 +326,25 @@ object TemporalQueries {
     // streamed run rebuilds the identical session set
     "q_sessionize_stream" -> sessionizeOracle,
   )
+
+  private def attributionWindowOracle: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tu,
+      |    CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id AS cid, epoch_us(ts) AS ctu
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.event_id, p.user_id, p.tu, p.cents, c.cid, c.ctu,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY c.ctu DESC NULLS LAST, c.cid DESC NULLS LAST) AS rn
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |    AND c.ctu <= p.tu AND c.ctu >= p.tu - 86400000000)
+      |SELECT event_id, user_id, CAST(tu // 1000 AS BIGINT) AS ts_ms,
+      |  cents AS value_cents, cid AS attr_click_id,
+      |  CAST(ctu // 1000 AS BIGINT) AS attr_click_ts_ms
+      |FROM j WHERE rn = 1""".stripMargin
 
   private def rangeJoinOracle: String =
     """SELECT p.event_id AS purchase_id, p.user_id, e.event_id AS error_id,

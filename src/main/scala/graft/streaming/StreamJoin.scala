@@ -33,4 +33,25 @@ object StreamJoin {
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $hi")
     l.join(r, cond).drop(keys.map(k => s"_r_$k"): _*)
   }
+
+  /** General µs-bounded interval join with a caller-chosen join type:
+    * `right.rightTs ∈ [left.leftTs + loUs, left.leftTs + hiUs]`
+    * (negative lo = lookback). `leftOuter` emits null-padded left
+    * rows once the right watermark passes `leftTs + hiUs` — the
+    * streaming "no match within the window" decision; the explicit
+    * bounds are what let Spark evict buffered state on BOTH sides.
+    */
+  def intervalJoinBounds(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      loUs: Long, hiUs: Long, watermarkDelay: String,
+      joinType: String = "inner"): DataFrame = {
+    require(hiUs >= loUs, s"empty interval [$loUs, $hiUs]")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = keys.foldLeft(right)((df, k) => df.withColumnRenamed(k, s"_r_$k"))
+      .withWatermark(rightTs, watermarkDelay)
+    val cond = keys.map(k => col(k) === col(s"_r_$k")).reduce(_ && _) &&
+      col(rightTs) >= col(leftTs) + expr(s"INTERVAL $loUs microseconds") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $hiUs microseconds")
+    l.join(r, cond, joinType).drop(keys.map(k => s"_r_$k"): _*)
+  }
 }
