@@ -233,6 +233,44 @@ class TemporalSampleSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("leftOuter interval join with lookback: nulls emit after the watermark flush") {
+    implicit val sql = spark.sqlContext
+    import TemporalSampleSpec.{PEv, REv}
+    // p1 has a click 3 min back (in the 5-min lookback), p2's only
+    // click is 6 min back (out), p3 has none at all
+    val purchases = Seq(
+      PEv(1L, "u", ts("2024-01-01 10:00:00")),
+      PEv(2L, "u", ts("2024-01-01 12:00:00")),
+      PEv(3L, "v", ts("2024-01-01 10:00:00")))
+    val clicks = Seq(
+      REv(10L, "u", ts("2024-01-01 09:57:00")),
+      REv(11L, "u", ts("2024-01-01 11:54:00")))
+    val lMem = MemoryStream[PEv]; val rMem = MemoryStream[REv]
+    val joined = graft.streaming.StreamJoin.intervalJoinBounds(
+      lMem.toDF(), rMem.toDF(), Seq("user_id"), "p_ts", "e_ts",
+      loUs = -5L * 60 * 1000000, hiUs = 0L,
+      watermarkDelay = "10 seconds", joinType = "leftOuter")
+    val q = joined.writeStream.format("memory")
+      .queryName("stream_ivj_outer").outputMode("append").start()
+    try {
+      lMem.addData(purchases: _*); rMem.addData(clicks: _*)
+      q.processAllAvailable()
+      // matched pair emits without any watermark progress
+      val matched = spark.table("stream_ivj_outer")
+        .filter($"error_id".isNotNull)
+        .select("purchase_id", "error_id").as[(Long, Long)].collect().toSet
+      assert(matched === Set((1L, 10L)))
+      // outer rows need BOTH watermarks past the window ends
+      lMem.addData(PEv(99L, "z", ts("2024-01-02 00:00:00")))
+      rMem.addData(REv(99L, "z", ts("2024-01-02 00:00:00")))
+      q.processAllAvailable(); q.processAllAvailable()
+      val outer = spark.table("stream_ivj_outer")
+        .filter($"error_id".isNull && $"purchase_id" < 90)
+        .select("purchase_id").as[Long].collect().toSet
+      assert(outer === Set(2L, 3L))
+    } finally q.stop()
+  }
+
   // ---------- deterministic sampling ----------
 
   private val docsDir = "/root/testdata/sf0.01"
