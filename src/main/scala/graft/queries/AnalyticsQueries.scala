@@ -838,6 +838,24 @@ object AnalyticsQueries {
 
   // error pairs within 24 h, shared by the batch gate and the
   // streamed twin
+  // the session-scoped lag window, shared with the SQL-surface gate
+  private[queries] val sessionTransitionsOracle =
+    """WITH p AS (
+      |  SELECT lag(event_type) OVER w AS from_type,
+      |    event_type AS to_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS n_trans
+      |  FROM p WHERE from_type IS NOT NULL AND gap_us <= 1800000000
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_trans,
+      |  CAST(n_trans * 1000
+      |    // SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+      |    AS share_permille
+      |FROM c""".stripMargin
+
   private val burstsOracle =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS tu, event_id
@@ -1060,22 +1078,7 @@ object AnalyticsQueries {
     "q_event_transitions_stream" -> transitionsOracle,
     // the same lag window with cross-session pairs (gap > 30 min)
     // dropped before counting
-    "q_session_transitions" ->
-      """WITH p AS (
-        |  SELECT lag(event_type) OVER w AS from_type,
-        |    event_type AS to_type,
-        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |c AS (
-        |  SELECT from_type, to_type, count(*) AS n_trans
-        |  FROM p WHERE from_type IS NOT NULL AND gap_us <= 1800000000
-        |  GROUP BY 1, 2)
-        |SELECT from_type, to_type, n_trans,
-        |  CAST(n_trans * 1000
-        |    // SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
-        |    AS share_permille
-        |FROM c""".stripMargin,
+    "q_session_transitions" -> sessionTransitionsOracle,
     // the same window with a second lag; top-20 by count with full
     // lexicographic tie-break makes the cut deterministic
     "q_event_trigrams" ->

@@ -310,6 +310,33 @@ object SqlQueries {
       GROUP BY session_window(ts, '30 minutes'), user_id""")
   }
 
+  /** The session-scoped transition matrix spelled as ONE SQL
+    * statement — the flow-analysis query a reference user would type
+    * against the raw table: the same single user-keyed lag window,
+    * the 30-min gap filter, the permille share via integer DIV. SQL
+    * parity for the Markov family (the Column-API form is
+    * `q_session_transitions`; both share the DuckDB oracle).
+    */
+  def sessionTransitionsSql(spark: SparkSession, dir: String): DataFrame = {
+    registerRawView(spark, dir)
+    spark.sql("""
+      WITH p AS (
+        SELECT lag(event_type, 1) OVER w AS from_type,
+          event_type AS to_type,
+          unix_micros(ts) - lag(unix_micros(ts), 1) OVER w AS gap_us
+        FROM orders_raw
+        WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts), event_id)),
+      c AS (
+        SELECT from_type, to_type, COUNT(*) AS n_trans
+        FROM p WHERE from_type IS NOT NULL AND gap_us <= 1800000000
+        GROUP BY 1, 2)
+      SELECT from_type, to_type, n_trans,
+        CAST(n_trans * 1000
+          DIV SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+          AS share_permille
+      FROM c""")
+  }
+
   /** The injected scalar text family, driven PURE-SQL end-to-end:
     * [[graft.plans.GraftExtensions.registerTextFunctions]] registers
     * `graft_*` on the live session (the driver owns session
@@ -443,6 +470,7 @@ object SqlQueries {
     "q_sql_topk_rollup" -> (topkRollup _),
     "q_sql_revenue_by_hour" -> (revenueByHour _),
     "q_sql_sessionize" -> (sessionizeSql _),
+    "q_sql_session_transitions" -> (sessionTransitionsSql _),
     "q_sql_text_functions" -> (textFunctionsSql _),
     "q_sql_distinct_kmv" -> (distinctKmvSql _),
     "q_sql_percentile" -> (percentileSql _),
@@ -452,6 +480,8 @@ object SqlQueries {
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // the SQL spelling shares the Column-API gate's oracle
+    "q_sql_session_transitions" -> AnalyticsQueries.sessionTransitionsOracle,
     // the pure-SQL sketch surface reproduces distinctKmv bit-for-bit
     "q_sql_distinct_kmv" -> SketchQueries.kmvOracle,
     // the pure-SQL bitmap surface is exact, so its oracle is plain
