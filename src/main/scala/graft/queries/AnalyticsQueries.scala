@@ -199,29 +199,11 @@ object AnalyticsQueries {
     * `q_funnel`'s oracle.
     */
   def funnelStream(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     import graft.streaming.StreamingFunnel
     val src = OlapQueries.fileFeed(spark,
       OlapQueries.idOrderedBatches(spark, dir))
     val updates = StreamingFunnel.stageUpdates(spark, src)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_gate").toString
-    val acc = new java.util.concurrent.ConcurrentHashMap[
-      Long, (Long, StreamingFunnel.UserStage)]()
-    val q = updates.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch {
-        (b: org.apache.spark.sql.Dataset[StreamingFunnel.UserStage], id: Long) =>
-          b.collect().foreach { u =>
-            acc.merge(u.user_id, (id, u),
-              (old, fresh) => if (fresh._1 >= old._1) fresh else old)
-          }
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
-    import scala.jdk.CollectionConverters._
-    val staged = acc.asScala.values.map(_._2).toSeq.toDS().toDF()
+    val staged = OlapQueries.streamFoldLast(spark, updates.toDF(), "user_id")
     val counts = staged.groupBy(col("max_stage")).agg(count(lit(1)).as("n"))
     spark.range(0, 5).toDF("stage")
       .join(counts, col("max_stage") >= col("stage"), "left")
@@ -237,29 +219,11 @@ object AnalyticsQueries {
     * Shares `q_cohort_retention`'s oracle.
     */
   def cohortRetentionStream(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     import graft.streaming.CohortStream
     val src = OlapQueries.fileFeed(spark,
       OlapQueries.idOrderedBatches(spark, dir))
     val updates = CohortStream.cohorts(spark, src)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cohort_gate").toString
-    val acc = new java.util.concurrent.ConcurrentHashMap[
-      Long, (Long, CohortStream.UserCohort)]()
-    val q = updates.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch {
-        (b: org.apache.spark.sql.Dataset[CohortStream.UserCohort], id: Long) =>
-          b.collect().foreach { c =>
-            acc.merge(c.user_id, (id, c),
-              (old, fresh) => if (fresh._1 >= old._1) fresh else old)
-          }
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
-    import scala.jdk.CollectionConverters._
-    acc.asScala.values.map(_._2).toSeq.toDS()
+    OlapQueries.streamFoldLast(spark, updates.toDF(), "user_id")
       .filter(size(col("offsets")) > 0)
       .select(col("user_id"), col("cohort_day"),
         explode(col("offsets")).as("day_offset"))
@@ -301,29 +265,11 @@ object AnalyticsQueries {
     * the driver gate level; shares `q_error_bursts`' oracle.
     */
   def errorBurstsStream(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     import graft.streaming.BurstStream
     val src = OlapQueries.fileFeed(spark,
       OlapQueries.idOrderedBatches(spark, dir))
     val updates = BurstStream.bursts(spark, src)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_burst_gate").toString
-    val acc = new java.util.concurrent.ConcurrentHashMap[
-      Long, (Long, BurstStream.Burst)]()
-    val q = updates.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch {
-        (b: org.apache.spark.sql.Dataset[BurstStream.Burst], id: Long) =>
-          b.collect().foreach { p =>
-            acc.merge(p.user_id, (id, p),
-              (old, fresh) => if (fresh._1 >= old._1) fresh else old)
-          }
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
-    import scala.jdk.CollectionConverters._
-    acc.asScala.values.map(_._2).toSeq.toDS().toDF()
+    OlapQueries.streamFoldLast(spark, updates.toDF(), "user_id")
       .filter(col("n_bursts") > 0L)
       .select(col("user_id"), col("n_bursts"), col("first_burst_us"))
   }

@@ -246,28 +246,10 @@ object OlapQueries {
     * level, not just in specs — shares `q_type_history`'s oracle.
     */
   def typeHistoryStream(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     import graft.streaming.TypeHistoryStream
     val src = fileFeed(spark, idOrderedBatches(spark, dir))
     val updates = TypeHistoryStream.histories(spark, src)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_hist_gate").toString
-    val acc = new java.util.concurrent.ConcurrentHashMap[
-      Long, (Long, TypeHistoryStream.History)]()
-    val q = updates.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch {
-        (b: org.apache.spark.sql.Dataset[TypeHistoryStream.History], id: Long) =>
-          b.collect().foreach { h =>
-            acc.merge(h.user_id, (id, h),
-              (old, fresh) => if (fresh._1 >= old._1) fresh else old)
-          }
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
-    import scala.jdk.CollectionConverters._
-    acc.asScala.values.map(_._2).toSeq.toDS()
+    streamFoldLast(spark, updates.toDF(), "user_id")
       .select(col("user_id"), explode(col("runs")).as("r"))
       .select(col("user_id"), col("r.event_type").as("event_type"),
         col("r.valid_from_ms").as("valid_from_ms"),
@@ -304,28 +286,10 @@ object OlapQueries {
     * keyed aggregate. Shares `q_user_growth`'s oracle.
     */
   def userGrowthStream(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     import graft.streaming.UserGrowthStream
     val src = fileFeed(spark, idOrderedBatches(spark, dir))
     val updates = UserGrowthStream.firstSeen(spark, src)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_growth_gate").toString
-    val acc = new java.util.concurrent.ConcurrentHashMap[
-      Long, (Long, UserGrowthStream.FirstSeen)]()
-    val q = updates.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch {
-        (b: org.apache.spark.sql.Dataset[UserGrowthStream.FirstSeen], id: Long) =>
-          b.collect().foreach { f =>
-            acc.merge(f.user_id, (id, f),
-              (old, fresh) => if (fresh._1 >= old._1) fresh else old)
-          }
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
-    import scala.jdk.CollectionConverters._
-    val newPerDay = acc.asScala.values.map(_._2).toSeq.toDS()
+    val newPerDay = streamFoldLast(spark, updates.toDF(), "user_id")
       .groupBy(col("first_day").as("day"))
       .agg(count(lit(1)).as("new_users"))
     newPerDay
@@ -651,6 +615,36 @@ object OlapQueries {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
+
+  /** Run an update-mode keyed stream to completion and fold to the
+    * LAST emission per key — fully distributed: per-batch emissions
+    * land as idempotent `batch_id` partitions
+    * ([[graft.streaming.StreamingPipeline.writeBatchIdempotent]]),
+    * and the fold is a key-shuffled `max_by(payload, batch_id)` —
+    * nothing key-sized ever passes through the driver, so the same
+    * harness runs at any key cardinality. (A key emits at most once
+    * per micro-batch in update mode, so batch_id totally orders its
+    * emissions.)
+    */
+  private[queries] def streamFoldLast(spark: SparkSession,
+      updates: DataFrame, keyCol: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fold").toString
+    val out = s"$tmp/out"
+    val q = updates.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val df = spark.read.parquet(out)
+    val payload = df.columns.filterNot(c => c == keyCol || c == "batch_id").toSeq
+    df.groupBy(col(keyCol))
+      .agg(max_by(struct(payload.map(col): _*), col("batch_id")).as("_last"))
+      .select(col(keyCol) +: payload.map(c => col("_last").getField(c).as(c)): _*)
+  }
 
   val queries: Map[String, QFn] = Map(
     "q_cumulate_daily" -> (cumulateDaily _),
