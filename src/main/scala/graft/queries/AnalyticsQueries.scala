@@ -437,67 +437,30 @@ object AnalyticsQueries {
   }
 
   private val transEmissionsCache =
-    scala.collection.concurrent.TrieMap.empty[
-      String, Seq[graft.streaming.TransitionsStream.Pairs]]
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** LAST per-user pair-count emissions from a REAL micro-batched
     * run of [[graft.streaming.TransitionsStream]] over the events
-    * split into id-ordered thirds (the `q_topk_continuous` file-feed
-    * harness: three parquet files, maxFilesPerTrigger=1,
-    * AvailableNow). Update-mode emissions carry each touched user's
-    * COMPLETE current counts, so keeping the highest-batch emission
-    * per user and summing is exactly the batch operator. Cached per
-    * corpus fingerprint — the two stream-composed gates share one
-    * stream run.
+    * split into id-ordered thirds (the shared
+    * [[OlapQueries.fileFeed]] harness). Update-mode emissions carry
+    * each touched user's COMPLETE current counts, so the distributed
+    * last-emission fold ([[OlapQueries.streamFoldLast]] — nothing
+    * user-sized touches the driver) followed by the sum is exactly
+    * the batch operator. Cached per corpus fingerprint — the two
+    * stream-composed gates share one stream run.
     */
   private def transitionEmissionsStreamed(spark: SparkSession,
-      dir: String): Seq[graft.streaming.TransitionsStream.Pairs] = {
+      dir: String): DataFrame = {
     import graft.streaming.TransitionsStream
     val fp = Tables.fingerprint(spark, s"$dir/events.parquet")
     transEmissionsCache.getOrElseUpdate(fp, {
-      val ev = Tables.events(spark, dir)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value_cents"))
-      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
-      val cuts = Seq(maxId / 3, 2 * maxId / 3)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_trans_feed").toString
-      val feed = s"$tmp/feed"
-      new java.io.File(feed).mkdirs()
-      val batches = Seq(
-        ev.filter(col("event_id") <= cuts(0)),
-        ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
-        ev.filter(col("event_id") > cuts(1)))
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val stage = s"$tmp/stage$i"
-        b.coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file in $stage"))
-        val dst = new java.io.File(feed, f"b$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(10000L * (i + 1))
-      }
-      val src = spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(feed)
+      val src = OlapQueries.fileFeed(spark,
+        OlapQueries.idOrderedBatches(spark, dir))
       val updates = TransitionsStream.pairs(spark, src)
-      val acc = new java.util.concurrent.ConcurrentHashMap[
-        Long, (Long, TransitionsStream.Pairs)]()
-      val q = updates.writeStream
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch {
-          (b: org.apache.spark.sql.Dataset[TransitionsStream.Pairs], id: Long) =>
-            b.collect().foreach { p =>
-              acc.merge(p.user_id, (id, p),
-                (old, fresh) => if (fresh._1 >= old._1) fresh else old)
-            }
-        }
-        .start()
-      try q.awaitTermination() finally q.stop()
-      import scala.jdk.CollectionConverters._
-      acc.asScala.values.map(_._2).toSeq
+      val folded = OlapQueries.streamFoldLast(spark, updates.toDF(), "user_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      folded.count()
+      folded
     })
   }
 
@@ -505,11 +468,9 @@ object AnalyticsQueries {
     * — shares `q_event_transitions`' oracle (stream-final ≡ batch
     * under the id-ordered split, the r9 gate-harness contract).
     */
-  def eventTransitionsStream(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def eventTransitionsStream(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.TransitionsStream.matrixOf(
-      transitionEmissionsStreamed(spark, dir).toDS().toDF())
-  }
+      transitionEmissionsStreamed(spark, dir))
 
   /** PageRank served off the STREAMED transition state — graph
     * analytics on continuously-ingested edges; shares the batch
