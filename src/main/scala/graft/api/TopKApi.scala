@@ -360,6 +360,61 @@ object TopKApi {
           pPerMille.map(p => col(s"p${p}_cents_est")): _*)
   }
 
+  /** [[quantileApprox]] for EVERY event type in ONE pass — the
+    * dashboard's "all tenants" sweep as a single serving scan of the
+    * per-type log-histogram state with the quantile window
+    * PARTITIONED by type, instead of one routed call per type (the
+    * per-call plan/schedule overhead dominates at five types and
+    * grows with the alphabet). Types absent from the requested range
+    * still get the one-row empty envelope (n=0, null estimates), so
+    * the result is row-identical to the per-type route union.
+    */
+  def quantileApproxAllTypes(
+      spark: SparkSession,
+      dataDir: String,
+      pPerMille: Seq[Long] = Seq(500L),
+      fromMs: Option[Long] = None,
+      toMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pPerMille.nonEmpty && pPerMille.forall(p => p >= 1 && p <= 1000),
+      s"per-mille p values must be in [1, 1000], got $pPerMille")
+    require(pPerMille.distinct == pPerMille, s"duplicate p values: $pPerMille")
+    val now = Serving.anchorMs(spark, dataDir)
+    val to = toMs.getOrElse(now)
+    val from = fromMs.getOrElse(to - hourMs)
+    require(from < to, s"empty range [$from, $to)")
+    val st = graft.serving.ReplicaRouter.table(
+      spark, dataDir, "rollup_1m_loghist", tenant = All)
+    // the tenant alphabet from the (bounded) state, NOT a fact scan —
+    // range-independent so out-of-range types keep their envelope row
+    val alphabet = st.select(col("event_type")).distinct()
+    val rows = st
+      .filter(col("p_date") >= Serving.utcDate(from) &&
+        col("p_date") <= Serving.utcDate(to) &&
+        col("window_start_ms") < to && col("window_start_ms") + 60000L > from)
+      .select(col("event_type"), col("lbucket"), col("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("lbucket"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def estAt(p: Long) = min(when(
+      col("cum") * 1000 >= lit(p) * col("n"),
+      Serving.logBucketEdge(col("lbucket")))).over(full)
+    val est = pPerMille
+      .foldLeft(rows
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(full))) {
+        (df, p) => df.withColumn(s"p${p}_cents_est", estAt(p))
+      }
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type") +: col("n") +:
+        pPerMille.map(p => col(s"p${p}_cents_est")): _*)
+    alphabet.join(est, Seq("event_type"), "left")
+      .select(
+        col("event_type").as("restaurant_id") +: lit(from).as("from_ms") +:
+          lit(to).as("to_ms") +: coalesce(col("n"), lit(0L)).as("n") +:
+          pPerMille.map(p => col(s"p${p}_cents_est")): _*)
+  }
+
   /** EP1 wire envelope — the reference's `TopKResponse`
     * (TopKController.kt:134-140) as one JSON document per call:
     * `{restaurantId, startTime, endTime, k, items: [...]}` with items

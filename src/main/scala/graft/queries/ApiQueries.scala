@@ -92,14 +92,9 @@ object ApiQueries {
     */
   def apiQuantileSketchTyped(spark: SparkSession, dir: String): DataFrame = {
     val now = Serving.anchorMs(spark, dir)
-    val types = graft.Tables.events(spark, dir)
-      .select("event_type").distinct()
-      .collect().map(_.getString(0)).sorted
-    types.map { t =>
-      TopKApi.quantileApprox(spark, dir, restaurantId = t,
-        pPerMille = Seq(125L, 500L, 975L),
-        fromMs = Some(now - 24L * Serving.hourMs), toMs = Some(now))
-    }.reduce(_ unionByName _)
+    TopKApi.quantileApproxAllTypes(spark, dir,
+      pPerMille = Seq(125L, 500L, 975L),
+      fromMs = Some(now - 24L * Serving.hourMs), toMs = Some(now))
   }
 
   val queries: Map[String, QFn] = Map(
