@@ -616,6 +616,22 @@ object OlapQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped down for a
+    * GATE-SCALE streaming run: stateful-operator state stores
+    * instantiate one per shuffle partition per micro-batch, and at
+    * the gates' data volume the 32-wide default spends more time
+    * opening/committing near-empty stores than joining (the
+    * stream-stream join gates measured ~3× faster at 8). Production
+    * sizing stays the session default — this scopes only the
+    * harness-driven run; the conf is restored in a finally.
+    */
+  private[queries] def withGateStreamConf[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key, "200")
+    spark.conf.set(key, "8")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run an update-mode keyed stream to completion and fold to the
     * LAST emission per key — fully distributed: per-batch emissions
     * land as idempotent `batch_id` partitions
@@ -630,15 +646,17 @@ object OlapQueries {
       updates: DataFrame, keyCol: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fold").toString
     val out = s"$tmp/out"
-    val q = updates.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
+    withGateStreamConf(spark) {
+      val q = updates.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     val df = spark.read.parquet(out)
     val payload = df.columns.filterNot(c => c == keyCol || c == "batch_id").toSeq
     df.groupBy(col(keyCol))

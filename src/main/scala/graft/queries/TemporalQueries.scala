@@ -108,15 +108,17 @@ object TemporalQueries {
       joinType = "leftOuter")
     val tmp = java.nio.file.Files.createTempDirectory("graft_attr_gate").toString
     val out = s"$tmp/out"
-    val q = joined.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
+    OlapQueries.withGateStreamConf(spark) {
+      val q = joined.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     // latest (c_ts, click_id) per purchase — the batch tie rule; a
     // purchase whose only row is null-padded stays null
     spark.read.parquet(out)
@@ -208,15 +210,17 @@ object TemporalQueries {
       keyCol = "user_id", tsCol = "ts", gap = "30 minutes",
       valueCol = "value_cents")
     val out = s"$tmp/out"
-    val q = sessions.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
+    OlapQueries.withGateStreamConf(spark) {
+      val q = sessions.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.read.parquet(out)
       .filter(col("user_id") >= 0L)
       .select("user_id", "session_start_ms", "session_end_ms",
@@ -260,15 +264,17 @@ object TemporalQueries {
       watermarkDelay = "10 seconds")
     val tmp = java.nio.file.Files.createTempDirectory("graft_rjoin_gate").toString
     val out = s"$tmp/out"
-    val q = joined.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
+    OlapQueries.withGateStreamConf(spark) {
+      val q = joined.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.read.parquet(out)
       .select(col("purchase_id"), col("user_id"), col("error_id"),
         unix_millis(col("p_ts")).as("p_ts_ms"),
