@@ -687,8 +687,62 @@ object TpchQueries {
         col("gid"), col("n_orders"), col("total_cents"))
   }
 
+  /** [[revenueByNation]] as a STREAM-STATIC enrichment — the one join
+    * class the streaming twins hadn't driven: the orders FACT arrives
+    * as a file-source stream (id-ordered thirds) and joins the static
+    * customer→nation→region dimension by BROADCAST inside the
+    * streaming plan (every micro-batch enriches against the pinned
+    * dim — the Kafka-joins-a-dim-table shape every ingest pipeline
+    * has). Per-batch (region, nation) partial sums land as idempotent
+    * `batch_id` deltas (sums are additive, the DriftIngest pattern)
+    * and the report re-sums at read — stream-final ≡ batch under any
+    * split, so the gate shares `q_tpch_revenue_by_nation`'s oracle.
+    */
+  def revenueByNationStream(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val cuts = Seq(maxKey / 3, 2 * maxKey / 3)
+    val feed = OlapQueries.fileFeedDir(Seq(
+      orders.filter(col("o_orderkey") <= cuts(0)),
+      orders.filter(col("o_orderkey") > cuts(0) && col("o_orderkey") <= cuts(1)),
+      orders.filter(col("o_orderkey") > cuts(1))))
+    val dims = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    // the broadcast dim join sits IN the streaming plan — each
+    // micro-batch enriches, then folds map-side onto the ≤|nations|
+    // domain before its delta write
+    val enriched = OlapQueries.fileFeedSource(spark, feed, orders.schema)
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .select(col("r_name"), col("n_name"),
+        cents(col("o_totalprice")).as("order_cents"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dimjoin_gate").toString
+    val out = s"$tmp/out"
+    val q = enriched.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.streaming.StreamingPipeline.writeBatchIdempotent(
+          b.groupBy(col("r_name"), col("n_name"))
+            .agg(sum(col("order_cents")).as("total_cents"),
+              count(lit(1)).as("n_orders")),
+          id, out)
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(out)
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("total_cents")).as("total_cents"),
+        sum(col("n_orders")).as("n_orders"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_tpch_rollup_geo" -> (rollupGeoRevenue _),
+    "q_tpch_revenue_by_nation_stream" -> (revenueByNationStream _),
     "q_tpch_product_profit" -> (productProfit _),
     "q_tpch_forecast_revenue" -> (forecastRevenue _),
     "q_tpch_min_cost_supp" -> (minCostSupplier _),
@@ -715,6 +769,16 @@ object TpchQueries {
     "q_tpch_brand_revenue" -> (brandRevenue _),
     "q_tpch_urgent_customers" -> (urgentCustomers _),
   )
+
+  // geography revenue report, shared by batch gate and stream twin
+  private val revenueByNationOracle =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // GROUPING SETS ((r,n),(r),()) with Spark's grouping_id bit order
@@ -984,14 +1048,10 @@ object TpchQueries {
         |    count(*) AS n_orders
         |  FROM orders GROUP BY 1) j JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_cents DESC, o_custkey ASC LIMIT 10""".stripMargin,
-    "q_tpch_revenue_by_nation" ->
-      """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
-        |  count(*) AS n_orders
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1, 2""".stripMargin,
+    "q_tpch_revenue_by_nation" -> revenueByNationOracle,
+    // stream-final ≡ batch: additive per-batch deltas re-sum to the
+    // same report; same oracle
+    "q_tpch_revenue_by_nation_stream" -> revenueByNationOracle,
     "q_tpch_revenue_by_priority" ->
       """SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS order_year,
         |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
