@@ -190,21 +190,8 @@ object TemporalQueries {
       ev.filter(tu > cuts(1)),
       sentinel)
     val tmp = java.nio.file.Files.createTempDirectory("graft_sess_stream").toString
-    val feed = s"$tmp/feed"
-    new java.io.File(feed).mkdirs()
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val stage = s"$tmp/stage$i"
-      b.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file in $stage"))
-      val dst = new java.io.File(feed, f"b$i%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(10000L * (i + 1)) // deterministic trigger order
-    }
-    val src = spark.readStream.schema(batches.head.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(feed)
+    val src = OlapQueries.fileFeedSource(spark,
+      OlapQueries.fileFeedDir(batches), batches.head.schema)
     val sessions = Sessionize.sessions(
       src.withWatermark("ts", "10 seconds"),
       keyCol = "user_id", tsCol = "ts", gap = "30 minutes",
