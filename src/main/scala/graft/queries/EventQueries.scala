@@ -185,6 +185,35 @@ object EventQueries {
         col("total_cents"), col("order_count"))
   }
 
+  /** Time-DECAYED top-K — the "hot right now" ranking every feed and
+    * leaderboard uses, where the sliding-window family's hard cutoff
+    * is the wrong shape (an event just outside the window counts
+    * zero; decay wants it to count a little): each event contributes
+    * weight 2²⁰ halved every 12 h of age (anchor = max event time),
+    * an EXACT integer shift — no float pow, so the whole ranking
+    * hash-checks. Events older than 20 half-lives floor at weight 0.
+    * Scale shape: the weight is row-local, scores collapse map-side
+    * in one user-keyed aggregate, top-10 is the bounded heap.
+    */
+  def topKDecayed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // 1-row aggregate: bounded driver metadata (the decay anchor)
+    val anchorUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val halfLifeUs = 12L * 3600L * 1000000L
+    // integer DIV (`/` on longs is double division in Spark) and an
+    // integer right-shift — the whole weight is exact
+    val w = expr(
+      s"shiftright(1048576L, CAST(least(($anchorUs - unix_micros(ts)) DIV $halfLifeUs, 20L) AS INT))")
+    val agg = ev
+      .select(col("user_id"), w.as("w"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("w")).as("score_micro"), count(lit(1)).as("n_events"))
+    graft.ops.TopK.topKGlobal(agg,
+        Seq(col("score_micro").desc, col("user_id").asc), 10)
+      .select(col("rank").cast("long").as("rank"), col("user_id"),
+        col("score_micro"), col("n_events"))
+  }
+
   /** K2: per-event_type top-3 users by order count. */
   def topKPerType(spark: SparkSession, dir: String): DataFrame = {
     val agg = Tables.events(spark, dir)
@@ -357,6 +386,7 @@ object EventQueries {
     "q_distinct_users_hll" -> (distinctUsersHll _),
     "q_hour_profile" -> (hourProfile _),
     "q_topk_global_revenue" -> (topKGlobalRevenue _),
+    "q_topk_decayed" -> (topKDecayed _),
     "q_topk_per_type" -> (topKPerType _),
     "q_topk_windowed" -> (topKWindowed _),
     "q_topk_lookup" -> (topKLookup _),
@@ -471,6 +501,22 @@ object EventQueries {
          |  count(*) AS order_count,
          |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents
          |FROM events GROUP BY 1, 2""".stripMargin,
+    // exact shift-decay: weight = 2^20 >> min(age div 12h, 20), same
+    // integer chain in DuckDB
+    "q_topk_decayed" ->
+      """WITH a AS (SELECT max(epoch_us(ts)) AS anchor FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    (1048576 >> least((a.anchor - epoch_us(ts)) // 43200000000, 20))
+        |      AS w
+        |  FROM events CROSS JOIN a),
+        |s AS (SELECT user_id, CAST(sum(w) AS BIGINT) AS score_micro,
+        |        count(*) AS n_events
+        |      FROM w GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, user_id ASC)
+        |    AS BIGINT) AS rank,
+        |  user_id, score_micro, n_events
+        |FROM s ORDER BY rank LIMIT 10""".stripMargin,
     "q_topk_global_revenue" ->
       s"""SELECT CAST(row_number() OVER (ORDER BY total_cents DESC, user_id ASC) AS BIGINT) AS rank,
          |  user_id, total_cents, order_count
