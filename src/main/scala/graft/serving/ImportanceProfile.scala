@@ -45,11 +45,41 @@ object ImportanceProfile {
       .partitionBy("batch_id")
       .parquet(s"$root/profile_deltas")
 
-  /** The served (b, r, t) profile: additive re-sum over all deltas. */
+  /** The served (b, r, t) profile: additive re-sum over all deltas.
+    * Buckets whose mass an [[eraseDoc]] delta fully cancelled drop
+    * out (a one-shot build over the erased-world pool never emits
+    * them — and at score time a present r=0 row would weight grams
+    * the absent row ignores); a no-op filter while all deltas are
+    * non-negative.
+    */
   def readProfile(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/profile_deltas")
       .groupBy(col("b"))
       .agg(sum(col("r")).as("r"), sum(col("t")).as("t"))
+      .filter(col("r") > 0)
+
+  /** Right-to-be-forgotten over the materialized profile: the erased
+    * document's bigram-bucket counts are subtracted via a
+    * CONTENT-KEYED NEGATIVE DELTA — one more additive partition, at
+    * the deterministic `batch_id = -(docId) - 2` (−1 is the base
+    * build; ingest batches are ≥ 0, so erase partitions can never
+    * collide with either). [[readProfile]] is a plain re-sum, so the
+    * post-erase profile equals the one-shot build over the pool
+    * without the doc, bit for bit — and the deterministic partition
+    * makes a crashed or repeated erase idempotent (the dynamic
+    * overwrite rewrites the same partition with the same content,
+    * never double-subtracting). `docs`/`targetPred` must be the same
+    * corpus frame and predicate the ingest legs used — the contract
+    * every delta already carries.
+    */
+  def eraseDoc(spark: SparkSession, root: String, docs: DataFrame,
+      docId: Long, targetPred: Column): Unit = {
+    val d = Sample.bucketProfile(
+      docs.filter(col("doc_id") === docId), targetPred, Buckets)
+    writeDelta(
+      d.select(col("b"), (-col("r")).as("r"), (-col("t")).as("t")),
+      -docId - 2L, root)
+  }
 
   /** Score documents against the materialized profile — equal to
     * [[Sample.importanceWeights]] over the pool the deltas cover.

@@ -31,18 +31,11 @@ object CurationIngest {
     val spark = batch.sparkSession
     val b = batch.persist()
     try {
-      val cur = DocPipeline.curate(b)
-      // min-id winner per fingerprint as a min(struct) aggregate (the
-      // scrub family's skew discipline — no per-key window sort).
+      // min-id winner per fingerprint (the scrub family's skew
+      // discipline — no per-key window sort), anti-joined vs history.
       // pinned: feeds both writes (kept + index) — the SegmentIngest
       // discipline, so the index append can't see a half-new index
-      val fresh = cur
-        .groupBy(col("fp"))
-        .agg(min(struct(col("doc_id"), col("n_tokens"),
-          col("lang"), col("source"))).as("w"))
-        .select(col("fp"), col("w.doc_id").as("doc_id"),
-          col("w.lang").as("lang"), col("w.source").as("source"),
-          col("w.n_tokens").as("n_tokens"))
+      val fresh = minPerFp(DocPipeline.curate(b))
         .join(readIndex(spark, indexPath), Seq("fp"), "left_anti")
         .localCheckpoint(true)
       StreamingPipeline.writeBatchIdempotent(fresh, batchId, keptPath)
@@ -52,12 +45,61 @@ object CurationIngest {
     } finally { b.unpersist(); () }
   }
 
-  /** The accumulated fingerprint index (empty before first admit). */
-  def readIndex(spark: SparkSession, indexPath: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(indexPath).select("fp")
-    else spark.range(0).select(lit("").as("fp"))
+  /** Min-id winner per normalized fingerprint — the deterministic
+    * within-set dedup both the per-batch admit and the erase rebuild
+    * apply to a curated frame.
+    */
+  private def minPerFp(cur: DataFrame): DataFrame = cur
+    .groupBy(col("fp"))
+    .agg(min(struct(col("doc_id"), col("n_tokens"),
+      col("lang"), col("source"))).as("w"))
+    .select(col("fp"), col("w.doc_id").as("doc_id"),
+      col("w.lang").as("lang"), col("w.source").as("source"),
+      col("w.n_tokens").as("n_tokens"))
+
+  /** The accumulated fingerprint index (empty before first admit).
+    * Reads through [[StateCompactor.readStateIfAny]] so a post-erase
+    * index (live partitions folded into a committed generation)
+    * resolves the same way a freshly-appended one does.
+    */
+  def readIndex(spark: SparkSession, indexPath: String): DataFrame =
+    StateCompactor.readStateIfAny(spark, indexPath)
+      .map(_.select("fp"))
+      .getOrElse(spark.range(0).select(lit("").as("fp")))
+
+  /** The admitted curation as visible after any erasures. */
+  def readKept(spark: SparkSession, keptPath: String): DataFrame =
+    StateCompactor.readState(spark, keptPath)
+
+  /** Right-to-be-forgotten over the ingest-time curation state — the
+    * [[SegmentIngest.eraseDoc]] contract on the fingerprint grain:
+    * fold the admitted table AND the fingerprint admission index into
+    * new generations computed from the retained raw corpus.
+    *  - new kept = min-id winner per fingerprint over
+    *    `DocPipeline.curate(retained)` — if the victim was the
+    *    admitted representative of a fingerprint another retained doc
+    *    shares, that doc takes its place, exactly as a rebuild would;
+    *    a fingerprint only the victim carried disappears;
+    *  - new index = exactly the new kept set's fingerprints.
+    * Stale-frame guard (retained fingerprints must all be already
+    * admitted), quiesced-slot contract, replay invisibility and crash
+    * re-runnability as in [[SegmentIngest.eraseDoc]].
+    */
+  def eraseDoc(spark: SparkSession, docs: DataFrame, docId: Long,
+      keptPath: String, indexPath: String): Unit = {
+    val newKept = minPerFp(
+        DocPipeline.curate(docs.filter(col("doc_id") =!= docId)))
+      .localCheckpoint(true) // pinned: guard probe + both generations
+    try {
+      val unseen = newKept.select(col("fp"))
+        .join(readIndex(spark, indexPath), Seq("fp"), "left_anti")
+      if (!unseen.isEmpty)
+        throw new IllegalArgumentException(
+          s"eraseDoc: docs frame contains fingerprints the index at " +
+            s"$indexPath never admitted — wrong corpus for this ingest root")
+      StateCompactor.rewriteState(spark, indexPath, newKept.select(col("fp")))
+      StateCompactor.rewriteState(spark, keptPath, newKept)
+    } finally release(newKept)
   }
 
   /** Start the curation ingest over a `documents`-schema source. */

@@ -82,14 +82,47 @@ object IncrementalDedup {
     }
   }
 
-  /** The accumulated band index (empty before the first admit) —
-    * one FS existence RPC per batch, no exception-classname games.
+  /** The accumulated band index (empty before the first admit).
+    * Reads through [[StateCompactor.readStateIfAny]] so a post-erase
+    * index (live partitions folded into a committed generation)
+    * resolves the same way a freshly-appended one does.
     */
-  def readIndex(spark: SparkSession, indexPath: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(indexPath).select("band_idx", "band_hash")
-    else spark.range(0).select(lit(0).as("band_idx"), lit(0L).as("band_hash"))
+  def readIndex(spark: SparkSession, indexPath: String): DataFrame =
+    StateCompactor.readStateIfAny(spark, indexPath)
+      .map(_.select("band_idx", "band_hash"))
+      .getOrElse(spark.range(0)
+        .select(lit(0).as("band_idx"), lit(0L).as("band_hash")))
+
+  /** The admitted corpus as visible after any erasures. */
+  def readAdmitted(spark: SparkSession, admittedPath: String): DataFrame =
+    StateCompactor.readState(spark, admittedPath)
+
+  /** Right-to-be-forgotten over the incremental-dedup state: fold the
+    * victim's rows out of the admitted corpus AND its band postings
+    * out of the LSH admission index (the index rows carry `doc_id`,
+    * so both are predicate folds — [[StateCompactor.eraseWhere]]'s
+    * manifest-committed generation rewrite).
+    *
+    * Semantics are ADMISSION-PRESERVING, deliberately weaker than the
+    * scrub family's rebuild equivalence: documents that were
+    * LSH-rejected against the victim STAY rejected — they were never
+    * stored (only the admitted survivor's bands persist), and their
+    * content is near-identical to what was just erased, so
+    * resurrecting them would re-admit the erased content through a
+    * copy. When the victim has no cross-batch near-dups (the generic
+    * case) this coincides with rebuild-without-doc exactly. With the
+    * victim's bands gone, a future re-submission of the same content
+    * is evaluated fresh — admitted unless it near-dups some OTHER
+    * admitted doc.
+    *
+    * Quiesced-slot contract and replay invisibility as in
+    * [[StateCompactor.eraseWhere]]; the erase is idempotent (a re-run
+    * folds an already-clean state).
+    */
+  def eraseDoc(spark: SparkSession, admittedPath: String,
+      indexPath: String, docId: Long): Unit = {
+    StateCompactor.eraseWhere(spark, indexPath, col("doc_id") === docId)
+    StateCompactor.eraseWhere(spark, admittedPath, col("doc_id") === docId)
   }
 
   /** Start the ingest stream over a `documents`-schema source. */

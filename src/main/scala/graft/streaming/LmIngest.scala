@@ -79,6 +79,31 @@ object LmIngest {
     StateCompactor.compactAdditive(spark, censusPath, Seq("h"), Seq("c"))
   }
 
+  /** Right-to-be-forgotten over the LM census state: the erased doc's
+    * tokens contributed additive mass to the corpus-global bigram
+    * census, so erasure must subtract it — additive state can't, so
+    * the census is REBUILT from the per-doc gram profiles minus the
+    * victim (census ≡ `grams.groupBy(h).sum(k)` by construction —
+    * every batch's census delta is that aggregate of its own grams),
+    * then the victim's profile rows are folded out of the grams
+    * state. Both folds are manifest-committed generations
+    * ([[StateCompactor.rewriteState]]/[[StateCompactor.eraseWhere]]),
+    * and the ORDER makes a crash between them re-run-recoverable:
+    * census first, recomputed from the not-yet-erased grams — a
+    * re-run recomputes the identical census (grams unchanged) and
+    * recommits it, never double-subtracting. After both,
+    * [[readScores]] equals a rebuild over the corpus without the doc,
+    * bit for bit (row-disjoint profiles + additive census).
+    */
+  def eraseDoc(spark: SparkSession, gramsPath: String,
+      censusPath: String, docId: Long): Unit = {
+    val censusWithout = StateCompactor.readState(spark, gramsPath)
+      .filter(col("doc_id") =!= docId)
+      .groupBy(col("h")).agg(sum(col("k")).as("c"))
+    StateCompactor.rewriteState(spark, censusPath, censusWithout)
+    StateCompactor.eraseWhere(spark, gramsPath, col("doc_id") === docId)
+  }
+
   /** Start the ingest stream over a `documents`-schema source. */
   def start(spark: SparkSession, source: DataFrame, gramsPath: String,
       censusPath: String, checkpoint: String,

@@ -74,13 +74,61 @@ object SegmentIngest {
     }.foreach(_.unpersist(blocking = false))
 
   /** The accumulated segment-hash index (empty before the first
-    * admit) — one FS existence RPC per batch.
+    * admit). Reads through [[StateCompactor.readStateIfAny]] so a
+    * post-erase index (live batch partitions folded into a committed
+    * generation) resolves the same way a freshly-appended one does.
     */
-  def readIndex(spark: SparkSession, indexPath: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(indexPath).select("h")
-    else spark.range(0).select(lit("").as("h"))
+  def readIndex(spark: SparkSession, indexPath: String): DataFrame =
+    StateCompactor.readStateIfAny(spark, indexPath)
+      .map(_.select("h"))
+      .getOrElse(spark.range(0).select(lit("").as("h")))
+
+  /** The admitted corpus as visible after any erasures — generation +
+    * live batch partitions (≡ `spark.read.parquet(keptPath)` until
+    * the first [[eraseDoc]] folds the partitions).
+    */
+  def readKept(spark: SparkSession, keptPath: String): DataFrame =
+    StateCompactor.readState(spark, keptPath)
+
+  /** Right-to-be-forgotten over the ingest-time segment state: fold
+    * BOTH roots — the admitted corpus and the segment-hash admission
+    * index — into new generations computed from the retained raw
+    * corpus, so the erased document's content hashes (and their
+    * future-dedup side effects) leave the index with it. `docs` is
+    * the full raw corpus the ingest has seen (the caller owns it, as
+    * in `Serving.eraseUser`); the erased-world state is the batch op
+    * over `docs` minus the victim, which under the id-ordered
+    * equivalence premise IS rebuild-without-doc, bit for bit:
+    *  - new index = every distinct segment hash of the retained
+    *    corpus (the index accumulates each first-seen hash, kept or
+    *    deduped, so its rebuild is order-independent);
+    *  - new kept = [[NearDup.segmentDedup]] over the retained corpus
+    *    (segments the victim first-claimed re-admit to their next
+    *    claimant, exactly as a rebuild would).
+    * A stale-frame guard refuses a `docs` frame containing segments
+    * the index never saw — the caller passed the wrong corpus.
+    * Quiesced-slot + replay contract inherited from
+    * [[StateCompactor.rewriteState]]: a replayed last batch rewrites
+    * manifest-folded (invisible) partitions, so the victim cannot
+    * resurface; re-running a crashed erase recommits identical
+    * generations.
+    */
+  def eraseDoc(spark: SparkSession, docs: DataFrame, docId: Long,
+      keptPath: String, indexPath: String, segWords: Int = 10): Unit = {
+    val retained = docs.filter(col("doc_id") =!= docId)
+    val newIdx = NearDup.segmentsOf(retained, segWords)
+      .select(md5(col("seg")).as("h")).distinct()
+      .localCheckpoint(true) // pinned: guard probe + generation write
+    try {
+      val unseen = newIdx.join(readIndex(spark, indexPath), Seq("h"), "left_anti")
+      if (!unseen.isEmpty)
+        throw new IllegalArgumentException(
+          s"eraseDoc: docs frame contains segments the index at $indexPath " +
+            "never admitted — wrong corpus for this ingest root")
+      StateCompactor.rewriteState(spark, indexPath, newIdx)
+      StateCompactor.rewriteState(spark, keptPath,
+        NearDup.segmentDedup(retained, segWords))
+    } finally release(newIdx)
   }
 
   /** Start the ingest stream over a `documents`-schema source. */

@@ -78,19 +78,60 @@ object SpanIngest {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
 
-  /** The accumulated gram-hash index (empty before the first claim) —
-    * one FS existence RPC per batch. `excludeBatchId` drops that
-    * batch's own partition (a pruned directory skip, not a scan
-    * filter) so a replaying batch never sees its first run's claims.
+  /** The accumulated gram-hash index (empty before the first claim).
+    * `excludeBatchId` drops that batch's own LIVE partition (a pruned
+    * directory skip, not a scan filter) so a replaying batch never
+    * sees its first run's claims; reads through
+    * [[StateCompactor.readStateIfAny]] so a post-erase index (live
+    * partitions folded into a committed generation) resolves the same
+    * way — a replay after an erase writes only manifest-folded
+    * (invisible) partitions, so what it sees no longer matters to
+    * readers.
     */
   def readIndex(spark: SparkSession, indexPath: String,
-      excludeBatchId: Long = -1L): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      spark.read.parquet(indexPath)
-        .filter(col("batch_id") =!= excludeBatchId).select("h")
-    else spark.range(0).select(lit("").as("h"))
+      excludeBatchId: Long = -1L): DataFrame =
+    StateCompactor.readStateIfAny(spark, indexPath,
+        excludeLive = Set(excludeBatchId))
+      .map(_.select("h"))
+      .getOrElse(spark.range(0).select(lit("").as("h")))
+
+  /** The scrubbed corpus as visible after any erasures — generation +
+    * live batch partitions (≡ `spark.read.parquet(keptPath)` until
+    * the first [[eraseDoc]] folds the partitions).
+    */
+  def readKept(spark: SparkSession, keptPath: String): DataFrame =
+    StateCompactor.readState(spark, keptPath)
+
+  /** Right-to-be-forgotten over the ingest-time span state — the
+    * [[SegmentIngest.eraseDoc]] contract, one grain finer: fold the
+    * scrubbed corpus AND the gram-hash claim index into new
+    * generations computed from the retained raw corpus, so gram
+    * hashes only the victim claimed leave the index with it.
+    *  - new index = every distinct k-gram hash of the retained corpus
+    *    (each gram is claimed exactly once whoever claims it, so the
+    *    index rebuild is order-independent);
+    *  - new kept = [[NearDup.spanScrub]] over the retained corpus
+    *    (spans the victim first-claimed re-claim to their next
+    *    earliest occurrence, exactly as a rebuild would).
+    * Stale-frame guard, quiesced-slot contract, replay invisibility
+    * and crash re-runnability as in [[SegmentIngest.eraseDoc]].
+    */
+  def eraseDoc(spark: SparkSession, docs: DataFrame, docId: Long,
+      keptPath: String, indexPath: String, k: Int = 5): Unit = {
+    val retained = docs.filter(col("doc_id") =!= docId)
+    val newIdx = NearDup.spanGramsOf(retained, k)
+      .select(md5(col("gram")).as("h")).distinct()
+      .localCheckpoint(true) // pinned: guard probe + generation write
+    try {
+      val unseen = newIdx.join(readIndex(spark, indexPath), Seq("h"), "left_anti")
+      if (!unseen.isEmpty)
+        throw new IllegalArgumentException(
+          s"eraseDoc: docs frame contains grams the index at $indexPath " +
+            "never claimed — wrong corpus for this ingest root")
+      StateCompactor.rewriteState(spark, indexPath, newIdx)
+      StateCompactor.rewriteState(spark, keptPath,
+        NearDup.spanScrub(retained, k))
+    } finally release(newIdx)
   }
 
   /** Start the ingest stream over a `documents`-schema source. */

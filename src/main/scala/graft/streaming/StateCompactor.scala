@@ -98,10 +98,26 @@ object StateCompactor {
     * consolidated generation plus every batch partition not yet
     * folded into it. Columns: the state's own schema (no batch_id).
     */
-  def readState(spark: SparkSession, path: String): DataFrame = {
+  def readState(spark: SparkSession, path: String): DataFrame =
+    readStateIfAny(spark, path).getOrElse(
+      throw new IllegalStateException(s"no state at $path"))
+
+  /** [[readState]] that yields None instead of throwing when the root
+    * holds no state yet — for ingest twins whose read path must treat
+    * an empty index as "nothing admitted" on the very first batch.
+    * `excludeLive` drops those LIVE batch partitions from the view
+    * (a pruned directory skip): [[SpanIngest]]'s replay contract,
+    * where a replaying batch must not see its first run's own claims.
+    * Ids already folded into a committed generation cannot be
+    * excluded — erasure/compaction fold only in quiesced maintenance
+    * slots, after which those ids are no longer replayable.
+    */
+  def readStateIfAny(spark: SparkSession, path: String,
+      excludeLive: Set[Long] = Set.empty): Option[DataFrame] = {
     val g = currentGen(spark, path)
     val folded = g.fold(Set.empty[Long])(_.folded)
     val liveIds = batchIds(spark, path).filterNot(folded)
+      .filterNot(excludeLive)
     val live =
       if (liveIds.isEmpty) None
       else Some(spark.read.parquet(path)
@@ -109,11 +125,11 @@ object StateCompactor {
         .drop("batch_id"))
     val cons = g.map(x => spark.read.parquet(genDir(path, x.gen)))
     (live, cons) match {
-      case (Some(l), Some(c)) => l.unionByName(c.select(l.columns.map(col): _*))
-      case (Some(l), None) => l
-      case (None, Some(c)) => c
-      case (None, None) =>
-        throw new IllegalStateException(s"no state at $path")
+      case (Some(l), Some(c)) =>
+        Some(l.unionByName(c.select(l.columns.map(col): _*)))
+      case (Some(l), None) => Some(l)
+      case (None, Some(c)) => Some(c)
+      case (None, None) => None
     }
   }
 
@@ -210,16 +226,41 @@ object StateCompactor {
     */
   def eraseWhere(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column): Unit = {
+    val cur = currentGen(spark, path)
+    val present = batchIds(spark, path)
+      .filterNot(cur.fold(Set.empty[Long])(_.folded))
+    if (cur.isEmpty && present.isEmpty) return
+    rewriteState(spark, path, readState(spark, path).filter(!pred))
+  }
+
+  /** Fold the WHOLE visible state (committed generation + every live
+    * batch partition) into a new generation whose CONTENT is the
+    * given frame — the generalization [[eraseWhere]] is the
+    * filter-special-case of, for erasures that must REPLACE rather
+    * than subset (an admission-hash index recomputed from the
+    * retained corpus, a census rebuilt from its per-doc profiles).
+    * Same commit discipline: the atomic `_manifest` create is the
+    * single commit point; the manifest covers every present batch id,
+    * so a later replay of the last batch rewrites an already-folded
+    * (invisible) partition and cannot resurface erased rows. Must run
+    * in a quiesced maintenance slot, exactly as [[eraseWhere]].
+    *
+    * `content` is fully materialized into the new generation BEFORE
+    * any source partition is deleted, so it may read the old state
+    * (or anything else); a crash before the manifest leaves debris
+    * readers never see, and a re-run with the same content commits
+    * the identical generation.
+    */
+  def rewriteState(spark: SparkSession, path: String,
+      content: DataFrame): Unit = {
     val f = fs(spark, path)
     val cur = currentGen(spark, path)
     val folded = cur.fold(Set.empty[Long])(_.folded)
     val present = batchIds(spark, path).filterNot(folded)
-    if (cur.isEmpty && present.isEmpty) return
-    val kept = readState(spark, path).filter(!pred)
     val nextG = cur.fold(1L)(_.gen + 1L)
     val next = new Path(genDir(path, nextG))
     f.delete(next, true) // debris from a previous crashed attempt
-    kept.write.mode("overwrite").parquet(next.toString)
+    content.write.mode("overwrite").parquet(next.toString)
     // COMMIT POINT: atomic create of the manifest inside the new gen
     val out = f.create(new Path(s"$next/_manifest"), false)
     try out.write((folded ++ present).toSeq.sorted

@@ -1,0 +1,264 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.NearDup
+import graft.streaming.{CurationIngest, DocPipeline, IncrementalDedup,
+  LmIngest, SegmentIngest, SpanIngest, StateCompactor}
+
+/** Right-to-be-forgotten over the ingest-time admission indexes — the
+  * round-10 gap: erasing a document from the corpus must also remove
+  * its content hashes (and their future-dedup side effects) from the
+  * fingerprint/segment/gram/band indexes that ingest-time dedup
+  * persists, plus the additive census/profile mass its tokens
+  * contributed. Each case asserts the three-legged contract the
+  * ingest-twin erase specs established: erased state ≡
+  * rebuild-without-doc, a replay of the last (manifest-folded) batch
+  * cannot resurface the victim, and ingest CONTINUES correctly on top
+  * of the erased root — in particular a re-submission of the erased
+  * content is evaluated fresh, not silently deduped against ghosts.
+  */
+class IngestEraseSpec extends SparkSuite {
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Id-ordered thirds — the stream==batch equivalence premise. */
+  private def docBatches(d: DataFrame): Seq[DataFrame] = {
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    Seq(
+      d.filter(col("doc_id") <= maxId / 3),
+      d.filter(col("doc_id") > maxId / 3 && col("doc_id") <= 2 * maxId / 3),
+      d.filter(col("doc_id") > 2 * maxId / 3))
+  }
+
+  /** A doc that FIRST-CLAIMED at least one shared segment/gram (so
+    * erasing it must hand the claim to a successor) AND carries at
+    * least one sole-owned one (so the "its hashes actually leave the
+    * index" leg is non-vacuous — a pure duplicate would have nothing
+    * of its own to remove).
+    */
+  private def firstClaimerOf(units: DataFrame): Long = {
+    val stats = units.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first"),
+        countDistinct(col("doc_id")).as("nd"))
+    stats.filter(col("nd") > 1).select(col("first")).distinct()
+      .join(stats.filter(col("nd") === 1).select(col("first")).distinct(),
+        Seq("first"))
+      .agg(min(col("first"))).head().getLong(0)
+  }
+
+  test("segment-ingest erase: index == rebuild-without-doc; replay can't resurface; re-submission re-admits") {
+    val docs = Tables.documents(spark, sfDir)
+    val batches = docBatches(docs)
+    val t = tmp("graft_seg_erase")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      SegmentIngest.processBatch(b, i.toLong, s"$t/kept", s"$t/index") }
+    val victim = firstClaimerOf(
+      NearDup.segmentsOf(docs, 10).select(md5(col("seg")).as("h"), col("doc_id")))
+    val retained = docs.filter(col("doc_id") =!= victim)
+    SegmentIngest.eraseDoc(spark, docs, victim, s"$t/kept", s"$t/index")
+    // erased state == rebuild-without-doc, both legs
+    val wantKept = rows(NearDup.segmentDedup(retained))
+    val wantIdx = rows(NearDup.segmentsOf(retained, 10)
+      .select(md5(col("seg")).as("h")).distinct())
+    assert(rows(SegmentIngest.readKept(spark, s"$t/kept")) == wantKept)
+    assert(rows(SegmentIngest.readIndex(spark, s"$t/index")) == wantIdx)
+    assert(SegmentIngest.readKept(spark, s"$t/kept")
+      .filter(col("doc_id") === victim).isEmpty)
+    // the victim's sole-claimed hashes actually LEFT the index
+    val victimOnly = NearDup.segmentsOf(docs.filter(col("doc_id") === victim), 10)
+      .select(md5(col("seg")).as("h")).distinct()
+      .join(NearDup.segmentsOf(retained, 10)
+        .select(md5(col("seg")).as("h")).distinct(), Seq("h"), "left_anti")
+    assert(!victimOnly.isEmpty) // the case is non-vacuous on this corpus
+    assert(SegmentIngest.readIndex(spark, s"$t/index")
+      .join(victimOnly, Seq("h"), "left_semi").isEmpty)
+    // replay of the last (folded) batch writes invisible partitions
+    SegmentIngest.processBatch(batches(2), 2L, s"$t/kept", s"$t/index")
+    assert(rows(SegmentIngest.readKept(spark, s"$t/kept")) == wantKept)
+    assert(rows(SegmentIngest.readIndex(spark, s"$t/index")) == wantIdx)
+    // ingest continues on the erased root: re-submitting the victim's
+    // content is evaluated FRESH — its sole-claimed segments re-admit
+    val resub = SegmentIngest.processBatch(
+      docs.filter(col("doc_id") === victim), 3L, s"$t/kept", s"$t/index")
+    assert(resub.filter(col("doc_id") === victim).count() == 1)
+    assert(SegmentIngest.readKept(spark, s"$t/kept")
+      .filter(col("doc_id") === victim).count() == 1)
+    // stale-frame guard: a corpus with segments the index never saw
+    val alien = docs.limit(1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        lit("zzz unseen segment text never ingested qqq www eee rrr ttt yyy uuu").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    intercept[IllegalArgumentException] {
+      SegmentIngest.eraseDoc(spark, retained.unionByName(alien),
+        victim + 1, s"$t/kept", s"$t/index")
+    }
+  }
+
+  test("span-ingest erase: claim index == rebuild-without-doc; replay can't resurface") {
+    val docs = Tables.documents(spark, sfDir)
+    val batches = docBatches(docs)
+    val t = tmp("graft_span_erase")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      SpanIngest.processBatch(b, i.toLong, s"$t/kept", s"$t/index") }
+    val victim = firstClaimerOf(
+      NearDup.spanGramsOf(docs, 5).select(md5(col("gram")).as("h"), col("doc_id")))
+    val retained = docs.filter(col("doc_id") =!= victim)
+    SpanIngest.eraseDoc(spark, docs, victim, s"$t/kept", s"$t/index")
+    val wantKept = rows(NearDup.spanScrub(retained))
+    val wantIdx = rows(NearDup.spanGramsOf(retained, 5)
+      .select(md5(col("gram")).as("h")).distinct())
+    assert(rows(SpanIngest.readKept(spark, s"$t/kept")) == wantKept)
+    assert(rows(SpanIngest.readIndex(spark, s"$t/index")) == wantIdx)
+    // replay of the last (folded) batch writes invisible partitions
+    SpanIngest.processBatch(batches(2), 2L, s"$t/kept", s"$t/index")
+    assert(rows(SpanIngest.readKept(spark, s"$t/kept")) == wantKept)
+    assert(rows(SpanIngest.readIndex(spark, s"$t/index")) == wantIdx)
+    // post-erase ingest continues: the victim's sole-owned grams left
+    // the index, so a re-submission claims them fresh and keeps their
+    // tokens (shared grams stay scrubbed — claimed by survivors)
+    val resub = SpanIngest.processBatch(
+      docs.filter(col("doc_id") === victim), 3L, s"$t/kept", s"$t/index")
+    assert(resub.filter(col("doc_id") === victim).count() == 1)
+  }
+
+  test("curation-ingest erase: successor takes the fingerprint; replay can't resurface") {
+    val docs = Tables.documents(spark, sfDir)
+    val batches = docBatches(docs)
+    val t = tmp("graft_cur_erase")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      CurationIngest.processBatch(b, i.toLong, s"$t/kept", s"$t/index") }
+    // victim: the first admitted doc; depending on the corpus its
+    // fingerprint either promotes to a successor (shared fp) or must
+    // leave the index entirely (sole fp) — both branches asserted
+    val cur = DocPipeline.curate(docs)
+    val victim = CurationIngest.readKept(spark, s"$t/kept")
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val victimFp = cur.filter(col("doc_id") === victim).head().getAs[String]("fp")
+    val retained = docs.filter(col("doc_id") =!= victim)
+    CurationIngest.eraseDoc(spark, docs, victim, s"$t/kept", s"$t/index")
+    val retCur = DocPipeline.curate(retained)
+    val wantKept = rows(retCur
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("n_tokens"),
+        col("lang"), col("source"))).as("w"))
+      .select(col("fp"), col("w.doc_id").as("doc_id"),
+        col("w.lang").as("lang"), col("w.source").as("source"),
+        col("w.n_tokens").as("n_tokens")))
+    assert(rows(CurationIngest.readKept(spark, s"$t/kept")) == wantKept)
+    assert(rows(CurationIngest.readIndex(spark, s"$t/index")) ==
+      rows(retCur.select(col("fp")).distinct()))
+    // shared fp → survives under its successor; sole fp → leaves the
+    // admission index with the victim (no ghost blocking resubmission)
+    val after = CurationIngest.readKept(spark, s"$t/kept")
+      .filter(col("fp") === victimFp)
+    if (retCur.filter(col("fp") === victimFp).isEmpty) {
+      assert(after.isEmpty)
+      assert(CurationIngest.readIndex(spark, s"$t/index")
+        .filter(col("fp") === victimFp).isEmpty)
+    } else
+      assert(after.count() == 1 && after.head().getAs[Long]("doc_id") != victim)
+    // replay of the last (folded) batch writes invisible partitions
+    CurationIngest.release(CurationIngest.processBatch(
+      batches(2), 2L, s"$t/kept", s"$t/index"))
+    assert(rows(CurationIngest.readKept(spark, s"$t/kept")) == wantKept)
+  }
+
+  test("incremental-dedup erase: bands leave the index; re-submission evaluated fresh") {
+    val docs = Tables.documents(spark, sfDir)
+    val batches = docBatches(docs)
+    val t = tmp("graft_inc_erase")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalDedup.processBatch(b, i.toLong, s"$t/adm", s"$t/index") }
+    // victim: an admitted doc with NO band collision against any other
+    // admitted doc — so the re-submission leg is deterministic (a
+    // same-batch sub-threshold neighbor sharing a band would reject
+    // the resubmitted victim through the index, legitimately)
+    val idx = StateCompactor.readState(spark, s"$t/index")
+    val colliding = idx.as("a")
+      .join(idx.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id")).distinct()
+    val victim = IncrementalDedup.readAdmitted(spark, s"$t/adm")
+      .join(colliding, Seq("doc_id"), "left_anti")
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val beforeAdm = rows(IncrementalDedup.readAdmitted(spark, s"$t/adm"))
+    IncrementalDedup.eraseDoc(spark, s"$t/adm", s"$t/index", victim)
+    // admission-preserving semantics: everything else stays admitted
+    val afterAdm = rows(IncrementalDedup.readAdmitted(spark, s"$t/adm"))
+    assert(afterAdm == beforeAdm.filterNot(_.startsWith(s"$victim|")))
+    assert(StateCompactor.readState(spark, s"$t/index")
+      .filter(col("doc_id") === victim).isEmpty)
+    // replay of the last (folded) batch writes invisible partitions
+    IncrementalDedup.processBatch(batches(2), 2L, s"$t/adm", s"$t/index")
+    assert(rows(IncrementalDedup.readAdmitted(spark, s"$t/adm")) == afterAdm)
+    // re-submission of the erased content is evaluated fresh: with its
+    // bands gone (and no other admitted near-dup — it WAS admitted, so
+    // its dups were rejected) it re-admits
+    val resub = IncrementalDedup.processBatch(
+      docs.filter(col("doc_id") === victim), 3L, s"$t/adm", s"$t/index")
+    assert(resub.count() == 1)
+    assert(IncrementalDedup.readAdmitted(spark, s"$t/adm")
+      .filter(col("doc_id") === victim).count() == 1)
+  }
+
+  test("lm-ingest erase: census mass leaves with the doc; idempotent re-run; replay can't resurface") {
+    val d = Tables.documents(spark, sfDir)
+    val batches = docBatches(d)
+    val t = tmp("graft_lm_erase")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      LmIngest.processBatch(b, i.toLong, s"$t/grams", s"$t/census") }
+    // victim: the least-familiar doc — guaranteed to appear in the
+    // topN read, so the erase visibly changes the served ranking
+    val victim = LmIngest.readScores(spark, s"$t/grams", s"$t/census")
+      .filter(col("rank") === 1L).head().getAs[Long]("doc_id")
+    LmIngest.eraseDoc(spark, s"$t/grams", s"$t/census", victim)
+    // rebuild-without-doc into a fresh root == erased state reads
+    val t2 = tmp("graft_lm_rebuild")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      LmIngest.processBatch(b.filter(col("doc_id") =!= victim),
+        i.toLong, s"$t2/grams", s"$t2/census") }
+    val want = rows(LmIngest.readScores(spark, s"$t2/grams", s"$t2/census"))
+    assert(rows(LmIngest.readScores(spark, s"$t/grams", s"$t/census")) == want)
+    // idempotent re-run (the crash-between-folds recovery contract)
+    LmIngest.eraseDoc(spark, s"$t/grams", s"$t/census", victim)
+    assert(rows(LmIngest.readScores(spark, s"$t/grams", s"$t/census")) == want)
+    // replay of the last (folded) batch writes invisible partitions
+    LmIngest.processBatch(batches(2), 2L, s"$t/grams", s"$t/census")
+    assert(rows(LmIngest.readScores(spark, s"$t/grams", s"$t/census")) == want)
+    // compaction on the erased root stays sane
+    LmIngest.processBatch(batches(0).filter(col("doc_id") =!= victim),
+      3L, s"$t2/grams", s"$t2/census")
+    LmIngest.compact(spark, s"$t2/grams", s"$t2/census")
+  }
+
+  test("importance-profile erase: negative delta == rebuild-without-doc; idempotent") {
+    import graft.serving.ImportanceProfile
+    val d = Tables.documents(spark, sfDir)
+    val pred = col("lang") === "en"
+    val victim = d.filter(pred).agg(min(col("doc_id"))).head().getLong(0)
+    val t = tmp("graft_imp_erase")
+    ImportanceProfile.materialize(d, pred, s"$t/profile")
+    ImportanceProfile.eraseDoc(spark, s"$t/profile", d, victim, pred)
+    val t2 = tmp("graft_imp_rebuild")
+    val retained = d.filter(col("doc_id") =!= victim)
+    ImportanceProfile.materialize(retained, pred, s"$t2/profile")
+    assert(rows(ImportanceProfile.readProfile(spark, s"$t/profile")) ==
+      rows(ImportanceProfile.readProfile(spark, s"$t2/profile")))
+    // served scores equal the erased-world one-shot scores
+    val probe = d.limit(50)
+    assert(rows(ImportanceProfile.score(spark, s"$t/profile", probe)) ==
+      rows(ImportanceProfile.score(spark, s"$t2/profile", probe)))
+    // idempotent: a repeated (crash-retried) erase rewrites the same
+    // deterministic partition, never double-subtracts
+    ImportanceProfile.eraseDoc(spark, s"$t/profile", d, victim, pred)
+    assert(rows(ImportanceProfile.readProfile(spark, s"$t/profile")) ==
+      rows(ImportanceProfile.readProfile(spark, s"$t2/profile")))
+  }
+}
