@@ -475,7 +475,7 @@ object NearDup {
     * (see [[releaseCheckpoint]]), so the footprint stays at two rounds
     * of edges either way. The eager flag holds for both paths.
     */
-  private def roundCheckpoint(df: DataFrame): DataFrame =
+  private[graft] def roundCheckpoint(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       // persist before a reliable checkpoint, per RDD.checkpoint's own
       // contract: the checkpoint files are written by a SECOND job
@@ -498,7 +498,7 @@ object NearDup {
     * (safe once the next round is materialized — nothing recomputes
     * through a released round).
     */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach { rdd =>

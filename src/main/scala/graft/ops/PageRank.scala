@@ -25,13 +25,20 @@ import org.apache.spark.sql.functions._
   * Scale shape: the classic edge-partitioned iteration — per step,
   * one src-keyed join of the rank table onto the edge list (map-side
   * combinable contribution sum onto dst), one left join back onto
-  * the node table; the node table is localCheckpoint-pinned and the
-  * per-step result materialized so the plan stays ONE iteration deep
-  * (no 2^k lineage blowup). Node count is the only driver-side
-  * scalar (bounded metadata). Nothing here assumes the graph fits
-  * anywhere: ranks and edges shuffle on their keys, broadcast is
-  * left to AQE when a side happens to be small (the bounded
-  * type-alphabet gate graph is; a web graph is not).
+  * the node table; node table and per-step result are
+  * checkpoint-pinned so the plan stays ONE iteration deep (no 2^k
+  * lineage blowup), through [[NearDup.roundCheckpoint]]'s mode
+  * switch: RELIABLE checkpoints (persist → checkpoint → release,
+  * surviving executor loss — a billion-node, 50-iteration run
+  * recomputes nothing on failure) when `sc.setCheckpointDir` is
+  * configured, `localCheckpoint(true)` on local[n] otherwise; each
+  * superseded round's blocks/files are released as soon as the next
+  * round materializes, so the footprint stays at two rounds. Node
+  * count is the only driver-side scalar (bounded metadata). Nothing
+  * here assumes the graph fits anywhere: ranks and edges shuffle on
+  * their keys, broadcast is left to AQE when a side happens to be
+  * small (the bounded type-alphabet gate graph is; a web graph is
+  * not).
   */
 object PageRank {
 
@@ -80,10 +87,10 @@ object PageRank {
       .agg(sum(col("w").cast("long")).as("w"))
     val withOut = e.join(
       e.groupBy(col("src")).agg(sum(col("w")).as("out_w")), Seq("src"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
+    val nodes = NearDup.roundCheckpoint(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
     // restart-target count: all nodes, or the seeds present in the
     // graph — a bounded driver scalar either way
     val isTarget: Column = seeds match {
@@ -101,20 +108,29 @@ object PageRank {
 
     var ranks = nodes.withColumn("r",
       when(isTarget, lit(r0)).otherwise(lit(0L)))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ranks.join(withOut, ranks("node") === withOut("src"))
         .select(col("dst"),
           column(IntegralDivide(
             expression(dec(lit(dampPermille)) * dec(col("r")) * dec(col("w"))),
             expression(dec(lit(1000L)) * dec(col("out_w"))))).as("c"))
         .groupBy(col("dst")).agg(sum(dec(col("c"))).as("s"))
-      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          toLong(
-            when(isTarget, dec(lit(base))).otherwise(lit(0).cast("decimal(38,0)"))
-              + coalesce(col("s"), lit(0).cast("decimal(38,0)")), "r"))
-        .localCheckpoint(true)
+      val next = NearDup.roundCheckpoint(
+        nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            toLong(
+              when(isTarget, dec(lit(base))).otherwise(lit(0).cast("decimal(38,0)"))
+                + coalesce(col("s"), lit(0).cast("decimal(38,0)")), "r")))
+      // round i−1 is superseded once `next` is on stable storage —
+      // release its blocks/files eagerly (round 0 is a projection of
+      // `nodes`, which every later round still joins: keep it)
+      if (i > 1) NearDup.releaseCheckpoint(ranks)
+      ranks = next
     }
+    // the returned frame is its own checkpoint — `nodes` no longer
+    // backs anything once at least one round replaced the initial
+    // nodes-derived rank frame
+    if (iters >= 1) NearDup.releaseCheckpoint(nodes)
     ranks
   }
 }

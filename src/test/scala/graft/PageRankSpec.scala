@@ -80,4 +80,35 @@ class PageRankSpec extends SparkSuite {
     assert(r6 === reference(edges, 6))
     assert(r6.values.sum < 1000000000000L / 2) // most mass has leaked
   }
+
+  test("reliable round checkpoints when a checkpoint dir is set: same ranks, superseded rounds deleted") {
+    // The cluster-mode policy (NearDup.roundCheckpoint's switch):
+    // with sc.setCheckpointDir configured, per-iteration rank frames
+    // go to fault-tolerant storage — executor loss mid-run recomputes
+    // nothing — and each superseded round's rdd-<id> directory is
+    // deleted once the next materializes, so a 50-iteration run holds
+    // two rounds of footprint, not 50. NOTE: the shared session keeps
+    // the checkpoint dir for the rest of the JVM (Spark has no
+    // unset); later iterative ops simply keep exercising the
+    // reliable path, as NearDupSpec's twin test already does.
+    val edges = AnalyticsQueries.eventTransitionsOf(Tables.events(spark, sfDir))
+      .select($"from_type", $"to_type", $"n_trans")
+      .as[(String, String, Long)].collect().toSeq
+    val localMode = run(edges, 4) // before the dir is set
+    val ckptDir = java.nio.file.Files.createTempDirectory("pagerank_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val reliable = PageRank.ranks(edges.toDF("src", "dst", "w"), iters = 4)
+    assert(reliable.as[(String, Long)].collect().toMap === localMode)
+    def rddDirs(p: java.io.File): Seq[String] =
+      Option(p.listFiles).toSeq.flatten.flatMap { f =>
+        if (f.getName.startsWith("rdd-")) Seq(f.getPath)
+        else if (f.isDirectory) rddDirs(f) else Nil
+      }
+    // only the FINAL round's files survive (they back the returned
+    // frame); nodes + all superseded rounds are released
+    assert(rddDirs(new java.io.File(ckptDir)).size === 1,
+      "superseded round checkpoints were not deleted")
+    // the returned frame stays evaluable off its own checkpoint
+    assert(reliable.count() > 0)
+  }
 }
