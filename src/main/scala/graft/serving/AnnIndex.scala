@@ -55,7 +55,16 @@ object AnnIndex {
   def prefixDims(spark: SparkSession, root: String): Int = {
     val f = fs(spark, root)
     val p = new org.apache.hadoop.fs.Path(s"$root/_prefix_dims")
-    require(f.exists(p), s"no _prefix_dims manifest under $root")
+    // a root without the manifest predates the stored-prefix layout —
+    // its rows also lack the vp/np columns, so backfilling just the
+    // manifest would claim a prefix the data cannot serve; the fix is
+    // a ONE-TIME materialize() rebuild, stated here rather than
+    // discovered as a null-column failure three operators later
+    require(f.exists(p),
+      s"no _prefix_dims manifest under $root: this index was " +
+        "materialized before the stored-prefix layout (no vp/np " +
+        "columns). Rebuild it once with AnnIndex.materialize(...) " +
+        "before appending or querying truncated.")
     val in = f.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
     finally in.close()
@@ -159,17 +168,20 @@ object AnnIndex {
     * right-to-be-forgotten ([[Serving.eraseUser]]'s discipline
     * applied to the IVF layout): the cells containing the erased ids
     * are found with one id-filtered scan (bounded: cell list ≤
-    * nlist), the kept rows of ONLY those cells are MATERIALIZED
-    * first (localCheckpoint — the recompute cannot fail after the
-    * destructive step begins), the cell directories drop, and the
-    * kept rows append back. A cell whose every vector is erased
-    * stays deleted. Untouched cells are neither read nor written.
-    * Quiesced maintenance op; crash recovery = rebuild from the
-    * source corpus, the same contract as the serving-layer erase.
-    * Idempotent: re-erasing absent ids finds no cells and no-ops.
+    * nlist), the kept rows of ONLY those cells are staged DURABLY
+    * and committed via [[EraseStage]]'s manifest BEFORE the cell
+    * directories drop, then appended back — executor/JVM loss
+    * between the deletes and the append no longer loses kept vectors
+    * (the staged state is detectable; [[EraseStage.recover]], run at
+    * the start of every erase or explicitly at startup, completes
+    * it). A cell whose every vector is erased stays deleted.
+    * Untouched cells are neither read nor written. Quiesced
+    * maintenance op. Idempotent: re-erasing absent ids finds no
+    * cells and no-ops.
     */
   def erase(spark: SparkSession, root: String, vecIds: Seq[Long]): Unit = {
     if (vecIds.isEmpty) return
+    EraseStage.recover(spark, root)
     val index = spark.read.parquet(root)
     val cells = index.filter(col("vec_id").isin(vecIds: _*))
       .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
@@ -177,10 +189,8 @@ object AnnIndex {
     val keep = index.filter(col("cell").isin(cells: _*))
       .filter(!col("vec_id").isin(vecIds: _*))
       .localCheckpoint(true)
-    val f = fs(spark, root)
-    cells.foreach(c =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$root/cell=$c"), true))
-    keep.write.mode("append").partitionBy("cell").parquet(root)
+    EraseStage.run(spark, root, Seq(
+      EraseStage.Swap("", "cell", cells.map(_.toString)) -> keep))
     keep.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))

@@ -1,0 +1,132 @@
+package graft.serving
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Staged-commit protocol for the materialized-index erases
+  * ([[SearchIndex.eraseDocs]], [[AnnIndex.erase]], [[PqIndex.erase]],
+  * [[NearDupIndex.erase]]) — closing their pin-then-delete crash
+  * window: kept rows used to be pinned only in executor blocks
+  * (localCheckpoint) before the affected partition directories were
+  * deleted, so JVM/executor loss between the deletes and the
+  * re-append silently lost kept rows, and a re-run could find
+  * nothing left to erase and return early with the index still
+  * holed. Here the kept rows are written DURABLY under
+  * `<root>/_erase_stage/leg=<i>` first, and the atomic create of
+  * `_erase_stage/_manifest` is the single commit point — the
+  * [[graft.streaming.StateCompactor]] discipline:
+  *
+  *  - crash BEFORE the manifest: debris the next erase deletes;
+  *    the index is untouched.
+  *  - crash AFTER the manifest (mid-apply): the staged state is
+  *    detectable and [[recover]] (called automatically at the start
+  *    of every later erase, or explicitly at startup) re-applies it
+  *    deterministically — deletes are idempotent, swap-appends
+  *    rewrite exactly the staged rows, overwrite legs re-overwrite,
+  *    and append-only legs rely on the reader's content-keyed
+  *    (delta_id) collapse.
+  *
+  * The underscore-prefixed stage directory is invisible to every
+  * parquet read of the index tables, so readers never see a
+  * half-applied erase's staged rows.
+  */
+private[graft] object EraseStage {
+
+  /** One table rewrite within an erase.
+    *  - `Swap(table, partCol, affected)`: delete the affected
+    *    `partCol=<v>` directories, append the staged rows back
+    *    (which by construction touch only those partitions).
+    *  - `Overwrite(table, options)`: replace the whole table with the
+    *    staged rows (per-table writer options, e.g. bloom filters).
+    *  - `Append(table)`: plain append of the staged rows (for
+    *    content-keyed delta tables whose readers dedup).
+    * `table` is root-relative; "" is the root itself.
+    */
+  sealed trait Leg { def table: String }
+  final case class Swap(table: String, partCol: String,
+    affected: Seq[String]) extends Leg
+  final case class Overwrite(table: String,
+    options: Map[String, String] = Map.empty) extends Leg
+  final case class Append(table: String) extends Leg
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tablePath(root: String, table: String): String =
+    if (table.isEmpty) root else s"$root/$table"
+
+  private def stageDir(root: String) = s"$root/_erase_stage"
+
+  /** Stage every leg's kept rows durably, commit the manifest, apply.
+    * Any previously committed-but-unapplied stage is completed first.
+    */
+  def run(spark: SparkSession, root: String,
+      legs: Seq[(Leg, DataFrame)]): Unit = {
+    recover(spark, root)
+    stage(spark, root, legs)
+    apply(spark, root)
+  }
+
+  /** The durable half of [[run]] — staged writes + manifest commit,
+    * NO apply; package-visible so the crash-recovery specs can leave
+    * an index exactly at (or past) the commit point and assert
+    * [[recover]] completes it.
+    */
+  private[graft] def stage(spark: SparkSession, root: String,
+      legs: Seq[(Leg, DataFrame)]): Unit = {
+    val f = fs(spark, root)
+    f.delete(new Path(stageDir(root)), true) // pre-manifest debris
+    legs.zipWithIndex.foreach { case ((_, kept), i) =>
+      kept.write.mode("overwrite").parquet(s"${stageDir(root)}/leg=$i") }
+    // COMMIT POINT: atomic create of the manifest inside the stage
+    val out = f.create(new Path(s"${stageDir(root)}/_manifest"), false)
+    try out.write(legs.zipWithIndex.map { case ((l, _), i) =>
+      l match {
+        case Swap(t, pc, a) => s"$i\tswap\t$t\t$pc\t${a.mkString(",")}"
+        case Overwrite(t, o) =>
+          s"$i\toverwrite\t$t\t${o.map { case (k, v) => s"$k=$v" }.mkString(",")}\t"
+        case Append(t) => s"$i\tappend\t$t\t\t"
+      }
+    }.mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Complete a committed-but-unapplied erase if one is staged;
+    * returns whether one was. Idempotent; safe at startup.
+    */
+  def recover(spark: SparkSession, root: String): Boolean = {
+    val f = fs(spark, root)
+    if (!f.exists(new Path(s"${stageDir(root)}/_manifest"))) false
+    else { apply(spark, root); true }
+  }
+
+  private def apply(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val mp = new Path(s"${stageDir(root)}/_manifest")
+    val in = f.open(mp)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toVector
+      finally in.close()
+    lines.foreach { line =>
+      val Array(i, kind, table, p3, p4) = line.split("\t", -1)
+      val staged = spark.read.parquet(s"${stageDir(root)}/leg=$i")
+      val target = tablePath(root, table)
+      kind match {
+        case "swap" =>
+          p4.split(",").filter(_.nonEmpty).foreach(v =>
+            f.delete(new Path(s"$target/$p3=$v"), true))
+          staged.write.mode("append").partitionBy(p3).parquet(target)
+        case "overwrite" =>
+          val w = staged.write.mode("overwrite")
+          p3.split(",").filter(_.nonEmpty).foreach { kv =>
+            val eq = kv.indexOf('=')
+            w.option(kv.substring(0, eq), kv.substring(eq + 1))
+          }
+          w.parquet(target)
+        case "append" =>
+          staged.write.mode("append").parquet(target)
+      }
+    }
+    f.delete(new Path(stageDir(root)), true)
+  }
+}

@@ -134,19 +134,22 @@ object NearDupIndex {
 
   /** Targeted DOCUMENT ERASURE — right-to-be-forgotten for the
     * near-dup index: the erased docs' band rows leave only their own
-    * bucket directories (found with one id-filtered scan; kept rows
-    * MATERIALIZED before the bucket dirs drop — the
-    * [[graft.serving.Serving.eraseUser]] pin-then-delete
-    * discipline), while `docs` and `postings_<n>` — id-sorted
-    * whole tables — rewrite without the ids, preserving the sort +
-    * bloom layout. After the erase, [[query]]/[[queryAll]] can never
-    * return the doc (its bands are gone) and its text/shingles exist
-    * nowhere in the index. Quiesced maintenance op; crash recovery =
-    * rebuild from the admitted corpus. Idempotent: absent ids no-op.
+    * bucket directories (found with one id-filtered scan), while
+    * `docs` and `postings_<n>` — id-sorted whole tables — rewrite
+    * without the ids, preserving the sort + bloom layout. All three
+    * kept frames are staged DURABLY and committed via
+    * [[EraseStage]]'s manifest before any directory drops, so a
+    * crash mid-erase is recoverable ([[EraseStage.recover]], run at
+    * the start of every erase) instead of silently losing kept rows.
+    * After the erase, [[query]]/[[queryAll]] can never return the
+    * doc (its bands are gone) and its text/shingles exist nowhere in
+    * the index. Quiesced maintenance op. Idempotent: absent ids
+    * no-op.
     */
   def erase(spark: SparkSession, root: String, docIds: Seq[Long],
       n: Int = 3): Unit = {
     if (docIds.isEmpty) return
+    if (EraseStage.recover(spark, root)) invalidate(root)
     val bands = spark.read.parquet(s"$root/bands")
     val buckets = bands.filter(col("doc_id").isin(docIds: _*))
       .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
@@ -160,17 +163,11 @@ object NearDupIndex {
     val keepPost = spark.read.parquet(s"$root/postings_$n")
       .filter(!col("doc_id").isin(docIds: _*))
       .sort(col("doc_id")).localCheckpoint(true)
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    buckets.foreach(b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/bands/bucket=$b"), true))
-    keepBands.write.mode("append").partitionBy("bucket").parquet(s"$root/bands")
-    keepDocs.write.mode("overwrite")
-      .option("parquet.bloom.filter.enabled#doc_id", "true")
-      .parquet(s"$root/docs")
-    keepPost.write.mode("overwrite")
-      .option("parquet.bloom.filter.enabled#doc_id", "true")
-      .parquet(s"$root/postings_$n")
+    val bloom = Map("parquet.bloom.filter.enabled#doc_id" -> "true")
+    EraseStage.run(spark, root, Seq(
+      EraseStage.Swap("bands", "bucket", buckets.map(_.toString)) -> keepBands,
+      EraseStage.Overwrite("docs", bloom) -> keepDocs,
+      EraseStage.Overwrite(s"postings_$n", bloom) -> keepPost))
     Seq(keepBands, keepDocs, keepPost).foreach(
       _.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd

@@ -85,11 +85,13 @@ object PqIndex {
     * erased ids fully owned stays deleted; untouched cells are
     * neither read nor written). Codebooks are corpus-level aggregates
     * trained on many vectors — they stay, like the coarse quantizer
-    * after any erase. Quiesced maintenance op; crash recovery =
-    * rebuild. Absent ids no-op.
+    * after any erase. Quiesced maintenance op; crash mid-erase is
+    * recoverable from the durable stage ([[EraseStage.recover]],
+    * run at the start of every erase). Absent ids no-op.
     */
   def erase(spark: SparkSession, root: String, vecIds: Seq[Long]): Unit = {
     if (vecIds.isEmpty) return
+    if (EraseStage.recover(spark, root)) loaded.remove(root)
     val codes = spark.read.parquet(s"$root/codes")
     val cells = codes.filter(col("vec_id").isin(vecIds: _*))
       .select(col("cell").cast("long")).distinct()
@@ -98,11 +100,10 @@ object PqIndex {
     val keep = codes.filter(col("cell").isin(cells: _*))
       .filter(!col("vec_id").isin(vecIds: _*))
       .localCheckpoint(true)
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    cells.foreach(c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/codes/cell=$c"), true))
-    keep.write.mode("append").partitionBy("cell").parquet(s"$root/codes")
+    // staged-commit swap (EraseStage): kept rows are durable before
+    // the cell directories drop — crash mid-erase is recoverable
+    EraseStage.run(spark, root, Seq(
+      EraseStage.Swap("codes", "cell", cells.map(_.toString)) -> keep))
     keep.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))

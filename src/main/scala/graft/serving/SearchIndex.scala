@@ -140,16 +140,22 @@ object SearchIndex {
     *     erased docs' rows; a bucket the erased docs fully owned
     *     stays deleted.
     *
-    * Kept rows are MATERIALIZED before anything is deleted (the
-    * [[Serving.eraseUser]] pin-then-delete discipline). The result
-    * scores identically to an index built from the corpus without
-    * those docs (SearchIndexSpec asserts it). Quiesced maintenance
-    * op; crash recovery = re-run the erase (each step is
-    * content-keyed or recomputed-from-current-state) or rebuild.
-    * Absent ids no-op.
+    * Kept rows are staged DURABLY and the erase commits via
+    * [[EraseStage]]'s manifest before anything is deleted: a crash
+    * between the bucket deletes and the re-append used to be
+    * unrecoverable (the re-run found nErased == 0 and returned early
+    * with kept docs missing from postings while meta/stats already
+    * reflected the erase); now the staged state is detectable and
+    * [[EraseStage.recover]] — run automatically at the start of every
+    * erase, or explicitly at startup — completes it deterministically
+    * (the meta delta leg re-applies safely through the read side's
+    * per-delta_id collapse). The result scores identically to an
+    * index built from the corpus without those docs (SearchIndexSpec
+    * asserts it). Quiesced maintenance op. Absent ids no-op.
     */
   def eraseDocs(spark: SparkSession, root: String, docIds: Seq[Long]): Unit = {
     if (docIds.isEmpty) return
+    if (EraseStage.recover(spark, root)) invalidateFrames(root)
     val post = spark.read.parquet(s"$root/postings")
     val mine = post.filter(col("doc_id").isin(docIds: _*))
     // ids actually present (bounded: ⊆ caller's list) — absent ids
@@ -171,19 +177,16 @@ object SearchIndex {
       .agg(count(lit(1)).as("df_delta"))
       .withColumn("delta_id", lit(deltaId))
       .localCheckpoint(true)
-    val f = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // meta first (replay-deduped by delta_id), then stats, then the
-    // postings guard table — the writeDelta order, reversed in sign
+    // postings guard table — the writeDelta order, reversed in sign;
+    // all three staged durably, then applied under one manifest
     import spark.implicits._
-    Seq((deltaId, -nErased)).toDF("delta_id", "n_delta")
-      .write.mode("append").parquet(s"$root/meta")
-    buckets.foreach(b =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$root/stats/bucket=$b"), true))
-    newStats.write.mode("append").partitionBy("bucket").parquet(s"$root/stats")
-    buckets.foreach(b =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$root/postings/bucket=$b"), true))
-    keep.write.mode("append").partitionBy("bucket").parquet(s"$root/postings")
+    val affected = buckets.map(_.toString)
+    EraseStage.run(spark, root, Seq(
+      EraseStage.Append("meta") ->
+        Seq((deltaId, -nErased)).toDF("delta_id", "n_delta"),
+      EraseStage.Swap("stats", "bucket", affected) -> newStats,
+      EraseStage.Swap("postings", "bucket", affected) -> keep))
     Seq(keep, newStats).foreach(_.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false)))

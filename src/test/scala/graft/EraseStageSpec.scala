@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.serving.EraseStage
+
+/** The staged-commit erase protocol ([[graft.serving.EraseStage]])
+  * that closes the materialized-index pin-then-delete crash window:
+  * every crash position — before the manifest, right after it, and
+  * mid-apply with some partition directories already deleted — must
+  * leave the index either untouched or recoverable to exactly the
+  * clean-run result. The index erases themselves (SearchIndexSpec /
+  * AnnIndexSpec / NearDupIndexSpec) keep asserting end-state
+  * equality through this protocol; this spec pins the protocol's own
+  * failure semantics on a synthetic layout.
+  */
+class EraseStageSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_erase_stage").toString
+
+  /** A two-table toy index: `t` partitioned by p (0..3), `meta` an
+    * additive delta log.
+    */
+  private def build(root: String): Unit = {
+    (0L until 40L).map(i => (i, (i % 4).toInt)).toDF("id", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(s"$root/t")
+    Seq(("base", 40L)).toDF("delta_id", "n_delta")
+      .write.mode("overwrite").parquet(s"$root/meta")
+  }
+
+  /** The erase under test: drop ids 1 and 5 (partition p=1), plus a
+    * meta delta — one Swap leg + one Append leg.
+    */
+  private def legs(root: String): Seq[(EraseStage.Leg, DataFrame)] = {
+    val keep = spark.read.parquet(s"$root/t")
+      .filter(col("p") === 1 && !col("id").isin(1L, 5L))
+      .localCheckpoint(true)
+    Seq(
+      EraseStage.Swap("t", "p", Seq("1")) -> keep,
+      EraseStage.Append("meta") ->
+        Seq(("erase_1_5", -2L)).toDF("delta_id", "n_delta"))
+  }
+
+  private def state(root: String): (Set[String], Set[String]) =
+    (rows(spark.read.parquet(s"$root/t")),
+      rows(spark.read.parquet(s"$root/meta")))
+
+  test("clean run == stage+recover == stage+partial-delete+recover") {
+    // reference: the clean, crash-free run
+    val ref = tmp()
+    build(ref)
+    EraseStage.run(spark, ref, legs(ref))
+    val want = state(ref)
+    assert(!want._1.exists(_.startsWith("1|")) && want._1.exists(_.startsWith("9|")))
+
+    // crash IMMEDIATELY after the manifest commit: nothing applied yet
+    val a = tmp()
+    build(a)
+    EraseStage.stage(spark, a, legs(a))
+    assert(EraseStage.recover(spark, a))
+    assert(state(a) == want)
+    assert(!EraseStage.recover(spark, a)) // stage fully consumed
+
+    // crash MID-APPLY: the affected directory already deleted, kept
+    // rows not yet appended — the exact window that used to lose rows
+    val b = tmp()
+    build(b)
+    EraseStage.stage(spark, b, legs(b))
+    val f = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$b/t/p=1"), true)
+    assert(EraseStage.recover(spark, b))
+    assert(state(b) == want)
+  }
+
+  test("crash BEFORE the manifest leaves the index untouched; the next run sweeps the debris") {
+    val c = tmp()
+    build(c)
+    val before = state(c)
+    // simulate: staged files written, no manifest (the commit point)
+    spark.range(1).toDF("id").write.parquet(s"$c/_erase_stage/leg=0")
+    assert(!EraseStage.recover(spark, c)) // not committed -> no-op
+    assert(state(c) == before)
+    EraseStage.run(spark, c, legs(c)) // sweeps debris, then erases
+    assert(!state(c)._1.exists(_.startsWith("1|")))
+    assert(!f(c).exists(new org.apache.hadoop.fs.Path(s"$c/_erase_stage")))
+  }
+
+  private def f(root: String) = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+}
