@@ -75,10 +75,16 @@ object Drift {
       .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
     val totals = counts.groupBy(col("feature"))
       .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    // a zero-mass corpus (possible after erasure cancels a side's
+    // deltas) is the zero measure: its share is 0 permille, so the
+    // feature's TVD degenerates to the other side's total (≈1000) —
+    // defined identically in the DuckDB oracle, instead of the NULL
+    // an IntegralDivide-by-zero would yield
+    def share(c: Column, n: Column) =
+      when(n > 0L, idiv(c * 1000L, n)).otherwise(lit(0L))
     counts
       .join(broadcast(totals), Seq("feature"))
-      .withColumn("delta",
-        abs(idiv(col("ca") * 1000L, col("na")) - idiv(col("cb") * 1000L, col("nb"))))
+      .withColumn("delta", abs(share(col("ca"), col("na")) - share(col("cb"), col("nb"))))
       .groupBy(col("feature"))
       .agg(sum(col("delta")).cast("long").as("tvd_permille"),
         // (delta DESC, value ASC) via min of the inverted struct —

@@ -65,6 +65,9 @@ object Quota {
         .agg(sum(col(valCol)).as("_t"))
         .collect().map { r =>
           val k = r.getString(1)
+          require(k != null,
+            s"keyedExclusiveScan: null value in key column '$keyCol' — " +
+              "filter or default null keys before the scan")
           require(!k.contains("|"), s"keyedExclusiveScan key contains '|': $k")
           (r.getInt(0), k) -> r.getLong(2)
         }

@@ -715,7 +715,8 @@ object EmbedQueries {
          |  FROM f GROUP BY 1, 2),
          |n AS (SELECT feature, sum(ca) AS na, sum(cb) AS nb FROM c GROUP BY 1),
          |p AS (SELECT c.feature, c.value,
-         |    abs(c.ca * 1000 // n.na - c.cb * 1000 // n.nb) AS delta
+         |    abs(CASE WHEN n.na > 0 THEN c.ca * 1000 // n.na ELSE 0 END
+         |      - CASE WHEN n.nb > 0 THEN c.cb * 1000 // n.nb ELSE 0 END) AS delta
          |  FROM c JOIN n USING (feature)),
          |t AS (SELECT feature, CAST(sum(delta) AS BIGINT) AS tvd_permille
          |      FROM p GROUP BY 1),

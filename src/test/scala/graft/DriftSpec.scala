@@ -28,6 +28,23 @@ class DriftSpec extends SparkSuite {
     assert(out.toSeq === Seq(("v", 2000L, "a", 1000L)))
   }
 
+  test("zero-mass corpus is the zero measure: one-sided features audit to 1000, never NULL") {
+    // an erasure (or an empty fresh crawl) can cancel one side's
+    // whole mass for a feature — the audit must define that case
+    // (share of the empty corpus = 0 permille) instead of yielding
+    // NULL through an integer divide-by-zero
+    val rows = (0L until 30L).map(i => (i, "x"))
+    // every row lands on the reference side: nb = 0
+    val out = Drift.audit(rows.toDF("id", "v"), lit(true), Seq("v" -> $"v"))
+      .as[(String, Long, String, Long)].collect()
+    assert(out.toSeq === Seq(("v", 1000L, "x", 1000L)))
+    // same through the count-table path with an explicit (ca, cb=0) row
+    val counts = Seq(("v", "x", 30L, 0L)).toDF("feature", "value", "ca", "cb")
+    val fromCounts = Drift.auditFromCounts(counts)
+      .as[(String, Long, String, Long)].collect()
+    assert(fromCounts.toSeq === Seq(("v", 1000L, "x", 1000L)))
+  }
+
   test("ingest twin: out-of-order splits + replay equal the one-shot audit") {
     import graft.streaming.DriftIngest
     val d = Tables.documents(spark, sfDir)

@@ -31,6 +31,16 @@ class QuotaSpec extends SparkSuite {
     }
   }
 
+  test("keyedExclusiveScan rejects a null key with a named error, not an opaque NPE") {
+    val d = Seq((1L, "a", 10L, 1L), (2L, null.asInstanceOf[String], 5L, 2L))
+      .toDF("doc_id", "source", "n_tokens", "_ord")
+    val e = intercept[IllegalArgumentException] {
+      Quota.keyedExclusiveScan(d, "source", Seq("_ord"), "doc_id",
+        "n_tokens", partitions = 2).collect()
+    }
+    assert(e.getMessage.contains("null value in key column 'source'"))
+  }
+
   test("tokenBudget: uncapped selected mass lands in [budget, budget + straddler)") {
     val d = docsWithTokens.drop("_ord")
     val totals = d.groupBy($"source").agg(sum($"n_tokens").as("t"))
