@@ -328,23 +328,15 @@ object EventQueries {
       .as[ContinuousTopK.ItemUpdate]
     val ranked = ContinuousTopK.rank(spark, updates, k = 10,
       stateCap = 100000)
-    val acc = new java.util.concurrent.ConcurrentHashMap[
-      String, (Long, Seq[ContinuousTopK.RankedItem])]()
-    val q = ranked.writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch {
-        (b: org.apache.spark.sql.Dataset[ContinuousTopK.RankedItem], id: Long) =>
-          b.collect().groupBy(_.groupKey).foreach { case (g, rows) =>
-            acc.merge(g, (id, rows.toSeq),
-              (old, fresh) => if (fresh._1 >= old._1) fresh else old)
-          }
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
-    import scala.jdk.CollectionConverters._
-    spark.createDataset(acc.asScala.values.flatMap(_._2).toSeq)
+    // distributed last-emission fold (the harness every update-mode
+    // stream gate uses): each trigger re-emits a group's WHOLE
+    // current top-k and rank sets only grow (counts are cumulative,
+    // so top-k size is min(k, items), monotone) — folding per
+    // (groupKey, rank) with max_by(batch_id) therefore reconstructs
+    // exactly each group's latest emission, with nothing key-sized
+    // through the driver
+    OlapQueries.streamFoldLastKeys(spark, ranked.toDF(),
+        Seq("groupKey", "rank"), outputMode = "append")
       .select(col("groupKey").as("restaurant_id"),
         col("rank").cast("long").as("rank"),
         col("itemId").cast("long").as("user_id"),

@@ -643,13 +643,28 @@ object OlapQueries {
     * emissions.)
     */
   private[queries] def streamFoldLast(spark: SparkSession,
-      updates: DataFrame, keyCol: String): DataFrame = {
+      updates: DataFrame, keyCol: String): DataFrame =
+    streamFoldLastKeys(spark, updates, Seq(keyCol))
+
+  /** [[streamFoldLast]] on a COMPOSITE key, for operators that emit
+    * a bounded SET of rows per logical key each trigger (a top-k
+    * ranking re-emits its whole current table per group): folding
+    * per (group, rank) keeps the group's latest emission exactly,
+    * provided the per-group row-key set never shrinks across
+    * emissions — true for cumulative rankings, whose top-k size is
+    * min(k, items) and monotone. `outputMode` follows the stateful
+    * operator's declared mode (flatMapGroupsWithState(Append) streams
+    * must run in append mode).
+    */
+  private[queries] def streamFoldLastKeys(spark: SparkSession,
+      updates: DataFrame, keyCols: Seq[String],
+      outputMode: String = "update"): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fold").toString
     val out = s"$tmp/out"
     withGateStreamConf(spark) {
       val q = updates.writeStream
         .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("update")
+        .outputMode(outputMode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, id: Long) =>
           graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
@@ -658,10 +673,12 @@ object OlapQueries {
       try q.awaitTermination() finally q.stop()
     }
     val df = spark.read.parquet(out)
-    val payload = df.columns.filterNot(c => c == keyCol || c == "batch_id").toSeq
-    df.groupBy(col(keyCol))
+    val payload = df.columns
+      .filterNot(c => keyCols.contains(c) || c == "batch_id").toSeq
+    df.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(payload.map(col): _*), col("batch_id")).as("_last"))
-      .select(col(keyCol) +: payload.map(c => col("_last").getField(c).as(c)): _*)
+      .select(keyCols.map(col) ++
+        payload.map(c => col("_last").getField(c).as(c)): _*)
   }
 
   val queries: Map[String, QFn] = Map(
