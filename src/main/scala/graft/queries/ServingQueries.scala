@@ -202,6 +202,51 @@ object ServingQueries {
         col("event_type"), col("n_events"), col("sum_cents"))
   }
 
+  /** "Hot right now" (time-decayed) top-K SERVED from the hourly
+    * per-user state — `q_topk_decayed`'s production shape: the
+    * shift-decay half-life (12 h) is an exact MULTIPLE of the
+    * `agg_by_window` grain (1 h) and the anchor is the state's own
+    * latest window, so every state row falls WHOLLY inside one age
+    * bucket and the served score is an exact re-aggregation,
+    * score = Σ order_count · (2^20 >> min(age DIV 12h, 20)) — the
+    * same argument that makes the trending family's minute-interior
+    * re-aggregation lossless. Reads |hours|×|users| state rows
+    * instead of the fact table; recomputing the decayed board on a
+    * trigger is one map-side weighted sum over state.
+    */
+  def topKDecayedServed(spark: SparkSession, dir: String): DataFrame =
+    decayedOfAgg(Serving.readTable(spark, dir, "agg_by_window"))
+
+  /** The decayed board off a STREAM-BUILT root's hourly state —
+    * hash-gating the incremental-refresh → state → decay-derive
+    * composition against the same hour-grain mirror oracle.
+    */
+  def topKDecayedStream(spark: SparkSession, dir: String): DataFrame =
+    decayedOfAgg(
+      spark.read.parquet(s"${streamBuiltRoot(spark, dir)}/agg_by_window"))
+
+  /** The exact shift-decay re-aggregation + rank over any
+    * `agg_by_window`-shaped frame — shared by the one-shot-built and
+    * stream-built roots.
+    */
+  private def decayedOfAgg(agg: DataFrame): DataFrame = {
+    // 1-row broadcast: the decay anchor is the state's latest window
+    val anchored = agg.crossJoin(
+      broadcast(agg.agg(max(col("window_start_ms")).as("anchor_ms"))))
+    // integer DIV + right-shift — the whole weight is exact (the
+    // q_topk_decayed chain at hour grain)
+    val w = expr("shiftright(1048576L, CAST(least(" +
+      "(anchor_ms - window_start_ms) DIV 43200000, 20L) AS INT))")
+    val s = anchored
+      .groupBy(col("user_id"))
+      .agg(sum(col("order_count") * w).as("score_micro"),
+        sum(col("order_count")).as("n_events"))
+    graft.ops.TopK.topKGlobal(s,
+        Seq(col("score_micro").desc, col("user_id").asc), 10)
+      .select(col("rank").cast("long").as("rank"), col("user_id"),
+        col("score_micro"), col("n_events"))
+  }
+
   private val streamRootCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -261,6 +306,8 @@ object ServingQueries {
     "q_wau_served" -> (wauServed _),
     "q_topk_trending_served" -> (topKTrendingServed _),
     "q_topk_trending_stream" -> (topKTrendingStream _),
+    "q_topk_decayed_served" -> (topKDecayedServed _),
+    "q_topk_decayed_stream" -> (topKDecayedStream _),
     "q_topk_lookup_served" -> (topKLookupServed _),
     "q_topk_lookup_replica" -> (topKLookupReplica _),
     "q_topk_lookup_revenue" -> (topKLookupRevenue _),
@@ -275,6 +322,26 @@ object ServingQueries {
 
   private val cents = "CAST(round(value*100) AS BIGINT)"
 
+  /** Hour-grain shift-decay, recomputed from raw events — the mirror
+    * for both the served and stream-built decayed boards (weight =
+    * 2^20 >> min(hour-age DIV 12h, 20), anchored at the latest hour
+    * bucket, the exact chain [[decayedOfAgg]] runs over state).
+    */
+  private val decayedMirrorOracle =
+    """WITH h AS (SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS hms,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |a AS (SELECT max(hms) AS anchor FROM h),
+      |s AS (SELECT user_id,
+      |    CAST(sum(n * (1048576 >> least((a.anchor - hms) // 43200000, 20)))
+      |      AS BIGINT) AS score_micro,
+      |    CAST(sum(n) AS BIGINT) AS n_events
+      |  FROM h CROSS JOIN a GROUP BY 1)
+      |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, user_id ASC)
+      |    AS BIGINT) AS rank,
+      |  user_id, score_micro, n_events
+      |FROM s ORDER BY rank LIMIT 10""".stripMargin
+
   /** Oracles recompute the same ranked tables from raw events in SQL,
     * so the materialized path is checked end-to-end (build + read).
     */
@@ -288,6 +355,14 @@ object ServingQueries {
     // the stream-built root must reproduce the same trending table —
     // same oracle, state accumulated via the incremental refresh leg
     "q_topk_trending_stream" -> AnalyticsQueries.oracles("q_topk_trending"),
+    // hour-grain shift-decay mirror: the half-life (12 h) is a
+    // multiple of the state grain (1 h) and the anchor is the latest
+    // state window, so the served re-aggregation is exact — the
+    // oracle recomputes the identical integer chain from raw events
+    // at hour grain; the stream leg shares it (same state, refreshed
+    // incrementally)
+    "q_topk_decayed_served" -> decayedMirrorOracle,
+    "q_topk_decayed_stream" -> decayedMirrorOracle,
     // served WAU ≡ raw-scan WAU (minute-user state collapses to the
     // exact distinct (user, day) set)
     "q_wau_served" -> AnalyticsQueries.oracles("q_wau_daily"),
