@@ -71,7 +71,41 @@ object MediaQueries {
         min(col("media_id")).as("first_media_id"))
       .filter(col("n_videos") >= 2L)
 
+  /** Content-hash media dedup built through the STREAMING ingest leg
+    * ([[graft.streaming.MediaIngest]]): id-ordered event thirds land
+    * as per-batch (hash, min-id, count) deltas, the read is the
+    * (min, sum) re-merge — order-independent mergeable state, so the
+    * gate shares `q_media_dedup`'s oracle verbatim. The family's
+    * first streaming leg; payload bytes never persist or shuffle.
+    */
+  def mediaDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.MediaIngest
+    val ev = Tables.events(spark, dir)
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_media_ingest").toString
+    Seq(
+      ev.filter(col("event_id") <= cuts(0)),
+      ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      ev.filter(col("event_id") > cuts(1))
+    ).zipWithIndex.foreach { case (b, i) =>
+      MediaIngest.processBatch(Media.mediaFromEvents(b), i.toLong,
+        s"$tmp/state")
+    }
+    MediaIngest.readDedup(spark, s"$tmp/state")
+  }
+
+  // payload = props' UTF-8 bytes, so DuckDB's md5 over the VARCHAR
+  // hashes the identical byte string.
+  private val mediaDedupOracle =
+    """SELECT md5(props) AS content_hash,
+      |  CAST(min(event_id) AS BIGINT) AS canonical_id,
+      |  count(*) AS n_copies
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_media_dedup_stream" -> (mediaDedupStream _),
     "q_media_frame_overlap" -> (frameOverlap _),
     "q_media_dedup" -> (mediaDedup _),
     "q_media_features" -> (mediaFeatures _),
@@ -97,11 +131,10 @@ object MediaQueries {
         |HAVING count(DISTINCT media_id) >= 2""".stripMargin,
     // payload = props' UTF-8 bytes, so DuckDB's md5 over the VARCHAR
     // hashes the identical byte string.
-    "q_media_dedup" ->
-      """SELECT md5(props) AS content_hash,
-        |  CAST(min(event_id) AS BIGINT) AS canonical_id,
-        |  count(*) AS n_copies
-        |FROM events GROUP BY 1""".stripMargin,
+    "q_media_dedup" -> mediaDedupOracle,
+    // mergeable (min, sum) state: the stream-built dedup table equals
+    // the batch op over everything ingested, any split or order
+    "q_media_dedup_stream" -> mediaDedupOracle,
     "q_media_features" ->
       """SELECT event_id AS media_id,
         |  CASE WHEN event_type IN ('click','view') THEN 'image'

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Ingestion-time MEDIA dedup — the streaming twin of
+  * [[graft.queries.MediaQueries.mediaDedup]], closing the one gated
+  * family that had no streaming ingest leg: every micro-batch of
+  * binary media rows collapses to a per-content-hash delta
+  * (canonical id = min media_id in the batch, copy count), appended
+  * as an idempotent `batch_id` partition; the served dedup table is
+  * the (min, sum) re-merge over deltas. Both merges are associative
+  * and commutative, so stream == batch holds for ANY split and ANY
+  * arrival order — the additive-state pattern ([[CovisitIngest]],
+  * [[DriftIngest]]), preferred here over [[SegmentIngest]]'s
+  * admission index because dedup over content hashes is mergeable
+  * state, not first-claim state.
+  *
+  * Payload bytes never persist and never shuffle: the 128-bit md5 is
+  * computed executor-side on the binary column and only (hash,
+  * min-id, count) rows — bounded by distinct content per batch —
+  * cross the exchange or land in state, the [[SegmentIngest]]
+  * hash-only discipline at whole-asset grain.
+  */
+object MediaIngest {
+
+  /** Process one micro-batch of `media`-schema rows (media_id,
+    * bytes, ...): append the batch's (content_hash, canonical_id,
+    * n_copies) delta under its `batch_id` partition.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, path: String): Unit =
+    StreamingPipeline.writeBatchIdempotent(
+      batch
+        .select(md5(col("bytes")).as("content_hash"), col("media_id"))
+        .groupBy(col("content_hash"))
+        .agg(min(col("media_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies")),
+      batchId, path)
+
+  /** The dedup table AS OF the ingested state — identical output to
+    * the batch op over everything ingested (min of mins, sum of
+    * counts), which is what lets the stream gate share
+    * `q_media_dedup`'s oracle verbatim.
+    */
+  def readDedup(spark: SparkSession, path: String): DataFrame =
+    StateCompactor.readState(spark, path)
+      .groupBy(col("content_hash"))
+      .agg(min(col("canonical_id")).as("canonical_id"),
+        sum(col("n_copies")).as("n_copies"))
+
+  /** Fold committed batch partitions at the state's own grain
+    * ([[StateCompactor.compactWith]] — min/sum are the state's own
+    * merge functions, so compaction commutes with [[readDedup]]).
+    */
+  def compact(spark: SparkSession, path: String): Unit =
+    StateCompactor.compactWith(spark, path, Seq("content_hash"),
+      Seq("canonical_id" -> "min", "n_copies" -> "sum"))
+
+  /** Start the ingest stream over a `media`-schema source. */
+  def start(spark: SparkSession, source: DataFrame, path: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, path)
+      }
+      .start()
+}

@@ -168,6 +168,30 @@ class IngestTwinsSpec extends SparkSuite {
     assert(wantCorr.nonEmpty && wantRfm.nonEmpty && wantOhlc.nonEmpty)
   }
 
+  test("media ingest: out-of-order + replay == batch; compaction preserves reads") {
+    import graft.streaming.MediaIngest
+    import graft.multimodal.Media
+    val ev = Tables.events(spark, sfDir)
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val batches = Seq(
+      ev.filter(col("event_id") <= maxId / 3),
+      ev.filter(col("event_id") > maxId / 3 && col("event_id") <= 2 * maxId / 3),
+      ev.filter(col("event_id") > 2 * maxId / 3))
+    val t = tmp("graft_media_spec")
+    // reversed arrival order, then batch 2 replayed: (min, sum) state
+    // is order-independent and the replay rewrites its own partition
+    Seq(2, 1, 0).foreach(i =>
+      MediaIngest.processBatch(Media.mediaFromEvents(batches(i)), i.toLong, s"$t/m"))
+    MediaIngest.processBatch(Media.mediaFromEvents(batches(2)), 2L, s"$t/m")
+    val streamed = rows(MediaIngest.readDedup(spark, s"$t/m"))
+    val direct = rows(graft.queries.MediaQueries.mediaDedup(spark, sfDir))
+    assert(streamed == direct && streamed.nonEmpty)
+    MediaIngest.compact(spark, s"$t/m")
+    assert(rows(MediaIngest.readDedup(spark, s"$t/m")) == streamed)
+    MediaIngest.processBatch(Media.mediaFromEvents(batches(2)), 2L, s"$t/m")
+    assert(rows(MediaIngest.readDedup(spark, s"$t/m")) == streamed)
+  }
+
   test("ingest-state erasure: erase == rebuild-without-user; replay can't resurface; compaction still sane") {
     import graft.streaming.WauIngest
     val ev = Tables.events(spark, sfDir)
