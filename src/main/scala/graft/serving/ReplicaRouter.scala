@@ -31,7 +31,7 @@ object ReplicaRouter {
 
   // (servingRoot/table) -> (replica set root, content stamp)
   private val sets = scala.collection.concurrent.TrieMap
-    .empty[String, (String, (Long, Long))]
+    .empty[String, (String, (Long, Long, Long))]
   // (replica set root, replica idx) -> pinned routed frame
   private val pins = scala.collection.concurrent.TrieMap
     .empty[(String, Int), DataFrame]

@@ -444,30 +444,41 @@ object Serving {
 
   /** Meta row: the now-anchor (max event ts) + the last applied
     * refresh batch id (-1 = built by batch rebuild; see
-    * [[refreshWithBatch]]'s replay guard).
+    * [[refreshWithBatch]]'s replay guard) + the erase generation —
+    * bumped by every [[eraseUser]], because an erase that does not
+    * move the max ts or the batch id is STILL a content change that
+    * derived copies (replica sets) must re-derive from; without it a
+    * replica set would keep serving the erased user forever.
     */
-  private def writeMeta(spark: SparkSession, root: String, maxTsMs: Long, lastBatchId: Long): Unit =
+  private def writeMeta(spark: SparkSession, root: String, maxTsMs: Long,
+      lastBatchId: Long, eraseGen: Long = 0L): Unit =
     spark.range(1)
-      .select(lit(maxTsMs).as("max_ts_ms"), lit(lastBatchId).as("last_batch_id"))
+      .select(lit(maxTsMs).as("max_ts_ms"), lit(lastBatchId).as("last_batch_id"),
+        lit(eraseGen).as("erase_gen"))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
 
-  private def readMeta(spark: SparkSession, root: String): (Long, Long) = {
-    val row = spark.read.parquet(s"$root/meta").head()
-    (row.getAs[Long]("max_ts_ms"), row.getAs[Long]("last_batch_id"))
+  private def readMeta(spark: SparkSession, root: String): (Long, Long, Long) = {
+    val df = spark.read.parquet(s"$root/meta")
+    val row = df.head()
+    // roots written before the erase-generation column default to 0
+    val gen = if (df.columns.contains("erase_gen"))
+      row.getAs[Long]("erase_gen") else 0L
+    (row.getAs[Long]("max_ts_ms"), row.getAs[Long]("last_batch_id"), gen)
   }
 
   /** Content stamp of the serving state: (max event ts, last applied
-    * batch id) — changes on every applied refresh, so derived copies
-    * (replica sets) can detect in-place rewrites that directory
-    * mtimes do not reliably surface. Cached per root; in-process
-    * writes drop it via [[invalidate]] (the tableCache discipline, so
-    * a routed lookup costs no meta-read job between refreshes).
+    * batch id, erase generation) — changes on every applied refresh
+    * AND every erase, so derived copies (replica sets) can detect
+    * in-place rewrites that directory mtimes do not reliably
+    * surface. Cached per root; in-process writes drop it via
+    * [[invalidate]] (the tableCache discipline, so a routed lookup
+    * costs no meta-read job between refreshes).
     */
-  private[graft] def metaStamp(spark: SparkSession, root: String): (Long, Long) =
+  private[graft] def metaStamp(spark: SparkSession, root: String): (Long, Long, Long) =
     stampCache.getOrElseUpdate(root, readMeta(spark, root))
 
   private val stampCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Long)]
 
   val allTables: Seq[String] = Seq(
     "topk_by_count", "topk_by_revenue",
@@ -719,12 +730,12 @@ object Serving {
             s"$root/bitmap_daily", "w_ts", Seq("event_type", "window_start_ms"))
           writeProfileState(root, profiles)
           writeRankedPartitions(root, agg, keyed)
-          val oldMax = readMeta(spark, root)._1
+          val (oldMax, _, eraseGen) = readMeta(spark, root)
           val batchMaxRow = batch.agg(unix_millis(max(col("ts")))).head()
           val newMax =
             if (batchMaxRow.isNullAt(0)) oldMax
             else math.max(oldMax, batchMaxRow.getLong(0))
-          writeMeta(spark, root, newMax, math.max(batchId, lastApplied))
+          writeMeta(spark, root, newMax, math.max(batchId, lastApplied), eraseGen)
           anchorCache.put(root, newMax)
         } finally {
           agg.unpersist(); keyed.unpersist()
@@ -842,8 +853,10 @@ object Serving {
         Seq("event_type", "window_start_ms"))
       writeProfileState(root, profileUpsertState(erased))
       writeRankedPartitions(root, agg, keyed)
-      val lastApplied = readMeta(spark, root)._2
-      writeMeta(spark, root, maxRow.getLong(0), lastApplied)
+      val (_, lastApplied, eraseGen) = readMeta(spark, root)
+      // bump the erase generation: replica sets must re-derive even
+      // when neither the max ts nor the batch id moved
+      writeMeta(spark, root, maxRow.getLong(0), lastApplied, eraseGen + 1L)
       anchorCache.put(root, maxRow.getLong(0))
     } finally {
       agg.unpersist(); keyed.unpersist(); invalidate(root)

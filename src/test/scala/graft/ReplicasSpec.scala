@@ -73,6 +73,43 @@ class ReplicasSpec extends SparkSuite {
     assert(routed !== before, "refresh should have changed the lookup window")
   }
 
+  test("erasure propagates through replication: no replica serves the erased user") {
+    import spark.implicits._
+    // isolated dataset copy: the erase mutates the serving root
+    val dir = java.nio.file.Files.createTempDirectory("replica_erase").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // victim: a user visible in the replica-routed lookup, chosen so
+    // it does NOT own the global max ts — the erase then changes
+    // neither max_ts_ms nor last_batch_id, and only the erase
+    // generation can tell the replica set the content moved
+    val ev = Tables.events(spark, dir)
+    val lastUser = ev.orderBy(col("ts").desc).select(col("user_id"))
+      .head().getLong(0)
+    val victim = graft.queries.ServingQueries.topKLookupReplica(spark, dir)
+      .select(col("user_id")).as[Long].collect()
+      .find(_ != lastUser).get
+    val root = Serving.materialize(spark, dir)
+    Serving.eraseUser(spark, root, ev, victim)
+    // the routed lookup re-derives and equals the direct served read
+    val servedRows = graft.queries.ServingQueries.topKLookupServed(spark, dir)
+      .collect().map(_.toString).toSeq
+    val routedRows = graft.queries.ServingQueries.topKLookupReplica(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(routedRows === servedRows, "stale replica served after erase")
+    // and EVERY replica of the ranked table is clean — route a tenant
+    // to each replica and scan its whole copy, not just the window
+    for (i <- 0 until 3) {
+      val tenant = (0 until 100).map(j => s"tenant-$j")
+        .find(Replicas.replicaFor(_, 3) == i).get
+      val full = graft.serving.ReplicaRouter.table(
+        spark, dir, "topk_by_count", tenant)
+      assert(full.filter(col("user_id") === victim).isEmpty,
+        s"replica $i still serves the erased user")
+    }
+  }
+
   test("a lost replica fails over with identical results") {
     val k = (0 until 100).map(i => s"tenant-$i")
       .find(Replicas.replicaFor(_, 3) == 1).get
