@@ -53,7 +53,13 @@ object Bench {
     graft.queries.DocQueries.searchIndexRoot(spark, sfDir)
     graft.queries.EmbedQueries.annIndexRoot(spark, sfDir)
 
+    // Standalone-triage hook (full-match regex): rerun one family in
+    // a fresh JVM to separate plan regressions from suite-context
+    // pressure (GC + page cache after 200+ queries). Unset = the
+    // driver's full run, identical behavior.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r.pattern)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.matcher(n).matches()) }
     names.foreach { case (name, fn) => run(name, fn) } // warm-up pass
     // Three measured passes, min per query: the shared box has ±50%
     // load noise, and min-of-N is the standard way to report the
@@ -91,7 +97,8 @@ object Bench {
     // with the load noise stripped. Each run is fully self-contained
     // (fresh MemoryStream, sinks, and checkpoints).
     val evPerSec =
-      try (1 to 3).map { i =>
+      if (filter.exists(!_.matcher("streaming").matches())) 0.0
+      else try (1 to 3).map { i =>
         val r = streamingThroughput(spark)
         System.err.println(f"[bench] streaming run $i: $r%.0f ev/s")
         r
