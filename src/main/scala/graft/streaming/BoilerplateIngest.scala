@@ -59,15 +59,38 @@ object BoilerplateIngest {
     */
   def readScrubbed(spark: SparkSession, segsPath: String,
       countsPath: String, maxFreq: Long = 1): DataFrame = {
-    val over = spark.read.parquet(countsPath)
+    // read through StateCompactor so post-erase (or post-compaction)
+    // generations resolve the same way live batch partitions do
+    val over = StateCompactor.readState(spark, countsPath)
       .groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") > maxFreq)
       .select(col("h"))
     NearDup.reassemble(
-      spark.read.parquet(segsPath)
+      StateCompactor.readState(spark, segsPath)
         .join(over, Seq("h"), "left_anti")
         .select(col("doc_id"), col("seg_idx"), col("seg")))
       .withColumnRenamed("text_deduped", "text_clean")
+  }
+
+  /** Right-to-be-forgotten over the boilerplate state: the global
+    * frequency counts include the erased doc's segment occurrences,
+    * and additive state can't subtract — but the counts are BY
+    * CONSTRUCTION `segs.groupBy(h).count()` of the retained segment
+    * stream, so they rebuild exactly from the doc-keyed segs state
+    * minus the victim ([[LmIngest.eraseDoc]]'s ordering: counts
+    * first, recomputed from the not-yet-erased segs, so a crashed
+    * erase re-runs idempotently; then the victim's segment rows fold
+    * out). Erasing a doc can pull a segment's count back UNDER
+    * `maxFreq` — its other copies legitimately resurface at read,
+    * exactly as a rebuild-without-doc would conclude.
+    */
+  def eraseDoc(spark: SparkSession, segsPath: String,
+      countsPath: String, docId: Long): Unit = {
+    val countsWithout = StateCompactor.readState(spark, segsPath)
+      .filter(col("doc_id") =!= docId)
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    StateCompactor.rewriteState(spark, countsPath, countsWithout)
+    StateCompactor.eraseWhere(spark, segsPath, col("doc_id") === docId)
   }
 
   /** Start the ingest stream over a `documents`-schema source. */

@@ -35,11 +35,30 @@ object DriftIngest {
 
   /** The drift audit AS OF the ingested state: re-sum the batch
     * deltas, then the exact integer TVD derivation. Same output
-    * schema as the batch op.
+    * schema as the batch op. Reads through [[StateCompactor]] so
+    * post-erase generations resolve like live batch partitions.
     */
   def readAudit(spark: SparkSession, countsPath: String): DataFrame =
-    Drift.auditFromCounts(spark.read.parquet(countsPath)
+    Drift.auditFromCounts(StateCompactor.readState(spark, countsPath)
       .select("feature", "value", "ca", "cb"))
+
+  /** Right-to-be-forgotten over the drift-count state: the additive
+    * (feature, value, ca, cb) deltas carry no doc dimension, so the
+    * erased doc's mass can only leave by rebuilding the counts from
+    * the retained corpus — [[StateCompactor.rewriteState]]'s
+    * manifest-committed fold, the [[graft.serving.ImportanceProfile]]
+    * contract: `docs`/`isRef`/`features`/`weight` must be the same
+    * frame and definitions the ingest legs used. Idempotently
+    * re-runnable (same retained corpus → same generation content);
+    * replayed folded batches stay invisible.
+    */
+  def eraseDoc(spark: SparkSession, countsPath: String, docs: DataFrame,
+      docId: Long, isRef: Column, features: Seq[(String, Column)],
+      weight: Column = org.apache.spark.sql.functions.lit(1L)): Unit =
+    StateCompactor.rewriteState(spark, countsPath,
+      Drift.featureCounts(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") =!= docId),
+        isRef, features, weight))
 
   /** Start the ingest stream over a `documents`-schema source. */
   def start(spark: SparkSession, source: DataFrame, countsPath: String,

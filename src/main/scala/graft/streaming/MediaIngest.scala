@@ -57,6 +57,41 @@ object MediaIngest {
     StateCompactor.compactWith(spark, path, Seq("content_hash"),
       Seq("canonical_id" -> "min", "n_copies" -> "sum"))
 
+  /** Right-to-be-forgotten over the media-dedup state: additive
+    * counts can't subtract and a min-merged canonical id can't
+    * un-min (the state never kept the second-smallest owner), so the
+    * whole visible state folds into a new generation computed from
+    * the retained corpus — [[StateCompactor.rewriteState]]'s
+    * manifest-committed rebuild, the [[SegmentIngest.eraseDoc]]
+    * contract at whole-asset grain. `media` is the full media corpus
+    * the ingest has seen (caller-owned); a stale-frame guard refuses
+    * a frame carrying content hashes the state never admitted.
+    * Quiesced-slot + replay invisibility + crash re-runnability
+    * inherited from rewriteState.
+    */
+  def eraseMedia(spark: SparkSession, media: DataFrame, mediaId: Long,
+      path: String): Unit = {
+    val retained = media.filter(col("media_id") =!= mediaId)
+    val newState = retained
+      .select(md5(col("bytes")).as("content_hash"), col("media_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("media_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .localCheckpoint(true) // pinned: guard probe + generation write
+    try {
+      val unseen = newState.select(col("content_hash"))
+        .join(StateCompactor.readState(spark, path).select(col("content_hash")),
+          Seq("content_hash"), "left_anti")
+      if (!unseen.isEmpty)
+        throw new IllegalArgumentException(
+          s"eraseMedia: media frame contains content the state at $path " +
+            "never ingested — wrong corpus for this state root")
+      StateCompactor.rewriteState(spark, path, newState)
+    } finally newState.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+  }
+
   /** Start the ingest stream over a `media`-schema source. */
   def start(spark: SparkSession, source: DataFrame, path: String,
       checkpoint: String,

@@ -238,6 +238,103 @@ class IngestEraseSpec extends SparkSuite {
     LmIngest.compact(spark, s"$t2/grams", s"$t2/census")
   }
 
+  test("media-ingest erase: state == rebuild-without-media; replay can't resurface; canonical re-mins") {
+    import graft.streaming.MediaIngest
+    import graft.multimodal.Media
+    val ev = Tables.events(spark, sfDir)
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val batches = Seq(
+      ev.filter(col("event_id") <= maxId / 3),
+      ev.filter(col("event_id") > maxId / 3 && col("event_id") <= 2 * maxId / 3),
+      ev.filter(col("event_id") > 2 * maxId / 3))
+    val t = tmp("graft_media_erase")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      MediaIngest.processBatch(Media.mediaFromEvents(b), i.toLong, s"$t/m") }
+    val media = Media.mediaFromEvents(ev)
+    // victim: a canonical owner of duplicated content — its erase must
+    // hand the canonical id to the next-smallest copy, not drop it
+    val victim = MediaIngest.readDedup(spark, s"$t/m")
+      .filter(col("n_copies") > 1).agg(min(col("canonical_id")))
+      .head().getLong(0)
+    MediaIngest.eraseMedia(spark, media, victim, s"$t/m")
+    val retained = media.filter(col("media_id") =!= victim)
+    val want = rows(retained
+      .select(md5(col("bytes")).as("content_hash"), col("media_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("media_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies")))
+    assert(rows(MediaIngest.readDedup(spark, s"$t/m")) == want)
+    assert(MediaIngest.readDedup(spark, s"$t/m")
+      .filter(col("canonical_id") === victim).isEmpty)
+    // replay of the last (folded) batch writes invisible partitions
+    MediaIngest.processBatch(Media.mediaFromEvents(batches(2)), 2L, s"$t/m")
+    assert(rows(MediaIngest.readDedup(spark, s"$t/m")) == want)
+    // post-erase ingest + compaction stay consistent
+    MediaIngest.processBatch(
+      Media.mediaFromEvents(batches(0).filter(col("event_id") =!= victim)),
+      3L, s"$t/m")
+    MediaIngest.compact(spark, s"$t/m")
+    assert(MediaIngest.readDedup(spark, s"$t/m")
+      .filter(col("canonical_id") === victim).isEmpty)
+    // stale-frame guard
+    intercept[IllegalArgumentException] {
+      MediaIngest.eraseMedia(spark,
+        media.withColumn("bytes",
+          concat(col("bytes"), lit("zz").cast("binary"))),
+        victim + 1, s"$t/m")
+    }
+  }
+
+  test("boilerplate-ingest erase: counts rebuild from segs state; under-threshold copies resurface") {
+    import graft.streaming.BoilerplateIngest
+    val d = Tables.documents(spark, sfDir)
+    val batches = docBatches(d)
+    val t = tmp("graft_boil_erase")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      BoilerplateIngest.release(
+        BoilerplateIngest.processBatch(b, i.toLong, s"$t/segs", s"$t/cnt")) }
+    // victim: a contributor to some corpus-repeated segment, so the
+    // erase moves a global count (possibly back under the threshold)
+    val victim = NearDup.segmentsOf(d, 10)
+      .groupBy(md5(col("seg")).as("h")).agg(min(col("doc_id")).as("first"),
+        countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).agg(min(col("first"))).head().getLong(0)
+    BoilerplateIngest.eraseDoc(spark, s"$t/segs", s"$t/cnt", victim)
+    val retained = d.filter(col("doc_id") =!= victim)
+    val want = rows(NearDup.boilerplateScrub(retained))
+    assert(rows(BoilerplateIngest.readScrubbed(spark, s"$t/segs", s"$t/cnt")) == want)
+    // idempotent re-run (crash-between-folds recovery)
+    BoilerplateIngest.eraseDoc(spark, s"$t/segs", s"$t/cnt", victim)
+    assert(rows(BoilerplateIngest.readScrubbed(spark, s"$t/segs", s"$t/cnt")) == want)
+    // replay of the last (folded) batch writes invisible partitions
+    BoilerplateIngest.release(
+      BoilerplateIngest.processBatch(batches(2), 2L, s"$t/segs", s"$t/cnt"))
+    assert(rows(BoilerplateIngest.readScrubbed(spark, s"$t/segs", s"$t/cnt")) == want)
+  }
+
+  test("drift-ingest erase: counts rebuild from the retained corpus; audit == rebuild-without-doc") {
+    import graft.streaming.DriftIngest
+    import graft.ops.Drift
+    val d = Tables.documents(spark, sfDir)
+    val batches = docBatches(d)
+    val feats = Seq("lang" -> col("lang"), "source" -> col("source"))
+    val isRef = col("doc_id") % 2 === 0
+    val t = tmp("graft_drift_erase")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DriftIngest.processBatch(b, i.toLong, s"$t/cnt", isRef, feats) }
+    val victim = d.agg(min(col("doc_id"))).head().getLong(0)
+    DriftIngest.eraseDoc(spark, s"$t/cnt", d, victim, isRef, feats)
+    val want = rows(Drift.audit(d.filter(col("doc_id") =!= victim), isRef, feats))
+    assert(rows(DriftIngest.readAudit(spark, s"$t/cnt")) == want)
+    // replay of the last (folded) batch writes invisible partitions
+    DriftIngest.processBatch(batches(2), 2L, s"$t/cnt", isRef, feats)
+    assert(rows(DriftIngest.readAudit(spark, s"$t/cnt")) == want)
+    // post-erase ingest of genuinely new mass still lands
+    DriftIngest.processBatch(
+      batches(0).filter(col("doc_id") =!= victim), 3L, s"$t/cnt", isRef, feats)
+    assert(DriftIngest.readAudit(spark, s"$t/cnt").count() == 2)
+  }
+
   test("importance-profile erase: negative delta == rebuild-without-doc; idempotent") {
     import graft.serving.ImportanceProfile
     val d = Tables.documents(spark, sfDir)
