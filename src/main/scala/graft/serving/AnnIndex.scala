@@ -111,7 +111,9 @@ object AnnIndex {
     // band-index read
     val p = new org.apache.hadoop.fs.Path(root)
     val f = fs(spark, root)
-    val exists = f.exists(p)
+    // an existing-but-EMPTY directory (a pre-created temp/mount point)
+    // is a fresh index, not a pre-manifest layout
+    val exists = f.exists(p) && f.listStatus(p).nonEmpty
     val pd = if (exists) prefixDims(spark, root) else bootstrapPrefixDims
     val existing =
       if (exists) spark.read.parquet(root).select(col("vec_id"))
@@ -195,6 +197,20 @@ object AnnIndex {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
   }
+
+  /** Small-file maintenance for an always-appending IVF ingest
+    * ([[graft.streaming.EmbedIngest]]'s 10 s triggers leave one
+    * parquet file per cell per batch): every cell directory holding
+    * at least `minFiles` files rewrites as one file, via
+    * [[EraseStage]]'s staged commit — kept vectors are durable before
+    * any directory drops, so a crash mid-compact is recoverable.
+    * Unfragmented cells are neither read nor written; queries and
+    * appends see identical content (same rows, same columns, fewer
+    * files). Returns the compacted cell ids.
+    */
+  def compactCells(spark: SparkSession, root: String,
+      minFiles: Int = 8): Seq[String] =
+    EraseStage.compactFragmented(spark, root, "", "cell", minFiles)
 
   /** Matryoshka-prefix top-k against the materialized index
     * ([[graft.ops.Ann.truncatedKnn]]'s two-stage semantics, served):

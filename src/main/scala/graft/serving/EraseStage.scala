@@ -2,6 +2,7 @@ package graft.serving
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Staged-commit protocol for the materialized-index erases
   * ([[SearchIndex.eraseDocs]], [[AnnIndex.erase]], [[PqIndex.erase]],
@@ -97,6 +98,39 @@ private[graft] object EraseStage {
     val f = fs(spark, root)
     if (!f.exists(new Path(s"${stageDir(root)}/_manifest"))) false
     else { apply(spark, root); true }
+  }
+
+  /** Small-file maintenance for an append-fragmented partitioned
+    * table — the compaction side of the same staged-commit protocol
+    * (Pinot's minion merge task analog): every partition directory
+    * holding at least `minFiles` parquet files is rewritten as one
+    * file (its rows staged durably, then swapped in); partitions
+    * below the threshold are neither read nor written. Returns the
+    * partition values compacted (empty = nothing fragmented).
+    * Quiesced maintenance slot; crash-mid-compact is recoverable via
+    * [[recover]] exactly like an erase.
+    */
+  private[graft] def compactFragmented(spark: SparkSession, root: String,
+      table: String, partCol: String, minFiles: Int): Seq[String] = {
+    recover(spark, root)
+    val f = fs(spark, root)
+    val tp = new Path(tablePath(root, table))
+    if (!f.exists(tp)) return Seq.empty
+    val frag = f.listStatus(tp).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(s"$partCol="))
+      .filter(p => f.listStatus(p)
+        .count(_.getPath.getName.endsWith(".parquet")) >= minFiles)
+      .map(_.getName.stripPrefix(s"$partCol="))
+    if (frag.isEmpty) return Seq.empty
+    val kept = spark.read.parquet(tp.toString)
+      .filter(col(partCol).cast("string").isin(frag: _*))
+      // one shuffle task per fragmented partition -> one output file
+      // per rewritten directory
+      .repartition(frag.size, col(partCol))
+    run(spark, root, Seq(Swap(table, partCol, frag) -> kept))
+    frag
   }
 
   private def apply(spark: SparkSession, root: String): Unit = {

@@ -89,6 +89,18 @@ object PqIndex {
     * recoverable from the durable stage ([[EraseStage.recover]],
     * run at the start of every erase). Absent ids no-op.
     */
+  /** Small-file maintenance for the appended code table — the
+    * [[AnnIndex.compactCells]] twin over `codes/cell=` directories
+    * (same staged commit, same fragmentation threshold, same
+    * identical-content contract). Returns the compacted cell ids.
+    */
+  def compactCells(spark: SparkSession, root: String,
+      minFiles: Int = 8): Seq[String] = {
+    val done = EraseStage.compactFragmented(spark, root, "codes", "cell", minFiles)
+    if (done.nonEmpty) loaded.remove(root)
+    done
+  }
+
   def erase(spark: SparkSession, root: String, vecIds: Seq[Long]): Unit = {
     if (vecIds.isEmpty) return
     if (EraseStage.recover(spark, root)) loaded.remove(root)

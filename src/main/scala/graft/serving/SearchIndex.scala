@@ -122,6 +122,47 @@ object SearchIndex {
     frameCache.keys.filter(_._1 == root).foreach(frameCache.remove)
   }
 
+  /** Segment-merge maintenance — the Pinot minion merge/rollup-task
+    * analog for this index: a long-running 10 s-trigger ingest
+    * ([[graft.streaming.SearchIngest]]) fragments every postings
+    * bucket into one parquet file per batch and stats/meta into one
+    * delta row per batch, so queries pay directory listings and the
+    * per-delta_id collapse forever. Compaction consolidates all of
+    * it: df/N deltas re-aggregate into ONE delta (read-side totals
+    * unchanged — df and N are additive and the collapse-then-sum read
+    * is invariant to regrouping), and postings buckets rewrite at one
+    * file per bucket. The whole rewrite rides [[EraseStage]]'s
+    * staged-commit (kept rows durable + atomic manifest before any
+    * directory drops), so a crash mid-compact is recoverable, not a
+    * holed index. Quiesced maintenance slot, like the erases; the
+    * consolidated `compact_<N>` delta_id cannot collide with append
+    * ids (pure content hashes of doc-id sets).
+    */
+  def compact(spark: SparkSession, root: String): Unit = {
+    if (EraseStage.recover(spark, root)) invalidateFrames(root)
+    val post = spark.read.parquet(s"$root/postings")
+    val buckets = post.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded: <= nBuckets
+    if (buckets.isEmpty) return
+    val n = corpusSize(spark, root)
+    val deltaId = s"compact_$n"
+    val stats = spark.read.parquet(s"$root/stats")
+      .groupBy(col("bucket"), col("tok"), col("delta_id"))
+      .agg(max(col("df_delta")).as("df_delta"))
+      .groupBy(col("bucket"), col("tok"))
+      .agg(sum(col("df_delta")).as("df_delta"))
+      .withColumn("delta_id", lit(deltaId))
+    import spark.implicits._
+    val affected = buckets.map(_.toString)
+    EraseStage.run(spark, root, Seq(
+      EraseStage.Swap("stats", "bucket", affected) -> stats,
+      EraseStage.Overwrite("meta") ->
+        Seq((deltaId, n)).toDF("delta_id", "n_delta"),
+      EraseStage.Swap("postings", "bucket", affected) ->
+        post.repartition(buckets.size, col("bucket"))))
+    invalidateFrames(root)
+  }
+
   /** Targeted DOCUMENT ERASURE — right-to-be-forgotten for the
     * inverted index, with SCORING consistency: removing a doc must
     * also shrink its terms' document frequencies and the corpus size

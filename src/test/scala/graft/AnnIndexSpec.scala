@@ -131,6 +131,38 @@ class AnnIndexSpec extends SparkSuite {
     assert(spark.read.parquet(p).count() === before)
   }
 
+  test("cell compaction: fragmented cells rewrite to one file, untouched cells keep their files; queries identical") {
+    val p = java.nio.file.Files.createTempDirectory("ann_index_cmp").toString
+    // fragment: 6 small appends leave ~6 files in every touched cell
+    (0 until 6).foreach(i =>
+      AnnIndex.append(spark, p, emb.filter($"vec_id" % 6 === i), centroids))
+    val queries = emb.filter($"vec_id" < 10)
+    val baseline = AnnIndex.query(spark, p, queries, centroids, k = 5, nprobe = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    def filesPerCell(): Map[String, Int] =
+      Option(new java.io.File(p).listFiles).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles.count(_.getName.endsWith(".parquet"))).toMap
+    val before = filesPerCell()
+    val fragmented = before.filter(_._2 >= 4).keySet.map(_.stripPrefix("cell="))
+    assert(fragmented.nonEmpty) // the scenario is non-vacuous
+    val compacted = AnnIndex.compactCells(spark, p, minFiles = 4).toSet
+    assert(compacted === fragmented)
+    val after = filesPerCell()
+    compacted.foreach(c => assert(after(s"cell=$c") === 1))
+    before.filter(_._2 < 4).foreach { case (c, n) => assert(after(c) === n) }
+    assert(AnnIndex.query(spark, p, queries, centroids, k = 5, nprobe = 8)
+      .as[(Long, Long, Long)].collect().toSet === baseline)
+    // append-after-compact stays idempotent (the content-keyed guard
+    // reads the rewritten layout)
+    val rows = spark.read.parquet(p).count()
+    AnnIndex.append(spark, p, emb.filter($"vec_id" % 6 === 0), centroids)
+    assert(spark.read.parquet(p).count() === rows)
+    // nothing fragmented -> no-op
+    assert(AnnIndex.compactCells(spark, p, minFiles = 4).isEmpty)
+  }
+
   test("vector erasure: erased index equals brute force without the vectors; replay no-op") {
     val erased = (30L to 34L).toSeq
     val p = java.nio.file.Files.createTempDirectory("ann_index_erase").toString

@@ -70,6 +70,25 @@ class PqIndexSpec extends SparkSuite {
       "replayed append changed the index")
   }
 
+  test("cell compaction over codes: fewer files, identical serving") {
+    val p = java.nio.file.Files.createTempDirectory("pq_index_cmp").toString
+    PqIndex.materialize(spark, emb.filter($"vec_id" < 250), p)
+    (0 until 5).foreach(i => PqIndex.append(spark, p,
+      emb.filter($"vec_id" >= 250 && $"vec_id" % 5 === i)))
+    val baseline = served(p)
+    def files() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).toSeq.flatten.flatMap(c =>
+          if (c.isDirectory) walk(c) else Seq(c))
+      walk(new java.io.File(s"$p/codes")).count(_.getName.endsWith(".parquet"))
+    }
+    val before = files()
+    val compacted = PqIndex.compactCells(spark, p, minFiles = 3)
+    assert(compacted.nonEmpty)
+    assert(files() < before)
+    assert(served(p) === baseline)
+  }
+
   test("vector erasure: codes vanish; results equal an index encoding the corpus without them") {
     val erased = (30L to 34L).toSeq
     val p = java.nio.file.Files.createTempDirectory("pq_index_erase").toString

@@ -157,6 +157,46 @@ class SearchIndexSpec extends SparkSuite {
     assert(served(p).as[(Long, Long, Long)].collect().toSet === baseline)
   }
 
+  test("compaction consolidates deltas and bucket files; queries, appends and erases unchanged") {
+    // fragment the index the way a 10s-trigger ingest does: many
+    // small appends -> one delta + one file set per batch
+    val p = java.nio.file.Files.createTempDirectory("search_index_cmp").toString
+    val slices = (0 until 5).map(i => docs.filter($"doc_id" % 5 === i))
+    SearchIndex.materialize(slices.head, p)
+    slices.tail.foreach(s => SearchIndex.append(spark, p, s))
+    val baseline = served(p).as[(Long, Long, Long)].collect().toSet
+    def deltaIds() = spark.read.parquet(s"$p/meta")
+      .select($"delta_id").distinct().count()
+    def postFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).toSeq.flatten.flatMap(c =>
+          if (c.isDirectory) walk(c) else Seq(c))
+      walk(new java.io.File(s"$p/postings"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    assert(deltaIds() === 5L)
+    val filesBefore = postFiles()
+    SearchIndex.compact(spark, p)
+    // one consolidated delta; per-bucket single files; same answers
+    assert(deltaIds() === 1L)
+    assert(postFiles() < filesBefore)
+    assert(served(p).as[(Long, Long, Long)].collect().toSet === baseline)
+    assert(spark.read.parquet(s"$p/meta").agg(sum($"n_delta")).head().getLong(0)
+      === docs.count())
+    // append-after-compact: replayed docs still rejected, new N exact
+    SearchIndex.append(spark, p, slices.head) // full replay: no-op
+    assert(served(p).as[(Long, Long, Long)].collect().toSet === baseline)
+    // erase-after-compact still scores like a rebuild without the docs
+    SearchIndex.eraseDocs(spark, p, Seq(0L, 1L))
+    val rebuilt = java.nio.file.Files.createTempDirectory("search_index_cmp_rb").toString
+    SearchIndex.materialize(docs.filter($"doc_id" >= 2), rebuilt)
+    val q = docs.filter($"doc_id" >= 5 && $"doc_id" < 10)
+    assert(SearchIndex.query(spark, p, q, k = 10)
+      .as[(Long, Long, Long)].collect().toSet ===
+      SearchIndex.query(spark, rebuilt, q, k = 10)
+        .as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("document erasure: scores equal a rebuild without the docs; df and N shrink; replay no-op") {
     val erased = Seq(7L, 8L, 9L)
     val p = java.nio.file.Files.createTempDirectory("search_index_erase").toString
