@@ -132,6 +132,36 @@ object NearDupIndex {
     invalidate(root)
   }
 
+  /** Small-file maintenance for the appended index — the
+    * [[AnnIndex.compactCells]] twin: an admit-time ingest leaves one
+    * file per band bucket per batch AND appends per-batch files to
+    * the flat id-sorted docs/postings tables. Fragmented band buckets
+    * rewrite per-directory ([[EraseStage.compactFragmented]]); a flat
+    * table at ≥ `minFiles` files rewrites whole, re-sorted by doc_id
+    * with its bloom layout ([[EraseStage]] Overwrite legs — staged
+    * durably, crash-mid-compact recoverable). Identical content
+    * before and after; returns what was compacted.
+    */
+  def compact(spark: SparkSession, root: String, n: Int = 3,
+      minFiles: Int = 8): Seq[String] = {
+    val bands = EraseStage.compactFragmented(spark, root, "bands", "bucket", minFiles)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(t: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$t")
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    val bloom = Map("parquet.bloom.filter.enabled#doc_id" -> "true")
+    val flat = Seq("docs", s"postings_$n").filter(files(_) >= minFiles)
+    if (flat.nonEmpty)
+      EraseStage.run(spark, root, flat.map(t =>
+        EraseStage.Overwrite(t, bloom) ->
+          spark.read.parquet(s"$root/$t").sort(col("doc_id"))))
+    if (bands.nonEmpty || flat.nonEmpty) invalidate(root)
+    bands.map(b => s"bands/bucket=$b") ++ flat
+  }
+
   /** Targeted DOCUMENT ERASURE — right-to-be-forgotten for the
     * near-dup index: the erased docs' band rows leave only their own
     * bucket directories (found with one id-filtered scan), while

@@ -145,6 +145,28 @@ object StarTree {
     }.foreach(_.unpersist(blocking = false))
   }
 
+  /** Right-to-be-forgotten over the star-tree state: the node tables
+    * are dimension-keyed SUM/COUNT aggregates with no user dimension,
+    * so the erased user's mass can only leave by rebuilding from the
+    * retained fact — the [[Serving.eraseUser]] contract, here as a
+    * whole-tree rewrite because the tree is tiny by construction
+    * (2^d nodes over bounded dim alphabets, never fact-sized).
+    * `events` is the full fact frame the tree has ingested
+    * (caller-owned); the recorded last batch id is preserved, so a
+    * replay of an already-applied batch stays a no-op and cannot
+    * resurface the erased mass. Crash mid-rewrite: re-run the erase
+    * (the rebuild reads only the caller's frame, never the nodes).
+    */
+  def eraseUser(spark: SparkSession, root: String, events: DataFrame,
+      userId: Long): Unit = this.synchronized {
+    val metaP = new org.apache.hadoop.fs.Path(s"$root/meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaP), s"no star-tree at $root")
+    val last = spark.read.parquet(s"$root/meta").head().getAs[Long]("last_batch_id")
+    writeNodes(root, baseAgg(events.filter(col("user_id") =!= userId)))
+    writeMeta(spark, root, last)
+  }
+
   // fingerprint-keyed root + in-process guard, the Serving.materialize
   // freshness discipline: a regenerated dataset gets a new directory
   private val built = scala.collection.concurrent.TrieMap.empty[String, String]

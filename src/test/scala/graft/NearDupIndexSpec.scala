@@ -128,6 +128,33 @@ class NearDupIndexSpec extends SparkSuite {
     assert(served(p) === served(root))
   }
 
+  test("compaction: fragmented bands + flat tables rewrite; serving identical; append continues") {
+    val p = java.nio.file.Files.createTempDirectory("neardup_index_cmp").toString
+    NearDupIndex.materialize(corpus.filter($"doc_id" % 5 === 0), p)
+    (1 until 5).foreach(i =>
+      NearDupIndex.append(spark, p, corpus.filter($"doc_id" % 5 === i)))
+    val baseline = served(p)
+    def files(t: String) =
+      Option(new java.io.File(s"$p/$t").listFiles).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    val docsBefore = files("docs")
+    assert(docsBefore >= 3) // fragmented by the appends
+    val done = NearDupIndex.compact(spark, p, minFiles = 3)
+    assert(done.contains("docs") && done.contains("postings_3"))
+    assert(files("docs") < docsBefore)
+    assert(served(p) === baseline)
+    // append-after-compact: the content-keyed guard reads the
+    // rewritten docs table, replays still add nothing
+    def counts() = (
+      spark.read.parquet(s"$p/bands").count(),
+      spark.read.parquet(s"$p/docs").count(),
+      spark.read.parquet(s"$p/postings_3").count())
+    val before = counts()
+    NearDupIndex.append(spark, p, corpus.filter($"doc_id" % 5 === 1))
+    assert(counts() === before)
+    assert(served(p) === baseline)
+  }
+
   test("document erasure: matches vanish, nothing of the doc remains, equals rebuild") {
     // erase docs that actually MATCH some query, so results must change
     val matched = served(root).map(_._2).toSeq.sorted.take(2)

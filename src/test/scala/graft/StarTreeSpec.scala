@@ -54,6 +54,33 @@ class StarTreeSpec extends SparkSuite {
     assert(nodes(inc) === nodes(full), "replayed batch changed the tree")
   }
 
+  test("user erasure: tree == rebuild-without-user; replayed batch can't resurface; refresh continues") {
+    val ev = Tables.events(spark, sfDir)
+    val victim = ev.agg(min(col("user_id"))).head().getLong(0)
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+    val half2 = ev.filter(col("event_id") % 2 === 1)
+    val t = java.nio.file.Files.createTempDirectory("startree_erase").toString
+    StarTree.materializeInto(spark, t, half1)
+    StarTree.refresh(spark, t, half2, batchId = 0L)
+    val retained = ev.filter(col("user_id") =!= victim)
+    StarTree.eraseUser(spark, t, ev, victim)
+    val want = java.nio.file.Files.createTempDirectory("startree_erase_rb").toString
+    StarTree.materializeInto(spark, want, retained)
+    def nodes(r: String) = spark.read.parquet(s"$r/nodes")
+      .collect().map(_.toSeq).toSet
+    assert(nodes(t) === nodes(want), "erased tree diverges from rebuild-without-user")
+    // the recorded batch id survives the erase: a replay of the
+    // already-applied batch is still a no-op (erased mass stays out)
+    StarTree.refresh(spark, t, half2, batchId = 0L)
+    assert(nodes(t) === nodes(want), "replayed batch resurfaced erased mass")
+    // post-erase refresh of genuinely new mass merges correctly
+    StarTree.refresh(spark, t, half1.filter(col("user_id") =!= victim), batchId = 1L)
+    val want2 = java.nio.file.Files.createTempDirectory("startree_erase_rb2").toString
+    StarTree.materializeInto(spark, want2,
+      retained.unionByName(half1.filter(col("user_id") =!= victim)))
+    assert(nodes(t) === nodes(want2))
+  }
+
   test("a node read prunes to one partition directory") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
