@@ -71,6 +71,15 @@ object CurationIngest {
   def readKept(spark: SparkSession, keptPath: String): DataFrame =
     StateCompactor.readState(spark, keptPath)
 
+  /** Fold committed batch partitions of both roots
+    * ([[SegmentIngest.compact]]'s twin at the fingerprint grain). */
+  def compact(spark: SparkSession, keptPath: String,
+      indexPath: String): Unit = {
+    StateCompactor.compactDistinct(spark, indexPath, Seq("fp"))
+    StateCompactor.compactDistinct(spark, keptPath,
+      Seq("fp", "doc_id", "lang", "source", "n_tokens"))
+  }
+
   /** Right-to-be-forgotten over the ingest-time curation state — the
     * [[SegmentIngest.eraseDoc]] contract on the fingerprint grain:
     * fold the admitted table AND the fingerprint admission index into

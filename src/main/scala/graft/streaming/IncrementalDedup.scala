@@ -97,6 +97,19 @@ object IncrementalDedup {
   def readAdmitted(spark: SparkSession, admittedPath: String): DataFrame =
     StateCompactor.readState(spark, admittedPath)
 
+  /** Fold committed batch partitions of the admitted corpus and the
+    * band index at their own grains (rows are disjoint across
+    * batches, so distinct folds are identity on content — the win is
+    * one directory instead of one per micro-batch).
+    */
+  def compact(spark: SparkSession, admittedPath: String,
+      indexPath: String): Unit = {
+    StateCompactor.compactDistinct(spark, indexPath,
+      Seq("doc_id", "band_idx", "band_hash"))
+    StateCompactor.compactDistinct(spark, admittedPath,
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
   /** Right-to-be-forgotten over the incremental-dedup state: fold the
     * victim's rows out of the admitted corpus AND its band postings
     * out of the LSH admission index (the index rows carry `doc_id`,

@@ -90,6 +90,20 @@ object SegmentIngest {
   def readKept(spark: SparkSession, keptPath: String): DataFrame =
     StateCompactor.readState(spark, keptPath)
 
+  /** Fold committed batch partitions of both roots at their own
+    * grains ([[StateCompactor]]'s maintenance slot; 10 s triggers
+    * otherwise fragment them into one directory per micro-batch):
+    * the hash index is set state (distinct `h`), the kept corpus is
+    * row state (distinct rows). Reads are unions re-deduped (or
+    * plain unions) over these, so compaction commutes with them.
+    */
+  def compact(spark: SparkSession, keptPath: String,
+      indexPath: String): Unit = {
+    StateCompactor.compactDistinct(spark, indexPath, Seq("h"))
+    StateCompactor.compactDistinct(spark, keptPath,
+      Seq("doc_id", "text_deduped", "segs_kept"))
+  }
+
   /** Right-to-be-forgotten over the ingest-time segment state: fold
     * BOTH roots — the admitted corpus and the segment-hash admission
     * index — into new generations computed from the retained raw

@@ -102,6 +102,19 @@ object SpanIngest {
   def readKept(spark: SparkSession, keptPath: String): DataFrame =
     StateCompactor.readState(spark, keptPath)
 
+  /** Fold committed batch partitions of both roots
+    * ([[SegmentIngest.compact]]'s twin). Only strictly-older batches
+    * fold, so the one replayable batch keeps its own live partition
+    * and the replay-exclusion read ([[readIndex]]'s `excludeBatchId`)
+    * still prunes it.
+    */
+  def compact(spark: SparkSession, keptPath: String,
+      indexPath: String): Unit = {
+    StateCompactor.compactDistinct(spark, indexPath, Seq("h"))
+    StateCompactor.compactDistinct(spark, keptPath,
+      Seq("doc_id", "text_scrubbed", "kept_tokens"))
+  }
+
   /** Right-to-be-forgotten over the ingest-time span state — the
     * [[SegmentIngest.eraseDoc]] contract, one grain finer: fold the
     * scrubbed corpus AND the gram-hash claim index into new

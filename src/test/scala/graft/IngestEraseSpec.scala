@@ -57,6 +57,11 @@ class IngestEraseSpec extends SparkSuite {
     val t = tmp("graft_seg_erase")
     batches.zipWithIndex.foreach { case (b, i) =>
       SegmentIngest.processBatch(b, i.toLong, s"$t/kept", s"$t/index") }
+    // compact first: the erase must reach a generation + live mix,
+    // and compaction itself must preserve reads
+    val preCompact = rows(SegmentIngest.readKept(spark, s"$t/kept"))
+    SegmentIngest.compact(spark, s"$t/kept", s"$t/index")
+    assert(rows(SegmentIngest.readKept(spark, s"$t/kept")) == preCompact)
     val victim = firstClaimerOf(
       NearDup.segmentsOf(docs, 10).select(md5(col("seg")).as("h"), col("doc_id")))
     val retained = docs.filter(col("doc_id") =!= victim)
@@ -105,6 +110,9 @@ class IngestEraseSpec extends SparkSuite {
     val t = tmp("graft_span_erase")
     batches.zipWithIndex.foreach { case (b, i) =>
       SpanIngest.processBatch(b, i.toLong, s"$t/kept", s"$t/index") }
+    val preCompact = rows(SpanIngest.readKept(spark, s"$t/kept"))
+    SpanIngest.compact(spark, s"$t/kept", s"$t/index")
+    assert(rows(SpanIngest.readKept(spark, s"$t/kept")) == preCompact)
     val victim = firstClaimerOf(
       NearDup.spanGramsOf(docs, 5).select(md5(col("gram")).as("h"), col("doc_id")))
     val retained = docs.filter(col("doc_id") =!= victim)
@@ -136,6 +144,9 @@ class IngestEraseSpec extends SparkSuite {
     // fingerprint either promotes to a successor (shared fp) or must
     // leave the index entirely (sole fp) — both branches asserted
     val cur = DocPipeline.curate(docs)
+    val preCompact = rows(CurationIngest.readKept(spark, s"$t/kept"))
+    CurationIngest.compact(spark, s"$t/kept", s"$t/index")
+    assert(rows(CurationIngest.readKept(spark, s"$t/kept")) == preCompact)
     val victim = CurationIngest.readKept(spark, s"$t/kept")
       .agg(min(col("doc_id"))).head().getLong(0)
     val victimFp = cur.filter(col("doc_id") === victim).head().getAs[String]("fp")
@@ -189,6 +200,8 @@ class IngestEraseSpec extends SparkSuite {
       .join(colliding, Seq("doc_id"), "left_anti")
       .agg(min(col("doc_id"))).head().getLong(0)
     val beforeAdm = rows(IncrementalDedup.readAdmitted(spark, s"$t/adm"))
+    IncrementalDedup.compact(spark, s"$t/adm", s"$t/index")
+    assert(rows(IncrementalDedup.readAdmitted(spark, s"$t/adm")) == beforeAdm)
     IncrementalDedup.eraseDoc(spark, s"$t/adm", s"$t/index", victim)
     // admission-preserving semantics: everything else stays admitted
     val afterAdm = rows(IncrementalDedup.readAdmitted(spark, s"$t/adm"))
