@@ -72,6 +72,19 @@ object BoilerplateIngest {
       .withColumnRenamed("text_deduped", "text_clean")
   }
 
+  /** Fold committed batch partitions of both roots at their own
+    * grains: the per-hash counts are additive (sum), the segment
+    * stream is row state disjoint across batches (distinct fold is
+    * identity on content). Threshold-at-read re-derives from both, so
+    * compaction commutes with [[readScrubbed]].
+    */
+  def compact(spark: SparkSession, segsPath: String,
+      countsPath: String): Unit = {
+    StateCompactor.compactAdditive(spark, countsPath, Seq("h"), Seq("cnt"))
+    StateCompactor.compactDistinct(spark, segsPath,
+      Seq("doc_id", "seg_idx", "seg", "h"))
+  }
+
   /** Right-to-be-forgotten over the boilerplate state: the global
     * frequency counts include the erased doc's segment occurrences,
     * and additive state can't subtract — but the counts are BY

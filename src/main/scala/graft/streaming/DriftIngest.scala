@@ -42,6 +42,13 @@ object DriftIngest {
     Drift.auditFromCounts(StateCompactor.readState(spark, countsPath)
       .select("feature", "value", "ca", "cb"))
 
+  /** Fold committed batch partitions at the count grain (sums are the
+    * state's own merge, so compaction commutes with [[readAudit]]).
+    */
+  def compact(spark: SparkSession, countsPath: String): Unit =
+    StateCompactor.compactAdditive(spark, countsPath,
+      Seq("feature", "value"), Seq("ca", "cb"))
+
   /** Right-to-be-forgotten over the drift-count state: the additive
     * (feature, value, ca, cb) deltas carry no doc dimension, so the
     * erased doc's mass can only leave by rebuilding the counts from

@@ -312,6 +312,10 @@ class IngestEraseSpec extends SparkSuite {
       .groupBy(md5(col("seg")).as("h")).agg(min(col("doc_id")).as("first"),
         countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1).agg(min(col("first"))).head().getLong(0)
+    // compaction preserves reads; the erase then reaches a gen+live mix
+    val preCompact = rows(BoilerplateIngest.readScrubbed(spark, s"$t/segs", s"$t/cnt"))
+    BoilerplateIngest.compact(spark, s"$t/segs", s"$t/cnt")
+    assert(rows(BoilerplateIngest.readScrubbed(spark, s"$t/segs", s"$t/cnt")) == preCompact)
     BoilerplateIngest.eraseDoc(spark, s"$t/segs", s"$t/cnt", victim)
     val retained = d.filter(col("doc_id") =!= victim)
     val want = rows(NearDup.boilerplateScrub(retained))
@@ -336,6 +340,9 @@ class IngestEraseSpec extends SparkSuite {
     batches.zipWithIndex.foreach { case (b, i) =>
       DriftIngest.processBatch(b, i.toLong, s"$t/cnt", isRef, feats) }
     val victim = d.agg(min(col("doc_id"))).head().getLong(0)
+    val preCompact = rows(DriftIngest.readAudit(spark, s"$t/cnt"))
+    DriftIngest.compact(spark, s"$t/cnt")
+    assert(rows(DriftIngest.readAudit(spark, s"$t/cnt")) == preCompact)
     DriftIngest.eraseDoc(spark, s"$t/cnt", d, victim, isRef, feats)
     val want = rows(Drift.audit(d.filter(col("doc_id") =!= victim), isRef, feats))
     assert(rows(DriftIngest.readAudit(spark, s"$t/cnt")) == want)
