@@ -39,6 +39,15 @@ class PlanSpec extends SparkSuite {
     assert(!pc.contains("w_ts"), "layout helper column must be pruned from the scan\n" + pc)
   }
 
+  test("decayed top-K served: the plan reads hourly state, never the fact table") {
+    // the point of the served variant: at 100 TB the decayed board
+    // recomputes from |hours|x|users| state rows, not from events —
+    // the scan must target agg_by_window and nothing events-shaped
+    val p = planOf(ServingQueries.topKDecayedServed(spark, sfDir))
+    assert(p.contains("agg_by_window") || p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("events.parquet"), "served decayed board scanned the fact table\n" + p)
+  }
+
   test("per-window top-K: rank filter becomes a partial+final WindowGroupLimit") {
     val p = planOf(EventQueries.topKWindowed(spark, sfDir))
     assert(p.contains("WindowGroupLimit"), p)
