@@ -33,6 +33,22 @@ object ContinuousTopK {
 
   val defaultStateCap = 1000
 
+  /** Erase sentinel: an update carrying this count removes the item's
+    * running totals from the group's MapState entirely and the
+    * corrected ranking re-emits — right-to-be-forgotten for a LIVE
+    * leaderboard, one grain finer than [[StreamErase]]'s whole-key
+    * tombstones (the user leaves the board, the board survives).
+    * Tombstones ride the same stream as updates, so they checkpoint
+    * and replay exactly-once like any event; within a batch they
+    * apply in arrival order, so a later re-add starts from zero.
+    */
+  val EraseCount: Long = Long.MinValue
+
+  /** A tombstone update erasing `itemId` from `groupKey`'s state. */
+  def eraseItem(groupKey: String, itemId: String,
+      ts: Timestamp = null): ItemUpdate =
+    ItemUpdate(groupKey, itemId, EraseCount, 0L, ts)
+
   def updateGroup(k: Int, stateCap: Int, idleTtlMs: Option[Long])(
       key: String,
       updates: Iterator[ItemUpdate],
@@ -42,8 +58,11 @@ object ContinuousTopK {
       val evs = updates.toSeq
       val prev = state.getOption.map(_.metrics).getOrElse(Map.empty)
       val merged = evs.foldLeft(prev) { (m, u) =>
-        val (c0, v0) = m.getOrElse(u.itemId, (0L, 0L))
-        m.updated(u.itemId, (c0 + u.count, v0 + u.valueCents))
+        if (u.count == EraseCount) m - u.itemId
+        else {
+          val (c0, v0) = m.getOrElse(u.itemId, (0L, 0L))
+          m.updated(u.itemId, (c0 + u.count, v0 + u.valueCents))
+        }
       }
       // bound state: keep top `stateCap` by (count, value, id)
       val bounded =

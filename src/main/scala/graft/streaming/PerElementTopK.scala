@@ -59,8 +59,14 @@ object PerElementTopK {
       var cur = Option(st.get()).getOrElse(TopKSnapshot(0L, Map.empty))
       val out = Seq.newBuilder[ElementRanked]
       rows.foreach { u =>
-        val (c0, v0) = cur.metrics.getOrElse(u.itemId, (0L, 0L))
-        var m = cur.metrics.updated(u.itemId, (c0 + u.count, v0 + u.valueCents))
+        // ContinuousTopK.EraseCount tombstone: the item's running
+        // totals leave the snapshot, the corrected board re-emits
+        var m =
+          if (u.count == ContinuousTopK.EraseCount) cur.metrics - u.itemId
+          else {
+            val (c0, v0) = cur.metrics.getOrElse(u.itemId, (0L, 0L))
+            cur.metrics.updated(u.itemId, (c0 + u.count, v0 + u.valueCents))
+          }
         if (m.size > stateCap)
           m = m.toSeq.sortBy { case (id, (c, v)) => (-c, -v, id) }
             .take(stateCap).toMap

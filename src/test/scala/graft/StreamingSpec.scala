@@ -102,6 +102,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("continuous top-K: an erase tombstone removes the item's running totals; a re-add starts from zero") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[ContinuousTopK.ItemUpdate]
+    val ranked = ContinuousTopK.rank(spark, mem.toDS(), k = 3)
+    val q = ranked.writeStream.format("memory")
+      .queryName("topk_erase_out").outputMode("append").start()
+    try {
+      mem.addData(
+        ContinuousTopK.ItemUpdate("r1", "alice", 5, 500),
+        ContinuousTopK.ItemUpdate("r1", "bob", 3, 300),
+        ContinuousTopK.ItemUpdate("r1", "carol", 1, 100))
+      q.processAllAvailable()
+      // right-to-be-forgotten for the live board: alice leaves state
+      mem.addData(ContinuousTopK.eraseItem("r1", "alice"))
+      q.processAllAvailable()
+      val afterErase = spark.table("topk_erase_out")
+        .as[ContinuousTopK.RankedItem].collect()
+        .groupBy(_.itemId).view.mapValues(_.toSeq).toMap
+      // the corrected ranking re-emitted without alice, bob promoted
+      assert(afterErase("bob").exists(_.rank == 1))
+      assert(afterErase("carol").exists(_.rank == 2))
+      // alice never appears past her pre-erase emission (rank 1, count 5)
+      assert(afterErase("alice").forall(r => r.rank == 1 && r.count == 5))
+      // a later re-add starts from ZERO, not from the erased totals
+      mem.addData(ContinuousTopK.ItemUpdate("r1", "alice", 1, 100))
+      q.processAllAvailable()
+      val all = spark.table("topk_erase_out")
+        .as[ContinuousTopK.RankedItem].collect()
+      // fresh count 1 ties carol; id asc puts alice at rank 2
+      assert(all.exists(r => r.itemId == "alice" && r.count == 1 && r.rank == 2))
+      assert(!all.exists(r => r.itemId == "alice" && r.count == 6))
+    } finally q.stop()
+  }
+
   test("continuous top-K: idle keys are evicted after the event-time TTL") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[ContinuousTopK.ItemUpdate]

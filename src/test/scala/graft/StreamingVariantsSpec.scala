@@ -52,6 +52,37 @@ class StreamingVariantsSpec extends SparkSuite {
     }
   }
 
+  test("per-element top-K: an erase tombstone removes the item mid-stream; re-emission excludes it") {
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[ContinuousTopK.ItemUpdate]
+      val ranked = PerElementTopK.rank(spark, mem.toDS(), k = 2)
+      val q = ranked.writeStream.format("memory")
+        .queryName("pe_topk_erase").outputMode("append").start()
+      try {
+        mem.addData(
+          ContinuousTopK.ItemUpdate("r1", "alice", 5, 500),
+          ContinuousTopK.ItemUpdate("r1", "bob", 1, 100))
+        q.processAllAvailable()
+        mem.addData(ContinuousTopK.eraseItem("r1", "alice"))
+        q.processAllAvailable()
+        val rows = spark.table("pe_topk_erase")
+          .as[PerElementTopK.ElementRanked].collect().toSeq
+        // the tombstone is an element: it bumps seq and re-emits the
+        // corrected board — bob alone, alice's totals gone from state
+        val afterErase = rows.filter(_.seq == 3L)
+        assert(afterErase.map(r => (r.itemId, r.rank, r.count)) === Seq(("bob", 1, 1L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("per-element top-K idle TTL evicts the snapshot; key restarts fresh") {
     implicit val sql = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
