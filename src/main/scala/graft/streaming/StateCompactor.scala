@@ -126,7 +126,7 @@ object StateCompactor {
     val cons = g.map(x => spark.read.parquet(genDir(path, x.gen)))
     (live, cons) match {
       case (Some(l), Some(c)) =>
-        Some(l.unionByName(c.select(l.columns.map(col): _*)))
+        Some(l.unionByName(c.select(l.columns.toIndexedSeq.map(col): _*)))
       case (Some(l), None) => Some(l)
       case (None, Some(c)) => Some(c)
       case (None, None) => None
@@ -166,7 +166,7 @@ object StateCompactor {
       .drop("batch_id")
     val withOld = cur.fold(parts) { g =>
       parts.unionByName(spark.read.parquet(genDir(path, g.gen))
-        .select(parts.columns.map(col): _*))
+        .select(parts.columns.toIndexedSeq.map(col): _*))
     }
     val merged =
       if (aggs.isEmpty) withOld.select(keys.map(col): _*).distinct()
