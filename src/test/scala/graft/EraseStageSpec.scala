@@ -78,6 +78,27 @@ class EraseStageSpec extends SparkSuite {
     assert(state(b) == want)
   }
 
+  test("overwrite legs: stage+recover replaces the whole table with writer options applied") {
+    val r = tmp()
+    build(r)
+    val leg: Seq[(EraseStage.Leg, DataFrame)] = Seq(
+      EraseStage.Overwrite("t",
+        Map("parquet.bloom.filter.enabled#id" -> "true")) ->
+        spark.read.parquet(s"$r/t").filter(col("id") < 20).sort(col("id")))
+    // commit, then crash before any apply — recover must complete the
+    // whole-table replacement (the NearDupIndex docs/postings shape)
+    EraseStage.stage(spark, r, leg)
+    assert(EraseStage.recover(spark, r))
+    val after = spark.read.parquet(s"$r/t")
+    assert(after.count() == 20 && after.agg(max(col("id"))).head().getLong(0) == 19L)
+    assert(!EraseStage.recover(spark, r))
+    // a second, crash-free run over the rewritten table also works
+    EraseStage.run(spark, r, Seq(
+      EraseStage.Overwrite("t") ->
+        spark.read.parquet(s"$r/t").filter(col("id") < 10)))
+    assert(spark.read.parquet(s"$r/t").count() == 10)
+  }
+
   test("crash BEFORE the manifest leaves the index untouched; the next run sweeps the debris") {
     val c = tmp()
     build(c)
