@@ -142,6 +142,11 @@ object AnnIndex {
       centroids: Seq[Seq[Double]], k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       broadcastQueries: Boolean = true): DataFrame = {
+    // READ-PATH recovery (one FS existence check; this index caches
+    // no frames, so the check rides every query): a crash mid-apply
+    // of a staged erase/compaction no longer serves holed cells until
+    // the next maintenance op happens to run
+    EraseStage.recover(spark, root)
     val index = spark.read.parquet(root)
     val q = queries.select(
         col(idCol).as("query_id"),
@@ -184,18 +189,28 @@ object AnnIndex {
   def erase(spark: SparkSession, root: String, vecIds: Seq[Long]): Unit = {
     if (vecIds.isEmpty) return
     EraseStage.recover(spark, root)
+    val legs = eraseLegs(spark, root, vecIds)
+    if (legs.isEmpty) return
+    EraseStage.run(spark, root, legs)
+    legs.map(_._2).foreach(_.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false)))
+  }
+
+  /** The staged legs [[erase]] commits — the seam the read-path
+    * recovery specs use to crash exactly at the manifest commit and
+    * assert a plain [[query]] completes the erase.
+    */
+  private[graft] def eraseLegs(spark: SparkSession, root: String,
+      vecIds: Seq[Long]): Seq[(EraseStage.Leg, DataFrame)] = {
     val index = spark.read.parquet(root)
     val cells = index.filter(col("vec_id").isin(vecIds: _*))
       .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
-    if (cells.isEmpty) return
+    if (cells.isEmpty) return Seq.empty
     val keep = index.filter(col("cell").isin(cells: _*))
       .filter(!col("vec_id").isin(vecIds: _*))
       .localCheckpoint(true)
-    EraseStage.run(spark, root, Seq(
-      EraseStage.Swap("", "cell", cells.map(_.toString)) -> keep))
-    keep.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    Seq(EraseStage.Swap("", "cell", cells.map(_.toString)) -> keep)
   }
 
   /** Small-file maintenance for an always-appending IVF ingest
@@ -230,6 +245,7 @@ object AnnIndex {
       k: Int, candidates: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    EraseStage.recover(spark, root) // the [[query]] read-path check
     val pd = prefixDims(spark, root)
     val q = queries.select(
         col(idCol).as("query_id"),

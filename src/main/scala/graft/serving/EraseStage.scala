@@ -34,21 +34,67 @@ import org.apache.spark.sql.functions.col
 private[graft] object EraseStage {
 
   /** One table rewrite within an erase.
-    *  - `Swap(table, partCol, affected)`: delete the affected
-    *    `partCol=<v>` directories, append the staged rows back
-    *    (which by construction touch only those partitions).
-    *  - `Overwrite(table, options)`: replace the whole table with the
-    *    staged rows (per-table writer options, e.g. bloom filters).
+    *  - `Swap(table, partCol, affected, sortCols, options)`: delete
+    *    the affected `partCol=<v>` directories, append the staged
+    *    rows back (which by construction touch only those
+    *    partitions). When `sortCols` is non-empty, [[apply]]
+    *    repartitions by the partition column and re-sorts within
+    *    partitions before writing — preserving the one-file-per-
+    *    partition sorted layout the serving write paths use.
+    *  - `Overwrite(table, options, sortCol)`: replace the whole table
+    *    with the staged rows (per-table writer options, e.g. bloom
+    *    filters). `sortCol` records a required sort layout IN THE
+    *    MANIFEST so [[apply]] re-sorts after re-reading the staged
+    *    files — the staged read may combine range-partitioned files
+    *    in arbitrary order, which would otherwise interleave sorted
+    *    runs and degrade per-file min/max pruning (the
+    *    [[NearDupIndex]] docs/postings layout).
     *  - `Append(table)`: plain append of the staged rows (for
     *    content-keyed delta tables whose readers dedup).
-    * `table` is root-relative; "" is the root itself.
+    * `table` is root-relative; "" is the root itself — legal for
+    * Swap (partition dirs swap under the root) but forbidden for
+    * Overwrite: overwriting the root would delete the `_erase_stage`
+    * directory its own lazily-read staged rows live in, mid-apply.
     */
   sealed trait Leg { def table: String }
   final case class Swap(table: String, partCol: String,
-    affected: Seq[String]) extends Leg
-  final case class Overwrite(table: String,
+    affected: Seq[String], sortCols: Seq[String] = Nil,
     options: Map[String, String] = Map.empty) extends Leg
+  final case class Overwrite(table: String,
+    options: Map[String, String] = Map.empty,
+    sortCol: Option[String] = None) extends Leg
   final case class Append(table: String) extends Leg
+
+  // the manifest is a TSV with comma-joined lists — any of these in a
+  // field would corrupt the line format silently, so refuse at stage
+  // time (current callers only pass integer/date partition values and
+  // fixed parquet options; this pins the latent contract)
+  private val seps = Seq('\t', '\n', '\r', ',')
+  private def clean(what: String, v: String, extra: Seq[Char] = Nil): Unit =
+    require(!v.exists((seps ++ extra).contains(_)),
+      s"EraseStage $what contains a manifest separator character: '$v'")
+  private def cleanOpts(o: Map[String, String]): Unit =
+    o.foreach { case (k, v) =>
+      clean("option key", k, Seq('=')); clean("option value", v) }
+  private def validate(leg: Leg): Unit = leg match {
+    case Swap(t, pc, a, sc, o) =>
+      clean("table", t); clean("partCol", pc)
+      a.foreach(clean("partition value", _))
+      sc.foreach(clean("sort column", _))
+      cleanOpts(o)
+    case Overwrite(t, o, sc) =>
+      require(t.nonEmpty,
+        "EraseStage.Overwrite(\"\") would overwrite the root and " +
+          "delete the _erase_stage directory its own staged read " +
+          "needs; give the root's tables their own subdirectories")
+      clean("table", t)
+      cleanOpts(o)
+      sc.foreach(clean("sortCol", _))
+    case Append(t) => clean("table", t)
+  }
+
+  private def optStr(o: Map[String, String]): String =
+    o.map { case (k, v) => s"$k=$v" }.mkString(",")
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -75,18 +121,22 @@ private[graft] object EraseStage {
     */
   private[graft] def stage(spark: SparkSession, root: String,
       legs: Seq[(Leg, DataFrame)]): Unit = {
+    legs.foreach { case (l, _) => validate(l) }
     val f = fs(spark, root)
     f.delete(new Path(stageDir(root)), true) // pre-manifest debris
     legs.zipWithIndex.foreach { case ((_, kept), i) =>
       kept.write.mode("overwrite").parquet(s"${stageDir(root)}/leg=$i") }
-    // COMMIT POINT: atomic create of the manifest inside the stage
+    // COMMIT POINT: atomic create of the manifest inside the stage.
+    // Line format (7 tab-separated fields):
+    //   idx  kind  table  partCol  affected  sort  options
     val out = f.create(new Path(s"${stageDir(root)}/_manifest"), false)
     try out.write(legs.zipWithIndex.map { case ((l, _), i) =>
       l match {
-        case Swap(t, pc, a) => s"$i\tswap\t$t\t$pc\t${a.mkString(",")}"
-        case Overwrite(t, o) =>
-          s"$i\toverwrite\t$t\t${o.map { case (k, v) => s"$k=$v" }.mkString(",")}\t"
-        case Append(t) => s"$i\tappend\t$t\t\t"
+        case Swap(t, pc, a, sc, o) =>
+          s"$i\tswap\t$t\t$pc\t${a.mkString(",")}\t${sc.mkString(",")}\t${optStr(o)}"
+        case Overwrite(t, o, sc) =>
+          s"$i\toverwrite\t$t\t\t\t${sc.getOrElse("")}\t${optStr(o)}"
+        case Append(t) => s"$i\tappend\t$t\t\t\t\t"
       }
     }.mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
   }
@@ -142,23 +192,40 @@ private[graft] object EraseStage {
         .filter(_.nonEmpty).toVector
       finally in.close()
     lines.foreach { line =>
-      val Array(i, kind, table, p3, p4) = line.split("\t", -1)
+      val Array(i, kind, table, partCol, affected, sort, opts) =
+        line.split("\t", -1)
       val staged = spark.read.parquet(s"${stageDir(root)}/leg=$i")
       val target = tablePath(root, table)
+      def withOpts(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {
+        opts.split(",").filter(_.nonEmpty).foreach { kv =>
+          val eq = kv.indexOf('=')
+          w.option(kv.substring(0, eq), kv.substring(eq + 1))
+        }
+        w
+      }
       kind match {
         case "swap" =>
-          p4.split(",").filter(_.nonEmpty).foreach(v =>
-            f.delete(new Path(s"$target/$p3=$v"), true))
-          staged.write.mode("append").partitionBy(p3).parquet(target)
+          affected.split(",").filter(_.nonEmpty).foreach(v =>
+            f.delete(new Path(s"$target/$partCol=$v"), true))
+          // re-establish the serving layout when the manifest records
+          // one: one shuffle task (= one file) per partition, sorted
+          // within — the staged round-trip loses both otherwise
+          val sortCols = sort.split(",").filter(_.nonEmpty).toSeq
+          val laid =
+            if (sortCols.isEmpty) staged
+            else staged.repartition(col(partCol))
+              .sortWithinPartitions(sortCols.map(col): _*)
+          withOpts(laid.write.mode("append").partitionBy(partCol))
+            .parquet(target)
         case "overwrite" =>
-          val w = staged.write.mode("overwrite")
-          p3.split(",").filter(_.nonEmpty).foreach { kv =>
-            val eq = kv.indexOf('=')
-            w.option(kv.substring(0, eq), kv.substring(eq + 1))
-          }
-          w.parquet(target)
+          // re-sort when the manifest records a layout: the staged
+          // read may combine the (sorted) staged files in arbitrary
+          // order, and interleaved runs would break per-file min/max
+          // pruning on the rewritten table
+          val sorted = if (sort.nonEmpty) staged.sort(col(sort)) else staged
+          withOpts(sorted.write.mode("overwrite")).parquet(target)
         case "append" =>
-          staged.write.mode("append").parquet(target)
+          withOpts(staged.write.mode("append")).parquet(target)
       }
     }
     f.delete(new Path(stageDir(root)), true)

@@ -1,0 +1,127 @@
+package graft.serving
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.tables.TableManager
+
+/** ONE maintenance entry point — the Pinot minion/task-scheduler
+  * analog: the reference declares retention and merge-rollup as
+  * SCHEDULED table tasks (orders_1m_rollup_table.json:72-84,
+  * RealtimeToOfflineSegmentsTask + retention config), not hand-called
+  * maintenance; this is that scheduler's single tick. One
+  * [[run]] call over a fleet of managed structures:
+  *
+  *  1. completes any crashed staged erase/compaction
+  *     ([[EraseStage.recover]]) — always first, so every later step
+  *     sees a consistent root;
+  *  2. sweeps retention (expired `p_date` directory drops);
+  *  3. compacts every FRAGMENTED index/state root — and only the
+  *     fragmented ones, so the call is idempotent: a second run over
+  *     a clean fleet reads directory listings and rewrites nothing.
+  *
+  * Returns a log of the actions actually taken
+  * (`recovered:`/`swept:`/`compacted:`/`ran:` entries), empty when
+  * the fleet was already clean — what a scheduler surfaces as the
+  * task result.
+  */
+object Maintenance {
+
+  /** One managed structure. Every task starts with staged-commit
+    * recovery on its root; the rest is structure-specific.
+    */
+  sealed trait Task
+
+  /** Any [[EraseStage]]-managed root with no compaction story of its
+    * own (e.g. a [[Serving]] layout between refreshes): recovery only.
+    */
+  final case class Recover(root: String) extends Task
+
+  /** A date-partitioned store ([[TableManager.writePartitioned]]
+    * layout — raw sinks, rollup tables, serving tables): recovery,
+    * then expired-date drops when `retentionDays`+`nowDate` are set,
+    * then small-file rewrites of fragmented dates
+    * ([[TableManager.compactDates]], preserving sort + bloom).
+    */
+  final case class DatedTable(path: String, sortCols: Seq[String],
+    bloomCol: Option[String] = None, retentionDays: Option[Int] = None,
+    nowDate: Option[String] = None, maxFiles: Int = 8) extends Task
+
+  /** A [[SearchIndex]] root: consolidate df/N deltas + bucket files
+    * when more than one delta has accumulated (append/ingest
+    * fragmentation); a freshly-compacted index is left untouched.
+    */
+  final case class Search(root: String) extends Task
+
+  /** An [[AnnIndex]] root: rewrite cells fragmented past `minFiles`. */
+  final case class Ann(root: String, minFiles: Int = 8) extends Task
+
+  /** A [[PqIndex]] root: same, over `codes/cell=` directories. */
+  final case class Pq(root: String, minFiles: Int = 8) extends Task
+
+  /** A [[NearDupIndex]] root: fragmented band buckets + the flat
+    * id-sorted docs/postings tables.
+    */
+  final case class NearDupIdx(root: String, n: Int = 3,
+    minFiles: Int = 8) extends Task
+
+  /** A streaming ingest's own `compact()` surface (SegmentIngest,
+    * SpanIngest, CurationIngest, MediaIngest, LmIngest, ... — each
+    * folds batch-id partitions at its state's own grain). The body
+    * runs under this scheduler tick and is logged by `label`.
+    */
+  final case class IngestCompact(label: String,
+    body: SparkSession => Unit) extends Task
+
+  def run(spark: SparkSession, tasks: Seq[Task]): Seq[String] =
+    tasks.flatMap(exec(spark, _))
+
+  private def recovered(spark: SparkSession, root: String): Seq[String] =
+    if (EraseStage.recover(spark, root)) Seq(s"recovered:$root") else Nil
+
+  private def exec(spark: SparkSession, task: Task): Seq[String] = task match {
+    case Recover(root) => recovered(spark, root)
+
+    case DatedTable(path, sortCols, bloom, retention, now, maxFiles) =>
+      val rec = recovered(spark, path)
+      val swept = (retention, now) match {
+        case (Some(days), Some(nowDate)) =>
+          TableManager.retentionSweep(spark, path, days, nowDate)
+            .map(p => s"swept:$path/$p")
+        case _ => Nil
+      }
+      val compacted = TableManager
+        .compactDates(spark, path, sortCols, bloom, maxFiles)
+        .map(p => s"compacted:$path/$p")
+      rec ++ swept ++ compacted
+
+    case Search(root) =>
+      val rec = recovered(spark, root)
+      // fragmented = more than one delta accumulated (every append /
+      // streaming batch adds one); a compacted index holds exactly one
+      val deltas = spark.read.parquet(s"$root/meta")
+        .select(col("delta_id")).distinct().count()
+      if (deltas > 1) {
+        SearchIndex.compact(spark, root)
+        rec :+ s"compacted:$root"
+      } else rec
+
+    case Ann(root, minFiles) =>
+      val rec = recovered(spark, root)
+      rec ++ AnnIndex.compactCells(spark, root, minFiles)
+        .map(c => s"compacted:$root/cell=$c")
+
+    case Pq(root, minFiles) =>
+      val rec = recovered(spark, root)
+      rec ++ PqIndex.compactCells(spark, root, minFiles)
+        .map(c => s"compacted:$root/codes/cell=$c")
+
+    case NearDupIdx(root, n, minFiles) =>
+      val rec = recovered(spark, root)
+      rec ++ NearDupIndex.compact(spark, root, n, minFiles)
+        .map(t => s"compacted:$root/$t")
+
+    case IngestCompact(label, body) =>
+      body(spark)
+      Seq(s"ran:$label")
+  }
+}

@@ -64,9 +64,15 @@ object NearDupIndex {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   private def indexFrame(spark: SparkSession, root: String, table: String): DataFrame =
-    frameCache.getOrElseUpdate((root, table), spark.read.parquet(s"$root/$table"))
+    frameCache.getOrElseUpdate((root, table), {
+      // READ-PATH recovery (the [[SearchIndex.indexFrame]] check): a
+      // fresh JVM's first probe completes a crashed-mid-apply staged
+      // erase/compaction instead of serving the holed index
+      EraseStage.recover(spark, root)
+      spark.read.parquet(s"$root/$table")
+    })
 
-  private def invalidate(root: String): Unit =
+  private[graft] def invalidate(root: String): Unit =
     frameCache.keys.filter(_._1 == root).foreach(frameCache.remove)
 
   /** Build the index from scratch (overwrites `root`). `n` is the
@@ -154,10 +160,13 @@ object NearDupIndex {
     }
     val bloom = Map("parquet.bloom.filter.enabled#doc_id" -> "true")
     val flat = Seq("docs", s"postings_$n").filter(files(_) >= minFiles)
+    // sortCol rides in the manifest: apply() re-sorts AFTER re-reading
+    // the staged files, so the rewritten table keeps disjoint per-file
+    // doc_id ranges even though the staged read may interleave files
     if (flat.nonEmpty)
       EraseStage.run(spark, root, flat.map(t =>
-        EraseStage.Overwrite(t, bloom) ->
-          spark.read.parquet(s"$root/$t").sort(col("doc_id"))))
+        EraseStage.Overwrite(t, bloom, Some("doc_id")) ->
+          spark.read.parquet(s"$root/$t")))
     if (bands.nonEmpty || flat.nonEmpty) invalidate(root)
     bands.map(b => s"bands/bucket=$b") ++ flat
   }
@@ -180,29 +189,43 @@ object NearDupIndex {
       n: Int = 3): Unit = {
     if (docIds.isEmpty) return
     if (EraseStage.recover(spark, root)) invalidate(root)
+    val legs = eraseLegs(spark, root, docIds, n)
+    if (legs.isEmpty) return
+    EraseStage.run(spark, root, legs)
+    legs.map(_._2).foreach(_.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false)))
+    invalidate(root)
+  }
+
+  /** The staged legs [[erase]] commits — the seam the read-path
+    * recovery specs use to crash exactly at the manifest commit and
+    * assert a plain [[query]] completes the erase. Empty when none of
+    * the ids are present.
+    */
+  private[graft] def eraseLegs(spark: SparkSession, root: String,
+      docIds: Seq[Long], n: Int): Seq[(EraseStage.Leg, DataFrame)] = {
     val bands = spark.read.parquet(s"$root/bands")
     val buckets = bands.filter(col("doc_id").isin(docIds: _*))
       .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
-    if (buckets.isEmpty) return
+    if (buckets.isEmpty) return Seq.empty
     val keepBands = bands.filter(col("bucket").isin(buckets: _*))
       .filter(!col("doc_id").isin(docIds: _*))
       .localCheckpoint(true)
+    // no pre-sort here: the id-sorted layout is re-established by
+    // apply() itself (sortCol in the manifest), AFTER the staged
+    // round-trip that would otherwise interleave the sorted runs
     val keepDocs = spark.read.parquet(s"$root/docs")
       .filter(!col("doc_id").isin(docIds: _*))
-      .sort(col("doc_id")).localCheckpoint(true)
+      .localCheckpoint(true)
     val keepPost = spark.read.parquet(s"$root/postings_$n")
       .filter(!col("doc_id").isin(docIds: _*))
-      .sort(col("doc_id")).localCheckpoint(true)
+      .localCheckpoint(true)
     val bloom = Map("parquet.bloom.filter.enabled#doc_id" -> "true")
-    EraseStage.run(spark, root, Seq(
+    Seq(
       EraseStage.Swap("bands", "bucket", buckets.map(_.toString)) -> keepBands,
-      EraseStage.Overwrite("docs", bloom) -> keepDocs,
-      EraseStage.Overwrite(s"postings_$n", bloom) -> keepPost))
-    Seq(keepBands, keepDocs, keepPost).foreach(
-      _.queryExecution.analyzed.collect {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false)))
-    invalidate(root)
+      EraseStage.Overwrite("docs", bloom, Some("doc_id")) -> keepDocs,
+      EraseStage.Overwrite(s"postings_$n", bloom, Some("doc_id")) -> keepPost)
   }
 
   /** (query_id, match_id) pairs: for each query doc, every corpus doc

@@ -56,6 +56,10 @@ object PqIndex {
     */
   def load(spark: SparkSession, root: String): KMeans.IvfAdcIndex =
     loaded.getOrElseUpdate(root, {
+      // READ-PATH recovery (the [[SearchIndex.indexFrame]] check): a
+      // fresh JVM's first load completes a crashed-mid-apply staged
+      // erase/compaction instead of pinning the holed code table
+      EraseStage.recover(spark, root)
       val rows = spark.read.parquet(s"$root/codebooks").collect()
       def grab(kind: String): Seq[Seq[Long]] = rows
         .filter(_.getAs[String]("kind") == kind)
@@ -104,23 +108,38 @@ object PqIndex {
   def erase(spark: SparkSession, root: String, vecIds: Seq[Long]): Unit = {
     if (vecIds.isEmpty) return
     if (EraseStage.recover(spark, root)) loaded.remove(root)
+    val legs = eraseLegs(spark, root, vecIds)
+    if (legs.isEmpty) return
+    // staged-commit swap (EraseStage): kept rows are durable before
+    // the cell directories drop — crash mid-erase is recoverable
+    EraseStage.run(spark, root, legs)
+    legs.map(_._2).foreach(_.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false)))
+    loaded.remove(root)
+  }
+
+  /** The staged legs [[erase]] commits — the seam the read-path
+    * recovery specs use to crash exactly at the manifest commit and
+    * assert a plain [[load]]/[[query]] completes the erase.
+    */
+  private[graft] def eraseLegs(spark: SparkSession, root: String,
+      vecIds: Seq[Long]): Seq[(EraseStage.Leg, DataFrame)] = {
     val codes = spark.read.parquet(s"$root/codes")
     val cells = codes.filter(col("vec_id").isin(vecIds: _*))
       .select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    if (cells.isEmpty) return
+    if (cells.isEmpty) return Seq.empty
     val keep = codes.filter(col("cell").isin(cells: _*))
       .filter(!col("vec_id").isin(vecIds: _*))
       .localCheckpoint(true)
-    // staged-commit swap (EraseStage): kept rows are durable before
-    // the cell directories drop — crash mid-erase is recoverable
-    EraseStage.run(spark, root, Seq(
-      EraseStage.Swap("codes", "cell", cells.map(_.toString)) -> keep))
-    keep.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
-    loaded.remove(root)
+    Seq(EraseStage.Swap("codes", "cell", cells.map(_.toString)) -> keep)
   }
+
+  /** Drop the cached loaded index — for writers outside this object
+    * (the read-path recovery specs simulating a fresh JVM).
+    */
+  private[graft] def invalidate(root: String): Unit = loaded.remove(root)
 
   /** Probe + ADC-rank a query batch against the stored codes —
     * [[KMeans.ivfAdcQuery]] over the loaded index, inheriting its

@@ -197,6 +197,22 @@ object SearchIndex {
   def eraseDocs(spark: SparkSession, root: String, docIds: Seq[Long]): Unit = {
     if (docIds.isEmpty) return
     if (EraseStage.recover(spark, root)) invalidateFrames(root)
+    val legs = eraseLegs(spark, root, docIds)
+    if (legs.isEmpty) return
+    EraseStage.run(spark, root, legs)
+    legs.map(_._2).foreach(_.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false)))
+    invalidateFrames(root)
+  }
+
+  /** The staged legs [[eraseDocs]] commits — the seam the read-path
+    * recovery specs use to leave an index crashed exactly AT the
+    * manifest commit and assert a plain [[query]] completes the
+    * erase. Empty when none of the ids are present.
+    */
+  private[graft] def eraseLegs(spark: SparkSession, root: String,
+      docIds: Seq[Long]): Seq[(EraseStage.Leg, DataFrame)] = {
     val post = spark.read.parquet(s"$root/postings")
     val mine = post.filter(col("doc_id").isin(docIds: _*))
     // ids actually present (bounded: ⊆ caller's list) — absent ids
@@ -207,7 +223,7 @@ object SearchIndex {
         lit(0).cast("decimal(38,0)")).as("h"),
       countDistinct(col("doc_id")).as("c")).head()
     val nErased = presentRow.getLong(1)
-    if (nErased == 0) return
+    if (nErased == 0) return Seq.empty
     val deltaId = s"erase_${presentRow.getDecimal(0).toBigInteger}_$nErased"
     val buckets = mine.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -223,15 +239,11 @@ object SearchIndex {
     // all three staged durably, then applied under one manifest
     import spark.implicits._
     val affected = buckets.map(_.toString)
-    EraseStage.run(spark, root, Seq(
+    Seq(
       EraseStage.Append("meta") ->
         Seq((deltaId, -nErased)).toDF("delta_id", "n_delta"),
       EraseStage.Swap("stats", "bucket", affected) -> newStats,
-      EraseStage.Swap("postings", "bucket", affected) -> keep))
-    Seq(keep, newStats).foreach(_.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false)))
-    invalidateFrames(root)
+      EraseStage.Swap("postings", "bucket", affected) -> keep)
   }
 
   /** Top-k docs per query doc from the materialized index — same
@@ -263,14 +275,19 @@ object SearchIndex {
   private val frameCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  private def indexFrame(spark: SparkSession, root: String, table: String): DataFrame = {
-    val gen0 = writeGen.get()
+  private def indexFrame(spark: SparkSession, root: String, table: String): DataFrame =
     frameCache.get((root, table)).getOrElse {
+      // READ-PATH recovery (one FS existence check, cache-miss only):
+      // a crash mid-apply of a staged erase/compaction — after the
+      // manifest, with partition dirs already deleted — used to leave
+      // queries serving a holed index until the NEXT maintenance op;
+      // a fresh JVM's first query lands here and completes it
+      if (EraseStage.recover(spark, root)) invalidateFrames(root)
+      val gen0 = writeGen.get()
       val df = spark.read.parquet(s"$root/$table")
       if (writeGen.get() == gen0) frameCache.putIfAbsent((root, table), df)
       df
     }
-  }
 
   /** Drop this root's cached frames/meta — for writers OUTSIDE
     * [[writeDelta]] (tests simulating crash residue; an external
@@ -285,8 +302,11 @@ object SearchIndex {
   private def corpusSize(spark: SparkSession, root: String): Long = {
     // crash-replay can write a delta's meta/stats rows twice under the
     // same delta_id (see writeDelta) — collapse before summing
-    val gen0 = writeGen.get()
     nCache.get(root).getOrElse {
+      // the indexFrame read-path recovery, for the meta aggregate
+      // (query() computes N before it touches any cached frame)
+      if (EraseStage.recover(spark, root)) invalidateFrames(root)
+      val gen0 = writeGen.get()
       val v = spark.read.parquet(s"$root/meta")
         .groupBy(col("delta_id")).agg(max(col("n_delta")).as("n_delta"))
         .agg(coalesce(sum(col("n_delta")), lit(0L))).head().getLong(0)

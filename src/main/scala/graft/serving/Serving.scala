@@ -769,6 +769,37 @@ object Serving {
     */
   def eraseUser(spark: SparkSession, root: String, events: DataFrame,
       userId: Long): Seq[String] = this.synchronized {
+    // complete any crashed prior erase before reading state for this one
+    if (EraseStage.recover(spark, root)) invalidate(root)
+    val plan = eraseLegs(spark, root, events, userId)
+    if (plan.dates.isEmpty) return Seq.empty
+    try {
+      // ONE staged commit across every table + meta: all 17 rewrites
+      // are durable before any partition directory drops, so a crash
+      // between two tables' rewrites — the window the old
+      // delete-then-overwrite loop left open — recovers to the
+      // complete erase instead of an inconsistent root
+      EraseStage.run(spark, root, plan.legs)
+      anchorCache.put(root, plan.maxTsMs)
+    } finally {
+      plan.cached.foreach(_.unpersist())
+      invalidate(root)
+    }
+    plan.dates
+  }
+
+  /** The staged-erase plan: affected dates, one [[EraseStage]] leg
+    * per serving table (+ meta), the new anchor, and the persisted
+    * intermediates to release after the run. Package-visible so the
+    * crash-recovery spec can stage the legs, "crash", and assert
+    * recovery completes the erase. Empty dates = user unknown.
+    */
+  private[graft] final case class ErasePlan(dates: Seq[String],
+    legs: Seq[(EraseStage.Leg, DataFrame)], maxTsMs: Long,
+    cached: Seq[DataFrame])
+
+  private[graft] def eraseLegs(spark: SparkSession, root: String,
+      events: DataFrame, userId: Long): ErasePlan = {
     val mine = events.filter(col("user_id") === userId)
     // one date per GRAIN: the same two-sided hour-window cover as
     // refreshWithBatch (minute windows inside an hour can land on the
@@ -800,7 +831,7 @@ object Serving {
         "absent from the supplied frame — recomputing those dates from " +
         "this frame could drop other users' rows; pass the full raw events")
     val dates = (eventDates ++ storedDates).distinct.sorted
-    if (dates.isEmpty) return Seq.empty
+    if (dates.isEmpty) return ErasePlan(Seq.empty, Seq.empty, 0L, Seq.empty)
     val erased = events.filter(col("user_id") =!= userId)
     val maxRow = erased.agg(unix_millis(max(col("ts")))).head()
     require(!maxRow.isNullAt(0),
@@ -815,53 +846,73 @@ object Serving {
     def dated(df: DataFrame) = df.filter(
       to_date(timestamp_millis(col("window_start_ms"))).cast("string")
         .isin(dates: _*))
-    // MATERIALIZE the recomputed agg state (the bulk of the recompute
-    // plan, shared by every downstream write) BEFORE any partition is
-    // deleted: a recompute failure — not just a crash — must not
-    // leave a multi-table hole
+    // the recomputed agg state is the bulk of the recompute plan and
+    // feeds six legs (its own two + four ranked) — persist across the
+    // staged writes
     val agg = dated(hourlyUserAgg(sub))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = dated(hourlyKeyedAgg(sub))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     agg.count(); keyed.count()
-    // drop the affected partitions only now: a recomputed frame with
-    // no rows for a date must still erase that date's old rows
-    for (t <- allTables if t != "meta" && t != "profile_upsert"; d <- dates)
-      fs.delete(new Path(s"$root/$t/p_date=$d"), true)
-    try {
-      writeAggStatePartitions(root, agg, keyed)
-      def ow(df: DataFrame, table: String, sortCols: Seq[String]): Unit =
-        TableManager.overwritePartitions(
-          df.withColumn("w_ts", timestamp_millis(col("window_start_ms"))),
-          s"$root/$table", "w_ts", sortCols)
-      ow(dated(minuteRollupAgg(sub)), "rollup_1m",
-        Seq("event_type", "window_start_ms"))
-      ow(dated(minuteUsers(sub)), "rollup_1m_users",
-        Seq("event_type", "window_start_ms", "user_id"))
-      ow(dated(minuteValueHist(sub)), "rollup_1m_hist",
-        Seq("event_type", "window_start_ms", "bin"))
-      ow(dated(minuteValueVals(sub)), "rollup_1m_vals",
-        Seq("event_type", "window_start_ms", "value_cents"))
-      ow(dated(minuteValueLogHist(sub)), "rollup_1m_loghist",
-        Seq("event_type", "window_start_ms", "lbucket"))
-      ow(dated(dailyCmSketch(sub)), "cm_daily", Seq("i", "bucket"))
-      ow(dated(kmvDailySketches(sub)), "kmv_daily",
-        Seq("event_type", "window_start_ms"))
-      ow(dated(dailyTupleSketches(sub)), "tuple_daily",
-        Seq("event_type", "window_start_ms"))
-      ow(dated(dailyBitmaps(sub)), "bitmap_daily",
-        Seq("event_type", "window_start_ms"))
-      writeProfileState(root, profileUpsertState(erased))
-      writeRankedPartitions(root, agg, keyed)
-      val (_, lastApplied, eraseGen) = readMeta(spark, root)
-      // bump the erase generation: replica sets must re-derive even
-      // when neither the max ts nor the batch id moved
-      writeMeta(spark, root, maxRow.getLong(0), lastApplied, eraseGen + 1L)
-      anchorCache.put(root, maxRow.getLong(0))
-    } finally {
-      agg.unpersist(); keyed.unpersist(); invalidate(root)
+    // one Swap leg per date-partitioned table: EraseStage stages the
+    // recomputed rows durably, commits one manifest, and only then
+    // drops + rewrites the affected p_date directories with the
+    // serving sort layout (sortCols ride in the manifest). A date the
+    // recompute no longer writes stays deleted — the vanishing-date
+    // semantics of the old delete-then-overwrite loop, made atomic.
+    def wts(df: DataFrame): DataFrame = {
+      val t = df.withColumn("w_ts", timestamp_millis(col("window_start_ms")))
+      t.withColumn("p_date", to_date(col("w_ts")))
     }
-    dates
+    def swap(df: DataFrame, table: String, sortCols: Seq[String]) =
+      EraseStage.Swap(table, "p_date", dates, sortCols) -> wts(df)
+    def rankedSwap(df: DataFrame, table: String, sortCols: Seq[String]) =
+      swap(df.withColumn("rank", col("rank").cast("long")), table, sortCols)
+    val (_, lastApplied, eraseGen) = readMeta(spark, root)
+    import spark.implicits._
+    val legs = Seq(
+      swap(agg, "agg_by_window", Seq("window_start_ms", "user_id")),
+      swap(keyed, "agg_keyed_by_window",
+        Seq("event_type", "window_start_ms", "user_id")),
+      swap(dated(minuteRollupAgg(sub)), "rollup_1m",
+        Seq("event_type", "window_start_ms")),
+      swap(dated(minuteUsers(sub)), "rollup_1m_users",
+        Seq("event_type", "window_start_ms", "user_id")),
+      swap(dated(minuteValueHist(sub)), "rollup_1m_hist",
+        Seq("event_type", "window_start_ms", "bin")),
+      swap(dated(minuteValueVals(sub)), "rollup_1m_vals",
+        Seq("event_type", "window_start_ms", "value_cents")),
+      swap(dated(minuteValueLogHist(sub)), "rollup_1m_loghist",
+        Seq("event_type", "window_start_ms", "lbucket")),
+      swap(dated(dailyCmSketch(sub)), "cm_daily", Seq("i", "bucket")),
+      swap(dated(kmvDailySketches(sub)), "kmv_daily",
+        Seq("event_type", "window_start_ms")),
+      swap(dated(dailyTupleSketches(sub)), "tuple_daily",
+        Seq("event_type", "window_start_ms")),
+      swap(dated(dailyBitmaps(sub)), "bitmap_daily",
+        Seq("event_type", "window_start_ms")),
+      rankedSwap(TopK.topKPerKey(agg, Seq("window_start_ms"), countOrder, K),
+        "topk_by_count", globalSort),
+      rankedSwap(TopK.topKPerKey(agg, Seq("window_start_ms"), revenueOrder, K),
+        "topk_by_revenue", globalSort),
+      rankedSwap(TopK.topKPerKey(keyed,
+          Seq("window_start_ms", "event_type"), countOrder, K),
+        "topk_keyed_by_count", keyedSort),
+      rankedSwap(TopK.topKPerKey(keyed,
+          Seq("window_start_ms", "event_type"), revenueOrder, K),
+        "topk_keyed_by_revenue", keyedSort),
+      // the user-keyed profile table rewrites whole (it is user-, not
+      // date-partitioned), inside the SAME staged commit
+      EraseStage.Overwrite("profile_upsert",
+        Map("parquet.bloom.filter.enabled#user_id" -> "true"),
+        Some("user_id")) -> profileUpsertState(erased),
+      // the meta stamp commits atomically WITH the rewrites: the
+      // erase-generation bump (replica re-derive trigger) can no
+      // longer be lost to a crash after the data rewrites landed
+      EraseStage.Overwrite("meta") ->
+        Seq((maxRow.getLong(0), lastApplied, eraseGen + 1L))
+          .toDF("max_ts_ms", "last_batch_id", "erase_gen"))
+    ErasePlan(dates, legs, maxRow.getLong(0), Seq(agg, keyed))
   }
 
   private def writeAggStatePartitions(root: String, agg: DataFrame, keyed: DataFrame): Unit = {

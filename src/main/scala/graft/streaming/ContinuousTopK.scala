@@ -39,8 +39,15 @@ object ContinuousTopK {
     * leaderboard, one grain finer than [[StreamErase]]'s whole-key
     * tombstones (the user leaves the board, the board survives).
     * Tombstones ride the same stream as updates, so they checkpoint
-    * and replay exactly-once like any event; within a batch they
-    * apply in arrival order, so a later re-add starts from zero.
+    * and replay exactly-once like any event. Within a micro-batch the
+    * group's updates fold in EVENT-TIME order (the shuffle feeding
+    * flatMapGroupsWithState guarantees no arrival order), tombstones
+    * before additions at equal timestamps — so an erase and a re-add
+    * of the same item landing in one batch deterministically leave
+    * the re-add counting from zero. Additive updates commute, so the
+    * sort only ever matters to erase/re-add pairs; tombstones and
+    * their re-adds should carry event timestamps (a null ts sorts
+    * first).
     */
   val EraseCount: Long = Long.MinValue
 
@@ -55,7 +62,12 @@ object ContinuousTopK {
       state: GroupState[TopKState]): Iterator[RankedItem] = {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
-      val evs = updates.toSeq
+      // fold in event-time order, tombstones first at equal ts: the
+      // post-shuffle Iterator has NO arrival order, and an unordered
+      // fold could wipe a same-batch re-add instead of resetting it
+      val evs = updates.toSeq.sortBy(u =>
+        (Option(u.ts).map(_.getTime).getOrElse(Long.MinValue),
+          if (u.count == EraseCount) 0L else 1L))
       val prev = state.getOption.map(_.metrics).getOrElse(Map.empty)
       val merged = evs.foldLeft(prev) { (m, u) =>
         if (u.count == EraseCount) m - u.itemId

@@ -106,6 +106,18 @@ object CurationIngest {
         throw new IllegalArgumentException(
           s"eraseDoc: docs frame contains fingerprints the index at " +
             s"$indexPath never admitted — wrong corpus for this ingest root")
+      // reverse direction (the SegmentIngest rule): fingerprints
+      // LEAVING the index must be the victim's own — a frame missing
+      // unrelated documents would silently drop their admission state
+      val victim = DocPipeline.curate(docs.filter(col("doc_id") === docId))
+        .select(col("fp"))
+      val leaving = readIndex(spark, indexPath)
+        .join(newKept.select(col("fp")), Seq("fp"), "left_anti")
+        .join(victim, Seq("fp"), "left_anti")
+      if (!leaving.isEmpty)
+        throw new IllegalArgumentException(
+          s"eraseDoc: docs frame is missing documents the index at " +
+            s"$indexPath admitted — erasing would drop other documents' state")
       StateCompactor.rewriteState(spark, indexPath, newKept.select(col("fp")))
       StateCompactor.rewriteState(spark, keptPath, newKept)
     } finally release(newKept)

@@ -64,8 +64,11 @@ object MediaIngest {
     * the retained corpus — [[StateCompactor.rewriteState]]'s
     * manifest-committed rebuild, the [[SegmentIngest.eraseDoc]]
     * contract at whole-asset grain. `media` is the full media corpus
-    * the ingest has seen (caller-owned); a stale-frame guard refuses
-    * a frame carrying content hashes the state never admitted.
+    * the ingest has seen (caller-owned); a BIDIRECTIONAL stale-frame
+    * guard refuses a frame carrying content hashes the state never
+    * admitted AND a frame from which non-victim hashes would leave
+    * the state (missing assets — which would silently erase other
+    * assets' dedup state).
     * Quiesced-slot + replay invisibility + crash re-runnability
     * inherited from rewriteState.
     */
@@ -79,13 +82,25 @@ object MediaIngest {
         count(lit(1)).as("n_copies"))
       .localCheckpoint(true) // pinned: guard probe + generation write
     try {
+      val state = StateCompactor.readState(spark, path).select(col("content_hash"))
       val unseen = newState.select(col("content_hash"))
-        .join(StateCompactor.readState(spark, path).select(col("content_hash")),
-          Seq("content_hash"), "left_anti")
+        .join(state, Seq("content_hash"), "left_anti")
       if (!unseen.isEmpty)
         throw new IllegalArgumentException(
           s"eraseMedia: media frame contains content the state at $path " +
             "never ingested — wrong corpus for this state root")
+      // reverse direction (the SegmentIngest rule): hashes LEAVING
+      // the state must be the victim's own content — a frame missing
+      // unrelated assets would silently drop their dedup state
+      val victim = media.filter(col("media_id") === mediaId)
+        .select(md5(col("bytes")).as("content_hash"))
+      val leaving = state
+        .join(newState.select(col("content_hash")), Seq("content_hash"), "left_anti")
+        .join(victim, Seq("content_hash"), "left_anti")
+      if (!leaving.isEmpty)
+        throw new IllegalArgumentException(
+          s"eraseMedia: media frame is missing assets the state at $path " +
+            "ingested — erasing would drop other assets' dedup state")
       StateCompactor.rewriteState(spark, path, newState)
     } finally newState.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd

@@ -58,7 +58,14 @@ object PerElementTopK {
         timerValues: TimerValues): Iterator[ElementRanked] = {
       var cur = Option(st.get()).getOrElse(TopKSnapshot(0L, Map.empty))
       val out = Seq.newBuilder[ElementRanked]
-      rows.foreach { u =>
+      // fold in event-time order, tombstones first at equal ts (the
+      // ContinuousTopK.updateGroup rule): the post-shuffle iterator
+      // has no arrival order, and an unordered fold could wipe a
+      // same-batch re-add instead of resetting it
+      val ordered = rows.toSeq.sortBy(u =>
+        (Option(u.ts).map(_.getTime).getOrElse(Long.MinValue),
+          if (u.count == ContinuousTopK.EraseCount) 0L else 1L))
+      ordered.foreach { u =>
         // ContinuousTopK.EraseCount tombstone: the item's running
         // totals leave the snapshot, the corrected board re-emits
         var m =

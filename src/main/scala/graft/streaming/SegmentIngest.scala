@@ -119,8 +119,12 @@ object SegmentIngest {
     *  - new kept = [[NearDup.segmentDedup]] over the retained corpus
     *    (segments the victim first-claimed re-admit to their next
     *    claimant, exactly as a rebuild would).
-    * A stale-frame guard refuses a `docs` frame containing segments
-    * the index never saw — the caller passed the wrong corpus.
+    * A BIDIRECTIONAL stale-frame guard refuses a wrong corpus: a
+    * `docs` frame containing segments the index never saw (extra
+    * rows), AND a frame from which hashes would leave the index that
+    * are not the victim's own segment hashes (missing rows — which
+    * would silently erase OTHER documents' admission state, the
+    * failure `Serving.eraseUser`'s two-sided guard catches).
     * Quiesced-slot + replay contract inherited from
     * [[StateCompactor.rewriteState]]: a replayed last batch rewrites
     * manifest-folded (invisible) partitions, so the victim cannot
@@ -139,6 +143,18 @@ object SegmentIngest {
         throw new IllegalArgumentException(
           s"eraseDoc: docs frame contains segments the index at $indexPath " +
             "never admitted — wrong corpus for this ingest root")
+      // reverse direction: every hash LEAVING the index must be the
+      // victim's own — a frame missing unrelated documents would
+      // otherwise silently drop their admission state
+      val victim = NearDup.segmentsOf(docs.filter(col("doc_id") === docId), segWords)
+        .select(md5(col("seg")).as("h"))
+      val leaving = readIndex(spark, indexPath)
+        .join(newIdx, Seq("h"), "left_anti")
+        .join(victim, Seq("h"), "left_anti")
+      if (!leaving.isEmpty)
+        throw new IllegalArgumentException(
+          s"eraseDoc: docs frame is missing documents the index at $indexPath " +
+            "admitted — erasing would drop other documents' state")
       StateCompactor.rewriteState(spark, indexPath, newIdx)
       StateCompactor.rewriteState(spark, keptPath,
         NearDup.segmentDedup(retained, segWords))

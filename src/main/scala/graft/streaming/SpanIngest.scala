@@ -141,6 +141,18 @@ object SpanIngest {
         throw new IllegalArgumentException(
           s"eraseDoc: docs frame contains grams the index at $indexPath " +
             "never claimed — wrong corpus for this ingest root")
+      // reverse direction (the SegmentIngest rule): hashes LEAVING the
+      // index must be the victim's own grams — a frame missing
+      // unrelated documents would silently drop their claim state
+      val victim = NearDup.spanGramsOf(docs.filter(col("doc_id") === docId), k)
+        .select(md5(col("gram")).as("h"))
+      val leaving = readIndex(spark, indexPath)
+        .join(newIdx, Seq("h"), "left_anti")
+        .join(victim, Seq("h"), "left_anti")
+      if (!leaving.isEmpty)
+        throw new IllegalArgumentException(
+          s"eraseDoc: docs frame is missing documents the index at $indexPath " +
+            "claimed — erasing would drop other documents' state")
       StateCompactor.rewriteState(spark, indexPath, newIdx)
       StateCompactor.rewriteState(spark, keptPath,
         NearDup.spanScrub(retained, k))

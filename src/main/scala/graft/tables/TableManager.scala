@@ -88,13 +88,14 @@ object TableManager {
     * right-to-be-forgotten twin of [[graft.serving.Serving.eraseUser]]
     * at the raw-table layer: one pruned columnar scan finds the date
     * partitions holding the user, ONLY those rewrite without the
-    * user's rows (dynamic partition overwrite, same sort + bloom
-    * layout as [[writePartitioned]]), and a partition whose every row
-    * belonged to the user is dropped directory-level. Untouched dates
-    * are neither read nor written. The kept rows are eagerly
-    * checkpointed before the overwrite (the read path is the write
-    * path); the only non-atomic step is the idempotent directory
-    * delete of sole-owner dates. Returns the affected p_date strings.
+    * user's rows (same sort + bloom layout as [[writePartitioned]]),
+    * and a partition whose every row belonged to the user is dropped
+    * directory-level. Untouched dates are neither read nor written.
+    * The rewrite rides [[graft.serving.EraseStage]]'s staged commit
+    * (kept rows durable + atomic manifest BEFORE the directory
+    * drops), so a crash mid-erase — which used to leave rewritten
+    * dates next to stale sole-owner directories — recovers to the
+    * complete erase. Returns the affected p_date strings.
     */
   def eraseUser(
       spark: SparkSession,
@@ -104,26 +105,24 @@ object TableManager {
       userCol: String,
       userId: Long,
       bloomCol: Option[String] = None): Seq[String] = {
+    graft.serving.EraseStage.recover(spark, path)
     val t = spark.read.parquet(path)
     val dates = t.filter(col(userCol) === userId)
       .select(col("p_date").cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (dates.isEmpty) Nil
     else {
+      // p_date stays a data column in the staged files; apply()
+      // re-extracts it as the partition column on the rewrite
       val kept = t
         .filter(col("p_date").cast("string").isin(dates: _*) &&
           col(userCol) =!= userId)
-        .drop("p_date")
         .localCheckpoint(true)
       try {
-        val datesWithRows = kept
-          .select(to_date(col(tsCol)).cast("string").as("d")).distinct()
-          .collect().map(_.getString(0)).toSet
-        overwritePartitions(kept, path, tsCol, sortCols, bloomCol)
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        dates.filterNot(datesWithRows).foreach(d =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/p_date=$d"), true))
+        graft.serving.EraseStage.run(spark, path, Seq(
+          graft.serving.EraseStage.Swap("", "p_date", dates, sortCols,
+            bloomCol.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap)
+            -> kept))
       } finally { kept.unpersist(); () }
       dates
     }

@@ -186,6 +186,29 @@ class AnnIndexSpec extends SparkSuite {
     assert(before === emb.count() - erased.size)
   }
 
+  test("read-path recovery: crash at the manifest, then a plain query serves the post-erase answer") {
+    val erased = (30L to 34L).toSeq
+    val p = java.nio.file.Files.createTempDirectory("ann_index_rp").toString
+    AnnIndex.materialize(emb, centroids, p)
+    // crash exactly AT the commit point: legs staged + manifest
+    // written, nothing applied — the next read must complete it
+    graft.serving.EraseStage.stage(spark, p,
+      AnnIndex.eraseLegs(spark, p, erased))
+    val queries = emb.filter($"vec_id" < 10)
+    val got = AnnIndex.query(spark, p, queries, centroids, k = 5, nprobe = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Ann.bruteForceKnn(emb.filter(!$"vec_id".isin(erased: _*)), queries, k = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(!new java.io.File(s"$p/_erase_stage").exists,
+      "the query's recovery must consume the stage")
+    // the truncated path recovers too (fresh crash, fresh stage)
+    graft.serving.EraseStage.stage(spark, p,
+      AnnIndex.eraseLegs(spark, p, Seq(35L)))
+    AnnIndex.queryTruncated(spark, p, queries, k = 5, candidates = 50).collect()
+    assert(spark.read.parquet(p).filter($"vec_id" === 35L).isEmpty)
+  }
+
   test("recall at nprobe=2 is high but the probe is genuinely partial") {
     val queries = emb.filter($"vec_id" < 20)
     val served = AnnIndex.query(spark, root, queries, centroids, k = 5, nprobe = 2)

@@ -114,4 +114,62 @@ class EraseStageSpec extends SparkSuite {
 
   private def f(root: String) = new org.apache.hadoop.fs.Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("manifest hardening: root overwrite and separator characters are rejected before anything stages") {
+    val r = tmp()
+    build(r)
+    val before = state(r)
+    def rejected(leg: EraseStage.Leg): Unit = {
+      intercept[IllegalArgumentException] {
+        EraseStage.run(spark, r, Seq(leg -> spark.read.parquet(s"$r/t")))
+      }
+      // validation fires before the stage dir is touched: the index is
+      // untouched and no debris or manifest exists
+      assert(state(r) == before)
+      assert(!f(r).exists(new org.apache.hadoop.fs.Path(s"$r/_erase_stage")))
+    }
+    // Overwrite("") would delete the _erase_stage dir its own staged
+    // read depends on, mid-apply
+    rejected(EraseStage.Overwrite(""))
+    // the manifest is TSV with comma-joined lists — separators in any
+    // field would corrupt the line format silently
+    rejected(EraseStage.Swap("t", "p", Seq("1,2")))
+    rejected(EraseStage.Swap("t", "p\tq", Seq("1")))
+    rejected(EraseStage.Swap("t,u", "p", Seq("1")))
+    rejected(EraseStage.Overwrite("t", Map("a=b" -> "c")))
+    rejected(EraseStage.Overwrite("t", Map("k" -> "v,w")))
+    rejected(EraseStage.Overwrite("t", Map.empty, Some("id\tx")))
+    rejected(EraseStage.Append("t\nx"))
+  }
+
+  test("Overwrite sortCol re-sorts after the staged round-trip: per-file ranges stay disjoint") {
+    val r = tmp()
+    (0L until 4000L).map(i => (i, (i % 7).toInt)).toDF("id", "x")
+      .sort(col("id"))
+      .write.mode("overwrite").parquet(s"$r/t")
+    // stage a whole-table rewrite from a deliberately SCRAMBLED frame:
+    // without the manifest-recorded sort, apply() would rewrite the
+    // table in the staged files' arbitrary read order and per-file
+    // min/max pruning on id would degrade
+    val scrambled = spark.read.parquet(s"$r/t")
+      .repartition(8, col("x"))
+    EraseStage.stage(spark, r, Seq(
+      EraseStage.Overwrite("t", Map.empty, Some("id")) -> scrambled))
+    // AQE would coalesce 4000 tiny rows into one post-sort partition,
+    // leaving a single file that proves nothing about the layout
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try assert(EraseStage.recover(spark, r))
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val t = spark.read.parquet(s"$r/t")
+    assert(t.count() == 4000L)
+    val files = Option(new java.io.File(s"$r/t").listFiles).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.size > 1, s"need multiple files to prove the layout, got ${files.size}")
+    val ranges = files.map { fp =>
+      val mm = spark.read.parquet(fp).agg(min(col("id")), max(col("id"))).head()
+      (mm.getLong(0), mm.getLong(1))
+    }.sortBy(_._1)
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file id ranges interleave: $ranges") }
+  }
 }

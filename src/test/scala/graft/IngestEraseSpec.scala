@@ -378,4 +378,78 @@ class IngestEraseSpec extends SparkSuite {
     assert(rows(ImportanceProfile.readProfile(spark, s"$t/profile")) ==
       rows(ImportanceProfile.readProfile(spark, s"$t2/profile")))
   }
+
+  test("erase guards are BIDIRECTIONAL: a frame missing an unrelated doc is refused, state untouched") {
+    val docs = Tables.documents(spark, sfDir)
+    // a doc with sole-owned hashes: its absence makes NON-victim
+    // hashes leave the index, which the reverse guard must refuse
+    def soleOwner(units: DataFrame): Long = units
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+      .filter(col("nd") === 1).agg(max(col("owner"))).head().getLong(0)
+    def minOther(excl: Long): Long = docs.filter(col("doc_id") =!= excl)
+      .agg(min(col("doc_id"))).head().getLong(0)
+
+    // SegmentIngest
+    locally {
+      val t = tmp("graft_seg_guard2")
+      SegmentIngest.processBatch(docs, 0L, s"$t/kept", s"$t/index")
+      val missing = soleOwner(NearDup.segmentsOf(docs, 10)
+        .select(md5(col("seg")).as("h"), col("doc_id")))
+      val before = rows(SegmentIngest.readIndex(spark, s"$t/index"))
+      intercept[IllegalArgumentException] {
+        SegmentIngest.eraseDoc(spark, docs.filter(col("doc_id") =!= missing),
+          minOther(missing), s"$t/kept", s"$t/index")
+      }
+      assert(rows(SegmentIngest.readIndex(spark, s"$t/index")) == before,
+        "a refused erase must leave the index untouched")
+    }
+    // SpanIngest
+    locally {
+      val t = tmp("graft_span_guard2")
+      SpanIngest.processBatch(docs, 0L, s"$t/kept", s"$t/index")
+      val missing = soleOwner(NearDup.spanGramsOf(docs, 5)
+        .select(md5(col("gram")).as("h"), col("doc_id")))
+      intercept[IllegalArgumentException] {
+        SpanIngest.eraseDoc(spark, docs.filter(col("doc_id") =!= missing),
+          minOther(missing), s"$t/kept", s"$t/index")
+      }
+    }
+    // CurationIngest: missing = an admitted doc with a unique fingerprint
+    locally {
+      val t = tmp("graft_cur_guard2")
+      CurationIngest.release(
+        CurationIngest.processBatch(docs, 0L, s"$t/kept", s"$t/index"))
+      val missing = DocPipeline.curate(docs)
+        .groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+        .filter(col("nd") === 1).agg(max(col("owner"))).head().getLong(0)
+      intercept[IllegalArgumentException] {
+        CurationIngest.eraseDoc(spark, docs.filter(col("doc_id") =!= missing),
+          minOther(missing), s"$t/kept", s"$t/index")
+      }
+    }
+    // MediaIngest: every synthetic asset's content is duplicated, so
+    // "missing" is a whole CONTENT GROUP — dropping all its copies
+    // makes its hash leave the state, which only the victim's own
+    // hash is allowed to do
+    locally {
+      import graft.streaming.MediaIngest
+      import graft.multimodal.Media
+      val media = Media.mediaFromEvents(Tables.events(spark, sfDir))
+      val t = tmp("graft_media_guard2")
+      MediaIngest.processBatch(media, 0L, s"$t/m")
+      val withH = media.select(col("media_id"), md5(col("bytes")).as("h"))
+      val missH = withH.agg(max(col("h"))).head().getString(0)
+      val missingIds = withH.filter(col("h") === missH)
+        .select(col("media_id")).collect().map(_.getLong(0)).toSeq
+      val victim = media.filter(!col("media_id").isin(missingIds: _*))
+        .agg(min(col("media_id"))).head().getLong(0)
+      intercept[IllegalArgumentException] {
+        MediaIngest.eraseMedia(spark,
+          media.filter(!col("media_id").isin(missingIds: _*)),
+          victim, s"$t/m")
+      }
+    }
+  }
 }

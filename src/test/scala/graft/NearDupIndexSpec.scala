@@ -177,4 +177,22 @@ class NearDupIndexSpec extends SparkSuite {
     assert(spark.read.parquet(s"$p/bands").count() === before)
     assert(served(p) === served(rb))
   }
+
+  test("read-path recovery: crash at the manifest, then a plain QUERY returns the post-erase answer") {
+    val matched = served(root).map(_._2).toSeq.sorted.take(2)
+    assert(matched.nonEmpty, "fixture has no near-dup matches to erase")
+    val rb = java.nio.file.Files.createTempDirectory("neardup_index_rp_rb").toString
+    NearDupIndex.materialize(corpus.filter(!$"doc_id".isin(matched: _*)), rb)
+    val want = served(rb)
+    val p = java.nio.file.Files.createTempDirectory("neardup_index_rp").toString
+    NearDupIndex.materialize(corpus, p)
+    // crash exactly AT the commit point, then a fresh JVM queries
+    graft.serving.EraseStage.stage(spark, p,
+      NearDupIndex.eraseLegs(spark, p, matched, 3))
+    NearDupIndex.invalidate(p) // fresh JVM: empty frame cache
+    assert(served(p) === want)
+    assert(served(p) !== served(root), "erase must be visible through the query")
+    assert(!new java.io.File(s"$p/_erase_stage").exists,
+      "the query's recovery must consume the stage")
+  }
 }

@@ -116,4 +116,23 @@ class PqIndexSpec extends SparkSuite {
     assert(spark.read.parquet(s"$p/codes").count() === before)
     assert(before === emb.count() - erased.size)
   }
+
+  test("read-path recovery: crash at the manifest, then a plain load/query serves the post-erase answer") {
+    val erased = (30L to 34L).toSeq
+    // the clean-erase reference
+    val rb = java.nio.file.Files.createTempDirectory("pq_index_rp_rb").toString
+    PqIndex.materialize(spark, emb, rb)
+    PqIndex.erase(spark, rb, erased)
+    // crash exactly AT the commit point, then a fresh JVM queries
+    val p = java.nio.file.Files.createTempDirectory("pq_index_rp").toString
+    PqIndex.materialize(spark, emb, p)
+    graft.serving.EraseStage.stage(spark, p,
+      PqIndex.eraseLegs(spark, p, erased))
+    PqIndex.invalidate(p) // fresh JVM: no cached loaded index
+    assert(served(p) === served(rb))
+    assert(spark.read.parquet(s"$p/codes")
+      .filter($"vec_id".isin(erased: _*)).isEmpty)
+    assert(!new java.io.File(s"$p/_erase_stage").exists,
+      "the load's recovery must consume the stage")
+  }
 }

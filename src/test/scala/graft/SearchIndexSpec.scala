@@ -226,4 +226,36 @@ class SearchIndexSpec extends SparkSuite {
     assert(n2 === n)
     assert(served(p).as[(Long, Long, Long)].collect().toSet === got)
   }
+
+  test("read-path recovery: crash at (or past) the manifest, then a plain QUERY returns the post-erase answer") {
+    val erased = Seq(7L, 8L, 9L)
+    val rb = java.nio.file.Files.createTempDirectory("search_index_rp_rb").toString
+    SearchIndex.materialize(docs.filter(!$"doc_id".isin(erased: _*)), rb)
+    val want = served(rb).as[(Long, Long, Long)].collect().toSet
+
+    // crash exactly AT the commit point: legs staged + manifest
+    // written, nothing applied — then a fresh JVM queries
+    val p = java.nio.file.Files.createTempDirectory("search_index_rp_a").toString
+    SearchIndex.materialize(docs, p)
+    graft.serving.EraseStage.stage(spark, p,
+      SearchIndex.eraseLegs(spark, p, erased))
+    SearchIndex.invalidateFrames(p) // fresh JVM: empty caches
+    assert(served(p).as[(Long, Long, Long)].collect().toSet === want)
+    assert(!new java.io.File(s"$p/_erase_stage").exists,
+      "the query's recovery must consume the stage")
+
+    // crash MID-APPLY: an affected postings bucket already deleted,
+    // kept rows not yet appended — the holed-index window
+    val q = java.nio.file.Files.createTempDirectory("search_index_rp_b").toString
+    SearchIndex.materialize(docs, q)
+    val legs = SearchIndex.eraseLegs(spark, q, erased)
+    graft.serving.EraseStage.stage(spark, q, legs)
+    val bucket = legs.collectFirst {
+      case (graft.serving.EraseStage.Swap("postings", _, a, _, _), _) => a.head }.get
+    val fsys = new org.apache.hadoop.fs.Path(q)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$q/postings/bucket=$bucket"), true)
+    SearchIndex.invalidateFrames(q)
+    assert(served(q).as[(Long, Long, Long)].collect().toSet === want)
+  }
 }

@@ -204,6 +204,72 @@ class ServingSpec extends SparkSuite {
     val users = spark.read.parquet(s"$root/agg_by_window")
       .select("user_id").distinct().as[Long].collect().toSet
     assert(users === Set(1L))
+    // the erased user is gone from EVERY user-keyed table, asserted
+    // per table (not just via the whole-layout comparison): the
+    // user-keyed profile_upsert and the ranked boards each hold
+    // user_id directly
+    for (t <- Seq("agg_by_window", "agg_keyed_by_window", "rollup_1m_users",
+        "topk_by_count", "topk_by_revenue", "topk_keyed_by_count",
+        "topk_keyed_by_revenue", "profile_upsert"))
+      assert(spark.read.parquet(s"$root/$t")
+        .filter(col("user_id") === 2L).isEmpty, s"$t still holds user 2")
+    // and every table — the day-grain sketch tables included — equals
+    // the rebuild without the user, asserted individually
+    val rb2 = java.nio.file.Files.createTempDirectory("graft_erase_full2").toString
+    Serving.materializeInto(spark, rb2,
+      mkDf(rows.take(3)).filter(col("user_id") =!= 2L))
+    for (t <- Serving.allTables if t != "meta") {
+      val cols = spark.read.parquet(s"$rb2/$t").drop("w_ts").columns.sorted.toSeq
+      val a = spark.read.parquet(s"$root/$t").drop("w_ts")
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val b = spark.read.parquet(s"$rb2/$t").drop("w_ts")
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(a === b, s"table $t diverged after the second user erasure")
+    }
+  }
+
+  test("user erasure: crash between manifest and apply recovers to the complete erase (staged commit)") {
+    import java.sql.Timestamp
+    val root = java.nio.file.Files.createTempDirectory("graft_erase_crash").toString
+    def ev(id: Long, t: String, u: Long, et: String, cents: Long) =
+      (id, Timestamp.valueOf(t), u, et, cents / 100.0)
+    val rows = Seq(
+      ev(1, "2024-01-01 10:10:00", 1, "click", 300),
+      ev(2, "2024-01-01 10:20:00", 2, "view", 500),
+      ev(3, "2024-01-01 10:40:00", 1, "click", 200),
+      ev(4, "2024-01-02 09:00:00", 3, "click", 900))
+    val mkDf = (rs: Seq[(Long, Timestamp, Long, String, Double)]) =>
+      rs.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("value_cents", round(col("value") * 100).cast("long"))
+    Serving.materializeInto(spark, root, mkDf(rows))
+    // stage the full 17-leg erase of user 2 and CRASH at the commit
+    // point — then go further: delete one table's affected partition,
+    // the exact mid-apply window that used to leave a multi-table hole
+    val plan = Serving.eraseLegs(spark, root, mkDf(rows), 2L)
+    assert(plan.dates === Seq("2024-01-01") && plan.legs.size === 17)
+    graft.serving.EraseStage.stage(spark, root, plan.legs)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$root/rollup_1m/p_date=2024-01-01"), true)
+    fs.delete(new Path(s"$root/agg_by_window/p_date=2024-01-01"), true)
+    // recovery (the start of any later maintenance op, or startup)
+    assert(graft.serving.EraseStage.recover(spark, root))
+    // every table equals the rebuild without the user — including the
+    // two tables whose partitions the "crash" had already deleted
+    val rb = java.nio.file.Files.createTempDirectory("graft_erase_crash_rb").toString
+    Serving.materializeInto(spark, rb, mkDf(rows).filter(col("user_id") =!= 2L))
+    for (t <- Serving.allTables if t != "meta") {
+      val cols = spark.read.parquet(s"$rb/$t").drop("w_ts").columns.sorted.toSeq
+      val a = spark.read.parquet(s"$root/$t").drop("w_ts")
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val b = spark.read.parquet(s"$rb/$t").drop("w_ts")
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(a === b, s"table $t diverged after crash-recovered erasure")
+    }
+    // the meta stamp committed WITH the rewrites: erase_gen bumped once
+    val meta = spark.read.parquet(s"$root/meta").head()
+    assert(meta.getAs[Long]("erase_gen") === 1L)
+    // and the stage is consumed — recover is idempotent
+    assert(!graft.serving.EraseStage.recover(spark, root))
   }
 
   test("user erasure refuses a stale frame that hides the user's stored dates") {

@@ -136,6 +136,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("continuous top-K: same-batch erase + re-add fold in event-time order, not shuffle arrival order") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    def fold(updates: ContinuousTopK.ItemUpdate*): Map[String, (Long, Long)] = {
+      val st = TestGroupState.create[ContinuousTopK.TopKState](
+        org.apache.spark.api.java.Optional.of(
+          ContinuousTopK.TopKState(Map("alice" -> ((5L, 500L))))),
+        GroupStateTimeout.NoTimeout, 0L,
+        org.apache.spark.api.java.Optional.empty[Long](), false)
+      ContinuousTopK.updateGroup(3, 100, None)("r1", updates.iterator, st).toSeq
+      st.get.metrics
+    }
+    // ADVERSE arrival order: the re-add (ts 2000) reaches the group
+    // iterator BEFORE the tombstone (ts 1000) — post-shuffle order is
+    // arbitrary. Event-time folding must erase first, then re-add.
+    val got = fold(
+      ContinuousTopK.ItemUpdate("r1", "alice", 1, 100, ts(2000)),
+      ContinuousTopK.eraseItem("r1", "alice", ts(1000)))
+    assert(got("alice") === ((1L, 100L)),
+      "re-add after erase must count from zero, not be wiped")
+    // equal timestamps: the tombstone folds first, so the re-add wins
+    val tied = fold(
+      ContinuousTopK.ItemUpdate("r1", "alice", 2, 200, ts(1000)),
+      ContinuousTopK.eraseItem("r1", "alice", ts(1000)))
+    assert(tied("alice") === ((2L, 200L)))
+  }
+
   test("continuous top-K: idle keys are evicted after the event-time TTL") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[ContinuousTopK.ItemUpdate]

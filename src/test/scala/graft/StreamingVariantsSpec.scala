@@ -83,6 +83,42 @@ class StreamingVariantsSpec extends SparkSuite {
     }
   }
 
+  test("per-element top-K: same-batch erase + re-add fold in event-time order") {
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[ContinuousTopK.ItemUpdate]
+      val ranked = PerElementTopK.rank(spark, mem.toDS(), k = 2)
+      val q = ranked.writeStream.format("memory")
+        .queryName("pe_topk_order").outputMode("append").start()
+      try {
+        mem.addData(ContinuousTopK.ItemUpdate("r1", "alice", 5, 500, ts("2024-01-01 00:00:00")))
+        q.processAllAvailable()
+        // ADVERSE order in one batch: the re-add is ADDED first, the
+        // tombstone second, but its event time is EARLIER — the fold
+        // must erase first, then re-add from zero
+        mem.addData(
+          ContinuousTopK.ItemUpdate("r1", "alice", 1, 100, ts("2024-01-01 00:00:02")),
+          ContinuousTopK.eraseItem("r1", "alice", ts("2024-01-01 00:00:01")))
+        q.processAllAvailable()
+        val rows = spark.table("pe_topk_order")
+          .as[PerElementTopK.ElementRanked].collect().toSeq
+        // last snapshot (seq 3): alice present with the RE-ADD totals
+        val last = rows.filter(_.seq == 3L)
+        assert(last.map(r => (r.itemId, r.count, r.valueCents)) === Seq(("alice", 1L, 100L)),
+          s"re-add wiped by unordered fold: $rows")
+        // the intermediate snapshot (seq 2, post-erase) is empty board
+        assert(rows.filter(_.seq == 2L).isEmpty)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("per-element top-K idle TTL evicts the snapshot; key restarts fresh") {
     implicit val sql = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
