@@ -218,18 +218,39 @@ object AnalyticsQueries {
     * profile), the triangle re-counted from the folded profiles.
     * Shares `q_cohort_retention`'s oracle.
     */
-  def cohortRetentionStream(spark: SparkSession, dir: String): DataFrame = {
+  private val cohortFoldCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** LAST per-user cohort-profile emissions from ONE real
+    * [[graft.streaming.CohortStream]] run, cached per corpus
+    * fingerprint — the [[transitionEmissionsStreamed]] discipline:
+    * the per-user state (cohort day + active-day offsets) subsumes
+    * the first-seen state, so this single run feeds BOTH the
+    * retention gate and the user-growth gate instead of each paying
+    * its own AvailableNow micro-batch harness.
+    */
+  private[queries] def cohortEmissionsStreamed(spark: SparkSession,
+      dir: String): DataFrame = {
     import graft.streaming.CohortStream
-    val src = OlapQueries.fileFeed(spark,
-      OlapQueries.idOrderedBatches(spark, dir))
-    val updates = CohortStream.cohorts(spark, src)
-    OlapQueries.streamFoldLast(spark, updates.toDF(), "user_id")
-      .filter(size(col("offsets")) > 0)
+    val fp = Tables.fingerprint(spark, s"$dir/events.parquet")
+    cohortFoldCache.getOrElseUpdate(fp, {
+      val src = OlapQueries.fileFeed(spark,
+        OlapQueries.idOrderedBatches(spark, dir))
+      val updates = CohortStream.cohorts(spark, src)
+      val folded = OlapQueries.streamFoldLast(spark, updates.toDF(), "user_id")
+        .filter(size(col("offsets")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      folded.count()
+      folded
+    })
+  }
+
+  def cohortRetentionStream(spark: SparkSession, dir: String): DataFrame =
+    cohortEmissionsStreamed(spark, dir)
       .select(col("user_id"), col("cohort_day"),
         explode(col("offsets")).as("day_offset"))
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
-  }
 
   /** CEP-style consecutive-pattern detection (the Flink-CEP shape the
     * reference's stack is known for, expressed with window

@@ -789,6 +789,23 @@ object DocQueries {
     graft.ops.Bpe.encode(d, graft.ops.Bpe.trainMergesBatched(d, bpeTrainedN))
   }
 
+  /** The UNIGRAM-LM tokenizer's train→encode composition
+    * ([[graft.ops.Unigram]] — the SentencePiece-unigram sibling of
+    * [[docBpeTrained]], Kudo ACL'18 via hard EM): seed the piece
+    * vocabulary from the substring census, run the Viterbi-EM
+    * rounds over the bounded word-frequency table, then segment the
+    * corpus into maximum-likelihood pieces. The oracle TRAINS
+    * INDEPENDENTLY in DuckDB — the same census → top-piece seed →
+    * recursive-CTE Viterbi DP → usage recount rounds, all in exact
+    * integer fixed-point-log arithmetic with the identical
+    * (cost, piece count, piece sequence) tie-break — so the gate
+    * hash-checks the whole train→encode path cross-engine.
+    */
+  def docUnigramTrained(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    graft.ops.Unigram.encode(d, graft.ops.Unigram.train(d))
+  }
+
   /** The full tokenizer-to-shards composition a training run executes:
     * train the BPE merges ([[graft.ops.Bpe.trainMergesBatched]]),
     * tokenize the corpus with them, and pack shard offsets/chunk ids
@@ -997,16 +1014,28 @@ object DocQueries {
     * pre-collapses to (doc, gram-hash, k) BEFORE the census join, so
     * a hyper-frequent transition costs one census row and at most
     * one joined row per containing doc. The residual skew (a gram
-    * present in most docs keys one probe-side partition) is the
-    * build-side-unique shape AQE's skew-join split handles — the
-    * census side carries exactly one row per hash, so splitting the
-    * probe partition duplicates one build row, never a join blowup.
-    * The oracle applies the SAME hash, so a (vanishingly unlikely)
-    * 60-bit collision would alter both engines identically rather
-    * than desync them.
+    * present in most docs keys one probe-side partition) is closed
+    * STRUCTURALLY by salting the census join: the probe side carries
+    * a doc-derived salt, the one-row-per-hash census side fans out
+    * ×saltBuckets, and the join keys on (hash, salt) — the hottest
+    * gram spreads over saltBuckets partitions BY CONSTRUCTION, at
+    * the cost of duplicating only the bounded build side. (AQE's
+    * skew-join split cannot help this plan: the rule only matches a
+    * join whose children are bare shuffles, and the census side has
+    * its final aggregate between the exchange and the join —
+    * PlanSpec pins both the salted keys and the serving-scale
+    * broadcast.) The oracle applies the SAME hash, so a (vanishingly
+    * unlikely) 60-bit collision would alter both engines identically
+    * rather than desync them.
     */
   def docLmScore(spark: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(spark, dir))
+
+  /** Salt fan-out for the census probe join — the structural bound
+    * on how many partitions the hottest gram's probe rows spread
+    * over; the census side duplicates ×this (bounded build side).
+    */
+  private val lmSaltBuckets = 16
 
   def lmScore(docs: DataFrame, topN: Int = 20): DataFrame = {
     val toks = docs
@@ -1018,7 +1047,15 @@ object DocQueries {
     val census = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
     val docGrams = grams.groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("k"))
-    val scored = docGrams.join(census, "h")
+    // salted equi-join (see the skew-discipline note): probe rows
+    // carry a doc-derived salt, the one-row-per-hash census fans out
+    // ×lmSaltBuckets — regrouped sums are identical, so the gate
+    // hash is unchanged
+    val salted = docGrams.withColumn("salt",
+      pmod(xxhash64(col("doc_id")), lit(lmSaltBuckets.toLong)).cast("int"))
+    val censusX = census.withColumn("salt",
+      explode(sequence(lit(0), lit(lmSaltBuckets - 1))))
+    val scored = salted.join(censusX, Seq("h", "salt"))
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_bigrams"),
         sum(col("k") * length(bin(col("c")))).as("score_bits"))
@@ -1134,6 +1171,7 @@ object DocQueries {
     "q_doc_bpe_pairs" -> (docBpePairs _),
     "q_doc_bpe_encode" -> (docBpeEncode _),
     "q_doc_bpe_trained" -> (docBpeTrained _),
+    "q_doc_unigram_trained" -> (docUnigramTrained _),
     "q_doc_bpe_pack" -> (docBpePack _),
     "q_doc_neardup_served" -> (docNearDupServed _),
     "q_doc_neardup_offline" -> (docNearDupOffline _),
@@ -1304,6 +1342,81 @@ object DocQueries {
        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        |  array_to_string(toks[1:5], '|') AS head
        |FROM enc""".stripMargin
+
+  /** Independently-trained unigram-LM oracle: DuckDB seeds its own
+    * piece vocabulary from the substring census, runs the same hard-EM
+    * rounds (recursive-CTE Viterbi DP, exact integer fixed-point log
+    * costs, (cost, count, sequence) tie-break), and encodes — the
+    * [[bpeTrainedCtes]] pattern for [[graft.ops.Unigram]]. CTEs are
+    * MATERIALIZED: DuckDB otherwise re-inlines each reference and the
+    * nested training rounds re-execute combinatorially.
+    */
+  private lazy val unigramTrainedOracle = {
+    val (maxP, v, rounds) =
+      (graft.ops.Unigram.MaxPiece, graft.ops.Unigram.Pieces,
+        graft.ops.Unigram.Rounds)
+    def ilog(c: String) =
+      s"(64 * (length(bin(CAST($c AS BIGINT))) - 1) + " +
+        s"(($c - (CAST(1 AS BIGINT) << (length(bin(CAST($c AS BIGINT))) - 1))) * 64) " +
+        s"// (CAST(1 AS BIGINT) << (length(bin(CAST($c AS BIGINT))) - 1)))"
+    val sep = "chr(31)"
+    // one (costs -> map -> Viterbi DP -> segmentation) block per vocab
+    def seg(r: Int, vin: String) =
+      s"""t$r AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM $vin),
+         |c$r AS MATERIALIZED (SELECT p, ${ilog("t")} - ${ilog("cnt")} AS cost FROM $vin, t$r),
+         |m$r AS MATERIALIZED (SELECT map_from_entries(list({'k': p, 'v': cost} ORDER BY p)) AS m,
+         |         (SELECT ${ilog("t")} FROM t$r) AS unk FROM c$r),
+         |dp$r AS (
+         |  SELECT wd, freq, 0 AS j,
+         |    [{'c': CAST(0 AS BIGINT), 'np': CAST(0 AS BIGINT), 'ps': ''}] AS st
+         |  FROM wf
+         |  UNION ALL
+         |  SELECT wd, freq, j + 1, st || [
+         |    list_min(list_filter(list_transform(range(greatest(1, j - ${maxP - 2}), j + 2),
+         |      i0 -> {'c': st[i0].c + coalesce(list_extract(m[substring(wd, i0, j + 2 - i0)], 1),
+         |                                      CASE WHEN j + 1 = i0 THEN unk ELSE NULL END),
+         |              'np': st[i0].np + 1,
+         |              'ps': st[i0].ps || $sep || substring(wd, i0, j + 2 - i0)}),
+         |      s -> s.c IS NOT NULL))]
+         |  FROM dp$r, m$r WHERE j < length(wd)),
+         |seg$r AS MATERIALIZED (SELECT wd, freq, st[length(wd)+1] AS best
+         |  FROM dp$r WHERE j = length(wd))""".stripMargin
+    // usage recount + vocab update (the M-step)
+    def mstep(r: Int) =
+      s"""use$r AS MATERIALIZED (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(string_split(substring(best.ps, 2), $sep)) AS p
+         |        FROM seg$r) GROUP BY 1),
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT v.p,
+         |    CASE WHEN length(v.p) = 1 THEN greatest(coalesce(u.cnt, 0), 1) ELSE u.cnt END AS cnt
+         |  FROM v$r v LEFT JOIN use$r u USING (p)
+         |  WHERE length(v.p) = 1 OR coalesce(u.cnt, 0) >= 1)""".stripMargin
+    val steps = (0 until rounds)
+      .flatMap(r => Seq(seg(r, s"v$r"), mstep(r))) :+ seg(rounds, s"v$rounds")
+    s"""WITH RECURSIVE
+       |wf AS MATERIALIZED (SELECT wd, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS wd
+       |    FROM documents) GROUP BY wd),
+       |cen AS MATERIALIZED (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, substring(wd, i, l) AS p
+       |    FROM wf, unnest(range(1, length(wd)+1)) t(i), unnest(range(1, ${maxP + 1})) u(l)
+       |    WHERE i + l - 1 <= length(wd)) GROUP BY 1),
+       |v0 AS MATERIALIZED (SELECT p, cnt FROM cen WHERE length(p) = 1
+       |       UNION ALL
+       |       SELECT p, cnt FROM (SELECT p, cnt FROM cen WHERE length(p) >= 2
+       |                           ORDER BY cnt DESC, p LIMIT $v)),
+       |${steps.mkString(",\n")},
+       |w2 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wds FROM documents),
+       |wx AS (SELECT doc_id, i, wds[i] AS wd FROM w2, unnest(range(1, len(wds)+1)) t(i)),
+       |ej AS (SELECT wx.doc_id, wx.i, s.best.np AS np,
+       |       string_split(substring(s.best.ps, 2), $sep) AS ps FROM wx JOIN seg$rounds s USING (wd)),
+       |enc AS (SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces,
+       |        array_to_string(flatten(list(ps ORDER BY i))[1:5], '|') AS head
+       |        FROM ej GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(e.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |       coalesce(e.head, '') AS head
+       |FROM documents d LEFT JOIN enc e USING (doc_id)""".stripMargin
+  }
 
   // the tokenize-then-pack composition: trained-BPE token counts fed
   // through the q_doc_pack cumsum/chunk definition
@@ -1629,6 +1742,7 @@ object DocQueries {
         |SELECT x, y, cnt FROM c ORDER BY cnt DESC, x, y LIMIT 20""".stripMargin,
     "q_doc_bpe_encode" -> bpeEncodeOracle,
     "q_doc_bpe_trained" -> bpeTrainedOracle,
+    "q_doc_unigram_trained" -> unigramTrainedOracle,
     "q_doc_bpe_pack" -> bpePackOracle,
     // both legs recomputed from scratch, fused by the same scaled
     // integer RRF (P = lcm(61..70), every addend exact)

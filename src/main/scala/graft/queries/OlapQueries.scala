@@ -286,11 +286,14 @@ object OlapQueries {
     * keyed aggregate. Shares `q_user_growth`'s oracle.
     */
   def userGrowthStream(spark: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.UserGrowthStream
-    val src = fileFeed(spark, idOrderedBatches(spark, dir))
-    val updates = UserGrowthStream.firstSeen(spark, src)
-    val newPerDay = streamFoldLast(spark, updates.toDF(), "user_id")
-      .groupBy(col("first_day").as("day"))
+    // served off the SHARED streamed cohort state (one CohortStream
+    // run feeds this gate and the retention gate — the
+    // typePagerankStream sharing discipline): a user's cohort_day IS
+    // the min-merge first-seen day, so the growth curve derives
+    // identically. UserGrowthStream's own operator stays spec'd in
+    // StreamingVariantsSpec.
+    val newPerDay = AnalyticsQueries.cohortEmissionsStreamed(spark, dir)
+      .groupBy(col("cohort_day").as("day"))
       .agg(count(lit(1)).as("new_users"))
     newPerDay
       .withColumn("total_users",

@@ -721,7 +721,7 @@ object SketchQueries {
        |     WHERE user_id IN (SELECT user_id FROM a)) AS exact_rev_inter)
        |SELECT ex.*, est.* FROM ex, est""".stripMargin
 
-  private val tupleOracle =
+  private[queries] val tupleOracle =
     tupleSetOracle("event_type = 'click'", "event_type = 'purchase'")
 
   private val tupleWindowCut =

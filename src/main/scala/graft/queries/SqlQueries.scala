@@ -464,7 +464,86 @@ object SqlQueries {
       FROM u""")
   }
 
+  /** The TUPLE sketch as a PURE SQL surface — the missing sibling of
+    * [[distinctKmvSql]]/[[distinctBitmapSql]]: Pinot spells
+    * SUMVALUESINTEGERSUMTUPLESKETCH as a SQL aggregate, so the engine
+    * does too. `graft_tuple(h, v)` builds the (hash, sum) bottom-k
+    * sketch as a registered UDAF; the ENTIRE estimator algebra — θ
+    * composition (least of own thresholds), strict-below sample
+    * filters, zip_with sample sums, DECIMAL(38,0)·M DIV θ integral
+    * scale-ups — runs in SQL expressions over the returned struct.
+    * Numbers are bit-identical to [[SketchQueries.distinctTuple]]
+    * (same hash, same k, same integral arithmetic), so this shares
+    * its tagged-set mirror oracle; the exact half (the user-grain
+    * semi-join the sketch replaces at 100 TB) rides along as ground
+    * truth.
+    */
+  def distinctTupleSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{KmvSketch, TupleSketch}
+    spark.udf.register("graft_tuple",
+      udaf(new TupleSketch.TupleAgg(KmvSketch.DefaultK),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)))
+    registerRawView(spark, dir)
+    val (k, m) = (KmvSketch.DefaultK, KmvSketch.M)
+    val empty = "named_struct('hs', CAST(array() AS ARRAY<BIGINT>), " +
+      "'vs', CAST(array() AS ARRAY<BIGINT>))"
+    spark.sql(s"""
+      WITH h AS (
+        SELECT event_type,
+          CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h,
+          value_cents AS v
+        FROM orders_raw WHERE event_type IN ('click', 'purchase')),
+      sk AS (SELECT event_type, graft_tuple(h, v) AS sk FROM h GROUP BY event_type),
+      p AS (SELECT
+          coalesce(first(CASE WHEN event_type = 'click' THEN sk END, true),
+            $empty) AS sk_a,
+          coalesce(first(CASE WHEN event_type = 'purchase' THEN sk END, true),
+            $empty) AS sk_b
+        FROM sk),
+      t AS (SELECT sk_a, sk_b,
+          IF(size(sk_b.hs) < $k, ${m}L, element_at(sk_b.hs, $k)) AS th_b,
+          least(
+            IF(size(sk_a.hs) < $k, ${m}L, element_at(sk_a.hs, $k)),
+            IF(size(sk_b.hs) < $k, ${m}L, element_at(sk_b.hs, $k))) AS theta
+        FROM p),
+      s AS (SELECT *, filter(sk_a.hs, x -> x < theta) AS ha FROM t),
+      est AS (SELECT
+          IF(size(sk_a.hs) < $k, CAST(size(sk_a.hs) AS BIGINT),
+            CAST(CAST(${k - 1} AS DECIMAL(38,0)) * CAST(${m}L AS DECIMAL(38,0))
+                 DIV element_at(sk_a.hs, $k) AS BIGINT)) AS est_users_a,
+          IF(size(sk_b.hs) < $k, CAST(size(sk_b.hs) AS BIGINT),
+            CAST(CAST(${k - 1} AS DECIMAL(38,0)) * CAST(${m}L AS DECIMAL(38,0))
+                 DIV element_at(sk_b.hs, $k) AS BIGINT)) AS est_users_b,
+          CAST(CAST(aggregate(zip_with(sk_b.hs, sk_b.vs,
+                 (h, v) -> IF(h < th_b, v, 0L)), 0L, (acc, x) -> acc + x)
+               AS DECIMAL(38,0)) * CAST(${m}L AS DECIMAL(38,0)) DIV th_b AS BIGINT)
+            AS est_rev_b,
+          CAST(CAST(aggregate(zip_with(sk_b.hs, sk_b.vs,
+                 (h, v) -> IF(h < theta AND array_contains(ha, h), v, 0L)),
+                 0L, (acc, x) -> acc + x)
+               AS DECIMAL(38,0)) * CAST(${m}L AS DECIMAL(38,0)) DIV theta AS BIGINT)
+            AS est_rev_inter
+        FROM s),
+      ex AS (SELECT
+          (SELECT COUNT(DISTINCT user_id) FROM orders_raw
+           WHERE event_type = 'click') AS exact_users_a,
+          (SELECT COUNT(DISTINCT user_id) FROM orders_raw
+           WHERE event_type = 'purchase') AS exact_users_b,
+          (SELECT coalesce(SUM(value_cents), 0L) FROM orders_raw
+           WHERE event_type = 'purchase') AS exact_rev_b,
+          (SELECT coalesce(SUM(v), 0L) FROM (
+             SELECT user_id, SUM(value_cents) AS v FROM orders_raw
+             WHERE event_type = 'purchase' GROUP BY 1) b
+           WHERE EXISTS (SELECT 1 FROM orders_raw a
+             WHERE a.event_type = 'click' AND a.user_id = b.user_id))
+            AS exact_rev_inter)
+      SELECT ex.*, est.* FROM ex, est""")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_sql_distinct_tuple" -> (distinctTupleSql _),
     "q_sql_distinct_bitmap" -> (distinctBitmapSql _),
     "q_sql_topk_raw" -> (topkRaw _),
     "q_sql_topk_rollup" -> (topkRollup _),
@@ -484,6 +563,8 @@ object SqlQueries {
     "q_sql_session_transitions" -> AnalyticsQueries.sessionTransitionsOracle,
     // the pure-SQL sketch surface reproduces distinctKmv bit-for-bit
     "q_sql_distinct_kmv" -> SketchQueries.kmvOracle,
+    // the pure-SQL tuple surface reproduces distinctTuple bit-for-bit
+    "q_sql_distinct_tuple" -> SketchQueries.tupleOracle,
     // the pure-SQL bitmap surface is exact, so its oracle is plain
     // COUNT(DISTINCT) — same oracle as the Column-API bitmap gates
     "q_sql_distinct_bitmap" -> SketchQueries.bitmapOracle,

@@ -76,53 +76,100 @@ object TemporalQueries {
     * stream ≡ batch exactly and the gate shares `q_attribution_24h`'s
     * oracle.
     */
+  private val temporalJoinCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** ONE AvailableNow stream runs BOTH temporal stream-stream joins
+    * — the attribution leftOuter interval join AND the range join —
+    * as a tagged UNION of the two join operators (Spark's
+    * multiple-stateful-operator support), cached per corpus
+    * fingerprint: each gate used to pay its own full micro-batch
+    * harness (~5 s each at bench scale) for the same feed. A
+    * sentinel row per event TYPE sits in the final batch so every
+    * side's watermark advances past the horizon (the global
+    * min-watermark policy would otherwise let the error side hold
+    * back the attribution join's null flush). The sentinel purchase
+    * and error share an instant and a user, so the range join emits
+    * one sentinel pair — both read-backs filter `user_id >= 0`
+    * (attribution always did).
+    */
+  private def temporalJoinsOut(spark: SparkSession, dir: String): String = {
+    val fp = Tables.fingerprint(spark, s"$dir/events.parquet")
+    temporalJoinCache.getOrElseUpdate(fp, {
+      val winUs = 24L * 3600L * 1000000L
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value_cents"))
+      val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val tu = unix_micros(col("ts"))
+      def sentinel(tpe: String, id: Long) = ev.sparkSession.range(1).select(
+        lit(id).as("event_id"), lit(-1L).as("user_id"),
+        timestamp_micros(lit(hi + 2L * 86400L * 1000000L)).as("ts"),
+        lit(tpe).as("event_type"), lit(0L).as("value_cents"))
+      val feed = OlapQueries.fileFeedDir(Seq(
+        ev.filter(tu <= cuts(0)),
+        ev.filter(tu > cuts(0) && tu <= cuts(1)),
+        ev.filter(tu > cuts(1)),
+        sentinel("purchase", -10L).unionByName(sentinel("click", -11L))
+          .unionByName(sentinel("error", -12L))))
+      def srcOf() = OlapQueries.fileFeedSource(spark, feed, ev.schema)
+      val purchases = srcOf().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value_cents"))
+      val clicks = srcOf().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      val attrJoined = graft.streaming.StreamJoin.intervalJoinBounds(
+        purchases, clicks, keys = Seq("user_id"),
+        leftTs = "p_ts", rightTs = "c_ts",
+        loUs = -winUs, hiUs = 0L, watermarkDelay = "10 seconds",
+        joinType = "leftOuter")
+      val rjPurchases = srcOf().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val errors = srcOf().filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("e_ts"))
+      val rjJoined = graft.streaming.StreamJoin.intervalJoin(
+        rjPurchases, errors, keys = Seq("user_id"),
+        leftTs = "p_ts", rightTs = "e_ts", hi = "6 hours",
+        watermarkDelay = "10 seconds")
+      val both = attrJoined
+        .select(lit("attr").as("tag"), col("purchase_id"), col("user_id"),
+          col("p_ts"), col("value_cents"), col("click_id"), col("c_ts"),
+          lit(null).cast("long").as("error_id"),
+          lit(null).cast("timestamp").as("e_ts"))
+        .unionByName(rjJoined
+          .select(lit("rjoin").as("tag"), col("purchase_id"), col("user_id"),
+            col("p_ts"), lit(null).cast("long").as("value_cents"),
+            lit(null).cast("long").as("click_id"),
+            lit(null).cast("timestamp").as("c_ts"),
+            col("error_id"), col("e_ts")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_temporal_gate").toString
+      val out = s"$tmp/out"
+      OlapQueries.withGateStreamConf(spark) {
+        val q = both.writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
+          }
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      out
+    })
+  }
+
   def attribution24hStream(spark: SparkSession, dir: String): DataFrame = {
-    val winUs = 24L * 3600L * 1000000L
-    val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ts"),
-        col("event_type"), col("value_cents"))
-    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
-    val tu = unix_micros(col("ts"))
-    def sentinel(tpe: String, id: Long) = ev.sparkSession.range(1).select(
-      lit(id).as("event_id"), lit(-1L).as("user_id"),
-      timestamp_micros(lit(hi + 2L * 86400L * 1000000L)).as("ts"),
-      lit(tpe).as("event_type"), lit(0L).as("value_cents"))
-    val feed = OlapQueries.fileFeedDir(Seq(
-      ev.filter(tu <= cuts(0)),
-      ev.filter(tu > cuts(0) && tu <= cuts(1)),
-      ev.filter(tu > cuts(1)),
-      sentinel("purchase", -10L).unionByName(sentinel("click", -11L))))
-    def srcOf() = OlapQueries.fileFeedSource(spark, feed, ev.schema)
-    val purchases = srcOf().filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts").as("p_ts"), col("value_cents"))
-    val clicks = srcOf().filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("c_ts"))
-    val joined = graft.streaming.StreamJoin.intervalJoinBounds(
-      purchases, clicks, keys = Seq("user_id"),
-      leftTs = "p_ts", rightTs = "c_ts",
-      loUs = -winUs, hiUs = 0L, watermarkDelay = "10 seconds",
-      joinType = "leftOuter")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_attr_gate").toString
-    val out = s"$tmp/out"
-    OlapQueries.withGateStreamConf(spark) {
-      val q = joined.writeStream
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
-        }
-        .start()
-      try q.awaitTermination() finally q.stop()
-    }
+    val out = temporalJoinsOut(spark, dir)
     // latest (c_ts, click_id) per purchase — the batch tie rule; a
     // purchase whose only row is null-padded stays null
     spark.read.parquet(out)
-      .filter(col("user_id") >= 0L)
+      .filter(col("tag") === "attr" && col("user_id") >= 0L)
       .groupBy(col("purchase_id"), col("user_id"),
         col("p_ts"), col("value_cents"))
       .agg(max_by(struct(col("click_id"), unix_micros(col("c_ts")).as("ctu")),
@@ -227,46 +274,14 @@ object TemporalQueries {
     * window), so stream ≡ batch exactly and the gate shares
     * `q_range_join`'s oracle.
     */
-  def rangeJoinStream(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
-    val tu = unix_micros(col("ts"))
-    val feed = OlapQueries.fileFeedDir(Seq(
-      ev.filter(tu <= cuts(0)),
-      ev.filter(tu > cuts(0) && tu <= cuts(1)),
-      ev.filter(tu > cuts(1))))
-    def srcOf() = OlapQueries.fileFeedSource(spark, feed, ev.schema)
-    val purchases = srcOf().filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts").as("p_ts"))
-    val errors = srcOf().filter(col("event_type") === "error")
-      .select(col("event_id").as("error_id"), col("user_id"),
-        col("ts").as("e_ts"))
-    val joined = graft.streaming.StreamJoin.intervalJoin(
-      purchases, errors, keys = Seq("user_id"),
-      leftTs = "p_ts", rightTs = "e_ts", hi = "6 hours",
-      watermarkDelay = "10 seconds")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_rjoin_gate").toString
-    val out = s"$tmp/out"
-    OlapQueries.withGateStreamConf(spark) {
-      val q = joined.writeStream
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
-        }
-        .start()
-      try q.awaitTermination() finally q.stop()
-    }
-    spark.read.parquet(out)
+  def rangeJoinStream(spark: SparkSession, dir: String): DataFrame =
+    // the rjoin leg of the SHARED temporal-joins run (see
+    // [[temporalJoinsOut]]); the user filter drops the sentinel pair
+    spark.read.parquet(temporalJoinsOut(spark, dir))
+      .filter(col("tag") === "rjoin" && col("user_id") >= 0L)
       .select(col("purchase_id"), col("user_id"), col("error_id"),
         unix_millis(col("p_ts")).as("p_ts_ms"),
         unix_millis(col("e_ts")).as("e_ts_ms"))
-  }
 
   val queries: Map[String, QFn] = Map(
     "q_asof_attribution" -> (asofAttribution _),

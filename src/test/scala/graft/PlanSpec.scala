@@ -445,6 +445,56 @@ class PlanSpec extends SparkSuite {
       !finalPlan.contains("CartesianProduct"), p)
   }
 
+  test("lmScore census probe: broadcast at serving scale; salted join keys spread a planted hyper-common bigram when it must shuffle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // plant the skew: every doc shares one hyper-common bigram, plus
+    // a unique filler bigram so the census isn't one row. (AQE's
+    // skew-join split can structurally NEVER fire on this plan — the
+    // census side keeps its final aggregate between the exchange and
+    // the join, and OptimizeSkewedJoin only matches bare-shuffle
+    // children — so the skew protection must be the SALT, not AQE.)
+    val docs = (0L until 3000L)
+      .map(i => (i, s"aa bb u${i}a"))
+      .toDF("doc_id", "text")
+    // arm 1 (the serving default): the one-row-per-hash census side
+    // is small, so the probe join stays a broadcast — no skew at all
+    val p1 = planOf(graft.queries.DocQueries.lmScore(docs))
+    val f1 = p1.split("== Initial Plan ==").head
+    assert(f1.contains("BroadcastHashJoin"),
+      "census probe should broadcast at this scale\n" + p1)
+    // arm 2 (the 100 TB census): force the shuffle shape — the join
+    // must key on (h, salt), so the hottest gram's probe rows spread
+    // over lmSaltBuckets partitions BY CONSTRUCTION, and the result
+    // is identical (hash-gated upstream)
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df2 = graft.queries.DocQueries.lmScore(docs)
+      val rows2 = df2.collect()
+      val f2 = df2.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(f2.contains("SortMergeJoin") || f2.contains("ShuffledHashJoin"),
+        "broadcast was supposed to be disabled\n" + f2)
+      // the shuffled join's keys carry the salt next to the hash
+      val joinLine = f2.linesIterator
+        .find(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).get
+      assert(joinLine.contains("salt"),
+        s"census probe join is not salted: $joinLine")
+      // salting changed no answers
+      val rows1 = graft.queries.DocQueries.lmScore(docs).collect()
+      assert(rows2.map(_.toString).sorted.toSeq ===
+        rows1.map(_.toString).sorted.toSeq)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bloom semi join: the probe filters the fact BELOW the join") {
     val p = planOf(TpchQueries.queries("q_tpch_bloom_semi")(spark, sfDir))
     val finalPlan = p.split("== Initial Plan ==").head
