@@ -132,8 +132,18 @@ object Unigram {
     * single chars with count-1 smoothing. Each round collects only
     * the bounded vocabulary's usage rows (driver metadata).
     */
-  def train(docs: DataFrame, textCol: String = "text"): Vocab = {
-    val wf = Bpe.wordFreqs(docs, textCol)
+  def train(docs: DataFrame, textCol: String = "text"): Vocab =
+    trainFromWordFreqs(Bpe.wordFreqs(docs, textCol))
+
+  /** [[train]] from an existing (wd, freq) word-frequency table —
+    * the seam a continuously-maintained census
+    * ([[graft.streaming.VocabIngest.readWordFreqs]]) trains through:
+    * the census is additive and order-independent, so a streamed
+    * census equals the batch one and the trained vocabulary is
+    * identical.
+    */
+  def trainFromWordFreqs(wordFreqs: DataFrame): Vocab = {
+    val wf = wordFreqs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cen = census(wf)

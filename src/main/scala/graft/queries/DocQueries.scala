@@ -1091,6 +1091,31 @@ object DocQueries {
     graft.streaming.LmIngest.readScores(spark, s"$tmp/grams", s"$tmp/census")
   }
 
+  /** The unigram tokenizer trained from a STREAMED word-frequency
+    * census ([[graft.streaming.VocabIngest]] over doc-id thirds —
+    * the [[docLmScoreStream]] harness): additive counts make the
+    * streamed census equal the batch `wordFreqs` for any split, so
+    * the trained vocabulary — and therefore every encoded document —
+    * is bit-identical and the gate shares `q_doc_unigram_trained`'s
+    * independently-trained DuckDB oracle.
+    */
+  def docUnigramStream(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vocab_gate").toString
+    val batches = Seq(
+      d.filter(col("doc_id") <= cuts(0)),
+      d.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      d.filter(col("doc_id") > cuts(1)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.VocabIngest.processBatch(
+        b, i.toLong, s"$tmp/docwords", s"$tmp/wordfreq")
+    }
+    graft.ops.Unigram.encode(d, graft.ops.Unigram.trainFromWordFreqs(
+      graft.streaming.VocabIngest.readWordFreqs(spark, s"$tmp/wordfreq")))
+  }
+
   def collocations(docs: DataFrame, minCount: Long = 20, topN: Int = 25): DataFrame = {
     val toks = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
@@ -1172,6 +1197,7 @@ object DocQueries {
     "q_doc_bpe_encode" -> (docBpeEncode _),
     "q_doc_bpe_trained" -> (docBpeTrained _),
     "q_doc_unigram_trained" -> (docUnigramTrained _),
+    "q_doc_unigram_stream" -> (docUnigramStream _),
     "q_doc_bpe_pack" -> (docBpePack _),
     "q_doc_neardup_served" -> (docNearDupServed _),
     "q_doc_neardup_offline" -> (docNearDupOffline _),
@@ -1743,6 +1769,9 @@ object DocQueries {
     "q_doc_bpe_encode" -> bpeEncodeOracle,
     "q_doc_bpe_trained" -> bpeTrainedOracle,
     "q_doc_unigram_trained" -> unigramTrainedOracle,
+    // the streamed census is additive, so stream-trained == batch-
+    // trained bit-for-bit and the gate shares the oracle
+    "q_doc_unigram_stream" -> unigramTrainedOracle,
     "q_doc_bpe_pack" -> bpePackOracle,
     // both legs recomputed from scratch, fused by the same scaled
     // integer RRF (P = lcm(61..70), every addend exact)

@@ -955,12 +955,20 @@ object Serving {
     }
   }
 
-  def readTable(spark: SparkSession, dataDir: String, table: String): DataFrame = {
-    val root = materialize(spark, dataDir)
-    tableCache.getOrElseUpdate((root, table),
+  def readTable(spark: SparkSession, dataDir: String, table: String): DataFrame =
+    readTableAt(spark, materialize(spark, dataDir), table)
+
+  private[graft] def readTableAt(spark: SparkSession, root: String,
+      table: String): DataFrame =
+    tableCache.getOrElseUpdate((root, table), {
+      // READ-PATH recovery (the index frameCache discipline): a crash
+      // mid-apply of a staged eraseUser no longer serves a holed
+      // layout until the next maintenance op — a fresh JVM's first
+      // table read completes it (one FS existence check per miss)
+      if (EraseStage.recover(spark, root)) { stampCache.remove(root); () }
       spark.read.parquet(s"$root/$table")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   private val anchorCache = scala.collection.concurrent.TrieMap.empty[String, Long]
 

@@ -379,6 +379,41 @@ class IngestEraseSpec extends SparkSuite {
       rows(ImportanceProfile.readProfile(spark, s"$t2/profile")))
   }
 
+  test("vocab-ingest erase: census rebuilds from doc profiles; trained tokenizer == rebuild-without-doc") {
+    import graft.streaming.VocabIngest
+    val d = Tables.documents(spark, sfDir)
+    val batches = docBatches(d)
+    val t = tmp("graft_vocab_erase")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      VocabIngest.processBatch(b, i.toLong, s"$t/docwords", s"$t/wordfreq") }
+    // the streamed census equals the batch word-frequency table
+    val wfBatch = rows(graft.ops.Bpe.wordFreqs(d))
+    assert(rows(VocabIngest.readWordFreqs(spark, s"$t/wordfreq")) == wfBatch)
+    // compaction commutes with the read (additive folds)
+    VocabIngest.compact(spark, s"$t/docwords", s"$t/wordfreq")
+    assert(rows(VocabIngest.readWordFreqs(spark, s"$t/wordfreq")) == wfBatch)
+    // erase: census == batch census over the retained corpus, and the
+    // TRAINED TOKENIZER equals one trained without the document
+    val victim = d.agg(min(col("doc_id"))).head().getLong(0)
+    VocabIngest.eraseDoc(spark, s"$t/docwords", s"$t/wordfreq", victim)
+    val retained = d.filter(col("doc_id") =!= victim)
+    val wantWf = rows(graft.ops.Bpe.wordFreqs(retained))
+    assert(rows(VocabIngest.readWordFreqs(spark, s"$t/wordfreq")) == wantWf)
+    val vErased = graft.ops.Unigram.trainFromWordFreqs(
+      VocabIngest.readWordFreqs(spark, s"$t/wordfreq"))
+    assert(vErased == graft.ops.Unigram.train(retained))
+    // idempotent re-run (crash-between-folds recovery)
+    VocabIngest.eraseDoc(spark, s"$t/docwords", s"$t/wordfreq", victim)
+    assert(rows(VocabIngest.readWordFreqs(spark, s"$t/wordfreq")) == wantWf)
+    // replay of the last (folded) batch writes invisible partitions
+    VocabIngest.processBatch(batches(2), 2L, s"$t/docwords", s"$t/wordfreq")
+    assert(rows(VocabIngest.readWordFreqs(spark, s"$t/wordfreq")) == wantWf)
+    // post-erase ingest continues: a NEW doc's words re-admit fresh
+    VocabIngest.processBatch(d.filter(col("doc_id") === victim), 3L,
+      s"$t/docwords", s"$t/wordfreq")
+    assert(rows(VocabIngest.readWordFreqs(spark, s"$t/wordfreq")) == wfBatch)
+  }
+
   test("erase guards are BIDIRECTIONAL: a frame missing an unrelated doc is refused, state untouched") {
     val docs = Tables.documents(spark, sfDir)
     // a doc with sole-owned hashes: its absence makes NON-victim

@@ -107,4 +107,50 @@ class MaintenanceSpec extends SparkSuite {
     assert(log2.forall(_.startsWith("ran:")), log2.mkString("\n"))
     assert(sServed() === sWant)
   }
+
+  test("the tick completes a crashed serving-layout erase and compacts the PQ/near-dup roots") {
+    import java.sql.Timestamp
+    import graft.serving.{NearDupIndex, PqIndex, Serving}
+    // a serving root crashed mid-erase (staged, manifest committed)
+    val root = java.nio.file.Files.createTempDirectory("graft_maint_srv").toString
+    def ev(id: Long, t: String, u: Long, et: String, cents: Long) =
+      (id, Timestamp.valueOf(t), u, et, cents / 100.0)
+    val rows = Seq(
+      ev(1, "2024-01-01 10:10:00", 1, "click", 300),
+      ev(2, "2024-01-01 10:20:00", 2, "view", 500),
+      ev(3, "2024-01-01 10:40:00", 1, "click", 200))
+    val evDf = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("value_cents", round(col("value") * 100).cast("long"))
+    Serving.materializeInto(spark, root, evDf)
+    EraseStage.stage(spark, root, Serving.eraseLegs(spark, root, evDf, 2L).legs)
+    // fragmented PQ + near-dup roots
+    val emb = Tables.embeddings(spark, sfDir)
+    val pqRoot = java.nio.file.Files.createTempDirectory("graft_maint_pq").toString
+    PqIndex.materialize(spark, emb.filter($"vec_id" < 250), pqRoot)
+    PqIndex.append(spark, pqRoot, emb.filter($"vec_id" >= 250 && $"vec_id" % 2 === 0))
+    PqIndex.append(spark, pqRoot, emb.filter($"vec_id" >= 250 && $"vec_id" % 2 === 1))
+    val docs = Tables.documents(spark, sfDir)
+    val ndRoot = java.nio.file.Files.createTempDirectory("graft_maint_nd").toString
+    NearDupIndex.materialize(docs.filter($"doc_id" % 2 === 0), ndRoot)
+    NearDupIndex.append(spark, ndRoot, docs.filter($"doc_id" % 2 === 1))
+    val ndDocs = spark.read.parquet(s"$ndRoot/docs").count()
+
+    val tasks = Seq(
+      Maintenance.Recover(root),
+      Maintenance.Pq(pqRoot, minFiles = 2),
+      Maintenance.NearDupIdx(ndRoot, minFiles = 2))
+    val log = Maintenance.run(spark, tasks)
+    assert(log.contains(s"recovered:$root"), log.mkString("\n"))
+    assert(log.exists(_.startsWith(s"compacted:$pqRoot/codes/cell=")), log.mkString("\n"))
+    assert(log.exists(_.startsWith(s"compacted:$ndRoot/")), log.mkString("\n"))
+    // the recovered erase is complete: user 2 gone everywhere
+    for (t <- Serving.allTables if t != "meta" && t != "profile_upsert")
+      assert(!spark.read.parquet(s"$root/$t").columns.contains("user_id") ||
+        spark.read.parquet(s"$root/$t").filter(col("user_id") === 2L).isEmpty,
+        s"$t still holds user 2 after the tick")
+    // compaction changed no content
+    assert(spark.read.parquet(s"$ndRoot/docs").count() === ndDocs)
+    // idempotent second tick
+    assert(Maintenance.run(spark, tasks).isEmpty)
+  }
 }

@@ -270,6 +270,18 @@ class ServingSpec extends SparkSuite {
     assert(meta.getAs[Long]("erase_gen") === 1L)
     // and the stage is consumed — recover is idempotent
     assert(!graft.serving.EraseStage.recover(spark, root))
+
+    // READ-PATH recovery: crash a SECOND erase (user 3) at the
+    // manifest, then a plain TABLE READ — not a maintenance op —
+    // completes it
+    val plan2 = Serving.eraseLegs(spark, root, mkDf(rows).filter(col("user_id") =!= 2L), 3L)
+    graft.serving.EraseStage.stage(spark, root, plan2.legs)
+    val viaRead = Serving.readTableAt(spark, root, "agg_by_window")
+    assert(viaRead.filter(col("user_id") === 3L).isEmpty,
+      "table read must recover the staged erase, not serve the old rows")
+    assert(!new java.io.File(s"$root/_erase_stage").exists)
+    assert(spark.read.parquet(s"$root/meta").head()
+      .getAs[Long]("erase_gen") === 2L)
   }
 
   test("user erasure refuses a stale frame that hides the user's stored dates") {
