@@ -209,12 +209,17 @@ private[graft] object EraseStage {
             f.delete(new Path(s"$target/$partCol=$v"), true))
           // re-establish the serving layout when the manifest records
           // one: one shuffle task (= one file) per partition, sorted
-          // within — the staged round-trip loses both otherwise
+          // within — the staged round-trip loses both otherwise. The
+          // sort LEADS with the partition column so the dynamic-
+          // partition write's required ordering is satisfied; Spark
+          // otherwise inserts its own NON-STABLE sort by the
+          // partition column and scrambles the layout (see
+          // TableManager.writePartitioned's note)
           val sortCols = sort.split(",").filter(_.nonEmpty).toSeq
           val laid =
             if (sortCols.isEmpty) staged
             else staged.repartition(col(partCol))
-              .sortWithinPartitions(sortCols.map(col): _*)
+              .sortWithinPartitions((partCol +: sortCols).map(col): _*)
           withOpts(laid.write.mode("append").partitionBy(partCol))
             .parquet(target)
         case "overwrite" =>

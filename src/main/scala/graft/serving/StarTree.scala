@@ -95,7 +95,10 @@ object StarTree {
         col("gid").cast("long").as("gid"),
         col("order_count"), col("sum_value_cents"))
       .repartition(col("gid"))
-      .sortWithinPartitions(dims.map(col): _*)
+      // leading gid: the dynamic-partition write otherwise inserts
+      // its own non-stable sort by gid and scrambles the dim order
+      // (see TableManager.writePartitioned's note)
+      .sortWithinPartitions(("gid" +: dims).map(col): _*)
       .write.mode("overwrite").partitionBy("gid")
       .parquet(s"$root/nodes")
 

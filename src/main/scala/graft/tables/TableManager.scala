@@ -44,6 +44,17 @@ object TableManager {
     * each file by `sortCols`, with a parquet bloom filter on
     * `bloomCol`. `repartition(date, bucketExpr)` keeps one shuffle
     * and co-locates each date's rows before the sort.
+    *
+    * The sort LEADS with the partition column: a dynamic-partition
+    * write REQUIRES its input ordered by the partition columns, and
+    * when the declared ordering doesn't satisfy that, Spark inserts
+    * its own sort by (p_date) alone — which is NOT stable and can
+    * silently scramble the within-file `sortCols` order (observed:
+    * parquet-sourced inputs came out unsorted; EraseStageSpec pins
+    * the layout). Leading with p_date satisfies the requirement, so
+    * no sort is inserted and the layout is guaranteed; within one
+    * date value the leading key is constant, so files are still
+    * sorted by `sortCols`.
     */
   def writePartitioned(
       df: DataFrame,
@@ -55,7 +66,7 @@ object TableManager {
     val dated = df.withColumn("p_date", to_date(col(tsCol)))
     val writer0 = dated
       .repartition(col("p_date"))
-      .sortWithinPartitions(sortCols.map(col): _*)
+      .sortWithinPartitions(("p_date" +: sortCols).map(col): _*)
       .write
       .mode(mode)
       .partitionBy("p_date")
@@ -76,7 +87,8 @@ object TableManager {
     val dated = df.withColumn("p_date", to_date(col(tsCol)))
     val writer0 = dated
       .repartition(col("p_date"))
-      .sortWithinPartitions(sortCols.map(col): _*)
+      // leading p_date: see writePartitioned's inserted-sort note
+      .sortWithinPartitions(("p_date" +: sortCols).map(col): _*)
       .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -244,7 +256,8 @@ object TableManager {
     graft.ops.Rollup.compactSegments(spark.read.parquet(rollupPath), dims)
       .withColumn("p_date", to_date(timestamp_millis(col("window_start_ms"))))
       .repartition(col("p_date"))
-      .sortWithinPartitions((dims :+ "window_start_ms").map(col): _*)
+      // leading p_date: see writePartitioned's inserted-sort note
+      .sortWithinPartitions(("p_date" +: dims :+ "window_start_ms").map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(outPath)
 
   /** Compact a 1-minute rollup table into its hourly form in place
@@ -260,7 +273,8 @@ object TableManager {
     graft.ops.Rollup.compactHourly(rollup, dims)
       .withColumn("p_date", to_date(timestamp_millis(col("hour_start_ms"))))
       .repartition(col("p_date"))
-      .sortWithinPartitions((dims :+ "hour_start_ms").map(col): _*)
+      // leading p_date: see writePartitioned's inserted-sort note
+      .sortWithinPartitions(("p_date" +: dims :+ "hour_start_ms").map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(outPath)
   }
 

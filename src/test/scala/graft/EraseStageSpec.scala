@@ -142,6 +142,32 @@ class EraseStageSpec extends SparkSuite {
     rejected(EraseStage.Append("t\nx"))
   }
 
+  test("Swap sortCols in the manifest restore the serving layout: one file per partition, sorted within") {
+    val r = tmp()
+    (0L until 2000L).map(i => (i, (i % 4).toInt, i % 13))
+      .toDF("id", "p", "k")
+      .write.mode("overwrite").partitionBy("p").parquet(s"$r/t")
+    // stage a two-partition rewrite from a scrambled, multi-split
+    // frame; the manifest's sortCols must re-establish the layout
+    val kept = spark.read.parquet(s"$r/t")
+      .filter(col("p").isin(1, 2) && col("id") % 5 =!= 0L)
+      .repartition(8)
+    EraseStage.stage(spark, r, Seq(
+      EraseStage.Swap("t", "p", Seq("1", "2"), Seq("id")) -> kept))
+    assert(EraseStage.recover(spark, r))
+    for (p <- Seq(1, 2)) {
+      val files = Option(new java.io.File(s"$r/t/p=$p").listFiles).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.size === 1, s"p=$p should be one file, got ${files.size}")
+      val ids = spark.read.parquet(files.head.toString)
+        .select(col("id")).collect().map(_.getLong(0)).toSeq
+      assert(ids === ids.sorted, s"p=$p file not sorted by id")
+      assert(ids.nonEmpty && ids.forall(_ % 5 != 0L))
+    }
+    // untouched partitions keep their old rows
+    assert(spark.read.parquet(s"$r/t").filter(col("p") === 0).count() === 500L)
+  }
+
   test("Overwrite sortCol re-sorts after the staged round-trip: per-file ranges stay disjoint") {
     val r = tmp()
     (0L until 4000L).map(i => (i, (i % 7).toInt)).toDF("id", "x")

@@ -130,6 +130,36 @@ class TableManagerSpec extends SparkSuite {
       targetBytes = 64L).isEmpty)
   }
 
+  test("writePartitioned files are genuinely sorted by sortCols — even from parquet-sourced, pre-scrambled input") {
+    // the regression this pins: a dynamic-partition write whose
+    // declared ordering does not LEAD with the partition column gets
+    // Spark's own non-stable sort-by-partition-col inserted on top,
+    // which silently scrambles the within-file sortCols order (it
+    // reproduced with parquet-sourced inputs; in-memory ranges often
+    // got lucky). The layout IS the pruning contract — so read every
+    // written file back and assert the order, not just the plan.
+    val src = java.nio.file.Files.createTempDirectory("graft_sortsrc").toString
+    (0L until 4000L)
+      .map(i => (i, java.sql.Timestamp.valueOf(
+        s"2024-01-0${(i % 3) + 1} 10:0${i % 6}:00"), i % 97))
+      .toDF("event_id", "ts", "k")
+      .write.mode("overwrite").parquet(src)
+    val scrambled = spark.read.parquet(src).repartition(8)
+    val out = java.nio.file.Files.createTempDirectory("graft_sortout").toString
+    TableManager.writePartitioned(scrambled, out, "ts", Seq("k", "event_id"))
+    val dirs = new java.io.File(out).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("p_date="))
+    assert(dirs.length === 3)
+    for (d <- dirs; f <- d.listFiles if f.getName.endsWith(".parquet")) {
+      val rows = spark.read.parquet(f.toString)
+        .select(col("k"), col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows === rows.sorted,
+        s"${f.getName} in ${d.getName} not sorted by (k, event_id)")
+      assert(rows.nonEmpty)
+    }
+  }
+
   test("bucketed fact tables join with zero shuffle exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toString
     TableManager.writeBucketed(
