@@ -27,19 +27,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Replicas {
 
   /** Write `n` independent copies of a serving table under
-    * `root/replica=<i>/`. Each copy is written from the same source
-    * read — at scale, point each at a different storage prefix.
+    * `root/replica=<i>/` as BYTE-IDENTICAL file copies — the Pinot
+    * semantic (servers replicate SEGMENTS; they never re-encode
+    * rows): every parquet file's sort order, row-group stats, bloom
+    * filters, and sizes carry over exactly, so a routed read keeps
+    * the primary's full pruning layout. The copy parallelizes per
+    * FILE across the cluster (the distcp shape) — at 100 TB each
+    * task moves one segment, no decode/encode anywhere. (The old
+    * row-rewrite copy also hit Spark's inserted-sort hazard — see
+    * TableManager.writePartitioned — silently degrading the copies'
+    * within-file order.) At scale, point each replica at a different
+    * storage prefix.
     */
   def replicate(spark: SparkSession, srcDir: String, root: String, n: Int): Unit = {
     require(n >= 2, s"replication below 2 is just the table (n=$n)")
-    val src = spark.read.parquet(srcDir)
-    (0 until n).foreach { i =>
-      val w = src.write.mode("overwrite")
-      // preserve the source's date layout so a routed read keeps the
-      // same directory pruning the primary table has
-      val wp = if (src.columns.contains("p_date")) w.partitionBy("p_date") else w
-      wp.parquet(s"$root/replica=$i")
-    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = srcPath.getFileSystem(conf)
+    val base = fs.makeQualified(srcPath)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.flatMap(s =>
+        if (s.isDirectory) walk(s.getPath) else Seq(s.getPath))
+    val rels = walk(base)
+      .map(_.toString.stripPrefix(base.toString).stripPrefix("/"))
+    val rootQ = fs.makeQualified(new org.apache.hadoop.fs.Path(root)).toString
+    (0 until n).foreach(i =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$rootQ/replica=$i"), true))
+    val copies = for (i <- 0 until n; rel <- rels)
+      yield (s"$base/$rel", s"$rootQ/replica=$i/$rel")
+    // one task per (replica, file): executors copy bytes directly
+    // between filesystems (tasks resolve FileSystems from the
+    // classpath-default Configuration, the executor-side norm)
+    spark.sparkContext
+      .parallelize(copies, math.min(copies.size, 64).max(1))
+      .foreach { case (from, to) =>
+        val c = new org.apache.hadoop.conf.Configuration()
+        val fp = new org.apache.hadoop.fs.Path(from)
+        val tp = new org.apache.hadoop.fs.Path(to)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fp.getFileSystem(c), fp, tp.getFileSystem(c), tp,
+          false, true, c)
+        ()
+      }
   }
 
   /** The replica a routing key pins to: deterministic, uniform. */

@@ -25,6 +25,28 @@ class ReplicasSpec extends SparkSuite {
     assert(all.head.nonEmpty)
   }
 
+  test("replicas are byte-identical segment copies: same files, same bytes, layout preserved") {
+    val servingRoot = Serving.materialize(spark, sfDir)
+    val src = s"$servingRoot/topk_by_count"
+    def manifest(dir: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).toSeq.flatten.flatMap(c =>
+          if (c.isDirectory) walk(c) else Seq(c))
+      walk(new java.io.File(dir))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath.stripPrefix(dir) -> f.length).toMap
+    }
+    val want = manifest(src)
+    assert(want.nonEmpty)
+    for (i <- 0 until 3)
+      assert(manifest(s"$root/replica=$i") === want,
+        s"replica $i is not a byte-identical segment copy")
+    // spot-check actual bytes on the largest segment
+    val biggest = want.maxBy(_._2)._1
+    def bytes(p: String) = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    assert(java.util.Arrays.equals(bytes(src + biggest), bytes(s"$root/replica=1$biggest")))
+  }
+
   test("routing is deterministic and actually spreads keys") {
     val keys = (0 until 100).map(i => s"tenant-$i")
     val routed = keys.map(Replicas.replicaFor(_, 3))
