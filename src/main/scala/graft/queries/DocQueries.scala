@@ -1099,6 +1099,21 @@ object DocQueries {
     * is bit-identical and the gate shares `q_doc_unigram_trained`'s
     * independently-trained DuckDB oracle.
     */
+  /** The unigram tokenizer-to-shards composition ([[docBpePack]]'s
+    * sibling): train the unigram vocabulary, tokenize the corpus, and
+    * pack shard offsets/chunk ids from the ACTUAL trained piece
+    * counts via the distributed exclusive scan
+    * ([[graft.ops.Pack.packOffsets]]). The oracle trains, segments,
+    * and cumsums independently in DuckDB — the whole
+    * train → encode → pack path hash-checked end-to-end.
+    */
+  def docUnigramPack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = graft.ops.Unigram.encode(d, graft.ops.Unigram.train(d))
+      .select(col("doc_id"), col("n_pieces"))
+    Pack.packOffsets(toks, "doc_id", "n_pieces", budget = 4096L)
+  }
+
   def docUnigramStream(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
@@ -1198,6 +1213,7 @@ object DocQueries {
     "q_doc_bpe_trained" -> (docBpeTrained _),
     "q_doc_unigram_trained" -> (docUnigramTrained _),
     "q_doc_unigram_stream" -> (docUnigramStream _),
+    "q_doc_unigram_pack" -> (docUnigramPack _),
     "q_doc_bpe_pack" -> (docBpePack _),
     "q_doc_neardup_served" -> (docNearDupServed _),
     "q_doc_neardup_offline" -> (docNearDupOffline _),
@@ -1377,7 +1393,7 @@ object DocQueries {
     * MATERIALIZED: DuckDB otherwise re-inlines each reference and the
     * nested training rounds re-execute combinatorially.
     */
-  private lazy val unigramTrainedOracle = {
+  private lazy val unigramTrainedCtes: String = {
     val (maxP, v, rounds) =
       (graft.ops.Unigram.MaxPiece, graft.ops.Unigram.Pieces,
         graft.ops.Unigram.Rounds)
@@ -1419,8 +1435,7 @@ object DocQueries {
          |  WHERE length(v.p) = 1 OR coalesce(u.cnt, 0) >= 1)""".stripMargin
     val steps = (0 until rounds)
       .flatMap(r => Seq(seg(r, s"v$r"), mstep(r))) :+ seg(rounds, s"v$rounds")
-    s"""WITH RECURSIVE
-       |wf AS MATERIALIZED (SELECT wd, count(*) AS freq FROM (
+    s"""wf AS MATERIALIZED (SELECT wd, count(*) AS freq FROM (
        |    SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS wd
        |    FROM documents) GROUP BY wd),
        |cen AS MATERIALIZED (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -1438,11 +1453,29 @@ object DocQueries {
        |       string_split(substring(s.best.ps, 2), $sep) AS ps FROM wx JOIN seg$rounds s USING (wd)),
        |enc AS (SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces,
        |        array_to_string(flatten(list(ps ORDER BY i))[1:5], '|') AS head
-       |        FROM ej GROUP BY doc_id)
+       |        FROM ej GROUP BY doc_id)""".stripMargin
+  }
+
+  private lazy val unigramTrainedOracle =
+    s"""WITH RECURSIVE $unigramTrainedCtes
        |SELECT d.doc_id, CAST(coalesce(e.n_pieces, 0) AS BIGINT) AS n_pieces,
        |       coalesce(e.head, '') AS head
        |FROM documents d LEFT JOIN enc e USING (doc_id)""".stripMargin
-  }
+
+  // the unigram tokenize-then-pack composition: trained-unigram piece
+  // counts fed through the q_doc_pack cumsum/chunk definition
+  // (packOffsets names the token column n_tokens whatever it packs)
+  private lazy val unigramPackOracle =
+    s"""WITH RECURSIVE $unigramTrainedCtes,
+       |tok AS (SELECT d.doc_id,
+       |  CAST(coalesce(e.n_pieces, 0) AS BIGINT) AS n_tokens
+       |  FROM documents d LEFT JOIN enc e USING (doc_id))
+       |SELECT doc_id, n_tokens,
+       |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+       |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS chunk
+       |FROM tok""".stripMargin
 
   // the tokenize-then-pack composition: trained-BPE token counts fed
   // through the q_doc_pack cumsum/chunk definition
@@ -1772,6 +1805,7 @@ object DocQueries {
     // the streamed census is additive, so stream-trained == batch-
     // trained bit-for-bit and the gate shares the oracle
     "q_doc_unigram_stream" -> unigramTrainedOracle,
+    "q_doc_unigram_pack" -> unigramPackOracle,
     "q_doc_bpe_pack" -> bpePackOracle,
     // both legs recomputed from scratch, fused by the same scaled
     // integer RRF (P = lcm(61..70), every addend exact)
