@@ -801,9 +801,22 @@ object DocQueries {
     * (cost, piece count, piece sequence) tie-break — so the gate
     * hash-checks the whole train→encode path cross-engine.
     */
+  // trained vocab per corpus fingerprint: training is deterministic
+  // (the oracle retrains independently and matches), so the trained
+  // and pack gates share one driver-side training pass — bounded
+  // metadata, the centroid-cache class. The STREAM gate deliberately
+  // trains from its own streamed census instead.
+  private val unigramVocabCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.Unigram.Vocab]
+
+  private def unigramVocab(spark: SparkSession, dir: String): graft.ops.Unigram.Vocab =
+    unigramVocabCache.getOrElseUpdate(
+      graft.Tables.fingerprint(spark, s"$dir/documents.parquet"),
+      graft.ops.Unigram.train(Tables.documents(spark, dir)))
+
   def docUnigramTrained(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    graft.ops.Unigram.encode(d, graft.ops.Unigram.train(d))
+    graft.ops.Unigram.encode(d, unigramVocab(spark, dir))
   }
 
   /** The full tokenizer-to-shards composition a training run executes:
@@ -1109,7 +1122,7 @@ object DocQueries {
     */
   def docUnigramPack(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val toks = graft.ops.Unigram.encode(d, graft.ops.Unigram.train(d))
+    val toks = graft.ops.Unigram.encode(d, unigramVocab(spark, dir))
       .select(col("doc_id"), col("n_pieces"))
     Pack.packOffsets(toks, "doc_id", "n_pieces", budget = 4096L)
   }
