@@ -30,8 +30,26 @@ import org.apache.spark.sql.functions.col
   * The underscore-prefixed stage directory is invisible to every
   * parquet read of the index tables, so readers never see a
   * half-applied erase's staged rows.
+  *
+  * Concurrency: every entry point ([[run]], [[recover]],
+  * [[compactFragmented]] — and therefore every read-path recovery
+  * call the indexes make) runs under the root's single-writer
+  * [[Lease]]. Without it, a reader's recover() racing an in-flight
+  * run() could observe the committed manifest and re-apply it
+  * concurrently with the writer's own apply — two appliers
+  * interleaving delete+append on a Swap leg duplicate kept rows, and
+  * the first finisher's stage-directory delete breaks the other's
+  * lazy staged-parquet read mid-write. The lease serializes same-JVM
+  * threads on a reentrant per-root lock (so callers already holding
+  * it — Serving.eraseUser, Maintenance — nest for free) and
+  * cross-JVM writers on the `_lease` file; read-path recovery's
+  * common case (no manifest) stays a single existence check with no
+  * locking at all.
   */
 private[graft] object EraseStage {
+
+  private def withRootLock[T](spark: SparkSession, root: String)(body: => T): T =
+    Lease.withLease(spark, root, "erase-stage")(body)
 
   /** One table rewrite within an erase.
     *  - `Swap(table, partCol, affected, sortCols, options)`: delete
@@ -108,7 +126,7 @@ private[graft] object EraseStage {
     * Any previously committed-but-unapplied stage is completed first.
     */
   def run(spark: SparkSession, root: String,
-      legs: Seq[(Leg, DataFrame)]): Unit = {
+      legs: Seq[(Leg, DataFrame)]): Unit = withRootLock(spark, root) {
     recover(spark, root)
     stage(spark, root, legs)
     apply(spark, root)
@@ -120,7 +138,7 @@ private[graft] object EraseStage {
     * [[recover]] completes it.
     */
   private[graft] def stage(spark: SparkSession, root: String,
-      legs: Seq[(Leg, DataFrame)]): Unit = {
+      legs: Seq[(Leg, DataFrame)]): Unit = withRootLock(spark, root) {
     legs.foreach { case (l, _) => validate(l) }
     val f = fs(spark, root)
     f.delete(new Path(stageDir(root)), true) // pre-manifest debris
@@ -145,9 +163,16 @@ private[graft] object EraseStage {
     * returns whether one was. Idempotent; safe at startup.
     */
   def recover(spark: SparkSession, root: String): Boolean = {
+    // fast path, no locking: the read-path recovery calls hit this on
+    // every cache miss and almost never find a manifest
     val f = fs(spark, root)
     if (!f.exists(new Path(s"${stageDir(root)}/_manifest"))) false
-    else { apply(spark, root); true }
+    else withRootLock(spark, root) {
+      // re-check under the lease: the in-flight writer we waited on
+      // (or another reader's recovery) may have consumed the stage
+      if (!f.exists(new Path(s"${stageDir(root)}/_manifest"))) false
+      else { apply(spark, root); true }
+    }
   }
 
   /** Small-file maintenance for an append-fragmented partitioned
@@ -161,25 +186,28 @@ private[graft] object EraseStage {
     * [[recover]] exactly like an erase.
     */
   private[graft] def compactFragmented(spark: SparkSession, root: String,
-      table: String, partCol: String, minFiles: Int): Seq[String] = {
+      table: String, partCol: String,
+      minFiles: Int): Seq[String] = withRootLock(spark, root) {
     recover(spark, root)
     val f = fs(spark, root)
     val tp = new Path(tablePath(root, table))
-    if (!f.exists(tp)) return Seq.empty
-    val frag = f.listStatus(tp).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(_.getName.startsWith(s"$partCol="))
-      .filter(p => f.listStatus(p)
-        .count(_.getPath.getName.endsWith(".parquet")) >= minFiles)
-      .map(_.getName.stripPrefix(s"$partCol="))
-    if (frag.isEmpty) return Seq.empty
-    val kept = spark.read.parquet(tp.toString)
-      .filter(col(partCol).cast("string").isin(frag: _*))
-      // one shuffle task per fragmented partition -> one output file
-      // per rewritten directory
-      .repartition(frag.size, col(partCol))
-    run(spark, root, Seq(Swap(table, partCol, frag) -> kept))
+    val frag =
+      if (!f.exists(tp)) Seq.empty[String]
+      else f.listStatus(tp).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(_.getName.startsWith(s"$partCol="))
+        .filter(p => f.listStatus(p)
+          .count(_.getPath.getName.endsWith(".parquet")) >= minFiles)
+        .map(_.getName.stripPrefix(s"$partCol="))
+    if (frag.nonEmpty) {
+      val kept = spark.read.parquet(tp.toString)
+        .filter(col(partCol).cast("string").isin(frag: _*))
+        // one shuffle task per fragmented partition -> one output file
+        // per rewritten directory
+        .repartition(frag.size, col(partCol))
+      run(spark, root, Seq(Swap(table, partCol, frag) -> kept))
+    }
     frag
   }
 
@@ -192,8 +220,18 @@ private[graft] object EraseStage {
         .filter(_.nonEmpty).toVector
       finally in.close()
     lines.foreach { line =>
+      // pad short lines instead of MatchError-ing: a manifest written
+      // by an OLDER format (fewer fields) must still recover — absent
+      // trailing fields mean "no sort / no options", exactly what the
+      // old format encoded by omission. MORE fields than we know is a
+      // NEWER writer; recovering with fields silently dropped could
+      // corrupt the layout, so that fails loudly instead.
+      val fields = line.split("\t", -1)
+      require(fields.length <= 7,
+        s"EraseStage manifest line has ${fields.length} fields; this " +
+          s"reader understands 7 — written by a newer version? '$line'")
       val Array(i, kind, table, partCol, affected, sort, opts) =
-        line.split("\t", -1)
+        fields.padTo(7, "")
       val staged = spark.read.parquet(s"${stageDir(root)}/leg=$i")
       val target = tablePath(root, table)
       def withOpts(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {

@@ -1,0 +1,196 @@
+package graft.serving
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Single-writer lease for a managed root — the missing cross-process
+  * guard around every staged-commit write path ([[EraseStage]],
+  * [[Serving.refreshWithBatch]], [[Serving.eraseUser]],
+  * [[Maintenance.run]]): those all assume ONE writer per root, and two
+  * sessions interleaving stage/apply on the same root could duplicate
+  * kept rows or delete each other's staged reads mid-write. Pinot gets
+  * the same guarantee from Helix's controller leadership; a shared-
+  * storage Spark library gets it from a lock FILE next to the data:
+  *
+  *  - `acquire` = atomic create of `<root>/_lease` (create with
+  *    overwrite=false is the mutual-exclusion primitive every
+  *    Hadoop-compatible FS provides); content is
+  *    `owner \t nonce \t heartbeat-epoch-ms`.
+  *  - a holder doing long work calls [[renew]] to re-stamp the
+  *    heartbeat; a lease whose heartbeat is older than its TTL is
+  *    STALE (crashed holder) and may be taken over.
+  *  - takeover is decided by an atomic RENAME of the stale lease to a
+  *    taker-nonce tombstone — of two takers, exactly one rename
+  *    succeeds (the source vanishes for the loser), so a crashed
+  *    holder's lease moves to exactly one new owner and a live
+  *    holder can never be displaced by two racing takers.
+  *  - `release` deletes the file only if the nonce is still ours —
+  *    a holder that lost its lease to a (mis-tuned TTL) takeover
+  *    must not delete the new owner's lease.
+  *
+  * In-JVM, a per-root ReentrantLock fronts the file protocol, so
+  * same-process threads serialize without file round-trips and
+  * nested acquires (Serving.eraseUser → EraseStage.run) are
+  * reentrant. The underscore prefix keeps `_lease` invisible to every
+  * parquet read of the root's tables, and [[Replicas]] skips
+  * underscore entries when copying.
+  *
+  * Known limit (documented, standard for lock files): rename-based
+  * takeover assumes the FS renames atomically (HDFS, local, ABFS do;
+  * raw S3 does not — there, back the lease with a conditional-put
+  * object or DynamoDB, same interface). TTLs trade takeover latency
+  * against clock skew; the default is deliberately long.
+  */
+object Lease {
+
+  final class LeaseHeldException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Heartbeats older than this are stale and may be taken over. */
+  val DefaultTtlMs: Long = 10 * 60 * 1000L
+  /** How long `acquire` waits on a LIVE foreign lease before refusing. */
+  val DefaultWaitMs: Long = 60 * 1000L
+
+  // in-JVM front lock + the nonce of the file lease each root holds
+  private val locks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
+  private val nonces = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def qualified(spark: SparkSession, root: String): String =
+    fs(spark, root).makeQualified(new Path(root)).toString
+
+  private def leasePath(root: String) = new Path(s"$root/_lease")
+
+  private def self: String = {
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    s"$host:${ProcessHandle.current().pid()}"
+  }
+
+  /** Is a LIVE foreign lease present on `root`? (Observability +
+    * the read-path recovery guard: a reader seeing a live lease
+    * leaves recovery to the writer that holds it.)
+    */
+  def heldByOther(spark: SparkSession, root: String,
+      ttlMs: Long = DefaultTtlMs): Boolean = {
+    val key = qualified(spark, root)
+    readLease(spark, key) match {
+      case Some((_, nonce, hb)) =>
+        nonce != nonces.get(key) &&
+          System.currentTimeMillis() - hb <= ttlMs
+      case None => false
+    }
+  }
+
+  private def readLease(spark: SparkSession,
+      rootQ: String): Option[(String, String, Long)] =
+    try {
+      val f = fs(spark, rootQ)
+      val in = f.open(leasePath(rootQ))
+      val line =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .toSeq.headOption.getOrElse("")
+        finally in.close()
+      line.split("\t", -1) match {
+        case Array(o, n, hb) => Some((o, n, hb.toLong))
+        case _ => None // corrupt/half-written: treat as absent
+      }
+    } catch { case _: java.io.IOException => None }
+
+  private def writeLease(spark: SparkSession, rootQ: String, owner: String,
+      nonce: String, exclusive: Boolean): Unit = {
+    val f = fs(spark, rootQ)
+    val out = f.create(leasePath(rootQ), !exclusive)
+    try out.write(
+      s"$owner\t$nonce\t${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Take the root's write lease; blocks up to `waitMs` behind an
+    * in-JVM holder or a live foreign lease, then refuses with
+    * [[LeaseHeldException]]. Reentrant within a thread.
+    */
+  def acquire(spark: SparkSession, root: String, owner: String,
+      ttlMs: Long = DefaultTtlMs, waitMs: Long = DefaultWaitMs): Unit = {
+    val key = qualified(spark, root)
+    val lock = locks.computeIfAbsent(key,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    if (!lock.tryLock(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      throw new LeaseHeldException(
+        s"lease on $root held by another thread of this process " +
+          s"(waited ${waitMs}ms)")
+    if (lock.getHoldCount > 1) return // nested acquire: file already ours
+    try {
+      val f = fs(spark, key)
+      val nonce = java.util.UUID.randomUUID().toString
+      val deadline = System.currentTimeMillis() + waitMs
+      var acquired = false
+      while (!acquired) {
+        try {
+          writeLease(spark, key, s"$owner@$self", nonce, exclusive = true)
+          acquired = true
+        } catch {
+          case _: java.io.IOException => // exists (or create race): inspect
+            readLease(spark, key) match {
+              case Some((_, _, hb))
+                  if System.currentTimeMillis() - hb > ttlMs =>
+                // stale: atomic rename decides which taker wins; the
+                // loser's rename fails and it retries against the
+                // winner's fresh lease
+                val tomb = new Path(s"$key/_lease.takeover.$nonce")
+                if (f.rename(leasePath(key), tomb)) f.delete(tomb, false)
+              case other =>
+                if (System.currentTimeMillis() >= deadline)
+                  throw new LeaseHeldException(
+                    s"lease on $root held by " +
+                      s"${other.map(_._1).getOrElse("<unreadable>")} " +
+                      s"(live; waited ${waitMs}ms)")
+                Thread.sleep(100) // live foreign lease, or vanished
+            }
+        }
+      }
+      nonces.put(key, nonce)
+    } catch { case e: Throwable => lock.unlock(); throw e }
+  }
+
+  /** Re-stamp the heartbeat mid-work (long erases/compactions). */
+  def renew(spark: SparkSession, root: String): Unit = {
+    val key = qualified(spark, root)
+    val nonce = nonces.get(key)
+    require(nonce != null, s"renew without holding the lease on $root")
+    readLease(spark, key) match {
+      case Some((o, n, _)) if n == nonce =>
+        writeLease(spark, key, o, nonce, exclusive = false)
+      case other => throw new LeaseHeldException(
+        s"lease on $root lost before renew (now: $other)")
+    }
+  }
+
+  /** Drop the lease (outermost release deletes the file — and only
+    * if the nonce is still ours).
+    */
+  def release(spark: SparkSession, root: String): Unit = {
+    val key = qualified(spark, root)
+    val lock = locks.get(key)
+    require(lock != null && lock.isHeldByCurrentThread,
+      s"release without holding the lease on $root")
+    if (lock.getHoldCount == 1) {
+      val nonce = nonces.remove(key)
+      readLease(spark, key) match {
+        case Some((_, n, _)) if n == nonce =>
+          fs(spark, key).delete(leasePath(key), false)
+        case _ => // taken over or already gone: not ours to delete
+      }
+    }
+    lock.unlock()
+  }
+
+  /** acquire → body → release; the shape every write path uses. */
+  def withLease[T](spark: SparkSession, root: String, owner: String,
+      ttlMs: Long = DefaultTtlMs, waitMs: Long = DefaultWaitMs)(body: => T): T = {
+    acquire(spark, root, owner, ttlMs, waitMs)
+    try body finally release(spark, root)
+  }
+}

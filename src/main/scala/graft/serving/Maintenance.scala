@@ -64,6 +64,15 @@ object Maintenance {
   final case class NearDupIdx(root: String, n: Int = 3,
     minFiles: Int = 8) extends Task
 
+  /** A serving root's replica sets
+    * (`<servingRoot>/_replicas/<table>/gen=*`): sweep the
+    * generations a refresh/erase superseded — the router builds new
+    * generations but never deletes old ones mid-query, so without
+    * this leg a long-lived deployment accretes one full table copy
+    * set per content-stamp change.
+    */
+  final case class ReplicaSets(servingRoot: String) extends Task
+
   /** A streaming ingest's own `compact()` surface (SegmentIngest,
     * SpanIngest, CurationIngest, MediaIngest, LmIngest, ... — each
     * folds batch-id partitions at its state's own grain). The body
@@ -78,7 +87,30 @@ object Maintenance {
   private def recovered(spark: SparkSession, root: String): Seq[String] =
     if (EraseStage.recover(spark, root)) Seq(s"recovered:$root") else Nil
 
+  // every root-bearing task runs under the root's single-writer
+  // [[Lease]]: a maintenance tick racing a refresh/erase from another
+  // process serializes instead of interleaving staged commits.
+  // IngestCompact bodies guard their own state roots (StateCompactor
+  // manifest commits), so they carry no root here.
   private def exec(spark: SparkSession, task: Task): Seq[String] = task match {
+    case IngestCompact(label, body) =>
+      body(spark)
+      Seq(s"ran:$label")
+    case t =>
+      val root = t match {
+        case Recover(r) => r
+        case DatedTable(p, _, _, _, _, _) => p
+        case Search(r) => r
+        case Ann(r, _) => r
+        case Pq(r, _) => r
+        case NearDupIdx(r, _, _) => r
+        case ReplicaSets(servingRoot) => servingRoot
+        case IngestCompact(_, _) => throw new MatchError(t) // unreachable
+      }
+      Lease.withLease(spark, root, "maintenance")(execLocked(spark, t))
+  }
+
+  private def execLocked(spark: SparkSession, task: Task): Seq[String] = task match {
     case Recover(root) => recovered(spark, root)
 
     case DatedTable(path, sortCols, bloom, retention, now, maxFiles) =>
@@ -120,8 +152,11 @@ object Maintenance {
       rec ++ NearDupIndex.compact(spark, root, n, minFiles)
         .map(t => s"compacted:$root/$t")
 
-    case IngestCompact(label, body) =>
-      body(spark)
-      Seq(s"ran:$label")
+    case ReplicaSets(servingRoot) =>
+      ReplicaRouter.sweepStale(spark, servingRoot)
+        .map(p => s"swept:$p")
+
+    case IngestCompact(_, _) =>
+      throw new IllegalStateException("IngestCompact runs unleased in exec")
   }
 }

@@ -496,7 +496,8 @@ object Serving {
     * Pinot rollup-table analog; the ranked tables are its serving
     * views.
     */
-  def materializeInto(spark: SparkSession, root: String, events: DataFrame): Unit = {
+  def materializeInto(spark: SparkSession, root: String,
+      events: DataFrame): Unit = Lease.withLease(spark, root, "materialize") {
     val maxRow = events.agg(unix_millis(max(col("ts"))).as("max_ts_ms")).head()
     require(!maxRow.isNullAt(0),
       s"cannot materialize serving tables at $root from an empty events frame")
@@ -570,7 +571,15 @@ object Serving {
     * tracking (batch rebuild tests) pass no id and always apply.
     */
   def refreshWithBatch(spark: SparkSession, root: String, batch: DataFrame,
-      batchId: Long = -1L): Unit = this.synchronized {
+      batchId: Long = -1L): Unit =
+    // single-writer lease: refresh, erase, and maintenance on the same
+    // serving root serialize across processes, not just this JVM
+    Lease.withLease(spark, root, "refresh") {
+      refreshLocked(spark, root, batch, batchId)
+    }
+
+  private def refreshLocked(spark: SparkSession, root: String,
+      batch: DataFrame, batchId: Long): Unit = {
     val lastApplied = readMeta(spark, root)._2
     if (batchId >= 0 && batchId <= lastApplied) return
     val deltaAgg = hourlyUserAgg(batch)
@@ -768,7 +777,13 @@ object Serving {
     * nothing touched).
     */
   def eraseUser(spark: SparkSession, root: String, events: DataFrame,
-      userId: Long): Seq[String] = this.synchronized {
+      userId: Long): Seq[String] =
+    Lease.withLease(spark, root, "erase-user") {
+      eraseUserLocked(spark, root, events, userId)
+    }
+
+  private def eraseUserLocked(spark: SparkSession, root: String,
+      events: DataFrame, userId: Long): Seq[String] = {
     // complete any crashed prior erase before reading state for this one
     if (EraseStage.recover(spark, root)) invalidate(root)
     val plan = eraseLegs(spark, root, events, userId)

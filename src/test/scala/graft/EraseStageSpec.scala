@@ -142,6 +142,32 @@ class EraseStageSpec extends SparkSuite {
     rejected(EraseStage.Append("t\nx"))
   }
 
+  test("an older, shorter manifest recovers (absent fields = no sort/options); a longer one fails loudly") {
+    // crash debris from a PREVIOUS format: 5 fields (no sort, no
+    // options) — recover must treat the absent fields as empty, not
+    // MatchError and brick every read of the root
+    def keepOf(root: String) = spark.read.parquet(s"$root/t")
+      .filter(col("p") === 1 && !col("id").isin(1L, 5L))
+    val r = tmp()
+    build(r)
+    keepOf(r).write.parquet(s"$r/_erase_stage/leg=0")
+    val w = new java.io.FileWriter(s"$r/_erase_stage/_manifest")
+    try w.write("0\tswap\tt\tp\t1\n") finally w.close()
+    assert(EraseStage.recover(spark, r))
+    val t = spark.read.parquet(s"$r/t")
+    assert(t.filter(col("p") === 1).count() === 8L)
+    assert(t.filter(col("id").isin(1L, 5L)).isEmpty)
+    // a NEWER writer's manifest (8 fields) must not recover with
+    // fields silently dropped
+    val r2 = tmp()
+    build(r2)
+    keepOf(r2).write.parquet(s"$r2/_erase_stage/leg=0")
+    val w2 = new java.io.FileWriter(s"$r2/_erase_stage/_manifest")
+    try w2.write("0\tswap\tt\tp\t1\t\t\tfuture-field\n") finally w2.close()
+    val e = intercept[Exception] { EraseStage.recover(spark, r2) }
+    assert(e.getMessage.contains("newer"), e.getMessage)
+  }
+
   test("Swap sortCols in the manifest restore the serving layout: one file per partition, sorted within") {
     val r = tmp()
     (0L until 2000L).map(i => (i, (i % 4).toInt, i % 13))

@@ -1,0 +1,114 @@
+package graft
+
+import graft.serving.Lease
+
+/** The single-writer lease ([[graft.serving.Lease]]) every serving
+  * write path (refresh / erase / EraseStage / maintenance) acquires:
+  * concurrent writers are refused or serialized, a crashed holder's
+  * stale lease is taken over, nested acquires are reentrant, and a
+  * holder that lost its lease never deletes the new owner's file.
+  */
+class LeaseSpec extends SparkSuite {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_lease").toString
+
+  private def leaseFile(root: String) = new java.io.File(s"$root/_lease")
+
+  private def writeForeign(root: String, owner: String, heartbeat: Long): Unit = {
+    val w = new java.io.FileWriter(leaseFile(root))
+    try w.write(s"$owner\tforeign-nonce\t$heartbeat") finally w.close()
+  }
+
+  test("acquire/release round-trip: file exists while held, gone after") {
+    val r = tmp()
+    Lease.acquire(spark, r, "t1")
+    assert(leaseFile(r).exists())
+    val content = scala.io.Source.fromFile(leaseFile(r)).mkString
+    assert(content.startsWith("t1@"), s"owner missing from lease: $content")
+    Lease.release(spark, r)
+    assert(!leaseFile(r).exists())
+  }
+
+  test("a live foreign lease refuses a second writer within waitMs") {
+    val r = tmp()
+    writeForeign(r, "other-process", System.currentTimeMillis())
+    assert(Lease.heldByOther(spark, r))
+    val e = intercept[Lease.LeaseHeldException] {
+      Lease.acquire(spark, r, "t2", waitMs = 400)
+    }
+    assert(e.getMessage.contains("other-process"))
+    // the refused writer left the foreign lease in place
+    assert(scala.io.Source.fromFile(leaseFile(r)).mkString
+      .contains("other-process"))
+  }
+
+  test("a crashed holder's stale lease is taken over") {
+    val r = tmp()
+    writeForeign(r, "crashed-process",
+      System.currentTimeMillis() - 60 * 60 * 1000L)
+    // stale => not "held" for readers, and a new writer takes over
+    assert(!Lease.heldByOther(spark, r))
+    Lease.acquire(spark, r, "taker", waitMs = 2000)
+    val content = scala.io.Source.fromFile(leaseFile(r)).mkString
+    assert(content.startsWith("taker@"), s"takeover did not rewrite: $content")
+    // no takeover tombstones survive
+    assert(new java.io.File(r).listFiles().map(_.getName)
+      .count(_.startsWith("_lease")) === 1)
+    Lease.release(spark, r)
+    assert(!leaseFile(r).exists())
+  }
+
+  test("nested acquires are reentrant; the outermost release deletes") {
+    val r = tmp()
+    Lease.withLease(spark, r, "outer") {
+      Lease.withLease(spark, r, "inner") {
+        assert(leaseFile(r).exists())
+      }
+      // inner release must NOT drop the file while outer still holds
+      assert(leaseFile(r).exists())
+    }
+    assert(!leaseFile(r).exists())
+  }
+
+  test("renew re-stamps the heartbeat without changing the nonce") {
+    val r = tmp()
+    Lease.acquire(spark, r, "t3")
+    val before = scala.io.Source.fromFile(leaseFile(r)).mkString.split("\t")
+    Thread.sleep(20)
+    Lease.renew(spark, r)
+    val after = scala.io.Source.fromFile(leaseFile(r)).mkString.split("\t")
+    assert(after(1) === before(1), "nonce must survive renew")
+    assert(after(2).toLong > before(2).toLong, "heartbeat must advance")
+    Lease.release(spark, r)
+  }
+
+  test("a displaced holder does not delete the new owner's lease") {
+    val r = tmp()
+    Lease.acquire(spark, r, "t4")
+    // simulate a (mis-tuned TTL) takeover while we still think we hold
+    writeForeign(r, "new-owner", System.currentTimeMillis())
+    Lease.release(spark, r) // must be a no-op on the file
+    assert(scala.io.Source.fromFile(leaseFile(r)).mkString
+      .contains("new-owner"))
+    leaseFile(r).delete()
+  }
+
+  test("same-JVM threads serialize: the critical section never overlaps") {
+    val r = tmp()
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 4).map { i =>
+      new Thread(() => Lease.withLease(spark, r, s"w$i") {
+        val now = inside.incrementAndGet()
+        maxSeen.getAndUpdate(m => math.max(m, now))
+        Thread.sleep(50)
+        inside.decrementAndGet()
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(maxSeen.get() === 1, "two writers overlapped inside the lease")
+    assert(!leaseFile(r).exists())
+  }
+}
