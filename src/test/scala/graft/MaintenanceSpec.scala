@@ -153,4 +153,44 @@ class MaintenanceSpec extends SparkSuite {
     // idempotent second tick
     assert(Maintenance.run(spark, tasks).isEmpty)
   }
+
+  test("the tick sweeps superseded replica generations; the live one survives") {
+    import java.sql.Timestamp
+    import graft.serving.{ReplicaRouter, Serving}
+    // isolated dataset: routing + refresh mutate the serving root
+    val dir = java.nio.file.Files.createTempDirectory("graft_maint_repl").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // generation A: first routed use replicates under the serving root
+    val before = ReplicaRouter.table(spark, dir, "topk_by_count")
+      .collect().map(_.toString).sorted.toSeq
+    val genA = ReplicaRouter.replicaRootFor(spark, dir, "topk_by_count").get
+    val servingRoot = Serving.materialize(spark, dir)
+    assert(genA.startsWith(s"$servingRoot/_replicas/topk_by_count/gen="),
+      s"replica sets must live under the serving root, got $genA")
+    // a refresh moves the content stamp -> generation B on next route
+    val anchor = Serving.anchorMs(spark, dir)
+    val batch = (1 to 5).map(i =>
+        (new Timestamp(anchor + i * 60000L), 424242L, "click", 100L))
+      .toDF("ts", "user_id", "event_type", "value_cents")
+    Serving.refreshWithBatch(spark, servingRoot, batch, batchId = 0L)
+    val after = ReplicaRouter.table(spark, dir, "topk_by_count")
+      .collect().map(_.toString).sorted.toSeq
+    val genB = ReplicaRouter.replicaRootFor(spark, dir, "topk_by_count").get
+    assert(genB !== genA)
+    assert(after !== before, "refresh should have changed the served window")
+    assert(new java.io.File(genA.stripPrefix("file:")).exists,
+      "the router must never delete the superseded generation mid-query")
+    // the tick sweeps A, keeps B; routed reads still serve
+    val log = Maintenance.run(spark, Seq(Maintenance.ReplicaSets(servingRoot)))
+    assert(log.exists(l => l.startsWith("swept:") && l.contains("gen=")),
+      log.mkString("\n"))
+    assert(!new java.io.File(genA.stripPrefix("file:")).exists, "stale generation survived the sweep")
+    assert(new java.io.File(genB.stripPrefix("file:")).exists, "live generation swept")
+    assert(ReplicaRouter.table(spark, dir, "topk_by_count")
+      .collect().map(_.toString).sorted.toSeq === after)
+    // second tick: no-op
+    assert(Maintenance.run(spark, Seq(Maintenance.ReplicaSets(servingRoot))).isEmpty)
+  }
 }

@@ -132,6 +132,41 @@ class ReplicasSpec extends SparkSuite {
     }
   }
 
+  test("a partial replica — crashed or in-flight rebuild — fails over, never serves silently") {
+    val servingRoot = Serving.materialize(spark, sfDir)
+    val r = java.nio.file.Files.createTempDirectory("graft_replicas_part").toString
+    Replicas.replicate(spark, s"$servingRoot/topk_by_count", r, n = 3)
+    // publish staged atomically: no stage debris, a manifest in every copy
+    assert(!new java.io.File(s"$r/_stage").exists)
+    for (i <- 0 until 3)
+      assert(new java.io.File(s"$r/replica=$i/_replica_manifest").exists)
+    def tenantOn(i: Int): String = (0 until 100).map(j => s"tenant-$j")
+      .find(Replicas.replicaFor(_, 3) == i).get
+    val want = rows(spark.read.parquet(s"$r/replica=2"))
+    assert(want.nonEmpty)
+    // crashed rebuild: replica 0 lost a segment its manifest records
+    def segs(i: Int): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).toSeq.flatten.flatMap(c =>
+          if (c.isDirectory) walk(c) else Seq(c))
+      walk(new java.io.File(s"$r/replica=$i"))
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    assert(segs(0).head.delete())
+    val (df0, served0) = Replicas.read(spark, r, tenantOn(0), n = 3)
+    assert(served0 === 1, "partial replica 0 must fail over to 1")
+    assert(rows(df0) === want)
+    // in-flight rebuild: replica 1 has files but no manifest yet
+    assert(new java.io.File(s"$r/replica=1/_replica_manifest").delete())
+    val (df1, served1) = Replicas.read(spark, r, tenantOn(1), n = 3)
+    assert(served1 === 2, "manifest-less replica 1 must fail over to 2")
+    assert(rows(df1) === want)
+    // and re-replication heals both: every copy serves again
+    Replicas.replicate(spark, s"$servingRoot/topk_by_count", r, n = 3)
+    for (i <- 0 until 3)
+      assert(Replicas.read(spark, r, tenantOn(i), n = 3)._2 === i)
+  }
+
   test("a lost replica fails over with identical results") {
     val k = (0 until 100).map(i => s"tenant-$i")
       .find(Replicas.replicaFor(_, 3) == 1).get
