@@ -29,10 +29,11 @@ object Bench {
 
     // A failed query must fail the benchmark loudly, never fold its
     // time-to-exception into the total as if it were a fast result.
+    val rowCounts = scala.collection.mutable.Map.empty[String, Long]
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        rowCounts(name) = fn(spark, sfDir).count()
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
@@ -90,6 +91,21 @@ object Bench {
     val errors = results.collect { case (k, Left(e)) => "\"" + k + ": " + e + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Right(v)) => v }.sum
+    // Sweep gates fan one bench entry across many API calls (the
+    // controller's per-tenant fan-out); their wall time reads like
+    // one slow serving route unless the detail carries the arm count.
+    // arms = result rows × p-points per row (each output row is one
+    // (type) call carrying that many quantile points).
+    val sweepPointsPerRow = Map("q_api_quantile_typed" -> 3)
+    val sweeps = sweepPointsPerRow.flatMap { case (g, pts) =>
+      for {
+        t <- results.collectFirst { case (`g`, Right(v)) => v }
+        rows <- rowCounts.get(g) if rows > 0
+      } yield {
+        val arms = rows * pts
+        s""""$g":{"arms":$arms,"per_arm_sec":${t / arms}}"""
+      }
+    }.mkString("{", ",", "}")
     // Max-of-3 for the same reason the queries report min-of-3: the
     // leg is ~20 s of sustained work on a shared box, and a single
     // sample has landed anywhere in a ±30% band across rounds. Max is
@@ -105,7 +121,7 @@ object Bench {
       }.max
       catch { case e: Throwable =>
         System.err.println(s"[bench] streaming throughput FAILED: $e"); -1.0 }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"streaming_ev_s":$evPerSec,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sweeps":$sweeps,"streaming_ev_s":$evPerSec,"sf":"$sfDir"}"""
     // Persist BEFORE printing: the driver captures a bounded stdout
     // tail and has lost the front of the JSON to truncation in two
     // rounds now (r4, r6 verdicts) — file copies can't be truncated

@@ -144,6 +144,49 @@ object EmbedQueries {
   private val indexByPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** KNN served from an index whose codebook was REFRESHED in place
+    * ([[graft.serving.AnnIndex.reindex]]): the index is first built
+    * with a deliberately coarse 4-centroid book, then retrained to
+    * the Lloyd-refined 8-cell codebook and atomically re-encoded +
+    * swapped under one [[graft.serving.EraseStage]] manifest — the
+    * FAISS reindex-after-drift loop, end-to-end. The query probes
+    * with the index's STORED codebook (callers hold none, so the
+    * refresh can't race a stale driver-side book) exhaustively
+    * (nprobe = nlist), so the result is brute-force-identical and
+    * the gate shares `q_embed_knn_ivf`'s oracle — proving the
+    * retrain → re-encode → staged-swap → serve loop changes answers
+    * not at all while the physical layout (cells, codebook) moved
+    * entirely.
+    */
+  def knnReindexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.serving.AnnIndex.queryStored(spark, reindexRoot(spark, dir),
+      emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+  }
+
+  private[graft] def reindexRoot(spark: SparkSession, dir: String): String = {
+    val emb = Tables.embeddings(spark, dir)
+    val fp = graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet")
+    val root = reindexCache.getOrElseUpdate(fp, {
+      val p = java.nio.file.Files.createTempDirectory("graft_ann_reindex").toString
+      graft.serving.AnnIndex.materialize(emb,
+        graft.ops.Ann.coarseCentroids(emb, nCells = 4), p)
+      graft.serving.AnnIndex.reindex(spark, p,
+        graft.ops.KMeans.refinedCentroids(emb, k = 8))
+      p
+    })
+    reindexByPath.put(dir, fp).filter(_ != fp)
+      .flatMap(reindexCache.remove).foreach { old =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
+      }
+    root
+  }
+
+  private val reindexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val reindexByPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Global top-20 most-similar embedding pairs (embedding-cosine
     * near-dup detection in ranked form).
     */
@@ -430,6 +473,7 @@ object EmbedQueries {
     "q_embed_hard_negatives" -> (hardNegativesTop3 _),
     "q_embed_knn_ivf" -> (knnIvf _),
     "q_embed_knn_served" -> (knnIvfServed _),
+    "q_embed_reindex" -> (knnReindexed _),
     "q_embed_top_pairs" -> (topPairs _),
     "q_embed_near_dup" -> (nearDupPairs _),
     "q_embed_semantic_dedup" -> (semanticDedup _),
@@ -806,6 +850,10 @@ object EmbedQueries {
         |WHERE rnk <= 3""".stripMargin,
     "q_embed_knn_ivf_trained" -> knnOracle,
     "q_embed_knn_served" -> knnOracle,
+    // the reindexed-and-stored-codebook path probes exhaustively, so
+    // brute force is its exact oracle too — the layout moved, the
+    // answers must not
+    "q_embed_reindex" -> knnOracle,
     "q_embed_knn" -> knnOracle,
     // both MRL stages replayed: 16-dim-prefix cosine keeps top-50
     // candidates (id tie-break), exact full-dim rerank to top-5 —

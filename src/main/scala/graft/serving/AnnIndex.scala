@@ -82,6 +82,12 @@ object AnnIndex {
 
   /** Write the index: one parquet directory per cell. Rewriting an
     * existing root replaces it atomically per partition (overwrite).
+    * The coarse codebook is stored WITH the index (`_centroids`,
+    * underscore-prefixed so corpus scans never see it) — the index
+    * root is self-describing, which is what makes a staged
+    * [[reindex]] atomic: data and codebook swap under one manifest,
+    * and [[queryStored]] can never probe new cells with an old
+    * caller-held codebook.
     */
   def materialize(emb: DataFrame, centroids: Seq[Seq[Double]], root: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -89,6 +95,96 @@ object AnnIndex {
     staged(emb, centroids, idCol, vecCol, prefixDims)
       .write.mode("overwrite").partitionBy("cell").parquet(root)
     writePrefixMeta(emb.sparkSession, root, prefixDims)
+    centroidFrame(emb.sparkSession, centroids)
+      .write.mode("overwrite").parquet(s"$root/_centroids")
+  }
+
+  private def centroidFrame(spark: SparkSession,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cell", "cv")
+  }
+
+  /** The codebook this index was built (or last [[reindex]]ed) with,
+    * ordered by cell id — the driver-side metadata a FAISS index
+    * carries in its header.
+    */
+  def storedCentroids(spark: SparkSession, root: String): Seq[Seq[Double]] = {
+    // recover first: after a crash mid-reindex the staged manifest
+    // holds the NEW codebook — reading the old `_centroids` and then
+    // letting a later query() recover would probe new cells with the
+    // old book
+    EraseStage.recover(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/_centroids")
+    require(fs(spark, root).exists(p),
+      s"no _centroids table under $root: this index predates the " +
+        "stored-codebook layout; rebuild once with AnnIndex.materialize")
+    spark.read.parquet(p.toString).orderBy(col("cell").asc)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+  }
+
+  /** [[query]] with the index's OWN stored codebook — the serving
+    * shape after a [[reindex]]: callers hold no centroids, so a
+    * codebook refresh can never leave a query probing new cell
+    * assignments with old centroids.
+    */
+  def queryStored(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame =
+    query(spark, root, queries, storedCentroids(spark, root), k, nprobe,
+      idCol, vecCol, broadcastQueries)
+
+  /** CODEBOOK REFRESH under staged commit — the FAISS-at-scale
+    * reindex: appends are frozen-codebook by design, so after enough
+    * drift ([[graft.queries.EmbedQueries]]'s `q_embed_drift` is the
+    * detector) the coarse quantizer is RETRAINED (the caller trains
+    * `newCentroids` on the current corpus — [[graft.ops.KMeans
+    * .refinedCentroids]] or [[graft.ops.Ann.coarseCentroids]]), every
+    * vector re-encoded into its new cell, and the whole root swapped
+    * in ONE [[EraseStage]] manifest:
+    *
+    *  - leg 1 (Swap): the re-encoded corpus, affected = old ∪ new
+    *    cell values — old cell directories drop, re-encoded rows land
+    *    in the new ones;
+    *  - leg 2 (Overwrite `_centroids`): the new codebook.
+    *
+    * The staged writes are durable and INVISIBLE (underscore dir)
+    * while they build, so queries during the stage serve the OLD
+    * index from the OLD codebook; the manifest commit is the atomic
+    * cutover, and a crash mid-apply recovers on the next read
+    * ([[query]]/[[queryTruncated]] run [[EraseStage.recover]]) to the
+    * complete new index — never a mix of codebooks and cells. Vector
+    * content is unchanged: an exhaustive probe answers identically
+    * before and after (the gate's hash check).
+    */
+  def reindex(spark: SparkSession, root: String,
+      newCentroids: Seq[Seq[Double]]): Unit = {
+    EraseStage.recover(spark, root)
+    EraseStage.run(spark, root, reindexLegs(spark, root, newCentroids))
+  }
+
+  /** The staged legs [[reindex]] commits — the seam the crash spec
+    * stages through to leave the index exactly at the manifest commit
+    * and assert the next read serves the COMPLETE new index.
+    */
+  private[graft] def reindexLegs(spark: SparkSession, root: String,
+      newCentroids: Seq[Seq[Double]]): Seq[(EraseStage.Leg, DataFrame)] = {
+    val pd = prefixDims(spark, root)
+    val index = spark.read.parquet(root)
+    val oldCells = index.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val reEncoded = index
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .withColumn("vp", slice(col("v"), 1, pd))
+      .withColumn("np", Vectors.norm(col("vp")))
+      .withColumn("cell",
+        Vectors.nearestCentroid(col("v"), newCentroids).cast("int"))
+    val affected = (oldCells ++ newCentroids.indices).distinct.sorted
+    Seq(
+      EraseStage.Swap("", "cell", affected.map(_.toString)) -> reEncoded,
+      EraseStage.Overwrite("_centroids") ->
+        centroidFrame(spark, newCentroids))
   }
 
   /** Incrementally add vectors to an existing index WITHOUT a

@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-slope measurement over the heaviest batch families — the
+  * measurement half of the scale-cliff stress harness (data half:
+  * [[ScaleFixture]]). Runs a fixed pick of the most expensive
+  * scale-SENSITIVE gates (iterative dedup/star-contraction, LSH
+  * banding, tokenizer training, census joins, graph iteration,
+  * retrieval index build+query, embedding dedup) once warm at the
+  * given fixture dir and prints one JSON line of seconds per gate.
+  * Run at sf0.1 and at the ~10× fixture; the per-family ratio vs the
+  * data ratio is the s/sf slope SURVEY §6 records — anything
+  * scaling clearly worse than ~linear×log is a scale cliff the
+  * 17 MB fixtures could never show.
+  *
+  * Streaming gates are excluded on purpose: their wall time is
+  * micro-batch/checkpoint harness, which does not scale with data
+  * and would dilute the slope signal.
+  *
+  *   sbt "runMain graft.tools.ScaleBench target/sf1x"
+  */
+object ScaleBench {
+
+  /** Scale-sensitive picks, heaviest families first. */
+  val picks: Seq[String] = Seq(
+    "q_doc_curate",          // filter -> md5 dedup -> star contraction
+    "q_doc_dedup_best",      // star contraction, BEST survivor
+    "q_doc_dedup_canonical", // star contraction, min-id
+    "q_doc_dedup_jaccard",   // n-gram Jaccard + prefix/length filters
+    "q_doc_dedup_minhash",   // MinHash+LSH banding
+    "q_doc_cluster_sizes",   // cluster-size audit over the dup graph
+    "q_doc_dup_ngrams",      // dup n-gram census
+    "q_doc_lm_score",        // salted census probe join
+    "q_doc_unigram_trained", // unigram-LM EM training
+    "q_doc_bpe_trained",     // BPE training rounds
+    "q_doc_search_hybrid",   // inverted+ANN index build + RRF fusion
+    "q_embed_dedup_canonical", // cosine pairs -> star contraction
+    "q_embed_semantic_dedup",  // in-cell pair scan
+    "q_embed_knn",             // brute-force KNN baseline
+    "q_type_pagerank",         // exact integer graph iteration
+    "q_sessionize",            // session windows over events
+    "q_hour_profile"           // plain windowed agg (linear control)
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("target/sf1x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val qs = graft.SparkEntry.queries
+    val missing = picks.filterNot(qs.contains)
+    require(missing.isEmpty, s"unknown gates: ${missing.mkString(",")}")
+    val rows = graft.Tables.events(spark, sfDir).count()
+    // warm pass (JIT/codegen/footers + lazy index roots), then timed
+    picks.foreach(n => qs(n)(spark, sfDir).count())
+    val timed = picks.map { n =>
+      val t0 = System.nanoTime()
+      qs(n)(spark, sfDir).count()
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+    val detail = timed.map { case (n, s) =>
+      "\"" + n + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale","sf":"$sfDir","event_rows":$rows,"queries":$detail}""")
+    spark.stop()
+  }
+}

@@ -209,6 +209,69 @@ class AnnIndexSpec extends SparkSuite {
     assert(spark.read.parquet(p).filter($"vec_id" === 35L).isEmpty)
   }
 
+  test("codebook reindex: retrain + re-encode + swap is one staged commit; answers unchanged, layout moved") {
+    val p = java.nio.file.Files.createTempDirectory("ann_index_ri").toString
+    // deliberately coarse initial book: 4 cells
+    val oldBook = Ann.coarseCentroids(emb, nCells = 4)
+    AnnIndex.materialize(emb, oldBook, p)
+    assert(AnnIndex.storedCentroids(spark, p) === oldBook)
+    def cellDirs() = new java.io.File(p).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell=")).sorted.toSeq
+    def cellOf() = spark.read.parquet(p).select($"vec_id", $"cell")
+      .as[(Long, Int)].collect().toMap
+    val oldCells = cellOf()
+    val queries = emb.filter($"vec_id" < 10)
+    val before = AnnIndex.queryStored(spark, p, queries, k = 5, nprobe = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(before === Ann.bruteForceKnn(emb, queries, k = 5)
+      .as[(Long, Long, Long)].collect().toSet)
+    // refresh to the Lloyd-refined 8-cell book
+    val newBook = graft.ops.KMeans.refinedCentroids(emb, k = 8)
+    AnnIndex.reindex(spark, p, newBook)
+    assert(AnnIndex.storedCentroids(spark, p) === newBook)
+    assert(!new java.io.File(s"$p/_erase_stage").exists)
+    // every vector re-encoded to its new nearest centroid, corpus intact
+    val reread = spark.read.parquet(p)
+    assert(reread.count() === emb.count())
+    assert(reread.filter($"cell" =!=
+      graft.functions.Vectors.nearestCentroid($"v", newBook).cast("int")).isEmpty)
+    assert(cellOf() !== oldCells, "reindex must actually move assignments")
+    assert(cellDirs().forall(d =>
+      (0 until 8).map(i => s"cell=$i").contains(d)))
+    // vector CONTENT moved not at all: exhaustive probe identical
+    val after = AnnIndex.queryStored(spark, p, queries, k = 5, nprobe = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(after === before)
+    // a second reindex with the same book is layout-idempotent
+    AnnIndex.reindex(spark, p, newBook)
+    assert(cellOf() === spark.read.parquet(p).select($"vec_id", $"cell")
+      .as[(Long, Int)].collect().toMap)
+    assert(AnnIndex.queryStored(spark, p, queries, k = 5, nprobe = 8)
+      .as[(Long, Long, Long)].collect().toSet === before)
+  }
+
+  test("reindex crash at the manifest: the next stored-codebook read serves the COMPLETE new index") {
+    val p = java.nio.file.Files.createTempDirectory("ann_index_ric").toString
+    AnnIndex.materialize(emb, Ann.coarseCentroids(emb, nCells = 4), p)
+    val queries = emb.filter($"vec_id" < 10)
+    val want = AnnIndex.queryStored(spark, p, queries, k = 5, nprobe = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val newBook = graft.ops.KMeans.refinedCentroids(emb, k = 8)
+    // crash exactly AT the commit point: both legs staged (re-encoded
+    // corpus + new codebook), nothing applied
+    graft.serving.EraseStage.stage(spark, p,
+      AnnIndex.reindexLegs(spark, p, newBook))
+    // the next read recovers FIRST and then reads book + cells from
+    // the same post-apply state — never the old book over new cells
+    val got = AnnIndex.queryStored(spark, p, queries, k = 5, nprobe = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(AnnIndex.storedCentroids(spark, p) === newBook)
+    assert(!new java.io.File(s"$p/_erase_stage").exists)
+    assert(spark.read.parquet(p).filter($"cell" >= 4).count() > 0,
+      "recovery must have applied the new 8-cell assignment")
+  }
+
   test("recall at nprobe=2 is high but the probe is genuinely partial") {
     val queries = emb.filter($"vec_id" < 20)
     val served = AnnIndex.query(spark, root, queries, centroids, k = 5, nprobe = 2)
