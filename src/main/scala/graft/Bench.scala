@@ -27,14 +27,49 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Spill/skew observability (VERDICT r12 #8): a listener
+    // accumulates per-task shuffle/agg spill and task durations while
+    // a gate runs; queries execute sequentially, so attribution is
+    // exact. Recorded per gate into the detail JSON (last measured
+    // pass wins), so skew claims (salted joins) and the ±40%
+    // iterative-family triage get numbers every round instead of
+    // fresh-JVM reruns.
+    val gateListener = new org.apache.spark.scheduler.SparkListener {
+      val spill = new java.util.concurrent.atomic.AtomicLong(0L)
+      val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null)
+          spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        if (e.taskInfo != null) durations.add(e.taskInfo.duration)
+      }
+      def reset(): Unit = { spill.set(0L); durations.clear() }
+      /** (spill bytes, max/median task-duration skew, task count) */
+      def snapshot(): (Long, Double, Int) = {
+        val ds = durations.toArray(Array.empty[java.lang.Long])
+          .map(_.longValue).sorted
+        val skew =
+          if (ds.isEmpty) 0.0
+          else ds.last.toDouble / math.max(1L, ds(ds.length / 2)).toDouble
+        (spill.get(), skew, ds.length)
+      }
+    }
+    spark.sparkContext.addSparkListener(gateListener)
+    val gateMetrics =
+      scala.collection.mutable.Map.empty[String, (Long, Double, Int)]
+
     // A failed query must fail the benchmark loudly, never fold its
     // time-to-exception into the total as if it were a fast result.
     val rowCounts = scala.collection.mutable.Map.empty[String, Long]
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      gateListener.reset()
       val t0 = System.nanoTime()
       try {
         rowCounts(name) = fn(spark, sfDir).count()
-        Right((System.nanoTime() - t0) / 1e9)
+        val sec = (System.nanoTime() - t0) / 1e9
+        gateMetrics(name) = gateListener.snapshot()
+        Right(sec)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] query $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -121,7 +156,18 @@ object Bench {
       }.max
       catch { case e: Throwable =>
         System.err.println(s"[bench] streaming throughput FAILED: $e"); -1.0 }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sweeps":$sweeps,"streaming_ev_s":$evPerSec,"sf":"$sfDir"}"""
+    // per-gate physical metrics (detail file only): spill in MB,
+    // max/median task-duration skew, task count — listener snapshots
+    // from each gate's LAST measured pass
+    val metricsJson = results.map { case (k, _) =>
+      val (sp, skew, n) = gateMetrics.getOrElse(k, (0L, 0.0, 0))
+      "\"" + k + "\":{\"spill_mb\":" +
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(sp / 1e6)) +
+        ",\"task_skew\":" +
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(skew)) +
+        s""","tasks":$n}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sweeps":$sweeps,"gate_metrics":$metricsJson,"streaming_ev_s":$evPerSec,"sf":"$sfDir"}"""
     // Persist BEFORE printing: the driver captures a bounded stdout
     // tail and has lost the front of the JSON to truncation in two
     // rounds now (r4, r6 verdicts) — file copies can't be truncated

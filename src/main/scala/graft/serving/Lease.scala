@@ -155,6 +155,30 @@ object Lease {
     } catch { case e: Throwable => lock.unlock(); throw e }
   }
 
+  /** READ BARRIER: wait until no live FOREIGN lease holds `root`,
+    * then return — the reader-side half of the single-writer
+    * discipline. A dynamic-partition overwrite (incremental refresh,
+    * erase) rewrites partitions in place, so a fresh read that lists
+    * files mid-swap could see a mix of generations; waiting for the
+    * writer's release means the listing sees either the pre-write or
+    * the post-write layout, never a mix. A lease we hold OURSELVES
+    * passes immediately (a writer's own queries never self-block),
+    * and a stale lease (crashed writer) passes too — its staged
+    * manifest, if any, is what read-path recovery completes. Throws
+    * [[LeaseHeldException]] after `waitMs` behind a live writer.
+    */
+  def awaitQuiesced(spark: SparkSession, root: String,
+      waitMs: Long = DefaultWaitMs, ttlMs: Long = DefaultTtlMs): Unit = {
+    val deadline = System.currentTimeMillis() + waitMs
+    while (heldByOther(spark, root, ttlMs)) {
+      if (System.currentTimeMillis() >= deadline)
+        throw new LeaseHeldException(
+          s"read barrier on $root: a live writer held its lease for " +
+            s"${waitMs}ms")
+      Thread.sleep(100)
+    }
+  }
+
   /** Re-stamp the heartbeat mid-work (long erases/compactions). */
   def renew(spark: SparkSession, root: String): Unit = {
     val key = qualified(spark, root)

@@ -976,6 +976,15 @@ object Serving {
   private[graft] def readTableAt(spark: SparkSession, root: String,
       table: String): DataFrame =
     tableCache.getOrElseUpdate((root, table), {
+      // READ BARRIER (one lease-file probe per cache MISS, not per
+      // query): a foreign writer mid-refresh/erase rewrites
+      // partitions in place, and a listing taken mid-swap could pin
+      // a mix of generations into this cache — wait for its release
+      // (or refuse after the configured bound), so the pinned frame
+      // is always one complete generation. Our own lease (a writer's
+      // own queries) passes immediately.
+      Lease.awaitQuiesced(spark, root, waitMs =
+        spark.conf.get("graft.read.barrier.ms", "60000").toLong)
       // READ-PATH recovery (the index frameCache discipline): a crash
       // mid-apply of a staged eraseUser no longer serves a holed
       // layout until the next maintenance op — a fresh JVM's first

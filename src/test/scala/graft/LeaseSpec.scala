@@ -94,6 +94,31 @@ class LeaseSpec extends SparkSuite {
     leaseFile(r).delete()
   }
 
+  test("serving read barrier: a fresh table read refuses a live foreign writer, passes after release and under our own lease") {
+    import graft.serving.Serving
+    // isolated dataset: this root's table cache must be cold
+    val dir = java.nio.file.Files.createTempDirectory("graft_lease_rb").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val root = Serving.materialize(spark, dir)
+    writeForeign(root, "other-writer", System.currentTimeMillis())
+    spark.conf.set("graft.read.barrier.ms", "400")
+    try {
+      // a read racing a live foreign writer is REFUSED, never a mix
+      intercept[Lease.LeaseHeldException] {
+        Serving.readTable(spark, dir, "topk_by_count").collect()
+      }
+      // writer released: the same read pins one complete generation
+      assert(leaseFile(root).delete())
+      assert(Serving.readTable(spark, dir, "topk_by_count").collect().nonEmpty)
+      // a writer's OWN queries never self-block mid-write
+      Lease.withLease(spark, root, "self") {
+        assert(Serving.readTable(spark, dir, "rollup_1m").collect().nonEmpty)
+      }
+    } finally spark.conf.unset("graft.read.barrier.ms")
+  }
+
   test("same-JVM threads serialize: the critical section never overlaps") {
     val r = tmp()
     val inside = new java.util.concurrent.atomic.AtomicInteger(0)
