@@ -136,6 +136,47 @@ object PqIndex {
     Seq(EraseStage.Swap("codes", "cell", cells.map(_.toString)) -> keep)
   }
 
+  /** CODEBOOK REFRESH under staged commit — [[AnnIndex.reindex]]'s
+    * twin for the PQ layout, with one structural difference: PQ codes
+    * are LOSSY (m bytes per vector), so re-encoding needs the SOURCE
+    * corpus back, exactly as a FAISS reindex does. Both codebooks
+    * (coarse + sub-quantizers) retrain on the given corpus via the
+    * same deterministic integer-grid trainer the build uses, every
+    * vector re-encodes, and codes + codebooks swap under ONE
+    * [[EraseStage]] manifest — queries during the stage serve the old
+    * index from the old books; a crash at the manifest recovers to
+    * the complete new one (load/query recover first), never new codes
+    * under old books. The corpus is guarded against silent shrink: a
+    * frame missing any STORED vec_id refuses loudly (the
+    * [[Serving.eraseUser]] stale-frame discipline) — reindex refreshes
+    * codebooks, it must never become an accidental erase.
+    */
+  def reindex(spark: SparkSession, corpus: DataFrame, root: String,
+      coarseK: Int = 8, m: Int = 16, k: Int = 64, scale: Long = 65536,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    if (EraseStage.recover(spark, root)) loaded.remove(root)
+    val stored = spark.read.parquet(s"$root/codes")
+    val missing = stored.select(col("vec_id"))
+      .join(corpus.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_anti")
+      .count()
+    require(missing == 0L,
+      s"reindex corpus is missing $missing stored vector(s) of $root — " +
+        "a stale/partial corpus would silently erase them; erase " +
+        "explicitly via PqIndex.erase, then reindex")
+    val oldCells = stored.select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = KMeans.ivfAdcIndex(corpus, coarseK, m, k, scale, idCol, vecCol)
+    val cb = idx.coarse.zipWithIndex.map { case (v, i) => ("coarse", i, v) } ++
+      idx.subCB.zipWithIndex.map { case (v, i) => ("sub", i, v) }
+    import spark.implicits._
+    val cbDf = cb.toDF("kind", "idx", "vec").withColumn("m", lit(idx.m))
+    val affected = (oldCells ++ (0 until coarseK)).distinct.sorted
+    EraseStage.run(spark, root, Seq(
+      EraseStage.Swap("codes", "cell", affected.map(_.toString)) -> idx.codes,
+      EraseStage.Overwrite("codebooks") -> cbDf))
+    loaded.remove(root)
+  }
+
   /** Drop the cached loaded index — for writers outside this object
     * (the read-path recovery specs simulating a fresh JVM).
     */

@@ -135,4 +135,58 @@ class PqIndexSpec extends SparkSuite {
     assert(!new java.io.File(s"$p/_erase_stage").exists,
       "the load's recovery must consume the stage")
   }
+
+  test("codebook reindex: retrained codes+books swap in one staged commit, bit-identical to a fresh build") {
+    // start from a deliberately coarse build (4 cells, 8 sub-codes)
+    val p = java.nio.file.Files.createTempDirectory("pq_index_ri").toString
+    PqIndex.materialize(spark, emb, p, coarseK = 4, k = 8)
+    val before = served(p, nprobe = 4)
+    // the reference: a FRESH build at the refreshed parameters — the
+    // trainer is deterministic, so reindex must be bit-identical
+    val fresh = java.nio.file.Files.createTempDirectory("pq_index_ri_ref").toString
+    PqIndex.materialize(spark, emb, fresh)
+    PqIndex.reindex(spark, emb, p)
+    assert(served(p, nprobe = 8) === served(fresh, nprobe = 8))
+    assert(served(p, nprobe = 8).nonEmpty)
+    assert(!new java.io.File(s"$p/_erase_stage").exists)
+    // books actually moved: 8 coarse rows now, and the stored m rides
+    val cb = spark.read.parquet(s"$p/codebooks")
+    assert(cb.filter($"kind" === "coarse").count() === 8L)
+    // the old operating point still answers (books+codes consistent)
+    assert(served(p, nprobe = 4).nonEmpty && before.nonEmpty)
+    // a corpus missing stored ids is REFUSED — reindex must never be
+    // an accidental erase
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.reindex(spark, emb.filter($"vec_id" =!= 0L), p)
+    }
+    assert(e.getMessage.contains("missing"))
+  }
+
+  test("reindex crash at the manifest: the next load serves the COMPLETE retrained index") {
+    val p = java.nio.file.Files.createTempDirectory("pq_index_ric").toString
+    PqIndex.materialize(spark, emb, p, coarseK = 4, k = 8)
+    val fresh = java.nio.file.Files.createTempDirectory("pq_index_ric_ref").toString
+    PqIndex.materialize(spark, emb, fresh)
+    // stage the full reindex legs, crash at the commit point: use the
+    // real leg construction by running reindex with apply suppressed —
+    // stage() is the EraseStage seam, so build legs the same way
+    val idx = KMeans.ivfAdcIndex(emb)
+    import spark.implicits._
+    val cbDf = (idx.coarse.zipWithIndex.map { case (v, i) => ("coarse", i, v) } ++
+      idx.subCB.zipWithIndex.map { case (v, i) => ("sub", i, v) })
+      .toDF("kind", "idx", "vec").withColumn("m", lit(idx.m))
+    val oldCells = spark.read.parquet(s"$p/codes")
+      .select($"cell".cast("int")).distinct().as[Int].collect().toSeq
+    graft.serving.EraseStage.stage(spark, p, Seq(
+      graft.serving.EraseStage.Swap("codes", "cell",
+        (oldCells ++ (0 until 8)).distinct.sorted.map(_.toString)) -> idx.codes,
+      graft.serving.EraseStage.Overwrite("codebooks") -> cbDf))
+    PqIndex.invalidate(p) // fresh JVM
+    // load recovers FIRST, then reads books + codes from the same
+    // post-apply state — never old books over new codes
+    assert(served(p, nprobe = 8) === served(fresh, nprobe = 8))
+    assert(spark.read.parquet(s"$p/codebooks")
+      .filter($"kind" === "coarse").count() === 8L)
+    assert(!new java.io.File(s"$p/_erase_stage").exists)
+  }
 }
