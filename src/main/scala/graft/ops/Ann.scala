@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
@@ -276,6 +276,101 @@ object Ann {
         .filter(col("sim") >= threshold)
         .select(col("id_a"), col("id_b")),
       cached)
+  }
+
+  /** Random-hyperplane LSH near-dup pairs (SimHash for vectors,
+    * Charikar '02): each embedding gets an `nBits`-bit signature —
+    * bit i is the side of hyperplane h_i the vector falls on — the
+    * signature splits into `nBits / bandBits` bands, candidate pairs
+    * are vectors agreeing on at least ONE whole band, and candidates
+    * verify by exact cosine >= `threshold`. This is the LSH-bucketed
+    * scale path for embedding near-dup: the banding exchange carries
+    * ONLY (id, band, bucket) rows — no vector payload — so at 100 TB
+    * the shuffle is a few dozen bytes per vector, candidate compares
+    * drop from O(n²) to the collision mass Σ m_i² over bucket sizes,
+    * and vectors are fetched by id equi-join only for the (rare)
+    * candidates. `cosineNearDupPairs` stays the exact fallback; this
+    * inherits the classic (1-(1-s^b)^r)-style recall envelope.
+    *
+    * Determinism (and DuckDB replayability): hyperplanes are DATA-
+    * DERIVED — h_i = v(2i) − v(2i+1) over the `2·nBits` lowest-id
+    * corpus vectors — and the side test needs no elementwise
+    * arithmetic because dot(x, va−vb) ≡ dot(x,va) − dot(x,vb):
+    * bit_i(x) = [dot(x, v(2i)) >= dot(x, v(2i+1))], two plain dot
+    * products both engines accumulate identically (left-to-right,
+    * double). Hyperplanes are bounded driver metadata (2·nBits·dim
+    * doubles), the same class as IVF centroids.
+    */
+  def rhpNearDupPairs(emb: DataFrame, threshold: Double, nBits: Int = 32,
+      bandBits: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nBits % bandBits == 0, s"nBits $nBits not divisible by bandBits $bandBits")
+    // persisted: the signature pass and the two candidate-side vector
+    // fetches below are three consumers of the prep scan.
+    val p = prep(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val planes: Seq[Seq[Double]] = p.orderBy(col("id").asc).limit(2 * nBits)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(planes.size == 2 * nBits,
+      s"corpus has fewer than ${2 * nBits} vectors for $nBits hyperplanes")
+    val bits: Seq[Column] = (0 until nBits).map { i =>
+      val va = array(planes(2 * i).map(lit(_)): _*)
+      val vb = array(planes(2 * i + 1).map(lit(_)): _*)
+      (Vectors.dot(col("v"), va) >= Vectors.dot(col("v"), vb)).cast("int")
+    }
+    val nBands = nBits / bandBits
+    val bandVals: Seq[Column] = (0 until nBands).map { bnd =>
+      (0 until bandBits)
+        .map(j => bits(bnd * bandBits + j) * lit(1 << j))
+        .reduce(_ + _).cast("long")
+    }
+    // hash-only banding exchange: (id, band, bucket) rows, no vectors
+    val banded = p.select(col("id"), explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), bandVals(b).as("bv"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val cand = banded.select(col("band"), col("bv"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bv"), col("id").as("id_b")),
+        Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // vectors rejoin by id only for candidates (the fetch stage)
+    val a = p.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = p.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    finalized(
+      cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .withColumn("sim", Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("sim") >= threshold)
+        .select(col("id_a"), col("id_b")),
+      p)
+  }
+
+  /** Embedding-level benchmark decontamination: corpus rows whose
+    * cosine similarity to ANY benchmark vector reaches `threshold`
+    * are dropped; survivors' ids return. The semantic sibling of the
+    * n-gram [[NearDup.contaminationOverlap]] — catches paraphrased
+    * eval leakage that token overlap misses.
+    *
+    * Scale shape: the benchmark side is small by definition (an eval
+    * suite, thousands of rows vs the corpus' billions), so it
+    * BROADCASTS and the whole check is one anti nested-loop pass over
+    * the corpus — row-local predicate, zero shuffle, corpus read
+    * once. The nested loop is the point here, not a smell: the
+    * predicate is a similarity threshold (no equi-key exists), the
+    * inner side is bounded driver-size metadata, and cost is
+    * O(|corpus| · |benchmark|) flops exactly like a brute-force KNN
+    * scoring pass.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = prep(corpus, idCol, vecCol)
+    val b = prep(benchmark, idCol, vecCol)
+      .select(col("v").as("bv"), col("nrm").as("bn"))
+    c.join(broadcast(b),
+        Vectors.dot(col("v"), col("bv")) / (col("nrm") * col("bn")) >= threshold,
+        "left_anti")
+      .select(col("id").as(idCol))
   }
 
   /** SemDeDup-style semantic dedup: assign every embedding to its

@@ -199,6 +199,31 @@ object EmbedQueries {
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     Ann.cosineNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
 
+  /** The LSH-bucketed scale path for the same near-dup question
+    * ([[graft.ops.Ann.rhpNearDupPairs]]): 32-bit random-hyperplane
+    * signatures, 4 bands × 8 bits, exact cosine >= 0.4 verify on
+    * band-collision candidates only. The oracle replays the identical
+    * construction (data-derived hyperplanes, band buckets, verify),
+    * so the gate pins the APPROXIMATION ITSELF, not just the verify:
+    * both engines must agree on every signature bit.
+    */
+  def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    Ann.rhpNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
+
+  /** Embedding-level benchmark decontamination
+    * ([[graft.ops.Ann.decontaminate]]): vec_id % 50 == 0 plays the
+    * held-out eval suite, the rest is the training corpus; corpus
+    * rows with cosine >= 0.3 to any benchmark vector drop. Survivor
+    * ids return (ids only — no floats on the wire).
+    */
+  def decontamSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Ann.decontaminate(
+      emb.filter(col("vec_id") % 50 =!= 0),
+      emb.filter(col("vec_id") % 50 === 0),
+      threshold = 0.3)
+  }
+
   /** Canonical dedup groups over the embedding-cosine near-dup graph:
     * [[graft.ops.NearDup.canonicalize]] (large-star/small-star
     * contraction) composed over [[Ann.cosineNearDupPairs]] — every
@@ -454,9 +479,44 @@ object EmbedQueries {
     graft.serving.PqIndex.query(spark, root, emb.filter(col("vec_id") < 10), topK = 5)
   }
 
+  private val pqReindexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val pqReindexByPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** IVFADC top-5 served from a PQ index whose BOTH codebooks (coarse
+    * + sub-quantizers) were refreshed in place
+    * ([[graft.serving.PqIndex.reindex]]): built with a deliberately
+    * coarse 4-cell book, then retrained on the same corpus to the
+    * default 8-cell/16×64 books and atomically re-encoded + swapped
+    * under one [[graft.serving.EraseStage]] manifest — the FAISS
+    * reindex loop for the LOSSY layout, where re-encoding needs the
+    * source corpus back. The retrainer is the build's own
+    * deterministic trainer, so the refreshed index is bit-identical
+    * to a fresh default build (PqIndexSpec pins this) and the gate
+    * shares `q_embed_knn_ivfadc`'s oracle: codes, cells, and books
+    * all moved; answers did not.
+    */
+  def ivfAdcReindexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val fp = graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet")
+    val root = pqReindexCache.getOrElseUpdate(fp, {
+      val p = java.nio.file.Files.createTempDirectory("graft_pq_reindex").toString
+      graft.serving.PqIndex.materialize(spark, emb, p, coarseK = 4)
+      graft.serving.PqIndex.reindex(spark, emb, p)
+      p
+    })
+    pqReindexByPath.put(dir, fp).filter(_ != fp)
+      .flatMap(pqReindexCache.remove).foreach { old =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
+      }
+    graft.serving.PqIndex.query(spark, root, emb.filter(col("vec_id") < 10), topK = 5)
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_embed_knn_ivfadc" -> (ivfAdcTop5 _),
     "q_embed_knn_ivfadc_served" -> (ivfAdcServed _),
+    "q_embed_reindex_pq" -> (ivfAdcReindexed _),
     "q_embed_knn_pq" -> (pqAdcKnn _),
     "q_embed_pq_codes" -> (pqCodeTable _),
     "q_embed_kmeans" -> (kmeansRefine _),
@@ -476,6 +536,8 @@ object EmbedQueries {
     "q_embed_reindex" -> (knnReindexed _),
     "q_embed_top_pairs" -> (topPairs _),
     "q_embed_near_dup" -> (nearDupPairs _),
+    "q_embed_lsh_neardup" -> (lshNearDupPairs _),
+    "q_embed_decontam" -> (decontamSurvivors _),
     "q_embed_semantic_dedup" -> (semanticDedup _),
     "q_embed_semantic_dedup_trained" -> (semanticDedupTrained _),
   )
@@ -873,6 +935,47 @@ object EmbedQueries {
         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |WHERE sim >= 0.4""".stripMargin,
+    // replays the full RHP-LSH construction: hyperplanes from the 64
+    // lowest-id vectors pairwise (bit = dot-vs-dot comparison, since
+    // dot(x, va - vb) = dot(x,va) - dot(x,vb)), 4 bands x 8 bits,
+    // band-collision candidates, exact cosine verify
+    "q_embed_lsh_neardup" ->
+      """WITH pl AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS r,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings ORDER BY vec_id LIMIT 64
+        |), hp AS (
+        |  SELECT CAST(a.r // 2 AS INT) AS i, a.v AS va, b.v AS vb
+        |  FROM pl a JOIN pl b ON b.r = a.r + 1 WHERE a.r % 2 = 0
+        |), sig AS (
+        |  SELECT e.vec_id, h.i,
+        |    CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), h.va)
+        |          >= list_dot_product(CAST(e.embedding AS DOUBLE[]), h.vb)
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM embeddings e CROSS JOIN hp h
+        |), band AS (
+        |  SELECT vec_id, i // 8 AS band,
+        |         CAST(SUM(bit << (i % 8)) AS BIGINT) AS bv
+        |  FROM sig GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM band a JOIN band b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+        |)
+        |SELECT c.id_a, c.id_b
+        |FROM cand c
+        |JOIN embeddings ea ON ea.vec_id = c.id_a
+        |JOIN embeddings eb ON eb.vec_id = c.id_b
+        |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                             CAST(eb.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    "q_embed_decontam" ->
+      """SELECT t.vec_id FROM embeddings t
+        |WHERE t.vec_id % 50 <> 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM embeddings b
+        |    WHERE b.vec_id % 50 = 0
+        |      AND list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+        |                                 CAST(b.embedding AS DOUBLE[])) >= 0.3)""".stripMargin,
     // same coarse quantizer as the engine: centroids are the 16
     // lowest-id embeddings in id order; assignment is argmax cosine
     // with lowest-cell tie-break (mirrors Vectors.nearestCentroid).
@@ -918,5 +1021,7 @@ object EmbedQueries {
   // the served path must be bit-identical to the in-memory index, so
   // it shares the oracle verbatim (same recompute, different plan)
   val oracles: Map[String, String] =
-    oraclesBase + ("q_embed_knn_ivfadc_served" -> oraclesBase("q_embed_knn_ivfadc"))
+    oraclesBase +
+      ("q_embed_knn_ivfadc_served" -> oraclesBase("q_embed_knn_ivfadc")) +
+      ("q_embed_reindex_pq" -> oraclesBase("q_embed_knn_ivfadc"))
 }

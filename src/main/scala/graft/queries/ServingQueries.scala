@@ -247,6 +247,106 @@ object ServingQueries {
         col("score_micro"), col("n_events"))
   }
 
+  private val tieredCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val tieredByPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** A [[graft.serving.Tiered]] events table, built once per dataset
+    * fingerprint: everything lands hot, then the OLDER HALF of the
+    * date range demotes to the cold tier (one staged commit — one
+    * sorted zstd file per cold date). The mid-range cutoff derives
+    * from the data itself so the split is real at every sf.
+    */
+  private def tieredRoot(spark: SparkSession, dir: String): String = {
+    val fp = graft.Tables.fingerprint(spark, s"$dir/events.parquet")
+    val root = tieredCache.getOrElseUpdate(fp, {
+      val p = java.nio.file.Files.createTempDirectory("graft_tiered").toString
+      val ev = graft.Tables.events(spark, dir)
+      val sortCols = Seq("event_type", "ts")
+      graft.serving.Tiered.build(spark, ev, p, "ts", sortCols,
+        bloomCol = Some("event_id"))
+      val r = ev.agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head()
+      val (lo, hi) = (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+      val cutoff = lo.plusDays(
+        java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2).toString
+      graft.serving.Tiered.demote(spark, p, cutoff, sortCols)
+      p
+    })
+    tieredByPath.put(dir, fp).filter(_ != fp)
+      .flatMap(tieredCache.remove).foreach { old =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
+      }
+    root
+  }
+
+  /** Daily revenue by type over the TIERED table — the scan spans the
+    * hot/cold boundary, so hash-equality with the raw-scan oracle
+    * (shared with `q_routed_daily`) proves relocation neither lost,
+    * duplicated, nor reordered a row across the tiers.
+    */
+  def tieredDaily(spark: SparkSession, dir: String): DataFrame =
+    tieredDailyOf(spark, tieredRoot(spark, dir))
+
+  private def tieredDailyOf(spark: SparkSession, root: String): DataFrame = {
+    val t = graft.serving.Tiered.read(spark, root)
+    val ms = unix_millis(col("ts"))
+    val grain = 24L * hourMs
+    t.groupBy((ms - pmod(ms, lit(grain))).as("window_start_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("total_cents"))
+  }
+
+  private val tieredStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val tieredStreamByPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The tiered table's INGEST-TWIN gate: the same root built the way
+    * a live deployment builds it — an initial hot build plus two
+    * `ingest` appends (id-split thirds, the `streamBuiltRoot`
+    * pattern), a mid-range demote BETWEEN the appends (so the third
+    * batch backfills dates the demote already moved cold), and a
+    * final maintenance tick that folds the backfill into the cold
+    * files as a union. Ingest order, the demote seam, and the
+    * backfill fold must all be invisible: shares the raw-scan oracle.
+    */
+  def tieredStreamDaily(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.Tables.fingerprint(spark, s"$dir/events.parquet")
+    val root = tieredStreamCache.getOrElseUpdate(fp, {
+      val p = java.nio.file.Files.createTempDirectory("graft_tiered_stream").toString
+      val ev = graft.Tables.events(spark, dir)
+      val sortCols = Seq("event_type", "ts")
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val cuts = Seq(maxId / 3, 2 * maxId / 3)
+      graft.serving.Tiered.build(spark,
+        ev.filter(col("event_id") <= cuts(0)), p,
+        tsCol = "ts", sortCols = sortCols, bloomCol = Some("event_id"))
+      graft.serving.Tiered.ingest(spark,
+        ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+        p, "ts", sortCols, Some("event_id"))
+      val r = ev.agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head()
+      val (lo, hi) = (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+      val cutoff = lo.plusDays(
+        java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2).toString
+      graft.serving.Tiered.demote(spark, p, cutoff, sortCols)
+      // the last third lands AFTER the demote: its pre-cutoff dates
+      // are the live backfill case the next tick must fold cold
+      graft.serving.Tiered.ingest(spark,
+        ev.filter(col("event_id") > cuts(1)), p, "ts", sortCols,
+        Some("event_id"))
+      graft.serving.Maintenance.run(spark, Seq(graft.serving.Maintenance.Tier(
+        p, sortCols, hotDays = 0, nowDate = cutoff)))
+      p
+    })
+    tieredStreamByPath.put(dir, fp).filter(_ != fp)
+      .flatMap(tieredStreamCache.remove).foreach { old =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
+      }
+    tieredDailyOf(spark, root)
+  }
+
   private val streamRootCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -312,6 +412,8 @@ object ServingQueries {
     "q_topk_lookup_replica" -> (topKLookupReplica _),
     "q_topk_lookup_revenue" -> (topKLookupRevenue _),
     "q_routed_daily" -> (routedDaily _),
+    "q_tiered_daily" -> (tieredDaily _),
+    "q_tiered_stream" -> (tieredStreamDaily _),
     "q_hybrid_hourly" -> (hybridHourly _),
     "q_cumulate_daily_routed" -> (cumulateDailyRouted _),
     "q_percentile_served" -> (percentilesServed _),
@@ -412,6 +514,20 @@ object ServingQueries {
          |  CAST(SUM($cents) AS BIGINT) AS sum_value_cents
          |FROM events GROUP BY 1, 2""".stripMargin,
     "q_routed_daily" ->
+      s"""SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS total_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the tiered read must reproduce the raw fact exactly — same
+    // recompute as q_routed_daily, different physical source
+    "q_tiered_daily" ->
+      s"""SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS total_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    // ingest-twin: the incrementally-built + demoted + backfilled root
+    // must serve the identical answer
+    "q_tiered_stream" ->
       s"""SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,
          |  count(*) AS order_count,
          |  CAST(SUM($cents) AS BIGINT) AS total_cents

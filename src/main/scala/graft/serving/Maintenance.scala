@@ -73,6 +73,16 @@ object Maintenance {
     */
   final case class ReplicaSets(servingRoot: String) extends Task
 
+  /** A [[Tiered]] root: relocate hot dates older than `hotDays`
+    * before `nowDate` to the cold tier (one staged commit per tick,
+    * idempotent when nothing has aged past the cutoff), then drop
+    * cold dates past `retentionDays` — the full lifecycle, hot →
+    * cold → gone, on one tick.
+    */
+  final case class Tier(root: String, sortCols: Seq[String],
+    hotDays: Int, nowDate: String,
+    retentionDays: Option[Int] = None) extends Task
+
   /** A streaming ingest's own `compact()` surface (SegmentIngest,
     * SpanIngest, CurationIngest, MediaIngest, LmIngest, ... — each
     * folds batch-id partitions at its state's own grain). The body
@@ -105,6 +115,7 @@ object Maintenance {
         case Pq(r, _) => r
         case NearDupIdx(r, _, _) => r
         case ReplicaSets(servingRoot) => servingRoot
+        case Tier(r, _, _, _, _) => r
         case IngestCompact(_, _) => throw new MatchError(t) // unreachable
       }
       Lease.withLease(spark, root, "maintenance")(execLocked(spark, t))
@@ -155,6 +166,20 @@ object Maintenance {
     case ReplicaSets(servingRoot) =>
       ReplicaRouter.sweepStale(spark, servingRoot)
         .map(p => s"swept:$p")
+
+    case Tier(root, sortCols, hotDays, nowDate, retention) =>
+      val rec = recovered(spark, root)
+      val cutoff = java.time.LocalDate.parse(nowDate)
+        .minusDays(hotDays.toLong).toString
+      val demoted = Tiered.demote(spark, root, cutoff, sortCols)
+        .map(d => s"demoted:$root/p_date=$d")
+      val swept = retention.toSeq.flatMap { days =>
+        val before = java.time.LocalDate.parse(nowDate)
+          .minusDays(days.toLong).toString
+        Tiered.retentionSweep(spark, root, before)
+          .map(d => s"swept:$root/cold/p_date=$d")
+      }
+      rec ++ demoted ++ swept
 
     case IngestCompact(_, _) =>
       throw new IllegalStateException("IngestCompact runs unleased in exec")

@@ -1,0 +1,207 @@
+package graft.serving
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tiered storage for a date-partitioned fact table — the Pinot
+  * tiered-storage / Druid cold-tier analog (pinot tableIndexConfig
+  * tierConfigs semantics: segments older than an age cutoff RELOCATE
+  * to a cheaper tier; queries span both tiers transparently).
+  *
+  * Layout under one managed root:
+  * {{{
+  *   <root>/hot/p_date=YYYY-MM-DD/...   ingest-grain layout
+  *                                      (TableManager.writePartitioned:
+  *                                      sorted files, optional bloom)
+  *   <root>/cold/p_date=YYYY-MM-DD/...  ONE zstd-compressed file per
+  *                                      date, same within-file sort
+  *   <root>/_erase_stage, <root>/_lease staged commits + single-writer
+  * }}}
+  *
+  * Why this matters at 100 TB: the hot tier stays small enough for
+  * low-latency serving (bloom filters, small sorted files, page-cache
+  * residency), while years of history compact to one large
+  * aggressively-compressed file per date on the cold tier — fewer
+  * listing calls, better scan bandwidth, cheaper bytes. Time-range
+  * predicates prune at the DIRECTORY level on both tiers (p_date
+  * partition pruning), so a recent-window query never opens a cold
+  * file and a historical scan never touches hot segments.
+  *
+  * [[demote]] is crash-safe the same way every maintenance op here
+  * is: both table rewrites — the cold-side swap-in (which also folds
+  * any rows the date already had on cold: a backfilled date re-demotes
+  * as the UNION, never a replacement) and the hot-side directory
+  * drops — commit under ONE [[EraseStage]] manifest, so a crash at
+  * any point either leaves both tiers untouched or recovers to the
+  * completed relocation (read-path recovery in [[read]] completes it
+  * on the next read, like every index here). A reader never sees a
+  * date on neither tier; the only transient state is a date on both,
+  * which the single-writer lease confines to the apply window
+  * [[read]]'s barrier waits out.
+  */
+object Tiered {
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Build the tiered table from scratch: everything lands HOT (fresh
+    * ingest is hot by definition); [[demote]] relocates. `sortCols` +
+    * `bloomCol` define the hot layout and the sort carries to cold.
+    */
+  def build(spark: SparkSession, df: DataFrame, root: String, tsCol: String,
+      sortCols: Seq[String], bloomCol: Option[String] = None): Unit =
+    Lease.withLease(spark, root, "tiered-build") {
+      EraseStage.recover(spark, root)
+      fs(spark, root).delete(new Path(s"$root/cold"), true)
+      graft.tables.TableManager.writePartitioned(
+        df, s"$root/hot", tsCol, sortCols, bloomCol)
+    }
+
+  /** Append a batch into the HOT tier (live ingest always lands hot,
+    * whatever its event time — a late backfill for an already-demoted
+    * date sits hot until the next [[demote]] folds it into that
+    * date's cold file as a union). Same sorted layout per new file.
+    */
+  def ingest(spark: SparkSession, df: DataFrame, root: String, tsCol: String,
+      sortCols: Seq[String], bloomCol: Option[String] = None): Unit =
+    Lease.withLease(spark, root, "tiered-ingest") {
+      EraseStage.recover(spark, root)
+      graft.tables.TableManager.writePartitioned(
+        df, s"$root/hot", tsCol, sortCols, bloomCol,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    }
+
+  /** Relocate every hot date strictly OLDER than `cutoffDate` to the
+    * cold tier: the date's rows (plus any rows that date already has
+    * on cold — late backfill demotes as a union) rewrite as one
+    * sorted zstd file per date under `cold/`, and the hot directories
+    * drop — one staged commit for both legs. Returns the demoted
+    * p_date strings (empty = nothing old enough). Idempotent: a
+    * second run at the same cutoff finds no hot dates and no-ops.
+    */
+  def demote(spark: SparkSession, root: String, cutoffDate: String,
+      sortCols: Seq[String]): Seq[String] =
+    Lease.withLease(spark, root, "tiered-demote") {
+      EraseStage.recover(spark, root)
+      val f = fs(spark, root)
+      val hotPath = new Path(s"$root/hot")
+      require(f.exists(hotPath), s"no hot tier at $root/hot")
+      val expired = f.listStatus(hotPath).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith("p_date="))
+        .map(_.stripPrefix("p_date="))
+        .filter(_ < cutoffDate)
+        .sorted
+      if (expired.isEmpty) Seq.empty
+      else {
+        val hotRows = spark.read.parquet(s"$root/hot")
+          .filter(col("p_date").cast("string").isin(expired: _*))
+        val coldExisting =
+          if (!f.exists(new Path(s"$root/cold"))) None
+          else Some(spark.read.parquet(s"$root/cold")
+            .filter(col("p_date").cast("string").isin(expired: _*)))
+        val demoted = coldExisting
+          .map(c => hotRows.unionByName(c)).getOrElse(hotRows)
+        EraseStage.run(spark, root, Seq(
+          // cold first: rows are durable on the cold tier before the
+          // hot directories can drop, at every crash point
+          EraseStage.Swap("cold", "p_date", expired, sortCols,
+            Map("compression" -> "zstd")) -> demoted,
+          EraseStage.Swap("hot", "p_date", expired) ->
+            hotRows.limit(0)))
+        expired
+      }
+    }
+
+  /** Right-to-be-forgotten across BOTH tiers: every date partition
+    * holding `value` in `idCol` — hot or cold — rewrites without
+    * those rows, all legs under ONE staged manifest (the
+    * [[graft.tables.TableManager.eraseUser]] discipline, spanning the
+    * tier boundary: a crash can never leave the user erased hot but
+    * present cold). Untouched dates are neither read nor written;
+    * cold rewrites keep the one-zstd-file-per-date layout. Returns
+    * `tier/p_date` strings affected.
+    */
+  def eraseUser(spark: SparkSession, root: String, idCol: String,
+      value: Long, sortCols: Seq[String],
+      bloomCol: Option[String] = None): Seq[String] =
+    Lease.withLease(spark, root, "tiered-erase") {
+      EraseStage.recover(spark, root)
+      val f = fs(spark, root)
+      val legs = Seq("hot", "cold")
+        .filter(t => f.exists(new Path(s"$root/$t")))
+        .flatMap { t =>
+          val frame = spark.read.parquet(s"$root/$t")
+          val affected = frame.filter(col(idCol) === value)
+            .select(col("p_date").cast("string")).distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          if (affected.isEmpty) Nil
+          else {
+            val kept = frame
+              .filter(col("p_date").cast("string").isin(affected: _*))
+              .filter(col(idCol) =!= value)
+            // hot rewrites keep the ingest layout (bloom on the PK);
+            // cold keeps the archive layout (zstd, no bloom — cold
+            // reads are ranged scans, not point probes)
+            val opts =
+              if (t == "cold") Map("compression" -> "zstd")
+              else bloomCol
+                .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+            Seq((EraseStage.Swap(t, "p_date", affected, sortCols, opts) -> kept,
+              affected.map(d => s"$t/p_date=$d")))
+          }
+        }
+      if (legs.isEmpty) Seq.empty
+      else {
+        EraseStage.run(spark, root, legs.map(_._1))
+        legs.flatMap(_._2)
+      }
+    }
+
+  /** Final deletion at the end of the lifecycle: drop every COLD date
+    * strictly older than `beforeDate` (directory-grain, idempotent —
+    * the [[graft.tables.TableManager.retentionSweep]] semantics on
+    * the tier where data goes to age out). Returns dropped dates.
+    */
+  def retentionSweep(spark: SparkSession, root: String,
+      beforeDate: String): Seq[String] =
+    Lease.withLease(spark, root, "tiered-retention") {
+      EraseStage.recover(spark, root)
+      val f = fs(spark, root)
+      val coldPath = new Path(s"$root/cold")
+      if (!f.exists(coldPath)) Seq.empty
+      else f.listStatus(coldPath).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(_.getName.startsWith("p_date="))
+        .filter(_.getName.stripPrefix("p_date=") < beforeDate)
+        .sortBy(_.getName)
+        .map { p => f.delete(p, true); p.getName.stripPrefix("p_date=") }
+    }
+
+  /** The whole table, both tiers, as one DataFrame — p_date partition
+    * pruning applies per-tier, so a time-bounded query lists (and
+    * reads) only the tier(s) its range touches. Same read discipline
+    * as [[Serving.readTable]]: wait out a live foreign writer
+    * (demote/build mid-flight), then complete any crashed staged
+    * commit before listing.
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    Lease.awaitQuiesced(spark, root, waitMs =
+      spark.conf.get("graft.read.barrier.ms", "60000").toLong)
+    EraseStage.recover(spark, root)
+    val f = fs(spark, root)
+    val tiers = Seq("hot", "cold")
+      .filter(t => f.exists(new Path(s"$root/$t")))
+      .map(t => spark.read.parquet(s"$root/$t"))
+    require(tiers.nonEmpty, s"no tiers under $root")
+    tiers.reduce(_ unionByName _)
+  }
+
+  /** One tier's frame (plan tests / tier-local audits). */
+  private[graft] def tier(spark: SparkSession, root: String,
+      which: String): DataFrame =
+    spark.read.parquet(s"$root/$which")
+}

@@ -69,7 +69,53 @@ object ScaleBench {
     val detail = timed.map { case (n, s) =>
       "\"" + n + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale","sf":"$sfDir","event_rows":$rows,"queries":$detail}""")
+    val stream =
+      if (!args.contains("stream")) ""
+      else {
+        val (early, late) = streamingSlope(spark)
+        String.format(java.util.Locale.ROOT,
+          ""","stream_ev_s_early":%.0f,"stream_ev_s_late":%.0f""",
+          Double.box(early), Double.box(late))
+      }
+    println(s"""{"metric":"scale","sf":"$sfDir","event_rows":$rows,"queries":$detail$stream}""")
     spark.stop()
+  }
+
+  /** The STREAMING half of the scale question: not "how fast is one
+    * run" (Bench measures that) but "does throughput hold as the
+    * pipeline's accumulated state grows 10×" — a state leak
+    * (unbounded dedup set, never-evicted top-K keys, snowballing
+    * checkpoint) shows up as late-window ev/s sagging below the
+    * early window, which the bench's short 100k-event run can't see.
+    * Runs the full pipeline (dedup → raw + rollup + ranked top-K
+    * sinks) for `batches`×`perBatch` events (default 1M = 10× the
+    * bench leg) and returns (ev/s over the first 5 batches, ev/s
+    * over the last 5).
+    */
+  def streamingSlope(spark: SparkSession, batches: Int = 50,
+      perBatch: Int = 20000): (Double, Double) = {
+    import spark.implicits._
+    import graft.streaming.{Generator, StreamingPipeline}
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_stream").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.BenchTick]
+    val qsS = StreamingPipeline.start(spark,
+      Generator.eventsFromCounter(mem.toDF()),
+      s"$dir/raw", s"$dir/rollup", s"$dir/topk", s"$dir/ckpt", k = 5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    try {
+      val perBatchSecs = (0 until batches).map { b =>
+        val t0 = System.nanoTime()
+        mem.addData((0 until perBatch).map { i =>
+          val v = b.toLong * perBatch + i
+          graft.BenchTick(new java.sql.Timestamp(base + v * 10), v)
+        })
+        qsS.foreach(_.processAllAvailable())
+        (System.nanoTime() - t0) / 1e9
+      }
+      def evs(window: Seq[Double]) = window.size.toLong * perBatch / window.sum
+      (evs(perBatchSecs.take(5)), evs(perBatchSecs.takeRight(5)))
+    } finally qsS.foreach(_.stop())
   }
 }

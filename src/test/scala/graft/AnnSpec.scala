@@ -154,6 +154,78 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("rhp lsh near-dup: in-memory replay of signatures, bands, and verify matches exactly") {
+    // replays the WHOLE construction locally (plane derivation, bit
+    // comparisons, band buckets, collision candidates, cosine verify)
+    // with non-default 16-bit/4-band parameters — the Spark pair set
+    // must be bit-identical, approximation included
+    val nBits = 16; val bandBits = 4; val thr = 0.35
+    val vecs: Map[Long, Array[Double]] = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val low = vecs.keys.toSeq.sorted.take(2 * nBits).map(vecs)
+    def sig(v: Array[Double]): Seq[Long] =
+      (0 until nBits / bandBits).map { bnd =>
+        (0 until bandBits).map { j =>
+          val i = bnd * bandBits + j
+          if (dot(v, low(2 * i)) >= dot(v, low(2 * i + 1))) 1L << j else 0L
+        }.sum
+      }
+    val sigs = vecs.map { case (id, v) => id -> sig(v) }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if sigs(a).zip(sigs(b)).exists { case (x, y) => x == y }
+      if cos(vecs(a), vecs(b)) >= thr
+    } yield (a, b)).toSet
+    val got = Ann.rhpNearDupPairs(emb, thr, nBits = nBits, bandBits = bandBits)
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    // and it is a SUBSET of the exact pair set (verify step is real)
+    val exact = Ann.cosineNearDupPairs(emb, thr).as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact))
+  }
+
+  test("rhp lsh near-dup: a planted exact duplicate always collides") {
+    // identical vectors get identical signatures, so every band
+    // agrees and the pair can never be missed regardless of banding
+    val dupId = 1000000L
+    val donor = emb.filter(col("vec_id") === 3)
+      .select(lit(dupId).as("vec_id"), col("embedding"))
+    val planted = emb.select(col("vec_id"), col("embedding")).union(donor)
+    val got = Ann.rhpNearDupPairs(planted, threshold = 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(got.contains((3L, dupId)))
+  }
+
+  test("embedding decontamination: survivors match the brute-force reference and partition the corpus") {
+    val thr = 0.3
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+    val train = emb.filter(col("vec_id") % 50 =!= 0)
+    val bvecs = bench.collect().map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val expected = train.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .filter { case (_, v) => bvecs.forall(b => cos(v, b) < thr) }
+      .map(_._1).toSet
+    val got = Ann.decontaminate(train, bench, thr)
+      .as[Long].collect().toSet
+    assert(got === expected)
+    // drops are real on the fixture (the threshold exercises the path)
+    assert(got.size < train.count())
+    assert(got.nonEmpty)
+  }
+
   test("all-pairs block-grid plan has no cartesian / broadcast-nested-loop join") {
     // assert on the inner scored computation: the public operators
     // checkpoint their (small) results, which would hide the join

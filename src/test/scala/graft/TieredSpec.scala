@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.serving.{Maintenance, Tiered}
+
+/** Tiered storage: hot/cold relocation is lossless and crash-safe,
+  * the cold tier compacts to one file per date, time-range pruning
+  * never opens the other tier, and late backfill for a demoted date
+  * folds into cold as a union on the next demote.
+  */
+class TieredSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val ev = Tables.events(spark, sfDir)
+  private val sortCols = Seq("event_type", "ts")
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("tiered_spec").toString
+
+  private def buildDemoted(): (String, String) = {
+    val root = freshRoot()
+    Tiered.build(spark, ev, root, "ts", sortCols, Some("event_id"))
+    val r = ev.agg(min(to_date($"ts")), max(to_date($"ts"))).head()
+    val (lo, hi) = (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+    val cutoff = lo.plusDays(
+      java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2).toString
+    (root, cutoff)
+  }
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dateDirs(root: String, tier: String): Seq[String] = {
+    val f = fs(root)
+    val p = new Path(s"$root/$tier")
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("p_date="))
+      .map(_.stripPrefix("p_date=")).sorted
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select($"event_id").as[Long].collect().toSet
+
+  test("demote relocates the old dates losslessly; tiers partition the date range") {
+    val (root, cutoff) = buildDemoted()
+    val before = dateDirs(root, "hot")
+    val demoted = Tiered.demote(spark, root, cutoff, sortCols)
+    assert(demoted === before.filter(_ < cutoff), "expected the pre-cutoff dates")
+    assert(demoted.nonEmpty && dateDirs(root, "hot").nonEmpty,
+      "fixture must split into a real hot and a real cold half")
+    assert(dateDirs(root, "cold") === demoted)
+    assert(dateDirs(root, "hot") === before.filterNot(demoted.contains))
+    // lossless: the tiered union is the original fact, row for row
+    assert(ids(Tiered.read(spark, root)) === ids(ev))
+    assert(Tiered.read(spark, root).count() === ev.count())
+    // idempotent: nothing left below the cutoff
+    assert(Tiered.demote(spark, root, cutoff, sortCols).isEmpty)
+  }
+
+  test("cold tier is one zstd file per date; demoted hot directories are gone") {
+    val (root, cutoff) = buildDemoted()
+    val demoted = Tiered.demote(spark, root, cutoff, sortCols)
+    val f = fs(root)
+    demoted.foreach { d =>
+      val files = f.listStatus(new Path(s"$root/cold/p_date=$d"))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      assert(files.length === 1, s"cold date $d has ${files.length} files")
+      assert(files.head.contains("zstd"), s"cold file not zstd: ${files.head}")
+      assert(!f.exists(new Path(s"$root/hot/p_date=$d")), s"hot $d survived")
+    }
+  }
+
+  test("time-range pruning: a hot-range query opens no cold file and vice versa") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    def filesRead(df: org.apache.spark.sql.DataFrame, tier: String): Long = {
+      val ss = scans(df.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains(s"/$tier")))
+      assert(ss.nonEmpty, s"no $tier scan in the plan")
+      ss.map(_.metrics("numFiles").value).sum
+    }
+    val (root, cutoff) = buildDemoted()
+    Tiered.demote(spark, root, cutoff, sortCols)
+    val t = Tiered.read(spark, root)
+    val hotOnly = t.filter($"p_date" >= lit(cutoff))
+    hotOnly.collect()
+    assert(filesRead(hotOnly, "hot") > 0)
+    assert(filesRead(hotOnly, "cold") === 0,
+      "hot-range query opened cold files")
+    val coldOnly = t.filter($"p_date" < lit(cutoff))
+    coldOnly.collect()
+    assert(filesRead(coldOnly, "cold") > 0)
+    assert(filesRead(coldOnly, "hot") === 0,
+      "cold-range query opened hot files")
+  }
+
+  test("crash at the manifest: the next read recovers the COMPLETE relocation") {
+    val (root, cutoff) = buildDemoted()
+    val expired = dateDirs(root, "hot").filter(_ < cutoff)
+    // leave the demote exactly at its commit point (staged + manifest,
+    // nothing applied), the way EraseStage's crash specs do
+    val hotRows = spark.read.parquet(s"$root/hot")
+      .filter($"p_date".cast("string").isin(expired: _*))
+    graft.serving.EraseStage.stage(spark, root, Seq(
+      graft.serving.EraseStage.Swap("cold", "p_date", expired, sortCols,
+        Map("compression" -> "zstd")) -> hotRows,
+      graft.serving.EraseStage.Swap("hot", "p_date", expired) ->
+        hotRows.limit(0)))
+    // a plain read completes it and serves the post-demote answer
+    assert(ids(Tiered.read(spark, root)) === ids(ev))
+    assert(dateDirs(root, "cold") === expired)
+    assert(dateDirs(root, "hot").forall(_ >= cutoff))
+  }
+
+  test("eraseUser spans both tiers under one manifest; layout and other rows hold") {
+    val (root, cutoff) = buildDemoted()
+    Tiered.demote(spark, root, cutoff, sortCols)
+    // a user present on both sides of the tier boundary
+    val user = Tiered.read(spark, root)
+      .groupBy($"user_id")
+      .agg(countDistinct(when($"p_date" < lit(cutoff), 1)).as("c"),
+        countDistinct(when($"p_date" >= lit(cutoff), 1)).as("h"))
+      .filter($"c" > 0 && $"h" > 0)
+      .orderBy($"user_id").select($"user_id").as[Long].head()
+    val affected = Tiered.eraseUser(spark, root, "user_id", user, sortCols)
+    assert(affected.exists(_.startsWith("hot/")) &&
+      affected.exists(_.startsWith("cold/")),
+      s"expected both tiers affected: $affected")
+    val after = Tiered.read(spark, root)
+    assert(after.filter($"user_id" === user).count() === 0L)
+    assert(ids(after) === ids(ev.filter($"user_id" =!= user)))
+    // cold rewrites kept the one-zstd-file-per-date layout
+    val f = fs(root)
+    affected.filter(_.startsWith("cold/")).foreach { rel =>
+      val files = f.listStatus(new Path(s"$root/$rel"))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      assert(files.length === 1 && files.head.contains("zstd"), rel)
+    }
+    // absent user: no-op, no legs
+    assert(Tiered.eraseUser(spark, root, "user_id", -1L, sortCols).isEmpty)
+  }
+
+  test("retention drops cold dates past the horizon on the same maintenance tick") {
+    val (root, cutoff) = buildDemoted()
+    val msgs = Maintenance.run(spark, Seq(Maintenance.Tier(root, sortCols,
+      hotDays = 0, nowDate = cutoff, retentionDays = Some(7))))
+    assert(msgs.exists(_.startsWith(s"demoted:$root")), msgs.toString)
+    val horizon = java.time.LocalDate.parse(cutoff).minusDays(7).toString
+    val expectDropped = dateDirs(root, "cold").filter(_ < horizon)
+    // re-run with a horizon INSIDE the cold range to observe drops
+    val mid = dateDirs(root, "cold") match {
+      case ds if ds.size >= 2 => ds(ds.size / 2)
+      case ds => ds.head
+    }
+    val dropped = Tiered.retentionSweep(spark, root, mid)
+    assert(dropped.nonEmpty && dropped.forall(_ < mid))
+    assert(dateDirs(root, "cold").forall(_ >= mid))
+    // idempotent
+    assert(Tiered.retentionSweep(spark, root, mid).isEmpty)
+    // the surviving union is exactly the rows at/after each tier's floor
+    val survivors = Tiered.read(spark, root)
+    val expected = ev.filter(to_date($"ts") >= lit(mid))
+    assert(ids(survivors) === ids(expected))
+    assert(expectDropped.forall(_ < mid)) // guard: horizon math sane
+  }
+
+  test("late backfill for a demoted date folds into cold as a union on the next tick") {
+    val (root, cutoff) = buildDemoted()
+    Tiered.demote(spark, root, cutoff, sortCols)
+    val coldDate = dateDirs(root, "cold").head
+    // synthesize late rows for that already-cold date with fresh ids
+    val late = ev.filter(to_date($"ts").cast("string") === coldDate)
+      .orderBy($"event_id").limit(5)
+      .withColumn("event_id", $"event_id" + lit(10000000L))
+    Tiered.ingest(spark, late, root, "ts", sortCols, Some("event_id"))
+    assert(dateDirs(root, "hot").contains(coldDate), "backfill must land hot")
+    // the maintenance tick drives the re-demote
+    val msgs = Maintenance.run(spark, Seq(Maintenance.Tier(root, sortCols,
+      hotDays = 0, nowDate = cutoff)))
+    assert(msgs.exists(_ == s"demoted:$root/p_date=$coldDate"), msgs.toString)
+    assert(!dateDirs(root, "hot").contains(coldDate))
+    val cold = Tiered.tier(spark, root, "cold")
+      .filter($"p_date".cast("string") === coldDate)
+    val lateIds = late.select($"event_id").as[Long].collect().toSet
+    val coldIds = cold.select($"event_id").as[Long].collect().toSet
+    assert(lateIds.subsetOf(coldIds), "late rows missing from cold")
+    // and nothing original was lost in the union rewrite
+    assert(ids(Tiered.read(spark, root)) === (ids(ev) ++ lateIds))
+  }
+}
