@@ -347,6 +347,59 @@ object ServingQueries {
     tieredDailyOf(spark, root)
   }
 
+  private val evolveCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val evolveByPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Schema evolution end-to-end ([[graft.tables.Evolve]]): a daily
+    * rollup table whose first epoch (dates before the data-derived
+    * mid-range cut) was written BEFORE the table had a `total_cents`
+    * metric; the column is added as one metadata write (default "0",
+    * zero files rewritten), and the second epoch appends with real
+    * values — exactly how a Pinot table gains a metric mid-life. The
+    * evolved read must answer with the default on pre-evolution
+    * segments and real values after, which the oracle replays with
+    * the same mid-range CASE split over the raw fact.
+    */
+  def evolvedDaily(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.Tables.fingerprint(spark, s"$dir/events.parquet")
+    val root = evolveCache.getOrElseUpdate(fp, {
+      val p = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+      val ev = graft.Tables.events(spark, dir)
+      val r = ev.agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head()
+      val (lo, hi) = (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+      val mid = lo.plusDays(
+        java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2).toString
+      val ms = unix_millis(col("ts"))
+      val grain = 24L * hourMs
+      val keyed = ev.withColumn("d", to_date(col("ts")))
+        .withColumn("window_start_ms", ms - pmod(ms, lit(grain)))
+      keyed.filter(col("d") < lit(mid))
+        .groupBy(col("window_start_ms"), col("event_type"))
+        .agg(count(lit(1)).as("order_count"))
+        .write.mode("overwrite").parquet(p)
+      graft.tables.Evolve.register(spark, p, spark.read.parquet(p).schema)
+      graft.tables.Evolve.addColumn(spark, p,
+        org.apache.spark.sql.types.StructField("total_cents",
+          org.apache.spark.sql.types.LongType), default = "0")
+      keyed.filter(col("d") >= lit(mid))
+        .groupBy(col("window_start_ms"), col("event_type"))
+        .agg(count(lit(1)).as("order_count"),
+          sum(col("value_cents")).as("total_cents"))
+        .write.mode("append").parquet(p)
+      p
+    })
+    evolveByPath.put(dir, fp).filter(_ != fp)
+      .flatMap(evolveCache.remove).foreach { old =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
+      }
+    graft.tables.Evolve.read(spark, root)
+      .groupBy(col("window_start_ms"), col("event_type"))
+      .agg(sum(col("order_count")).as("order_count"),
+        sum(col("total_cents")).as("total_cents"))
+  }
+
   private val streamRootCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -414,6 +467,7 @@ object ServingQueries {
     "q_routed_daily" -> (routedDaily _),
     "q_tiered_daily" -> (tieredDaily _),
     "q_tiered_stream" -> (tieredStreamDaily _),
+    "q_evolved_daily" -> (evolvedDaily _),
     "q_hybrid_hourly" -> (hybridHourly _),
     "q_cumulate_daily_routed" -> (cumulateDailyRouted _),
     "q_percentile_served" -> (percentilesServed _),
@@ -531,6 +585,17 @@ object ServingQueries {
       s"""SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,
          |  count(*) AS order_count,
          |  CAST(SUM($cents) AS BIGINT) AS total_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    // schema evolution: pre-evolution days answer total_cents with the
+    // registered default (0), post-evolution days with real values —
+    // the oracle replays the same mid-range epoch split
+    "q_evolved_daily" ->
+      s"""WITH b AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events),
+         |c AS (SELECT lo + CAST(FLOOR(date_diff('day', lo, hi) / 2) AS INT) AS mid FROM b)
+         |SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,
+         |  count(*) AS order_count,
+         |  CAST(SUM(CASE WHEN CAST(ts AS DATE) < (SELECT mid FROM c)
+         |           THEN 0 ELSE $cents END) AS BIGINT) AS total_cents
          |FROM events GROUP BY 1, 2""".stripMargin,
     "q_hybrid_hourly" ->
       s"""SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,

@@ -2,7 +2,7 @@ package graft.serving
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 /** Staged-commit protocol for the materialized-index erases
   * ([[SearchIndex.eraseDocs]], [[AnnIndex.erase]], [[PqIndex.erase]],
@@ -75,9 +75,17 @@ private[graft] object EraseStage {
     * directory its own lazily-read staged rows live in, mid-apply.
     */
   sealed trait Leg { def table: String }
+  /** `shards > 1` splits each rewritten partition across that many
+    * write tasks (hash of the sort key picks the shard) — the
+    * scale-out knob for a partition too large for one task; up to
+    * `shards` files per partition (hash assignment of (partition,
+    * shard) pairs to tasks can collide), every file internally
+    * sorted, so per-file min/max pruning holds. Recorded in the
+    * manifest (8th field) so recovery replays the identical layout.
+    */
   final case class Swap(table: String, partCol: String,
     affected: Seq[String], sortCols: Seq[String] = Nil,
-    options: Map[String, String] = Map.empty) extends Leg
+    options: Map[String, String] = Map.empty, shards: Int = 1) extends Leg
   final case class Overwrite(table: String,
     options: Map[String, String] = Map.empty,
     sortCol: Option[String] = None) extends Leg
@@ -95,11 +103,14 @@ private[graft] object EraseStage {
     o.foreach { case (k, v) =>
       clean("option key", k, Seq('=')); clean("option value", v) }
   private def validate(leg: Leg): Unit = leg match {
-    case Swap(t, pc, a, sc, o) =>
+    case Swap(t, pc, a, sc, o, sh) =>
       clean("table", t); clean("partCol", pc)
       a.foreach(clean("partition value", _))
       sc.foreach(clean("sort column", _))
       cleanOpts(o)
+      require(sh >= 1, s"Swap shards $sh < 1")
+      require(sh == 1 || sc.nonEmpty,
+        "Swap shards > 1 needs sortCols: the shard is a hash of the sort key")
     case Overwrite(t, o, sc) =>
       require(t.nonEmpty,
         "EraseStage.Overwrite(\"\") would overwrite the root and " +
@@ -145,16 +156,17 @@ private[graft] object EraseStage {
     legs.zipWithIndex.foreach { case ((_, kept), i) =>
       kept.write.mode("overwrite").parquet(s"${stageDir(root)}/leg=$i") }
     // COMMIT POINT: atomic create of the manifest inside the stage.
-    // Line format (7 tab-separated fields):
-    //   idx  kind  table  partCol  affected  sort  options
+    // Line format (8 tab-separated fields; readers pad 7-field lines
+    // from older writers — absent shards means 1):
+    //   idx  kind  table  partCol  affected  sort  options  shards
     val out = f.create(new Path(s"${stageDir(root)}/_manifest"), false)
     try out.write(legs.zipWithIndex.map { case ((l, _), i) =>
       l match {
-        case Swap(t, pc, a, sc, o) =>
-          s"$i\tswap\t$t\t$pc\t${a.mkString(",")}\t${sc.mkString(",")}\t${optStr(o)}"
+        case Swap(t, pc, a, sc, o, sh) =>
+          s"$i\tswap\t$t\t$pc\t${a.mkString(",")}\t${sc.mkString(",")}\t${optStr(o)}\t$sh"
         case Overwrite(t, o, sc) =>
-          s"$i\toverwrite\t$t\t\t\t${sc.getOrElse("")}\t${optStr(o)}"
-        case Append(t) => s"$i\tappend\t$t\t\t\t\t"
+          s"$i\toverwrite\t$t\t\t\t${sc.getOrElse("")}\t${optStr(o)}\t"
+        case Append(t) => s"$i\tappend\t$t\t\t\t\t\t"
       }
     }.mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
   }
@@ -227,11 +239,12 @@ private[graft] object EraseStage {
       // NEWER writer; recovering with fields silently dropped could
       // corrupt the layout, so that fails loudly instead.
       val fields = line.split("\t", -1)
-      require(fields.length <= 7,
+      require(fields.length <= 8,
         s"EraseStage manifest line has ${fields.length} fields; this " +
-          s"reader understands 7 — written by a newer version? '$line'")
-      val Array(i, kind, table, partCol, affected, sort, opts) =
-        fields.padTo(7, "")
+          s"reader understands 8 — written by a newer version? '$line'")
+      val Array(i, kind, table, partCol, affected, sort, opts, shardsF) =
+        fields.padTo(8, "")
+      val shards = if (shardsF.isEmpty) 1 else shardsF.toInt
       val staged = spark.read.parquet(s"${stageDir(root)}/leg=$i")
       val target = tablePath(root, table)
       def withOpts(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {
@@ -256,8 +269,19 @@ private[graft] object EraseStage {
           val sortCols = sort.split(",").filter(_.nonEmpty).toSeq
           val laid =
             if (sortCols.isEmpty) staged
-            else staged.repartition(col(partCol))
-              .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+            else if (shards <= 1)
+              staged.repartition(col(partCol))
+                .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+            else {
+              // shard large partitions across `shards` write tasks by
+              // a hash of the sort key: `shards` files per rewritten
+              // partition, each internally sorted
+              val nAffected = math.max(
+                affected.split(",").count(_.nonEmpty), 1)
+              staged.repartition(nAffected * shards, col(partCol),
+                  pmod(xxhash64(sortCols.map(col): _*), lit(shards.toLong)))
+                .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+            }
           withOpts(laid.write.mode("append").partitionBy(partCol))
             .parquet(target)
         case "overwrite" =>

@@ -45,6 +45,20 @@ object Tiered {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** A tier exists AND holds at least one partition directory — a
+    * fully-demoted hot tier is an empty directory whose parquet read
+    * would fail schema inference, not an error state.
+    */
+  private def liveTier(spark: SparkSession, root: String,
+      tier: String): Boolean = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/$tier")
+    f.exists(p) && f.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** Build the tiered table from scratch: everything lands HOT (fresh
     * ingest is hot by definition); [[demote]] relocates. `sortCols` +
     * `bloomCol` define the hot layout and the sort carries to cold.
@@ -74,19 +88,30 @@ object Tiered {
 
   /** Relocate every hot date strictly OLDER than `cutoffDate` to the
     * cold tier: the date's rows (plus any rows that date already has
-    * on cold — late backfill demotes as a union) rewrite as one
-    * sorted zstd file per date under `cold/`, and the hot directories
-    * drop — one staged commit for both legs. Returns the demoted
-    * p_date strings (empty = nothing old enough). Idempotent: a
-    * second run at the same cutoff finds no hot dates and no-ops.
+    * on cold — late backfill demotes as a union) rewrite as
+    * `filesPerDate` sorted zstd files per date under `cold/`, and the
+    * hot directories drop — one staged commit for both legs. Returns
+    * the demoted p_date strings (empty = nothing old enough).
+    * Idempotent: a second run at the same cutoff finds no hot dates
+    * and no-ops.
+    *
+    * `filesPerDate` is the 100 TB knob: the default 1 gives the
+    * archive-compact one-file-per-date layout, but a date too large
+    * for one write task shards by a hash of the sort key across
+    * `filesPerDate` write tasks (up to that many files per date, each
+    * still internally sorted — per-file min/max pruning holds; global
+    * order within a date is already irrelevant across files). The
+    * shard count rides the [[EraseStage.Swap]] manifest, so recovery
+    * replays the identical layout.
     */
   def demote(spark: SparkSession, root: String, cutoffDate: String,
-      sortCols: Seq[String]): Seq[String] =
+      sortCols: Seq[String], filesPerDate: Int = 1): Seq[String] =
     Lease.withLease(spark, root, "tiered-demote") {
       EraseStage.recover(spark, root)
       val f = fs(spark, root)
       val hotPath = new Path(s"$root/hot")
       require(f.exists(hotPath), s"no hot tier at $root/hot")
+      require(filesPerDate >= 1, s"filesPerDate $filesPerDate < 1")
       val expired = f.listStatus(hotPath).toSeq
         .filter(_.isDirectory)
         .map(_.getPath.getName)
@@ -99,7 +124,7 @@ object Tiered {
         val hotRows = spark.read.parquet(s"$root/hot")
           .filter(col("p_date").cast("string").isin(expired: _*))
         val coldExisting =
-          if (!f.exists(new Path(s"$root/cold"))) None
+          if (!liveTier(spark, root, "cold")) None
           else Some(spark.read.parquet(s"$root/cold")
             .filter(col("p_date").cast("string").isin(expired: _*)))
         val demoted = coldExisting
@@ -108,7 +133,7 @@ object Tiered {
           // cold first: rows are durable on the cold tier before the
           // hot directories can drop, at every crash point
           EraseStage.Swap("cold", "p_date", expired, sortCols,
-            Map("compression" -> "zstd")) -> demoted,
+            Map("compression" -> "zstd"), shards = filesPerDate) -> demoted,
           EraseStage.Swap("hot", "p_date", expired) ->
             hotRows.limit(0)))
         expired
@@ -129,9 +154,8 @@ object Tiered {
       bloomCol: Option[String] = None): Seq[String] =
     Lease.withLease(spark, root, "tiered-erase") {
       EraseStage.recover(spark, root)
-      val f = fs(spark, root)
       val legs = Seq("hot", "cold")
-        .filter(t => f.exists(new Path(s"$root/$t")))
+        .filter(liveTier(spark, root, _))
         .flatMap { t =>
           val frame = spark.read.parquet(s"$root/$t")
           val affected = frame.filter(col(idCol) === value)
@@ -192,9 +216,8 @@ object Tiered {
     Lease.awaitQuiesced(spark, root, waitMs =
       spark.conf.get("graft.read.barrier.ms", "60000").toLong)
     EraseStage.recover(spark, root)
-    val f = fs(spark, root)
     val tiers = Seq("hot", "cold")
-      .filter(t => f.exists(new Path(s"$root/$t")))
+      .filter(liveTier(spark, root, _))
       .map(t => spark.read.parquet(s"$root/$t"))
     require(tiers.nonEmpty, s"no tiers under $root")
     tiers.reduce(_ unionByName _)

@@ -175,8 +175,11 @@ object StateCompactor {
           case (c, "sum") => sum(col(c)).as(c)
           case (c, "max") => max(col(c)).as(c)
           case (c, "min") => min(col(c)).as(c)
+          // sketch-valued state (the rollup segments' users_hll):
+          // union is the sketch's own associative merge
+          case (c, "hll") => hll_union_agg(col(c)).as(c)
           case (c, fn) => throw new IllegalArgumentException(
-            s"unsupported merge '$fn' for state column '$c' (sum|max|min)")
+            s"unsupported merge '$fn' for state column '$c' (sum|max|min|hll)")
         }
         withOld.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
       }

@@ -1,0 +1,122 @@
+package graft.tables
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/** Schema evolution for a parquet table — the Pinot add-new-column
+  * semantics (Pinot schema evolution: a dimension/metric added to a
+  * live table gets a DEFAULT on every segment sealed before the
+  * change; old segments are NEVER rewritten, reads fill the default
+  * at query time, segments written after the change carry real
+  * values).
+  *
+  * Why a registry and not `mergeSchema`: Spark's mergeSchema option
+  * reconciles schemas by reading EVERY file's footer — a full
+  * metadata sweep per query, unusable over millions of segments. Here
+  * the authoritative schema lives in ONE versioned file under the
+  * table root (`_schema.v<N>`, atomic create, max version wins — the
+  * same monotonic-version discipline the replica generations use),
+  * so a read costs one small-file fetch regardless of table size, and
+  * evolution is one metadata write: no data file is touched, ever.
+  *
+  * Defaults are stored WITH the schema (column → literal string, cast
+  * to the column type at read), so every reader agrees on what an
+  * absent column means — the column is physically null in
+  * pre-evolution files (parquet readers return null for fields the
+  * file lacks when an explicit read schema is given) and
+  * [[read]] coalesces it to the registered default.
+  *
+  * Underscore-prefixed registry files are invisible to parquet
+  * directory reads, like every sidecar here ([[graft.serving
+  * .EraseStage]] stages, leases, replica manifests).
+  */
+object Evolve {
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versions(spark: SparkSession, path: String): Seq[(Int, Path)] = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("_schema.v"))
+      .flatMap(p => p.getName.stripPrefix("_schema.v").toIntOption.map(_ -> p))
+      .sortBy(_._1)
+  }
+
+  private def write(spark: SparkSession, path: String, version: Int,
+      schema: StructType, defaults: Map[String, String]): Unit = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val defaultsJson = org.json4s.jackson.Serialization.write(defaults)
+    val json = s"""{"schema":${schema.json},"defaults":$defaultsJson}"""
+    // atomic create: the version file either exists completely or not
+    // at all; two racers on the same N — excluded by the lease anyway
+    // — would have the second create fail loudly
+    val out = fs(spark, path).create(
+      new Path(s"$path/_schema.v$version"), false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def load(spark: SparkSession, path: String): (Int, StructType, Map[String, String]) = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no registered schema under $path — Evolve.register first")
+    val (n, p) = vs.last
+    val in = fs(spark, path).open(p)
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    import org.json4s.DefaultFormats
+    implicit val fmt: org.json4s.Formats = DefaultFormats
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(parsed \ "schema")
+    val defaults = (parsed \ "defaults").extract[Map[String, String]]
+    (n, DataType.fromJson(schemaJson).asInstanceOf[StructType], defaults)
+  }
+
+  /** Register the table's initial authoritative schema (version 1).
+    * No-op if a registry already exists.
+    */
+  def register(spark: SparkSession, path: String, schema: StructType): Unit =
+    graft.serving.Lease.withLease(spark, path, "evolve") {
+      if (versions(spark, path).isEmpty)
+        write(spark, path, 1, schema, Map.empty)
+    }
+
+  /** Add a column with a default: one metadata write (version N+1),
+    * zero data files touched. Refuses a name the schema already has —
+    * type changes are a different operation with different hazards,
+    * not a silent overwrite.
+    */
+  def addColumn(spark: SparkSession, path: String, field: StructField,
+      default: String): Unit =
+    graft.serving.Lease.withLease(spark, path, "evolve") {
+      val (n, schema, defaults) = load(spark, path)
+      require(!schema.fieldNames.contains(field.name),
+        s"column ${field.name} already exists in $path schema v$n")
+      write(spark, path, n + 1, StructType(schema.fields :+ field),
+        defaults + (field.name -> default))
+    }
+
+  /** Read through the registry: ONE schema fetch (max version wins),
+    * explicit-schema parquet read (absent columns come back null from
+    * pre-evolution files — no footer sweep), defaults filled. Works
+    * on flat and partition-discovered layouts alike: a partition
+    * column present in the registered schema is matched by name.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val (_, schema, defaults) = load(spark, path)
+    val raw = spark.read.schema(schema).parquet(path)
+    defaults.foldLeft(raw) { case (df, (name, dflt)) =>
+      val t = schema(name).dataType
+      df.withColumn(name, coalesce(col(name), lit(dflt).cast(t)))
+    }
+  }
+
+  /** Current schema version (specs / operational probes). */
+  def currentVersion(spark: SparkSession, path: String): Int =
+    load(spark, path)._1
+}

@@ -72,10 +72,15 @@ object ScaleBench {
     val stream =
       if (!args.contains("stream")) ""
       else {
+        // paired runs: the raw accumulation hazard, then the scheduled
+        // compaction tick that is the designed mitigation
         val (early, late) = streamingSlope(spark)
+        val (earlyT, lateT) = streamingSlope(spark, compactEvery = 10)
         String.format(java.util.Locale.ROOT,
-          ""","stream_ev_s_early":%.0f,"stream_ev_s_late":%.0f""",
-          Double.box(early), Double.box(late))
+          ""","stream_ev_s_early":%.0f,"stream_ev_s_late":%.0f""" +
+            ""","stream_ev_s_early_ticked":%.0f,"stream_ev_s_late_ticked":%.0f""",
+          Double.box(early), Double.box(late),
+          Double.box(earlyT), Double.box(lateT))
       }
     println(s"""{"metric":"scale","sf":"$sfDir","event_rows":$rows,"queries":$detail$stream}""")
     spark.stop()
@@ -93,7 +98,7 @@ object ScaleBench {
     * over the last 5).
     */
   def streamingSlope(spark: SparkSession, batches: Int = 50,
-      perBatch: Int = 20000): (Double, Double) = {
+      perBatch: Int = 20000, compactEvery: Int = 0): (Double, Double) = {
     import spark.implicits._
     import graft.streaming.{Generator, StreamingPipeline}
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -106,6 +111,8 @@ object ScaleBench {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     try {
       val perBatchSecs = (0 until batches).map { b =>
+        if (compactEvery > 0 && b > 0 && b % compactEvery == 0)
+          StreamingPipeline.compactRollupState(spark, s"$dir/rollup")
         val t0 = System.nanoTime()
         mem.addData((0 until perBatch).map { i =>
           val v = b.toLong * perBatch + i

@@ -157,13 +157,13 @@ class EraseStageSpec extends SparkSuite {
     val t = spark.read.parquet(s"$r/t")
     assert(t.filter(col("p") === 1).count() === 8L)
     assert(t.filter(col("id").isin(1L, 5L)).isEmpty)
-    // a NEWER writer's manifest (8 fields) must not recover with
+    // a NEWER writer's manifest (9 fields) must not recover with
     // fields silently dropped
     val r2 = tmp()
     build(r2)
     keepOf(r2).write.parquet(s"$r2/_erase_stage/leg=0")
     val w2 = new java.io.FileWriter(s"$r2/_erase_stage/_manifest")
-    try w2.write("0\tswap\tt\tp\t1\t\t\tfuture-field\n") finally w2.close()
+    try w2.write("0\tswap\tt\tp\t1\t\t\t1\tfuture-field\n") finally w2.close()
     val e = intercept[Exception] { EraseStage.recover(spark, r2) }
     assert(e.getMessage.contains("newer"), e.getMessage)
   }
@@ -192,6 +192,38 @@ class EraseStageSpec extends SparkSuite {
     }
     // untouched partitions keep their old rows
     assert(spark.read.parquet(s"$r/t").filter(col("p") === 0).count() === 500L)
+  }
+
+  test("Swap shards > 1: each rewritten partition splits into that many files, each sorted") {
+    val r = tmp()
+    (0L until 3000L).map(i => (i, (i % 3).toInt))
+      .toDF("id", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(s"$r/t")
+    val kept = spark.read.parquet(s"$r/t")
+      .filter(col("p").isin(1, 2)).repartition(8)
+    EraseStage.stage(spark, r, Seq(
+      EraseStage.Swap("t", "p", Seq("1", "2"), Seq("id"), shards = 3) -> kept))
+    assert(EraseStage.recover(spark, r))
+    // hash assignment of (partition, shard) to tasks can collide, so
+    // the count is "more than one, at most shards" — the parallelism
+    // claim — while EVERY file stays internally sorted
+    val counts = Seq(1, 2).map { p =>
+      val files = Option(new java.io.File(s"$r/t/p=$p").listFiles).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.size <= 3, s"p=$p has ${files.size} files > shards")
+      files.foreach { fl =>
+        val ids = spark.read.parquet(fl.toString)
+          .select(col("id")).collect().map(_.getLong(0)).toSeq
+        assert(ids === ids.sorted, s"shard file of p=$p not sorted")
+        assert(ids.nonEmpty)
+      }
+      files.size
+    }
+    assert(counts.exists(_ > 1), s"no partition split across tasks: $counts")
+    // lossless across the shard split
+    assert(spark.read.parquet(s"$r/t").count() === 3000L)
+    // a 7-field manifest (older writer, no shards field) still applies
+    // through the same padded path — covered by the version case above
   }
 
   test("Overwrite sortCol re-sorts after the staged round-trip: per-file ranges stay disjoint") {

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField}
+import graft.tables.Evolve
+
+/** Schema evolution through the versioned registry: adding a column
+  * is one metadata write, old files are never touched, reads fill the
+  * registered default on pre-evolution files only.
+  */
+class EvolveSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("evolve_spec").toString
+
+  private def dataFiles(root: String): Map[String, (Long, Long)] = {
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(p).toSeq.flatMap {
+        case d if d.isDirectory => walk(d.getPath)
+        case s => Seq(s)
+      }
+    walk(new Path(root))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.toString -> (s.getModificationTime, s.getLen))
+      .toMap
+  }
+
+  test("added column: one metadata write, zero files rewritten, default fills old epochs only") {
+    val root = freshRoot()
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "n")
+      .write.mode("overwrite").parquet(root)
+    Evolve.register(spark, root, spark.read.parquet(root).schema)
+    assert(Evolve.currentVersion(spark, root) === 1)
+    val before = dataFiles(root)
+    Evolve.addColumn(spark, root, StructField("cents", LongType), "0")
+    assert(Evolve.currentVersion(spark, root) === 2)
+    assert(dataFiles(root) === before, "addColumn touched data files")
+    Seq((3L, "c", 30L, 77L)).toDF("id", "k", "n", "cents")
+      .write.mode("append").parquet(root)
+    val got = Evolve.read(spark, root)
+      .select($"id", $"cents").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 0L), (2L, 0L), (3L, 77L)))
+  }
+
+  test("two evolutions stack; both defaults apply; duplicate column refused") {
+    val root = freshRoot()
+    Seq((1L, 5L)).toDF("id", "n").write.mode("overwrite").parquet(root)
+    Evolve.register(spark, root, spark.read.parquet(root).schema)
+    Evolve.addColumn(spark, root, StructField("cents", LongType), "0")
+    Evolve.addColumn(spark, root, StructField("src", StringType), "unknown")
+    assert(Evolve.currentVersion(spark, root) === 3)
+    val row = Evolve.read(spark, root)
+      .select($"id", $"cents", $"src").as[(Long, Long, String)].head()
+    assert(row === ((1L, 0L, "unknown")))
+    val e = intercept[IllegalArgumentException] {
+      Evolve.addColumn(spark, root, StructField("cents", LongType), "1")
+    }
+    assert(e.getMessage.contains("already exists"))
+    // register is idempotent: it never clobbers an evolved registry
+    Evolve.register(spark, root, spark.read.parquet(root).schema)
+    assert(Evolve.currentVersion(spark, root) === 3)
+  }
+
+  test("read without a registry refuses loudly") {
+    val root = freshRoot()
+    Seq((1L, 2L)).toDF("a", "b").write.mode("overwrite").parquet(root)
+    val e = intercept[IllegalArgumentException] { Evolve.read(spark, root) }
+    assert(e.getMessage.contains("no registered schema"))
+  }
+
+  test("evolution over a date-partitioned serving layout keeps partition pruning") {
+    val root = freshRoot()
+    val ev = Tables.events(spark, sfDir)
+    val r = ev.agg(min(to_date($"ts")), max(to_date($"ts"))).head()
+    val (lo, hi) = (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+    val mid = lo.plusDays(
+      java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2).toString
+    val epoch1 = ev.filter(to_date($"ts") < lit(mid))
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    graft.tables.TableManager.writePartitioned(
+      epoch1, root, "ts", Seq("event_type", "ts"))
+    Evolve.register(spark, root, spark.read.parquet(root).schema)
+    Evolve.addColumn(spark, root, StructField("value_cents", LongType), "-1")
+    val epoch2 = ev.filter(to_date($"ts") >= lit(mid))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value_cents")
+    graft.tables.TableManager.writePartitioned(
+      epoch2, root, "ts", Seq("event_type", "ts"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val evolved = Evolve.read(spark, root)
+    // old epoch answers with the default, new with real values
+    assert(evolved.filter($"p_date" < lit(mid))
+      .filter($"value_cents" =!= -1L).count() === 0L)
+    assert(evolved.filter($"p_date" >= lit(mid))
+      .filter($"value_cents" === -1L).count() === 0L)
+    assert(evolved.count() === ev.count())
+    // partition pruning survives the explicit-schema read: the
+    // date-bounded scan opens strictly fewer files than the table has
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val pruned = evolved.filter($"p_date" >= lit(mid))
+    pruned.collect()
+    val prunedFiles = scans(pruned.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    val totalFiles = dataFiles(root).size
+    assert(prunedFiles > 0 && prunedFiles < totalFiles,
+      s"expected a pruned read: $prunedFiles of $totalFiles files")
+  }
+}

@@ -251,7 +251,7 @@ class SearchIndexSpec extends SparkSuite {
     val legs = SearchIndex.eraseLegs(spark, q, erased)
     graft.serving.EraseStage.stage(spark, q, legs)
     val bucket = legs.collectFirst {
-      case (graft.serving.EraseStage.Swap("postings", _, a, _, _), _) => a.head }.get
+      case (graft.serving.EraseStage.Swap("postings", _, a, _, _, _), _) => a.head }.get
     val fsys = new org.apache.hadoop.fs.Path(q)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsys.delete(new org.apache.hadoop.fs.Path(s"$q/postings/bucket=$bucket"), true)

@@ -223,6 +223,46 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/topk").filter(col("rank") === 1).count() > 0)
   }
 
+  test("rollup-state compaction between batches: identical topk + state view, fewer segment dirs") {
+    implicit val sql = spark.sqlContext
+    def run(compact: Boolean): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_cmp").toString
+      val mem = MemoryStream[Ev]
+      def drain(): Unit = {
+        val qs = StreamingPipeline.start(spark, mem.toDF(),
+          s"$dir/raw", s"$dir/rollup", s"$dir/topk", s"$dir/ckpt", k = 2,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        try qs.foreach(_.awaitTermination()) finally qs.foreach(_.stop())
+      }
+      mem.addData(
+        Ev(1, ts(0, 1), 10, "click", 1.0),
+        Ev(2, ts(0, 2), 11, "view", 2.0))
+      drain()
+      mem.addData(Ev(3, ts(1, 0), 12, "click", 3.0),
+        Ev(4, ts(5, 0), 10, "view", 1.0))
+      drain()
+      if (compact) StreamingPipeline.compactRollupState(spark, s"$dir/rollup")
+      mem.addData(Ev(9, ts(9, 0), 10, "click", 1.0))
+      drain()
+      dir
+    }
+    val plain = run(compact = false)
+    val ticked = run(compact = true)
+    def topk(d: String) = spark.read.parquet(s"$d/topk")
+      .select("window_start_ms", "event_type", "rank", "order_count")
+      .collect().map(_.toString).sorted.toSeq
+    assert(topk(ticked) === topk(plain))
+    def state(d: String) = graft.streaming.StateCompactor
+      .readState(spark, s"$d/rollup")
+      .select("window_start_ms", "event_type", "order_count", "sum_value_cents")
+      .collect().map(_.toString).sorted.toSeq
+    assert(state(ticked) === state(plain))
+    def batchDirs(d: String) = new java.io.File(s"$d/rollup")
+      .listFiles().count(_.getName.startsWith("batch_id="))
+    assert(batchDirs(ticked) < batchDirs(plain),
+      s"expected folded segment dirs: ticked=${batchDirs(ticked)} plain=${batchDirs(plain)}")
+  }
+
   test("streaming rollup segments HLL_MERGE-compact to the batch-built hourly rollup") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_hllseg").toString

@@ -172,6 +172,34 @@ class TieredSpec extends SparkSuite {
     assert(expectDropped.forall(_ < mid)) // guard: horizon math sane
   }
 
+  test("filesPerDate > 1 shards large cold dates across write tasks, losslessly") {
+    val (root, cutoff) = buildDemoted()
+    val demoted = Tiered.demote(spark, root, cutoff, sortCols, filesPerDate = 3)
+    assert(demoted.nonEmpty)
+    val f = fs(root)
+    val counts = demoted.map { d =>
+      val files = f.listStatus(new Path(s"$root/cold/p_date=$d"))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      assert(files.length <= 3, s"$d: ${files.length} files > filesPerDate")
+      assert(files.forall(_.contains("zstd")), files.mkString(","))
+      files.length
+    }
+    assert(counts.exists(_ > 1), s"no date split across tasks: $counts")
+    assert(ids(Tiered.read(spark, root)) === ids(ev))
+  }
+
+  test("demoting every date leaves an empty hot tier; reads serve cold only") {
+    val (root, _) = buildDemoted()
+    val demoted = Tiered.demote(spark, root, "9999-12-31", sortCols)
+    assert(dateDirs(root, "hot").isEmpty && demoted.nonEmpty)
+    assert(ids(Tiered.read(spark, root)) === ids(ev))
+    // erase still works with one live tier
+    val user = ev.select($"user_id").orderBy($"user_id").as[Long].head()
+    val affected = Tiered.eraseUser(spark, root, "user_id", user, sortCols)
+    assert(affected.nonEmpty && affected.forall(_.startsWith("cold/")))
+    assert(ids(Tiered.read(spark, root)) === ids(ev.filter($"user_id" =!= user)))
+  }
+
   test("late backfill for a demoted date folds into cold as a union on the next tick") {
     val (root, cutoff) = buildDemoted()
     Tiered.demote(spark, root, cutoff, sortCols)
