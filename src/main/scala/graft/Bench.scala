@@ -219,29 +219,9 @@ object Bench {
     * max-tested 579 orders/s ingest (BASELINE.md).
     */
   private def streamingThroughput(spark: SparkSession,
-      batches: Int = 5, perBatch: Int = 20000): Double = {
-    import spark.implicits._
-    import graft.streaming.{Generator, StreamingPipeline}
-    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[BenchTick]
-    val qsS = StreamingPipeline.start(spark, Generator.eventsFromCounter(mem.toDF()),
-      s"$dir/raw", s"$dir/rollup", s"$dir/topk", s"$dir/ckpt", k = 5,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
-    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
-    try {
-      val t0 = System.nanoTime()
-      (0 until batches).foreach { b =>
-        // synthetic event time advances 10 ms/event so windows keep
-        // closing and watermark state stays bounded.
-        mem.addData((0 until perBatch).map { i =>
-          val v = b.toLong * perBatch + i
-          BenchTick(new java.sql.Timestamp(base + v * 10), v)
-        })
-        qsS.foreach(_.processAllAvailable())
-      }
-      val secs = (System.nanoTime() - t0) / 1e9
-      batches.toLong * perBatch / secs
-    } finally qsS.foreach(_.stop())
-  }
+      batches: Int = 5, perBatch: Int = 20000): Double =
+    // one pipeline harness for bench AND the scale-slope measurement
+    // (tools.ScaleBench) — with a 5-batch run the "early window" (the
+    // first 5 batches) IS the whole run, i.e. the overall ev/s
+    graft.tools.ScaleBench.streamingSlope(spark, batches, perBatch)._1
 }

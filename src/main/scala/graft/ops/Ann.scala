@@ -304,28 +304,48 @@ object Ann {
   def rhpNearDupPairs(emb: DataFrame, threshold: Double, nBits: Int = 32,
       bandBits: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val (result, cached) =
+      rhpScored(emb, threshold, nBits, bandBits, idCol, vecCol)
+    finalized(result, cached)
+  }
+
+  /** The un-finalized computation — (result, cachedPrep); the plan
+    * seam for PlanSpec's hash-only-exchange assert (the public
+    * operator checkpoints its small result, which hides the join
+    * plan behind an RDD scan).
+    */
+  private[graft] def rhpScored(emb: DataFrame, threshold: Double,
+      nBits: Int, bandBits: Int, idCol: String,
+      vecCol: String): (DataFrame, DataFrame) = {
     require(nBits % bandBits == 0, s"nBits $nBits not divisible by bandBits $bandBits")
-    // persisted: the signature pass and the two candidate-side vector
-    // fetches below are three consumers of the prep scan.
-    val p = prep(emb, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val planes: Seq[Seq[Double]] = p.orderBy(col("id").asc).limit(2 * nBits)
+    val p0 = prep(emb, idCol, vecCol)
+    val planes: Seq[Seq[Double]] = p0.orderBy(col("id").asc).limit(2 * nBits)
       .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    // require BEFORE persisting: a too-small corpus must not leak an
+    // unregistered cache entry on the failure path
     require(planes.size == 2 * nBits,
       s"corpus has fewer than ${2 * nBits} vectors for $nBits hyperplanes")
-    val bits: Seq[Column] = (0 until nBits).map { i =>
-      val va = array(planes(2 * i).map(lit(_)): _*)
-      val vb = array(planes(2 * i + 1).map(lit(_)): _*)
-      (Vectors.dot(col("v"), va) >= Vectors.dot(col("v"), vb)).cast("int")
-    }
+    // persisted: the signature pass and the two candidate-side vector
+    // fetches below are three consumers of the prep scan.
+    val p = p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE plane-matrix literal + a transform HOF computes all 2·nBits
+    // dot products per row — 64 separate literal-array dot
+    // expressions would compile into a plan large enough that
+    // Catalyst/codegen time dwarfs the data at bench scale, and the
+    // per-row math is identical either way
+    val dots = transform(typedlit(planes),
+      pl => Vectors.dot(col("v"), pl))
     val nBands = nBits / bandBits
     val bandVals: Seq[Column] = (0 until nBands).map { bnd =>
-      (0 until bandBits)
-        .map(j => bits(bnd * bandBits + j) * lit(1 << j))
-        .reduce(_ + _).cast("long")
+      (0 until bandBits).map { j =>
+        val i = bnd * bandBits + j
+        (col("_dots")(2 * i) >= col("_dots")(2 * i + 1)).cast("int") *
+          lit(1 << j)
+      }.reduce(_ + _).cast("long")
     }
     // hash-only banding exchange: (id, band, bucket) rows, no vectors
-    val banded = p.select(col("id"), explode(array((0 until nBands).map(b =>
+    val banded = p.withColumn("_dots", dots)
+      .select(col("id"), explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"), bandVals(b).as("bv"))): _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
     val cand = banded.select(col("band"), col("bv"), col("id").as("id_a"))
@@ -337,11 +357,10 @@ object Ann {
     // vectors rejoin by id only for candidates (the fetch stage)
     val a = p.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = p.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    finalized(
-      cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
-        .withColumn("sim", Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("sim") >= threshold)
-        .select(col("id_a"), col("id_b")),
+    (cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("sim", Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b")),
       p)
   }
 

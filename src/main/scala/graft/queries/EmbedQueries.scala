@@ -89,8 +89,7 @@ object EmbedQueries {
       centroids = cachedCentroids(spark, dir), nprobe = nprobe)
   }
 
-  private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val indexCache = new TempRootCache("graft_ann_index", "embeddings")
 
   /** KNN served from the MATERIALIZED IVF index
     * ([[graft.serving.AnnIndex]]): cell-partitioned parquet written
@@ -121,28 +120,13 @@ object EmbedQueries {
   }
 
   /** Root of the materialized IVF index for `dir`'s embeddings, built
-    * on first use per dataset fingerprint. A dataset regenerated in
-    * place gets a new fingerprint and a fresh index; superseded index
-    * dirs for the same source path are deleted or they accumulate a
-    * full corpus copy each (found by round-5 review).
+    * on first use per dataset fingerprint ([[TempRootCache]]).
     */
-  private[graft] def annIndexRoot(spark: SparkSession, dir: String): String = {
-    val fp = graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet")
-    val root = indexCache.getOrElseUpdate(fp, {
-      val p = java.nio.file.Files.createTempDirectory("graft_ann_index").toString
+  private[graft] def annIndexRoot(spark: SparkSession, dir: String): String =
+    indexCache.root(spark, dir) { p =>
       graft.serving.AnnIndex.materialize(
         Tables.embeddings(spark, dir), cachedCentroids(spark, dir), p)
-      p
-    })
-    indexByPath.put(dir, fp).filter(_ != fp)
-      .flatMap(indexCache.remove).foreach { old =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
-      }
-    root
-  }
-
-  private val indexByPath =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    }
 
   /** KNN served from an index whose codebook was REFRESHED in place
     * ([[graft.serving.AnnIndex.reindex]]): the index is first built
@@ -164,28 +148,17 @@ object EmbedQueries {
       emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
   }
 
-  private[graft] def reindexRoot(spark: SparkSession, dir: String): String = {
-    val emb = Tables.embeddings(spark, dir)
-    val fp = graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet")
-    val root = reindexCache.getOrElseUpdate(fp, {
-      val p = java.nio.file.Files.createTempDirectory("graft_ann_reindex").toString
+  private[graft] def reindexRoot(spark: SparkSession, dir: String): String =
+    reindexCache.root(spark, dir) { p =>
+      val emb = Tables.embeddings(spark, dir)
       graft.serving.AnnIndex.materialize(emb,
         graft.ops.Ann.coarseCentroids(emb, nCells = 4), p)
       graft.serving.AnnIndex.reindex(spark, p,
         graft.ops.KMeans.refinedCentroids(emb, k = 8))
-      p
-    })
-    reindexByPath.put(dir, fp).filter(_ != fp)
-      .flatMap(reindexCache.remove).foreach { old =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
-      }
-    root
-  }
+    }
 
   private val reindexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private val reindexByPath =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new TempRootCache("graft_ann_reindex", "embeddings")
 
   /** Global top-20 most-similar embedding pairs (embedding-cosine
     * near-dup detection in ranked form).
@@ -459,8 +432,7 @@ object EmbedQueries {
     graft.ops.KMeans.ivfAdcQuery(idx, emb.filter(col("vec_id") < 10), topK = 5)
   }
 
-  private val pqIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val pqIndexCache = new TempRootCache("graft_pq_index", "embeddings")
 
   /** The same IVFADC top-5 answered from the MATERIALIZED on-disk
     * index ([[graft.serving.PqIndex]]): codes partitioned by coarse
@@ -470,19 +442,14 @@ object EmbedQueries {
     */
   def ivfAdcServed(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val root = pqIndexCache.getOrElseUpdate(
-      graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet"), {
-        val p = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
-        graft.serving.PqIndex.materialize(spark, emb, p)
-        p
-      })
+    val root = pqIndexCache.root(spark, dir) { p =>
+      graft.serving.PqIndex.materialize(spark, emb, p)
+    }
     graft.serving.PqIndex.query(spark, root, emb.filter(col("vec_id") < 10), topK = 5)
   }
 
   private val pqReindexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private val pqReindexByPath =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new TempRootCache("graft_pq_reindex", "embeddings")
 
   /** IVFADC top-5 served from a PQ index whose BOTH codebooks (coarse
     * + sub-quantizers) were refreshed in place
@@ -499,17 +466,10 @@ object EmbedQueries {
     */
   def ivfAdcReindexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val fp = graft.Tables.fingerprint(spark, s"$dir/embeddings.parquet")
-    val root = pqReindexCache.getOrElseUpdate(fp, {
-      val p = java.nio.file.Files.createTempDirectory("graft_pq_reindex").toString
+    val root = pqReindexCache.root(spark, dir) { p =>
       graft.serving.PqIndex.materialize(spark, emb, p, coarseK = 4)
       graft.serving.PqIndex.reindex(spark, emb, p)
-      p
-    })
-    pqReindexByPath.put(dir, fp).filter(_ != fp)
-      .flatMap(pqReindexCache.remove).foreach { old =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
-      }
+    }
     graft.serving.PqIndex.query(spark, root, emb.filter(col("vec_id") < 10), topK = 5)
   }
 

@@ -247,10 +247,7 @@ object ServingQueries {
         col("score_micro"), col("n_events"))
   }
 
-  private val tieredCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private val tieredByPath =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val tieredCache = new TempRootCache("graft_tiered")
 
   /** A [[graft.serving.Tiered]] events table, built once per dataset
     * fingerprint: everything lands hot, then the OLDER HALF of the
@@ -258,26 +255,23 @@ object ServingQueries {
     * sorted zstd file per cold date). The mid-range cutoff derives
     * from the data itself so the split is real at every sf.
     */
-  private def tieredRoot(spark: SparkSession, dir: String): String = {
-    val fp = graft.Tables.fingerprint(spark, s"$dir/events.parquet")
-    val root = tieredCache.getOrElseUpdate(fp, {
-      val p = java.nio.file.Files.createTempDirectory("graft_tiered").toString
+  private def tieredRoot(spark: SparkSession, dir: String): String =
+    tieredCache.root(spark, dir) { p =>
       val ev = graft.Tables.events(spark, dir)
       val sortCols = Seq("event_type", "ts")
       graft.serving.Tiered.build(spark, ev, p, "ts", sortCols,
         bloomCol = Some("event_id"))
-      val r = ev.agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head()
-      val (lo, hi) = (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
-      val cutoff = lo.plusDays(
-        java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2).toString
-      graft.serving.Tiered.demote(spark, p, cutoff, sortCols)
-      p
-    })
-    tieredByPath.put(dir, fp).filter(_ != fp)
-      .flatMap(tieredCache.remove).foreach { old =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
-      }
-    root
+      graft.serving.Tiered.demote(spark, p, midDate(spark, dir), sortCols)
+    }
+
+  /** Mid-range date cut derived from the data itself (every oracle
+    * replays it in SQL) — shared by the tiered and evolution gates.
+    */
+  private def midDate(spark: SparkSession, dir: String): String = {
+    val r = graft.Tables.events(spark, dir)
+      .agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head()
+    val (lo, hi) = (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+    lo.plusDays(java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2).toString
   }
 
   /** Daily revenue by type over the TIERED table — the scan spans the
@@ -298,10 +292,7 @@ object ServingQueries {
         sum(col("value_cents")).as("total_cents"))
   }
 
-  private val tieredStreamCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private val tieredStreamByPath =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val tieredStreamCache = new TempRootCache("graft_tiered_stream")
 
   /** The tiered table's INGEST-TWIN gate: the same root built the way
     * a live deployment builds it — an initial hot build plus two
@@ -313,9 +304,7 @@ object ServingQueries {
     * backfill fold must all be invisible: shares the raw-scan oracle.
     */
   def tieredStreamDaily(spark: SparkSession, dir: String): DataFrame = {
-    val fp = graft.Tables.fingerprint(spark, s"$dir/events.parquet")
-    val root = tieredStreamCache.getOrElseUpdate(fp, {
-      val p = java.nio.file.Files.createTempDirectory("graft_tiered_stream").toString
+    val root = tieredStreamCache.root(spark, dir) { p =>
       val ev = graft.Tables.events(spark, dir)
       val sortCols = Seq("event_type", "ts")
       val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
@@ -326,10 +315,7 @@ object ServingQueries {
       graft.serving.Tiered.ingest(spark,
         ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
         p, "ts", sortCols, Some("event_id"))
-      val r = ev.agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head()
-      val (lo, hi) = (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
-      val cutoff = lo.plusDays(
-        java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2).toString
+      val cutoff = midDate(spark, dir)
       graft.serving.Tiered.demote(spark, p, cutoff, sortCols)
       // the last third lands AFTER the demote: its pre-cutoff dates
       // are the live backfill case the next tick must fold cold
@@ -338,19 +324,12 @@ object ServingQueries {
         Some("event_id"))
       graft.serving.Maintenance.run(spark, Seq(graft.serving.Maintenance.Tier(
         p, sortCols, hotDays = 0, nowDate = cutoff)))
-      p
-    })
-    tieredStreamByPath.put(dir, fp).filter(_ != fp)
-      .flatMap(tieredStreamCache.remove).foreach { old =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
-      }
+      ()
+    }
     tieredDailyOf(spark, root)
   }
 
-  private val evolveCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private val evolveByPath =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val evolveCache = new TempRootCache("graft_evolve")
 
   /** Schema evolution end-to-end ([[graft.tables.Evolve]]): a daily
     * rollup table whose first epoch (dates before the data-derived
@@ -363,14 +342,9 @@ object ServingQueries {
     * the same mid-range CASE split over the raw fact.
     */
   def evolvedDaily(spark: SparkSession, dir: String): DataFrame = {
-    val fp = graft.Tables.fingerprint(spark, s"$dir/events.parquet")
-    val root = evolveCache.getOrElseUpdate(fp, {
-      val p = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val root = evolveCache.root(spark, dir) { p =>
       val ev = graft.Tables.events(spark, dir)
-      val r = ev.agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head()
-      val (lo, hi) = (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
-      val mid = lo.plusDays(
-        java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2).toString
+      val mid = midDate(spark, dir)
       val ms = unix_millis(col("ts"))
       val grain = 24L * hourMs
       val keyed = ev.withColumn("d", to_date(col("ts")))
@@ -388,20 +362,14 @@ object ServingQueries {
         .agg(count(lit(1)).as("order_count"),
           sum(col("value_cents")).as("total_cents"))
         .write.mode("append").parquet(p)
-      p
-    })
-    evolveByPath.put(dir, fp).filter(_ != fp)
-      .flatMap(evolveCache.remove).foreach { old =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
-      }
+    }
     graft.tables.Evolve.read(spark, root)
       .groupBy(col("window_start_ms"), col("event_type"))
       .agg(sum(col("order_count")).as("order_count"),
         sum(col("total_cents")).as("total_cents"))
   }
 
-  private val streamRootCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val streamRootCache = new TempRootCache("graft_serving_stream")
 
   /** A serving root built by the STREAMING refresh leg: first batch
     * via [[Serving.materializeInto]], the rest as id-ordered
@@ -413,22 +381,19 @@ object ServingQueries {
     * fingerprint so repeated gate/bench invocations reuse one build.
     */
   private def streamBuiltRoot(spark: SparkSession, dir: String): String =
-    streamRootCache.getOrElseUpdate(
-      graft.Tables.fingerprint(spark, s"$dir/events.parquet"), {
-        val ev = graft.Tables.events(spark, dir)
-        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
-        val cuts = Seq(maxId / 3, 2 * maxId / 3)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_serving_stream").toString
-        Serving.materializeInto(spark, root,
-          ev.filter(col("event_id") <= cuts(0)))
-        Serving.refreshWithBatch(spark, root,
-          ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
-          batchId = 1L)
-        Serving.refreshWithBatch(spark, root,
-          ev.filter(col("event_id") > cuts(1)), batchId = 2L)
-        root
-      })
+    streamRootCache.root(spark, dir) { root =>
+      val ev = graft.Tables.events(spark, dir)
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val cuts = Seq(maxId / 3, 2 * maxId / 3)
+      Serving.materializeInto(spark, root,
+        ev.filter(col("event_id") <= cuts(0)))
+      Serving.refreshWithBatch(spark, root,
+        ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+        batchId = 1L)
+      Serving.refreshWithBatch(spark, root,
+        ev.filter(col("event_id") > cuts(1)), batchId = 2L)
+      ()
+    }
 
   /** Trending top-K read from a STREAM-BUILT serving root: the
     * minute-rollup state accumulates through the incremental refresh

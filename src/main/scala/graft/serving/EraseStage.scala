@@ -156,17 +156,23 @@ private[graft] object EraseStage {
     legs.zipWithIndex.foreach { case ((_, kept), i) =>
       kept.write.mode("overwrite").parquet(s"${stageDir(root)}/leg=$i") }
     // COMMIT POINT: atomic create of the manifest inside the stage.
-    // Line format (8 tab-separated fields; readers pad 7-field lines
-    // from older writers — absent shards means 1):
-    //   idx  kind  table  partCol  affected  sort  options  shards
+    // Line format (up to 8 tab-separated fields; readers pad shorter
+    // lines — absent shards means 1). The 8th field is written ONLY
+    // when shards > 1, the same encoding-by-omission the older
+    // 5/7-field formats used for sort/options: an ordinary erase
+    // staged by this version stays recoverable by a prior-version
+    // reader in a mixed-version fleet; only a genuinely sharded swap
+    // (a layout the old reader cannot reproduce) fails loudly there.
+    //   idx  kind  table  partCol  affected  sort  options  [shards]
     val out = f.create(new Path(s"${stageDir(root)}/_manifest"), false)
     try out.write(legs.zipWithIndex.map { case ((l, _), i) =>
       l match {
         case Swap(t, pc, a, sc, o, sh) =>
-          s"$i\tswap\t$t\t$pc\t${a.mkString(",")}\t${sc.mkString(",")}\t${optStr(o)}\t$sh"
+          val base = s"$i\tswap\t$t\t$pc\t${a.mkString(",")}\t${sc.mkString(",")}\t${optStr(o)}"
+          if (sh > 1) s"$base\t$sh" else base
         case Overwrite(t, o, sc) =>
-          s"$i\toverwrite\t$t\t\t\t${sc.getOrElse("")}\t${optStr(o)}\t"
-        case Append(t) => s"$i\tappend\t$t\t\t\t\t\t"
+          s"$i\toverwrite\t$t\t\t\t${sc.getOrElse("")}\t${optStr(o)}"
+        case Append(t) => s"$i\tappend\t$t\t\t\t\t"
       }
     }.mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
   }

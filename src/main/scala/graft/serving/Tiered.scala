@@ -146,8 +146,11 @@ object Tiered {
     * [[graft.tables.TableManager.eraseUser]] discipline, spanning the
     * tier boundary: a crash can never leave the user erased hot but
     * present cold). Untouched dates are neither read nor written;
-    * cold rewrites keep the one-zstd-file-per-date layout. Returns
-    * `tier/p_date` strings affected.
+    * cold rewrites keep the one-zstd-file-per-date layout. The hot
+    * layout is the CALLER's to declare, the same contract as
+    * [[graft.tables.TableManager.eraseUser]]: pass the build's
+    * `bloomCol` or the rewritten hot dates lose their bloom filters.
+    * Returns `tier/p_date` strings affected.
     */
   def eraseUser(spark: SparkSession, root: String, idCol: String,
       value: Long, sortCols: Seq[String],
@@ -166,9 +169,10 @@ object Tiered {
             val kept = frame
               .filter(col("p_date").cast("string").isin(affected: _*))
               .filter(col(idCol) =!= value)
-            // hot rewrites keep the ingest layout (bloom on the PK);
-            // cold keeps the archive layout (zstd, no bloom — cold
-            // reads are ranged scans, not point probes)
+            // hot rewrites carry the caller-declared ingest layout
+            // (bloom on the PK when passed); cold keeps the archive
+            // layout (zstd, no bloom — cold reads are ranged scans,
+            // not point probes)
             val opts =
               if (t == "cold") Map("compression" -> "zstd")
               else bloomCol

@@ -89,7 +89,10 @@ object Evolve {
   /** Add a column with a default: one metadata write (version N+1),
     * zero data files touched. Refuses a name the schema already has —
     * type changes are a different operation with different hazards,
-    * not a silent overwrite.
+    * not a silent overwrite — and a default that does not cast to the
+    * column type (a typo'd default would otherwise become a silent
+    * NULL on every pre-evolution row, violating the registry's whole
+    * contract).
     */
   def addColumn(spark: SparkSession, path: String, field: StructField,
       default: String): Unit =
@@ -97,6 +100,15 @@ object Evolve {
       val (n, schema, defaults) = load(spark, path)
       require(!schema.fieldNames.contains(field.name),
         s"column ${field.name} already exists in $path schema v$n")
+      val castsToType =
+        try !spark.range(1)
+          .select(lit(default).cast(field.dataType)).head().isNullAt(0)
+        catch { case _: org.apache.spark.SparkException => false
+                case _: IllegalArgumentException => false }
+      require(castsToType,
+        s"default '$default' does not cast to ${field.dataType.sql} " +
+          s"for column ${field.name} — it would read as NULL (or fail " +
+          "every read under ANSI), not as the default")
       write(spark, path, n + 1, StructType(schema.fields :+ field),
         defaults + (field.name -> default))
     }
@@ -106,6 +118,14 @@ object Evolve {
     * pre-evolution files — no footer sweep), defaults filled. Works
     * on flat and partition-discovered layouts alike: a partition
     * column present in the registered schema is matched by name.
+    *
+    * Null semantics are Pinot's defaultNullValue, deliberately: the
+    * default applies to EVERY null in an evolved column — absent
+    * (pre-evolution file) and explicitly-stored null alike. An
+    * evolved column therefore cannot carry SQL NULL as a value;
+    * callers that need a distinguishable missing marker should make
+    * it part of the default's domain (e.g. -1), exactly as they
+    * would in Pinot.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val (_, schema, defaults) = load(spark, path)

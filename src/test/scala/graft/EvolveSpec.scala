@@ -59,6 +59,12 @@ class EvolveSpec extends SparkSuite {
       Evolve.addColumn(spark, root, StructField("cents", LongType), "1")
     }
     assert(e.getMessage.contains("already exists"))
+    // a default that cannot cast to the column type must refuse at
+    // evolve time, not silently become NULL at read time
+    val bad = intercept[IllegalArgumentException] {
+      Evolve.addColumn(spark, root, StructField("n2", LongType), "n/a")
+    }
+    assert(bad.getMessage.contains("does not cast"))
     // register is idempotent: it never clobbers an evolved registry
     Evolve.register(spark, root, spark.read.parquet(root).schema)
     assert(Evolve.currentVersion(spark, root) === 3)

@@ -508,4 +508,72 @@ class PlanSpec extends SparkSuite {
     assert(joinIdx >= 0 && probeIdx > joinIdx,
       s"probe not below the semi join (join@$joinIdx, probe@$probeIdx)\n" + p)
   }
+
+  test("rhp lsh near-dup: the banding exchanges carry no vector payload") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    def exchanges(pl: SparkPlan): Seq[ShuffleExchangeExec] = pl match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case s: QueryStageExec => exchanges(s.plan)
+      case e: ShuffleExchangeExec => e +: e.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    // at fixture scale AQE broadcasts every join and no band-keyed
+    // exchange exists; the claim under test is the AT-SCALE shape
+    // (both sides too big to broadcast), so force shuffle joins
+    val static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val adaptive = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // the plan seam: the public operator checkpoints its (small)
+    // result, which would hide the join plan behind an RDD scan
+    val (scored, cached) = graft.ops.Ann.rhpScored(
+      Tables.embeddings(spark, sfDir), 0.35, 32, 8, "vec_id", "embedding")
+    try {
+      scored.collect()
+      val p = scored.queryExecution.executedPlan
+      assert(!p.toString.contains("CartesianProduct") &&
+        !p.toString.contains("BroadcastNestedLoopJoin"), p.toString)
+      // the candidate-generation exchanges (partitioned by band /
+      // bucket) must move ONLY (id, band, bv) — at 100 TB this is the
+      // whole claim: a few dozen bytes per vector on the wire, vectors
+      // fetched by id only for the rare candidates
+      val bandEx = exchanges(p)
+        .filter(_.outputPartitioning.toString.contains("band"))
+      assert(bandEx.nonEmpty, "no band-partitioned exchange in the plan\n" + p)
+      bandEx.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"vector column crosses the banding exchange: ${e.output}\n" + p)
+      }
+    } finally {
+      cached.unpersist()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", static)
+      adaptive match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      ()
+    }
+  }
+
+  test("embedding decontamination: one broadcast anti pass, zero corpus shuffles") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val df = graft.ops.Ann.decontaminate(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 50 =!= 0),
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
+      threshold = 0.3)
+    val p = planOf(df)
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the nested loop is the DESIGN here (similarity predicate, no
+    // equi-key, bounded broadcast side): one anti pass over the
+    // corpus, never a shuffle
+    assert(finalPlan.contains("BroadcastNestedLoopJoin"), p)
+    assert(finalPlan.contains("LeftAnti"), p)
+    assert(!finalPlan.contains("Exchange hashpartitioning"),
+      "decontamination shuffled the corpus\n" + p)
+  }
 }

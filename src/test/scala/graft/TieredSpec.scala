@@ -130,7 +130,8 @@ class TieredSpec extends SparkSuite {
         countDistinct(when($"p_date" >= lit(cutoff), 1)).as("h"))
       .filter($"c" > 0 && $"h" > 0)
       .orderBy($"user_id").select($"user_id").as[Long].head()
-    val affected = Tiered.eraseUser(spark, root, "user_id", user, sortCols)
+    val affected = Tiered.eraseUser(spark, root, "user_id", user, sortCols,
+      bloomCol = Some("event_id"))
     assert(affected.exists(_.startsWith("hot/")) &&
       affected.exists(_.startsWith("cold/")),
       s"expected both tiers affected: $affected")
