@@ -201,6 +201,73 @@ class TieredSpec extends SparkSuite {
     assert(ids(Tiered.read(spark, root)) === ids(ev.filter($"user_id" =!= user)))
   }
 
+  test("random lifecycle sequences match the per-date tier model (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => PropTest}
+    // ops against a synthetic 6-day table; the model tracks each
+    // date's (hot ids, cold ids) and the read must equal its union
+    // after EVERY op, whatever the interleaving
+    val days = (1 to 6).map(d => f"2024-02-0$d")
+    sealed trait Op
+    case class Ingest(day: Int, n: Int) extends Op
+    case class Demote(cutoff: Int) extends Op
+    case class Retain(before: Int) extends Op
+    case class Erase(pick: Int) extends Op
+    val genOp: Gen[Op] = Gen.frequency(
+      4 -> Gen.zip(Gen.choose(0, 5), Gen.choose(1, 4)).map((Ingest.apply _).tupled),
+      3 -> Gen.choose(0, 6).map(Demote(_)),
+      1 -> Gen.choose(0, 3).map(Retain(_)),
+      2 -> Gen.choose(0, 100).map(Erase(_)))
+    val genOps = Gen.listOfN(6, genOp)
+    var nextId = 0L
+    def rowsFor(day: Int, n: Int): Seq[(Long, java.sql.Timestamp, Long)] =
+      (0 until n).map { _ =>
+        nextId += 1
+        (nextId, java.sql.Timestamp.valueOf(s"${days(day)} 12:00:00"), nextId % 7)
+      }
+    val prop = Prop.forAll(genOps) { ops =>
+      val root = freshRoot()
+      // model: date index -> (hot ids, cold ids)
+      val model = scala.collection.mutable.Map((0 to 5).map(_ -> ((Set.empty[Long], Set.empty[Long]))): _*)
+      val seed = rowsFor(0, 2) ++ rowsFor(3, 2)
+      Tiered.build(spark, seed.toDF("event_id", "ts", "user_id"), root, "ts", Seq("event_id"))
+      seed.foreach { case (id, ts, _) =>
+        val d = days.indexOf(ts.toString.take(10))
+        model(d) = (model(d)._1 + id, model(d)._2)
+      }
+      ops.foreach {
+        case Ingest(day, n) =>
+          val rows = rowsFor(day, n)
+          Tiered.ingest(spark, rows.toDF("event_id", "ts", "user_id"),
+            root, "ts", Seq("event_id"))
+          model(day) = (model(day)._1 ++ rows.map(_._1), model(day)._2)
+        case Demote(cutoff) =>
+          Tiered.demote(spark, root, days.lift(cutoff).getOrElse("2024-02-07"),
+            Seq("event_id"))
+          (0 until cutoff).filter(_ <= 5).foreach { d =>
+            model(d) = (Set.empty, model(d)._2 ++ model(d)._1)
+          }
+        case Retain(before) =>
+          Tiered.retentionSweep(spark, root, days(before))
+          (0 until before).foreach { d => model(d) = (model(d)._1, Set.empty) }
+        case Erase(pick) =>
+          val alive = model.values.flatMap(v => v._1 ++ v._2).toSeq.sorted
+          if (alive.nonEmpty) {
+            val id = alive(pick % alive.size)
+            Tiered.eraseUser(spark, root, "event_id", id, Seq("event_id"))
+            model.keys.foreach(d =>
+              model(d) = (model(d)._1 - id, model(d)._2 - id))
+          }
+      }
+      val expected = model.values.flatMap(v => v._1 ++ v._2).toSet
+      val got =
+        if (expected.isEmpty) Set.empty[Long]
+        else ids(Tiered.read(spark, root))
+      got == expected
+    }
+    val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("late backfill for a demoted date folds into cold as a union on the next tick") {
     val (root, cutoff) = buildDemoted()
     Tiered.demote(spark, root, cutoff, sortCols)
