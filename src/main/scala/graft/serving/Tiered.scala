@@ -45,6 +45,25 @@ object Tiered {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** One tier's rows, SCHEMA-EVOLUTION-AWARE: when the tiered root
+    * carries an [[graft.tables.Evolve]] registry (register it at the
+    * ROOT, not per tier), every read — serving, demote staging, erase
+    * staging — goes through the registered schema, one fetch, no
+    * footer sweep. Without it, a plain parquet read infers the schema
+    * from ONE file's footer, and a column added mid-life would be
+    * silently DROPPED from any read whose sampled file predates it —
+    * a demote would then bake that loss into the cold tier. With the
+    * registry, demote instead materializes the registered defaults
+    * into the relocated files (the archive normalizes itself, and the
+    * value every reader sees is unchanged — defaultNullValue
+    * semantics either way).
+    */
+  private def tierFrame(spark: SparkSession, root: String,
+      tier: String): DataFrame =
+    if (graft.tables.Evolve.hasRegistry(spark, root))
+      graft.tables.Evolve.readAt(spark, root, s"$root/$tier")
+    else spark.read.parquet(s"$root/$tier")
+
   /** A tier exists AND holds at least one partition directory — a
     * fully-demoted hot tier is an empty directory whose parquet read
     * would fail schema inference, not an error state.
@@ -121,11 +140,11 @@ object Tiered {
         .sorted
       if (expired.isEmpty) Seq.empty
       else {
-        val hotRows = spark.read.parquet(s"$root/hot")
+        val hotRows = tierFrame(spark, root, "hot")
           .filter(col("p_date").cast("string").isin(expired: _*))
         val coldExisting =
           if (!liveTier(spark, root, "cold")) None
-          else Some(spark.read.parquet(s"$root/cold")
+          else Some(tierFrame(spark, root, "cold")
             .filter(col("p_date").cast("string").isin(expired: _*)))
         val demoted = coldExisting
           .map(c => hotRows.unionByName(c)).getOrElse(hotRows)
@@ -160,7 +179,7 @@ object Tiered {
       val legs = Seq("hot", "cold")
         .filter(liveTier(spark, root, _))
         .flatMap { t =>
-          val frame = spark.read.parquet(s"$root/$t")
+          val frame = tierFrame(spark, root, t)
           val affected = frame.filter(col(idCol) === value)
             .select(col("p_date").cast("string")).distinct()
             .collect().map(_.getString(0)).toSeq.sorted
@@ -222,7 +241,7 @@ object Tiered {
     EraseStage.recover(spark, root)
     val tiers = Seq("hot", "cold")
       .filter(liveTier(spark, root, _))
-      .map(t => spark.read.parquet(s"$root/$t"))
+      .map(tierFrame(spark, root, _))
     require(tiers.nonEmpty, s"no tiers under $root")
     tiers.reduce(_ unionByName _)
   }

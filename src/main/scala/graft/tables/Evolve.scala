@@ -127,14 +127,27 @@ object Evolve {
     * it part of the default's domain (e.g. -1), exactly as they
     * would in Pinot.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val (_, schema, defaults) = load(spark, path)
-    val raw = spark.read.schema(schema).parquet(path)
+  def read(spark: SparkSession, path: String): DataFrame =
+    readAt(spark, path, path)
+
+  /** [[read]] with the registry and the data under DIFFERENT roots —
+    * for multi-directory layouts sharing one schema (a
+    * [[graft.serving.Tiered]] root holds the registry once; hot and
+    * cold both read through it).
+    */
+  def readAt(spark: SparkSession, registryPath: String,
+      dataPath: String): DataFrame = {
+    val (_, schema, defaults) = load(spark, registryPath)
+    val raw = spark.read.schema(schema).parquet(dataPath)
     defaults.foldLeft(raw) { case (df, (name, dflt)) =>
       val t = schema(name).dataType
       df.withColumn(name, coalesce(col(name), lit(dflt).cast(t)))
     }
   }
+
+  /** Whether `path` carries a schema registry. */
+  def hasRegistry(spark: SparkSession, path: String): Boolean =
+    versions(spark, path).nonEmpty
 
   /** Current schema version (specs / operational probes). */
   def currentVersion(spark: SparkSession, path: String): Int =

@@ -201,6 +201,40 @@ class TieredSpec extends SparkSuite {
     assert(ids(Tiered.read(spark, root)) === ids(ev.filter($"user_id" =!= user)))
   }
 
+  test("an evolved tiered table demotes without losing the added column") {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = freshRoot()
+    // epoch 1: three columns, two days
+    Tiered.build(spark, Seq(
+      (1L, t("2024-03-01 10:00:00"), 10L),
+      (2L, t("2024-03-02 10:00:00"), 11L)).toDF("event_id", "ts", "user_id"),
+      root, "ts", Seq("event_id"))
+    // the registry lives at the TIERED root, shared by both tiers
+    graft.tables.Evolve.register(spark, root, Tiered.read(spark, root).schema)
+    graft.tables.Evolve.addColumn(spark, root,
+      StructField("score", LongType), "-1")
+    // epoch 2 carries the new column: a backfill for day 1 plus day 3
+    Tiered.ingest(spark, Seq(
+      (3L, t("2024-03-01 11:00:00"), 12L, 7L),
+      (4L, t("2024-03-03 10:00:00"), 13L, 8L))
+      .toDF("event_id", "ts", "user_id", "score"),
+      root, "ts", Seq("event_id"))
+    // demote days 1-2: the staged read spans pre- and post-evolution
+    // files — a single-footer inferred schema could silently drop
+    // `score` from the relocated rows; the registry must not
+    val demoted = Tiered.demote(spark, root, "2024-03-03", Seq("event_id"))
+    assert(demoted === Seq("2024-03-01", "2024-03-02"))
+    val out = Tiered.read(spark, root)
+      .select($"event_id", $"score").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> -1L, 2L -> -1L, 3L -> 7L, 4L -> 8L))
+    // and the cold files are schema-complete: a plain (registry-less)
+    // read of the cold tier alone already carries the column
+    val cold = Tiered.tier(spark, root, "cold")
+    assert(cold.columns.contains("score"))
+    assert(cold.filter($"event_id" === 3 && $"score" === 7).count() === 1L)
+  }
+
   test("random lifecycle sequences match the per-date tier model (ScalaCheck)") {
     import org.scalacheck.{Gen, Prop, Test => PropTest}
     // ops against a synthetic 6-day table; the model tracks each
