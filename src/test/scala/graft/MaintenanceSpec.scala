@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import graft.ops.Ann
 import graft.serving.{AnnIndex, EraseStage, Maintenance, SearchIndex}
-import graft.streaming.MediaIngest
+import graft.streaming.{MediaIngest, StateCompactor, StreamingPipeline}
 import graft.tables.TableManager
 
 /** The single scheduled-maintenance entry point
@@ -68,12 +68,31 @@ class MaintenanceSpec extends SparkSuite {
     val mWant = MediaIngest.readDedup(spark, mPath)
       .collect().map(_.toString).sorted.toSeq
 
+    // --- the streaming pipeline's rollup state (one batch_id
+    // partition per micro-batch), folded through the same wrapper —
+    // the scheduled leg that keeps refreshTopK's per-batch read
+    // bounded
+    val rPath = tmp("graft_maint_rollup") + "/r"
+    val rEv = Tables.events(spark, sfDir)
+    (0L to 2L).foreach { b =>
+      StreamingPipeline.writeBatchIdempotent(
+        StreamingPipeline.rollupSegment(rEv.filter($"event_id" % 3 === b)),
+        b, rPath)
+    }
+    def rView() = StateCompactor.readState(spark, rPath)
+      .groupBy($"window_start_ms", $"event_type")
+      .agg(sum($"order_count").as("oc"), sum($"sum_value_cents").as("cents"))
+      .collect().map(_.toString).sorted.toSeq
+    val rWant = rView()
+
     val tasks = Seq(
       Maintenance.DatedTable(t, Seq("event_id"),
         retentionDays = Some(60), nowDate = Some("2024-02-01")),
       Maintenance.Search(sRoot),
       Maintenance.Ann(aRoot, minFiles = 2),
-      Maintenance.IngestCompact("media", s => MediaIngest.compact(s, mPath)))
+      Maintenance.IngestCompact("media", s => MediaIngest.compact(s, mPath)),
+      Maintenance.IngestCompact("rollup-state",
+        s => StreamingPipeline.compactRollupState(s, rPath)))
     val log = Maintenance.run(spark, tasks)
 
     // ONE call: the staged erase completed, the expired date dropped,
@@ -95,6 +114,13 @@ class MaintenanceSpec extends SparkSuite {
     assert(spark.read.parquet(aRoot).count() === aCount)
     assert(MediaIngest.readDedup(spark, mPath)
       .collect().map(_.toString).sorted.toSeq === mWant)
+    // the rollup fold changed no answers and bounded the segment dirs
+    // (batches 0,1 folded into the generation; the max id keeps its
+    // own partition — the replay contract)
+    assert(log.contains("ran:rollup-state"))
+    assert(rView() === rWant)
+    assert(new java.io.File(rPath).listFiles
+      .count(_.getName.startsWith("batch_id=")) === 1)
     // fragmentation actually went away
     assert(new java.io.File(s"$t/p_date=2024-01-02").listFiles
       .count(_.getName.endsWith(".parquet")) <= 8)
