@@ -45,13 +45,24 @@ object Bench {
         if (e.taskInfo != null) durations.add(e.taskInfo.duration)
       }
       def reset(): Unit = { spill.set(0L); durations.clear() }
-      /** (spill bytes, max/median task-duration skew, task count) */
+      /** (spill bytes, max/median task-duration skew, task count).
+        * Skew is floored at 50 ms so it means DATA skew, not
+        * empty-task noise: at sf0.1 many gates run ~200 sub-ms tasks
+        * with one 50–80 ms straggler, and a raw max/median read
+        * 40–79× on perfectly healthy plans (r13's q_doc_curriculum),
+        * burying the real signal. A gate whose slowest task is under
+        * the floor has nothing to skew (1.0); otherwise the median
+        * is clamped UP to the floor, so a genuinely skewed gate (one
+        * 10 s task over a sub-ms median) still reads huge while a
+        * healthy scheduler-jitter profile reads ~1–3×.
+        */
       def snapshot(): (Long, Double, Int) = {
+        val floorMs = 50L
         val ds = durations.toArray(Array.empty[java.lang.Long])
           .map(_.longValue).sorted
         val skew =
-          if (ds.isEmpty) 0.0
-          else ds.last.toDouble / math.max(1L, ds(ds.length / 2)).toDouble
+          if (ds.isEmpty || ds.last < floorMs) 1.0
+          else ds.last.toDouble / math.max(floorMs, ds(ds.length / 2)).toDouble
         (spill.get(), skew, ds.length)
       }
     }

@@ -37,8 +37,13 @@ import org.apache.spark.sql.functions._
   * completed relocation (read-path recovery in [[read]] completes it
   * on the next read, like every index here). A reader never sees a
   * date on neither tier; the only transient state is a date on both,
-  * which the single-writer lease confines to the apply window
-  * [[read]]'s barrier waits out.
+  * confined by the single-writer lease to the apply window. [[read]]
+  * checks the lease barrier EAGERLY but returns a LAZY DataFrame
+  * whose file listing happens at action time, so the guarantee is
+  * "a handle taken and consumed while no writer holds the lease never
+  * sees the window" — consume handles promptly after [[read]] (the
+  * same discipline [[Serving.readTable]] documents), don't park one
+  * across a maintenance tick.
   */
 object Tiered {
 
@@ -233,7 +238,11 @@ object Tiered {
     * reads) only the tier(s) its range touches. Same read discipline
     * as [[Serving.readTable]]: wait out a live foreign writer
     * (demote/build mid-flight), then complete any crashed staged
-    * commit before listing.
+    * commit before building the frame. The barrier check is eager but
+    * the frame's FILE LISTING is lazy (Spark semantics) — execute the
+    * returned handle promptly; a handle parked until after another
+    * writer acquires the lease can observe a demote's apply window
+    * (a date transiently on both tiers).
     */
   def read(spark: SparkSession, root: String): DataFrame = {
     Lease.awaitQuiesced(spark, root, waitMs =

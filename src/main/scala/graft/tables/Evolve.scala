@@ -61,10 +61,8 @@ object Evolve {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  private def load(spark: SparkSession, path: String): (Int, StructType, Map[String, String]) = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no registered schema under $path — Evolve.register first")
-    val (n, p) = vs.last
+  private def parseVersion(spark: SparkSession, path: String,
+      p: Path): (StructType, Map[String, String]) = {
     val in = fs(spark, path).open(p)
     val json =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -74,16 +72,45 @@ object Evolve {
     implicit val fmt: org.json4s.Formats = DefaultFormats
     val schemaJson = org.json4s.jackson.JsonMethods.compact(parsed \ "schema")
     val defaults = (parsed \ "defaults").extract[Map[String, String]]
-    (n, DataType.fromJson(schemaJson).asInstanceOf[StructType], defaults)
+    (DataType.fromJson(schemaJson).asInstanceOf[StructType], defaults)
+  }
+
+  private def load(spark: SparkSession, path: String): (Int, StructType, Map[String, String]) = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no registered schema under $path — Evolve.register first")
+    val (n, p) = vs.last
+    val (schema, defaults) = parseVersion(spark, path, p)
+    (n, schema, defaults)
   }
 
   /** Register the table's initial authoritative schema (version 1).
-    * No-op if a registry already exists.
+    * Returns true when this call created the registry. A root that
+    * ALREADY carries a registry is a no-op (false) when the schema
+    * being registered matches ANY registered version — so re-running
+    * an init script stays idempotent whether it carries the original
+    * base schema (= v1) or the current evolved one (= vN) — but a
+    * schema matching NO version refuses loudly: silently keeping the
+    * old registry (the pre-round-14 behavior) gave a caller that
+    * typo'd a root path no signal at all, and every later read would
+    * fill the wrong defaults.
     */
-  def register(spark: SparkSession, path: String, schema: StructType): Unit =
+  def register(spark: SparkSession, path: String,
+      schema: StructType): Boolean =
     graft.serving.Lease.withLease(spark, path, "evolve") {
-      if (versions(spark, path).isEmpty)
+      val vs = versions(spark, path)
+      if (vs.isEmpty) {
         write(spark, path, 1, schema, Map.empty)
+        true
+      } else {
+        val known = vs.map { case (_, p) => parseVersion(spark, path, p)._1 }
+        require(known.contains(schema),
+          s"$path already carries a schema registry (v${vs.last._1}) and " +
+            s"the schema being registered matches none of its versions — " +
+            s"evolve with addColumn, or point register at the intended " +
+            s"root.\n  current:   ${known.last.simpleString}\n" +
+            s"  attempted: ${schema.simpleString}")
+        false
+      }
     }
 
   /** Add a column with a default: one metadata write (version N+1),
@@ -100,11 +127,15 @@ object Evolve {
       val (n, schema, defaults) = load(spark, path)
       require(!schema.fieldNames.contains(field.name),
         s"column ${field.name} already exists in $path schema v$n")
+      // NonFatal, not a named-exception list: under ANSI mode a bad
+      // default can surface as SparkDateTimeException /
+      // SparkArithmeticException (RuntimeExceptions outside the old
+      // SparkException/IllegalArgument pair) — every cast failure
+      // must map to the curated refusal below, not escape raw
       val castsToType =
         try !spark.range(1)
           .select(lit(default).cast(field.dataType)).head().isNullAt(0)
-        catch { case _: org.apache.spark.SparkException => false
-                case _: IllegalArgumentException => false }
+        catch { case scala.util.control.NonFatal(_) => false }
       require(castsToType,
         s"default '$default' does not cast to ${field.dataType.sql} " +
           s"for column ${field.name} — it would read as NULL (or fail " +

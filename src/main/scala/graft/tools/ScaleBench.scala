@@ -111,9 +111,13 @@ object ScaleBench {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     try {
       val perBatchSecs = (0 until batches).map { b =>
+        // the compaction tick is INSIDE the timed window: the ticked
+        // ev/s numbers must charge the mitigation its own cost, or the
+        // slope comparison flatters it (ADVICE r13) — a tick that cost
+        // more than the sag it removes should show up as a sag
+        val t0 = System.nanoTime()
         if (compactEvery > 0 && b > 0 && b % compactEvery == 0)
           StreamingPipeline.compactRollupState(spark, s"$dir/rollup")
-        val t0 = System.nanoTime()
         mem.addData((0 until perBatch).map { i =>
           val v = b.toLong * perBatch + i
           graft.BenchTick(new java.sql.Timestamp(base + v * 10), v)

@@ -65,9 +65,53 @@ class EvolveSpec extends SparkSuite {
       Evolve.addColumn(spark, root, StructField("n2", LongType), "n/a")
     }
     assert(bad.getMessage.contains("does not cast"))
-    // register is idempotent: it never clobbers an evolved registry
-    Evolve.register(spark, root, spark.read.parquet(root).schema)
+    // register is idempotent: re-running the init (base schema = v1)
+    // never clobbers an evolved registry, and reports it created
+    // nothing
+    assert(!Evolve.register(spark, root, spark.read.parquet(root).schema))
     assert(Evolve.currentVersion(spark, root) === 3)
+  }
+
+  test("register refuses a schema matching no registered version; known versions no-op") {
+    val root = freshRoot()
+    Seq((1L, 5L)).toDF("id", "n").write.mode("overwrite").parquet(root)
+    val base = spark.read.parquet(root).schema
+    assert(Evolve.register(spark, root, base), "first register creates v1")
+    Evolve.addColumn(spark, root, StructField("cents", LongType), "0")
+    val evolved = Evolve.read(spark, root).schema
+    // both the original init schema (v1) and the current evolved one
+    // (v2) re-register as no-ops
+    assert(!Evolve.register(spark, root, base))
+    assert(!Evolve.register(spark, root, evolved))
+    assert(Evolve.currentVersion(spark, root) === 2)
+    // a FOREIGN schema (the typo'd-root case) refuses instead of
+    // silently keeping the existing registry
+    val foreign = Seq(("x", 1.5)).toDF("name", "score").schema
+    val e = intercept[IllegalArgumentException] {
+      Evolve.register(spark, root, foreign)
+    }
+    assert(e.getMessage.contains("matches none"))
+    assert(Evolve.currentVersion(spark, root) === 2, "refusal must not write")
+  }
+
+  test("a bad default refuses with the curated message under ANSI exception types too") {
+    import org.apache.spark.sql.types.{DateType, IntegerType}
+    val root = freshRoot()
+    Seq((1L, 5L)).toDF("id", "n").write.mode("overwrite").parquet(root)
+    Evolve.register(spark, root, spark.read.parquet(root).schema)
+    // under ANSI (Spark 4 default) these casts throw
+    // SparkDateTimeException / SparkNumberFormatException — different
+    // RuntimeException branches; every one must map to the curated
+    // "does not cast" refusal, never escape raw (ADVICE r13)
+    for ((field, dflt) <- Seq(
+        (StructField("d", DateType), "2024-99-99"),
+        (StructField("m", IntegerType), "not-a-number"))) {
+      val e = intercept[IllegalArgumentException] {
+        Evolve.addColumn(spark, root, field, dflt)
+      }
+      assert(e.getMessage.contains("does not cast"), s"$field: ${e.getMessage}")
+    }
+    assert(Evolve.currentVersion(spark, root) === 1, "refusals must not version-bump")
   }
 
   test("read without a registry refuses loudly") {
