@@ -152,6 +152,11 @@ private[graft] object EraseStage {
       legs: Seq[(Leg, DataFrame)]): Unit = withRootLock(spark, root) {
     legs.foreach { case (l, _) => validate(l) }
     val f = fs(spark, root)
+    // fencing: a holder paused past the lease TTL and taken over must
+    // not resume by deleting the NEW owner's stage — renew throws
+    // LeaseHeldException when the lease file no longer carries our
+    // nonce, aborting the zombie before its first destructive touch
+    Lease.renew(spark, root)
     f.delete(new Path(stageDir(root)), true) // pre-manifest debris
     legs.zipWithIndex.foreach { case ((_, kept), i) =>
       kept.write.mode("overwrite").parquet(s"${stageDir(root)}/leg=$i") }
@@ -238,6 +243,15 @@ private[graft] object EraseStage {
         .filter(_.nonEmpty).toVector
       finally in.close()
     lines.foreach { line =>
+      // fencing, re-checked before EVERY destructive leg (not just at
+      // entry): apply can run for minutes across many table rewrites,
+      // and a TTL takeover mid-apply would otherwise leave the old
+      // holder racing the new owner's own recovery of the same
+      // manifest — the exact two-appliers interleave the lease
+      // exists to prevent, confined to the takeover edge. renew
+      // re-stamps our heartbeat when we still own the lease (keeping
+      // long applies fresh) and throws when displaced.
+      Lease.renew(spark, root)
       // pad short lines instead of MatchError-ing: a manifest written
       // by an OLDER format (fewer fields) must still recover — absent
       // trailing fields mean "no sort / no options", exactly what the
@@ -301,6 +315,9 @@ private[graft] object EraseStage {
           withOpts(staged.write.mode("append")).parquet(target)
       }
     }
+    // the stage directory is the new owner's recovery source if we
+    // were displaced mid-apply — fence the final delete too
+    Lease.renew(spark, root)
     f.delete(new Path(stageDir(root)), true)
   }
 }

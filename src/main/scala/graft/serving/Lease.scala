@@ -27,6 +27,14 @@ import org.apache.spark.sql.SparkSession
   *  - `release` deletes the file only if the nonce is still ours —
   *    a holder that lost its lease to a (mis-tuned TTL) takeover
   *    must not delete the new owner's lease.
+  *  - displaced-writer FENCING: [[renew]] throws when the lease file
+  *    no longer carries our nonce, and [[EraseStage]] calls it before
+  *    every destructive leg (stage-directory delete, each manifest
+  *    leg's partition swap, the final stage cleanup) — so a holder
+  *    paused past its TTL and taken over ABORTS its in-flight apply
+  *    at the next leg boundary instead of racing the new owner.
+  *    Work already mid-leg when the takeover lands is bounded by one
+  *    table rewrite and is idempotent under the new owner's recovery.
   *
   * In-JVM, a per-root ReentrantLock fronts the file protocol, so
   * same-process threads serialize without file round-trips and

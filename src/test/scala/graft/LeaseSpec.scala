@@ -119,6 +119,54 @@ class LeaseSpec extends SparkSuite {
     } finally spark.conf.unset("graft.read.barrier.ms")
   }
 
+  test("a displaced writer's staged apply aborts before touching live directories") {
+    import spark.implicits._
+    import graft.serving.EraseStage
+    val r = tmp()
+    // one-partition table the zombie's staged swap would rewrite
+    Seq((1L, "2024-01-01"), (2L, "2024-01-02")).toDF("id", "p")
+      .write.partitionBy("p").parquet(s"$r/t")
+    val part = new java.io.File(s"$r/t/p=2024-01-01")
+    val partFiles = part.list().toSet
+
+    // -- the zombie stages its erase normally, manifest committed --
+    Lease.acquire(spark, r, "zombie")
+    val kept = Seq((9L, "2024-01-01")).toDF("id", "p")
+    EraseStage.stage(spark, r,
+      Seq(EraseStage.Swap("t", "p", Seq("2024-01-01")) -> kept))
+    // -- paused past its TTL, another process takes the lease over --
+    writeForeign(r, "new-owner", System.currentTimeMillis())
+    // -- the zombie resumes: the apply must abort at the fence,
+    //    BEFORE deleting the affected partition directory --
+    val e = intercept[Lease.LeaseHeldException] { EraseStage.recover(spark, r) }
+    assert(e.getMessage.contains("lost before renew"), e.getMessage)
+    assert(part.list().toSet === partFiles, "zombie apply touched data")
+    // the committed manifest survives for the NEW owner's recovery
+    assert(new java.io.File(s"$r/_erase_stage/_manifest").exists())
+    Lease.release(spark, r) // no-op on the new owner's file
+    assert(scala.io.Source.fromFile(leaseFile(r)).mkString.contains("new-owner"))
+
+    // -- same fence at STAGE time: a zombie must not delete the new
+    //    owner's stage directory as "debris" --
+    leaseFile(r).delete()
+    Lease.acquire(spark, r, "zombie2")
+    writeForeign(r, "new-owner-2", System.currentTimeMillis())
+    intercept[Lease.LeaseHeldException] {
+      EraseStage.stage(spark, r,
+        Seq(EraseStage.Swap("t", "p", Seq("2024-01-02")) -> kept))
+    }
+    assert(new java.io.File(s"$r/_erase_stage/_manifest").exists(),
+      "zombie stage deleted the in-flight stage directory")
+    Lease.release(spark, r)
+
+    // -- and the new owner CAN complete the original erase --
+    leaseFile(r).delete()
+    assert(EraseStage.recover(spark, r))
+    val after = spark.read.parquet(s"$r/t")
+      .select($"id", $"p".cast("string")).as[(Long, String)].collect().toSet
+    assert(after === Set((9L, "2024-01-01"), (2L, "2024-01-02")))
+  }
+
   test("same-JVM threads serialize: the critical section never overlaps") {
     val r = tmp()
     val inside = new java.util.concurrent.atomic.AtomicInteger(0)
