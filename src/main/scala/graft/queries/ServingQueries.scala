@@ -92,6 +92,18 @@ object ServingQueries {
   def hybridHourly(spark: SparkSession, dir: String): DataFrame =
     graft.serving.Router.hybridHourlyByType(spark, dir)
 
+  /** The hybrid seam STACKED on the storage tiers
+    * ([[graft.serving.Router.hybridHourlyByTypeTiered]]): complete
+    * hours from the rollup, the in-flight hour from the TIERED raw
+    * table — whose hot/cold boundary the recent-window tail never
+    * crosses (RouterSpec pins zero cold files opened). Shares the
+    * pure-raw oracle: the rollup/raw seam and the hot/cold relocation
+    * must BOTH be invisible in the answer.
+    */
+  def hybridTiered(spark: SparkSession, dir: String): DataFrame =
+    graft.serving.Router.hybridHourlyByTypeTiered(spark, dir,
+      tieredRoot(spark, dir))
+
   /** Incremental CUMULATE ([[graft.serving.Router
     * .cumulateDailyFromHourly]]): expanding daily windows folded
     * forward from the hourly serving agg. Hash-checked against the
@@ -261,7 +273,11 @@ object ServingQueries {
       val sortCols = Seq("event_type", "ts")
       graft.serving.Tiered.build(spark, ev, p, "ts", sortCols,
         bloomCol = Some("event_id"))
-      graft.serving.Tiered.demote(spark, p, midDate(spark, dir), sortCols)
+      // archive layout: bloom on the RTBF identity key, so an erase's
+      // affected-date discovery row-group-skips instead of scanning
+      // the whole cold tier (TieredSpec pins the pruning)
+      graft.serving.Tiered.demote(spark, p, midDate(spark, dir), sortCols,
+        coldBloomCols = Seq("user_id"))
     }
 
   /** Mid-range date cut derived from the data itself (every oracle
@@ -316,15 +332,61 @@ object ServingQueries {
         ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
         p, "ts", sortCols, Some("event_id"))
       val cutoff = midDate(spark, dir)
-      graft.serving.Tiered.demote(spark, p, cutoff, sortCols)
+      graft.serving.Tiered.demote(spark, p, cutoff, sortCols,
+        coldBloomCols = Seq("user_id"))
       // the last third lands AFTER the demote: its pre-cutoff dates
       // are the live backfill case the next tick must fold cold
       graft.serving.Tiered.ingest(spark,
         ev.filter(col("event_id") > cuts(1)), p, "ts", sortCols,
         Some("event_id"))
+      // the tick carries the SAME archive-layout knobs as the manual
+      // demote above (the Tier contract), so the backfill fold keeps
+      // the erase-key blooms
       graft.serving.Maintenance.run(spark, Seq(graft.serving.Maintenance.Tier(
-        p, sortCols, hotDays = 0, nowDate = cutoff)))
+        p, sortCols, hotDays = 0, nowDate = cutoff,
+        coldBloomCols = Seq("user_id"))))
       ()
+    }
+    tieredDailyOf(spark, root)
+  }
+
+  private val tieredPipeCache = new TempRootCache("graft_tiered_pipe")
+
+  /** The tiered table built the way [[graft.streaming
+    * .StreamingPipeline.startTiered]]'s raw leg builds it: id-split
+    * thirds LAND as exactly-once batch partitions
+    * (`writeBatchIdempotent` — the literal foreachBatch raw leg),
+    * and the maintenance tick ([[graft.serving.Maintenance.Tier]]
+    * with `absorbIngest`) folds them into the hot tier and demotes —
+    * landing → hot → cold in one lifecycle. A tick between batches 2
+    * and 3 makes batch 3 a post-demote arrival whose dates must fold
+    * back through absorb and re-demote. Shares the raw-scan oracle:
+    * the landing/absorb/demote machinery must be invisible in the
+    * answer.
+    */
+  def tieredPipelineDaily(spark: SparkSession, dir: String): DataFrame = {
+    val root = tieredPipeCache.root(spark, dir) { p =>
+      val ev = graft.Tables.events(spark, dir)
+      val sortCols = Seq("event_type", "ts")
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val cuts = Seq(maxId / 3, 2 * maxId / 3)
+      val cutoff = midDate(spark, dir)
+      val landing = graft.serving.Tiered.landingDir(p)
+      def tick(): Unit = {
+        graft.serving.Maintenance.run(spark, Seq(graft.serving.Maintenance.Tier(
+          p, sortCols, hotDays = 0, nowDate = cutoff, absorbIngest = true,
+          bloomCol = Some("event_id"), coldBloomCols = Seq("user_id"))))
+        ()
+      }
+      graft.streaming.StreamingPipeline.writeBatchIdempotent(
+        ev.filter(col("event_id") <= cuts(0)), 0L, landing)
+      graft.streaming.StreamingPipeline.writeBatchIdempotent(
+        ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+        1L, landing)
+      tick()
+      graft.streaming.StreamingPipeline.writeBatchIdempotent(
+        ev.filter(col("event_id") > cuts(1)), 2L, landing)
+      tick()
     }
     tieredDailyOf(spark, root)
   }
@@ -432,8 +494,10 @@ object ServingQueries {
     "q_routed_daily" -> (routedDaily _),
     "q_tiered_daily" -> (tieredDaily _),
     "q_tiered_stream" -> (tieredStreamDaily _),
+    "q_tiered_pipeline" -> (tieredPipelineDaily _),
     "q_evolved_daily" -> (evolvedDaily _),
     "q_hybrid_hourly" -> (hybridHourly _),
+    "q_hybrid_tiered" -> (hybridTiered _),
     "q_cumulate_daily_routed" -> (cumulateDailyRouted _),
     "q_percentile_served" -> (percentilesServed _),
     "q_startree_by_type" -> (starTreeByType _),
@@ -551,6 +615,13 @@ object ServingQueries {
          |  count(*) AS order_count,
          |  CAST(SUM($cents) AS BIGINT) AS total_cents
          |FROM events GROUP BY 1, 2""".stripMargin,
+    // the landing→absorb→demote lifecycle (streaming raw leg + tick)
+    // must serve the identical answer too
+    "q_tiered_pipeline" ->
+      s"""SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS total_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
     // schema evolution: pre-evolution days answer total_cents with the
     // registered default (0), post-evolution days with real values —
     // the oracle replays the same mid-range epoch split
@@ -563,6 +634,13 @@ object ServingQueries {
          |           THEN 0 ELSE $cents END) AS BIGINT) AS total_cents
          |FROM events GROUP BY 1, 2""".stripMargin,
     "q_hybrid_hourly" ->
+      s"""SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS total_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    // same pure-raw recompute: the hybrid seam AND the tier boundary
+    // must both vanish from the answer
+    "q_hybrid_tiered" ->
       s"""SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
          |  count(*) AS order_count,
          |  CAST(SUM($cents) AS BIGINT) AS total_cents

@@ -73,15 +73,25 @@ object Maintenance {
     */
   final case class ReplicaSets(servingRoot: String) extends Task
 
-  /** A [[Tiered]] root: relocate hot dates older than `hotDays`
-    * before `nowDate` to the cold tier (one staged commit per tick,
-    * idempotent when nothing has aged past the cutoff), then drop
-    * cold dates past `retentionDays` — the full lifecycle, hot →
-    * cold → gone, on one tick.
+  /** A [[Tiered]] root: fold any landed streaming batches into the
+    * hot tier first (when `absorbIngest`, [[Tiered.absorb]] — the
+    * realtime→offline leg), then relocate hot dates older than
+    * `hotDays` before `nowDate` to the cold tier (one staged commit
+    * per tick, idempotent when nothing has aged past the cutoff),
+    * then drop cold dates past `retentionDays` — the full lifecycle,
+    * landing → hot → cold → gone, on one tick.
+    * `filesPerDate`/`coldBloomCols`/`bloomCol` are the layout knobs
+    * ([[Tiered.demote]]/[[Tiered.absorb]]): the tick must carry the
+    * SAME values every run or relocated dates drift between layouts.
     */
   final case class Tier(root: String, sortCols: Seq[String],
     hotDays: Int, nowDate: String,
-    retentionDays: Option[Int] = None) extends Task
+    retentionDays: Option[Int] = None,
+    filesPerDate: Int = 1,
+    coldBloomCols: Seq[String] = Nil,
+    absorbIngest: Boolean = false,
+    tsCol: String = "ts",
+    bloomCol: Option[String] = None) extends Task
 
   /** A streaming ingest's own `compact()` surface (SegmentIngest,
     * SpanIngest, CurationIngest, MediaIngest, LmIngest, ... — each
@@ -115,7 +125,7 @@ object Maintenance {
         case Pq(r, _) => r
         case NearDupIdx(r, _, _) => r
         case ReplicaSets(servingRoot) => servingRoot
-        case Tier(r, _, _, _, _) => r
+        case t: Tier => t.root
         case IngestCompact(_, _) => throw new MatchError(t) // unreachable
       }
       Lease.withLease(spark, root, "maintenance")(execLocked(spark, t))
@@ -167,11 +177,17 @@ object Maintenance {
       ReplicaRouter.sweepStale(spark, servingRoot)
         .map(p => s"swept:$p")
 
-    case Tier(root, sortCols, hotDays, nowDate, retention) =>
+    case Tier(root, sortCols, hotDays, nowDate, retention, filesPerDate,
+        coldBloomCols, absorbIngest, tsCol, bloomCol) =>
       val rec = recovered(spark, root)
+      val absorbed =
+        if (!absorbIngest) Nil
+        else Tiered.absorb(spark, root, tsCol, sortCols, bloomCol)
+          .map(b => s"absorbed:$root/batch_id=$b")
       val cutoff = java.time.LocalDate.parse(nowDate)
         .minusDays(hotDays.toLong).toString
-      val demoted = Tiered.demote(spark, root, cutoff, sortCols)
+      val demoted = Tiered.demote(spark, root, cutoff, sortCols,
+          filesPerDate, coldBloomCols)
         .map(d => s"demoted:$root/p_date=$d")
       val swept = retention.toSeq.flatMap { days =>
         val before = java.time.LocalDate.parse(nowDate)
@@ -179,7 +195,7 @@ object Maintenance {
         Tiered.retentionSweep(spark, root, before)
           .map(d => s"swept:$root/cold/p_date=$d")
       }
-      rec ++ demoted ++ swept
+      rec ++ absorbed ++ demoted ++ swept
 
     case IngestCompact(_, _) =>
       throw new IllegalStateException("IngestCompact runs unleased in exec")

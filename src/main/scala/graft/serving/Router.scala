@@ -176,4 +176,35 @@ object Router {
         sum(col("value_cents")).as("total_cents"))
     hist.unionByName(tail)
   }
+
+  /** [[hybridHourlyByType]] with the raw tail served THROUGH a
+    * [[Tiered]] events root — the full Pinot hybrid-table-with-tiers
+    * stack: the rollup/raw seam (complete hours from the materialized
+    * hourly agg, the live hour from raw) COMPOSES with the hot/cold
+    * storage boundary inside the raw arm. The tail carries an
+    * explicit `p_date` floor alongside the exact ts seam: the ts
+    * predicate alone would row-group-prune within files but still
+    * LIST every date directory on both tiers, while the p_date floor
+    * directory-prunes them — a recent-window query through the
+    * composed path opens ZERO cold files (RouterSpec pins it), which
+    * is the whole point of keeping an archive tier: serving-path
+    * queries never pay for the archive's existence.
+    */
+  def hybridHourlyByTypeTiered(spark: SparkSession, dataDir: String,
+      tieredRoot: String): DataFrame = {
+    val cutMs = Serving.anchorMs(spark, dataDir) / Serving.hourMs * Serving.hourMs
+    val root = Serving.materialize(spark, dataDir)
+    val hist = spark.read.parquet(s"$root/agg_keyed_by_window")
+      .filter(col("window_start_ms") < cutMs)
+      .groupBy(col("window_start_ms"), col("event_type"))
+      .agg(sum(col("order_count")).as("order_count"),
+        sum(col("total_cents")).as("total_cents"))
+    val tail = Tiered.read(spark, tieredRoot)
+      .filter(col("p_date") >= lit(Serving.utcDate(cutMs)))
+      .filter(unix_millis(col("ts")) >= cutMs)
+      .groupBy(bucket(unix_millis(col("ts")), Serving.hourMs), col("event_type"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("total_cents"))
+    hist.unionByName(tail)
+  }
 }

@@ -110,6 +110,95 @@ object Tiered {
         mode = org.apache.spark.sql.SaveMode.Append)
     }
 
+  /** Where a STREAMING pipeline lands its batch-keyed raw output
+    * before [[absorb]] folds it into the hot tier — under the tiered
+    * root so one lease governs the whole lifecycle, but outside
+    * `hot`/`cold` so queries never see unabsorbed batches.
+    */
+  def landingDir(root: String): String = s"$root/landing"
+
+  private def absorbWatermark(spark: SparkSession, root: String): Long = {
+    val p = new Path(s"$root/absorb_wm")
+    if (!fs(spark, root).exists(p)) -1L
+    else spark.read.parquet(p.toString)
+      .select(col("max_batch_id")).head().getLong(0)
+  }
+
+  /** Fold every landed batch newer than the absorb watermark into the
+    * HOT tier — the streaming half of the Pinot realtime→offline
+    * relocation, run from the maintenance tick. The landing zone is
+    * written exactly-once by the pipeline (batch-id dynamic
+    * overwrite, [[graft.streaming.StreamingPipeline
+    * .writeBatchIdempotent]]); this fold is exactly-once too because
+    * the affected hot dates' rewrite (existing rows ∪ new batches, an
+    * idempotent [[EraseStage.Swap]]) and the watermark bump (an
+    * idempotent Overwrite) commit under ONE staged manifest: a crash
+    * at any point either leaves the watermark unmoved (the same
+    * batches re-absorb identically next tick) or recovers to the
+    * complete fold (a replayed landing write for an already-absorbed
+    * batch id lands ≤ watermark and is swept, never re-folded).
+    * Returns the absorbed batch ids.
+    *
+    * Cost shape at scale: one tick rewrites only the dates the new
+    * batches TOUCH — for live ingest that's the current date (plus
+    * any backfill dates), never the table; the rewrite is the same
+    * union-fold [[demote]] applies to cold backfill. With a schema
+    * registry at the root, landed batches conform to the registered
+    * schema before folding (defaults filled), so an evolution
+    * mid-stream cannot bake a column drop into the hot tier.
+    */
+  def absorb(spark: SparkSession, root: String, tsCol: String,
+      sortCols: Seq[String], bloomCol: Option[String] = None): Seq[Long] =
+    Lease.withLease(spark, root, "tiered-absorb") {
+      EraseStage.recover(spark, root)
+      val f = fs(spark, root)
+      val landing = new Path(landingDir(root))
+      if (!f.exists(landing)) Seq.empty
+      else {
+        val wm = absorbWatermark(spark, root)
+        val batchIds = f.listStatus(landing).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+          .map(_.stripPrefix("batch_id=").toLong).sorted
+        // already-absorbed debris (a replayed landing write after its
+        // batch was folded): swept, never re-folded
+        batchIds.filter(_ <= wm).foreach(b =>
+          f.delete(new Path(s"${landingDir(root)}/batch_id=$b"), true))
+        val fresh = batchIds.filter(_ > wm)
+        if (fresh.isEmpty) Seq.empty
+        else {
+          // mergeSchema is bounded here: the landing holds only the
+          // batches since the last tick, not the table's history
+          val landRaw = spark.read.option("mergeSchema", "true")
+            .parquet(landingDir(root))
+            .filter(col("batch_id") > wm)
+            .drop("batch_id")
+            .withColumn("p_date", to_date(col(tsCol)))
+          val landRows =
+            if (graft.tables.Evolve.hasRegistry(spark, root))
+              graft.tables.Evolve.conform(spark, root, landRaw)
+            else landRaw
+          val affected = landRows.select(col("p_date").cast("string"))
+            .distinct().collect().map(_.getString(0)).toSeq.sorted
+          val hotExisting =
+            if (!liveTier(spark, root, "hot")) None
+            else Some(tierFrame(spark, root, "hot")
+              .filter(col("p_date").cast("string").isin(affected: _*)))
+          val staged = hotExisting
+            .map(landRows.unionByName(_)).getOrElse(landRows)
+          val wmDf = spark.range(1)
+            .select(lit(fresh.max).as("max_batch_id"))
+          EraseStage.run(spark, root, Seq(
+            EraseStage.Swap("hot", "p_date", affected, sortCols,
+              bloomCol.map(c =>
+                s"parquet.bloom.filter.enabled#$c" -> "true").toMap) -> staged,
+            EraseStage.Overwrite("absorb_wm") -> wmDf))
+          fresh.foreach(b =>
+            f.delete(new Path(s"${landingDir(root)}/batch_id=$b"), true))
+          fresh
+        }
+      }
+    }
+
   /** Relocate every hot date strictly OLDER than `cutoffDate` to the
     * cold tier: the date's rows (plus any rows that date already has
     * on cold — late backfill demotes as a union) rewrite as
@@ -127,9 +216,23 @@ object Tiered {
     * order within a date is already irrelevant across files). The
     * shard count rides the [[EraseStage.Swap]] manifest, so recovery
     * replays the identical layout.
+    *
+    * `coldBloomCols` declares which columns get parquet bloom filters
+    * in the ARCHIVE files (typically the erase identity key, e.g.
+    * user_id): a right-to-be-forgotten request must first discover
+    * which dates hold the user at all, and without blooms that
+    * discovery scans the id column of EVERY cold file — the whole
+    * archive, per request, at 100 TB. With a bloom, the parquet
+    * reader skips every row group that cannot contain the value, so
+    * discovery reads footers+blooms plus only the matching dates'
+    * pages. One compact file per date makes the bloom cheap (one
+    * filter per column per date). Like the hot tier's `bloomCol`,
+    * this is the CALLER's layout contract — pass the same columns to
+    * [[eraseUser]] or its cold rewrites drop them.
     */
   def demote(spark: SparkSession, root: String, cutoffDate: String,
-      sortCols: Seq[String], filesPerDate: Int = 1): Seq[String] =
+      sortCols: Seq[String], filesPerDate: Int = 1,
+      coldBloomCols: Seq[String] = Nil): Seq[String] =
     Lease.withLease(spark, root, "tiered-demote") {
       EraseStage.recover(spark, root)
       val f = fs(spark, root)
@@ -157,28 +260,52 @@ object Tiered {
           // cold first: rows are durable on the cold tier before the
           // hot directories can drop, at every crash point
           EraseStage.Swap("cold", "p_date", expired, sortCols,
-            Map("compression" -> "zstd"), shards = filesPerDate) -> demoted,
+            coldOpts(coldBloomCols), shards = filesPerDate) -> demoted,
           EraseStage.Swap("hot", "p_date", expired) ->
             hotRows.limit(0)))
         expired
       }
     }
 
+  /** Archive-tier writer options: aggressive compression always, plus
+    * a bloom filter per caller-declared erase/probe key (one compact
+    * file per date keeps them cheap). Blooms are ADAPTIVE-sized: the
+    * writer can't know a date's distinct-id count up front, and
+    * without sizing parquet-mr falls back to the 1 MiB maximum per
+    * filter — which at one filter per date per column would cost more
+    * bytes than the id pages the bloom exists to skip; adaptive
+    * sizing tracks the observed NDV and keeps ~0.01 FPP at the
+    * minimal size instead.
+    */
+  private def coldOpts(coldBloomCols: Seq[String]): Map[String, String] =
+    Map("compression" -> "zstd") ++
+      (if (coldBloomCols.isEmpty) Map.empty[String, String]
+       else Map("parquet.bloom.filter.adaptive.enabled" -> "true")) ++
+      coldBloomCols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true")
+
   /** Right-to-be-forgotten across BOTH tiers: every date partition
     * holding `value` in `idCol` — hot or cold — rewrites without
     * those rows, all legs under ONE staged manifest (the
     * [[graft.tables.TableManager.eraseUser]] discipline, spanning the
     * tier boundary: a crash can never leave the user erased hot but
-    * present cold). Untouched dates are neither read nor written;
-    * cold rewrites keep the one-zstd-file-per-date layout. The hot
-    * layout is the CALLER's to declare, the same contract as
+    * present cold). Untouched dates are neither read nor written —
+    * and when the archive was demoted with `idCol` in
+    * `coldBloomCols`, the affected-date DISCOVERY itself reads only
+    * footers+blooms plus the matching dates' id pages, not the whole
+    * cold tier. Cold rewrites keep the archive layout: zstd,
+    * `filesPerDate` sorted files per date (pass the demote's value or
+    * a sharded date funnels back into one write task), and the
+    * caller-declared `coldBloomCols` blooms. The hot layout is the
+    * CALLER's to declare, the same contract as
     * [[graft.tables.TableManager.eraseUser]]: pass the build's
     * `bloomCol` or the rewritten hot dates lose their bloom filters.
     * Returns `tier/p_date` strings affected.
     */
   def eraseUser(spark: SparkSession, root: String, idCol: String,
       value: Long, sortCols: Seq[String],
-      bloomCol: Option[String] = None): Seq[String] =
+      bloomCol: Option[String] = None,
+      coldBloomCols: Seq[String] = Nil,
+      filesPerDate: Int = 1): Seq[String] =
     Lease.withLease(spark, root, "tiered-erase") {
       EraseStage.recover(spark, root)
       val legs = Seq("hot", "cold")
@@ -195,13 +322,14 @@ object Tiered {
               .filter(col(idCol) =!= value)
             // hot rewrites carry the caller-declared ingest layout
             // (bloom on the PK when passed); cold keeps the archive
-            // layout (zstd, no bloom — cold reads are ranged scans,
-            // not point probes)
+            // layout (zstd + the declared erase-key blooms)
             val opts =
-              if (t == "cold") Map("compression" -> "zstd")
+              if (t == "cold") coldOpts(coldBloomCols)
               else bloomCol
                 .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
-            Seq((EraseStage.Swap(t, "p_date", affected, sortCols, opts) -> kept,
+            val shards = if (t == "cold") filesPerDate else 1
+            Seq((EraseStage.Swap(t, "p_date", affected, sortCols, opts,
+              shards = shards) -> kept,
               affected.map(d => s"$t/p_date=$d")))
           }
         }

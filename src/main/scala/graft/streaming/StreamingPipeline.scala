@@ -230,7 +230,46 @@ object StreamingPipeline {
       topkPath: String,
       checkpointRoot: String,
       k: Int = 5,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): Seq[StreamingQuery] = {
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): Seq[StreamingQuery] =
+    startWith(spark, source,
+      (batch, id) => writeBatchIdempotent(batch, id, rawPath),
+      rollupPath, topkPath, checkpointRoot, k, trigger)
+
+  /** [[start]] with the raw leg landing in a [[graft.serving.Tiered]]
+    * root's LANDING zone instead of a flat batch-keyed sink: live
+    * ingest and the scheduled hot→cold lifecycle then run as ONE
+    * pipeline — the maintenance tick
+    * ([[graft.serving.Maintenance.Tier]] with `absorbIngest = true`,
+    * or [[graft.serving.Tiered.absorb]] directly) folds landed
+    * batches into the hot tier and demotes aged dates, while the
+    * rollup/top-K legs are untouched. Exactly-once holds end to end:
+    * the landing write is the same batch-id dynamic overwrite as the
+    * flat sink (replays rewrite their own partition), and the fold is
+    * a watermark-guarded staged commit (absorb's scaladoc).
+    */
+  def startTiered(
+      spark: SparkSession,
+      source: DataFrame,
+      tieredRawRoot: String,
+      rollupPath: String,
+      topkPath: String,
+      checkpointRoot: String,
+      k: Int = 5,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): Seq[StreamingQuery] =
+    startWith(spark, source,
+      (batch, id) => writeBatchIdempotent(batch, id,
+        graft.serving.Tiered.landingDir(tieredRawRoot)),
+      rollupPath, topkPath, checkpointRoot, k, trigger)
+
+  private def startWith(
+      spark: SparkSession,
+      source: DataFrame,
+      rawLeg: (DataFrame, Long) => Unit,
+      rollupPath: String,
+      topkPath: String,
+      checkpointRoot: String,
+      k: Int,
+      trigger: Trigger): Seq[StreamingQuery] = {
     val deduped = dedupStream(withEventTime(source))
     val q = deduped.writeStream
       .outputMode("append")
@@ -240,7 +279,7 @@ object StreamingPipeline {
         if (!batch.isEmpty) {
           batch.persist()
           try {
-            writeBatchIdempotent(batch, batchId, rawPath)
+            rawLeg(batch, batchId)
             val segment = rollupSegment(batch).persist()
             try {
               writeBatchIdempotent(segment, batchId, rollupPath)

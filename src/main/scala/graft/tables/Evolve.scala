@@ -176,6 +176,30 @@ object Evolve {
     }
   }
 
+  /** Conform an already-loaded frame to the registered schema:
+    * columns the frame lacks are added (as the registered default),
+    * nulls in evolved columns fill with their defaults, extra columns
+    * are DROPPED, and the column order is the registry's — so frames
+    * from different epochs union cleanly. The frame-level twin of
+    * [[readAt]] for rows that arrive as DataFrames rather than files
+    * (e.g. a [[graft.serving.Tiered]] landing batch being folded into
+    * a registered table).
+    */
+  def conform(spark: SparkSession, registryPath: String,
+      df: DataFrame): DataFrame = {
+    val (_, schema, defaults) = load(spark, registryPath)
+    val cols = schema.fields.map { f =>
+      val base =
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType)
+      defaults.get(f.name) match {
+        case Some(d) => coalesce(base, lit(d).cast(f.dataType)).as(f.name)
+        case None => base.as(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   /** Whether `path` carries a schema registry. */
   def hasRegistry(spark: SparkSession, path: String): Boolean =
     versions(spark, path).nonEmpty

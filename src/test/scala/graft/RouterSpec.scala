@@ -63,6 +63,47 @@ class RouterSpec extends SparkSuite {
     assert(plan.contains("GreaterThanOrEqual(ts"), plan)
   }
 
+  test("hybrid-through-tiers: same answer, and the recent-window tail opens zero cold files") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case s: QueryStageExec => findScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => findScans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(findScans)
+    }
+    // a tiered events root split mid-range, the q_tiered_daily shape
+    val root = java.nio.file.Files.createTempDirectory("router_tiered").toString
+    val ev = Tables.events(spark, sfDir)
+    val sortCols = Seq("event_type", "ts")
+    graft.serving.Tiered.build(spark, ev, root, "ts", sortCols, Some("event_id"))
+    val r = ev.agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head()
+    val (lo, hi) = (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+    val cutoff = lo.plusDays(
+      java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2).toString
+    graft.serving.Tiered.demote(spark, root, cutoff, sortCols,
+      coldBloomCols = Seq("user_id"))
+    // the composed route answers exactly like the untiered hybrid
+    // (which itself shares the pure-raw oracle)
+    val tiered = Router.hybridHourlyByTypeTiered(spark, sfDir, root)
+    val base = Router.hybridHourlyByType(spark, sfDir)
+    assert(tiered.collect().map(_.toSeq).toSet ===
+      base.collect().map(_.toSeq).toSet)
+    // and its raw tail never crosses the tier boundary: the archive's
+    // existence costs the serving path nothing
+    val scans = findScans(tiered.queryExecution.executedPlan)
+    val cold = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("/cold")))
+    assert(cold.nonEmpty, "composed plan lost the tiered raw arm")
+    assert(cold.map(_.metrics("numFiles").value).sum === 0L,
+      "recent-window tail opened cold files")
+    val hot = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("/hot")))
+    assert(hot.map(_.metrics("numFiles").value).sum > 0L,
+      "tail read nothing hot — seam misplaced")
+  }
+
   test("rollup-fed CUMULATE ≡ raw-expand CUMULATE and reads only the serving table") {
     val routed = Router.cumulateDailyFromHourly(spark, sfDir)
     val raw = graft.queries.OlapQueries.cumulateDaily(spark, sfDir)

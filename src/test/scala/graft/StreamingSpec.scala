@@ -223,6 +223,89 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/topk").filter(col("rank") === 1).count() > 0)
   }
 
+  test("tiered pipeline: landing→absorb→demote mid-stream, topk/rollup identical to the flat pipeline") {
+    implicit val sql = spark.sqlContext
+    def dts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-0$day $h%02d:00:00")
+    val sortCols = Seq("event_type", "ts")
+    // three micro-batches over three days. Batch 2 re-sends event 2
+    // (dedup must hold through the tiered leg) and carries event 4 —
+    // a day-2 row, WITHIN the watermark, that lands AFTER the
+    // mid-stream tick demoted day 2: the live backfill the final
+    // tick must fold into the cold file as a union. (A days-late row
+    // would be dropped by the pipeline's watermark before ever
+    // reaching the raw leg — W4 — so the demoted-date backfill case
+    // is exactly this shape.)
+    val b1 = Seq(Ev(1, dts(1, 9), 10, "click", 1.0),
+      Ev(2, dts(1, 10), 11, "view", 2.0), Ev(3, dts(2, 9), 12, "click", 3.0))
+    val b2 = Seq(Ev(2, dts(1, 10), 11, "view", 2.0),
+      Ev(4, dts(2, 10), 10, "view", 4.0), Ev(5, dts(3, 9), 11, "click", 5.0))
+    val b3 = Seq(Ev(7, dts(3, 10), 10, "click", 7.0))
+    def tick(root: String): Seq[String] =
+      graft.serving.Maintenance.run(spark, Seq(graft.serving.Maintenance.Tier(
+        root, sortCols, hotDays = 0, nowDate = "2024-01-03",
+        absorbIngest = true, bloomCol = Some("event_id"),
+        coldBloomCols = Seq("user_id"))))
+    def run(tiered: Boolean): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tiered_pipe").toString
+      val mem = MemoryStream[Ev]
+      def drain(): Unit = {
+        val qs =
+          if (tiered) StreamingPipeline.startTiered(spark, mem.toDF(),
+            s"$dir/troot", s"$dir/rollup", s"$dir/topk", s"$dir/ckpt", k = 2,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          else StreamingPipeline.start(spark, mem.toDF(),
+            s"$dir/raw", s"$dir/rollup", s"$dir/topk", s"$dir/ckpt", k = 2,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        try qs.foreach(_.awaitTermination()) finally qs.foreach(_.stop())
+      }
+      mem.addData(b1); drain()
+      // mid-stream lifecycle tick: absorb batch 1, demote days 1-2
+      if (tiered) {
+        val msgs = tick(s"$dir/troot")
+        assert(msgs.exists(_.startsWith("absorbed:")), msgs.toString)
+        assert(msgs.exists(_.contains("p_date=2024-01-01")) &&
+          msgs.exists(_.contains("p_date=2024-01-02")), msgs.toString)
+      }
+      mem.addData(b2); drain()
+      mem.addData(b3); drain()
+      if (tiered) assert(tick(s"$dir/troot").exists(_.startsWith("absorbed:")))
+      dir
+    }
+    val flat = run(tiered = false)
+    val tiered = run(tiered = true)
+    // the serving legs must not notice the raw leg's storage shape
+    // (binary HLL sketches compare by md5 — Row.toString would show
+    // array identity, not content)
+    def sorted(d: String, table: String) = {
+      val df0 = spark.read.parquet(s"$d/$table").drop("batch_id")
+      val cols = df0.schema.fields.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.BinaryType)
+          md5(col(f.name)).as(f.name)
+        else col(f.name)
+      }
+      df0.select(cols.toIndexedSeq: _*).collect().map(_.toString).sorted.toSeq
+    }
+    assert(sorted(tiered, "rollup") === sorted(flat, "rollup"))
+    assert(sorted(tiered, "topk") === sorted(flat, "topk"))
+    // the tiered raw table serves the same deduped fact as the flat
+    // sink, with day 1 (including the post-demote backfill after the
+    // final tick folded it) cold and days 2-3 hot
+    import graft.serving.Tiered
+    val troot = s"$tiered/troot"
+    val raw = Tiered.read(spark, troot)
+    assert(raw.select($"event_id").as[Long].collect().toSet ===
+      spark.read.parquet(s"$flat/raw").select($"event_id").as[Long].collect().toSet)
+    assert(raw.count() === 6, "dedup lost or duplicated rows through the tiered leg")
+    val cold = Tiered.tier(spark, troot, "cold")
+      .select($"event_id").as[Long].collect().toSet
+    assert(cold === Set(1L, 2L, 3L, 4L),
+      s"days 1-2 (incl. event 4's post-demote backfill) not all cold: $cold")
+    // landing zone fully drained after the final tick
+    val landing = new java.io.File(Tiered.landingDir(troot))
+    assert(!landing.exists() ||
+      landing.listFiles().count(_.getName.startsWith("batch_id=")) === 0)
+  }
+
   test("rollup-state compaction between batches: identical topk + state view, fewer segment dirs") {
     implicit val sql = spark.sqlContext
     def run(compact: Boolean): String = {

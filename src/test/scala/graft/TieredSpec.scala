@@ -189,6 +189,115 @@ class TieredSpec extends SparkSuite {
     assert(ids(Tiered.read(spark, root)) === ids(ev))
   }
 
+  test("cold erase-key blooms prune discovery: a 2-of-N-dates erase reads a fraction of the archive") {
+    // the 100 TB right-to-be-forgotten shape: the archive's id column
+    // is high-cardinality (dictionary encoding falls back to plain —
+    // exactly what happens at real per-date volumes), so WITHOUT a
+    // bloom the affected-date discovery must read every cold date's
+    // id pages; WITH the demote-time bloom the reader skips every row
+    // group that cannot contain the id. Two identical roots, one knob.
+    // per-file surviving ROW GROUPS under the engine's own read-time
+    // filter stack (stats → dictionary → bloom), via parquet's reader
+    // directly: a skipped row group's pages are never read, so
+    // "0 row groups in the non-matching dates" IS the «-N-dates'-bytes
+    // claim, measured without byte-counter noise
+    def rowGroupsRead(root: String, uid: Long): Map[String, Int] = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.filter2.predicate.FilterApi
+      import org.apache.parquet.filter2.compat.FilterCompat
+      val conf = spark.sparkContext.hadoopConfiguration
+      val pred = FilterApi.eq(FilterApi.longColumn("user_id"),
+        java.lang.Long.valueOf(uid))
+      val f = fs(root)
+      f.listStatus(new Path(s"$root/cold")).filter(_.isDirectory).flatMap { d =>
+        f.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet")).map { file =>
+            val opts = org.apache.parquet.ParquetReadOptions.builder()
+              .withRecordFilter(FilterCompat.get(pred))
+              .useStatsFilter(true).useDictionaryFilter(true)
+              .useBloomFilter(true).build()
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromPath(file.getPath, conf), opts)
+            try d.getPath.getName.stripPrefix("p_date=") -> r.getRowGroups.size
+            finally r.close()
+          }
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    }
+
+    val nDates = 8
+    val perDate = 150000L // > parquet dictionary-page capacity for int64
+    val target = -7L
+    val sc = Seq("event_id")
+    val base = java.sql.Timestamp.valueOf("2024-04-01 00:00:00").getTime / 1000
+    val df = spark.range(0, nDates * perDate).select(
+      $"id".as("event_id"),
+      timestamp_seconds(lit(base) + floor($"id" / perDate) * 86400 +
+        pmod($"id", lit(1000))).as("ts"),
+      when(pmod($"id", lit(perDate)) === 137 &&
+          floor($"id" / perDate).isin(3, 6), target)
+        .otherwise(xxhash64($"id")).as("user_id"))
+    val bloomRoot = freshRoot(); val plainRoot = freshRoot()
+    for (r <- Seq(bloomRoot, plainRoot)) Tiered.build(spark, df, r, "ts", sc)
+    Tiered.demote(spark, bloomRoot, "9999-12-31", sc,
+      coldBloomCols = Seq("user_id"))
+    Tiered.demote(spark, plainRoot, "9999-12-31", sc)
+    def discover(root: String): Set[String] =
+      Tiered.read(spark, root).filter($"user_id" === target)
+        .select($"p_date".cast("string")).as[String].distinct().collect().toSet
+    val expect = Set("2024-04-04", "2024-04-07")
+    // discovery answers identically either way...
+    assert(discover(bloomRoot) === expect)
+    assert(discover(plainRoot) === expect)
+    // ...but the bloom root's filter stack drops every non-matching
+    // date's row groups (pages never read — only footer+bloom cost),
+    // while the plain root must read id pages of ALL N dates
+    val bloomRG = rowGroupsRead(bloomRoot, target)
+    val plainRG = rowGroupsRead(plainRoot, target)
+    info(s"row groups surviving the erase-key filter: bloom=$bloomRG plain=$plainRG")
+    assert(expect.forall(d => bloomRG(d) >= 1), s"matching dates lost: $bloomRG")
+    val nonMatching = bloomRG.view.filterKeys(!expect(_)).values.sum
+    assert(nonMatching === 0,
+      s"blooms failed to skip non-matching dates' row groups: $bloomRG")
+    assert(plainRG.values.forall(_ >= 1),
+      s"control broken: the bloom-less archive pruned anyway ($plainRG) — " +
+        "the fixture no longer isolates the bloom's effect")
+
+    // the erase itself works through the pruned path and KEEPS the
+    // archive blooms: a second user's discovery on the rewritten
+    // dates still prunes at the row-group level
+    val affected = Tiered.eraseUser(spark, bloomRoot, "user_id", target, sc,
+      coldBloomCols = Seq("user_id"))
+    assert(affected.toSet === expect.map(d => s"cold/p_date=$d"))
+    assert(Tiered.read(spark, bloomRoot).filter($"user_id" === target).count() === 0L)
+    val second = df.filter($"event_id" === 3L * perDate + 138)
+      .select($"user_id").as[Long].head()
+    val afterRG = rowGroupsRead(bloomRoot, second)
+    assert(afterRG("2024-04-04") >= 1 &&
+      afterRG.view.filterKeys(_ != "2024-04-04").values.sum === 0,
+      s"rewritten dates dropped their blooms: $afterRG")
+  }
+
+  test("eraseUser keeps a sharded cold layout: filesPerDate rides the erase rewrite") {
+    val (root, cutoff) = buildDemoted()
+    Tiered.demote(spark, root, cutoff, sortCols, filesPerDate = 3)
+    val user = Tiered.read(spark, root).filter($"p_date" < lit(cutoff))
+      .select($"user_id").orderBy($"user_id").as[Long].head()
+    val affected = Tiered.eraseUser(spark, root, "user_id", user, sortCols,
+      filesPerDate = 3)
+    val coldAffected = affected.filter(_.startsWith("cold/"))
+    assert(coldAffected.nonEmpty)
+    val f = fs(root)
+    // without the knob the rewrite would funnel each date back into
+    // ONE write task (ADVICE r13) — with it, up to 3 sorted files
+    val counts = coldAffected.map { rel =>
+      f.listStatus(new Path(s"$root/$rel"))
+        .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    }
+    assert(counts.forall(c => c >= 1 && c <= 3), counts.mkString(","))
+    assert(ids(Tiered.read(spark, root)) === ids(ev.filter($"user_id" =!= user)))
+  }
+
   test("demoting every date leaves an empty hot tier; reads serve cold only") {
     val (root, _) = buildDemoted()
     val demoted = Tiered.demote(spark, root, "9999-12-31", sortCols)
