@@ -93,6 +93,49 @@ object Media {
     }
   }
 
+  /** One media asset's content signature: 128-bit content hash (the
+    * exact-dup key) + a small dense embedding (the similarity key) —
+    * the NARROW row that shuffles in place of the payload.
+    */
+  case class MediaSignature(media_id: Long, content_hash: String,
+      embedding: Array[Double])
+
+  /** ==== STUB ==== deterministic 16-dim "embedding" of a payload:
+    * dim d accumulates (byte − 64) over positions ≡ d (mod 16). A
+    * real deployment replaces the body with a CLIP/audio encoder call
+    * over the decoded media; the contract is the SHAPE — a dense
+    * fixed-width vector computed payload-local, integer-exact so the
+    * SQL oracle replays it bit-for-bit.
+    */
+  def embedStub(bytes: Array[Byte]): Array[Double] = {
+    val v = new Array[Double](16)
+    var i = 0
+    while (i < bytes.length) {
+      v(i % 16) += (bytes(i) & 0xff) - 64
+      i += 1
+    }
+    v
+  }
+
+  /** Partition-local batch signature extraction: payload in, (hash,
+    * embedding) out — ONE pass over the bytes computes both tiers'
+    * keys, and the payload never leaves the scan partition. At 100 TB
+    * this is the step that makes media dedup shuffle-cheap: 40 bytes
+    * of hash + 128 bytes of vector per asset cross the exchange, the
+    * binary column never does.
+    */
+  def extractSignatures(spark: SparkSession, media: DataFrame): Dataset[MediaSignature] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { rec =>
+        md.reset()
+        val hash = md.digest(rec.bytes).map("%02x".format(_)).mkString
+        MediaSignature(rec.media_id, hash, embedStub(rec.bytes))
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: split the byte payload into
     * fixed-size "frames", keep every `stride`-th — the fan-out shape
     * (flatMap, 1 row → n rows) of real video frame extraction.

@@ -71,6 +71,35 @@ object MediaQueries {
         min(col("media_id")).as("first_media_id"))
       .filter(col("n_videos") >= 2L)
 
+  /** The media family's SIMILARITY tier, stacked on the exact tier:
+    * payloads collapse to one canonical asset per distinct content
+    * (min owning id — [[mediaDedup]]'s grouping), each canonical gets
+    * a stub embedding ([[graft.multimodal.Media.embedStub]]; a real
+    * deployment swaps in CLIP), and near-duplicate PAIRS come from
+    * random-hyperplane LSH banding with exact-cosine verification
+    * ([[graft.ops.Ann.rhpNearDupPairs]]) — duplicated-but-not-
+    * identical assets that whole-file hashing is blind to.
+    *
+    * Scale shape: signatures (hash + 16-dim vector) are computed
+    * payload-local in ONE pass; only they shuffle, the binary column
+    * never does, and the LSH exchange is hash-only with vectors
+    * fetched by id for candidates (the [[graft.ops.Ann]] invariant).
+    * Threshold 0.8 sits mid-gap in the fixture's similarity
+    * distribution (nearest pair sims 0.66 / 0.99), so the gate's
+    * boundary decisions are rounding-safe in both engines.
+    */
+  def mediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Media.extractSignatures(spark,
+      Media.mediaFromEvents(Tables.events(spark, dir))).toDF()
+    val canon = sig.groupBy(col("content_hash"))
+      .agg(min(col("media_id")).as("media_id"),
+        // identical bytes → identical embedding; first() is stable
+        first(col("embedding")).as("embedding"))
+      .select(col("media_id"), col("embedding"))
+    graft.ops.Ann.rhpNearDupPairs(canon, threshold = 0.8,
+      idCol = "media_id", vecCol = "embedding")
+  }
+
   /** Content-hash media dedup built through the STREAMING ingest leg
     * ([[graft.streaming.MediaIngest]]): id-ordered event thirds land
     * as per-batch (hash, min-id, count) deltas, the read is the
@@ -105,6 +134,7 @@ object MediaQueries {
       |FROM events GROUP BY 1""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "q_media_neardup" -> (mediaNearDup _),
     "q_media_dedup_stream" -> (mediaDedupStream _),
     "q_media_frame_overlap" -> (frameOverlap _),
     "q_media_dedup" -> (mediaDedup _),
@@ -114,6 +144,45 @@ object MediaQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // full replay of the similarity tier: canonical payload per
+    // distinct content (min owning id), the 16-dim byte-fold stub
+    // embedding (dim d sums byte-64 over positions ≡ d mod 16; props
+    // are ASCII so ascii(char) = byte), hyperplanes from the 64
+    // lowest-id canonicals pairwise (bit = dot-vs-dot), 4 bands × 8
+    // bits, band-collision candidates, exact cosine verify at 0.8
+    "q_media_neardup" ->
+      """WITH canon AS (
+        |  SELECT CAST(min(event_id) AS BIGINT) AS media_id,
+        |    list_transform(range(0, 16), d ->
+        |      coalesce(list_sum(list_transform(range(1 + d, strlen(props) + 1, 16),
+        |        i -> ascii(substring(props, CAST(i AS INTEGER), 1)) - 64.0)), 0.0)) AS v
+        |  FROM events GROUP BY props
+        |), pl AS (
+        |  SELECT row_number() OVER (ORDER BY media_id) - 1 AS r, v
+        |  FROM canon ORDER BY media_id LIMIT 64
+        |), hp AS (
+        |  SELECT CAST(a.r // 2 AS INT) AS i, a.v AS va, b.v AS vb
+        |  FROM pl a JOIN pl b ON b.r = a.r + 1 WHERE a.r % 2 = 0
+        |), sig AS (
+        |  SELECT c.media_id, h.i,
+        |    CASE WHEN list_dot_product(c.v, h.va)
+        |          >= list_dot_product(c.v, h.vb)
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM canon c CROSS JOIN hp h
+        |), band AS (
+        |  SELECT media_id, i // 8 AS band,
+        |         CAST(SUM(bit << (i % 8)) AS BIGINT) AS bv
+        |  FROM sig GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        |  FROM band a JOIN band b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
+        |)
+        |SELECT c.id_a, c.id_b
+        |FROM cand c
+        |JOIN canon ea ON ea.media_id = c.id_a
+        |JOIN canon eb ON eb.media_id = c.id_b
+        |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.8""".stripMargin,
     // same kept-chunk rule as q_media_frame_stats (offsets 16·g, 8
     // bytes, substring truncates at end-of-payload exactly like the
     // Spark slice); props are ASCII so md5(VARCHAR) = md5(bytes)

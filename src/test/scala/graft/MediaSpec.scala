@@ -16,6 +16,49 @@ class MediaSpec extends SparkSuite {
     assert(joined.filter(col("checksum") =!= col("n_bytes") * 31 + col("header_byte")).count() === 0)
   }
 
+  test("signature extraction: one pass yields the exact-dup hash and the stub embedding") {
+    val bytes = "hello-media".getBytes("UTF-8")
+    val media = Seq((1L, "image", bytes, "x"), (2L, "image", bytes, "x"),
+      (3L, "audio", "other".getBytes("UTF-8"), "y"))
+      .toDF("media_id", "kind", "bytes", "source")
+    val sig = Media.extractSignatures(spark, media).collect()
+    // identical payloads → identical (hash, embedding); distinct differ
+    val byId = sig.map(s => s.media_id -> s).toMap
+    assert(byId(1L).content_hash === byId(2L).content_hash)
+    assert(byId(1L).embedding.toSeq === byId(2L).embedding.toSeq)
+    assert(byId(1L).content_hash !== byId(3L).content_hash)
+    // the embedding is the byte-fold: dim d sums (byte-64) at pos ≡ d mod 16
+    val expect = Array.tabulate(16)(d =>
+      bytes.indices.filter(_ % 16 == d).map(i => (bytes(i) & 0xff) - 64).sum.toDouble)
+    assert(byId(1L).embedding.toSeq === expect.toSeq)
+    // and the hash is the same md5 the exact-dup tier groups on
+    val sqlMd5 = media.filter(col("media_id") === 1)
+      .select(md5(col("bytes"))).head().getString(0)
+    assert(byId(1L).content_hash === sqlMd5)
+  }
+
+  test("media near-dup pairs only canonical ids and only genuinely similar contents") {
+    val pairs = graft.queries.MediaQueries.mediaNearDup(spark, sfDir)
+    val got = pairs.select($"id_a", $"id_b")
+      .as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b) => a < b }, "unordered pair leaked")
+    // ids are the exact-tier canonicals (min owning id per content)
+    val canon = graft.queries.MediaQueries.mediaDedup(spark, sfDir)
+      .select($"canonical_id").as[Long].collect().toSet
+    assert(got.forall { case (a, b) => canon(a) && canon(b) },
+      "pair references a non-canonical asset id")
+    // every reported pair really clears the cosine threshold
+    val sig = Media.extractSignatures(spark,
+      Media.mediaFromEvents(Tables.events(spark, sfDir))).collect()
+      .map(s => s.media_id -> s.embedding).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(got.forall { case (a, b) => cos(sig(a), sig(b)) >= 0.8 })
+  }
+
   test("frame sampling keeps every stride-th chunk with correct sizes") {
     val one = Seq((1L, "video", "0123456789abcdefghij".getBytes, "x"))
       .toDF("media_id", "kind", "bytes", "source")
