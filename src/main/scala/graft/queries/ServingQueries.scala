@@ -371,21 +371,20 @@ object ServingQueries {
       val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
       val cuts = Seq(maxId / 3, 2 * maxId / 3)
       val cutoff = midDate(spark, dir)
-      val landing = graft.serving.Tiered.landingDir(p)
       def tick(): Unit = {
         graft.serving.Maintenance.run(spark, Seq(graft.serving.Maintenance.Tier(
           p, sortCols, hotDays = 0, nowDate = cutoff, absorbIngest = true,
           bloomCol = Some("event_id"), coldBloomCols = Seq("user_id"))))
         ()
       }
-      graft.streaming.StreamingPipeline.writeBatchIdempotent(
-        ev.filter(col("event_id") <= cuts(0)), 0L, landing)
-      graft.streaming.StreamingPipeline.writeBatchIdempotent(
+      graft.serving.Tiered.landBatch(
+        ev.filter(col("event_id") <= cuts(0)), 0L, p)
+      graft.serving.Tiered.landBatch(
         ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
-        1L, landing)
+        1L, p)
       tick()
-      graft.streaming.StreamingPipeline.writeBatchIdempotent(
-        ev.filter(col("event_id") > cuts(1)), 2L, landing)
+      graft.serving.Tiered.landBatch(
+        ev.filter(col("event_id") > cuts(1)), 2L, p)
       tick()
     }
     tieredDailyOf(spark, root)

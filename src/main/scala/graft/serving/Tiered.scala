@@ -117,6 +117,27 @@ object Tiered {
     */
   def landingDir(root: String): String = s"$root/landing"
 
+  private def landingMarker(root: String, batchId: Long) =
+    new Path(s"${landingDir(root)}/_done.batch_id=$batchId")
+
+  /** Land one micro-batch exactly-once: batch-id dynamic-partition
+    * overwrite (a replay rewrites its own partition), then a commit
+    * MARKER file. [[absorb]] folds only marked batches — without the
+    * marker, a maintenance tick on another thread could list the
+    * landing while a batch's files are mid-write and fold a partial
+    * batch; the marker is created strictly after the partition write
+    * returns, and a replayed batch re-creates it after re-overwriting
+    * (both idempotent). Underscore-prefixed, so parquet directory
+    * reads of the landing never see it.
+    */
+  def landBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
+    graft.streaming.StreamingPipeline.writeBatchIdempotent(
+      batch, batchId, landingDir(root))
+    val f = fs(batch.sparkSession, root)
+    val out = f.create(landingMarker(root, batchId), true)
+    out.close()
+  }
+
   private def absorbWatermark(spark: SparkSession, root: String): Long = {
     val p = new Path(s"$root/absorb_wm")
     if (!fs(spark, root).exists(p)) -1L
@@ -124,12 +145,13 @@ object Tiered {
       .select(col("max_batch_id")).head().getLong(0)
   }
 
-  /** Fold every landed batch newer than the absorb watermark into the
-    * HOT tier — the streaming half of the Pinot realtime→offline
-    * relocation, run from the maintenance tick. The landing zone is
-    * written exactly-once by the pipeline (batch-id dynamic
-    * overwrite, [[graft.streaming.StreamingPipeline
-    * .writeBatchIdempotent]]); this fold is exactly-once too because
+  /** Fold every landed-AND-MARKED batch newer than the absorb
+    * watermark into the HOT tier — the streaming half of the Pinot
+    * realtime→offline relocation, run from the maintenance tick. The
+    * landing zone is written exactly-once by the pipeline
+    * ([[landBatch]]: batch-id dynamic overwrite + commit marker, so a
+    * tick racing an in-flight landing write skips the unmarked
+    * batch); this fold is exactly-once too because
     * the affected hot dates' rewrite (existing rows ∪ new batches, an
     * idempotent [[EraseStage.Swap]]) and the watermark bump (an
     * idempotent Overwrite) commit under ONE staged manifest: a crash
@@ -156,22 +178,30 @@ object Tiered {
       if (!f.exists(landing)) Seq.empty
       else {
         val wm = absorbWatermark(spark, root)
-        val batchIds = f.listStatus(landing).toSeq.filter(_.isDirectory)
-          .map(_.getPath.getName).filter(_.startsWith("batch_id="))
-          .map(_.stripPrefix("batch_id=").toLong).sorted
+        // only batches whose COMMIT MARKER exists fold: a batch whose
+        // landing write is in flight on the pipeline thread has no
+        // marker yet and is left for the next tick ([[landBatch]])
+        val batchIds = f.listStatus(landing).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("_done.batch_id="))
+          .map(_.stripPrefix("_done.batch_id=").toLong)
+          .filter(b => f.exists(new Path(s"${landingDir(root)}/batch_id=$b")))
+          .sorted
         // already-absorbed debris (a replayed landing write after its
         // batch was folded): swept, never re-folded
-        batchIds.filter(_ <= wm).foreach(b =>
-          f.delete(new Path(s"${landingDir(root)}/batch_id=$b"), true))
+        batchIds.filter(_ <= wm).foreach { b =>
+          f.delete(new Path(s"${landingDir(root)}/batch_id=$b"), true)
+          f.delete(landingMarker(root, b), false)
+        }
         val fresh = batchIds.filter(_ > wm)
         if (fresh.isEmpty) Seq.empty
         else {
           // mergeSchema is bounded here: the landing holds only the
-          // batches since the last tick, not the table's history
+          // batches since the last tick, not the table's history.
+          // The read pins the MARKED fresh set explicitly — an
+          // unmarked batch directory mid-write on the pipeline thread
+          // must not leak into the fold through the directory listing
           val landRaw = spark.read.option("mergeSchema", "true")
-            .parquet(landingDir(root))
-            .filter(col("batch_id") > wm)
-            .drop("batch_id")
+            .parquet(fresh.map(b => s"${landingDir(root)}/batch_id=$b"): _*)
             .withColumn("p_date", to_date(col(tsCol)))
           val landRows =
             if (graft.tables.Evolve.hasRegistry(spark, root))
@@ -192,8 +222,10 @@ object Tiered {
               bloomCol.map(c =>
                 s"parquet.bloom.filter.enabled#$c" -> "true").toMap) -> staged,
             EraseStage.Overwrite("absorb_wm") -> wmDf))
-          fresh.foreach(b =>
-            f.delete(new Path(s"${landingDir(root)}/batch_id=$b"), true))
+          fresh.foreach { b =>
+            f.delete(new Path(s"${landingDir(root)}/batch_id=$b"), true)
+            f.delete(landingMarker(root, b), false)
+          }
           fresh
         }
       }

@@ -257,8 +257,7 @@ object StreamingPipeline {
       k: Int = 5,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): Seq[StreamingQuery] =
     startWith(spark, source,
-      (batch, id) => writeBatchIdempotent(batch, id,
-        graft.serving.Tiered.landingDir(tieredRawRoot)),
+      (batch, id) => graft.serving.Tiered.landBatch(batch, id, tieredRawRoot),
       rollupPath, topkPath, checkpointRoot, k, trigger)
 
   private def startWith(

@@ -298,6 +298,42 @@ class TieredSpec extends SparkSuite {
     assert(ids(Tiered.read(spark, root)) === ids(ev.filter($"user_id" =!= user)))
   }
 
+  test("absorb folds only marked batches: an in-flight landing write is skipped, then folds once marked") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = freshRoot()
+    val sc = Seq("event_id")
+    Tiered.landBatch(Seq((1L, t("2024-05-01 10:00:00"), 10L))
+      .toDF("event_id", "ts", "user_id"), 0L, root)
+    // batch 1's directory exists but its marker doesn't — exactly the
+    // state a tick sees while the pipeline thread is mid-write
+    Seq((2L, t("2024-05-01 11:00:00"), 11L))
+      .toDF("event_id", "ts", "user_id")
+      .write.parquet(s"${Tiered.landingDir(root)}/batch_id=1")
+    assert(Tiered.absorb(spark, root, "ts", sc) === Seq(0L),
+      "absorb must fold only the marked batch")
+    assert(ids(Tiered.read(spark, root)) === Set(1L))
+    assert(fs(root).exists(
+      new Path(s"${Tiered.landingDir(root)}/batch_id=1")),
+      "absorb deleted an unmarked (in-flight) batch")
+    // the write "completes" (marker lands) → the next tick folds it
+    fs(root).create(
+      new Path(s"${Tiered.landingDir(root)}/_done.batch_id=1"), true).close()
+    assert(Tiered.absorb(spark, root, "ts", sc) === Seq(1L))
+    assert(ids(Tiered.read(spark, root)) === Set(1L, 2L))
+    // idempotent: nothing fresh, nothing re-folded
+    assert(Tiered.absorb(spark, root, "ts", sc).isEmpty)
+    assert(Tiered.read(spark, root).count() === 2L)
+    // a replayed landing write for an already-absorbed batch id is
+    // swept on the next tick, never re-folded
+    Tiered.landBatch(Seq((1L, t("2024-05-01 10:00:00"), 10L))
+      .toDF("event_id", "ts", "user_id"), 0L, root)
+    assert(Tiered.absorb(spark, root, "ts", sc).isEmpty)
+    assert(Tiered.read(spark, root).count() === 2L)
+    assert(!fs(root).exists(
+      new Path(s"${Tiered.landingDir(root)}/batch_id=0")),
+      "replayed already-absorbed batch not swept")
+  }
+
   test("demoting every date leaves an empty hot tier; reads serve cold only") {
     val (root, _) = buildDemoted()
     val demoted = Tiered.demote(spark, root, "9999-12-31", sortCols)
