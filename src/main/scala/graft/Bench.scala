@@ -115,6 +115,7 @@ object Bench {
     // sit at scheduler-jitter scale, and the ≤200 ms BASELINE bar is
     // the one claim that needs a stable floor across bench runs.
     val servingFamily = Set("q_topk_lookup_served", "q_topk_lookup_revenue",
+      "q_tiered_recent",
       "q_topk_lookup_replica", "q_api_topk_global", "q_api_topk_restaurant",
       "q_api_topk_revenue", "q_api_distinct_users", "q_api_distinct_exact",
       "q_api_percentiles",

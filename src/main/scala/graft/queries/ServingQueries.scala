@@ -104,6 +104,24 @@ object ServingQueries {
     graft.serving.Router.hybridHourlyByTypeTiered(spark, dir,
       tieredRoot(spark, dir))
 
+  /** Serving-latency-class read THROUGH the tiered store: last-24 h
+    * counts+revenue by type, with an explicit `p_date` floor so the
+    * scan directory-prunes both tiers — the measured claim that the
+    * archive tier costs the serving path nothing (the bench reports
+    * this gate in milliseconds next to the `q_api_*` family; the plan
+    * half of the claim is RouterSpec's zero-cold-files assert).
+    */
+  def tieredRecent(spark: SparkSession, dir: String): DataFrame = {
+    val root = tieredRoot(spark, dir)
+    val cutMs = graft.serving.Serving.anchorMs(spark, dir) - 24L * hourMs
+    graft.serving.Tiered.read(spark, root)
+      .filter(col("p_date") >= lit(graft.serving.Serving.utcDate(cutMs)))
+      .filter(unix_millis(col("ts")) >= cutMs)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("value_cents")).as("total_cents"))
+  }
+
   /** Incremental CUMULATE ([[graft.serving.Router
     * .cumulateDailyFromHourly]]): expanding daily windows folded
     * forward from the hourly serving agg. Hash-checked against the
@@ -497,6 +515,7 @@ object ServingQueries {
     "q_evolved_daily" -> (evolvedDaily _),
     "q_hybrid_hourly" -> (hybridHourly _),
     "q_hybrid_tiered" -> (hybridTiered _),
+    "q_tiered_recent" -> (tieredRecent _),
     "q_cumulate_daily_routed" -> (cumulateDailyRouted _),
     "q_percentile_served" -> (percentilesServed _),
     "q_startree_by_type" -> (starTreeByType _),
@@ -644,6 +663,16 @@ object ServingQueries {
          |  count(*) AS order_count,
          |  CAST(SUM($cents) AS BIGINT) AS total_cents
          |FROM events GROUP BY 1, 2""".stripMargin,
+    // the recent-window serving read through the tiers: the archive's
+    // existence must change neither the answer nor (bench-measured)
+    // the latency class
+    "q_tiered_recent" ->
+      s"""SELECT event_type, count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS total_cents
+         |FROM events
+         |WHERE epoch_ms(ts) >= (SELECT epoch_ms(max(ts)) FROM events)
+         |  - 24::BIGINT*3600*1000
+         |GROUP BY 1""".stripMargin,
     "q_topk_lookup_served" ->
       s"""SELECT window_start_ms, CAST(rnk AS BIGINT) AS rank, user_id, order_count, total_cents FROM (
          |  SELECT window_start_ms, user_id, order_count, total_cents,

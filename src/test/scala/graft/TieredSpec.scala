@@ -334,6 +334,29 @@ class TieredSpec extends SparkSuite {
       "replayed already-absorbed batch not swept")
   }
 
+  test("absorb rewrites only the dates the landed batches touch") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = freshRoot()
+    Tiered.build(spark, Seq(
+      (1L, t("2024-06-01 10:00:00"), 10L),
+      (2L, t("2024-06-02 10:00:00"), 11L),
+      (3L, t("2024-06-03 10:00:00"), 12L)).toDF("event_id", "ts", "user_id"),
+      root, "ts", Seq("event_id"))
+    val f = fs(root)
+    def snapshot(d: String) = f.listStatus(new Path(s"$root/hot/p_date=$d"))
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+    val untouched = Seq("2024-06-01", "2024-06-03").map(d => d -> snapshot(d))
+    Tiered.landBatch(Seq((4L, t("2024-06-02 11:00:00"), 13L))
+      .toDF("event_id", "ts", "user_id"), 0L, root)
+    assert(Tiered.absorb(spark, root, "ts", Seq("event_id")) === Seq(0L))
+    assert(ids(Tiered.read(spark, root)) === Set(1L, 2L, 3L, 4L))
+    // the fold's cost is bounded by the TOUCHED dates: day 1 and day
+    // 3's files are byte- and mtime-identical after the tick
+    untouched.foreach { case (d, snap) =>
+      assert(snapshot(d) === snap, s"absorb rewrote untouched date $d")
+    }
+  }
+
   test("demoting every date leaves an empty hot tier; reads serve cold only") {
     val (root, _) = buildDemoted()
     val demoted = Tiered.demote(spark, root, "9999-12-31", sortCols)
@@ -388,11 +411,15 @@ class TieredSpec extends SparkSuite {
     val days = (1 to 6).map(d => f"2024-02-0$d")
     sealed trait Op
     case class Ingest(day: Int, n: Int) extends Op
+    case class Land(day: Int, n: Int) extends Op
+    case object Absorb extends Op
     case class Demote(cutoff: Int) extends Op
     case class Retain(before: Int) extends Op
     case class Erase(pick: Int) extends Op
     val genOp: Gen[Op] = Gen.frequency(
       4 -> Gen.zip(Gen.choose(0, 5), Gen.choose(1, 4)).map((Ingest.apply _).tupled),
+      3 -> Gen.zip(Gen.choose(0, 5), Gen.choose(1, 4)).map((Land.apply _).tupled),
+      2 -> Gen.const(Absorb),
       3 -> Gen.choose(0, 6).map(Demote(_)),
       1 -> Gen.choose(0, 3).map(Retain(_)),
       2 -> Gen.choose(0, 100).map(Erase(_)))
@@ -405,8 +432,12 @@ class TieredSpec extends SparkSuite {
       }
     val prop = Prop.forAll(genOps) { ops =>
       val root = freshRoot()
-      // model: date index -> (hot ids, cold ids)
+      // model: date index -> (hot ids, cold ids); LANDED batches are
+      // invisible to reads until an Absorb tick folds them into hot
       val model = scala.collection.mutable.Map((0 to 5).map(_ -> ((Set.empty[Long], Set.empty[Long]))): _*)
+      val pending = scala.collection.mutable.Map
+        .empty[Int, Set[Long]].withDefaultValue(Set.empty)
+      var nextBatch = 0L
       val seed = rowsFor(0, 2) ++ rowsFor(3, 2)
       Tiered.build(spark, seed.toDF("event_id", "ts", "user_id"), root, "ts", Seq("event_id"))
       seed.foreach { case (id, ts, _) =>
@@ -419,6 +450,18 @@ class TieredSpec extends SparkSuite {
           Tiered.ingest(spark, rows.toDF("event_id", "ts", "user_id"),
             root, "ts", Seq("event_id"))
           model(day) = (model(day)._1 ++ rows.map(_._1), model(day)._2)
+        case Land(day, n) =>
+          val rows = rowsFor(day, n)
+          Tiered.landBatch(rows.toDF("event_id", "ts", "user_id"),
+            nextBatch, root)
+          nextBatch += 1
+          pending(day) = pending(day) ++ rows.map(_._1)
+        case Absorb =>
+          Tiered.absorb(spark, root, "ts", Seq("event_id"))
+          pending.foreach { case (d, ids) =>
+            model(d) = (model(d)._1 ++ ids, model(d)._2)
+          }
+          pending.clear()
         case Demote(cutoff) =>
           Tiered.demote(spark, root, days.lift(cutoff).getOrElse("2024-02-07"),
             Seq("event_id"))
