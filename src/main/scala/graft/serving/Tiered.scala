@@ -91,7 +91,13 @@ object Tiered {
       sortCols: Seq[String], bloomCol: Option[String] = None): Unit =
     Lease.withLease(spark, root, "tiered-build") {
       EraseStage.recover(spark, root)
-      fs(spark, root).delete(new Path(s"$root/cold"), true)
+      val f = fs(spark, root)
+      f.delete(new Path(s"$root/cold"), true)
+      // a REBUILD resets the streaming lifecycle too: a stale absorb
+      // watermark would silently sweep a fresh pipeline's first
+      // batches (ids restart at 0 ≤ old wm) without folding them
+      f.delete(new Path(landingDir(root)), true)
+      f.delete(new Path(s"$root/absorb_wm"), true)
       graft.tables.TableManager.writePartitioned(
         df, s"$root/hot", tsCol, sortCols, bloomCol)
     }
@@ -193,15 +199,32 @@ object Tiered {
           f.delete(landingMarker(root, b), false)
         }
         val fresh = batchIds.filter(_ > wm)
+        // a marked batch can be legitimately EMPTY of parquet files:
+        // eraseUser rewrites a landed batch whose every row belonged
+        // to the erased user as an empty directory (the staged-commit
+        // shape keeps the erase atomic). Such batches still advance
+        // the watermark and sweep; only non-empty ones fold.
+        val nonEmpty = fresh.filter(b =>
+          f.listStatus(new Path(s"${landingDir(root)}/batch_id=$b"))
+            .exists(_.getPath.getName.endsWith(".parquet")))
         if (fresh.isEmpty) Seq.empty
-        else {
+        else if (nonEmpty.isEmpty) {
+          EraseStage.run(spark, root, Seq(
+            EraseStage.Overwrite("absorb_wm") -> spark.range(1)
+              .select(lit(fresh.max).as("max_batch_id"))))
+          fresh.foreach { b =>
+            f.delete(new Path(s"${landingDir(root)}/batch_id=$b"), true)
+            f.delete(landingMarker(root, b), false)
+          }
+          fresh
+        } else {
           // mergeSchema is bounded here: the landing holds only the
           // batches since the last tick, not the table's history.
           // The read pins the MARKED fresh set explicitly — an
           // unmarked batch directory mid-write on the pipeline thread
           // must not leak into the fold through the directory listing
           val landRaw = spark.read.option("mergeSchema", "true")
-            .parquet(fresh.map(b => s"${landingDir(root)}/batch_id=$b"): _*)
+            .parquet(nonEmpty.map(b => s"${landingDir(root)}/batch_id=$b"): _*)
             .withColumn("p_date", to_date(col(tsCol)))
           val landRows =
             if (graft.tables.Evolve.hasRegistry(spark, root))
@@ -331,7 +354,11 @@ object Tiered {
     * CALLER's to declare, the same contract as
     * [[graft.tables.TableManager.eraseUser]]: pass the build's
     * `bloomCol` or the rewritten hot dates lose their bloom filters.
-    * Returns `tier/p_date` strings affected.
+    * The LANDING zone is scrubbed too: a landed-but-unabsorbed batch
+    * holding the user rewrites under the same manifest (the user must
+    * not resurface at the next absorb tick), and absorbed-but-unswept
+    * landing debris is deleted. Returns `tier/p_date` (and
+    * `landing/batch_id=<b>`) strings affected.
     */
   def eraseUser(spark: SparkSession, root: String, idCol: String,
       value: Long, sortCols: Seq[String],
@@ -340,7 +367,7 @@ object Tiered {
       filesPerDate: Int = 1): Seq[String] =
     Lease.withLease(spark, root, "tiered-erase") {
       EraseStage.recover(spark, root)
-      val legs = Seq("hot", "cold")
+      val tierLegs = Seq("hot", "cold")
         .filter(liveTier(spark, root, _))
         .flatMap { t =>
           val frame = tierFrame(spark, root, t)
@@ -365,6 +392,38 @@ object Tiered {
               affected.map(d => s"$t/p_date=$d")))
           }
         }
+      // the LANDING zone is part of the table for right-to-be-
+      // forgotten purposes: a user's rows in a landed-but-unabsorbed
+      // batch would otherwise survive the erase and RESURFACE at the
+      // next absorb tick. Marked unabsorbed batches holding the user
+      // rewrite (same staged manifest — a crash can't leave the user
+      // gone from the tiers but pending in the landing); absorbed-but-
+      // unswept debris (≤ watermark) is deleted outright, it can
+      // never fold again.
+      val f = fs(spark, root)
+      val landingLegs =
+        if (!f.exists(new Path(landingDir(root)))) Nil
+        else {
+          val wm = absorbWatermark(spark, root)
+          val marked = f.listStatus(new Path(landingDir(root))).toSeq
+            .map(_.getPath.getName).filter(_.startsWith("_done.batch_id="))
+            .map(_.stripPrefix("_done.batch_id=").toLong)
+            .filter(b => f.exists(new Path(s"${landingDir(root)}/batch_id=$b")))
+            .sorted
+          marked.filter(_ <= wm).foreach { b =>
+            f.delete(new Path(s"${landingDir(root)}/batch_id=$b"), true)
+            f.delete(landingMarker(root, b), false)
+          }
+          marked.filter(_ > wm).flatMap { b =>
+            val dir = s"${landingDir(root)}/batch_id=$b"
+            val batch = spark.read.parquet(dir)
+            if (batch.filter(col(idCol) === value).isEmpty) Nil
+            else Seq((EraseStage.Overwrite(s"landing/batch_id=$b")
+              -> batch.filter(col(idCol) =!= value),
+              Seq(s"landing/batch_id=$b")))
+          }
+        }
+      val legs = tierLegs ++ landingLegs
       if (legs.isEmpty) Seq.empty
       else {
         EraseStage.run(spark, root, legs.map(_._1))

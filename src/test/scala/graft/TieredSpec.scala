@@ -334,6 +334,64 @@ class TieredSpec extends SparkSuite {
       "replayed already-absorbed batch not swept")
   }
 
+  test("eraseUser scrubs landed-but-unabsorbed batches: the user cannot resurface at the next tick") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = freshRoot()
+    val sc = Seq("event_id")
+    Tiered.build(spark, Seq(
+      (1L, t("2024-07-01 10:00:00"), 10L),
+      (2L, t("2024-07-02 10:00:00"), 77L)).toDF("event_id", "ts", "user_id"),
+      root, "ts", sc)
+    // user 77 also sits in a landed, not-yet-absorbed batch — and a
+    // second landed batch holds ONLY user 77 (rewrites to empty)
+    Tiered.landBatch(Seq(
+      (3L, t("2024-07-02 11:00:00"), 77L),
+      (4L, t("2024-07-02 12:00:00"), 11L)).toDF("event_id", "ts", "user_id"),
+      0L, root)
+    Tiered.landBatch(Seq((5L, t("2024-07-02 13:00:00"), 77L))
+      .toDF("event_id", "ts", "user_id"), 1L, root)
+    val affected = Tiered.eraseUser(spark, root, "user_id", 77L, sc)
+    assert(affected.contains("landing/batch_id=0") &&
+      affected.contains("landing/batch_id=1"), affected.toString)
+    // the tick that follows must NOT bring user 77 back, and must not
+    // choke on the now-EMPTY batch 1 (it advances the watermark)
+    assert(Tiered.absorb(spark, root, "ts", sc) === Seq(0L, 1L))
+    val after = Tiered.read(spark, root)
+    assert(after.filter($"user_id" === 77L).count() === 0L,
+      "erased user resurfaced from the landing zone")
+    assert(ids(after) === Set(1L, 4L), "innocent landed rows lost")
+    // landing fully drained, including the emptied batch (only write
+    // committer debris like _SUCCESS may remain)
+    val landingFiles = Option(
+      new java.io.File(Tiered.landingDir(root)).listFiles()).toSeq.flatten
+    assert(!landingFiles.exists(f => f.getName.startsWith("batch_id=") ||
+      f.getName.startsWith("_done.")),
+      s"landing not drained: ${landingFiles.map(_.getName).mkString(",")}")
+  }
+
+  test("absorb conforms landed batches to an evolved registry: no column drop through the fold") {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = freshRoot()
+    Tiered.build(spark, Seq((1L, t("2024-08-01 10:00:00"), 10L))
+      .toDF("event_id", "ts", "user_id"), root, "ts", Seq("event_id"))
+    graft.tables.Evolve.register(spark, root, Tiered.read(spark, root).schema)
+    graft.tables.Evolve.addColumn(spark, root,
+      StructField("score", LongType), "-1")
+    // a PRE-evolution producer lands a batch without the new column
+    // (mixed-version fleet mid-rollout); the fold must fill the
+    // registered default, not drop or null the column
+    Tiered.landBatch(Seq((2L, t("2024-08-01 11:00:00"), 11L))
+      .toDF("event_id", "ts", "user_id"), 0L, root)
+    // and a POST-evolution producer lands real values
+    Tiered.landBatch(Seq((3L, t("2024-08-01 12:00:00"), 12L, 9L))
+      .toDF("event_id", "ts", "user_id", "score"), 1L, root)
+    assert(Tiered.absorb(spark, root, "ts", Seq("event_id")) === Seq(0L, 1L))
+    val out = Tiered.read(spark, root)
+      .select($"event_id", $"score").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> -1L, 2L -> -1L, 3L -> 9L))
+  }
+
   test("absorb rewrites only the dates the landed batches touch") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val root = freshRoot()
