@@ -59,9 +59,13 @@ object ScaleBench {
     val missing = picks.filterNot(qs.contains)
     require(missing.isEmpty, s"unknown gates: ${missing.mkString(",")}")
     val rows = graft.Tables.events(spark, sfDir).count()
+    // "skipbatch" runs only the requested stream/tiered legs — their
+    // fixtures are self-contained, so re-timing the batch picks would
+    // just burn the box
+    val runPicks = !args.contains("skipbatch")
     // warm pass (JIT/codegen/footers + lazy index roots), then timed
-    picks.foreach(n => qs(n)(spark, sfDir).count())
-    val timed = picks.map { n =>
+    if (runPicks) picks.foreach(n => qs(n)(spark, sfDir).count())
+    val timed = if (!runPicks) Nil else picks.map { n =>
       val t0 = System.nanoTime()
       qs(n)(spark, sfDir).count()
       n -> (System.nanoTime() - t0) / 1e9
@@ -82,8 +86,76 @@ object ScaleBench {
           Double.box(early), Double.box(late),
           Double.box(earlyT), Double.box(lateT))
       }
-    println(s"""{"metric":"scale","sf":"$sfDir","event_rows":$rows,"queries":$detail$stream}""")
+    val tiered =
+      if (!args.contains("tiered")) ""
+      else {
+        // paired archive sizes: the tick and the erase must be
+        // bounded by TOUCHED dates / matching row groups, not by how
+        // much history the archive holds
+        val (tick1, erase1) = tieredSlope(spark, archiveDates = 12)
+        val (tick2, erase2) = tieredSlope(spark, archiveDates = 120)
+        String.format(java.util.Locale.ROOT,
+          ""","tier_tick_s_12":%.2f,"tier_tick_s_120":%.2f""" +
+            ""","tier_erase_s_12":%.2f,"tier_erase_s_120":%.2f""",
+          Double.box(tick1), Double.box(tick2),
+          Double.box(erase1), Double.box(erase2))
+      }
+    println(s"""{"metric":"scale","sf":"$sfDir","event_rows":$rows,"queries":$detail$stream$tiered}""")
     spark.stop()
+  }
+
+  /** The TIERED-LIFECYCLE half of the scale question: the maintenance
+    * tick (absorb one landed batch + demote) must cost what the batch
+    * TOUCHES — one date's fold — and a right-to-be-forgotten erase
+    * must cost the MATCHING dates plus footer/bloom probes, however
+    * large the archive. Builds a root whose cold tier holds
+    * `archiveDates` dates (erase-key blooms on), then measures (a)
+    * one absorb+demote tick for a single 1-date landed batch and (b)
+    * one eraseUser whose rows sit in exactly 2 cold dates. Run at
+    * 12 vs 120 archive dates: a tick/erase scaling with the 10×
+    * archive instead of the touched set is the cliff this measures.
+    * Returns (tick seconds, erase seconds).
+    */
+  def tieredSlope(spark: SparkSession, archiveDates: Int,
+      rowsPerDate: Int = 20000): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    import graft.serving.{Maintenance, Tiered}
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_scale_tier_$archiveDates").toString
+    val sortCols = Seq("event_id")
+    val target = -7L
+    val day0 = java.time.LocalDate.parse("2023-01-01")
+    val base = java.sql.Timestamp.valueOf("2023-01-01 00:00:00").getTime / 1000
+    def rowsFor(dateIdx: Int, n: Int) = spark.range(n).select(
+      (col("id") + dateIdx.toLong * rowsPerDate).as("event_id"),
+      timestamp_seconds(lit(base) + lit(dateIdx.toLong) * 86400 +
+        pmod(col("id"), lit(1000))).as("ts"),
+      when(col("id") === 137 && lit(dateIdx == 3 || dateIdx == 8), target)
+        .otherwise(xxhash64(col("id") + dateIdx.toLong * rowsPerDate))
+        .as("user_id"))
+    val archive = (0 until archiveDates)
+      .map(rowsFor(_, rowsPerDate)).reduce(_ unionByName _)
+    Tiered.build(spark, archive, root, "ts", sortCols, Some("event_id"))
+    val lastDate = day0.plusDays(archiveDates.toLong - 1).toString
+    Tiered.demote(spark, root, "9999-12-31", sortCols,
+      coldBloomCols = Seq("user_id"))
+    // (a) one landed batch touching only the newest date, then the
+    // full lifecycle tick (absorb + demote of that date)
+    Tiered.landBatch(rowsFor(archiveDates - 1, 1000), 0L, root)
+    val t0 = System.nanoTime()
+    Maintenance.run(spark, Seq(Maintenance.Tier(root, sortCols,
+      hotDays = 0, nowDate = "9999-12-31", absorbIngest = true,
+      bloomCol = Some("event_id"), coldBloomCols = Seq("user_id"))))
+    val tickS = (System.nanoTime() - t0) / 1e9
+    // (b) erase a user present in 2 of the archive's dates: bloom
+    // row-group skipping bounds the discovery, the rewrite touches 2
+    val t1 = System.nanoTime()
+    val affected = Tiered.eraseUser(spark, root, "user_id", target,
+      sortCols, bloomCol = Some("event_id"),
+      coldBloomCols = Seq("user_id"))
+    val eraseS = (System.nanoTime() - t1) / 1e9
+    require(affected.size == 2, s"fixture drift: $affected ($lastDate)")
+    (tickS, eraseS)
   }
 
   /** The STREAMING half of the scale question: not "how fast is one
