@@ -90,6 +90,23 @@ private[graft] object EraseStage {
     options: Map[String, String] = Map.empty,
     sortCol: Option[String] = None) extends Leg
   final case class Append(table: String) extends Leg
+  /** Exactly-once APPEND of the staged rows into a partitioned table
+    * by FILE MOVE: [[stage]] writes the rows already in their final
+    * form (partitioned by `partCol`, sorted within files, writer
+    * `options` applied — sort/bloom must happen at stage time, the
+    * files are never rewritten), and [[apply]] renames each staged
+    * file into its `table/partCol=<v>/` directory. A re-applied move
+    * is a per-file no-op (destination exists → skip), so recovery
+    * after a crash mid-apply completes the remaining moves without
+    * duplicating rows — the idempotent append [[Append]] cannot give.
+    * Existing table files are never read or touched: the leg costs
+    * O(staged rows), not O(touched partitions' accumulated data) — an
+    * hourly ingest fold appends the hour, it does not rewrite the
+    * day.
+    */
+  final case class MoveIn(table: String, partCol: String,
+    sortCols: Seq[String] = Nil,
+    options: Map[String, String] = Map.empty) extends Leg
 
   // the manifest is a TSV with comma-joined lists — any of these in a
   // field would corrupt the line format silently, so refuse at stage
@@ -120,6 +137,12 @@ private[graft] object EraseStage {
       cleanOpts(o)
       sc.foreach(clean("sortCol", _))
     case Append(t) => clean("table", t)
+    case MoveIn(t, pc, sc, o) =>
+      clean("table", t)
+      require(pc.nonEmpty, "EraseStage.MoveIn needs a partition column")
+      clean("partCol", pc)
+      sc.foreach(clean("sort column", _))
+      cleanOpts(o)
   }
 
   private def optStr(o: Map[String, String]): String =
@@ -158,8 +181,21 @@ private[graft] object EraseStage {
     // nonce, aborting the zombie before its first destructive touch
     Lease.renew(spark, root)
     f.delete(new Path(stageDir(root)), true) // pre-manifest debris
-    legs.zipWithIndex.foreach { case ((_, kept), i) =>
-      kept.write.mode("overwrite").parquet(s"${stageDir(root)}/leg=$i") }
+    legs.zipWithIndex.foreach { case ((l, kept), i) =>
+      l match {
+        case MoveIn(_, pc, sc, o) =>
+          // final-form staging: these files MOVE into the table
+          // untouched, so the layout (one sorted file per partition)
+          // and the writer options (blooms) must apply HERE
+          val laid = kept.repartition(col(pc))
+            .sortWithinPartitions((pc +: sc).map(col): _*)
+          val w = laid.write.mode("overwrite").partitionBy(pc)
+          o.foreach { case (k, v) => w.option(k, v) }
+          w.parquet(s"${stageDir(root)}/leg=$i")
+        case _ =>
+          kept.write.mode("overwrite").parquet(s"${stageDir(root)}/leg=$i")
+      }
+    }
     // COMMIT POINT: atomic create of the manifest inside the stage.
     // Line format (up to 8 tab-separated fields; readers pad shorter
     // lines — absent shards means 1). The 8th field is written ONLY
@@ -178,6 +214,12 @@ private[graft] object EraseStage {
         case Overwrite(t, o, sc) =>
           s"$i\toverwrite\t$t\t\t\t${sc.getOrElse("")}\t${optStr(o)}"
         case Append(t) => s"$i\tappend\t$t\t\t\t\t"
+        case MoveIn(t, pc, sc, o) =>
+          // sort/options already baked into the staged files; the
+          // manifest records them for the audit trail only. An older
+          // reader fails loudly on the unknown kind — a layout it
+          // cannot reproduce, same stance as the shards field.
+          s"$i\tmovein\t$t\t$pc\t\t${sc.mkString(",")}\t${optStr(o)}"
       }
     }.mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
   }
@@ -265,7 +307,9 @@ private[graft] object EraseStage {
       val Array(i, kind, table, partCol, affected, sort, opts, shardsF) =
         fields.padTo(8, "")
       val shards = if (shardsF.isEmpty) 1 else shardsF.toInt
-      val staged = spark.read.parquet(s"${stageDir(root)}/leg=$i")
+      // def, not val: a movein leg moves FILES and must not pay (or
+      // depend on) a schema-inferring read of its staged directory
+      def staged = spark.read.parquet(s"${stageDir(root)}/leg=$i")
       val target = tablePath(root, table)
       def withOpts(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {
         opts.split(",").filter(_.nonEmpty).foreach { kv =>
@@ -313,6 +357,28 @@ private[graft] object EraseStage {
           withOpts(sorted.write.mode("overwrite")).parquet(target)
         case "append" =>
           withOpts(staged.write.mode("append")).parquet(target)
+        case "movein" =>
+          // idempotent per-file moves: destination exists → that file
+          // was moved by a prior apply attempt, skip; otherwise the
+          // atomic rename lands it. Recovery after a crash mid-leg
+          // completes exactly the remaining files.
+          val legDir = new Path(s"${stageDir(root)}/leg=$i")
+          f.listStatus(legDir).filter(_.isDirectory)
+            .filter(_.getPath.getName.startsWith(s"$partCol="))
+            .foreach { pd =>
+              val destDir = new Path(s"$target/${pd.getPath.getName}")
+              f.mkdirs(destDir)
+              f.listStatus(pd.getPath).map(_.getPath)
+                .filter(_.getName.endsWith(".parquet")).foreach { src =>
+                  val dst = new Path(destDir, src.getName)
+                  if (f.exists(dst))
+                    require(!f.exists(src),
+                      s"EraseStage movein: staged and destination both " +
+                        s"exist for $dst — refusing to guess which is live")
+                  else require(f.rename(src, dst),
+                    s"EraseStage movein rename failed: $src -> $dst")
+                }
+            }
       }
     }
     // the stage directory is the new owner's recovery source if we

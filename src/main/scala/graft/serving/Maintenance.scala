@@ -79,7 +79,10 @@ object Maintenance {
     * `hotDays` before `nowDate` to the cold tier (one staged commit
     * per tick, idempotent when nothing has aged past the cutoff),
     * then drop cold dates past `retentionDays` — the full lifecycle,
-    * landing → hot → cold → gone, on one tick.
+    * landing → hot → cold → gone, on one tick. `compactHotMinFiles`
+    * additionally folds hot dates fragmented past that many files
+    * back to one ([[Tiered.compactHot]] — absorb appends one small
+    * file per tick per touched date; this is the bound on that).
     * `filesPerDate`/`coldBloomCols`/`bloomCol` are the layout knobs
     * ([[Tiered.demote]]/[[Tiered.absorb]]): the tick must carry the
     * SAME values every run or relocated dates drift between layouts.
@@ -91,7 +94,8 @@ object Maintenance {
     coldBloomCols: Seq[String] = Nil,
     absorbIngest: Boolean = false,
     tsCol: String = "ts",
-    bloomCol: Option[String] = None) extends Task
+    bloomCol: Option[String] = None,
+    compactHotMinFiles: Option[Int] = None) extends Task
 
   /** A streaming ingest's own `compact()` surface (SegmentIngest,
     * SpanIngest, CurationIngest, MediaIngest, LmIngest, ... — each
@@ -178,12 +182,16 @@ object Maintenance {
         .map(p => s"swept:$p")
 
     case Tier(root, sortCols, hotDays, nowDate, retention, filesPerDate,
-        coldBloomCols, absorbIngest, tsCol, bloomCol) =>
+        coldBloomCols, absorbIngest, tsCol, bloomCol, compactMin) =>
       val rec = recovered(spark, root)
       val absorbed =
         if (!absorbIngest) Nil
         else Tiered.absorb(spark, root, tsCol, sortCols, bloomCol)
           .map(b => s"absorbed:$root/batch_id=$b")
+      val compacted = compactMin.toSeq.flatMap { m =>
+        Tiered.compactHot(spark, root, sortCols, bloomCol, m)
+          .map(d => s"compacted:$root/hot/p_date=$d")
+      }
       val cutoff = java.time.LocalDate.parse(nowDate)
         .minusDays(hotDays.toLong).toString
       val demoted = Tiered.demote(spark, root, cutoff, sortCols,
@@ -195,7 +203,7 @@ object Maintenance {
         Tiered.retentionSweep(spark, root, before)
           .map(d => s"swept:$root/cold/p_date=$d")
       }
-      rec ++ absorbed ++ demoted ++ swept
+      rec ++ absorbed ++ compacted ++ demoted ++ swept
 
     case IngestCompact(_, _) =>
       throw new IllegalStateException("IngestCompact runs unleased in exec")

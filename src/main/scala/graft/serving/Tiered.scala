@@ -157,23 +157,28 @@ object Tiered {
     * landing zone is written exactly-once by the pipeline
     * ([[landBatch]]: batch-id dynamic overwrite + commit marker, so a
     * tick racing an in-flight landing write skips the unmarked
-    * batch); this fold is exactly-once too because
-    * the affected hot dates' rewrite (existing rows ∪ new batches, an
-    * idempotent [[EraseStage.Swap]]) and the watermark bump (an
-    * idempotent Overwrite) commit under ONE staged manifest: a crash
-    * at any point either leaves the watermark unmoved (the same
-    * batches re-absorb identically next tick) or recovers to the
-    * complete fold (a replayed landing write for an already-absorbed
-    * batch id lands ≤ watermark and is swept, never re-folded).
-    * Returns the absorbed batch ids.
+    * batch); this fold is exactly-once too because the new rows'
+    * hot-tier APPEND (an [[EraseStage.MoveIn]]: files staged in final
+    * sorted+bloom'd form, then idempotently RENAMED into the date
+    * directories — a re-applied move is a per-file no-op) and the
+    * watermark bump (an idempotent Overwrite) commit under ONE staged
+    * manifest: a crash at any point either leaves the watermark
+    * unmoved (the same batches re-absorb identically next tick) or
+    * recovers to the complete fold (a replayed landing write for an
+    * already-absorbed batch id lands ≤ watermark and is swept, never
+    * re-folded). Returns the absorbed batch ids.
     *
-    * Cost shape at scale: one tick rewrites only the dates the new
-    * batches TOUCH — for live ingest that's the current date (plus
-    * any backfill dates), never the table; the rewrite is the same
-    * union-fold [[demote]] applies to cold backfill. With a schema
-    * registry at the root, landed batches conform to the registered
-    * schema before folding (defaults filled), so an evolution
-    * mid-stream cannot bake a column drop into the hot tier.
+    * Cost shape at scale: one tick costs O(new batches) — existing
+    * hot files are never read or rewritten (the move-in append), so
+    * an hourly tick appends the hour rather than rewriting the day
+    * 24 times. Each tick adds at most one sorted, bloom-filtered file
+    * per touched date; fragmentation is bounded by ticks-per-day and
+    * collapses at [[demote]] (or a
+    * [[graft.serving.EraseStage.compactFragmented]]-style hot
+    * compaction). With a schema registry at the root, landed batches
+    * conform to the registered schema before folding (defaults
+    * filled), so an evolution mid-stream cannot bake a column drop
+    * into the hot tier.
     */
   def absorb(spark: SparkSession, root: String, tsCol: String,
       sortCols: Seq[String], bloomCol: Option[String] = None): Seq[Long] =
@@ -230,20 +235,12 @@ object Tiered {
             if (graft.tables.Evolve.hasRegistry(spark, root))
               graft.tables.Evolve.conform(spark, root, landRaw)
             else landRaw
-          val affected = landRows.select(col("p_date").cast("string"))
-            .distinct().collect().map(_.getString(0)).toSeq.sorted
-          val hotExisting =
-            if (!liveTier(spark, root, "hot")) None
-            else Some(tierFrame(spark, root, "hot")
-              .filter(col("p_date").cast("string").isin(affected: _*)))
-          val staged = hotExisting
-            .map(landRows.unionByName(_)).getOrElse(landRows)
           val wmDf = spark.range(1)
             .select(lit(fresh.max).as("max_batch_id"))
           EraseStage.run(spark, root, Seq(
-            EraseStage.Swap("hot", "p_date", affected, sortCols,
+            EraseStage.MoveIn("hot", "p_date", sortCols,
               bloomCol.map(c =>
-                s"parquet.bloom.filter.enabled#$c" -> "true").toMap) -> staged,
+                s"parquet.bloom.filter.enabled#$c" -> "true").toMap) -> landRows,
             EraseStage.Overwrite("absorb_wm") -> wmDf))
           fresh.foreach { b =>
             f.delete(new Path(s"${landingDir(root)}/batch_id=$b"), true)
@@ -252,6 +249,45 @@ object Tiered {
           fresh
         }
       }
+    }
+
+  /** Rewrite every HOT date fragmented past `minFiles` back to one
+    * sorted, bloom-filtered file — the counterpart of [[absorb]]'s
+    * cheap append: each tick adds at most one small file per touched
+    * date, and once a date collects `minFiles` of them this folds the
+    * date under a staged Swap that PRESERVES the ingest layout
+    * (`sortCols` order restored across the merged runs, `bloomCol`
+    * re-declared — the generic
+    * [[EraseStage.compactFragmented]] would strip both). Scheduled
+    * from the same [[Maintenance.Tier]] tick; untouched dates are
+    * neither read nor written, so the tick stays bounded by actual
+    * fragmentation. Returns the compacted p_date strings.
+    */
+  def compactHot(spark: SparkSession, root: String, sortCols: Seq[String],
+      bloomCol: Option[String] = None, minFiles: Int = 8): Seq[String] =
+    Lease.withLease(spark, root, "tiered-compact-hot") {
+      EraseStage.recover(spark, root)
+      val f = fs(spark, root)
+      val hotPath = new Path(s"$root/hot")
+      val frag =
+        if (!f.exists(hotPath)) Seq.empty[String]
+        else f.listStatus(hotPath).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath)
+          .filter(_.getName.startsWith("p_date="))
+          .filter(p => f.listStatus(p)
+            .count(_.getPath.getName.endsWith(".parquet")) >= minFiles)
+          .map(_.getName.stripPrefix("p_date="))
+          .sorted
+      if (frag.nonEmpty) {
+        val kept = tierFrame(spark, root, "hot")
+          .filter(col("p_date").cast("string").isin(frag: _*))
+        EraseStage.run(spark, root, Seq(
+          EraseStage.Swap("hot", "p_date", frag, sortCols,
+            bloomCol.map(c =>
+              s"parquet.bloom.filter.enabled#$c" -> "true").toMap) -> kept))
+      }
+      frag
     }
 
   /** Relocate every hot date strictly OLDER than `cutoffDate` to the

@@ -256,4 +256,47 @@ class EraseStageSpec extends SparkSuite {
     ranges.zip(ranges.tail).foreach { case ((_, hi), (lo, _)) =>
       assert(hi < lo, s"file id ranges interleave: $ranges") }
   }
+
+  test("MoveIn: exactly-once file-move append — existing files untouched, partial apply completes without duplication") {
+    import org.apache.hadoop.fs.Path
+    val root = tmp()
+    build(root)
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(p: Int) = Option(f.listStatus(new Path(s"$root/t/p=$p")))
+      .toSeq.flatten.map(s => (s.getPath.getName, s.getModificationTime))
+      .filter(_._1.endsWith(".parquet")).toSet
+    val before = (0 to 3).map(p => p -> partFiles(p)).toMap
+    // rows for an existing partition (1) and a brand-new one (7)
+    val incoming = Seq((100L, 1), (101L, 1), (102L, 7)).toDF("id", "p")
+    def moveLeg = EraseStage.MoveIn("t", "p", Seq("id")) -> incoming
+
+    // clean run: appended rows visible, every pre-existing file
+    // byte/mtime-identical, exactly one new file per touched partition
+    EraseStage.run(spark, root, Seq(moveLeg))
+    val afterClean = rows(spark.read.parquet(s"$root/t"))
+    assert(afterClean === rows((0L until 40L).map(i => (i, (i % 4).toInt))
+      .toDF("id", "p").union(incoming)))
+    (0 to 3).foreach { p =>
+      assert(before(p).subsetOf(partFiles(p)), s"existing files of p=$p touched")
+    }
+    assert(partFiles(1).size === before(1).size + 1, "expected ONE appended file")
+    assert(partFiles(7).size === 1)
+
+    // crash MID-APPLY: stage, then hand-move one staged file (as a
+    // prior apply attempt would have), then recover — the remaining
+    // files move, the already-moved one is not duplicated
+    val root2 = tmp()
+    build(root2)
+    EraseStage.stage(spark, root2, Seq(
+      EraseStage.MoveIn("t", "p", Seq("id")) -> incoming))
+    val f2 = new Path(root2).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedP1 = f2.listStatus(new Path(s"$root2/_erase_stage/leg=0/p=1"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    f2.mkdirs(new Path(s"$root2/t/p=1"))
+    assert(f2.rename(stagedP1, new Path(s"$root2/t/p=1/${stagedP1.getName}")))
+    assert(EraseStage.recover(spark, root2))
+    assert(rows(spark.read.parquet(s"$root2/t")) === afterClean,
+      "partial-move recovery duplicated or lost rows")
+    assert(!f2.exists(new Path(s"$root2/_erase_stage")))
+  }
 }

@@ -392,6 +392,43 @@ class TieredSpec extends SparkSuite {
     assert(out === Map(1L -> -1L, 2L -> -1L, 3L -> 9L))
   }
 
+  test("compactHot folds a tick-fragmented hot date to one file; below-threshold dates untouched") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = freshRoot()
+    val sc = Seq("event_id")
+    Tiered.build(spark, Seq((1L, t("2024-09-01 08:00:00"), 10L))
+      .toDF("event_id", "ts", "user_id"), root, "ts", sc, Some("event_id"))
+    // three absorb ticks each append one file to date 1 (the MoveIn
+    // shape); date 2 gets a single file — below the threshold
+    for (b <- 1 to 3) {
+      Tiered.landBatch(Seq((b + 1L, t(s"2024-09-01 0$b:00:00"), 10L + b))
+        .toDF("event_id", "ts", "user_id"), b.toLong, root)
+      assert(Tiered.absorb(spark, root, "ts", sc, Some("event_id")) === Seq(b.toLong))
+    }
+    Tiered.landBatch(Seq((9L, t("2024-09-02 08:00:00"), 20L))
+      .toDF("event_id", "ts", "user_id"), 9L, root)
+    Tiered.absorb(spark, root, "ts", sc, Some("event_id"))
+    val f = fs(root)
+    def files(d: String) = f.listStatus(new Path(s"$root/hot/p_date=$d"))
+      .map(s => (s.getPath.getName, s.getModificationTime))
+      .filter(_._1.endsWith(".parquet")).toSet
+    assert(files("2024-09-01").size === 4, files("2024-09-01").toString)
+    val day2Before = files("2024-09-02")
+    // via the scheduled tick, layout-preserving
+    val msgs = graft.serving.Maintenance.run(spark, Seq(
+      graft.serving.Maintenance.Tier(root, sc, hotDays = 0,
+        nowDate = "2024-01-01", // nothing old enough to demote
+        absorbIngest = true, bloomCol = Some("event_id"),
+        compactHotMinFiles = Some(4))))
+    assert(msgs.exists(_.startsWith(s"compacted:$root/hot/p_date=2024-09-01")),
+      msgs.toString)
+    assert(files("2024-09-01").size === 1, "fragmented date did not fold to one file")
+    assert(files("2024-09-02") === day2Before, "below-threshold date was rewritten")
+    assert(ids(Tiered.read(spark, root)) === Set(1L, 2L, 3L, 4L, 9L))
+    // idempotent: a second compaction finds nothing fragmented
+    assert(Tiered.compactHot(spark, root, sc, Some("event_id"), 4).isEmpty)
+  }
+
   test("absorb rewrites only the dates the landed batches touch") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val root = freshRoot()
