@@ -15,10 +15,18 @@ import org.apache.spark.sql.SparkSession
   *  - `acquire` = atomic create of `<root>/_lease` (create with
   *    overwrite=false is the mutual-exclusion primitive every
   *    Hadoop-compatible FS provides); content is
-  *    `owner \t nonce \t heartbeat-epoch-ms`.
-  *  - a holder doing long work calls [[renew]] to re-stamp the
-  *    heartbeat; a lease whose heartbeat is older than its TTL is
-  *    STALE (crashed holder) and may be taken over.
+  *    `owner \t nonce \t created-epoch-ms`, and the file is IMMUTABLE
+  *    after creation — nothing ever rewrites it in place.
+  *  - a holder doing long work calls [[renew]] to re-stamp its
+  *    heartbeat, written to a PER-NONCE sidecar
+  *    (`_lease.hb.<nonce>`), never to the shared lease file: a
+  *    displaced holder whose renew races a TTL takeover can therefore
+  *    only touch its own (now-irrelevant) sidecar — it can never
+  *    clobber the new owner's lease and reinstall itself, which a
+  *    read-check-then-overwrite of the shared file would allow in the
+  *    window between the check and the write. A lease whose
+  *    heartbeat (sidecar if present, else the created stamp) is older
+  *    than its TTL is STALE (crashed holder) and may be taken over.
   *  - takeover is decided by an atomic RENAME of the stale lease to a
   *    taker-nonce tombstone — of two takers, exactly one rename
   *    succeeds (the source vanishes for the loser), so a crashed
@@ -72,6 +80,26 @@ object Lease {
 
   private def leasePath(root: String) = new Path(s"$root/_lease")
 
+  private def hbPath(root: String, nonce: String) =
+    new Path(s"$root/_lease.hb.$nonce")
+
+  /** Effective heartbeat of a lease: its per-nonce sidecar when one
+    * exists (a holder that has renewed), else the lease file's
+    * created stamp.
+    */
+  private def heartbeatOf(spark: SparkSession, rootQ: String,
+      nonce: String, created: Long): Long =
+    try {
+      val in = fs(spark, rootQ).open(hbPath(rootQ, nonce))
+      val s =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      math.max(created, s.toLong)
+    } catch {
+      case _: java.io.IOException => created
+      case _: NumberFormatException => created // half-written sidecar
+    }
+
   private def self: String = {
     val host = java.net.InetAddress.getLocalHost.getHostName
     s"$host:${ProcessHandle.current().pid()}"
@@ -85,9 +113,10 @@ object Lease {
       ttlMs: Long = DefaultTtlMs): Boolean = {
     val key = qualified(spark, root)
     readLease(spark, key) match {
-      case Some((_, nonce, hb)) =>
+      case Some((_, nonce, created)) =>
         nonce != nonces.get(key) &&
-          System.currentTimeMillis() - hb <= ttlMs
+          System.currentTimeMillis() -
+            heartbeatOf(spark, key, nonce, created) <= ttlMs
       case None => false
     }
   }
@@ -107,10 +136,12 @@ object Lease {
       }
     } catch { case _: java.io.IOException => None }
 
+  // always an EXCLUSIVE create: the lease file is immutable once
+  // created — heartbeats live in per-nonce sidecars (see renew)
   private def writeLease(spark: SparkSession, rootQ: String, owner: String,
-      nonce: String, exclusive: Boolean): Unit = {
+      nonce: String): Unit = {
     val f = fs(spark, rootQ)
-    val out = f.create(leasePath(rootQ), !exclusive)
+    val out = f.create(leasePath(rootQ), false)
     try out.write(
       s"$owner\t$nonce\t${System.currentTimeMillis()}".getBytes("UTF-8"))
     finally out.close()
@@ -137,18 +168,23 @@ object Lease {
       var acquired = false
       while (!acquired) {
         try {
-          writeLease(spark, key, s"$owner@$self", nonce, exclusive = true)
+          writeLease(spark, key, s"$owner@$self", nonce)
           acquired = true
         } catch {
           case _: java.io.IOException => // exists (or create race): inspect
             readLease(spark, key) match {
-              case Some((_, _, hb))
-                  if System.currentTimeMillis() - hb > ttlMs =>
+              case Some((_, staleNonce, created))
+                  if System.currentTimeMillis() -
+                    heartbeatOf(spark, key, staleNonce, created) > ttlMs =>
                 // stale: atomic rename decides which taker wins; the
                 // loser's rename fails and it retries against the
-                // winner's fresh lease
+                // winner's fresh lease. The dead holder's heartbeat
+                // sidecar is junk once its lease file is gone.
                 val tomb = new Path(s"$key/_lease.takeover.$nonce")
-                if (f.rename(leasePath(key), tomb)) f.delete(tomb, false)
+                if (f.rename(leasePath(key), tomb)) {
+                  f.delete(tomb, false)
+                  f.delete(hbPath(key, staleNonce), false)
+                }
               case other =>
                 if (System.currentTimeMillis() >= deadline)
                   throw new LeaseHeldException(
@@ -187,14 +223,23 @@ object Lease {
     }
   }
 
-  /** Re-stamp the heartbeat mid-work (long erases/compactions). */
+  /** Re-stamp the heartbeat mid-work (long erases/compactions), and
+    * the FENCE: throws when the lease file no longer carries our
+    * nonce. The stamp goes to our per-nonce sidecar, never the shared
+    * lease file — so even if a TTL takeover lands between this
+    * check and the write, the displaced holder scribbles only on its
+    * own dead sidecar; the new owner's lease is untouchable by
+    * construction (the filename embeds the nonce).
+    */
   def renew(spark: SparkSession, root: String): Unit = {
     val key = qualified(spark, root)
     val nonce = nonces.get(key)
     require(nonce != null, s"renew without holding the lease on $root")
     readLease(spark, key) match {
-      case Some((o, n, _)) if n == nonce =>
-        writeLease(spark, key, o, nonce, exclusive = false)
+      case Some((_, n, _)) if n == nonce =>
+        val out = fs(spark, key).create(hbPath(key, nonce), true)
+        try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+        finally out.close()
       case other => throw new LeaseHeldException(
         s"lease on $root lost before renew (now: $other)")
     }
@@ -215,6 +260,8 @@ object Lease {
           fs(spark, key).delete(leasePath(key), false)
         case _ => // taken over or already gone: not ours to delete
       }
+      // our heartbeat sidecar is ours whatever happened to the lease
+      if (nonce != null) fs(spark, key).delete(hbPath(key, nonce), false)
     }
     lock.unlock()
   }

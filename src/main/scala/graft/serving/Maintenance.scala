@@ -188,22 +188,26 @@ object Maintenance {
         if (!absorbIngest) Nil
         else Tiered.absorb(spark, root, tsCol, sortCols, bloomCol)
           .map(b => s"absorbed:$root/batch_id=$b")
-      val compacted = compactMin.toSeq.flatMap { m =>
-        Tiered.compactHot(spark, root, sortCols, bloomCol, m)
-          .map(d => s"compacted:$root/hot/p_date=$d")
-      }
       val cutoff = java.time.LocalDate.parse(nowDate)
         .minusDays(hotDays.toLong).toString
       val demoted = Tiered.demote(spark, root, cutoff, sortCols,
           filesPerDate, coldBloomCols)
         .map(d => s"demoted:$root/p_date=$d")
+      // compaction AFTER demote: the date that just aged past the
+      // cutoff is typically the most fragmented (a day of absorb
+      // appends), and demote consumes it wholesale — compacting it
+      // first would rewrite the same rows twice in one tick
+      val compacted = compactMin.toSeq.flatMap { m =>
+        Tiered.compactHot(spark, root, sortCols, bloomCol, m)
+          .map(d => s"compacted:$root/hot/p_date=$d")
+      }
       val swept = retention.toSeq.flatMap { days =>
         val before = java.time.LocalDate.parse(nowDate)
           .minusDays(days.toLong).toString
         Tiered.retentionSweep(spark, root, before)
           .map(d => s"swept:$root/cold/p_date=$d")
       }
-      rec ++ absorbed ++ compacted ++ demoted ++ swept
+      rec ++ absorbed ++ demoted ++ compacted ++ swept
 
     case IngestCompact(_, _) =>
       throw new IllegalStateException("IngestCompact runs unleased in exec")

@@ -160,7 +160,20 @@ object Router {
     * tail side's raw scan is bounded by one hour of ingest regardless
     * of table age.
     */
-  def hybridHourlyByType(spark: SparkSession, dataDir: String): DataFrame = {
+  def hybridHourlyByType(spark: SparkSession, dataDir: String): DataFrame =
+    // eventsFrom applies the floor to the RAW ns column so the scan
+    // prunes row groups — a filter on the derived ts would not push
+    hybridWith(spark, dataDir,
+      cutMs => Tables.eventsFrom(spark, dataDir, cutMs))
+
+  /** The hybrid seam, parameterized by the raw-tail source: complete
+    * hours from the materialized hourly agg, the in-flight hour from
+    * whatever raw arm the caller supplies (flat events scan, tiered
+    * store, ...). One definition of the cut and both aggregates, so
+    * the tiered and flat hybrids can never silently diverge.
+    */
+  private def hybridWith(spark: SparkSession, dataDir: String,
+      tailSource: Long => DataFrame): DataFrame = {
     val cutMs = Serving.anchorMs(spark, dataDir) / Serving.hourMs * Serving.hourMs
     val root = Serving.materialize(spark, dataDir)
     val hist = spark.read.parquet(s"$root/agg_keyed_by_window")
@@ -168,9 +181,7 @@ object Router {
       .groupBy(col("window_start_ms"), col("event_type"))
       .agg(sum(col("order_count")).as("order_count"),
         sum(col("total_cents")).as("total_cents"))
-    // eventsFrom applies the floor to the RAW ns column so the scan
-    // prunes row groups — a filter on the derived ts would not push
-    val tail = Tables.eventsFrom(spark, dataDir, cutMs)
+    val tail = tailSource(cutMs)
       .groupBy(bucket(unix_millis(col("ts")), Serving.hourMs), col("event_type"))
       .agg(count(lit(1)).as("order_count"),
         sum(col("value_cents")).as("total_cents"))
@@ -191,20 +202,9 @@ object Router {
     * queries never pay for the archive's existence.
     */
   def hybridHourlyByTypeTiered(spark: SparkSession, dataDir: String,
-      tieredRoot: String): DataFrame = {
-    val cutMs = Serving.anchorMs(spark, dataDir) / Serving.hourMs * Serving.hourMs
-    val root = Serving.materialize(spark, dataDir)
-    val hist = spark.read.parquet(s"$root/agg_keyed_by_window")
-      .filter(col("window_start_ms") < cutMs)
-      .groupBy(col("window_start_ms"), col("event_type"))
-      .agg(sum(col("order_count")).as("order_count"),
-        sum(col("total_cents")).as("total_cents"))
-    val tail = Tiered.read(spark, tieredRoot)
-      .filter(col("p_date") >= lit(Serving.utcDate(cutMs)))
-      .filter(unix_millis(col("ts")) >= cutMs)
-      .groupBy(bucket(unix_millis(col("ts")), Serving.hourMs), col("event_type"))
-      .agg(count(lit(1)).as("order_count"),
-        sum(col("value_cents")).as("total_cents"))
-    hist.unionByName(tail)
-  }
+      tieredRoot: String): DataFrame =
+    hybridWith(spark, dataDir, cutMs =>
+      Tiered.read(spark, tieredRoot)
+        .filter(col("p_date") >= lit(Serving.utcDate(cutMs)))
+        .filter(unix_millis(col("ts")) >= cutMs))
 }

@@ -127,19 +127,23 @@ object Tiered {
     new Path(s"${landingDir(root)}/_done.batch_id=$batchId")
 
   /** Land one micro-batch exactly-once: batch-id dynamic-partition
-    * overwrite (a replay rewrites its own partition), then a commit
-    * MARKER file. [[absorb]] folds only marked batches — without the
-    * marker, a maintenance tick on another thread could list the
-    * landing while a batch's files are mid-write and fold a partial
-    * batch; the marker is created strictly after the partition write
-    * returns, and a replayed batch re-creates it after re-overwriting
-    * (both idempotent). Underscore-prefixed, so parquet directory
-    * reads of the landing never see it.
+    * overwrite (a replay rewrites its own partition), bracketed by
+    * its commit MARKER file — deleted BEFORE the write begins,
+    * created strictly after it returns. [[absorb]] folds only marked
+    * batches, so a maintenance tick on another thread can never fold
+    * a batch whose files are mid-write: neither a first landing (no
+    * marker yet) nor a REPLAYED one (the previous landing's marker is
+    * removed before the overwrite touches the old files — without
+    * that, a tick could fold the partition mid-rewrite and then sweep
+    * the fully-replayed rows as already-absorbed debris, losing
+    * them). Underscore-prefixed, so parquet directory reads of the
+    * landing never see the marker.
     */
   def landBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
+    val f = fs(batch.sparkSession, root)
+    f.delete(landingMarker(root, batchId), false)
     graft.streaming.StreamingPipeline.writeBatchIdempotent(
       batch, batchId, landingDir(root))
-    val f = fs(batch.sparkSession, root)
     val out = f.create(landingMarker(root, batchId), true)
     out.close()
   }
@@ -191,12 +195,17 @@ object Tiered {
         val wm = absorbWatermark(spark, root)
         // only batches whose COMMIT MARKER exists fold: a batch whose
         // landing write is in flight on the pipeline thread has no
-        // marker yet and is left for the next tick ([[landBatch]])
-        val batchIds = f.listStatus(landing).toSeq
+        // marker yet and is left for the next tick ([[landBatch]]).
+        // A marker WITHOUT its directory is unambiguous sweep debris
+        // (landBatch writes dir-then-marker; only a crash between a
+        // sweep's dir and marker deletes leaves one) — cleaned here
+        // or it would accumulate forever.
+        val (batchIds, orphans) = f.listStatus(landing).toSeq
           .map(_.getPath.getName).filter(_.startsWith("_done.batch_id="))
           .map(_.stripPrefix("_done.batch_id=").toLong)
-          .filter(b => f.exists(new Path(s"${landingDir(root)}/batch_id=$b")))
           .sorted
+          .partition(b => f.exists(new Path(s"${landingDir(root)}/batch_id=$b")))
+        orphans.foreach(b => f.delete(landingMarker(root, b), false))
         // already-absorbed debris (a replayed landing write after its
         // batch was folded): swept, never re-folded
         batchIds.filter(_ <= wm).foreach { b =>
@@ -230,11 +239,18 @@ object Tiered {
           // must not leak into the fold through the directory listing
           val landRaw = spark.read.option("mergeSchema", "true")
             .parquet(nonEmpty.map(b => s"${landingDir(root)}/batch_id=$b"): _*)
-            .withColumn("p_date", to_date(col(tsCol)))
+          // conform BEFORE deriving p_date: producers land their
+          // event schema, which is also what operators naturally
+          // register — conforming after the derivation would strip
+          // p_date whenever the registry (correctly) lacks it and
+          // wedge every later tick at the staged write. Extra
+          // producer columns the registry lacks refuse loudly inside
+          // conform rather than silently dropping data.
           val landRows =
-            if (graft.tables.Evolve.hasRegistry(spark, root))
+            (if (graft.tables.Evolve.hasRegistry(spark, root))
               graft.tables.Evolve.conform(spark, root, landRaw)
-            else landRaw
+            else landRaw)
+              .withColumn("p_date", to_date(col(tsCol)))
           val wmDf = spark.range(1)
             .select(lit(fresh.max).as("max_batch_id"))
           EraseStage.run(spark, root, Seq(

@@ -103,7 +103,7 @@ object Evolve {
         true
       } else {
         val known = vs.map { case (_, p) => parseVersion(spark, path, p)._1 }
-        require(known.contains(schema),
+        require(known.exists(sameShape(_, schema)),
           s"$path already carries a schema registry (v${vs.last._1}) and " +
             s"the schema being registered matches none of its versions — " +
             s"evolve with addColumn, or point register at the intended " +
@@ -112,6 +112,20 @@ object Evolve {
         false
       }
     }
+
+  /** Same (name, type) columns in the same order, IGNORING
+    * nullability and field metadata: the idempotent-register check
+    * must not refuse an init re-run just because one build derived
+    * the schema from `toDF` (primitives nullable=false) and the next
+    * from a parquet read-back (everything nullable=true) — same
+    * logical table either way.
+    */
+  private def sameShape(a: StructType, b: StructType): Boolean =
+    a.fields.length == b.fields.length &&
+      a.fields.zip(b.fields).forall { case (fa, fb) =>
+        fa.name == fb.name &&
+          fa.dataType.catalogString == fb.dataType.catalogString
+      }
 
   /** Add a column with a default: one metadata write (version N+1),
     * zero data files touched. Refuses a name the schema already has —
@@ -178,16 +192,26 @@ object Evolve {
 
   /** Conform an already-loaded frame to the registered schema:
     * columns the frame lacks are added (as the registered default),
-    * nulls in evolved columns fill with their defaults, extra columns
-    * are DROPPED, and the column order is the registry's — so frames
-    * from different epochs union cleanly. The frame-level twin of
-    * [[readAt]] for rows that arrive as DataFrames rather than files
-    * (e.g. a [[graft.serving.Tiered]] landing batch being folded into
-    * a registered table).
+    * nulls in evolved columns fill with their defaults, and the
+    * column order is the registry's — so frames from different epochs
+    * union cleanly. The frame-level twin of [[readAt]] for rows that
+    * arrive as DataFrames rather than files (e.g. a
+    * [[graft.serving.Tiered]] landing batch being folded into a
+    * registered table). A column the frame carries that the registry
+    * LACKS refuses loudly: silently dropping it would permanently
+    * discard data from producers that rolled out ahead of the
+    * registry's addColumn — the operator must evolve the registry
+    * first, then the same rows conform cleanly.
     */
   def conform(spark: SparkSession, registryPath: String,
       df: DataFrame): DataFrame = {
-    val (_, schema, defaults) = load(spark, registryPath)
+    val (n, schema, defaults) = load(spark, registryPath)
+    val extra = df.columns.toSet -- schema.fieldNames.toSet
+    require(extra.isEmpty,
+      s"frame carries columns ${extra.toSeq.sorted.mkString(", ")} that " +
+        s"schema registry v$n at $registryPath lacks — run " +
+        "Evolve.addColumn for them first; conforming would silently " +
+        "DROP their values")
     val cols = schema.fields.map { f =>
       val base =
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)

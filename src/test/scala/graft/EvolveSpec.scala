@@ -114,6 +114,42 @@ class EvolveSpec extends SparkSuite {
     assert(Evolve.currentVersion(spark, root) === 1, "refusals must not version-bump")
   }
 
+  test("register ignores nullability: a parquet read-back schema re-registers as a no-op") {
+    val root = freshRoot()
+    Seq((1L, 5L)).toDF("id", "n").write.mode("overwrite").parquet(root)
+    val base = spark.read.parquet(root).schema
+    assert(Evolve.register(spark, root, base))
+    // same logical table, opposite nullability flags (the toDF-vs-
+    // parquet-read-back drift every re-run init hits)
+    val flipped = org.apache.spark.sql.types.StructType(
+      base.fields.map(f => f.copy(nullable = !f.nullable)))
+    assert(!Evolve.register(spark, root, flipped),
+      "nullability drift must not break register idempotency")
+    assert(Evolve.currentVersion(spark, root) === 1)
+    // a genuinely different column set still refuses
+    intercept[IllegalArgumentException] {
+      Evolve.register(spark, root,
+        Seq((1L, "x")).toDF("id", "name").schema)
+    }
+  }
+
+  test("conform refuses columns the registry lacks instead of silently dropping them") {
+    val root = freshRoot()
+    Seq((1L, 5L)).toDF("id", "n").write.mode("overwrite").parquet(root)
+    Evolve.register(spark, root, spark.read.parquet(root).schema)
+    val ahead = Seq((2L, 6L, 9L)).toDF("id", "n", "score")
+    val e = intercept[IllegalArgumentException] {
+      Evolve.conform(spark, root, ahead).collect()
+    }
+    assert(e.getMessage.contains("score") &&
+      e.getMessage.contains("addColumn"), e.getMessage)
+    // once the registry catches up, the same frame conforms cleanly
+    Evolve.addColumn(spark, root, StructField("score", LongType), "-1")
+    val ok = Evolve.conform(spark, root, ahead)
+      .select($"id", $"score").as[(Long, Long)].head()
+    assert(ok === ((2L, 9L)))
+  }
+
   test("read without a registry refuses loudly") {
     val root = freshRoot()
     Seq((1L, 2L)).toDF("a", "b").write.mode("overwrite").parquet(root)

@@ -71,15 +71,53 @@ class LeaseSpec extends SparkSuite {
     assert(!leaseFile(r).exists())
   }
 
-  test("renew re-stamps the heartbeat without changing the nonce") {
+  test("renew re-stamps the heartbeat in a per-nonce sidecar; the lease file is immutable") {
     val r = tmp()
     Lease.acquire(spark, r, "t3")
-    val before = scala.io.Source.fromFile(leaseFile(r)).mkString.split("\t")
+    val before = scala.io.Source.fromFile(leaseFile(r)).mkString
+    val nonce = before.split("\t")(1)
+    def hbFile = new java.io.File(s"$r/_lease.hb.$nonce")
     Thread.sleep(20)
     Lease.renew(spark, r)
-    val after = scala.io.Source.fromFile(leaseFile(r)).mkString.split("\t")
-    assert(after(1) === before(1), "nonce must survive renew")
-    assert(after(2).toLong > before(2).toLong, "heartbeat must advance")
+    // the heartbeat goes to the sidecar keyed by OUR nonce — the
+    // shared lease file is byte-identical, which is the structural
+    // property that makes a renew racing a TTL takeover unable to
+    // clobber the new owner's lease
+    assert(scala.io.Source.fromFile(leaseFile(r)).mkString === before,
+      "renew rewrote the shared lease file")
+    assert(hbFile.exists())
+    val hb1 = scala.io.Source.fromFile(hbFile).mkString.trim.toLong
+    Thread.sleep(20)
+    Lease.renew(spark, r)
+    val hb2 = scala.io.Source.fromFile(hbFile).mkString.trim.toLong
+    assert(hb2 > hb1, "heartbeat must advance")
+    // a live foreign reader sees the sidecar heartbeat: even with an
+    // ancient created stamp the lease reads LIVE after a renew
+    Lease.release(spark, r)
+    assert(!hbFile.exists(), "release left the heartbeat sidecar")
+    assert(!leaseFile(r).exists())
+  }
+
+  test("a stale holder that renewed recently is LIVE: staleness uses the sidecar heartbeat") {
+    val r = tmp()
+    // lease created long ago (stale by the created stamp alone)...
+    val old = System.currentTimeMillis() - 60 * 60 * 1000L
+    val w = new java.io.FileWriter(leaseFile(r))
+    try w.write(s"slow-holder\tfn-1\t$old") finally w.close()
+    // ...but its sidecar heartbeat is fresh → still held
+    val hb = new java.io.FileWriter(s"$r/_lease.hb.fn-1")
+    try hb.write(System.currentTimeMillis().toString) finally hb.close()
+    assert(Lease.heldByOther(spark, r))
+    intercept[Lease.LeaseHeldException] {
+      Lease.acquire(spark, r, "taker", waitMs = 400)
+    }
+    // heartbeat goes stale → takeover succeeds and sweeps the sidecar
+    val hb2 = new java.io.FileWriter(s"$r/_lease.hb.fn-1")
+    try hb2.write(old.toString) finally hb2.close()
+    assert(!Lease.heldByOther(spark, r))
+    Lease.acquire(spark, r, "taker", waitMs = 2000)
+    assert(!new java.io.File(s"$r/_lease.hb.fn-1").exists(),
+      "takeover left the dead holder's heartbeat sidecar")
     Lease.release(spark, r)
   }
 

@@ -390,6 +390,37 @@ class TieredSpec extends SparkSuite {
     val out = Tiered.read(spark, root)
       .select($"event_id", $"score").as[(Long, Long)].collect().toMap
     assert(out === Map(1L -> -1L, 2L -> -1L, 3L -> 9L))
+    // a producer AHEAD of the registry (column the registry lacks)
+    // refuses at the tick instead of silently dropping the values;
+    // the batch stays landed, and folds once the registry catches up
+    Tiered.landBatch(Seq((4L, t("2024-08-01 13:00:00"), 13L, 1L, 5L))
+      .toDF("event_id", "ts", "user_id", "score", "extra"), 2L, root)
+    val e = intercept[IllegalArgumentException] {
+      Tiered.absorb(spark, root, "ts", Seq("event_id"))
+    }
+    assert(e.getMessage.contains("extra") && e.getMessage.contains("addColumn"))
+    assert(fs(root).exists(new Path(
+      s"${Tiered.landingDir(root)}/batch_id=2")), "refused batch was consumed")
+    graft.tables.Evolve.addColumn(spark, root,
+      StructField("extra", LongType), "0")
+    assert(Tiered.absorb(spark, root, "ts", Seq("event_id")) === Seq(2L))
+    assert(Tiered.read(spark, root).filter($"event_id" === 4L)
+      .select($"extra").as[Long].head() === 5L)
+  }
+
+  test("absorb sweeps orphaned commit markers (dir deleted, marker crash-left)") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = freshRoot()
+    val sc = Seq("event_id")
+    Tiered.landBatch(Seq((1L, t("2024-10-01 10:00:00"), 10L))
+      .toDF("event_id", "ts", "user_id"), 0L, root)
+    // crash-shaped debris: a sweep deleted the dir but not the marker
+    fs(root).create(new Path(
+      s"${Tiered.landingDir(root)}/_done.batch_id=42"), true).close()
+    assert(Tiered.absorb(spark, root, "ts", sc) === Seq(0L))
+    assert(!fs(root).exists(new Path(
+      s"${Tiered.landingDir(root)}/_done.batch_id=42")),
+      "orphaned marker survived the tick")
   }
 
   test("compactHot folds a tick-fragmented hot date to one file; below-threshold dates untouched") {
