@@ -18,8 +18,8 @@ import org.apache.spark.sql.SparkSession
   *    `owner \t nonce \t created-epoch-ms`, and the file is IMMUTABLE
   *    after creation — nothing ever rewrites it in place.
   *  - a holder doing long work calls [[renew]] to re-stamp its
-  *    heartbeat, written to a PER-NONCE sidecar
-  *    (`_lease.hb.<nonce>`), never to the shared lease file: a
+  *    heartbeat, written to PER-NONCE, double-buffered sidecars
+  *    (`_lease.hb.<nonce>.{0,1}`), never to the shared lease file: a
   *    displaced holder whose renew races a TTL takeover can therefore
   *    only touch its own (now-irrelevant) sidecar — it can never
   *    clobber the new owner's lease and reinstall itself, which a
@@ -80,25 +80,47 @@ object Lease {
 
   private def leasePath(root: String) = new Path(s"$root/_lease")
 
-  private def hbPath(root: String, nonce: String) =
-    new Path(s"$root/_lease.hb.$nonce")
+  // heartbeat sidecars are DOUBLE-BUFFERED (.0/.1, renew alternates):
+  // an overwrite-create truncates the file it targets, so a single
+  // sidecar would transiently read as empty mid-renew and a racing
+  // staleness check would fall back to the (old) created stamp and
+  // wrongly judge an actively-renewing holder stale. With two
+  // buffers, the most-recently-COMPLETED stamp is always readable —
+  // the writer never touches the file it finished last.
+  private def hbPath(root: String, nonce: String, k: Int) =
+    new Path(s"$root/_lease.hb.$nonce.$k")
+  private val hbFlips = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  /** Effective heartbeat of a lease: its per-nonce sidecar when one
-    * exists (a holder that has renewed), else the lease file's
-    * created stamp.
+  private def readSmall(spark: SparkSession, rootQ: String,
+      p: Path): Option[String] =
+    try {
+      val in = fs(spark, rootQ).open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Effective heartbeat of a lease: the freshest parseable sidecar
+    * stamp, else the lease file's created stamp.
     */
   private def heartbeatOf(spark: SparkSession, rootQ: String,
       nonce: String, created: Long): Long =
-    try {
-      val in = fs(spark, rootQ).open(hbPath(rootQ, nonce))
-      val s =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      math.max(created, s.toLong)
-    } catch {
-      case _: java.io.IOException => created
-      case _: NumberFormatException => created // half-written sidecar
-    }
+    (0 to 1).flatMap(k => readSmall(spark, rootQ, hbPath(rootQ, nonce, k))
+      .flatMap(_.trim.toLongOption))
+      .foldLeft(created)(math.max)
+
+  /** Liveness with a fast path: a lease created within the TTL is
+    * live without any sidecar read — the common poll (awaitQuiesced
+    * behind a live writer, acquire's wait loop) costs zero extra GETs.
+    */
+  private def isLive(spark: SparkSession, rootQ: String, nonce: String,
+      created: Long, ttlMs: Long): Boolean = {
+    val now = System.currentTimeMillis()
+    now - created <= ttlMs ||
+      now - heartbeatOf(spark, rootQ, nonce, created) <= ttlMs
+  }
+
+  private def deleteHb(spark: SparkSession, rootQ: String, nonce: String): Unit =
+    (0 to 1).foreach(k => fs(spark, rootQ).delete(hbPath(rootQ, nonce, k), false))
 
   private def self: String = {
     val host = java.net.InetAddress.getLocalHost.getHostName
@@ -114,9 +136,7 @@ object Lease {
     val key = qualified(spark, root)
     readLease(spark, key) match {
       case Some((_, nonce, created)) =>
-        nonce != nonces.get(key) &&
-          System.currentTimeMillis() -
-            heartbeatOf(spark, key, nonce, created) <= ttlMs
+        nonce != nonces.get(key) && isLive(spark, key, nonce, created, ttlMs)
       case None => false
     }
   }
@@ -174,16 +194,32 @@ object Lease {
           case _: java.io.IOException => // exists (or create race): inspect
             readLease(spark, key) match {
               case Some((_, staleNonce, created))
-                  if System.currentTimeMillis() -
-                    heartbeatOf(spark, key, staleNonce, created) > ttlMs =>
-                // stale: atomic rename decides which taker wins; the
-                // loser's rename fails and it retries against the
-                // winner's fresh lease. The dead holder's heartbeat
-                // sidecar is junk once its lease file is gone.
+                  if !isLive(spark, key, staleNonce, created, ttlMs) =>
+                // stale: atomic rename decides which taker wins — but
+                // the rename must be VERIFIED before destroying what
+                // it caught: a slow taker's rename can land after a
+                // faster taker already consumed the stale lease and
+                // re-created a FRESH one, and blindly deleting the
+                // tombstone would then destroy the winner's live
+                // lease, leaving two processes believing they
+                // acquired. Nonce mismatch → put it back and retry.
                 val tomb = new Path(s"$key/_lease.takeover.$nonce")
                 if (f.rename(leasePath(key), tomb)) {
-                  f.delete(tomb, false)
-                  f.delete(hbPath(key, staleNonce), false)
+                  val tombNonce = readSmall(spark, key, tomb)
+                    .map(_.split("\t", -1)).collect {
+                      case Array(_, n, _) => n
+                    }
+                  if (tombNonce.contains(staleNonce)) {
+                    f.delete(tomb, false)
+                    deleteHb(spark, key, staleNonce)
+                  } else {
+                    // we caught a fresh lease, not the stale one:
+                    // restore it (best effort — if someone created a
+                    // new lease meanwhile, the displaced owner's next
+                    // renew fence catches it) and retry as live
+                    if (!f.rename(tomb, leasePath(key)))
+                      f.delete(tomb, false)
+                  }
                 }
               case other =>
                 if (System.currentTimeMillis() >= deadline)
@@ -237,7 +273,10 @@ object Lease {
     require(nonce != null, s"renew without holding the lease on $root")
     readLease(spark, key) match {
       case Some((_, n, _)) if n == nonce =>
-        val out = fs(spark, key).create(hbPath(key, nonce), true)
+        // alternate buffers so the stamp completed LAST is never the
+        // one being truncated (see hbPath)
+        val k = hbFlips.merge(key, 1, (a, _) => Integer.valueOf(a ^ 1))
+        val out = fs(spark, key).create(hbPath(key, nonce, k), true)
         try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
         finally out.close()
       case other => throw new LeaseHeldException(
@@ -260,8 +299,8 @@ object Lease {
           fs(spark, key).delete(leasePath(key), false)
         case _ => // taken over or already gone: not ours to delete
       }
-      // our heartbeat sidecar is ours whatever happened to the lease
-      if (nonce != null) fs(spark, key).delete(hbPath(key, nonce), false)
+      // our heartbeat sidecars are ours whatever happened to the lease
+      if (nonce != null) deleteHb(spark, key, nonce)
     }
     lock.unlock()
   }

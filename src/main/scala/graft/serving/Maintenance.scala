@@ -184,10 +184,18 @@ object Maintenance {
     case Tier(root, sortCols, hotDays, nowDate, retention, filesPerDate,
         coldBloomCols, absorbIngest, tsCol, bloomCol, compactMin) =>
       val rec = recovered(spark, root)
+      // a BLOCKED absorb (e.g. a fleet-ahead producer landed a column
+      // the schema registry lacks) must not abort the rest of the
+      // lifecycle: demote still relocates aged dates and — above all —
+      // the retention sweep (a compliance deadline) still runs. The
+      // refusal surfaces in the tick log for the operator.
       val absorbed =
         if (!absorbIngest) Nil
-        else Tiered.absorb(spark, root, tsCol, sortCols, bloomCol)
+        else try Tiered.absorb(spark, root, tsCol, sortCols, bloomCol)
           .map(b => s"absorbed:$root/batch_id=$b")
+        catch { case scala.util.control.NonFatal(e) =>
+          Seq(s"absorb-blocked:$root:${e.getMessage.linesIterator.next()}")
+        }
       val cutoff = java.time.LocalDate.parse(nowDate)
         .minusDays(hotDays.toLong).toString
       val demoted = Tiered.demote(spark, root, cutoff, sortCols,

@@ -139,14 +139,18 @@ object Tiered {
     * them). Underscore-prefixed, so parquet directory reads of the
     * landing never see the marker.
     */
-  def landBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
-    val f = fs(batch.sparkSession, root)
-    f.delete(landingMarker(root, batchId), false)
-    graft.streaming.StreamingPipeline.writeBatchIdempotent(
-      batch, batchId, landingDir(root))
-    val out = f.create(landingMarker(root, batchId), true)
-    out.close()
-  }
+  def landBatch(batch: DataFrame, batchId: Long, root: String): Unit =
+    // an empty micro-batch lands nothing: the dynamic overwrite of
+    // zero rows writes no partition directory, and a directory-less
+    // marker would read as sweep debris at the next tick
+    if (!batch.isEmpty) {
+      val f = fs(batch.sparkSession, root)
+      f.delete(landingMarker(root, batchId), false)
+      graft.streaming.StreamingPipeline.writeBatchIdempotent(
+        batch, batchId, landingDir(root))
+      val out = f.create(landingMarker(root, batchId), true)
+      out.close()
+    }
 
   private def absorbWatermark(spark: SparkSession, root: String): Long = {
     val p = new Path(s"$root/absorb_wm")
@@ -213,56 +217,88 @@ object Tiered {
           f.delete(landingMarker(root, b), false)
         }
         val fresh = batchIds.filter(_ > wm)
-        // a marked batch can be legitimately EMPTY of parquet files:
-        // eraseUser rewrites a landed batch whose every row belonged
-        // to the erased user as an empty directory (the staged-commit
-        // shape keeps the erase atomic). Such batches still advance
-        // the watermark and sweep; only non-empty ones fold.
-        val nonEmpty = fresh.filter(b =>
-          f.listStatus(new Path(s"${landingDir(root)}/batch_id=$b"))
-            .exists(_.getPath.getName.endsWith(".parquet")))
         if (fresh.isEmpty) Seq.empty
-        else if (nonEmpty.isEmpty) {
-          EraseStage.run(spark, root, Seq(
-            EraseStage.Overwrite("absorb_wm") -> spark.range(1)
-              .select(lit(fresh.max).as("max_batch_id"))))
-          fresh.foreach { b =>
-            f.delete(new Path(s"${landingDir(root)}/batch_id=$b"), true)
-            f.delete(landingMarker(root, b), false)
+        else {
+          // pin each fresh batch's parquet FILES now, under the same
+          // listing the marker check used: the fold below reads these
+          // exact paths, so a landing REPLAY racing this tick (it
+          // unmarks, rewrites, re-marks without the lease) either
+          // leaves every pinned file readable — complete OLD content,
+          // which a deterministic replay makes identical to the new —
+          // or vanishes one mid-read and the staged write fails
+          // BEFORE the manifest, leaving the tick to retry. A partial
+          // mix of old and new files is impossible: the rewrite's
+          // files have fresh names the pinned set never contains.
+          val files: Map[Long, Seq[String]] = fresh.map { b =>
+            b -> f.listStatus(new Path(s"${landingDir(root)}/batch_id=$b"))
+              .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+              .map(_.toString).toSeq
+          }.toMap
+          // fold only the CONTIGUOUS prefix of batches the registry
+          // can represent: one fleet-ahead producer batch (columns
+          // the registry lacks) must neither silently drop its data
+          // nor block every later-landed batch from... it does block
+          // later batches — watermark contiguity requires it — but it
+          // must not abort the whole tick's demote/retention legs
+          // (Maintenance catches the refusal), and earlier clean
+          // batches still fold. Empty batch dirs (an eraseUser that
+          // emptied one) are foldable by definition.
+          val registered =
+            if (!graft.tables.Evolve.hasRegistry(spark, root)) None
+            else Some(graft.tables.Evolve
+              .registeredSchema(spark, root).fieldNames.toSet)
+          val foldable = registered match {
+            case None => fresh
+            case Some(names) => fresh.takeWhile { b =>
+              files(b).isEmpty ||
+                (spark.read.parquet(s"${landingDir(root)}/batch_id=$b")
+                  .schema.fieldNames.toSet -- names).isEmpty
+            }
           }
-          fresh
-        } else {
-          // mergeSchema is bounded here: the landing holds only the
-          // batches since the last tick, not the table's history.
-          // The read pins the MARKED fresh set explicitly — an
-          // unmarked batch directory mid-write on the pipeline thread
-          // must not leak into the fold through the directory listing
-          val landRaw = spark.read.option("mergeSchema", "true")
-            .parquet(nonEmpty.map(b => s"${landingDir(root)}/batch_id=$b"): _*)
-          // conform BEFORE deriving p_date: producers land their
-          // event schema, which is also what operators naturally
-          // register — conforming after the derivation would strip
-          // p_date whenever the registry (correctly) lacks it and
-          // wedge every later tick at the staged write. Extra
-          // producer columns the registry lacks refuse loudly inside
-          // conform rather than silently dropping data.
-          val landRows =
-            (if (graft.tables.Evolve.hasRegistry(spark, root))
-              graft.tables.Evolve.conform(spark, root, landRaw)
-            else landRaw)
-              .withColumn("p_date", to_date(col(tsCol)))
+          if (foldable.isEmpty) {
+            val extra = spark.read
+              .parquet(s"${landingDir(root)}/batch_id=${fresh.head}")
+              .schema.fieldNames.toSet -- registered.getOrElse(Set.empty)
+            throw new IllegalArgumentException(
+              s"absorb blocked: landed batch ${fresh.head} carries " +
+                s"columns ${extra.toSeq.sorted.mkString(", ")} the schema " +
+                s"registry at $root lacks — run Evolve.addColumn for " +
+                "them, then the next tick folds it (nothing was dropped)")
+          }
+          val nonEmpty = foldable.filter(files(_).nonEmpty)
           val wmDf = spark.range(1)
-            .select(lit(fresh.max).as("max_batch_id"))
-          EraseStage.run(spark, root, Seq(
-            EraseStage.MoveIn("hot", "p_date", sortCols,
-              bloomCol.map(c =>
-                s"parquet.bloom.filter.enabled#$c" -> "true").toMap) -> landRows,
-            EraseStage.Overwrite("absorb_wm") -> wmDf))
-          fresh.foreach { b =>
+            .select(lit(foldable.max).as("max_batch_id"))
+          if (nonEmpty.isEmpty) {
+            // a foldable set of only-empty batches still advances the
+            // watermark so their debris sweeps
+            EraseStage.run(spark, root, Seq(
+              EraseStage.Overwrite("absorb_wm") -> wmDf))
+          } else {
+            // mergeSchema is bounded here: the landing holds only the
+            // batches since the last tick, not the table's history
+            val landRaw = spark.read.option("mergeSchema", "true")
+              .parquet(nonEmpty.flatMap(files): _*)
+            // conform BEFORE deriving p_date: producers land their
+            // event schema, which is also what operators naturally
+            // register — conforming after the derivation would strip
+            // p_date whenever the registry (correctly) lacks it and
+            // wedge every later tick at the staged write
+            val landRows =
+              (if (registered.isDefined)
+                graft.tables.Evolve.conform(spark, root, landRaw)
+              else landRaw)
+                .withColumn("p_date", to_date(col(tsCol)))
+            EraseStage.run(spark, root, Seq(
+              EraseStage.MoveIn("hot", "p_date", sortCols,
+                bloomCol.map(c =>
+                  s"parquet.bloom.filter.enabled#$c" -> "true").toMap) -> landRows,
+              EraseStage.Overwrite("absorb_wm") -> wmDf))
+          }
+          foldable.foreach { b =>
             f.delete(new Path(s"${landingDir(root)}/batch_id=$b"), true)
             f.delete(landingMarker(root, b), false)
           }
-          fresh
+          foldable
         }
       }
     }

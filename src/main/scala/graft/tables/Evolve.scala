@@ -231,4 +231,8 @@ object Evolve {
   /** Current schema version (specs / operational probes). */
   def currentVersion(spark: SparkSession, path: String): Int =
     load(spark, path)._1
+
+  /** Current authoritative schema (max version wins). */
+  def registeredSchema(spark: SparkSession, path: String): StructType =
+    load(spark, path)._2
 }

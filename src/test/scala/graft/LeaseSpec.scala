@@ -71,30 +71,35 @@ class LeaseSpec extends SparkSuite {
     assert(!leaseFile(r).exists())
   }
 
-  test("renew re-stamps the heartbeat in a per-nonce sidecar; the lease file is immutable") {
+  test("renew re-stamps the heartbeat in per-nonce sidecars; the lease file is immutable") {
     val r = tmp()
     Lease.acquire(spark, r, "t3")
     val before = scala.io.Source.fromFile(leaseFile(r)).mkString
     val nonce = before.split("\t")(1)
-    def hbFile = new java.io.File(s"$r/_lease.hb.$nonce")
+    def hbStamps: Seq[Long] = (0 to 1).flatMap { k =>
+      val f = new java.io.File(s"$r/_lease.hb.$nonce.$k")
+      if (!f.exists()) Nil
+      else scala.io.Source.fromFile(f).mkString.trim.toLongOption.toSeq
+    }
     Thread.sleep(20)
     Lease.renew(spark, r)
-    // the heartbeat goes to the sidecar keyed by OUR nonce — the
-    // shared lease file is byte-identical, which is the structural
-    // property that makes a renew racing a TTL takeover unable to
-    // clobber the new owner's lease
+    // the heartbeat goes to sidecars keyed by OUR nonce — the shared
+    // lease file is byte-identical, which is the structural property
+    // that makes a renew racing a TTL takeover unable to clobber the
+    // new owner's lease
     assert(scala.io.Source.fromFile(leaseFile(r)).mkString === before,
       "renew rewrote the shared lease file")
-    assert(hbFile.exists())
-    val hb1 = scala.io.Source.fromFile(hbFile).mkString.trim.toLong
+    val hb1 = hbStamps
+    assert(hb1.nonEmpty)
     Thread.sleep(20)
     Lease.renew(spark, r)
-    val hb2 = scala.io.Source.fromFile(hbFile).mkString.trim.toLong
-    assert(hb2 > hb1, "heartbeat must advance")
-    // a live foreign reader sees the sidecar heartbeat: even with an
-    // ancient created stamp the lease reads LIVE after a renew
+    val hb2 = hbStamps
+    assert(hb2.max > hb1.max, "heartbeat must advance")
+    // double-buffered: the second renew wrote the OTHER buffer, so
+    // the previous completed stamp stayed readable throughout
+    assert(hb2.size === 2, s"expected both buffers after two renews: $hb2")
     Lease.release(spark, r)
-    assert(!hbFile.exists(), "release left the heartbeat sidecar")
+    assert(hbStamps.isEmpty, "release left heartbeat sidecars")
     assert(!leaseFile(r).exists())
   }
 
@@ -105,21 +110,22 @@ class LeaseSpec extends SparkSuite {
     val w = new java.io.FileWriter(leaseFile(r))
     try w.write(s"slow-holder\tfn-1\t$old") finally w.close()
     // ...but its sidecar heartbeat is fresh → still held
-    val hb = new java.io.FileWriter(s"$r/_lease.hb.fn-1")
+    val hb = new java.io.FileWriter(s"$r/_lease.hb.fn-1.0")
     try hb.write(System.currentTimeMillis().toString) finally hb.close()
     assert(Lease.heldByOther(spark, r))
     intercept[Lease.LeaseHeldException] {
       Lease.acquire(spark, r, "taker", waitMs = 400)
     }
     // heartbeat goes stale → takeover succeeds and sweeps the sidecar
-    val hb2 = new java.io.FileWriter(s"$r/_lease.hb.fn-1")
+    val hb2 = new java.io.FileWriter(s"$r/_lease.hb.fn-1.0")
     try hb2.write(old.toString) finally hb2.close()
     assert(!Lease.heldByOther(spark, r))
     Lease.acquire(spark, r, "taker", waitMs = 2000)
-    assert(!new java.io.File(s"$r/_lease.hb.fn-1").exists(),
+    assert(!new java.io.File(s"$r/_lease.hb.fn-1.0").exists(),
       "takeover left the dead holder's heartbeat sidecar")
     Lease.release(spark, r)
   }
+
 
   test("a displaced holder does not delete the new owner's lease") {
     val r = tmp()

@@ -401,6 +401,12 @@ class TieredSpec extends SparkSuite {
     assert(e.getMessage.contains("extra") && e.getMessage.contains("addColumn"))
     assert(fs(root).exists(new Path(
       s"${Tiered.landingDir(root)}/batch_id=2")), "refused batch was consumed")
+    // the REST of the lifecycle tick survives a blocked absorb: the
+    // refusal lands in the tick log, demote/retention legs still run
+    val msgs = graft.serving.Maintenance.run(spark, Seq(
+      graft.serving.Maintenance.Tier(root, Seq("event_id"), hotDays = 0,
+        nowDate = "2024-01-01", absorbIngest = true)))
+    assert(msgs.exists(_.startsWith("absorb-blocked:")), msgs.toString)
     graft.tables.Evolve.addColumn(spark, root,
       StructField("extra", LongType), "0")
     assert(Tiered.absorb(spark, root, "ts", Seq("event_id")) === Seq(2L))
