@@ -143,18 +143,13 @@ object Lease {
 
   private def readLease(spark: SparkSession,
       rootQ: String): Option[(String, String, Long)] =
-    try {
-      val f = fs(spark, rootQ)
-      val in = f.open(leasePath(rootQ))
-      val line =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .toSeq.headOption.getOrElse("")
-        finally in.close()
-      line.split("\t", -1) match {
-        case Array(o, n, hb) => Some((o, n, hb.toLong))
-        case _ => None // corrupt/half-written: treat as absent
+    readSmall(spark, rootQ, leasePath(rootQ))
+      .map(_.linesIterator.nextOption().getOrElse("").split("\t", -1))
+      .flatMap {
+        // corrupt/half-written: treat as absent
+        case Array(o, n, c) => c.toLongOption.map((o, n, _))
+        case _ => None
       }
-    } catch { case _: java.io.IOException => None }
 
   // always an EXCLUSIVE create: the lease file is immutable once
   // created — heartbeats live in per-nonce sidecars (see renew)
@@ -214,11 +209,13 @@ object Lease {
                     deleteHb(spark, key, staleNonce)
                   } else {
                     // we caught a fresh lease, not the stale one:
-                    // restore it (best effort — if someone created a
-                    // new lease meanwhile, the displaced owner's next
-                    // renew fence catches it) and retry as live
-                    if (!f.rename(tomb, leasePath(key)))
-                      f.delete(tomb, false)
+                    // restore it and retry as live. If the restore
+                    // rename fails (someone created a new lease in
+                    // the gap), LEAVE the tombstone — it is inert
+                    // underscore-prefixed debris, and destroying the
+                    // displaced owner's record buys nothing; that
+                    // owner is fenced at its next renew either way.
+                    f.rename(tomb, leasePath(key))
                   }
                 }
               case other =>

@@ -184,17 +184,24 @@ object Maintenance {
     case Tier(root, sortCols, hotDays, nowDate, retention, filesPerDate,
         coldBloomCols, absorbIngest, tsCol, bloomCol, compactMin) =>
       val rec = recovered(spark, root)
-      // a BLOCKED absorb (e.g. a fleet-ahead producer landed a column
-      // the schema registry lacks) must not abort the rest of the
-      // lifecycle: demote still relocates aged dates and — above all —
-      // the retention sweep (a compliance deadline) still runs. The
-      // refusal surfaces in the tick log for the operator.
+      // a BLOCKED absorb (a fleet-ahead producer landed a column the
+      // schema registry lacks — absorb's documented
+      // IllegalArgumentException refusal) must not abort the rest of
+      // the lifecycle: demote still relocates aged dates and — above
+      // all — the retention sweep (a compliance deadline) still runs,
+      // with the refusal in the tick log for the operator. ONLY the
+      // refusal is caught: a genuine failure (FS error, staged-write
+      // crash) keeps propagating loudly rather than degrading into a
+      // log line callers may discard.
       val absorbed =
         if (!absorbIngest) Nil
         else try Tiered.absorb(spark, root, tsCol, sortCols, bloomCol)
           .map(b => s"absorbed:$root/batch_id=$b")
-        catch { case scala.util.control.NonFatal(e) =>
-          Seq(s"absorb-blocked:$root:${e.getMessage.linesIterator.next()}")
+        catch { case e: IllegalArgumentException =>
+          val msg = Option(e.getMessage)
+            .flatMap(_.linesIterator.find(_.nonEmpty))
+            .getOrElse(e.getClass.getSimpleName)
+          Seq(s"absorb-blocked:$root:$msg")
         }
       val cutoff = java.time.LocalDate.parse(nowDate)
         .minusDays(hotDays.toLong).toString

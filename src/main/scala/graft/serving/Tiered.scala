@@ -139,18 +139,21 @@ object Tiered {
     * them). Underscore-prefixed, so parquet directory reads of the
     * landing never see the marker.
     */
-  def landBatch(batch: DataFrame, batchId: Long, root: String): Unit =
-    // an empty micro-batch lands nothing: the dynamic overwrite of
-    // zero rows writes no partition directory, and a directory-less
-    // marker would read as sweep debris at the next tick
-    if (!batch.isEmpty) {
-      val f = fs(batch.sparkSession, root)
-      f.delete(landingMarker(root, batchId), false)
-      graft.streaming.StreamingPipeline.writeBatchIdempotent(
-        batch, batchId, landingDir(root))
+  def landBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
+    val f = fs(batch.sparkSession, root)
+    f.delete(landingMarker(root, batchId), false)
+    graft.streaming.StreamingPipeline.writeBatchIdempotent(
+      batch, batchId, landingDir(root))
+    // marker only if the write produced the partition directory: an
+    // empty micro-batch's dynamic overwrite writes none, and a
+    // directory-less marker would read as sweep debris at the next
+    // tick — probed with one FS call instead of an extra Spark action
+    // (batch.isEmpty) on the ingest hot path
+    if (f.exists(new Path(s"${landingDir(root)}/batch_id=$batchId"))) {
       val out = f.create(landingMarker(root, batchId), true)
       out.close()
     }
+  }
 
   private def absorbWatermark(spark: SparkSession, root: String): Long = {
     val p = new Path(s"$root/absorb_wm")
@@ -247,24 +250,28 @@ object Tiered {
             if (!graft.tables.Evolve.hasRegistry(spark, root)) None
             else Some(graft.tables.Evolve
               .registeredSchema(spark, root).fieldNames.toSet)
-          val foldable = registered match {
-            case None => fresh
-            case Some(names) => fresh.takeWhile { b =>
-              files(b).isEmpty ||
-                (spark.read.parquet(s"${landingDir(root)}/batch_id=$b")
-                  .schema.fieldNames.toSet -- names).isEmpty
-            }
-          }
-          if (foldable.isEmpty) {
-            val extra = spark.read
-              .parquet(s"${landingDir(root)}/batch_id=${fresh.head}")
-              .schema.fieldNames.toSet -- registered.getOrElse(Set.empty)
+          // the gate probes the PINNED files, like the fold itself: a
+          // probe on the live directory could catch a replay's commit
+          // window (momentarily file-less) and misreport a transient
+          // race as a schema refusal
+          def extrasOf(b: Long): Set[String] =
+            if (files(b).isEmpty) Set.empty
+            else registered.fold(Set.empty[String])(names =>
+              spark.read.parquet(files(b): _*)
+                .schema.fieldNames.toSet -- names)
+          val foldable =
+            if (registered.isEmpty) fresh
+            else fresh.takeWhile(extrasOf(_).isEmpty)
+          def blocked(): Nothing = {
+            val bad = fresh(foldable.size)
             throw new IllegalArgumentException(
-              s"absorb blocked: landed batch ${fresh.head} carries " +
-                s"columns ${extra.toSeq.sorted.mkString(", ")} the schema " +
-                s"registry at $root lacks — run Evolve.addColumn for " +
-                "them, then the next tick folds it (nothing was dropped)")
+              s"absorb blocked at landed batch $bad: columns " +
+                s"${extrasOf(bad).toSeq.sorted.mkString(", ")} are missing " +
+                s"from the schema registry at $root — run Evolve.addColumn " +
+                s"for them, then the next tick folds it (${foldable.size} " +
+                "earlier batch(es) folded this tick; nothing was dropped)")
           }
+          if (foldable.isEmpty) blocked()
           val nonEmpty = foldable.filter(files(_).nonEmpty)
           val wmDf = spark.range(1)
             .select(lit(foldable.max).as("max_batch_id"))
@@ -298,6 +305,12 @@ object Tiered {
             f.delete(new Path(s"${landingDir(root)}/batch_id=$b"), true)
             f.delete(landingMarker(root, b), false)
           }
+          // a withheld SUFFIX (clean prefix folded, a fleet-ahead
+          // batch blocks the rest) must signal on THIS tick, not only
+          // once the queue reaches the offender — the prefix is
+          // durably folded and swept above, so the refusal loses
+          // nothing
+          if (foldable.size < fresh.size) blocked()
           foldable
         }
       }

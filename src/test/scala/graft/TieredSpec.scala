@@ -412,6 +412,24 @@ class TieredSpec extends SparkSuite {
     assert(Tiered.absorb(spark, root, "ts", Seq("event_id")) === Seq(2L))
     assert(Tiered.read(spark, root).filter($"event_id" === 4L)
       .select($"extra").as[Long].head() === 5L)
+    // a clean batch AHEAD of a fleet-ahead one: the clean prefix
+    // folds durably, the refusal still fires on THIS tick (not only
+    // once the queue reaches the offender)
+    Tiered.landBatch(Seq((5L, t("2024-08-01 14:00:00"), 14L, 2L, 6L))
+      .toDF("event_id", "ts", "user_id", "score", "extra"), 3L, root)
+    Tiered.landBatch(Seq((6L, t("2024-08-01 15:00:00"), 15L, 3L, 7L, 1L))
+      .toDF("event_id", "ts", "user_id", "score", "extra", "extra2"), 4L, root)
+    val e2 = intercept[IllegalArgumentException] {
+      Tiered.absorb(spark, root, "ts", Seq("event_id"))
+    }
+    assert(e2.getMessage.contains("extra2") &&
+      e2.getMessage.contains("1 earlier batch"), e2.getMessage)
+    assert(Tiered.read(spark, root).filter($"event_id" === 5L).count() === 1L,
+      "clean prefix batch did not fold")
+    graft.tables.Evolve.addColumn(spark, root,
+      StructField("extra2", LongType), "0")
+    assert(Tiered.absorb(spark, root, "ts", Seq("event_id")) === Seq(4L))
+    assert(ids(Tiered.read(spark, root)) === Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
   test("absorb sweeps orphaned commit markers (dir deleted, marker crash-left)") {
