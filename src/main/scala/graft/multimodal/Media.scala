@@ -117,23 +117,24 @@ object Media {
     v
   }
 
-  /** Partition-local batch signature extraction: payload in, (hash,
-    * embedding) out — ONE pass over the bytes computes both tiers'
-    * keys, and the payload never leaves the scan partition. At 100 TB
-    * this is the step that makes media dedup shuffle-cheap: 40 bytes
-    * of hash + 128 bytes of vector per asset cross the exchange, the
-    * binary column never does.
+  /** Row-local signature extraction: payload in, (hash, embedding)
+    * out — both keys compute inside the scan stage (the codegen'd
+    * `md5` built-in + the [[graft.functions.EmbedStub]] expression,
+    * which matches [[embedStub]] bit-for-bit — MediaSpec pins the
+    * parity), so the whole pass stays in WholeStageCodegen with no
+    * encoder round-trip on the payload bytes, and the payload never
+    * leaves the scan partition. At 100 TB this is the step that makes
+    * media dedup shuffle-cheap: 40 bytes of hash + 128 bytes of
+    * vector per asset cross the exchange, the binary column never
+    * does.
     */
   def extractSignatures(spark: SparkSession, media: DataFrame): Dataset[MediaSignature] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { rec =>
-        md.reset()
-        val hash = md.digest(rec.bytes).map("%02x".format(_)).mkString
-        MediaSignature(rec.media_id, hash, embedStub(rec.bytes))
-      }
-    }
+    media.select(
+      col("media_id"),
+      md5(col("bytes")).as("content_hash"),
+      graft.functions.MediaExprs.embed_stub(col("bytes")).as("embedding"))
+      .as[MediaSignature]
   }
 
   /** Frame sampling for video payloads: split the byte payload into

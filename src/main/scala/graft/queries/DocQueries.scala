@@ -382,6 +382,22 @@ object DocQueries {
     */
   private def curateFrames(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (d, kept, reps, labels) = curateStages(spark, dir)
+    val survivors = reps.join(labels, Seq("doc_id"), "left")
+      .filter(col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
+    (d, kept, reps, survivors)
+  }
+
+  /** The three shared curation stages — (input, model-kept, exact-
+    * dedup reps, near-dup component labels) — ONE definition for
+    * [[curateFrames]] (min-id survivor policy) and [[docCurateBest]]
+    * (highest-logit policy): the two pipelines differ only in the
+    * final component-keyed reduction, and duplicating the stages
+    * would let a threshold change silently fork one from the other
+    * (and from the funnel report).
+    */
+  private def curateStages(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val d = Tables.documents(spark, dir)
     val kept = docQualityModel(spark, dir)
       .filter(col("keep") === 1).select(col("doc_id"), col("logit"))
@@ -394,9 +410,7 @@ object DocQueries {
     val labels = NearDup.canonicalize(
       NearDup.jaccardPairs(reps.select(col("doc_id"), col("text")),
         n = 3, thresholdNum = 1, thresholdDen = 2))
-    val survivors = reps.join(labels, Seq("doc_id"), "left")
-      .filter(col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
-    (d, kept, reps, survivors)
+    (d, kept, reps, labels)
   }
 
   /** Curation FUNNEL report — the pipeline-observability table every
@@ -435,18 +449,7 @@ object DocQueries {
     * (logit, −id) key).
     */
   def docCurateBest(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val kept = docQualityModel(spark, dir)
-      .filter(col("keep") === 1).select(col("doc_id"), col("logit"))
-      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
-    val reps = kept
-      .groupBy(md5(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .join(kept, Seq("doc_id"))
-      .select(col("doc_id"), col("logit"), col("text"))
-    val labels = NearDup.canonicalize(
-      NearDup.jaccardPairs(reps.select(col("doc_id"), col("text")),
-        n = 3, thresholdNum = 1, thresholdDen = 2))
+    val (_, _, reps, labels) = curateStages(spark, dir)
     reps.join(labels, Seq("doc_id"), "left")
       .withColumn("comp", coalesce(col("canonical_id"), col("doc_id")))
       .groupBy(col("comp"))

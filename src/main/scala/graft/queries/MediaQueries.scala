@@ -125,6 +125,34 @@ object MediaQueries {
     MediaIngest.readDedup(spark, s"$tmp/state")
   }
 
+  /** The similarity tier built through the STREAMING ingest leg
+    * ([[graft.streaming.MediaIngest.processSignatureBatch]]): id-
+    * ordered event thirds land as per-batch (hash, min-id, embedding)
+    * signature deltas — payloads never persist — and the read
+    * collapses the state to the canonical asset set and runs the
+    * SAME RHP-LSH + exact-cosine verify as the batch gate. Min-merge
+    * state is order-independent, so this shares `q_media_neardup`'s
+    * oracle verbatim: the streaming split must be invisible in the
+    * pair set.
+    */
+  def mediaNearDupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.MediaIngest
+    val ev = Tables.events(spark, dir)
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_media_sig_ingest").toString
+    Seq(
+      ev.filter(col("event_id") <= cuts(0)),
+      ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      ev.filter(col("event_id") > cuts(1))
+    ).zipWithIndex.foreach { case (b, i) =>
+      MediaIngest.processSignatureBatch(Media.mediaFromEvents(b), i.toLong,
+        s"$tmp/state")
+    }
+    MediaIngest.readNearDup(spark, s"$tmp/state")
+  }
+
   // payload = props' UTF-8 bytes, so DuckDB's md5 over the VARCHAR
   // hashes the identical byte string.
   private val mediaDedupOracle =
@@ -135,6 +163,7 @@ object MediaQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_media_neardup" -> (mediaNearDup _),
+    "q_media_neardup_stream" -> (mediaNearDupStream _),
     "q_media_dedup_stream" -> (mediaDedupStream _),
     "q_media_frame_overlap" -> (frameOverlap _),
     "q_media_dedup" -> (mediaDedup _),
@@ -143,14 +172,13 @@ object MediaQueries {
     "q_media_resize" -> (resizeFeatures _),
   )
 
-  val oracles: Map[String, String] = Map(
-    // full replay of the similarity tier: canonical payload per
-    // distinct content (min owning id), the 16-dim byte-fold stub
-    // embedding (dim d sums byte-64 over positions ≡ d mod 16; props
-    // are ASCII so ascii(char) = byte), hyperplanes from the 64
-    // lowest-id canonicals pairwise (bit = dot-vs-dot), 4 bands × 8
-    // bits, band-collision candidates, exact cosine verify at 0.8
-    "q_media_neardup" ->
+  // full replay of the similarity tier: canonical payload per
+  // distinct content (min owning id), the 16-dim byte-fold stub
+  // embedding (dim d sums byte-64 over positions ≡ d mod 16; props
+  // are ASCII so ascii(char) = byte), hyperplanes from the 64
+  // lowest-id canonicals pairwise (bit = dot-vs-dot), 4 bands × 8
+  // bits, band-collision candidates, exact cosine verify at 0.8
+  private val mediaNearDupOracle =
       """WITH canon AS (
         |  SELECT CAST(min(event_id) AS BIGINT) AS media_id,
         |    list_transform(range(0, 16), d ->
@@ -182,7 +210,13 @@ object MediaQueries {
         |FROM cand c
         |JOIN canon ea ON ea.media_id = c.id_a
         |JOIN canon eb ON eb.media_id = c.id_b
-        |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.8""".stripMargin,
+        |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.8""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_media_neardup" -> mediaNearDupOracle,
+    // min-merge signature state is order-independent: the stream-
+    // built similarity tier must produce the identical pair set
+    "q_media_neardup_stream" -> mediaNearDupOracle,
     // same kept-chunk rule as q_media_frame_stats (offsets 16·g, 8
     // bytes, substring truncates at end-of-payload exactly like the
     // Spark slice); props are ASCII so md5(VARCHAR) = md5(bytes)

@@ -109,17 +109,62 @@ object ServingQueries {
     * scan directory-prunes both tiers — the measured claim that the
     * archive tier costs the serving path nothing (the bench reports
     * this gate in milliseconds next to the `q_api_*` family; the plan
-    * half of the claim is RouterSpec's zero-cold-files assert).
+    * half of the claim is RouterSpec's zero-cold-files assert). What
+    * holds it under the 200 ms bar (the r14 verdict's one red
+    * number): [[graft.serving.Tiered.read]]'s frame cache — the
+    * barrier probes, footer inference, and file listings run once per
+    * root per generation, not per call — and a TIMESTAMP-literal ts
+    * comparison (not `unix_millis(ts) >= cut`, which wraps the column
+    * and blocks pushdown) so the range predicate reaches the parquet
+    * row-group stats. A rollup-fed twin (`q_tiered_recent_served`)
+    * pins the reference's serve-from-rollup architecture against the
+    * same oracle; at this hot-tier size the pruned one-date raw scan
+    * measured FASTER than re-aggregating the minute state, so the raw
+    * form keeps the latency-family slot.
     */
   def tieredRecent(spark: SparkSession, dir: String): DataFrame = {
     val root = tieredRoot(spark, dir)
     val cutMs = graft.serving.Serving.anchorMs(spark, dir) - 24L * hourMs
     graft.serving.Tiered.read(spark, root)
       .filter(col("p_date") >= lit(graft.serving.Serving.utcDate(cutMs)))
-      .filter(unix_millis(col("ts")) >= cutMs)
+      .filter(col("ts") >= lit(new java.sql.Timestamp(cutMs)))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("order_count"),
         sum(col("value_cents")).as("total_cents"))
+  }
+
+  /** The rollup-fed twin of [[tieredRecent]] — the reference's own
+    * serving architecture (queries hit the rollup table, not raw):
+    * COMPLETE minutes of the last-24 h window come from the pinned
+    * minute-rollup state (exact — a minute window ≥ the cut's minute
+    * ceiling is wholly interior to the window, the
+    * [[topKTrendingServed]] argument), and only the BOUNDARY minute
+    * (the sub-minute sliver at the window's trailing edge, when the
+    * cut is not minute-aligned) reads raw — THROUGH the tiered store,
+    * pruned to that single hot date. Shares the raw-scan oracle: the
+    * rollup/raw seam must be invisible in the answer. At 100 TB this
+    * is the shape that wins (state rows ≪ raw rows); at this sf the
+    * raw date is already tiny, which is why the raw form holds the
+    * latency-family slot instead.
+    */
+  def tieredRecentServed(spark: SparkSession, dir: String): DataFrame = {
+    val root = tieredRoot(spark, dir)
+    val cutMs = graft.serving.Serving.anchorMs(spark, dir) - 24L * hourMs
+    val minuteEnd = ((cutMs + 59999L) / 60000L) * 60000L // minute ceiling
+    val rollupArm = Serving.readTable(spark, dir, "rollup_1m")
+      .filter(col("window_start_ms") >= lit(minuteEnd))
+      .select(col("event_type"), col("order_count").as("n"),
+        col("sum_value_cents").as("cents"))
+    val boundaryArm = graft.serving.Tiered.read(spark, root)
+      .filter(col("p_date") === lit(graft.serving.Serving.utcDate(cutMs)))
+      .filter(col("ts") >= lit(new java.sql.Timestamp(cutMs)) &&
+        col("ts") < lit(new java.sql.Timestamp(minuteEnd)))
+      .select(col("event_type"), lit(1L).as("n"),
+        col("value_cents").as("cents"))
+    rollupArm.unionByName(boundaryArm)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("order_count"),
+        sum(col("cents")).as("total_cents"))
   }
 
   /** Incremental CUMULATE ([[graft.serving.Router
@@ -448,6 +493,48 @@ object ServingQueries {
         sum(col("total_cents")).as("total_cents"))
   }
 
+  private val widenCache = new TempRootCache("graft_widen")
+
+  /** TYPE-WIDENING evolution end-to-end ([[graft.tables.Evolve
+    * .widenColumn]]): the daily rollup's `total_cents` metric starts
+    * life as INT (the first epoch's files store 32-bit values — the
+    * money-in-cents convention before anyone thought a day could
+    * exceed 2³¹ cents), the registry widens it to LONG in ONE
+    * metadata write — zero data files rewritten — and the second
+    * epoch appends 64-bit values natively. The evolved read must
+    * upcast the narrow epoch's physical INT32 exactly (parquet type
+    * promotion under the explicit registry schema) and serve one
+    * seamless LONG column; the oracle is the plain daily recompute,
+    * so any loss, truncation, or epoch seam would hash-mismatch.
+    */
+  def widenedDaily(spark: SparkSession, dir: String): DataFrame = {
+    val root = widenCache.root(spark, dir) { p =>
+      val ev = graft.Tables.events(spark, dir)
+      val mid = midDate(spark, dir)
+      val ms = unix_millis(col("ts"))
+      val grain = 24L * hourMs
+      val keyed = ev.withColumn("d", to_date(col("ts")))
+        .withColumn("window_start_ms", ms - pmod(ms, lit(grain)))
+      keyed.filter(col("d") < lit(mid))
+        .groupBy(col("window_start_ms"), col("event_type"))
+        .agg(count(lit(1)).as("order_count"),
+          sum(col("value_cents")).cast("int").as("total_cents"))
+        .write.mode("overwrite").parquet(p)
+      graft.tables.Evolve.register(spark, p, spark.read.parquet(p).schema)
+      graft.tables.Evolve.widenColumn(spark, p, "total_cents",
+        org.apache.spark.sql.types.LongType)
+      keyed.filter(col("d") >= lit(mid))
+        .groupBy(col("window_start_ms"), col("event_type"))
+        .agg(count(lit(1)).as("order_count"),
+          sum(col("value_cents")).as("total_cents"))
+        .write.mode("append").parquet(p)
+    }
+    graft.tables.Evolve.read(spark, root)
+      .groupBy(col("window_start_ms"), col("event_type"))
+      .agg(sum(col("order_count")).as("order_count"),
+        sum(col("total_cents")).as("total_cents"))
+  }
+
   private val streamRootCache = new TempRootCache("graft_serving_stream")
 
   /** A serving root built by the STREAMING refresh leg: first batch
@@ -513,9 +600,11 @@ object ServingQueries {
     "q_tiered_stream" -> (tieredStreamDaily _),
     "q_tiered_pipeline" -> (tieredPipelineDaily _),
     "q_evolved_daily" -> (evolvedDaily _),
+    "q_widened_daily" -> (widenedDaily _),
     "q_hybrid_hourly" -> (hybridHourly _),
     "q_hybrid_tiered" -> (hybridTiered _),
     "q_tiered_recent" -> (tieredRecent _),
+    "q_tiered_recent_served" -> (tieredRecentServed _),
     "q_cumulate_daily_routed" -> (cumulateDailyRouted _),
     "q_percentile_served" -> (percentilesServed _),
     "q_startree_by_type" -> (starTreeByType _),
@@ -651,6 +740,14 @@ object ServingQueries {
          |  CAST(SUM(CASE WHEN CAST(ts AS DATE) < (SELECT mid FROM c)
          |           THEN 0 ELSE $cents END) AS BIGINT) AS total_cents
          |FROM events GROUP BY 1, 2""".stripMargin,
+    // type widening: both epochs carry REAL values (the narrow epoch
+    // just stores them 32-bit), so the evolved read must equal the
+    // plain daily recompute — any truncation or epoch seam mismatches
+    "q_widened_daily" ->
+      s"""SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,
+         |  count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS total_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_hybrid_hourly" ->
       s"""SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
          |  count(*) AS order_count,
@@ -667,6 +764,16 @@ object ServingQueries {
     // existence must change neither the answer nor (bench-measured)
     // the latency class
     "q_tiered_recent" ->
+      s"""SELECT event_type, count(*) AS order_count,
+         |  CAST(SUM($cents) AS BIGINT) AS total_cents
+         |FROM events
+         |WHERE epoch_ms(ts) >= (SELECT epoch_ms(max(ts)) FROM events)
+         |  - 24::BIGINT*3600*1000
+         |GROUP BY 1""".stripMargin,
+    // the rollup-fed twin: complete minutes from state, the boundary
+    // minute through the tiers — the serve-from-rollup seam must be
+    // invisible, so it shares the raw recompute oracle
+    "q_tiered_recent_served" ->
       s"""SELECT event_type, count(*) AS order_count,
          |  CAST(SUM($cents) AS BIGINT) AS total_cents
          |FROM events

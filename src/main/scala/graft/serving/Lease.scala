@@ -198,8 +198,22 @@ object Lease {
                 // tombstone would then destroy the winner's live
                 // lease, leaving two processes believing they
                 // acquired. Nonce mismatch → put it back and retry.
+                // SECOND staleness confirmation immediately before
+                // the rename: between the first read and here another
+                // taker may already have consumed the stale lease and
+                // created a fresh one, and renaming THAT away —
+                // however briefly, pending the mismatch restore below
+                // — opens a window where a third acquirer's exclusive
+                // create succeeds while the displaced fresh holder
+                // still believes it holds. The re-read shrinks that
+                // window to the single read→rename gap; write bodies
+                // close the remainder via their renew fences.
+                val confirmed = readLease(spark, key).exists {
+                  case (_, n2, c2) =>
+                    n2 == staleNonce && !isLive(spark, key, n2, c2, ttlMs)
+                }
                 val tomb = new Path(s"$key/_lease.takeover.$nonce")
-                if (f.rename(leasePath(key), tomb)) {
+                if (confirmed && f.rename(leasePath(key), tomb)) {
                   val tombNonce = readSmall(spark, key, tomb)
                     .map(_.split("\t", -1)).collect {
                       case Array(_, n, _) => n

@@ -95,7 +95,8 @@ object Maintenance {
     absorbIngest: Boolean = false,
     tsCol: String = "ts",
     bloomCol: Option[String] = None,
-    compactHotMinFiles: Option[Int] = None) extends Task
+    compactHotMinFiles: Option[Int] = None,
+    replicateCold: Option[Int] = None) extends Task
 
   /** A streaming ingest's own `compact()` surface (SegmentIngest,
     * SpanIngest, CurationIngest, MediaIngest, LmIngest, ... — each
@@ -182,22 +183,26 @@ object Maintenance {
         .map(p => s"swept:$p")
 
     case Tier(root, sortCols, hotDays, nowDate, retention, filesPerDate,
-        coldBloomCols, absorbIngest, tsCol, bloomCol, compactMin) =>
+        coldBloomCols, absorbIngest, tsCol, bloomCol, compactMin,
+        replicate) =>
       val rec = recovered(spark, root)
       // a BLOCKED absorb (a fleet-ahead producer landed a column the
-      // schema registry lacks — absorb's documented
-      // IllegalArgumentException refusal) must not abort the rest of
-      // the lifecycle: demote still relocates aged dates and — above
-      // all — the retention sweep (a compliance deadline) still runs,
-      // with the refusal in the tick log for the operator. ONLY the
-      // refusal is caught: a genuine failure (FS error, staged-write
-      // crash) keeps propagating loudly rather than degrading into a
-      // log line callers may discard.
+      // schema registry lacks, or a producer's type drifted —
+      // absorb's documented [[Tiered.AbsorbBlockedException]]
+      // refusal) must not abort the rest of the lifecycle: demote
+      // still relocates aged dates and — above all — the retention
+      // sweep (a compliance deadline) still runs, with the refusal in
+      // the tick log for the operator. ONLY that dedicated type is
+      // caught: every other IllegalArgumentException from the staged-
+      // commit machinery (movein rename failure, staged/destination
+      // both-exist, manifest-version refusal) is a genuine failure
+      // and keeps propagating loudly rather than degrading into a log
+      // line callers may discard.
       val absorbed =
         if (!absorbIngest) Nil
         else try Tiered.absorb(spark, root, tsCol, sortCols, bloomCol)
           .map(b => s"absorbed:$root/batch_id=$b")
-        catch { case e: IllegalArgumentException =>
+        catch { case e: Tiered.AbsorbBlockedException =>
           val msg = Option(e.getMessage)
             .flatMap(_.linesIterator.find(_.nonEmpty))
             .getOrElse(e.getClass.getSimpleName)
@@ -222,7 +227,13 @@ object Maintenance {
         Tiered.retentionSweep(spark, root, before)
           .map(d => s"swept:$root/cold/p_date=$d")
       }
-      rec ++ absorbed ++ demoted ++ compacted ++ swept
+      // replicate LAST: demote/retention just changed the archive's
+      // content stamp, so replicating earlier in the tick would build
+      // a generation this same tick immediately supersedes
+      val replicated = replicate.toSeq.flatMap { n =>
+        Tiered.replicateCold(spark, root, n).map(g => s"replicated:$g")
+      }
+      rec ++ absorbed ++ demoted ++ compacted ++ swept ++ replicated
 
     case IngestCompact(_, _) =>
       throw new IllegalStateException("IngestCompact runs unleased in exec")

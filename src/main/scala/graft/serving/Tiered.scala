@@ -47,8 +47,49 @@ import org.apache.spark.sql.functions._
   */
 object Tiered {
 
+  /** [[absorb]]'s "operator must evolve the registry first" refusal —
+    * a DEDICATED type so [[Maintenance]]'s Tier tick can tolerate
+    * exactly this (fold what's clean, log, keep the lifecycle
+    * running) while every OTHER `IllegalArgumentException` from the
+    * staged-commit machinery (movein rename failure, staged/
+    * destination both-exist, manifest-version refusal) propagates
+    * loudly as the genuine failure it is.
+    */
+  final class AbsorbBlockedException(msg: String)
+    extends IllegalArgumentException(msg)
+
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def qualified(spark: SparkSession, root: String): String =
+    fs(spark, root).makeQualified(new Path(root)).toString
+
+  // ---- read-frame cache (the Serving.tableCache discipline) --------
+  // One read barrier + staged-commit recovery + frame construction
+  // per root per GENERATION, not per query: rebuilding two parquet
+  // frames per call costs a footer-inference + full file listing each
+  // (~150 ms local, multiplied at object-store latencies), which is
+  // what pushed the tiered serving gate past the 200 ms bar. The
+  // frames stay UNPINNED, deliberately: the hot tier's pruned scan
+  // reads one page-cached date per recent-window query, and columnar-
+  // cache decompression measured ~25% SLOWER than that (besides, the
+  // raw tiers can be arbitrarily large — Serving pins only its small
+  // derived tables). Every in-process mutating op invalidates
+  // ([[invalidate]]); a FOREIGN writer's changes are picked up at the
+  // next invalidation or process restart — the same single-writer
+  // discipline Serving.readTableAt documents (readers and the writer
+  // share a JVM in this library's deployment shape; set
+  // `graft.tiered.read.cache=false` to rebuild per call).
+  private val readCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Drop `root`'s cached read frame — called by every mutating op
+    * here after its commit.
+    */
+  private[graft] def invalidate(spark: SparkSession, root: String): Unit = {
+    readCache.remove(qualified(spark, root))
+    ()
+  }
 
   /** One tier's rows, SCHEMA-EVOLUTION-AWARE: when the tiered root
     * carries an [[graft.tables.Evolve]] registry (register it at the
@@ -93,13 +134,23 @@ object Tiered {
       EraseStage.recover(spark, root)
       val f = fs(spark, root)
       f.delete(new Path(s"$root/cold"), true)
+      f.delete(new Path(replicaArea(root)), true)
       // a REBUILD resets the streaming lifecycle too: a stale absorb
       // watermark would silently sweep a fresh pipeline's first
-      // batches (ids restart at 0 ≤ old wm) without folding them
+      // batches (ids restart at 0 ≤ old wm) without folding them —
+      // and stale erase tombstones would re-filter them (batch-id
+      // windows from the previous lifecycle cover a restarted
+      // pipeline's low ids)
       f.delete(new Path(landingDir(root)), true)
       f.delete(new Path(s"$root/absorb_wm"), true)
+      f.delete(new Path(eraseKeyDir(root)), true)
+      // fence (the Lease.renew displaced-writer discipline): a holder
+      // paused past its TTL and taken over must not run this
+      // destructive write body against the new owner
+      Lease.renew(spark, root)
       graft.tables.TableManager.writePartitioned(
         df, s"$root/hot", tsCol, sortCols, bloomCol)
+      invalidate(spark, root)
     }
 
   /** Append a batch into the HOT tier (live ingest always lands hot,
@@ -111,9 +162,15 @@ object Tiered {
       sortCols: Seq[String], bloomCol: Option[String] = None): Unit =
     Lease.withLease(spark, root, "tiered-ingest") {
       EraseStage.recover(spark, root)
+      // fence: this append runs under the lease but outside
+      // EraseStage's per-leg renew discipline, so without its own
+      // renew a displaced holder (TTL takeover during a long pause)
+      // would run the whole write unfenced against the new owner
+      Lease.renew(spark, root)
       graft.tables.TableManager.writePartitioned(
         df, s"$root/hot", tsCol, sortCols, bloomCol,
         mode = org.apache.spark.sql.SaveMode.Append)
+      invalidate(spark, root)
     }
 
   /** Where a STREAMING pipeline lands its batch-keyed raw output
@@ -152,6 +209,66 @@ object Tiered {
     if (f.exists(new Path(s"${landingDir(root)}/batch_id=$batchId"))) {
       val out = f.create(landingMarker(root, batchId), true)
       out.close()
+    }
+  }
+
+  private def eraseKeyDir(root: String) = s"$root/_erase_keys"
+
+  private case class EraseKey(col: String, value: Long, maxBatchId: Long)
+
+  /** The erase tombstones not yet expired by the absorb watermark —
+    * `column \t value \t max-batch-id` sidecars under `_erase_keys/`
+    * (underscore-prefixed: invisible to parquet reads), one per
+    * [[eraseUser]] call that ran while the landing lifecycle was
+    * active.
+    */
+  private def activeEraseKeys(spark: SparkSession,
+      root: String): Seq[(Path, EraseKey)] = {
+    val f = fs(spark, root)
+    val dir = new Path(eraseKeyDir(root))
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
+      val in = f.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.trim.split("\t", -1) match {
+        case Array(c, v, m) =>
+          for (vv <- v.toLongOption; mm <- m.toLongOption)
+            yield (p, EraseKey(c, vv, mm))
+        case _ => None
+      }
+    }
+  }
+
+  /** Re-filter rows for users erased AFTER their batch landed — the
+    * landing-replay seam of right-to-be-forgotten: [[landBatch]] is
+    * deliberately lease-less (the ingest hot path), so a streaming
+    * replay of a batch [[eraseUser]] already scrubbed can re-land the
+    * user's pre-erase rows after the erase manifest commits, and an
+    * in-flight (unmarked) batch at erase time commits its pre-erase
+    * rows only later. Each erase records a tombstone (column, value,
+    * max landing batch id at erase time), and the fold re-filters
+    * rows whose batch id falls inside that window — a pre-erase row
+    * can never fold, while batches beyond the window (genuinely new
+    * data, possibly the same user returning) fold untouched. The
+    * batch id comes from the pinned file's path (the fold reads
+    * explicit `batch_id=N` files, and no exchange sits between the
+    * scan and this filter). Tombstones self-expire once the watermark
+    * passes their window (see [[absorb]]).
+    */
+  private def scrubErased(spark: SparkSession, root: String,
+      landRows: DataFrame): DataFrame = {
+    val keys = activeEraseKeys(spark, root).map(_._2)
+      .filter(k => landRows.columns.contains(k.col))
+    if (keys.isEmpty) landRows
+    else {
+      val b = regexp_extract(input_file_name(), "batch_id=(\\d+)", 1)
+        .cast("long")
+      keys.foldLeft(landRows) { (df, k) =>
+        // null-safe equality: a null-id row is never the erased user
+        df.filter(!(b <= lit(k.maxBatchId) && (col(k.col) <=> lit(k.value))))
+      }
     }
   }
 
@@ -219,6 +336,12 @@ object Tiered {
           f.delete(new Path(s"${landingDir(root)}/batch_id=$b"), true)
           f.delete(landingMarker(root, b), false)
         }
+        // erase-key tombstones whose whole window is ≤ the watermark
+        // are spent: every batch id they cover can only be swept
+        // above, never folded again
+        activeEraseKeys(spark, root).foreach { case (p, k) =>
+          if (k.maxBatchId <= wm) f.delete(p, false)
+        }
         val fresh = batchIds.filter(_ > wm)
         if (fresh.isEmpty) Seq.empty
         else {
@@ -250,21 +373,38 @@ object Tiered {
             if (!graft.tables.Evolve.hasRegistry(spark, root)) None
             else Some(graft.tables.Evolve
               .registeredSchema(spark, root).fieldNames.toSet)
-          // the gate probes the PINNED files, like the fold itself: a
-          // probe on the live directory could catch a replay's commit
-          // window (momentarily file-less) and misreport a transient
-          // race as a schema refusal
+          // ONE mergeSchema read over every fresh pinned file is both
+          // the schema gate and (on the clean path) the fold's input —
+          // bounded by the batches since the last tick, and it
+          // replaces the batches-per-tick per-batch footer probes the
+          // first cut paid (at a 10 s trigger and an hourly tick,
+          // ~360 footer reads a single read now covers)
+          val allFiles = fresh.flatMap(files(_))
+          val merged =
+            if (allFiles.isEmpty) None
+            else Some(spark.read.option("mergeSchema", "true")
+              .parquet(allFiles: _*))
+          // per-batch probes run only on the BLOCKED path, to find
+          // the contiguous foldable prefix; they probe the PINNED
+          // files, like the fold itself — a probe on the live
+          // directory could catch a replay's commit window
+          // (momentarily file-less) and misreport a transient race as
+          // a schema refusal
           def extrasOf(b: Long): Set[String] =
             if (files(b).isEmpty) Set.empty
             else registered.fold(Set.empty[String])(names =>
               spark.read.parquet(files(b): _*)
                 .schema.fieldNames.toSet -- names)
+          val mergedExtras: Set[String] = (registered, merged) match {
+            case (Some(names), Some(m)) => m.schema.fieldNames.toSet -- names
+            case _ => Set.empty
+          }
           val foldable =
-            if (registered.isEmpty) fresh
+            if (mergedExtras.isEmpty) fresh
             else fresh.takeWhile(extrasOf(_).isEmpty)
           def blocked(): Nothing = {
             val bad = fresh(foldable.size)
-            throw new IllegalArgumentException(
+            throw new AbsorbBlockedException(
               s"absorb blocked at landed batch $bad: columns " +
                 s"${extrasOf(bad).toSeq.sorted.mkString(", ")} are missing " +
                 s"from the schema registry at $root — run Evolve.addColumn " +
@@ -281,25 +421,40 @@ object Tiered {
             EraseStage.run(spark, root, Seq(
               EraseStage.Overwrite("absorb_wm") -> wmDf))
           } else {
-            // mergeSchema is bounded here: the landing holds only the
-            // batches since the last tick, not the table's history
-            val landRaw = spark.read.option("mergeSchema", "true")
-              .parquet(nonEmpty.flatMap(files): _*)
+            // the clean path reuses the gate's single read verbatim
+            // (empty batches contribute no files, so the pinned-file
+            // set is identical); only a blocked tick re-reads the
+            // foldable prefix's files
+            val landRaw =
+              if (foldable.size == fresh.size) merged.get
+              else spark.read.option("mergeSchema", "true")
+                .parquet(nonEmpty.flatMap(files): _*)
             // conform BEFORE deriving p_date: producers land their
             // event schema, which is also what operators naturally
             // register — conforming after the derivation would strip
             // p_date whenever the registry (correctly) lacks it and
-            // wedge every later tick at the staged write
+            // wedge every later tick at the staged write. A TYPE
+            // drift refusal (producer changed a column's type) blocks
+            // the tick the same way a fleet-ahead column does: the
+            // operator must evolve the registry, nothing is dropped.
             val landRows =
               (if (registered.isDefined)
-                graft.tables.Evolve.conform(spark, root, landRaw)
+                try graft.tables.Evolve.conform(spark, root, landRaw)
+                catch {
+                  case e: graft.tables.Evolve.SchemaDriftException =>
+                    throw new AbsorbBlockedException(
+                      s"absorb blocked: landed batches do not conform " +
+                        s"to the registry at $root — ${e.getMessage}")
+                }
               else landRaw)
                 .withColumn("p_date", to_date(col(tsCol)))
             EraseStage.run(spark, root, Seq(
               EraseStage.MoveIn("hot", "p_date", sortCols,
                 bloomCol.map(c =>
-                  s"parquet.bloom.filter.enabled#$c" -> "true").toMap) -> landRows,
+                  s"parquet.bloom.filter.enabled#$c" -> "true").toMap) ->
+                scrubErased(spark, root, landRows),
               EraseStage.Overwrite("absorb_wm") -> wmDf))
+            invalidate(spark, root)
           }
           foldable.foreach { b =>
             f.delete(new Path(s"${landingDir(root)}/batch_id=$b"), true)
@@ -351,6 +506,7 @@ object Tiered {
           EraseStage.Swap("hot", "p_date", frag, sortCols,
             bloomCol.map(c =>
               s"parquet.bloom.filter.enabled#$c" -> "true").toMap) -> kept))
+        invalidate(spark, root)
       }
       frag
     }
@@ -419,6 +575,7 @@ object Tiered {
             coldOpts(coldBloomCols), shards = filesPerDate) -> demoted,
           EraseStage.Swap("hot", "p_date", expired) ->
             hotRows.limit(0)))
+        invalidate(spark, root)
         expired
       }
     }
@@ -502,12 +659,17 @@ object Tiered {
       // unswept debris (≤ watermark) is deleted outright, it can
       // never fold again.
       val f = fs(spark, root)
+      val landingActive = f.exists(new Path(landingDir(root)))
+      val landingEntries =
+        if (!landingActive) Nil
+        else f.listStatus(new Path(landingDir(root))).toSeq
+          .map(_.getPath.getName)
+      val wm = if (landingActive) absorbWatermark(spark, root) else -1L
       val landingLegs =
-        if (!f.exists(new Path(landingDir(root)))) Nil
+        if (!landingActive) Nil
         else {
-          val wm = absorbWatermark(spark, root)
-          val marked = f.listStatus(new Path(landingDir(root))).toSeq
-            .map(_.getPath.getName).filter(_.startsWith("_done.batch_id="))
+          val marked = landingEntries
+            .filter(_.startsWith("_done.batch_id="))
             .map(_.stripPrefix("_done.batch_id=").toLong)
             .filter(b => f.exists(new Path(s"${landingDir(root)}/batch_id=$b")))
             .sorted
@@ -524,10 +686,38 @@ object Tiered {
               Seq(s"landing/batch_id=$b")))
           }
         }
+      // TOMBSTONE before the staged run, whenever the landing
+      // lifecycle is in use (this ordering is the crash-safe one: a
+      // tombstone without a committed erase only re-filters batches
+      // the erase would have scrubbed anyway — conservative for
+      // right-to-be-forgotten — while an erase without a tombstone
+      // would leave the lease-less [[landBatch]] replay window open:
+      // a replayed or in-flight-at-erase-time batch could re-land the
+      // user's pre-erase rows after this manifest commits, and the
+      // next [[absorb]] would fold them back). The window covers
+      // every batch id visible now — markers, directories (including
+      // unmarked in-flight ones), and the watermark.
+      if (landingActive) {
+        val ids = landingEntries.flatMap { n =>
+          if (n.startsWith("_done.batch_id="))
+            n.stripPrefix("_done.batch_id=").toLongOption
+          else if (n.startsWith("batch_id="))
+            n.stripPrefix("batch_id=").toLongOption
+          else None
+        }
+        val maxLanded = (ids :+ wm).max
+        if (maxLanded >= 0) {
+          val out = f.create(new Path(
+            s"${eraseKeyDir(root)}/k_${java.util.UUID.randomUUID()}"), false)
+          try out.write(s"$idCol\t$value\t$maxLanded".getBytes("UTF-8"))
+          finally out.close()
+        }
+      }
       val legs = tierLegs ++ landingLegs
       if (legs.isEmpty) Seq.empty
       else {
         EraseStage.run(spark, root, legs.map(_._1))
+        invalidate(spark, root)
         legs.flatMap(_._2)
       }
     }
@@ -544,36 +734,134 @@ object Tiered {
       val f = fs(spark, root)
       val coldPath = new Path(s"$root/cold")
       if (!f.exists(coldPath)) Seq.empty
-      else f.listStatus(coldPath).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath)
-        .filter(_.getName.startsWith("p_date="))
-        .filter(_.getName.stripPrefix("p_date=") < beforeDate)
-        .sortBy(_.getName)
-        .map { p => f.delete(p, true); p.getName.stripPrefix("p_date=") }
+      else {
+        val dropped = f.listStatus(coldPath).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath)
+          .filter(_.getName.startsWith("p_date="))
+          .filter(_.getName.stripPrefix("p_date=") < beforeDate)
+          .sortBy(_.getName)
+          .map { p => f.delete(p, true); p.getName.stripPrefix("p_date=") }
+        if (dropped.nonEmpty) invalidate(spark, root)
+        dropped
+      }
     }
 
   /** The whole table, both tiers, as one DataFrame — p_date partition
     * pruning applies per-tier, so a time-bounded query lists (and
     * reads) only the tier(s) its range touches. Same read discipline
-    * as [[Serving.readTable]]: wait out a live foreign writer
-    * (demote/build mid-flight), then complete any crashed staged
-    * commit before building the frame. The barrier check is eager but
-    * the frame's FILE LISTING is lazy (Spark semantics) — execute the
-    * returned handle promptly; a handle parked until after another
-    * writer acquires the lease can observe a demote's apply window
-    * (a date transiently on both tiers).
+    * as [[Serving.readTable]], including its CACHE: the read barrier
+    * (wait out a live foreign writer), staged-commit recovery, and
+    * the frame construction run once per root per generation — every
+    * mutating op here invalidates (see readCache above). The cold
+    * tier routes through its replica set when one matching the
+    * current archive content exists ([[replicateCold]]). Handles stay
+    * subject to the documented discipline: consume promptly; a handle
+    * parked across a maintenance tick can observe a relocation's
+    * apply window.
     */
-  def read(spark: SparkSession, root: String): DataFrame = {
+  def read(spark: SparkSession, root: String): DataFrame =
+    if (spark.conf.get("graft.tiered.read.cache", "true") != "true")
+      buildRead(spark, root)
+    else readCache.getOrElseUpdate(qualified(spark, root),
+      buildRead(spark, root))
+
+  private def buildRead(spark: SparkSession, root: String): DataFrame = {
     Lease.awaitQuiesced(spark, root, waitMs =
       spark.conf.get("graft.read.barrier.ms", "60000").toLong)
     EraseStage.recover(spark, root)
-    val tiers = Seq("hot", "cold")
-      .filter(liveTier(spark, root, _))
-      .map(tierFrame(spark, root, _))
+    val tiers =
+      (if (liveTier(spark, root, "hot"))
+        Seq(tierFrame(spark, root, "hot")) else Nil) ++
+      (if (liveTier(spark, root, "cold"))
+        Seq(coldServeFrame(spark, root)) else Nil)
     require(tiers.nonEmpty, s"no tiers under $root")
     tiers.reduce(_ unionByName _)
   }
+
+  private def replicaArea(root: String): String = s"$root/_replicas/cold"
+
+  /** Content stamp of the cold tier: a digest of its (relative path,
+    * size) file listing — any demote/erase/retention changes it, so a
+    * replica generation named by it is valid exactly while the
+    * primary it copied is the current archive.
+    */
+  private def coldStamp(spark: SparkSession, root: String): String = {
+    val f = fs(spark, root)
+    val base = f.makeQualified(new Path(s"$root/cold"))
+    def walk(p: Path): Seq[(String, Long)] =
+      f.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .flatMap(s =>
+          if (s.isDirectory) walk(s.getPath)
+          else Seq((s.getPath.toString.stripPrefix(base.toString), s.getLen)))
+    val listing = walk(base).map { case (rel, len) => s"$rel\t$len" }
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** The cold tier's serving frame: when a replica set for the
+    * CURRENT archive content exists ([[replicateCold]]), the read
+    * routes through it with failover (a deleted/corrupted copy fails
+    * over to the next — [[Replicas.read]]'s manifest check), closing
+    * the X6 gap where the archive was the system's only single-copy
+    * data. Freshness wins over replication: a generation that no
+    * longer matches the primary's content stamp (a demote/erase since
+    * the last [[replicateCold]] tick) is bypassed for the primary.
+    */
+  private def coldServeFrame(spark: SparkSession, root: String): DataFrame = {
+    val f = fs(spark, root)
+    val area = new Path(replicaArea(root))
+    def primary = tierFrame(spark, root, "cold")
+    if (!f.exists(area)) primary
+    else {
+      val gen = s"${replicaArea(root)}/gen=${coldStamp(spark, root)}"
+      if (!f.exists(new Path(s"$gen/_complete"))) primary
+      else {
+        val n = f.listStatus(new Path(gen))
+          .count(_.getPath.getName.startsWith("replica="))
+        try Replicas.read(spark, gen, root, n)._1
+        catch { case _: java.io.FileNotFoundException => primary }
+      }
+    }
+  }
+
+  /** Replicate the COLD tier `n` ways under `<root>/_replicas/cold/
+    * gen=<content stamp>` — the archive-side X6 leg: the hot tier and
+    * every serving table already route through replica groups, and
+    * the archive was the one remaining single copy (a deleted cold
+    * file was unrecoverable). Byte-identical segment copies
+    * ([[Replicas.replicate]]: layout, blooms, and row-group stats
+    * carry over), published atomically per copy, routed with failover
+    * by [[read]]. Idempotent per content stamp (a tick over an
+    * unchanged archive re-replicates nothing); superseded generations
+    * sweep here, never mid-query by the reader. Returns the live
+    * generation root (None when no cold tier exists yet).
+    */
+  def replicateCold(spark: SparkSession, root: String,
+      n: Int = 2): Option[String] =
+    Lease.withLease(spark, root, "tiered-replicate") {
+      EraseStage.recover(spark, root)
+      if (!liveTier(spark, root, "cold")) None
+      else {
+        val f = fs(spark, root)
+        val stamp = coldStamp(spark, root)
+        val gen = s"${replicaArea(root)}/gen=$stamp"
+        if (!f.exists(new Path(s"$gen/_complete"))) {
+          Replicas.replicate(spark, s"$root/cold", gen, n)
+          f.create(new Path(s"$gen/_complete"), true).close()
+        }
+        val area = new Path(replicaArea(root))
+        f.listStatus(area).toSeq.filter(_.isDirectory).map(_.getPath)
+          .filter(p => p.getName.startsWith("gen=") &&
+            p.getName != s"gen=$stamp")
+          .foreach(f.delete(_, true))
+        invalidate(spark, root)
+        Some(gen)
+      }
+    }
 
   /** One tier's frame (plan tests / tier-local audits). */
   private[graft] def tier(spark: SparkSession, root: String,

@@ -107,6 +107,72 @@ object MediaIngest {
     }.foreach(_.unpersist(blocking = false))
   }
 
+  /** Process one micro-batch for the SIMILARITY tier — the streaming
+    * twin of [[graft.queries.MediaQueries.mediaNearDup]]'s signature
+    * state: the batch's payloads collapse to per-content-hash
+    * (canonical id, stub embedding) rows — both keys computed
+    * row-local in the scan stage (codegen'd md5 +
+    * [[graft.functions.EmbedStub]]); identical bytes have identical
+    * embeddings, so min is a deterministic pick — appended as an
+    * idempotent `batch_id` partition. Min-merge over deltas at read
+    * reproduces the batch op's canonical set exactly, for ANY split
+    * and ANY arrival order.
+    *
+    * The payload never persists and never shuffles: 40 B of hash +
+    * 128 B of vector per DISTINCT content per batch is the state's
+    * whole exchange and footprint — at 100 TB of media that is the
+    * difference between a similarity index and a second copy of the
+    * corpus.
+    */
+  def processSignatureBatch(batch: DataFrame, batchId: Long,
+      path: String): Unit =
+    StreamingPipeline.writeBatchIdempotent(
+      batch
+        .select(md5(col("bytes")).as("content_hash"), col("media_id"),
+          graft.functions.MediaExprs.embed_stub(col("bytes")).as("embedding"))
+        .groupBy(col("content_hash"))
+        .agg(min(col("media_id")).as("canonical_id"),
+          // identical bytes → identical embedding; min is the
+          // deterministic pick (and the merge StateCompactor folds)
+          min(col("embedding")).as("embedding")),
+      batchId, path)
+
+  /** Near-duplicate pairs over the ingested signature state: collapse
+    * the deltas to the canonical asset set (min of per-batch min ids;
+    * any embedding — identical content, identical vector), then the
+    * same RHP-LSH banding + exact-cosine verify the batch gate runs
+    * ([[graft.ops.Ann.rhpNearDupPairs]]), which is what lets the
+    * stream gate share `q_media_neardup`'s oracle verbatim.
+    *
+    * The BAND index is derived at read, not persisted per batch, and
+    * deliberately: this library's hyperplanes are data-derived (the
+    * 64 lowest-id canonicals, so the oracle can replay them), and
+    * that set is only stable once ingestion order no longer matters —
+    * banding incrementally against an early snapshot would key later
+    * batches to drifted planes. A deployment with FIXED random planes
+    * (seeded Gaussian — the usual production choice) can band each
+    * batch at ingest with this same delta state; the signature state,
+    * which is the expensive part (one pass over payload bytes, ever),
+    * is shared by both designs.
+    */
+  def readNearDup(spark: SparkSession, path: String,
+      threshold: Double = 0.8): DataFrame = {
+    val canon = StateCompactor.readState(spark, path)
+      .groupBy(col("content_hash"))
+      .agg(min(col("canonical_id")).as("media_id"),
+        min(col("embedding")).as("embedding"))
+      .select(col("media_id"), col("embedding"))
+    graft.ops.Ann.rhpNearDupPairs(canon, threshold,
+      idCol = "media_id", vecCol = "embedding")
+  }
+
+  /** Fold committed signature deltas at the state's own grain —
+    * (min, min) merges commute with [[readNearDup]]'s collapse.
+    */
+  def compactSignatures(spark: SparkSession, path: String): Unit =
+    StateCompactor.compactWith(spark, path, Seq("content_hash"),
+      Seq("canonical_id" -> "min", "embedding" -> "min"))
+
   /** Start the ingest stream over a `media`-schema source. */
   def start(spark: SparkSession, source: DataFrame, path: String,
       checkpoint: String,

@@ -34,6 +34,16 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   */
 object Evolve {
 
+  /** [[conform]]'s refusal — a frame structurally incompatible with
+    * the registered schema (extra columns, or a column whose type
+    * drifted so a cast would corrupt). A DEDICATED type so callers
+    * that must tolerate exactly this (a [[graft.serving.Tiered]]
+    * absorb tick behind a fleet-ahead producer) can, while genuine
+    * `IllegalArgumentException`s keep propagating.
+    */
+  final class SchemaDriftException(msg: String)
+    extends IllegalArgumentException(msg)
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -75,12 +85,45 @@ object Evolve {
     (DataType.fromJson(schemaJson).asInstanceOf[StructType], defaults)
   }
 
+  // Registry fetches CACHE in-process (the Pinot broker schema-cache
+  // analog): a serving read through the registry costs zero FS
+  // round-trips between evolutions instead of one listing + one fetch
+  // per query. Every in-process evolution (register/addColumn/
+  // widenColumn) invalidates; a FOREIGN process's evolution is picked
+  // up after the TTL (`graft.evolve.cache.ms`, 0 disables caching) —
+  // schema changes are operator-grain events, and the stale window is
+  // bounded and read-only.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, (Int, StructType, Map[String, String]))]()
+
+  private def cacheKey(spark: SparkSession, path: String): String =
+    fs(spark, path).makeQualified(new Path(path)).toString
+
+  private def invalidate(spark: SparkSession, path: String): Unit = {
+    schemaCache.remove(cacheKey(spark, path))
+    // an evolution changes what a registry-aware read RETURNS without
+    // touching any data file, so frame caches keyed on the root must
+    // drop too (no-op for roots that aren't tiered)
+    graft.serving.Tiered.invalidate(spark, path)
+  }
+
   private def load(spark: SparkSession, path: String): (Int, StructType, Map[String, String]) = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no registered schema under $path — Evolve.register first")
-    val (n, p) = vs.last
-    val (schema, defaults) = parseVersion(spark, path, p)
-    (n, schema, defaults)
+    val ttl = spark.conf.get("graft.evolve.cache.ms", "30000").toLong
+    val key = cacheKey(spark, path)
+    val cached = Option(schemaCache.get(key))
+      .filter { case (at, _) =>
+        ttl > 0 && System.currentTimeMillis() - at <= ttl
+      }
+    cached.map(_._2).getOrElse {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no registered schema under $path — Evolve.register first")
+      val (n, p) = vs.last
+      val (schema, defaults) = parseVersion(spark, path, p)
+      val loaded = (n, schema, defaults)
+      if (ttl > 0)
+        schemaCache.put(key, (System.currentTimeMillis(), loaded))
+      loaded
+    }
   }
 
   /** Register the table's initial authoritative schema (version 1).
@@ -97,6 +140,7 @@ object Evolve {
   def register(spark: SparkSession, path: String,
       schema: StructType): Boolean =
     graft.serving.Lease.withLease(spark, path, "evolve") {
+      invalidate(spark, path)
       val vs = versions(spark, path)
       if (vs.isEmpty) {
         write(spark, path, 1, schema, Map.empty)
@@ -138,6 +182,7 @@ object Evolve {
   def addColumn(spark: SparkSession, path: String, field: StructField,
       default: String): Unit =
     graft.serving.Lease.withLease(spark, path, "evolve") {
+      invalidate(spark, path) // mutators read the registry FRESH
       val (n, schema, defaults) = load(spark, path)
       require(!schema.fieldNames.contains(field.name),
         s"column ${field.name} already exists in $path schema v$n")
@@ -156,6 +201,51 @@ object Evolve {
           "every read under ANSI), not as the default")
       write(spark, path, n + 1, StructType(schema.fields :+ field),
         defaults + (field.name -> default))
+      invalidate(spark, path) // load above re-cached version n
+    }
+
+  /** Lossless numeric widenings a registry accepts (Pinot's add-
+    * column story allows the same): a physical value of the narrower
+    * type always represents exactly in the wider one.
+    */
+  private val widenings: Set[(String, String)] = Set(
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"), ("int", "double"), ("float", "double"))
+
+  private def isWidening(from: DataType, to: DataType): Boolean =
+    widenings((from.catalogString, to.catalogString))
+
+  /** WIDEN a column's type — the second evolution a live table
+    * eventually needs (the first being [[addColumn]]): a metric that
+    * outgrows its type (INT order counts crossing 2³¹, the
+    * money-in-cents convention forcing INT→LONG) re-registers as the
+    * wider type in one metadata write, version N+1, ZERO data files
+    * rewritten — pre-widening files keep their narrow physical
+    * encoding and the explicit-schema read upcasts them (parquet
+    * type promotion, exact by [[widenings]] construction); files
+    * written after the change carry the wide type natively. Only
+    * lossless widenings are accepted: anything else is a rewrite, not
+    * an evolution, and refuses loudly.
+    */
+  def widenColumn(spark: SparkSession, path: String, name: String,
+      to: DataType): Unit =
+    graft.serving.Lease.withLease(spark, path, "evolve") {
+      invalidate(spark, path) // mutators read the registry FRESH
+      val (n, schema, defaults) = load(spark, path)
+      require(schema.fieldNames.contains(name),
+        s"column $name does not exist in $path schema v$n — widenColumn " +
+          "changes an existing column's type; addColumn adds one")
+      val from = schema(name).dataType
+      require(isWidening(from, to),
+        s"${from.catalogString} -> ${to.catalogString} is not a lossless " +
+          s"widening (allowed: ${widenings.toSeq.sorted.map {
+            case (a, b) => s"$a->$b" }.mkString(", ")}) — a narrowing or " +
+          "cross-kind change rewrites data; that is a different operation")
+      write(spark, path, n + 1,
+        StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f)),
+        defaults)
+      invalidate(spark, path)
     }
 
   /** Read through the registry: ONE schema fetch (max version wins),
@@ -207,15 +297,33 @@ object Evolve {
       df: DataFrame): DataFrame = {
     val (n, schema, defaults) = load(spark, registryPath)
     val extra = df.columns.toSet -- schema.fieldNames.toSet
-    require(extra.isEmpty,
+    if (extra.nonEmpty) throw new SchemaDriftException(
       s"frame carries columns ${extra.toSeq.sorted.mkString(", ")} that " +
         s"schema registry v$n at $registryPath lacks — run " +
         "Evolve.addColumn for them first; conforming would silently " +
         "DROP their values")
     val cols = schema.fields.map { f =>
       val base =
-        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
-        else lit(null).cast(f.dataType)
+        if (df.columns.contains(f.name)) {
+          // TYPE drift refuses as loudly as extra columns do: a
+          // column whose arriving type no longer matches the
+          // registered one (producer changed long→string, say) would
+          // cast to NULL and then coalesce-fill with the registered
+          // default — real values silently replaced. Only the same
+          // type (the sameShape comparison) or a registered-direction
+          // lossless widening (pre-widenColumn producers still
+          // landing the narrow type) casts.
+          val ft = df.schema(f.name).dataType
+          if (ft.catalogString != f.dataType.catalogString &&
+              !isWidening(ft, f.dataType))
+            throw new SchemaDriftException(
+              s"column ${f.name} arrives as ${ft.catalogString} but " +
+                s"registry v$n at $registryPath declares " +
+                s"${f.dataType.catalogString} — a lossy cast would " +
+                "corrupt values into defaults; evolve the registry " +
+                "(or fix the producer) first")
+          col(f.name).cast(f.dataType)
+        } else lit(null).cast(f.dataType)
       defaults.get(f.name) match {
         case Some(d) => coalesce(base, lit(d).cast(f.dataType)).as(f.name)
         case None => base.as(f.name)

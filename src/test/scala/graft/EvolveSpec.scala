@@ -200,4 +200,60 @@ class EvolveSpec extends SparkSuite {
     assert(prunedFiles > 0 && prunedFiles < totalFiles,
       s"expected a pruned read: $prunedFiles of $totalFiles files")
   }
+
+  test("widenColumn: INT→LONG is one metadata write; old files upcast exactly; narrow producers still conform") {
+    val root = freshRoot()
+    Seq((1L, 100), (2L, 200)).toDF("id", "cents") // cents is INT here
+      .write.mode("overwrite").parquet(root)
+    Evolve.register(spark, root, spark.read.parquet(root).schema)
+    val before = dataFiles(root)
+    Evolve.widenColumn(spark, root, "cents", LongType)
+    assert(Evolve.currentVersion(spark, root) === 2)
+    assert(dataFiles(root) === before, "widenColumn touched data files")
+    // post-widening epoch carries values only LONG can hold
+    Seq((3L, 3000000000L)).toDF("id", "cents")
+      .write.mode("append").parquet(root)
+    val evolved = Evolve.read(spark, root)
+    assert(evolved.schema("cents").dataType === LongType)
+    assert(evolved.select($"id", $"cents").as[(Long, Long)].collect().toSet
+      === Set((1L, 100L), (2L, 200L), (3L, 3000000000L)),
+      "narrow-epoch values did not upcast exactly")
+    // a pre-widening producer's frame (still INT) conforms losslessly
+    val conformed = Evolve.conform(spark, root, Seq((4L, 7)).toDF("id", "cents"))
+    assert(conformed.schema("cents").dataType === LongType)
+    assert(conformed.select($"cents").as[Long].head() === 7L)
+    // narrowings and cross-kind changes refuse — they rewrite data,
+    // which is a different operation
+    intercept[IllegalArgumentException] {
+      Evolve.widenColumn(spark, root, "cents",
+        org.apache.spark.sql.types.IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      Evolve.widenColumn(spark, root, "cents", StringType)
+    }
+    intercept[IllegalArgumentException] {
+      Evolve.widenColumn(spark, root, "missing", LongType)
+    }
+  }
+
+  test("conform refuses type drift loudly instead of corrupting values into defaults") {
+    val root = freshRoot()
+    Seq((1L, 10L)).toDF("id", "n").write.mode("overwrite").parquet(root)
+    Evolve.register(spark, root, spark.read.parquet(root).schema)
+    Evolve.addColumn(spark, root, StructField("score", LongType), "-1")
+    // producer changed n from long to string: a silent cast would
+    // null every value and the default would then paper over it
+    val drifted = Seq(("2", "oops", 5L)).toDF("id", "n", "score")
+      .select($"id".cast("long").as("id"), $"n", $"score")
+    val e = intercept[Evolve.SchemaDriftException] {
+      Evolve.conform(spark, root, drifted)
+    }
+    assert(e.getMessage.contains("arrives as string"), e.getMessage)
+    // and the widening direction still conforms (not drift): an INT
+    // frame against a LONG registry upcasts
+    val ok = Evolve.conform(spark, root,
+      Seq((3, 30L, 9L)).toDF("id", "n", "score")
+        .select($"id", $"n", $"score"))
+    assert(ok.select($"id").as[Long].head() === 3L)
+  }
 }

@@ -86,4 +86,55 @@ class MediaSpec extends SparkSuite {
     assert(new String(out(1).bytes) === "ace")
     assert(new String(out(2).bytes) === "abcde")
   }
+
+  test("EmbedStub: codegen ≡ interpreted ≡ the reference stub; null payload → null") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val samples = Seq("", "a", "hello-media-payload", "Z" * 100)
+      .map(_.getBytes("UTF-8"))
+    // interpreted eval (the nullSafeEval path, no codegen involved)
+    samples.foreach { bytes =>
+      val interp = graft.functions.EmbedStub(Literal(bytes)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray.toSeq
+      assert(interp === Media.embedStub(bytes).toSeq)
+    }
+    // whole-stage-codegen'd path over a frame
+    val df = samples.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "bytes")
+    val got = df.select($"id",
+        graft.functions.MediaExprs.embed_stub($"bytes").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    samples.zipWithIndex.foreach { case (b, i) =>
+      assert(got(i.toLong) === Media.embedStub(b).toSeq)
+    }
+    val nulls = Seq((1L, null: Array[Byte])).toDF("id", "bytes")
+      .select(graft.functions.MediaExprs.embed_stub($"bytes")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("streaming similarity tier: out-of-order split + replay reproduce the batch pair set; compaction commutes") {
+    import graft.streaming.MediaIngest
+    val tmp = java.nio.file.Files
+      .createTempDirectory("media_sig_spec").toString
+    val state = s"$tmp/state"
+    val media = Media.mediaFromEvents(Tables.events(spark, sfDir))
+    val batchPairs = graft.queries.MediaQueries.mediaNearDup(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(batchPairs.nonEmpty)
+    // odd ids before even (order-independence), plus a replay of
+    // batch 0 (idempotence)
+    MediaIngest.processSignatureBatch(
+      media.filter($"media_id" % 2 === 1), 0L, state)
+    MediaIngest.processSignatureBatch(
+      media.filter($"media_id" % 2 === 0), 1L, state)
+    MediaIngest.processSignatureBatch(
+      media.filter($"media_id" % 2 === 1), 0L, state)
+    assert(MediaIngest.readNearDup(spark, state)
+      .as[(Long, Long)].collect().toSet === batchPairs,
+      "stream-built similarity tier diverged from the batch op")
+    MediaIngest.compactSignatures(spark, state)
+    assert(MediaIngest.readNearDup(spark, state)
+      .as[(Long, Long)].collect().toSet === batchPairs,
+      "signature compaction changed the pair set")
+  }
 }

@@ -102,6 +102,25 @@ class TieredSpec extends SparkSuite {
       "cold-range query opened hot files")
   }
 
+  test("read-frame cache: repeated reads reuse one frame; every mutating op invalidates") {
+    val (root, cutoff) = buildDemoted()
+    Tiered.demote(spark, root, cutoff, sortCols)
+    val t = Tiered.read(spark, root)
+    assert(Tiered.read(spark, root) eq t,
+      "second read rebuilt the frame — the cache is not caching")
+    assert(ids(t) === ids(ev))
+    // a mutation invalidates: the next read is a fresh frame over the
+    // relocated layout, with identical content
+    Tiered.demote(spark, root, "9999-12-31", sortCols)
+    val t2 = Tiered.read(spark, root)
+    assert(!(t2 eq t), "mutating op did not invalidate the read cache")
+    assert(ids(t2) === ids(ev))
+    // cache off → every read rebuilds
+    spark.conf.set("graft.tiered.read.cache", "false")
+    try assert(!(Tiered.read(spark, root) eq Tiered.read(spark, root)))
+    finally spark.conf.unset("graft.tiered.read.cache")
+  }
+
   test("crash at the manifest: the next read recovers the COMPLETE relocation") {
     val (root, cutoff) = buildDemoted()
     val expired = dateDirs(root, "hot").filter(_ < cutoff)
@@ -662,5 +681,77 @@ class TieredSpec extends SparkSuite {
     assert(lateIds.subsetOf(coldIds), "late rows missing from cold")
     // and nothing original was lost in the union rewrite
     assert(ids(Tiered.read(spark, root)) === (ids(ev) ++ lateIds))
+  }
+
+  test("erase tombstone: a replayed pre-erase landing cannot resurface the user at the next tick") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = freshRoot()
+    val sc = Seq("event_id")
+    val victim = 666L
+    def batch1 = Seq((3L, t("2024-06-01 11:00:00"), victim),
+      (4L, t("2024-06-01 11:01:00"), 11L)).toDF("event_id", "ts", "user_id")
+    Tiered.landBatch(Seq((1L, t("2024-06-01 10:00:00"), 10L),
+      (2L, t("2024-06-01 10:01:00"), victim))
+      .toDF("event_id", "ts", "user_id"), 0L, root)
+    assert(Tiered.absorb(spark, root, "ts", sc) === Seq(0L))
+    Tiered.landBatch(batch1, 1L, root) // marked, unabsorbed
+    val affected = Tiered.eraseUser(spark, root, "user_id", victim, sc)
+    assert(affected.contains("landing/batch_id=1"))
+    // a deterministic streaming REPLAY of batch 1 re-lands its
+    // PRE-ERASE rows after the erase manifest committed (landBatch is
+    // lease-less — the documented race); the tombstone must re-filter
+    // them at the fold
+    Tiered.landBatch(batch1, 1L, root)
+    assert(Tiered.absorb(spark, root, "ts", sc) === Seq(1L))
+    assert(ids(Tiered.read(spark, root)) === Set(1L, 4L),
+      "erased user resurfaced through a replayed landing")
+    // a genuinely NEW batch beyond the tombstone's window may carry
+    // the same user id (the user returned): it folds untouched
+    Tiered.landBatch(Seq((5L, t("2024-06-01 12:00:00"), victim))
+      .toDF("event_id", "ts", "user_id"), 2L, root)
+    assert(Tiered.absorb(spark, root, "ts", sc) === Seq(2L))
+    assert(ids(Tiered.read(spark, root)) === Set(1L, 4L, 5L))
+    // the spent tombstone swept once the watermark passed its window
+    val ek = new Path(s"$root/_erase_keys")
+    assert(!fs(root).exists(ek) || fs(root).listStatus(ek).isEmpty,
+      "spent erase tombstone not swept")
+  }
+
+  test("cold replica set: routed read fails over past a damaged copy; stale generation bypassed for the primary") {
+    val (root, cutoff) = buildDemoted()
+    Tiered.demote(spark, root, cutoff, sortCols,
+      coldBloomCols = Seq("user_id"))
+    val gen = Tiered.replicateCold(spark, root, n = 2).get
+    assert(ids(Tiered.read(spark, root)) === ids(ev),
+      "replica-routed read lost rows")
+    // damage the copy the route pins: delete one of its segments —
+    // the manifest check must fail the copy over, identical rows
+    val f = fs(root)
+    val routed = graft.serving.Replicas.replicaFor(root, 2)
+    def walk(p: Path): Seq[Path] =
+      f.listStatus(p).toSeq.flatMap(s =>
+        if (s.isDirectory) walk(s.getPath) else Seq(s.getPath))
+    val segment = walk(new Path(s"$gen/replica=$routed"))
+      .find(_.getName.endsWith(".parquet")).get
+    f.delete(segment, false)
+    Tiered.invalidate(spark, root) // a fresh reader's first read
+    assert(ids(Tiered.read(spark, root)) === ids(ev),
+      "failover did not serve identical rows")
+    // archive content changes → the old generation no longer matches
+    // its stamp and the read bypasses it for the primary (freshness
+    // wins over replication)
+    Tiered.demote(spark, root, "9999-12-31", sortCols,
+      coldBloomCols = Seq("user_id"))
+    assert(ids(Tiered.read(spark, root)) === ids(ev))
+    // the maintenance tick rebuilds the replica set at the new stamp
+    val msgs = Maintenance.run(spark, Seq(Maintenance.Tier(root, sortCols,
+      hotDays = 0, nowDate = cutoff, coldBloomCols = Seq("user_id"),
+      replicateCold = Some(2))))
+    assert(msgs.exists(_.startsWith("replicated:")), msgs.toString)
+    assert(ids(Tiered.read(spark, root)) === ids(ev))
+    // and the superseded generation was swept by that same tick
+    val gens = f.listStatus(new Path(s"$root/_replicas/cold")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("gen="))
+    assert(gens.size === 1, s"stale generations not swept: $gens")
   }
 }
