@@ -79,19 +79,20 @@ object TemporalQueries {
   private val temporalJoinCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** ONE AvailableNow stream runs BOTH temporal stream-stream joins
-    * — the attribution leftOuter interval join AND the range join —
-    * as a tagged UNION of the two join operators (Spark's
-    * multiple-stateful-operator support), cached per corpus
-    * fingerprint: each gate used to pay its own full micro-batch
-    * harness (~5 s each at bench scale) for the same feed. A
-    * sentinel row per event TYPE sits in the final batch so every
-    * side's watermark advances past the horizon (the global
+  /** ONE AvailableNow stream runs all THREE temporal stateful
+    * operators — the attribution leftOuter interval join, the range
+    * join, and (round 15) the 30-minute session window — as a tagged
+    * UNION (Spark's multiple-stateful-operator support), cached per
+    * corpus fingerprint: each gate used to pay its own full
+    * micro-batch harness (~4-5 s each at bench scale) for the same
+    * feed. A sentinel row per event TYPE sits in the final batch so
+    * every side's watermark advances past the horizon (the global
     * min-watermark policy would otherwise let the error side hold
-    * back the attribution join's null flush). The sentinel purchase
-    * and error share an instant and a user, so the range join emits
-    * one sentinel pair — both read-backs filter `user_id >= 0`
-    * (attribution always did).
+    * back the attribution join's null flush); the same sentinels are
+    * the session branch's flush rows. The sentinel purchase and error
+    * share an instant and a user, so the range join emits one
+    * sentinel pair and the sentinel user one session — every
+    * read-back filters `user_id >= 0`.
     */
   private def temporalJoinsOut(spark: SparkSession, dir: String): String = {
     val fp = Tables.fingerprint(spark, s"$dir/events.parquet")
@@ -136,17 +137,37 @@ object TemporalQueries {
         rjPurchases, errors, keys = Seq("user_id"),
         leftTs = "p_ts", rightTs = "e_ts", hi = "6 hours",
         watermarkDelay = "10 seconds")
+      // third stateful branch in the SAME run (round 15): the session
+      // window — it was the suite's single most expensive gate solely
+      // because it paid its own stream harness for the same tercile
+      // feed. The type sentinels double as its flush rows (user −1's
+      // own session filters out at read-back).
+      val sessions = graft.ops.Sessionize.sessions(
+        srcOf().select(col("user_id"), col("ts"), col("value_cents"))
+          .withWatermark("ts", "10 seconds"),
+        keyCol = "user_id", tsCol = "ts", gap = "30 minutes",
+        valueCol = "value_cents")
+      def padL(c: String) = lit(null).cast("long").as(c)
+      val sessPads = Seq(padL("session_start_ms"), padL("session_end_ms"),
+        padL("n_events"), padL("sum_value_cents"))
       val both = attrJoined
-        .select(lit("attr").as("tag"), col("purchase_id"), col("user_id"),
+        .select(Seq(lit("attr").as("tag"), col("purchase_id"), col("user_id"),
           col("p_ts"), col("value_cents"), col("click_id"), col("c_ts"),
           lit(null).cast("long").as("error_id"),
-          lit(null).cast("timestamp").as("e_ts"))
+          lit(null).cast("timestamp").as("e_ts")) ++ sessPads: _*)
         .unionByName(rjJoined
-          .select(lit("rjoin").as("tag"), col("purchase_id"), col("user_id"),
+          .select(Seq(lit("rjoin").as("tag"), col("purchase_id"), col("user_id"),
             col("p_ts"), lit(null).cast("long").as("value_cents"),
             lit(null).cast("long").as("click_id"),
             lit(null).cast("timestamp").as("c_ts"),
-            col("error_id"), col("e_ts")))
+            col("error_id"), col("e_ts")) ++ sessPads: _*))
+        .unionByName(sessions
+          .select(lit("sess").as("tag"), padL("purchase_id"), col("user_id"),
+            lit(null).cast("timestamp").as("p_ts"), padL("value_cents"),
+            padL("click_id"), lit(null).cast("timestamp").as("c_ts"),
+            padL("error_id"), lit(null).cast("timestamp").as("e_ts"),
+            col("session_start_ms"), col("session_end_ms"),
+            col("n_events"), col("sum_value_cents")))
       val tmp = java.nio.file.Files.createTempDirectory("graft_temporal_gate").toString
       val out = s"$tmp/out"
       OlapQueries.withGateStreamConf(spark) {
@@ -208,58 +229,25 @@ object TemporalQueries {
       valueCol = "value_cents")
 
   /** [[sessionize]] through a REAL Structured Streaming run — the
-    * SAME `Sessionize.sessions` call over a file-source stream fed in
-    * event-time terciles under a 10 s watermark, append mode. A
-    * far-future sentinel event (user −1) advances the global
-    * watermark past every session end so append mode finalizes all
-    * sessions (the standard flush pattern); the sentinel's own
-    * session is filtered out. Tercile batches are event-time ordered
-    * ACROSS batches, so the watermark never drops an in-contract row
-    * and stream-final ≡ batch exactly — the gate shares
-    * `q_sessionize`'s oracle verbatim. This is W3/W5's Flink-style
-    * session window driven end-to-end, not just spec-pinned.
+    * SAME `Sessionize.sessions` call over the shared event-time-
+    * tercile file feed under a 10 s watermark, append mode. The
+    * far-future type sentinels (user −1) advance the global watermark
+    * past every session end so append mode finalizes all sessions
+    * (the standard flush pattern); the sentinel's own session is
+    * filtered out. Tercile batches are event-time ordered ACROSS
+    * batches, so the watermark never drops an in-contract row and
+    * stream-final ≡ batch exactly — the gate shares `q_sessionize`'s
+    * oracle verbatim. This is W3/W5's Flink-style session window
+    * driven end-to-end, not just spec-pinned.
     */
-  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("value_cents"))
-    // 1-row aggregate: bounded driver metadata (event-time cuts)
-    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
-    val tu = unix_micros(col("ts"))
-    val sentinel = ev.sparkSession.range(1).select(
-      lit(-1L).as("user_id"),
-      timestamp_micros(lit(hi + 86400L * 1000000L)).as("ts"),
-      lit(0L).as("value_cents"))
-    val batches = Seq(
-      ev.filter(tu <= cuts(0)),
-      ev.filter(tu > cuts(0) && tu <= cuts(1)),
-      ev.filter(tu > cuts(1)),
-      sentinel)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sess_stream").toString
-    val src = OlapQueries.fileFeedSource(spark,
-      OlapQueries.fileFeedDir(batches), batches.head.schema)
-    val sessions = Sessionize.sessions(
-      src.withWatermark("ts", "10 seconds"),
-      keyCol = "user_id", tsCol = "ts", gap = "30 minutes",
-      valueCol = "value_cents")
-    val out = s"$tmp/out"
-    OlapQueries.withGateStreamConf(spark) {
-      val q = sessions.writeStream
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          graft.streaming.StreamingPipeline.writeBatchIdempotent(b, id, out)
-        }
-        .start()
-      try q.awaitTermination() finally q.stop()
-    }
-    spark.read.parquet(out)
-      .filter(col("user_id") >= 0L)
+  def sessionizeStream(spark: SparkSession, dir: String): DataFrame =
+    // the sess leg of the SHARED temporal run (see [[temporalJoinsOut]]
+    // — round 15 folded this gate's harness in as the run's third
+    // stateful operator); the user filter drops the sentinel session
+    spark.read.parquet(temporalJoinsOut(spark, dir))
+      .filter(col("tag") === "sess" && col("user_id") >= 0L)
       .select("user_id", "session_start_ms", "session_end_ms",
         "n_events", "sum_value_cents")
-  }
 
   /** [[rangeJoinErrors]] as a REAL stream-stream interval join
     * ([[graft.streaming.StreamJoin.intervalJoin]]) — purchases and
