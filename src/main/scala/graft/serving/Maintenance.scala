@@ -228,10 +228,13 @@ object Maintenance {
           .map(d => s"swept:$root/cold/p_date=$d")
       }
       // replicate LAST: demote/retention just changed the archive's
-      // content stamp, so replicating earlier in the tick would build
-      // a generation this same tick immediately supersedes
+      // content, so mirroring earlier in the tick would converge the
+      // replicas to a state this same tick immediately obsoletes
       val replicated = replicate.toSeq.flatMap { n =>
-        Tiered.replicateCold(spark, root, n).map(g => s"replicated:$g")
+        Tiered.replicateCold(spark, root, n).zipWithIndex.collect {
+          case (c, i) if c > 0 =>
+            s"replicated:$root/_replicas/cold/replica=$i:+$c"
+        }
       }
       rec ++ absorbed ++ demoted ++ compacted ++ swept ++ replicated
 

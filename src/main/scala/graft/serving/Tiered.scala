@@ -781,12 +781,15 @@ object Tiered {
 
   private def replicaArea(root: String): String = s"$root/_replicas/cold"
 
-  /** Content stamp of the cold tier: a digest of its (relative path,
-    * size) file listing — any demote/erase/retention changes it, so a
-    * replica generation named by it is valid exactly while the
-    * primary it copied is the current archive.
+  private val MirrorManifest = "_replica_manifest"
+
+  /** The cold tier's (relative path → size) file listing — the
+    * archive's content identity: any demote/erase/retention changes
+    * it, so a mirror whose manifest digests to the same value is
+    * byte-current.
     */
-  private def coldStamp(spark: SparkSession, root: String): String = {
+  private def coldListing(spark: SparkSession,
+      root: String): Seq[(String, Long)] = {
     val f = fs(spark, root)
     val base = f.makeQualified(new Path(s"$root/cold"))
     def walk(p: Path): Seq[(String, Long)] =
@@ -795,21 +798,43 @@ object Tiered {
           s.getPath.getName.startsWith("."))
         .flatMap(s =>
           if (s.isDirectory) walk(s.getPath)
-          else Seq((s.getPath.toString.stripPrefix(base.toString), s.getLen)))
-    val listing = walk(base).map { case (rel, len) => s"$rel\t$len" }
-      .sorted.mkString("\n")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          else Seq((s.getPath.toString.stripPrefix(base.toString)
+            .stripPrefix("/"), s.getLen)))
+    walk(base)
   }
 
-  /** The cold tier's serving frame: when a replica set for the
-    * CURRENT archive content exists ([[replicateCold]]), the read
-    * routes through it with failover (a deleted/corrupted copy fails
-    * over to the next — [[Replicas.read]]'s manifest check), closing
-    * the X6 gap where the archive was the system's only single-copy
-    * data. Freshness wins over replication: a generation that no
-    * longer matches the primary's content stamp (a demote/erase since
-    * the last [[replicateCold]] tick) is bypassed for the primary.
+  private def digestOf(listing: Seq[(String, Long)]): String = {
+    val text = listing.map { case (rel, len) => s"$rel\t$len" }
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def readMirrorManifest(spark: SparkSession,
+      mirror: String): Option[Seq[(String, Long)]] = {
+    val f = fs(spark, mirror)
+    val p = new Path(s"$mirror/$MirrorManifest")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(txt.linesIterator.filter(_.nonEmpty).map { l =>
+        val t = l.lastIndexOf('\t')
+        (l.substring(0, t), l.substring(t + 1).toLong)
+      }.toSeq)
+    }
+  }
+
+  /** The cold tier's serving frame: when replica MIRRORS current with
+    * the archive exist ([[replicateCold]]), the read routes to the
+    * copy the root hashes to, with failover — a mirror whose manifest
+    * no longer digests to the primary's listing (stale), or whose
+    * listed files are missing/resized (damaged, crashed update), is
+    * skipped for the next copy and finally the primary. Closes the X6
+    * gap where the archive was the system's only single-copy data;
+    * freshness always wins over replication.
     */
   private def coldServeFrame(spark: SparkSession, root: String): DataFrame = {
     val f = fs(spark, root)
@@ -817,49 +842,130 @@ object Tiered {
     def primary = tierFrame(spark, root, "cold")
     if (!f.exists(area)) primary
     else {
-      val gen = s"${replicaArea(root)}/gen=${coldStamp(spark, root)}"
-      if (!f.exists(new Path(s"$gen/_complete"))) primary
+      val mirrors = f.listStatus(area).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("replica="))
+        .sorted
+      if (mirrors.isEmpty) primary
       else {
-        val n = f.listStatus(new Path(gen))
-          .count(_.getPath.getName.startsWith("replica="))
-        try Replicas.read(spark, gen, root, n)._1
-        catch { case _: java.io.FileNotFoundException => primary }
+        val stamp = digestOf(coldListing(spark, root))
+        val start = Replicas.replicaFor(root, mirrors.size)
+        val routed = (0 until mirrors.size)
+          .map(d => mirrors((start + d) % mirrors.size))
+        routed.iterator.flatMap { m =>
+          val dir = s"${replicaArea(root)}/$m"
+          readMirrorManifest(spark, dir) match {
+            case Some(entries) if digestOf(entries) == stamp &&
+                entries.forall { case (rel, len) =>
+                  try f.getFileStatus(new Path(s"$dir/$rel")).getLen == len
+                  catch { case _: java.io.FileNotFoundException => false }
+                } =>
+              Some(spark.read.parquet(dir))
+            case _ => None // stale or damaged: fail over
+          }
+        }.nextOption().getOrElse(primary)
       }
     }
   }
 
-  /** Replicate the COLD tier `n` ways under `<root>/_replicas/cold/
-    * gen=<content stamp>` — the archive-side X6 leg: the hot tier and
-    * every serving table already route through replica groups, and
-    * the archive was the one remaining single copy (a deleted cold
-    * file was unrecoverable). Byte-identical segment copies
-    * ([[Replicas.replicate]]: layout, blooms, and row-group stats
-    * carry over), published atomically per copy, routed with failover
-    * by [[read]]. Idempotent per content stamp (a tick over an
-    * unchanged archive re-replicates nothing); superseded generations
-    * sweep here, never mid-query by the reader. Returns the live
-    * generation root (None when no cold tier exists yet).
+  /** Maintain `n` replica MIRRORS of the COLD tier under
+    * `<root>/_replicas/cold/replica=<i>` — the archive-side X6 leg:
+    * the hot tier and every serving table already route through
+    * replica groups, and the archive was the one remaining single
+    * copy (a deleted cold file was unrecoverable). Unlike the serving
+    * tables' generation copies ([[Replicas.replicate]] — fine for
+    * small derived tables), the archive mirrors INCREMENTALLY: each
+    * tick diffs the primary listing against the mirror's ACTUAL files
+    * (one metadata walk, no data read — which is also what lets a
+    * damaged mirror HEAL: a deleted/truncated segment re-copies on
+    * the next tick instead of staying a permanent failover) and
+    * copies only what the mirror lacks (one cluster job fans files
+    * across executors; segments copy byte-identical, so sort order,
+    * row-group stats, and the erase-key blooms carry over), commits
+    * the new manifest atomically (tmp + rename), then sweeps files
+    * the manifest no longer lists — so a steady-state tick costs
+    * O(changed dates) in DATA, the same bound as the demote/erase it
+    * mirrors, never O(archive). Crash safety is read-side: a mirror
+    * without a current manifest (mid-update, crashed update) fails
+    * the digest or size check in [[read]] and the route falls through
+    * to the next copy or the primary; the next tick re-converges the
+    * mirror idempotently. Returns the per-mirror file counts copied
+    * (all-zero = mirrors were already current; empty = no cold
+    * tier).
     */
   def replicateCold(spark: SparkSession, root: String,
-      n: Int = 2): Option[String] =
+      n: Int = 2): Seq[Int] =
     Lease.withLease(spark, root, "tiered-replicate") {
       EraseStage.recover(spark, root)
-      if (!liveTier(spark, root, "cold")) None
+      require(n >= 2, s"replication below 2 is just the table (n=$n)")
+      if (!liveTier(spark, root, "cold")) Seq.empty
       else {
         val f = fs(spark, root)
-        val stamp = coldStamp(spark, root)
-        val gen = s"${replicaArea(root)}/gen=$stamp"
-        if (!f.exists(new Path(s"$gen/_complete"))) {
-          Replicas.replicate(spark, s"$root/cold", gen, n)
-          f.create(new Path(s"$gen/_complete"), true).close()
+        val primaryQ = f.makeQualified(new Path(s"$root/cold")).toString
+        val listing = coldListing(spark, root)
+        val want = listing.toMap
+        val manifestText = listing.map { case (rel, len) => s"$rel\t$len" }
+          .sorted.mkString("", "\n", "\n")
+        val copiedCounts = (0 until n).map { i =>
+          val mirror = s"${replicaArea(root)}/replica=$i"
+          def walkMirror(p: Path): Seq[Path] =
+            if (!f.exists(p)) Nil
+            else f.listStatus(p).toSeq.flatMap(s =>
+              if (s.isDirectory) walkMirror(s.getPath)
+              else Seq(s.getPath))
+          val mirrorQ = f.makeQualified(new Path(mirror)).toString
+          // diff against the mirror's ACTUAL files, not its manifest:
+          // one metadata walk per tick (no data read), which is also
+          // what lets a DAMAGED mirror heal — a deleted/truncated
+          // segment re-copies on the next tick instead of staying a
+          // permanent failover
+          val actual: Map[String, Long] = walkMirror(new Path(mirror))
+            .filterNot(p => p.getName.startsWith("_") ||
+              p.getName.startsWith("."))
+            .map(p => p.toString.stripPrefix(mirrorQ).stripPrefix("/") ->
+              f.getFileStatus(p).getLen).toMap
+          val adds = listing.filter { case (rel, len) =>
+            !actual.get(rel).contains(len) }
+          if (adds.nonEmpty) {
+            val serConf = new org.apache.spark.util.SerializableConfiguration(
+              spark.sparkContext.hadoopConfiguration)
+            val pairs = adds.map { case (rel, _) =>
+              (s"$primaryQ/$rel", s"$mirror/$rel") }
+            spark.sparkContext
+              .parallelize(pairs, math.min(pairs.size, 64).max(1))
+              .foreach { case (from, to) =>
+                val c = serConf.value
+                val fp = new Path(from)
+                val tp = new Path(to)
+                org.apache.hadoop.fs.FileUtil.copy(
+                  fp.getFileSystem(c), fp, tp.getFileSystem(c), tp,
+                  false, true, c)
+                ()
+              }
+          }
+          val manifestCurrent = readMirrorManifest(spark, mirror)
+            .exists(m => digestOf(m) == digestOf(listing))
+          if (adds.nonEmpty || !manifestCurrent) {
+            // atomic manifest swap: tmp + delete-old + rename. A crash
+            // between the delete and the rename leaves the mirror
+            // manifest-less — readers fail it over, the next tick
+            // re-converges it from the actual-file diff
+            val tmp = new Path(s"$mirror/.${MirrorManifest}.tmp")
+            val out = f.create(tmp, true)
+            try out.write(manifestText.getBytes("UTF-8"))
+            finally out.close()
+            f.delete(new Path(s"$mirror/$MirrorManifest"), false)
+            require(f.rename(tmp, new Path(s"$mirror/$MirrorManifest")),
+              s"failed to publish mirror manifest for $mirror")
+            // sweep files the new manifest no longer lists (dropped
+            // dates, erased rewrites, crashed-update orphans)
+            actual.keysIterator
+              .filterNot(want.contains)
+              .foreach(rel => f.delete(new Path(s"$mirror/$rel"), false))
+          }
+          adds.size
         }
-        val area = new Path(replicaArea(root))
-        f.listStatus(area).toSeq.filter(_.isDirectory).map(_.getPath)
-          .filter(p => p.getName.startsWith("gen=") &&
-            p.getName != s"gen=$stamp")
-          .foreach(f.delete(_, true))
         invalidate(spark, root)
-        Some(gen)
+        copiedCounts
       }
     }
 
