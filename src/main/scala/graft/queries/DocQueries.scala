@@ -398,6 +398,30 @@ object DocQueries {
     */
   private def curateStages(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // the stage outputs MATERIALIZE once per corpus fingerprint —
+    // what a production curation run does (each stage's output is the
+    // next stage's input and the audit trail), and what keeps the
+    // four gates over this pipeline (curate, best-survivor, funnel,
+    // and their downstream reads) from re-running the quality model +
+    // banded Jaccard + star contraction once each. Only the NARROW
+    // id/logit/label columns persist (text stays in the corpus table
+    // — at 100 TB the stage tables are id-width, not corpus-width).
+    val root = curateCache.root(spark, dir) { p =>
+      val (_, kept, reps, labels) = curateStagesCompute(spark, dir)
+      kept.select(col("doc_id"), col("logit")).write.parquet(s"$p/kept")
+      reps.select(col("doc_id"), col("logit")).write.parquet(s"$p/reps")
+      labels.write.parquet(s"$p/labels")
+    }
+    (Tables.documents(spark, dir),
+      spark.read.parquet(s"$root/kept"),
+      spark.read.parquet(s"$root/reps"),
+      spark.read.parquet(s"$root/labels"))
+  }
+
+  private val curateCache = new TempRootCache("graft_curate", "documents")
+
+  private[graft] def curateStagesCompute(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val d = Tables.documents(spark, dir)
     val kept = docQualityModel(spark, dir)
       .filter(col("keep") === 1).select(col("doc_id"), col("logit"))

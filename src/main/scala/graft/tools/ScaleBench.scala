@@ -92,13 +92,17 @@ object ScaleBench {
         // paired archive sizes: the tick and the erase must be
         // bounded by TOUCHED dates / matching row groups, not by how
         // much history the archive holds
-        val (tick1, erase1) = tieredSlope(spark, archiveDates = 12)
-        val (tick2, erase2) = tieredSlope(spark, archiveDates = 120)
+        val (tick1, erase1, boot1, steady1) = tieredSlope(spark, archiveDates = 12)
+        val (tick2, erase2, boot2, steady2) = tieredSlope(spark, archiveDates = 120)
         String.format(java.util.Locale.ROOT,
           ""","tier_tick_s_12":%.2f,"tier_tick_s_120":%.2f""" +
-            ""","tier_erase_s_12":%.2f,"tier_erase_s_120":%.2f""",
+            ""","tier_erase_s_12":%.2f,"tier_erase_s_120":%.2f""" +
+            ""","mirror_boot_s_12":%.2f,"mirror_boot_s_120":%.2f""" +
+            ""","mirror_steady_s_12":%.2f,"mirror_steady_s_120":%.2f""",
           Double.box(tick1), Double.box(tick2),
-          Double.box(erase1), Double.box(erase2))
+          Double.box(erase1), Double.box(erase2),
+          Double.box(boot1), Double.box(boot2),
+          Double.box(steady1), Double.box(steady2))
       }
     println(s"""{"metric":"scale","sf":"$sfDir","event_rows":$rows,"queries":$detail$stream$tiered}""")
     spark.stop()
@@ -117,7 +121,7 @@ object ScaleBench {
     * Returns (tick seconds, erase seconds).
     */
   def tieredSlope(spark: SparkSession, archiveDates: Int,
-      rowsPerDate: Int = 20000): (Double, Double) = {
+      rowsPerDate: Int = 20000): (Double, Double, Double, Double) = {
     import org.apache.spark.sql.functions._
     import graft.serving.{Maintenance, Tiered}
     val root = java.nio.file.Files
@@ -147,6 +151,12 @@ object ScaleBench {
       hotDays = 0, nowDate = "9999-12-31", absorbIngest = true,
       bloomCol = Some("event_id"), coldBloomCols = Seq("user_id"))))
     val tickS = (System.nanoTime() - t0) / 1e9
+    // (c) first mirror convergence bootstraps full copies — the one
+    // intentionally O(archive) step (a brand-new replica has
+    // everything to copy)
+    val t2 = System.nanoTime()
+    Tiered.replicateCold(spark, root, n = 2)
+    val mirrorBootS = (System.nanoTime() - t2) / 1e9
     // (b) erase a user present in 2 of the archive's dates: bloom
     // row-group skipping bounds the discovery, the rewrite touches 2
     val t1 = System.nanoTime()
@@ -155,7 +165,16 @@ object ScaleBench {
       coldBloomCols = Seq("user_id"))
     val eraseS = (System.nanoTime() - t1) / 1e9
     require(affected.size == 2, s"fixture drift: $affected ($lastDate)")
-    (tickS, eraseS)
+    // (d) STEADY-STATE mirror tick after that 2-date change: must
+    // copy exactly the rewritten dates' files, whatever the archive
+    // holds — the flat-slope half of the mirror's O(changed) claim
+    val t3 = System.nanoTime()
+    val steadied = Tiered.replicateCold(spark, root, n = 2)
+    val mirrorSteadyS = (System.nanoTime() - t3) / 1e9
+    require(steadied.forall(c => c >= 2 && c <= 4),
+      s"steady mirror tick copied $steadied files — expected ~the 2 " +
+        "rewritten dates per replica")
+    (tickS, eraseS, mirrorBootS, mirrorSteadyS)
   }
 
   /** The STREAMING half of the scale question: not "how fast is one

@@ -381,7 +381,17 @@ class PlanSpec extends SparkSuite {
   }
 
   test("curation pipeline: equi-joins only, partial aggregation, no cartesian") {
-    val p = planOf(graft.queries.DocQueries.docCurate(spark, sfDir))
+    // the stage COMPUTATION's plan — the gate itself now serves from
+    // the materialized stage tables (a join-only read by
+    // construction), so the shape claims pin the build pipeline
+    import org.apache.spark.sql.functions.col
+    val (_, _, reps, labels) =
+      graft.queries.DocQueries.curateStagesCompute(spark, sfDir)
+    val survivors = reps.join(labels, Seq("doc_id"), "left")
+      .filter(col("canonical_id").isNull ||
+        col("canonical_id") === col("doc_id"))
+      .select(col("doc_id"), col("logit"))
+    val p = planOf(survivors)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_"), "map-side combine missing\n" + p)
