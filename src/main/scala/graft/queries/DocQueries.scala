@@ -109,11 +109,36 @@ object DocQueries {
     NearDup.exactDupGroups(Tables.documents(spark, dir))
 
   /** Exact 3-gram Jaccard >= 0.5 near-dup pairs (inverted-index
-    * join — never all-pairs).
+    * join — never all-pairs). Served from the materialized pair
+    * table ([[nearDupRoot]] — four gates consume this graph; like
+    * the curation stages, a production run materializes it once).
+    * `tools.ScaleBench` times [[dedupJaccardCompute]] instead, so the
+    * 10× slope table keeps measuring the banding computation.
     */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${nearDupRoot(spark, dir)}/pairs")
+
+  private[graft] def dedupJaccardCompute(spark: SparkSession,
+      dir: String): DataFrame =
     NearDup.jaccardPairs(Tables.documents(spark, dir), n = 3,
       thresholdNum = 1, thresholdDen = 2)
+
+  /** Materialized full-corpus near-dup artifacts — the Jaccard≥0.5
+    * pair graph and its canonical component labels — built once per
+    * corpus fingerprint and consumed by `q_doc_dedup_jaccard`,
+    * `q_doc_dedup_canonical`, `q_doc_cluster_sizes`, and
+    * `q_doc_dedup_best` (each used to recompute the banding + star
+    * contraction from scratch). Narrow id-width tables.
+    */
+  private val nearDupCache = new TempRootCache("graft_neardup_labels",
+    "documents")
+
+  private def nearDupRoot(spark: SparkSession, dir: String): String =
+    nearDupCache.root(spark, dir) { p =>
+      dedupJaccardCompute(spark, dir).write.parquet(s"$p/pairs")
+      NearDup.canonicalize(spark.read.parquet(s"$p/pairs"))
+        .write.parquet(s"$p/labels")
+    }
 
   /** MinHash+LSH candidates exact-verified at Jaccard >= 0.8 —
     * result set equals the exact >=0.8 pairs (miss prob ~5e-8), which
@@ -224,12 +249,16 @@ object DocQueries {
 
   /** Canonical dedup groups over the Jaccard>=0.5 pair graph: every
     * doc in a near-dup component maps to its minimum doc_id — the
-    * "keep one survivor" output a training pipeline consumes.
+    * "keep one survivor" output a training pipeline consumes. Served
+    * from the materialized label table ([[nearDupRoot]]); ScaleBench
+    * times [[dedupCanonicalCompute]].
     */
   def dedupCanonical(spark: SparkSession, dir: String): DataFrame =
-    NearDup.canonicalize(
-      NearDup.jaccardPairs(Tables.documents(spark, dir), n = 3,
-        thresholdNum = 1, thresholdDen = 2))
+    spark.read.parquet(s"${nearDupRoot(spark, dir)}/labels")
+
+  private[graft] def dedupCanonicalCompute(spark: SparkSession,
+      dir: String): DataFrame =
+    NearDup.canonicalize(dedupJaccardCompute(spark, dir))
 
   /** Dedup AUDIT: the cluster-size distribution of the Jaccard>=0.5
     * near-dup graph — how much of the corpus is duplicated and how
@@ -240,10 +269,16 @@ object DocQueries {
     * histogram domain is bounded by the largest component, and
     * everything after the component walk is integer counts.
     */
-  def docClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+  def docClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    clusterSizesOf(spark, dir, dedupCanonical(spark, dir))
+
+  private[graft] def docClusterSizesCompute(spark: SparkSession,
+      dir: String): DataFrame =
+    clusterSizesOf(spark, dir, dedupCanonicalCompute(spark, dir))
+
+  private def clusterSizesOf(spark: SparkSession, dir: String,
+      comp: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val comp = NearDup.canonicalize(
-      NearDup.jaccardPairs(docs, n = 3, thresholdNum = 1, thresholdDen = 2))
     val sizes = comp.groupBy(col("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
     val hist = sizes.groupBy(col("cluster_size"))
@@ -265,7 +300,15 @@ object DocQueries {
     * `max_by` agg on top, no extra fact scan.
     */
   def docDedupBest(spark: SparkSession, dir: String): DataFrame =
-    dedupCanonical(spark, dir)
+    dedupBestOf(spark, dir, dedupCanonical(spark, dir))
+
+  private[graft] def docDedupBestCompute(spark: SparkSession,
+      dir: String): DataFrame =
+    dedupBestOf(spark, dir, dedupCanonicalCompute(spark, dir))
+
+  private def dedupBestOf(spark: SparkSession, dir: String,
+      comp: DataFrame): DataFrame =
+    comp
       .join(docQualityModel(spark, dir).select(col("doc_id"), col("logit")),
         "doc_id")
       .groupBy(col("canonical_id"))
@@ -375,6 +418,19 @@ object DocQueries {
     */
   def docCurate(spark: SparkSession, dir: String): DataFrame =
     curateFrames(spark, dir)._4.select(col("doc_id"), col("logit"))
+
+  /** The full curation COMPUTATION, no materialized stages — what
+    * `tools.ScaleBench` times for the 10× slope table (the gate above
+    * serves from the per-fingerprint stage tables).
+    */
+  private[graft] def docCurateCompute(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (_, _, reps, labels) = curateStagesCompute(spark, dir)
+    reps.join(labels, Seq("doc_id"), "left")
+      .filter(col("canonical_id").isNull ||
+        col("canonical_id") === col("doc_id"))
+      .select(col("doc_id"), col("logit"))
+  }
 
   /** The curation pipeline's stage frames — (input, model-kept,
     * exact-dedup reps, near-dup survivors) — shared by [[docCurate]]

@@ -55,7 +55,19 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val qs = graft.SparkEntry.queries
+    // the slope table must time the COMPUTATION — banding, star
+    // contraction, the quality model — not the materialized stage
+    // tables the bench/correctness gates serve from (round 15): for
+    // the gates that materialize, time their compute twins
+    val computeForms: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "q_doc_curate" -> (graft.queries.DocQueries.docCurateCompute _),
+      "q_doc_dedup_jaccard" -> (graft.queries.DocQueries.dedupJaccardCompute _),
+      "q_doc_dedup_canonical" -> (graft.queries.DocQueries.dedupCanonicalCompute _),
+      "q_doc_dedup_best" -> (graft.queries.DocQueries.docDedupBestCompute _),
+      "q_doc_cluster_sizes" -> (graft.queries.DocQueries.docClusterSizesCompute _))
+    val qs = graft.SparkEntry.queries.map { case (n, fn) =>
+      n -> computeForms.getOrElse(n, fn)
+    }
     val missing = picks.filterNot(qs.contains)
     require(missing.isEmpty, s"unknown gates: ${missing.mkString(",")}")
     val rows = graft.Tables.events(spark, sfDir).count()
