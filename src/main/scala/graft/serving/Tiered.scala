@@ -718,9 +718,39 @@ object Tiered {
       else {
         EraseStage.run(spark, root, legs.map(_._1))
         invalidate(spark, root)
+        // right-to-be-forgotten reaches the MIRRORS in the same call:
+        // the cold legs above rewrote the primary, but each replica
+        // still holds the user's pre-erase segment files until
+        // converged — sweep them NOW, not at the next maintenance
+        // tick. A crash between the manifest commit above and this
+        // convergence is healed by the next tick's replicate leg, and
+        // readers never serve the stale mirror meanwhile (digest
+        // mismatch → primary).
+        convergeMirrors(spark, root)
         legs.flatMap(_._2)
       }
     }
+
+  /** Re-converge existing cold mirrors to the primary's current
+    * content (no-op listing when nothing changed); a cold tier that
+    * no longer exists — everything erased or retention-swept — takes
+    * its mirrors with it. Called by the deletion paths ([[eraseUser]],
+    * [[retentionSweep]]) so compliance deletes propagate to every
+    * copy in the same call; [[demote]]'s additive relocations leave
+    * convergence to the maintenance tick's replicate leg.
+    */
+  private def convergeMirrors(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val area = new Path(replicaArea(root))
+    if (f.exists(area)) {
+      if (!liveTier(spark, root, "cold")) { f.delete(area, true); () }
+      else {
+        val n = f.listStatus(area).count(s =>
+          s.isDirectory && s.getPath.getName.startsWith("replica="))
+        if (n >= 2) { replicateCold(spark, root, n); () }
+      }
+    }
+  }
 
   /** Final deletion at the end of the lifecycle: drop every COLD date
     * strictly older than `beforeDate` (directory-grain, idempotent —
@@ -742,7 +772,12 @@ object Tiered {
           .filter(_.getName.stripPrefix("p_date=") < beforeDate)
           .sortBy(_.getName)
           .map { p => f.delete(p, true); p.getName.stripPrefix("p_date=") }
-        if (dropped.nonEmpty) invalidate(spark, root)
+        if (dropped.nonEmpty) {
+          invalidate(spark, root)
+          // retention is a compliance delete too: expired dates must
+          // leave the mirrors with the primary, not at the next tick
+          convergeMirrors(spark, root)
+        }
         dropped
       }
     }

@@ -772,6 +772,43 @@ class TieredSpec extends SparkSuite {
       "healed mirror not serving after the tick")
   }
 
+  test("erasure and retention propagate to cold mirrors in the SAME call — no replica keeps the user or expired dates") {
+    val (root, cutoff) = buildDemoted()
+    Tiered.demote(spark, root, cutoff, sortCols,
+      coldBloomCols = Seq("user_id"))
+    Tiered.replicateCold(spark, root, n = 2)
+    // a user living in a COLD date
+    val victim = Tiered.read(spark, root)
+      .filter($"p_date" < lit(cutoff))
+      .select($"user_id").orderBy($"user_id").as[Long].head()
+    Tiered.eraseUser(spark, root, "user_id", victim, sortCols,
+      coldBloomCols = Seq("user_id"))
+    // the PRIMARY lost the user (existing guarantee) AND each mirror
+    // did too, within this call — the pre-erase segment files are
+    // gone from every copy, not just unreachable by routing
+    (0 to 1).foreach { i =>
+      val mirror = s"$root/_replicas/cold/replica=$i"
+      assert(spark.read.parquet(mirror)
+        .filter($"user_id" === victim).count() === 0L,
+        s"mirror $i still holds the erased user's rows at rest")
+    }
+    assert(ids(Tiered.read(spark, root)) ===
+      ids(ev.filter($"user_id" =!= victim)))
+    // retention: expired dates leave the mirrors with the primary
+    val horizon = dateDirs(root, "cold").drop(1).headOption
+      .getOrElse(cutoff)
+    val dropped = Tiered.retentionSweep(spark, root, horizon)
+    assert(dropped.nonEmpty)
+    (0 to 1).foreach { i =>
+      val mirror = s"$root/_replicas/cold/replica=$i"
+      val survivingDates = spark.read.parquet(mirror)
+        .select($"p_date".cast("string")).distinct()
+        .as[String].collect().toSet
+      assert(dropped.toSet.intersect(survivingDates).isEmpty,
+        s"mirror $i still holds retention-dropped dates: $dropped")
+    }
+  }
+
   /** Does a fresh routed read serve from mirror `i`? (Damage-free
     * manifest at the current stamp — probed by reading through the
     * public path after invalidation and checking the mirror's files
