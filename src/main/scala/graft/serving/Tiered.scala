@@ -378,12 +378,27 @@ object Tiered {
           // bounded by the batches since the last tick, and it
           // replaces the batches-per-tick per-batch footer probes the
           // first cut paid (at a 10 s trigger and an hourly tick,
-          // ~360 footer reads a single read now covers)
+          // ~360 footer reads a single read now covers). mergeSchema
+          // refuses a MIXED-TYPE landing (INT vs BIGINT for the same
+          // column — exactly what a widening rollout produces while
+          // pre-widening producers still land the narrow type), which
+          // the registry can conform even though the merge cannot:
+          // that case falls back to the per-batch path below (bounded
+          // by batches-per-tick, and only during the rollout window).
+          // Without a registry there is nothing to conform TO, so the
+          // merge failure propagates loudly.
           val allFiles = fresh.flatMap(files(_))
           val merged =
             if (allFiles.isEmpty) None
-            else Some(spark.read.option("mergeSchema", "true")
+            else try Some(spark.read.option("mergeSchema", "true")
               .parquet(allFiles: _*))
+            catch {
+              case e: org.apache.spark.SparkException
+                  if registered.isDefined &&
+                    Option(e.getMessage)
+                      .exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
+                None
+            }
           // per-batch probes run only on the BLOCKED path, to find
           // the contiguous foldable prefix; they probe the PINNED
           // files, like the fold itself — a probe on the live
@@ -395,20 +410,42 @@ object Tiered {
             else registered.fold(Set.empty[String])(names =>
               spark.read.parquet(files(b): _*)
                 .schema.fieldNames.toSet -- names)
+          // does one batch's frame conform to the registry? (plan
+          // construction only, no job — used on the mixed-type /
+          // blocked paths to find the contiguous foldable prefix)
+          def conformsOf(b: Long): Boolean =
+            files(b).isEmpty || registered.isEmpty || {
+              try {
+                graft.tables.Evolve.conform(spark, root,
+                  spark.read.parquet(files(b): _*))
+                true
+              } catch {
+                case _: graft.tables.Evolve.SchemaDriftException => false
+              }
+            }
           val mergedExtras: Set[String] = (registered, merged) match {
             case (Some(names), Some(m)) => m.schema.fieldNames.toSet -- names
             case _ => Set.empty
           }
+          val mixedTypes = registered.isDefined && merged.isEmpty &&
+            allFiles.nonEmpty
           val foldable =
-            if (mergedExtras.isEmpty) fresh
-            else fresh.takeWhile(extrasOf(_).isEmpty)
+            if (!mixedTypes && mergedExtras.isEmpty) fresh
+            else fresh.takeWhile(b => extrasOf(b).isEmpty && conformsOf(b))
           def blocked(): Nothing = {
             val bad = fresh(foldable.size)
+            val extras = extrasOf(bad)
+            val reason =
+              if (extras.nonEmpty)
+                s"columns ${extras.toSeq.sorted.mkString(", ")} are " +
+                  s"missing from the schema registry at $root — run " +
+                  "Evolve.addColumn for them"
+              else
+                s"its columns do not conform to the registry at $root " +
+                  "(type drift — evolve the registry or fix the producer)"
             throw new AbsorbBlockedException(
-              s"absorb blocked at landed batch $bad: columns " +
-                s"${extrasOf(bad).toSeq.sorted.mkString(", ")} are missing " +
-                s"from the schema registry at $root — run Evolve.addColumn " +
-                s"for them, then the next tick folds it (${foldable.size} " +
+              s"absorb blocked at landed batch $bad: $reason, then the " +
+                s"next tick folds it (${foldable.size} " +
                 "earlier batch(es) folded this tick; nothing was dropped)")
           }
           if (foldable.isEmpty) blocked()
@@ -421,14 +458,6 @@ object Tiered {
             EraseStage.run(spark, root, Seq(
               EraseStage.Overwrite("absorb_wm") -> wmDf))
           } else {
-            // the clean path reuses the gate's single read verbatim
-            // (empty batches contribute no files, so the pinned-file
-            // set is identical); only a blocked tick re-reads the
-            // foldable prefix's files
-            val landRaw =
-              if (foldable.size == fresh.size) merged.get
-              else spark.read.option("mergeSchema", "true")
-                .parquet(nonEmpty.flatMap(files): _*)
             // conform BEFORE deriving p_date: producers land their
             // event schema, which is also what operators naturally
             // register — conforming after the derivation would strip
@@ -437,16 +466,32 @@ object Tiered {
             // drift refusal (producer changed a column's type) blocks
             // the tick the same way a fleet-ahead column does: the
             // operator must evolve the registry, nothing is dropped.
+            // The clean path reuses the gate's single read verbatim
+            // (empty batches contribute no files, so the pinned-file
+            // set is identical); a blocked tick re-reads the foldable
+            // prefix; a MIXED-TYPE landing conforms per batch and
+            // unions the registry-shaped results (conform makes the
+            // union's sides identical where the raw merge could not).
             val landRows =
-              (if (registered.isDefined)
-                try graft.tables.Evolve.conform(spark, root, landRaw)
-                catch {
-                  case e: graft.tables.Evolve.SchemaDriftException =>
-                    throw new AbsorbBlockedException(
-                      s"absorb blocked: landed batches do not conform " +
-                        s"to the registry at $root — ${e.getMessage}")
-                }
-              else landRaw)
+              (if (registered.isEmpty)
+                (if (foldable.size == fresh.size) merged.get
+                 else spark.read.option("mergeSchema", "true")
+                   .parquet(nonEmpty.flatMap(files): _*))
+              else try {
+                if (mixedTypes)
+                  nonEmpty.map(b => graft.tables.Evolve.conform(spark,
+                    root, spark.read.parquet(files(b): _*)))
+                    .reduce(_ unionByName _)
+                else graft.tables.Evolve.conform(spark, root,
+                  if (foldable.size == fresh.size) merged.get
+                  else spark.read.option("mergeSchema", "true")
+                    .parquet(nonEmpty.flatMap(files): _*))
+              } catch {
+                case e: graft.tables.Evolve.SchemaDriftException =>
+                  throw new AbsorbBlockedException(
+                    s"absorb blocked: landed batches do not conform " +
+                      s"to the registry at $root — ${e.getMessage}")
+              })
                 .withColumn("p_date", to_date(col(tsCol)))
             EraseStage.run(spark, root, Seq(
               EraseStage.MoveIn("hot", "p_date", sortCols,

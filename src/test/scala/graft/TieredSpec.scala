@@ -683,6 +683,40 @@ class TieredSpec extends SparkSuite {
     assert(ids(Tiered.read(spark, root)) === (ids(ev) ++ lateIds))
   }
 
+  test("type widening mid-stream: a narrow-type producer's landed batches absorb through the widened registry exactly") {
+    import org.apache.spark.sql.types.LongType
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = freshRoot()
+    val sc = Seq("event_id")
+    // epoch 1: cents is INT (the narrow convention)
+    Tiered.build(spark, Seq((1L, t("2024-09-01 10:00:00"), 100))
+      .toDF("event_id", "ts", "cents"), root, "ts", sc)
+    graft.tables.Evolve.register(spark, root,
+      Tiered.read(spark, root).schema)
+    graft.tables.Evolve.widenColumn(spark, root, "cents", LongType)
+    // a PRE-widening producer still lands INT batches (mixed-version
+    // fleet mid-rollout): conform must upcast, not refuse or corrupt
+    Tiered.landBatch(Seq((2L, t("2024-09-01 11:00:00"), 200))
+      .toDF("event_id", "ts", "cents"), 0L, root)
+    // a POST-widening producer lands values only LONG can hold
+    Tiered.landBatch(Seq((3L, t("2024-09-01 12:00:00"), 3000000000L))
+      .toDF("event_id", "ts", "cents"), 1L, root)
+    assert(Tiered.absorb(spark, root, "ts", sc) === Seq(0L, 1L))
+    val out = Tiered.read(spark, root)
+      .select($"event_id", $"cents").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 100L, 2L -> 200L, 3L -> 3000000000L))
+    assert(Tiered.read(spark, root).schema("cents").dataType === LongType)
+    // a genuine TYPE DRIFT (cross-kind) still blocks the tick loudly
+    Tiered.landBatch(Seq((4L, t("2024-09-01 13:00:00"), "oops"))
+      .toDF("event_id", "ts", "cents"), 2L, root)
+    intercept[Tiered.AbsorbBlockedException] {
+      Tiered.absorb(spark, root, "ts", sc)
+    }
+    assert(fs(root).exists(new Path(
+      s"${Tiered.landingDir(root)}/batch_id=2")),
+      "drifted batch was consumed instead of withheld")
+  }
+
   test("erase tombstone: a replayed pre-erase landing cannot resurface the user at the next tick") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val root = freshRoot()
