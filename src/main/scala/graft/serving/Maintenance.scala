@@ -86,6 +86,9 @@ object Maintenance {
     * `filesPerDate`/`coldBloomCols`/`bloomCol` are the layout knobs
     * ([[Tiered.demote]]/[[Tiered.absorb]]): the tick must carry the
     * SAME values every run or relocated dates drift between layouts.
+    * `replicateCold = Some(n)` additionally converges the archive's
+    * n replica mirrors as the tick's LAST leg
+    * ([[Tiered.replicateCold]] — incremental, O(changed dates)).
     */
   final case class Tier(root: String, sortCols: Seq[String],
     hotDays: Int, nowDate: String,

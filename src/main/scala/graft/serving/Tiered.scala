@@ -38,12 +38,13 @@ import org.apache.spark.sql.functions._
   * on the next read, like every index here). A reader never sees a
   * date on neither tier; the only transient state is a date on both,
   * confined by the single-writer lease to the apply window. [[read]]
-  * checks the lease barrier EAGERLY but returns a LAZY DataFrame
-  * whose file listing happens at action time, so the guarantee is
-  * "a handle taken and consumed while no writer holds the lease never
-  * sees the window" — consume handles promptly after [[read]] (the
-  * same discipline [[Serving.readTable]] documents), don't park one
-  * across a maintenance tick.
+  * runs the lease barrier once per root per GENERATION (the frame
+  * cache below) and returns a LAZY DataFrame whose file listing
+  * happens at action time, so the guarantee is "a handle taken and
+  * consumed while no writer holds the lease never sees the window" —
+  * consume handles promptly after [[read]] (the same discipline
+  * [[Serving.readTable]] documents), don't park one across a
+  * maintenance tick.
   */
 object Tiered {
 
