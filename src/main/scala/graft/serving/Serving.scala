@@ -506,6 +506,11 @@ object Serving {
     val keyed = hourlyKeyedAgg(events)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // fence (the Lease.renew displaced-writer discipline): this
+      // write body runs under the lease but outside EraseStage's
+      // per-leg renews — a holder paused past its TTL and taken over
+      // must not rebuild the layout against the new owner
+      Lease.renew(spark, root)
       writeAggState(root, agg, keyed)
       writeMinuteState(root, minuteRollupAgg(events), minuteUsers(events),
         minuteValueHist(events), minuteValueVals(events),
@@ -582,6 +587,10 @@ object Serving {
       batch: DataFrame, batchId: Long): Unit = {
     val lastApplied = readMeta(spark, root)._2
     if (batchId >= 0 && batchId <= lastApplied) return
+    // fence: the incremental refresh overwrites date partitions in
+    // place outside EraseStage's per-leg renew discipline (see
+    // materializeInto's fence note)
+    Lease.renew(spark, root)
     val deltaAgg = hourlyUserAgg(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deltaKeyed = hourlyKeyedAgg(batch)
